@@ -1,0 +1,57 @@
+"""SparkSession construction and runtime tuning.
+
+Two paths:
+  * ``get_spark()`` — build our own local session (tests, bench).
+  * ``tune(spark)`` — apply runtime-settable conf to a session we did NOT
+    build (the driver hands us one). Only touches conf that is legal to set
+    after the JVM is up.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to every session before running queries.
+# UTC is load-bearing: the duckdb oracle compares naive timestamps, so both
+# engines must agree on the session zone (FIXTURES.md §5.4).
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime conf to an externally-provided session (idempotent)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable in this deployment; keep going
+    n = shuffle_partitions or default_parallelism()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "tagtree-spark", cpus: int | None = None) -> SparkSession:
+    n = cpus or default_parallelism()
+    spark = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    return tune(spark, n)
