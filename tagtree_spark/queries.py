@@ -315,3 +315,349 @@ def q12_select_samples(spark, sf_dir):
         F.unix_micros(F.max("ts")).cast("bigint").alias("max_ts_us"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Relational coverage (SURVEY.md §2.12 Q13-Q23) — native Spark DataFrame ops.
+# These exercise scan/filter/project pushdown, broadcast vs shuffle joins,
+# semi/anti joins, aggregation, rollup, windows, top-k, set ops, scalar
+# functions and JSON extraction. The reference has no relational layer; this
+# is the §2.11 extension surface running on the TPC-H-ish driver tables.
+# --------------------------------------------------------------------------
+
+
+def _t(spark, sf_dir, name):
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q13_filter_project",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+ORDER BY l_orderkey, l_linenumber""",
+)
+def q13_filter_project(spark, sf_dir):
+    """Scan + filter + project; predicates and column pruning reach the
+    parquet scan (verified via .explain PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(_dt.datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(_dt.datetime(1996, 7, 1)))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q14_broadcast_join",
+    """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey""",
+)
+def q14_broadcast_join(spark, sf_dir):
+    """Small-dim broadcast join (no shuffle of the fact side)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "q15_shuffle_join",
+    """
+SELECT c_mktsegment, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q15_shuffle_join(spark, sf_dir):
+    """Fact-fact shuffle join + aggregation; AQE handles skew/coalesce."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("sum_price"),
+        )
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )
+
+
+@query(
+    "q16_semi_anti",
+    """
+SELECT c_nationkey,
+       CAST(count(CASE WHEN has_o THEN 1 END) AS BIGINT) AS n_with_orders,
+       CAST(count(CASE WHEN NOT has_o THEN 1 END) AS BIGINT) AS n_without_orders
+FROM (
+  SELECT c_custkey, c_nationkey,
+         EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+  FROM customer
+) t GROUP BY 1 ORDER BY 1""",
+)
+def q16_semi_anti(spark, sf_dir):
+    """Semi/anti join: customers with vs without orders, per nation."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    buyers = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    flagged = customer.join(
+        buyers.withColumn("has_o", F.lit(True)), "c_custkey", "left"
+    ).withColumn("has_o", F.coalesce("has_o", F.lit(False)))
+    return (
+        flagged.groupBy("c_nationkey")
+        .agg(
+            F.count(F.when(F.col("has_o"), 1)).cast("bigint").alias("n_with_orders"),
+            F.count(F.when(~F.col("has_o"), 1)).cast("bigint").alias("n_without_orders"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q17_groupby_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q17_groupby_agg(spark, sf_dir):
+    """TPC-H Q1 shape: map-side partial aggregation. All monetary math is
+    decimal-exact: the source doubles are 2-decimal values, so casting each
+    FACTOR to decimal before multiplying is lossless and reproduces
+    bit-identically in duckdb (a double product cast to decimal does not —
+    the engines disagree on double→decimal rounding). avg is plain double
+    division of an exact decimal — bit-identical IEEE in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(_dt.datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("decimal(38,6)")
+            .alias("sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_qty"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q18_rollup",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus""",
+)
+def q18_rollup(spark, sf_dir):
+    """Hierarchical rollup aggregation (grouping-sets machinery)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("sum_qty"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "q19_window",
+    """
+SELECT o_orderpriority, rn, rnk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+         CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+  FROM orders
+) t WHERE rn <= 3
+ORDER BY o_orderpriority, rn""",
+)
+def q19_window(spark, sf_dir):
+    """Window functions: per-group top-3 by row_number + rank."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+@query(
+    "q20_topk",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100""",
+)
+def q20_topk(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject (no full sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    ).limit(100)
+
+
+@query(
+    "q21_setops",
+    """
+SELECT c_custkey FROM (
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   INTERSECT
+   SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+  UNION
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+   EXCEPT
+   SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000)
+) t ORDER BY c_custkey""",
+)
+def q21_setops(spark, sf_dir):
+    """Set operations: INTERSECT / UNION / EXCEPT (distinct semantics)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = customer.where(F.col("c_acctbal") > 1000).select("c_custkey")
+    c = customer.where(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    d = orders.where(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b).union(c.exceptAll(d.distinct()).distinct()).distinct().orderBy(
+        "c_custkey"
+    )
+
+
+@query(
+    "q22_scalar_funcs",
+    """
+SELECT o_orderkey,
+       upper(substring(o_orderpriority, 1, 3)) AS pri3,
+       CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+       CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(day(o_orderdate) AS BIGINT) AS d,
+       CAST(o_orderkey % 7 AS BIGINT) AS k_mod,
+       CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DECIMAL(18,2)) AS price2,
+       concat(o_orderstatus, '-', o_orderpriority) AS status_pri
+FROM orders
+WHERE o_orderkey % 97 = 0
+ORDER BY o_orderkey""",
+)
+def q22_scalar_funcs(spark, sf_dir):
+    """Scalar function surface: string/date/math (SURVEY.md §2.10 — the
+    reference has no function library; this is the Spark-native extension)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
+            F.length("o_orderpriority").cast("bigint").alias("pri_len"),
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+            F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+            (F.col("o_orderkey") % 7).cast("bigint").alias("k_mod"),
+            F.round(F.col("o_totalprice").cast("decimal(18,4)"), 2)
+            .cast("decimal(18,2)")
+            .alias("price2"),
+            F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q23_json_props",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type, CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+  FROM events
+) t GROUP BY 1 ORDER BY 1""",
+)
+def q23_json_props(spark, sf_dir):
+    """JSON property extraction over events.props (E6). Spark side uses
+    get_json_object (JVM-native JSON path); oracle uses regexp — values
+    agree on this corpus."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -24,14 +24,17 @@ from tagtree_spark.session import get_spark  # noqa: E402
 
 
 def _norm_cell(v):
+    # Exact comparison: the driver's value-hash is assumed exact, so floats
+    # compare by full repr and decimals by exact string (scale included).
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        return f"{v:.4f}"
+        return repr(v)
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.4f}"
+        # scale-insensitive exact compare (duckdb normalizes trailing zeros)
+        return f"{v:.10f}"
     if isinstance(v, (int,)):
         return str(v)
     if pd.isna(v):
