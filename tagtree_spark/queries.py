@@ -29,7 +29,7 @@ from tagtree_spark.tsdb.matchers import (
     resolve_label_matchers,
     select_series,
 )
-from tagtree_spark.tsdb.model import build_postings, build_samples, build_series
+from tagtree_spark.tsdb.model import build_postings, build_samples, build_series  # noqa: F401
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -76,11 +76,27 @@ WITH ev AS (
 """
 
 
+# Derived-model cache: the TSDB model (series/postings/samples) is derived
+# from `events` once per (session, sf dir) and persisted — r1 re-derived it
+# per query, repeating the same shuffle for q01-q12 (VERDICT "next round" #5).
+# This is the batch analogue of the reference's persisted index: compaction
+# materializes the mem index into the COW tree once, queries then read the
+# materialized form (/root/reference/src/index/index_server.cpp:205-232).
+_MODEL_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
 def _model(spark: SparkSession, sf_dir: str):
-    tune(spark)
-    events = load_table(spark, sf_dir, "events")
-    series = build_series(events)
-    return series, build_postings(series), events
+    key = (id(spark), sf_dir)
+    cached = _MODEL_CACHE.get(key)
+    if cached is None:
+        tune(spark)
+        events = load_table(spark, sf_dir, "events")
+        series = build_series(events).persist()
+        postings = build_postings(series).persist()
+        samples = build_samples(events, series).persist()
+        cached = (series, postings, samples)
+        _MODEL_CACHE[key] = cached
+    return cached
 
 
 def _resolve(spark, sf_dir, matchers, start=None, end=None) -> DataFrame:
@@ -297,7 +313,7 @@ def q11_dense_ids(spark, sf_dir):
 SELECT CAST(count(*) AS BIGINT) AS n_samples,
        CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_us,
        CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM samples
 WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-25 00:00:00'
   AND tsid IN ({_Q7_ORACLE_BODY})""",
@@ -305,15 +321,14 @@ WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-25 00:00
 def q12_select_samples(spark, sf_dir):
     """Querier::select — resolve matchers, semi-join samples, aggregate
     (/root/reference/src/adapters/prom/querier.cpp:13-21)."""
-    series, postings, events = _model(spark, sf_dir)
-    samples = build_samples(events, series)
+    _, postings, samples = _model(spark, sf_dir)
     tsids = resolve_label_matchers(postings, _Q7_MATCHERS)
     sel = select_series(samples, tsids, start=T_05, end=T_25)
     return sel.agg(
         F.count("*").cast("bigint").alias("n_samples"),
         F.unix_micros(F.min("ts")).cast("bigint").alias("min_ts_us"),
         F.unix_micros(F.max("ts")).cast("bigint").alias("max_ts_us"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
 
 
@@ -382,7 +397,7 @@ def q14_broadcast_join(spark, sf_dir):
     """
 SELECT c_mktsegment, o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2""",
 )
@@ -396,7 +411,7 @@ def q15_shuffle_join(spark, sf_dir):
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("sum_price"),
         )
         .orderBy("c_mktsegment", "o_orderstatus")
@@ -437,10 +452,10 @@ def q16_semi_anti(spark, sf_dir):
     "q17_groupby_agg",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
@@ -452,8 +467,10 @@ def q17_groupby_agg(spark, sf_dir):
     decimal-exact: the source doubles are 2-decimal values, so casting each
     FACTOR to decimal before multiplying is lossless and reproduces
     bit-identically in duckdb (a double product cast to decimal does not —
-    the engines disagree on double→decimal rounding). avg is plain double
-    division of an exact decimal — bit-identical IEEE in both engines."""
+    the engines disagree on double→decimal rounding). Final sums are CAST to
+    DOUBLE: decimal→double is correctly-rounded and bit-identical in both
+    engines (verified), and it sidesteps the driver's Decimal-vs-float64
+    canonicalization mismatch that hash-failed r1."""
     li = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
@@ -463,12 +480,12 @@ def q17_groupby_agg(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
             F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
-            .cast("decimal(38,6)")
+            .cast("double")
             .alias("sum_charge"),
             (
                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
@@ -485,7 +502,7 @@ def q17_groupby_agg(spark, sf_dir):
     """
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -498,7 +515,7 @@ def q18_rollup(spark, sf_dir):
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("sum_qty"),
             F.count("*").cast("bigint").alias("n_rows"),
         )
@@ -585,9 +602,9 @@ def q21_setops(spark, sf_dir):
     d = orders.where(F.col("o_totalprice") > 100000).select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return a.intersect(b).union(c.exceptAll(d.distinct()).distinct()).distinct().orderBy(
-        "c_custkey"
-    )
+    # subtract = SQL EXCEPT (distinct) regardless of left-side duplicates;
+    # exceptAll(...).distinct() only coincided because c_custkey is unique.
+    return a.intersect(b).union(c.subtract(d)).distinct().orderBy("c_custkey")
 
 
 @query(
@@ -600,7 +617,7 @@ SELECT o_orderkey,
        CAST(month(o_orderdate) AS BIGINT) AS m,
        CAST(day(o_orderdate) AS BIGINT) AS d,
        CAST(o_orderkey % 7 AS BIGINT) AS k_mod,
-       CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DECIMAL(18,2)) AS price2,
+       CAST(CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS price2,
        concat(o_orderstatus, '-', o_orderpriority) AS status_pri
 FROM orders
 WHERE o_orderkey % 97 = 0
@@ -622,6 +639,7 @@ def q22_scalar_funcs(spark, sf_dir):
             (F.col("o_orderkey") % 7).cast("bigint").alias("k_mod"),
             F.round(F.col("o_totalprice").cast("decimal(18,4)"), 2)
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("price2"),
             F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_pri"),
         )

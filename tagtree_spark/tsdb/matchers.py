@@ -74,7 +74,11 @@ class LabelMatcher:
         if self.op in (MatchOp.EQL, MatchOp.NEQ):
             return value_col == v
         if self.op in (MatchOp.EQL_REGEX, MatchOp.NEQ_REGEX):
-            return value_col.rlike(self.value)
+            # promql regex matchers are fully anchored: =~"click" matches
+            # only the exact string "click" (the reference inherits this via
+            # matcher.match_value from libpromql). Java rlike is
+            # search-semantics, so wrap in a non-capturing full anchor.
+            return value_col.rlike(f"^(?:{self.value})$")
         if self.op is MatchOp.LSS:
             return value_col < v
         if self.op is MatchOp.GTR:
@@ -138,9 +142,12 @@ def resolve_label_matchers(
         candidates = p.where(reduce(Column.__or__, names)).select("tsid").distinct()
 
     if negatives:
+        # No broadcast hint: the exclude set is bounded only by series
+        # cardinality (a NEQ on a high-cardinality label resolves millions of
+        # TSIDs at 100 TB). AQE picks broadcast when the built side is small.
         excl_pred = reduce(Column.__or__, [m.row_predicate() for m in negatives])
         exclude = p.where(excl_pred).select("tsid")
-        candidates = candidates.join(F.broadcast(exclude.distinct()), "tsid", "left_anti")
+        candidates = candidates.join(exclude.distinct(), "tsid", "left_anti")
     return candidates
 
 
@@ -170,11 +177,12 @@ def select_series(
 ) -> DataFrame:
     """Querier::select(tsids) — semi-join samples against the resolved TSID
     set with a time-range filter (/root/reference/include/tagtree/storage.h:32-35,
-    src/adapters/prom/querier.cpp:13-21). The TSID side is broadcast: it is
-    the output of a matcher query, bounded by series cardinality."""
+    src/adapters/prom/querier.cpp:13-21). No broadcast hint: the resolved
+    set is bounded only by series cardinality (a broad matcher resolves
+    millions of TSIDs at 100 TB); AQE broadcasts it when it is small."""
     s = samples
     if start is not None:
         s = s.where(F.col("ts") >= F.lit(start))
     if end is not None:
         s = s.where(F.col("ts") < F.lit(end))
-    return s.join(F.broadcast(resolved_tsids.select("tsid")), "tsid", "left_semi")
+    return s.join(resolved_tsids.select("tsid"), "tsid", "left_semi")

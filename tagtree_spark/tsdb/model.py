@@ -17,14 +17,14 @@ SURVEY.md §7.4.1).
 
 Scale notes (100 TB stance):
   * ``with_labels`` is a narrow projection — no shuffle.
-  * ``build_series`` shuffles once on the (tiny) distinct label-set key;
-    the global row_number window runs over the *distinct series*, not the
-    events. At real scale the series count is << event count; if the series
-    table itself outgrows one partition, swap row_number for a
-    per-partition offset scheme (monotonically_increasing_id + rank over
-    partition maxima) — semantics stay "dense, deterministic order".
+  * ``build_series`` shuffles once on the distinct label-set key, then
+    assigns dense TSIDs with a per-partition offset scheme: range-partition
+    by the label tuple, rank within each partition, add the cumulative count
+    of all earlier partitions. No single-partition global window; the only
+    global step is a cumsum over ≤numPartitions counter rows. Ids are
+    identical to a global ``row_number() OVER (ORDER BY labels)``.
   * ``build_samples`` re-joins events to series on the three label columns;
-    the series side is broadcast (bounded by the label-combination space).
+    AQE broadcasts the series side when it is small.
 """
 
 from __future__ import annotations
@@ -59,6 +59,39 @@ def with_labels(events: DataFrame) -> DataFrame:
     )
 
 
+def dense_rank_ids(df: DataFrame, order_cols: tuple[str, ...], id_col: str = "tsid") -> DataFrame:
+    """Assign dense 1-based ids in lexicographic ``order_cols`` order WITHOUT
+    a single-partition global window (the r1 scale-killer, VERDICT #5).
+
+    Scheme (sketched in the reference's terms at
+    /root/reference/src/index/index_server.cpp:46-55 — an atomic counter,
+    here made deterministic and distributed):
+      1. range-partition on ``order_cols`` → partitions are globally ordered
+         disjoint key ranges;
+      2. row_number within each partition (parallel);
+      3. offset each partition by the cumulative row count of all earlier
+         partitions — a window over ≤numPartitions tiny counter rows.
+    The resulting ids equal a global ``row_number() OVER (ORDER BY cols)``.
+    """
+    part = df.repartitionByRange(*[F.col(c) for c in order_cols])
+    local = part.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)),
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    # offsets has ≤numPartitions rows — broadcast is bounded by cluster
+    # parallelism, not data volume.
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(id_col, (F.col("_off") + F.col("_rn")).cast("bigint"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def build_series(events: DataFrame) -> DataFrame:
     """series(tsid, labels, label_hash, first_seen, last_seen) + flat label cols.
 
@@ -71,9 +104,8 @@ def build_series(events: DataFrame) -> DataFrame:
         F.min("ts").alias("first_seen"),
         F.max("ts").alias("last_seen"),
     )
-    w = Window.orderBy(*LABEL_NAMES)
-    return grouped.select(
-        F.row_number().over(w).cast("bigint").alias("tsid"),
+    return dense_rank_ids(grouped, LABEL_NAMES).select(
+        "tsid",
         *LABEL_NAMES,
         F.map_from_arrays(
             F.array(*[F.lit(n) for n in LABEL_NAMES]),
@@ -110,12 +142,12 @@ def build_postings(series: DataFrame) -> DataFrame:
 
 
 def build_samples(events: DataFrame, series: DataFrame) -> DataFrame:
-    """samples(tsid, ts, value) — one row per event, TSID resolved by
-    broadcast join on the label tuple (the series dim is small by
-    construction; at 100 TB it is still << samples and usually broadcastable;
-    otherwise Catalyst picks a shuffle join on the same key)."""
+    """samples(tsid, ts, value) — one row per event, TSID resolved by a join
+    on the label tuple. No broadcast hint: the series dim is usually small
+    (AQE broadcasts it), but at 100 TB with high label cardinality it may
+    not be — forcing the hint would OOM; AQE decides per run."""
     ev = with_labels(events)
-    dim = F.broadcast(series.select("tsid", *LABEL_NAMES))
+    dim = series.select("tsid", *LABEL_NAMES)
     return ev.join(dim, on=list(LABEL_NAMES), how="inner").select("tsid", "ts", "value")
 
 

@@ -24,19 +24,21 @@ from tagtree_spark.session import get_spark  # noqa: E402
 
 
 def _norm_cell(v):
-    # Exact comparison: the driver's value-hash is assumed exact, so floats
-    # compare by full repr and decimals by exact string (scale included).
+    # TYPE-FAITHFUL comparison — must be at least as strict as the driver's
+    # value hash. r1 lesson (VERDICT.md "What's wrong" #3): normalizing
+    # Decimal scale here masked the driver's Decimal-vs-float64 mismatch.
+    # A Spark Decimal('10759.3900') and a duckdb float64 10759.39 must
+    # compare UNEQUAL so the bug class surfaces locally.
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        return repr(v)
+        return f"float:{v!r}"
     if isinstance(v, decimal.Decimal):
-        # scale-insensitive exact compare (duckdb normalizes trailing zeros)
-        return f"{v:.10f}"
+        return f"decimal:{v}"
     if isinstance(v, (int,)):
-        return str(v)
+        return f"int:{v}"
     if pd.isna(v):
         return "NULL"
     return str(v)
