@@ -1,0 +1,70 @@
+"""Benchmark harness: run the full query inventory at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q01_eql": sec, ...}, "sf": 0.1}
+
+Execution is forced through the noop sink (full plan runs, nothing is
+transferred to the driver) — collect() would make the bench measure driver
+materialization instead of the engine. All Spark logs go to stderr; stdout
+carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tagtree_spark.session import get_spark  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("tagtree-bench")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            run_query(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # keep benching; a broken query reads as -1
+            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
