@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tagtree_spark import queries as _q  # noqa: E402
+from tagtree_spark import queries_ext as _qx  # noqa: E402,F401  (registers q24+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

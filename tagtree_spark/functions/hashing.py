@@ -40,12 +40,14 @@ def duck_h60(expr: str) -> str:
     """DuckDB SQL fragment computing the same h60 as :func:`h60`.
 
     DuckDB has no hex→int conversion function, so fold the 15 hex digits
-    with a lambda: digit_i << 4*(15-i).
+    with a lambda: digit_i << 4*(15-i). The lambda variable is named
+    ``hxi`` so callers can embed ``expr`` that itself references an outer
+    lambda variable (e.g. ``i`` inside list_transform) without shadowing.
     """
     return (
-        "CAST(list_sum(list_transform(range(1, 16), i -> "
-        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), CAST(i AS INT), 1)) - 1 AS BIGINT)"
-        " * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT)"
+        "CAST(list_sum(list_transform(range(1, 16), hxi -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), CAST(hxi AS INT), 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << CAST(4 * (15 - hxi) AS INT)))) AS BIGINT)"
     )
 
 

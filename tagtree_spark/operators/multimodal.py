@@ -1,0 +1,106 @@
+"""Multimodal column handling (E5, SURVEY.md §2.11).
+
+Treats image/audio/video payloads as opaque BINARY columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` — the Spark-idiomatic
+shape for media pipelines at 100 TB (payload bytes never pass through
+row-at-a-time Python; each task streams pandas batches).
+
+The container has no image/audio codecs, so the actual decode step is
+STUBBED (``decode_media`` raises NotImplementedError, as mandated by the
+project brief); ``extract_features`` runs the same mapInPandas plumbing
+with a deterministic fake feature (md5-derived — reproducible in the
+DuckDB oracle), so schema, batching, and partitioning are real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal schema: one row per media object.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),  # 'text' | 'image' | 'audio' | 'video'
+        StructField("payload", BinaryType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("head_h60", LongType()),  # h60 of the first 16 payload bytes
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a multimodal table from the driver's ``documents`` fixture:
+    payload = utf-8 bytes of the text (a stand-in for image bytes), typed
+    metadata map. Pure projection."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("meta"),
+    )
+
+
+def decode_media(modality: str, payload: bytes):
+    """STUB — real decode needs PIL/ffmpeg/librosa, not in this container.
+
+    The contract a production build would implement: image → HxWxC uint8
+    array, audio → PCM float32, video → sampled frames. Deliberately raises
+    so callers can't silently treat fake features as real decodes.
+    """
+    raise NotImplementedError(
+        f"decode_media({modality!r}): media codecs are not available in this "
+        "environment; use extract_features() (deterministic md5-based fake) "
+        "for pipeline plumbing."
+    )
+
+
+def _h60_bytes(b: bytes) -> int:
+    return int(hashlib.md5(b).hexdigest()[:15], 16)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    mapInPandas streams pandas batches per task — payload bytes stay inside
+    the Arrow buffers; the fake feature (h60 of the first 16 bytes) matches
+    ``duck_h60(substr(text, 1, 16))`` in the oracle because Python/Spark/
+    DuckDB md5 agree byte-for-byte.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "head_h60": pdf["payload"].map(lambda b: _h60_bytes(bytes(b)[:16])).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (E3, SURVEY.md §2.11).
+
+Two paths, both JVM-native (zip_with/aggregate — no Python in the hot loop):
+  * ``cosine_topk`` — brute-force exact top-k against one query vector.
+    The correctness baseline; O(N·d) per query, one TakeOrdered, fine for
+    a single query even at scale (it is a scan, not a join).
+  * ``lsh_bucket_topk`` — hyperplane-LSH bucketed variant: vectors are
+    bucketed by the sign pattern of dot products with deterministic
+    pseudo-random hyperplanes; the query probes only its own bucket. This
+    is the 100 TB path: the bucket id is a partitionable key, so a real
+    deployment partitions the table by bucket and a query touches O(N/2^p)
+    rows. Recall is probabilistic (standard SimHash-LSH tradeoff).
+
+Floating point discipline: every dot product folds left-to-right over
+index order with a 0.0 init — both Spark's ``aggregate`` and DuckDB's
+``list_reduce`` use the same sequential bracketing, so scores are
+bit-identical across engines (float32 values promoted to float64 before
+multiply; each product is exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tagtree_spark.functions.hashing import h60
+
+#: Hyperplane weights are integers in [-1000, 1000] derived from h60 so the
+#: DuckDB oracle regenerates the exact same planes: w[j][i] = h60(j#i) % 2001 - 1000.
+PLANE_MOD = 2001
+PLANE_OFF = 1000
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Sequential double-precision dot product of two array<float> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    emb: DataFrame, query_id: int, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k cosine neighbours of ``query_id`` → (vec_id, score).
+
+    The single query row is broadcast (one row — a legitimate hint), then
+    one narrow pass computes scores and TakeOrderedAndProject picks k.
+    """
+    q = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    scored = (
+        emb.where(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            cosine(vec_col, "qv").alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "vec_id").limit(k)
+
+
+def plane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """Driver-side constant: integer hyperplane weights w[j][i] =
+    h60(f"{j}#{i}") % 2001 - 1000, reproduced in SQL by the oracle. Computed
+    in Python (hashlib md5 == Spark md5 == DuckDB md5)."""
+    import hashlib
+
+    out = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{j}#{i}".encode()).hexdigest()[:15], 16)
+            row.append(h % PLANE_MOD - PLANE_OFF)
+        out.append(row)
+    return out
+
+
+def lsh_bucket(vec_col: str | Column, planes: list[list[int]]) -> Column:
+    """Bucket id = sum over planes of (dot(v, plane) >= 0) << j."""
+    bucket = None
+    for j, w in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in w]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        term = F.when(d >= 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane-LSH bucket →
+    (vec_id, bucket, score). At scale the bucket column is the partition
+    key, so this prunes the scan to one partition of 2^n_planes."""
+    planes = plane_weights(n_planes, dim)
+    with_bucket = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    )
+    q = with_bucket.where(F.col("vec_id") == query_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        with_bucket.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != query_id)
+        .select("vec_id", "bucket", cosine("v", "qv").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), "vec_id").limit(k)

@@ -1,0 +1,153 @@
+"""Text analysis operators (E4, SURVEY.md §2.11): token stats, language ID,
+quality scoring, document fingerprinting.
+
+All metrics are computed as INTEGER per-document features first; group
+ratios are then double divisions of exact bigint sums. This keeps every
+output either exact-integer or a single correctly-rounded IEEE division —
+bit-identical between Spark and the DuckDB oracle regardless of aggregation
+order (a double SUM would not be: floating-point addition is not
+associative and the engines aggregate in different orders).
+
+No Python UDFs — everything is built-in column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tagtree_spark.functions.hashing import h60
+from tagtree_spark.operators.dedup import word_shingles
+
+#: Tiny per-language lexicons for the n-gram/stopword language-ID heuristic.
+#: Deliberately simple and 100% deterministic — the point is the operator
+#: shape (score tokens against K lexicons, argmax with a fixed tie order),
+#: not linguistic accuracy. NOTE (recorded deviation): the driver's synthetic
+#: `documents.lang` column is a label with NO signal in the text (all langs
+#: share one English word pool), so predictions won't correlate with it —
+#: q29's oracle checks both engines compute the same function, which is the
+#: actual contract.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "value", "query", "fast"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "les", "et", "des", "une"),
+}
+
+
+def token_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document integer features: n_tokens, n_chars_calc, n_uniq_tokens,
+    max_token_len, n_short_tokens (len<=2). Narrow projection, no shuffle."""
+    words = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("lang"),
+        F.col("source"),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars_calc"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_uniq_tokens"),
+        F.array_max(F.transform(words, lambda w: F.length(w))).cast("bigint").alias("max_token_len"),
+        F.size(F.filter(words, lambda w: F.length(w) <= 2)).cast("bigint").alias("n_short_tokens"),
+    )
+
+
+def lang_stats(docs: DataFrame) -> DataFrame:
+    """E4 per-language corpus stats → one row per lang. Ratios are double
+    divisions of exact bigint sums (see module docstring)."""
+    feats = token_features(docs)
+    return (
+        feats.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("n_chars_calc").cast("bigint").alias("sum_chars"),
+            F.sum("n_uniq_tokens").cast("bigint").alias("sum_uniq"),
+            F.max("max_token_len").cast("bigint").alias("max_token_len"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_tokens",
+            "sum_chars",
+            "max_token_len",
+            (F.col("sum_tokens").cast("double") / F.col("n_docs")).alias("avg_tokens"),
+            (F.col("sum_uniq").cast("double") / F.col("sum_tokens")).alias("uniq_ratio"),
+        )
+    )
+
+
+def _lexicon_score(words: Column, lexicon: tuple[str, ...]) -> Column:
+    lex = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(F.filter(words, lambda w: F.array_contains(lex, w))).cast("bigint")
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic → (doc_id, pred_lang, best_score). Scores each
+    document's tokens against the per-language lexicons; argmax with a
+    deterministic tie-break (lexicon declaration order), 'und' when all
+    scores are zero."""
+    words = F.split(F.col(text_col), " ")
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("lang"),
+        *[_lexicon_score(words, lex).alias(f"score_{lang}") for lang, lex in LANG_LEXICONS.items()],
+    )
+    langs = list(LANG_LEXICONS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → build from last
+        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"), best.alias("best_score"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """E4 quality scoring, aggregated per source → one row per source.
+
+    Per-doc quality signals (all integers): token count in a sane band,
+    unique-token ratio, short-token ratio. The per-source output keeps the
+    raw bigint sums plus double ratios.
+    """
+    feats = token_features(docs)
+    flagged = feats.select(
+        "source",
+        "n_tokens",
+        "n_uniq_tokens",
+        "n_short_tokens",
+        F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 80), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("len_ok"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("len_ok").cast("bigint").alias("n_len_ok"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("n_uniq_tokens").cast("bigint").alias("sum_uniq"),
+            F.sum("n_short_tokens").cast("bigint").alias("sum_short"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_len_ok",
+            (F.col("sum_uniq").cast("double") / F.col("sum_tokens")).alias("uniq_ratio"),
+            (F.col("sum_short").cast("double") / F.col("sum_tokens")).alias("short_ratio"),
+        )
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """E4 document fingerprinting → (doc_id, fp, min_shingle_h, max_shingle_h,
+    n_shingles). fp = content hash of the whole text; min/max shingle hashes
+    are a 2-element bottom/top-k sketch of the shingle set (the same family
+    as winnowing: representative shingle hashes picked deterministically)."""
+    sh = word_shingles(docs, n=n, text_col=text_col).where(F.size("shingles") > 0)
+    hashes = F.transform(F.col("shingles"), lambda s: h60(s))
+    return sh.select(
+        F.col(id_col).alias("doc_id"),
+        h60(text_col).alias("fp"),
+        F.array_min(hashes).alias("min_shingle_h"),
+        F.array_max(hashes).alias("max_shingle_h"),
+        F.size("shingles").cast("bigint").alias("n_shingles"),
+    )

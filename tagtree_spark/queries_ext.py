@@ -1,0 +1,364 @@
+"""Extension query inventory (SURVEY.md §2.11/§2.12 Q24-Q27, plus the
+additional LLM-pipeline operators the north star mandates): exact dedup,
+MinHash+LSH near-dup, SimHash near-dup, exact n-gram Jaccard, cosine top-k,
+LSH-bucketed ANN, text stats, language ID, quality scoring, fingerprints,
+multimodal feature extraction.
+
+Every Spark builder has a DuckDB oracle that reproduces the SAME hashes
+(h60 = md5-derived, tagtree_spark.functions.hashing) so signatures,
+buckets, and candidate sets match bit-for-bit across engines. Floating
+point outputs are either double divisions of exact integers or sequential
+left-to-right folds (Spark ``aggregate`` ≡ DuckDB ``list_reduce``) — both
+bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tagtree_spark.functions.hashing import duck_h60
+from tagtree_spark.io import load_table
+from tagtree_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from tagtree_spark.operators.multimodal import extract_features, media_from_documents
+from tagtree_spark.operators.similarity import PLANE_MOD, PLANE_OFF, cosine_topk, lsh_bucket_topk
+from tagtree_spark.operators.text import (
+    LANG_LEXICONS,
+    fingerprints,
+    lang_id,
+    lang_stats,
+    quality_score,
+)
+from tagtree_spark.queries import query
+from tagtree_spark.session import tune
+
+
+def _docs(spark, sf_dir):
+    tune(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    tune(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Shared oracle CTE fragments
+# --------------------------------------------------------------------------
+
+# Distinct word 3-gram shingles per document (mirrors operators.dedup.word_shingles).
+SHINGLE_CTE = """
+WITH docw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM docw
+)
+"""
+
+_N_PERM = 12
+_N_BANDS = 4
+_ROWS = 3
+
+_MINHASH_CTE = (
+    SHINGLE_CTE
+    + f""", mh AS (
+  SELECT doc_id, j AS seed,
+         min({duck_h60("CAST(j AS VARCHAR) || '#' || s")}) AS mh
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+       range(0, {_N_PERM}) t(j)
+  GROUP BY doc_id, j
+), sig AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+)"""
+)
+
+
+@query(
+    "q24_exact_dedup",
+    f"""
+SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY {duck_h60('text')}
+ORDER BY keep_id""",
+)
+def q24_exact_dedup(spark, sf_dir):
+    """E1 exact dedup over documents: hash-groupBy on h60(text), one
+    survivor per content hash."""
+    return exact_dedup(_docs(spark, sf_dir)).orderBy("keep_id")
+
+
+_Q25_BAND_KEY = duck_h60(
+    "CAST(b AS VARCHAR) || ':#' || CAST(sig[b*3+1] AS VARCHAR) || '#' || "
+    "CAST(sig[b*3+2] AS VARCHAR) || '#' || CAST(sig[b*3+3] AS VARCHAR)"
+)
+
+
+@query(
+    "q25_minhash_neardup",
+    _MINHASH_CTE
+    + f""", bands AS (
+  SELECT doc_id, {_Q25_BAND_KEY} AS band
+  FROM sig, range(0, {_N_BANDS}) t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_match FROM (
+  SELECT doc_a, doc_b,
+         CAST(list_sum(list_transform(range(1, {_N_PERM + 1}),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+) v WHERE n_match >= 6
+ORDER BY doc_a, doc_b""",
+)
+def q25_minhash_neardup(spark, sf_dir):
+    """E2 MinHash+LSH near-dup pairs: 12 permutations, 4 bands x 3 rows,
+    candidates from band-bucket join (no cross join), verified on the full
+    signature (>= 6/12 agreeing positions)."""
+    return minhash_near_dup_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
+
+
+def _simhash_cte() -> str:
+    bit_exprs = ", ".join(
+        f"CASE WHEN sum(CASE WHEN (hw >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END AS b{b}"
+        for b in range(60)
+    )
+    total = " + ".join(f"b{b}" for b in range(60))
+    return f"""
+WITH wrd AS (
+  SELECT doc_id, t AS word FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+), wc AS (
+  SELECT doc_id, word, count(*) AS cnt FROM wrd GROUP BY 1, 2
+), hw AS (
+  SELECT doc_id, {duck_h60('word')} AS hw, cnt FROM wc
+), bits AS (
+  SELECT doc_id, {bit_exprs} FROM hw GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, ({total}) AS simhash FROM bits
+)"""
+
+
+@query(
+    "q28_simhash_neardup",
+    _simhash_cte()
+    + """, bands AS (
+  SELECT doc_id, simhash,
+         CAST(b AS VARCHAR) || ':' || CAST((simhash >> (b * 15)) & 32767 AS VARCHAR) AS band
+  FROM fp, range(0, 4) t(b)
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+) v WHERE hamming <= 3
+ORDER BY doc_a, doc_b""",
+)
+def q28_simhash_neardup(spark, sf_dir):
+    """E2 SimHash near-dup pairs: 60-bit TF-weighted fingerprints, 15-bit
+    band buckets (full recall for hamming <= 3), popcount verification."""
+    return simhash_near_dup_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q32_ngram_jaccard",
+    SHINGLE_CTE
+    + """, sz AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh WHERE len(shingles) > 0
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM common JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_common * 100 >= 50 * (sa.n_sh + sb.n_sh - n_common)
+ORDER BY doc_a, doc_b""",
+)
+def q32_ngram_jaccard(spark, sf_dir):
+    """E2 exact n-gram Jaccard pairs (J >= 0.5) via shingle inverted-index
+    join — integer-only output, no cross join."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
+
+
+_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@query(
+    "q26_cosine_topk",
+    f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, dotp / (sqrt(na) * sqrt(nq)) AS score FROM (
+  SELECT vec_id,
+         {_DOT.format(a='embedding', b='qv')} AS dotp,
+         {_DOT.format(a='embedding', b='embedding')} AS na,
+         {_DOT.format(a='qv', b='qv')} AS nq
+  FROM embeddings, q WHERE vec_id <> 0
+) s
+ORDER BY score DESC, vec_id LIMIT 10""",
+)
+def q26_cosine_topk(spark, sf_dir):
+    """E3 exact top-10 cosine neighbours of vec_id=0 (brute force baseline;
+    sequential double fold matches DuckDB list_reduce bit-for-bit)."""
+    return cosine_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def _q33_oracle() -> str:
+    plane_dot = []
+    for j in range(4):
+        w = duck_h60(f"'{j}#' || CAST(i - 1 AS VARCHAR)")
+        plane_dot.append(
+            f"CASE WHEN list_reduce(list_transform(range(1, 65), "
+            f"i -> CAST({{v}}[i] AS DOUBLE) * CAST(({w}) % {PLANE_MOD} - {PLANE_OFF} AS DOUBLE)), "
+            f"(x, y) -> x + y) >= 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END"
+        )
+    bucket = "(" + " + ".join(plane_dot) + ")"
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding, {bucket.format(v='embedding')} AS bucket FROM embeddings
+), q AS (
+  SELECT embedding AS qv, bucket AS qb FROM wb WHERE vec_id = 0
+)
+SELECT vec_id, bucket, dotp / (sqrt(na) * sqrt(nq)) AS score FROM (
+  SELECT vec_id, bucket,
+         {_DOT.format(a='embedding', b='qv')} AS dotp,
+         {_DOT.format(a='embedding', b='embedding')} AS na,
+         {_DOT.format(a='qv', b='qv')} AS nq
+  FROM wb, q WHERE wb.bucket = q.qb AND vec_id <> 0
+) s
+ORDER BY score DESC, vec_id LIMIT 5"""
+
+
+@query("q33_lsh_ann", _q33_oracle())
+def q33_lsh_ann(spark, sf_dir):
+    """E3 scale path: hyperplane-LSH bucketed ANN — probe only the query's
+    bucket (4 deterministic integer-weight planes → 16 buckets), exact
+    cosine within the bucket."""
+    return lsh_bucket_topk(_emb(spark, sf_dir), query_id=0, k=5, n_planes=4, dim=64)
+
+
+@query(
+    "q27_text_stats",
+    """
+WITH f AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+         CAST(list_max(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS mx
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars_calc) AS BIGINT) AS sum_chars,
+       CAST(max(mx) AS BIGINT) AS max_token_len,
+       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+       CAST(sum(n_uniq) AS DOUBLE) / sum(n_tokens) AS uniq_ratio
+FROM f GROUP BY lang ORDER BY lang""",
+)
+def q27_text_stats(spark, sf_dir):
+    """E4 per-language text statistics: integer sums + double ratios of
+    exact bigints (aggregation-order independent)."""
+    return lang_stats(_docs(spark, sf_dir)).orderBy("lang")
+
+
+def _q29_oracle() -> str:
+    scores = []
+    for lang, lex in LANG_LEXICONS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in lex) + "]"
+        scores.append(
+            f"CAST(len(list_filter(w, t -> list_contains({arr}, t))) AS BIGINT) AS score_{lang}"
+        )
+    langs = list(LANG_LEXICONS)
+    g = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{lang} = {g} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+sc AS (SELECT doc_id, lang, {', '.join(scores)} FROM s)
+SELECT doc_id, lang, {case} AS pred_lang, CAST({g} AS BIGINT) AS best_score
+FROM sc ORDER BY doc_id"""
+
+
+@query("q29_lang_id", _q29_oracle())
+def q29_lang_id(spark, sf_dir):
+    """E4 language-ID heuristic: lexicon scoring with deterministic argmax.
+    (The synthetic corpus has no real language signal — recorded deviation
+    in operators.text; the oracle checks cross-engine determinism.)"""
+    return lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q30_quality",
+    """
+WITH f AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+         CAST(len(list_filter(string_split(text, ' '), w -> length(w) <= 2)) AS BIGINT) AS n_short
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+       CAST(sum(n_uniq) AS DOUBLE) / sum(n_tokens) AS uniq_ratio,
+       CAST(sum(n_short) AS DOUBLE) / sum(n_tokens) AS short_ratio
+FROM f GROUP BY source ORDER BY source""",
+)
+def q30_quality(spark, sf_dir):
+    """E4 quality scoring aggregated per source."""
+    return quality_score(_docs(spark, sf_dir)).orderBy("source")
+
+
+@query(
+    "q31_fingerprint",
+    SHINGLE_CTE
+    + f"""
+SELECT doc_id,
+       {duck_h60('text')} AS fp,
+       list_min(list_transform(shingles, s -> {duck_h60('s')})) AS min_shingle_h,
+       list_max(list_transform(shingles, s -> {duck_h60('s')})) AS max_shingle_h,
+       CAST(len(shingles) AS BIGINT) AS n_shingles
+FROM sh JOIN documents USING (doc_id)
+WHERE len(shingles) > 0
+ORDER BY doc_id""",
+)
+def q31_fingerprint(spark, sf_dir):
+    """E4 document fingerprinting: whole-text h60 + min/max shingle-hash
+    sketch (winnowing family)."""
+    return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q34_multimodal",
+    f"""
+SELECT doc_id AS media_id, 'text' AS modality,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       {duck_h60('substr(text, 1, 16)')} AS head_h60
+FROM documents ORDER BY media_id""",
+)
+def q34_multimodal(spark, sf_dir):
+    """E5 multimodal plumbing: documents → BINARY payload + typed metadata →
+    Arrow-batched mapInPandas feature extraction (deterministic md5 fake in
+    place of the stubbed codec decode)."""
+    media = media_from_documents(_docs(spark, sf_dir))
+    return extract_features(media).select("media_id", "modality", "n_bytes", "head_h60").orderBy(
+        "media_id"
+    )
