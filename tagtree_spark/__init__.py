@@ -9,6 +9,8 @@ Layout:
   operators   — relational, dedup, similarity, text, multimodal operators
   functions   — deterministic cross-engine hash/scalar helpers
   streaming   — structured-streaming ingest path (WAL/compaction analogue)
+  plans       — physical-plan inspection helpers (pushdown/exchange checks)
+  queries     — the oracle-checked query inventory (q01-q23 core, queries_ext q24+)
 
 Reference parity: see SURVEY.md §2 for the operator inventory; every public
 function cites the reference file:line it re-expresses.

@@ -1,0 +1,49 @@
+"""Cross-engine hash determinism: h60 must be bit-identical in Spark,
+DuckDB, and driver-side Python — every signature/bucket in E2/E3 relies
+on it."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+from pyspark.sql import functions as F
+
+from tagtree_spark.functions.hashing import duck_h60, duck_h60_seeded, h60, h60_seeded
+
+SAMPLES = ["", "a", "click", "the quick brown fox", "ünïcode-ış", "0#x y z", "1" * 100]
+
+
+def py_h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_h60_spark_equals_python(spark):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], ["s"])
+    got = {r.s: r.h for r in df.select("s", h60("s").alias("h")).collect()}
+    assert got == {s: py_h60(s) for s in SAMPLES}
+
+
+def test_h60_duckdb_equals_python():
+    con = duckdb.connect()
+    for s in SAMPLES:
+        (got,) = con.execute(f"SELECT {duck_h60('?')}", [s]).fetchone()
+        assert got == py_h60(s), s
+
+
+def test_h60_seeded_cross_engine(spark):
+    con = duckdb.connect()
+    df = spark.createDataFrame([(s,) for s in SAMPLES], ["s"])
+    for seed in (0, 7):
+        spark_vals = {
+            r.s: r.h for r in df.select("s", h60_seeded("s", seed).alias("h")).collect()
+        }
+        for s in SAMPLES:
+            (duck,) = con.execute(f"SELECT {duck_h60_seeded('?', seed)}", [s]).fetchone()
+            assert duck == spark_vals[s] == py_h60(f"{seed}#{s}")
+
+
+def test_h60_fits_signed_64(spark):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], ["s"])
+    rows = df.select(h60("s").alias("h")).collect()
+    assert all(0 <= r.h < 2**60 for r in rows)

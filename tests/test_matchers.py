@@ -1,0 +1,130 @@
+"""Property tests for the matcher algebra (SURVEY.md §5): the identities the
+reference guarantees by construction of its bitmap algebra
+(/root/reference/src/index/mem_index.cpp:136-232)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from tagtree_spark.tsdb.matchers import LabelMatcher, MatchOp, resolve_label_matchers
+
+E = MatchOp.EQL
+NE = MatchOp.NEQ
+RE = MatchOp.EQL_REGEX
+NRE = MatchOp.NEQ_REGEX
+
+
+def tsids(postings, matchers, **kw):
+    return {
+        r.tsid for r in resolve_label_matchers(postings, matchers, **kw).collect()
+    }
+
+
+def test_eql_and_neq_same_value_is_empty(model):
+    _, postings, _ = model
+    out = tsids(
+        postings,
+        [LabelMatcher(E, "event_type", "click"), LabelMatcher(NE, "event_type", "click")],
+    )
+    assert out == set()
+
+
+def test_anchored_regex_equals_eql(model):
+    """EQL_REGEX('^v$') == EQL(v)."""
+    _, postings, _ = model
+    assert tsids(postings, [LabelMatcher(RE, "event_type", "^click$")]) == tsids(
+        postings, [LabelMatcher(E, "event_type", "click")]
+    )
+
+
+def test_unanchored_regex_equals_eql(model):
+    """promql full-anchor semantics: EQL_REGEX('v') == EQL(v) even without
+    explicit anchors — 'click' must NOT substring-match 'clickstream'."""
+    _, postings, _ = model
+    assert tsids(postings, [LabelMatcher(RE, "event_type", "click")]) == tsids(
+        postings, [LabelMatcher(E, "event_type", "click")]
+    )
+
+
+def test_substring_regex_does_not_match(model):
+    """'lick' is a substring of 'click' but must match nothing."""
+    _, postings, _ = model
+    assert tsids(postings, [LabelMatcher(RE, "event_type", "lick")]) == set()
+
+
+def test_regex_union_equals_eql_union(model):
+    _, postings, _ = model
+    union = tsids(postings, [LabelMatcher(RE, "event_type", "click|view")])
+    parts = tsids(postings, [LabelMatcher(E, "event_type", "click")]) | tsids(
+        postings, [LabelMatcher(E, "event_type", "view")]
+    )
+    assert union == parts
+
+
+def test_ordering_partition(model):
+    """LSS(v) ∪ GTE(v) = all series carrying the name; LSS ∩ GTE = ∅."""
+    _, postings, _ = model
+    lss = tsids(postings, [LabelMatcher(MatchOp.LSS, "event_type", "login")])
+    gte = tsids(postings, [LabelMatcher(MatchOp.GTE, "event_type", "login")])
+    allof = tsids(postings, [LabelMatcher(RE, "event_type", ".*")])
+    assert lss | gte == allof
+    assert lss & gte == set()
+
+
+def test_lte_is_lss_union_eql(model):
+    _, postings, _ = model
+    lte = tsids(postings, [LabelMatcher(MatchOp.LTE, "event_type", "login")])
+    lss = tsids(postings, [LabelMatcher(MatchOp.LSS, "event_type", "login")])
+    eql = tsids(postings, [LabelMatcher(E, "event_type", "login")])
+    assert lte == lss | eql
+
+
+def test_conjunction_is_monotone_decreasing(model):
+    """Adding a matcher can only shrink the result (bitmap AND)."""
+    _, postings, _ = model
+    base = tsids(postings, [LabelMatcher(E, "user_bucket", "u1")])
+    narrowed = tsids(
+        postings,
+        [LabelMatcher(E, "user_bucket", "u1"), LabelMatcher(E, "event_type", "click")],
+    )
+    assert narrowed <= base
+
+
+def test_neq_exclude_semantics(model):
+    """pos + NEQ == pos - EQL(same) (deferred exclude-set,
+    /root/reference/src/index/mem_index.cpp:149-171)."""
+    _, postings, _ = model
+    pos = tsids(postings, [LabelMatcher(E, "event_type", "click")])
+    eql_u1 = tsids(postings, [LabelMatcher(E, "user_bucket", "u1")])
+    mixed = tsids(
+        postings,
+        [LabelMatcher(E, "event_type", "click"), LabelMatcher(NE, "user_bucket", "u1")],
+    )
+    assert mixed == pos - eql_u1
+
+
+def test_all_negative_form_requires_name(model):
+    """All-NEQ: candidates are series carrying the name with a non-matching
+    value (/root/reference/src/index/mem_index.cpp:199-220)."""
+    _, postings, _ = model
+    out = tsids(postings, [LabelMatcher(NE, "event_type", "click")])
+    carriers = tsids(postings, [LabelMatcher(RE, "event_type", ".*")])
+    clicks = tsids(postings, [LabelMatcher(E, "event_type", "click")])
+    assert out == carriers - clicks
+
+
+def test_time_pruning_boundary(model):
+    """Interval-overlap boundary: a series qualifies iff
+    last_seen >= start AND first_seen < end
+    (/root/reference/src/index/index_tree.cpp:213-216,263-267)."""
+    series, postings, _ = model
+    row = series.orderBy("tsid").limit(1).collect()[0]
+    m = [LabelMatcher(E, "event_type", row.event_type)]
+    # start exactly at last_seen → still matches (>=)
+    assert row.tsid in tsids(postings, m, start=row.last_seen)
+    # end exactly at first_seen → excluded (strict <)
+    assert row.tsid not in tsids(postings, m, end=row.first_seen)
+    # end just above first_seen → matches
+    assert row.tsid in tsids(
+        postings, m, end=row.first_seen + dt.timedelta(microseconds=1)
+    )

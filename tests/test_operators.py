@@ -1,0 +1,109 @@
+"""E1-E5 operator semantics on small controlled inputs + the sf0.001 corpus."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tagtree_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash60,
+    word_shingles,
+)
+from tagtree_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from tagtree_spark.operators.text import lang_id, lang_stats
+from tagtree_spark.plans.inspect import has_cartesian
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def test_exact_dedup_collapses_identical_texts(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "a b c", "en", "s", 5),
+            (2, "a b c", "en", "s", 5),
+            (3, "x y z", "en", "s", 5),
+        ],
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(d).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_word_shingles_short_text_guard(spark):
+    d = _docs(spark, [(1, "one two", "en", "s", 7)])
+    row = word_shingles(d).collect()[0]
+    assert row.shingles == []
+
+
+def test_minhash_finds_identical_docs(spark):
+    text = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    d = _docs(spark, [(1, text, "en", "s", 1), (2, text, "en", "s", 1), (3, other, "en", "s", 1)])
+    pairs = {(r.doc_a, r.doc_b): r.n_match for r in minhash_near_dup_pairs(d).collect()}
+    assert pairs == {(1, 2): 12}
+
+
+def test_minhash_no_cartesian_in_plan(documents):
+    assert not has_cartesian(minhash_near_dup_pairs(documents))
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    text = " ".join(f"w{i}" for i in range(30))
+    d = _docs(spark, [(1, text, "en", "s", 1), (2, text, "en", "s", 1)])
+    fps = [r.simhash for r in simhash60(d).collect()]
+    assert fps[0] == fps[1] and fps[0] > 0
+
+
+def test_ngram_jaccard_exact_counts(spark):
+    # doc1/doc2 share all but one word of a 10-word text
+    base = [f"w{i}" for i in range(10)]
+    mod = base[:9] + ["DIFF"]
+    d = _docs(
+        spark,
+        [(1, " ".join(base), "en", "s", 1), (2, " ".join(mod), "en", "s", 1)],
+    )
+    rows = ngram_jaccard_pairs(d, min_jaccard_pct=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 8 shingles each; only the 3-gram starting at index 7 contains DIFF
+    # (start indices 8/9 would run past the end) → 7 common
+    assert (r.n_a, r.n_b, r.n_common) == (8, 8, 7)
+
+
+def test_cosine_topk_identical_vector_scores_one(spark):
+    rows = [(0, [1.0, 2.0, 3.0], 0), (1, [2.0, 4.0, 6.0], 0), (2, [-3.0, 1.0, 0.0], 0)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = cosine_topk(emb, query_id=0, k=2).collect()
+    assert out[0].vec_id == 1
+    assert math.isclose(out[0].score, 1.0, rel_tol=1e-12)
+
+
+def test_lsh_bucket_subset_of_brute_force(embeddings):
+    """LSH candidates are a subset of the corpus; scores must agree with the
+    brute-force scores for the same ids (same fold → identical doubles)."""
+    brute = {r.vec_id: r.score for r in cosine_topk(embeddings, 0, k=500).collect()}
+    for r in lsh_bucket_topk(embeddings, 0, k=5, n_planes=4, dim=64).collect():
+        assert r.vec_id in brute
+        assert math.isclose(brute[r.vec_id], r.score, rel_tol=0, abs_tol=0)
+
+
+def test_lang_stats_counts(documents):
+    out = lang_stats(documents)
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == documents.count()
+
+
+def test_lang_id_deterministic_tie_break(spark):
+    # 'de la' scores 1 for es ('la') and 1 for fr ('le'? no — 'la' is in both
+    # es and fr lexicons): es wins by declaration order over fr.
+    d = _docs(spark, [(1, "la la zz", "en", "s", 1)])
+    row = lang_id(d).collect()[0]
+    assert row.pred_lang == "es"
+    d2 = _docs(spark, [(2, "zz qq", "en", "s", 1)])
+    assert lang_id(d2).collect()[0].pred_lang == "und"

@@ -1,0 +1,59 @@
+"""Plan-shape regression tests: the properties that keep queries fast at
+100 TB must hold in the physical plan, not just in intent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tagtree_spark.io import load_table
+from tagtree_spark.plans.inspect import (
+    has_cartesian,
+    physical_plan,
+    pushed_filters,
+    scan_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.where(F.col("l_quantity") < 24).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(q)
+    assert any("l_quantity" in f for f in pf), pf
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.select("l_orderkey", "l_linenumber")
+    schemas = scan_schemas(q)
+    assert schemas and all(
+        "l_orderkey" in s and "l_extendedprice" not in s for s in schemas
+    ), schemas
+
+
+def test_topk_plans_take_ordered(spark):
+    orders = load_table(spark, SF, "orders")
+    q = orders.orderBy(F.col("o_totalprice").desc()).limit(10)
+    assert "TakeOrderedAndProject" in physical_plan(q)
+
+
+def test_small_dim_join_broadcasts(spark):
+    nation = load_table(spark, SF, "nation")
+    region = load_table(spark, SF, "region")
+    q = nation.join(region, nation.n_regionkey == region.r_regionkey)
+    assert "BroadcastHashJoin" in physical_plan(q)
+
+
+def test_resolve_has_no_cartesian(model):
+    from tagtree_spark.tsdb.matchers import LabelMatcher, MatchOp, resolve_label_matchers
+
+    _, postings, _ = model
+    q = resolve_label_matchers(
+        postings,
+        [
+            LabelMatcher(MatchOp.EQL, "user_bucket", "u1"),
+            LabelMatcher(MatchOp.NEQ, "event_type", "error"),
+        ],
+    )
+    assert not has_cartesian(q)
