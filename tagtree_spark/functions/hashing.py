@@ -55,6 +55,27 @@ def duck_h60_seeded(expr: str, seed: int) -> str:
     return duck_h60(f"'{seed}#' || {expr}")
 
 
+#: Mersenne prime 2^31-1 — modulus of the MinHash affine permutation family.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine MinHash family
+    h_j(x) = (a_j*x + b_j) mod (2^31-1), derived from h60 so both engines
+    and driver-side Python regenerate them identically. One md5 per
+    shingle + n_perm integer ops replaces n_perm md5s per shingle (~12x
+    less hashing in the hot path)."""
+    import hashlib
+
+    def py_h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        (py_h60(f"a#{j}") % (MINHASH_P - 1) + 1, py_h60(f"b#{j}") % MINHASH_P)
+        for j in range(n_perm)
+    ]
+
+
 def label_hash(*cols: Column | str) -> Column:
     """xxhash64 over a label set, separator-joined (Spark-internal only;
     never compared against the oracle). Reference:

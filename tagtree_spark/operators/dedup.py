@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tagtree_spark.functions.hashing import h60
+from tagtree_spark.functions.hashing import MINHASH_P, h60, minhash_params
+from tagtree_spark.session import spread
 
 # MinHash defaults: 12 permutations, 4 bands x 3 rows. For a pair with
 # Jaccard J the candidate probability is 1-(1-J^3)^4 — ~0.05 at J=0.25,
@@ -27,24 +28,42 @@ N_PERM = 12
 N_BANDS = 4
 ROWS_PER_BAND = 3
 
+#: Mask folding h60 into the 31-bit domain of the affine permutation family.
+H31_MASK = 0x7FFFFFFF
+
+
+def shingle_hashes(shingle_col: str = "shingles") -> Column:
+    """One md5 per distinct shingle, folded to 31 bits: the shared input of
+    every MinHash permutation (the md5 is the expensive part — everything
+    downstream is integer arithmetic)."""
+    return F.array_distinct(
+        F.transform(F.col(shingle_col), lambda s: h60(s).bitwiseAND(F.lit(H31_MASK)))
+    )
+
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Add ``shingles``: the distinct word n-grams of ``text_col``.
 
-    Pure projection (no shuffle). Guarded for texts shorter than n words —
-    Spark's sequence() would otherwise generate a DESCENDING range.
+    Pure projection (no shuffle). The words array is materialized in its
+    own projection first — referencing ``split(text)`` directly inside the
+    transform lambda would re-split the text once per shingle index
+    (O(words²) string work per document; CollapseProject keeps the
+    multi-use non-cheap alias, so the split runs once per row).
+
+    Guarded for texts shorter than n words — Spark's sequence() would
+    otherwise generate a DESCENDING range.
     """
-    words = F.split(F.col(text_col), " ")
+    with_words = docs.withColumn("_words", F.split(F.col(text_col), " "))
     grams = F.expr(
-        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        f"transform(sequence(0, size(_words) - {n}), "
+        f"i -> concat_ws(' ', slice(_words, i + 1, {n})))"
     )
-    return docs.withColumn(
+    return with_words.withColumn(
         "shingles",
-        F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.when(F.size("_words") >= n, F.array_distinct(grams)).otherwise(
             F.array().cast("array<string>")
         ),
-    )
+    ).drop("_words")
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -62,16 +81,19 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def minhash_signature(shingle_col: str = "shingles", n_perm: int = N_PERM) -> Column:
-    """MinHash signature column: array<bigint> of length ``n_perm``;
-    element j = min over shingles of h60(j || '#' || shingle)."""
-    def _perm(j: int):
-        # closure, NOT a default arg: a 2-param lambda would make
-        # F.transform pass the array index as the second argument.
-        return lambda s: h60(F.concat(F.lit(f"{j}#"), s))
+def minhash_signature(hash_col: str = "hs", n_perm: int = N_PERM) -> Column:
+    """MinHash signature column over the 31-bit shingle hashes: element j =
+    min over hashes of (a_j*h + b_j) mod 2^31-1 (affine universal family,
+    constants from :func:`minhash_params` so the oracle regenerates them)."""
+
+    def _perm(a: int, b: int):
+        # closure, NOT default args: extra lambda params would make
+        # F.transform pass the array index into them.
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
     mins = [
-        F.array_min(F.transform(F.col(shingle_col), _perm(j))) for j in range(n_perm)
+        F.array_min(F.transform(F.col(hash_col), _perm(a, b)))
+        for a, b in minhash_params(n_perm)
     ]
     return F.array(*mins)
 
@@ -109,23 +131,28 @@ def minhash_near_dup_pairs(
       3. verify candidates on the full signature (join back to signatures,
          count agreeing positions).
     """
+    # Persist the signatures: the plan reads them three times (two band-join
+    # sides + verification join-back); without materialization Spark would
+    # re-run the md5 shingle hashing for each read. One row per doc — at
+    # scale this is the "signature table" a real pipeline would materialize.
     sigs = (
-        word_shingles(docs, text_col=text_col)
+        word_shingles(spread(docs), text_col=text_col)
         .where(F.size("shingles") > 0)
+        .withColumn("hs", shingle_hashes("shingles"))
         .select(
             F.col(id_col).alias("doc_id"),
-            minhash_signature("shingles", n_perm=n_perm).alias("sig"),
+            minhash_signature("hs", n_perm=n_perm).alias("sig"),
         )
+        .persist()
     )
     bands = sigs.select(
         "doc_id", F.explode(lsh_band_keys("sig", n_bands, rows_per_band)).alias("band")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # Bucketed pair generation: group docs per band value and emit ordered
+    # pairs inside each bucket — one shuffle, no self-join re-reading the
+    # input. Bucket size is bounded in expectation (band collisions are
+    # rare for non-near-dups); at 100 TB add a bucket-size cap.
+    cand = _bucket_pairs(bands, "band").distinct()
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     n_match = F.aggregate(
@@ -141,6 +168,25 @@ def minhash_near_dup_pairs(
     )
 
 
+def _bucket_pairs(df: DataFrame, key: str, max_bucket: int | None = None) -> DataFrame:
+    """(key, doc_id) → all ordered doc pairs sharing a key value:
+    groupBy(key) + collect_list, pairs generated array-side per bucket.
+    ONE pass over the input (a self-join would recompute the whole upstream
+    pipeline for each side). ``max_bucket`` drops degenerate buckets."""
+    buckets = df.groupBy(key).agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ds") <= max_bucket)
+    pairs = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b)))"
+            )
+        )
+    )
+    return buckets.where(F.size("ds") >= 2).select(pairs.alias("p")).select("p.doc_a", "p.doc_b")
+
+
 def simhash60(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """E2 SimHash: 60-bit fingerprint per document → ``(doc_id, simhash)``.
 
@@ -152,7 +198,7 @@ def simhash60(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     groupBy(doc) folding all 60 bit-sums — two shuffles total, both on keys
     that shrink with aggregation; no per-bit passes over the data.
     """
-    words = docs.select(
+    words = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     )
@@ -191,11 +237,12 @@ def simhash_near_dup_pairs(
     recall for max_hamming <= n_bands - 1. Verification = popcount(XOR).
     """
     width = 60 // n_bands
-    fp = simhash60(docs, id_col=id_col, text_col=text_col)
+    # One row per doc — persist so band bucketing and the verification
+    # join-backs don't re-run the word-count + 60-bit-sum pipeline.
+    fp = simhash60(docs, id_col=id_col, text_col=text_col).persist()
     mask = (1 << width) - 1
     bands = fp.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -211,16 +258,14 @@ def simhash_near_dup_pairs(
             )
         ).alias("band"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint")
+    cand = _bucket_pairs(bands, "band").distinct()
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("bigint")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
 
@@ -231,30 +276,61 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard_pct: int = 50,
+    max_df: int = 50,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index →
+    """n-gram Jaccard near-dup pairs via a shingle inverted index →
     ``(doc_a, doc_b, n_common, n_a, n_b)`` for J >= min_jaccard_pct/100.
 
-    Candidates come from joining the exploded (shingle → doc) index with
-    itself on the shingle — i.e. only pairs that SHARE a shingle are ever
-    materialized; J is then exact from integer counts (output stays
-    integer so both engines hash identically; J = c/(n_a+n_b-c)).
+    Candidates come from joining the exploded (shingle-hash → doc) index
+    with itself on the 60-bit shingle hash — i.e. only pairs that SHARE a
+    shingle are ever materialized, and the shuffle key is a fixed-width
+    bigint, never the shingle text; J is then exact from integer counts
+    (output stays integer so both engines hash identically;
+    J = c/(n_a+n_b-c), computed over the kept shingle space).
 
-    At 100 TB the refinement is to drop ultra-frequent shingles (df cap)
-    before the self-join — stop-shingles generate quadratic bucket blowup
-    while contributing nothing to near-dup detection.
+    ``max_df`` drops stop-shingles (document frequency > max_df) before the
+    self-join: a shingle shared by d documents generates O(d²) candidate
+    rows while carrying ~zero near-dup signal — the df cap is what bounds
+    the join quadratically at 100 TB (true near-dup pairs share mostly
+    RARE shingles, so recall is unaffected). Jaccard is computed over the
+    kept-shingle space in both engines.
     """
     sh = (
-        word_shingles(docs, n=n, text_col=text_col)
+        word_shingles(spread(docs), n=n, text_col=text_col)
         .where(F.size("shingles") > 0)
-        .select(F.col(id_col).alias("doc_id"), "shingles")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(F.transform("shingles", lambda s: h60(s))).alias("hs"),
+        )
     )
-    sizes = sh.select("doc_id", F.size("shingles").cast("bigint").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a, b = inv.alias("a"), inv.alias("b")
+    inv = sh.select("doc_id", F.explode("hs").alias("s"))
+    # ONE shuffle builds the inverted index buckets; the df cap is a filter
+    # on bucket size (no count+join-back pass). Persisted: pairs and
+    # per-doc sizes both read it, and it is tiny (one row per distinct
+    # shingle, doc lists bounded by max_df).
+    buckets = (
+        inv.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") <= max_df)
+        .persist()
+    )
+    sizes = (
+        buckets.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_sh"))
+    )
+    pair_structs = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b)))"
+            )
+        )
+    )
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.where(F.size("ds") >= 2)
+        .select(pair_structs.alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))

@@ -20,6 +20,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from tagtree_spark.session import spread
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -103,4 +105,6 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    # spread: a single-file input would otherwise run all Python batches
+    # in ONE task — Arrow parallelism needs input partitions.
+    return spread(media).mapInPandas(batches, schema=FEATURE_SCHEMA)

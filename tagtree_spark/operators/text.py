@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from tagtree_spark.functions.hashing import h60
 from tagtree_spark.operators.dedup import word_shingles
+from tagtree_spark.session import spread
 
 #: Tiny per-language lexicons for the n-gram/stopword language-ID heuristic.
 #: Deliberately simple and 100% deterministic — the point is the operator
@@ -39,7 +40,7 @@ def token_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """Per-document integer features: n_tokens, n_chars_calc, n_uniq_tokens,
     max_token_len, n_short_tokens (len<=2). Narrow projection, no shuffle."""
     words = F.split(F.col(text_col), " ")
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.col("lang"),
         F.col("source"),
@@ -87,7 +88,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     deterministic tie-break (lexicon declaration order), 'und' when all
     scores are zero."""
     words = F.split(F.col(text_col), " ")
-    scored = docs.select(
+    scored = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.col("lang"),
         *[_lexicon_score(words, lex).alias(f"score_{lang}") for lang, lex in LANG_LEXICONS.items()],
@@ -142,12 +143,23 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     n_shingles). fp = content hash of the whole text; min/max shingle hashes
     are a 2-element bottom/top-k sketch of the shingle set (the same family
     as winnowing: representative shingle hashes picked deterministically)."""
-    sh = word_shingles(docs, n=n, text_col=text_col).where(F.size("shingles") > 0)
-    hashes = F.transform(F.col("shingles"), lambda s: h60(s))
+    sh = word_shingles(spread(docs), n=n, text_col=text_col).where(F.size("shingles") > 0)
+    # Single fold computing (min, max) in one pass: array_min + array_max on
+    # the same transform() would md5 every shingle twice (CollapseProject
+    # duplicates the shared subexpression).
+    minmax = F.aggregate(
+        F.transform(F.col("shingles"), lambda s: h60(s)),
+        F.struct(
+            F.lit(1 << 62).cast("bigint").alias("mn"), F.lit(-1).cast("bigint").alias("mx")
+        ),
+        lambda acc, h: F.struct(
+            F.least(acc.mn, h).alias("mn"), F.greatest(acc.mx, h).alias("mx")
+        ),
+    )
     return sh.select(
         F.col(id_col).alias("doc_id"),
         h60(text_col).alias("fp"),
-        F.array_min(hashes).alias("min_shingle_h"),
-        F.array_max(hashes).alias("max_shingle_h"),
+        minmax.mn.alias("min_shingle_h"),
+        minmax.mx.alias("max_shingle_h"),
         F.size("shingles").cast("bigint").alias("n_shingles"),
     )

@@ -69,16 +69,23 @@ _N_PERM = 12
 _N_BANDS = 4
 _ROWS = 3
 
+# Affine MinHash family over 31-bit shingle hashes — same constants as the
+# Spark side (functions.hashing.minhash_params).
+from tagtree_spark.functions.hashing import MINHASH_P, minhash_params  # noqa: E402
+
+_SIG_EXPRS = ", ".join(
+    f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}))"
+    for a, b in minhash_params(_N_PERM)
+)
+
 _MINHASH_CTE = (
     SHINGLE_CTE
-    + f""", mh AS (
-  SELECT doc_id, j AS seed,
-         min({duck_h60("CAST(j AS VARCHAR) || '#' || s")}) AS mh
-  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
-       range(0, {_N_PERM}) t(j)
-  GROUP BY doc_id, j
+    + f""", hsed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles, s -> ({duck_h60('s')}) & 2147483647)) AS hs
+  FROM sh WHERE len(shingles) > 0
 ), sig AS (
-  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+  SELECT doc_id, [{_SIG_EXPRS}] AS sig FROM hsed
 )"""
 )
 
@@ -173,10 +180,17 @@ def q28_simhash_neardup(spark, sf_dir):
 @query(
     "q32_ngram_jaccard",
     SHINGLE_CTE
-    + """, sz AS (
-  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh WHERE len(shingles) > 0
+    + f""", hsd AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, s -> {duck_h60('s')})) AS hs
+  FROM sh WHERE len(shingles) > 0
+), inv_all AS (
+  SELECT doc_id, unnest(hs) AS s FROM hsd
+), keep AS (
+  SELECT s FROM inv_all GROUP BY s HAVING count(*) <= 50
 ), inv AS (
-  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+  SELECT inv_all.* FROM inv_all JOIN keep USING (s)
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM inv GROUP BY doc_id
 ), common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -344,6 +358,62 @@ def q31_fingerprint(spark, sf_dir):
     """E4 document fingerprinting: whole-text h60 + min/max shingle-hash
     sketch (winnowing family)."""
     return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_Q35_ORACLE = r"""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         'u' || CAST(user_id % 10 AS VARCHAR) AS user_bucket,
+         'k' || CAST(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 5 AS VARCHAR) AS k_bucket
+  FROM events
+), g1 AS (
+  SELECT event_type, user_bucket, k_bucket, min(ts) AS f, max(ts) AS l
+  FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2, 3
+), s1 AS (
+  SELECT CAST(row_number() OVER (ORDER BY event_type, user_bucket, k_bucket) AS BIGINT) AS tsid, *
+  FROM g1
+), g2 AS (
+  SELECT event_type, user_bucket, k_bucket, min(ts) AS f, max(ts) AS l
+  FROM ev WHERE event_id % 2 = 1 GROUP BY 1, 2, 3
+), touched AS (
+  SELECT s1.tsid, s1.event_type, s1.user_bucket, s1.k_bucket,
+         least(s1.f, COALESCE(g2.f, s1.f)) AS first_seen,
+         greatest(s1.l, COALESCE(g2.l, s1.l)) AS last_seen
+  FROM s1 LEFT JOIN g2 USING (event_type, user_bucket, k_bucket)
+), fresh AS (
+  SELECT (SELECT count(*) FROM s1)
+           + CAST(row_number() OVER (ORDER BY event_type, user_bucket, k_bucket) AS BIGINT) AS tsid,
+         event_type, user_bucket, k_bucket, f AS first_seen, l AS last_seen
+  FROM g2 ANTI JOIN s1 USING (event_type, user_bucket, k_bucket)
+)
+SELECT tsid, event_type, user_bucket, k_bucket,
+       CAST(epoch_us(first_seen) AS BIGINT) AS first_us,
+       CAST(epoch_us(last_seen) AS BIGINT) AS last_us
+FROM (SELECT * FROM touched UNION ALL SELECT * FROM fresh) m
+ORDER BY tsid"""
+
+
+@query("q35_incremental_ingest", _Q35_ORACLE)
+def q35_incremental_ingest(spark, sf_dir):
+    """L1/L3/L7 incremental ingest, oracle-checked end-to-end: bootstrap the
+    series table from half the events, merge the other half — existing
+    series keep their ids with first/last_seen widened, new series continue
+    the dense id space above the watermark
+    (/root/reference/src/index/index_server.cpp:30-60)."""
+    from tagtree_spark.tsdb.ingest import add_series_batch
+    from tagtree_spark.tsdb.model import LABEL_NAMES
+
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    first = events.where(F.col("event_id") % 2 == 0)
+    second = events.where(F.col("event_id") % 2 == 1)
+    merged = add_series_batch(add_series_batch(None, first), second)
+    return merged.select(
+        "tsid",
+        *LABEL_NAMES,
+        F.unix_micros("first_seen").cast("bigint").alias("first_us"),
+        F.unix_micros("last_seen").cast("bigint").alias("last_us"),
+    ).orderBy("tsid")
 
 
 @query(

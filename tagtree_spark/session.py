@@ -44,6 +44,21 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
     return spark
 
 
+def spread(df, min_partitions: int | None = None):
+    """Repartition iff the input arrives with fewer partitions than cores.
+
+    Small single-file parquet inputs scan as ONE partition, serializing any
+    CPU-heavy per-row work (hashing, shingling, Python batches) onto one
+    core. The round-robin shuffle is trivially cheap relative to that work.
+    At real scale inputs are already well-partitioned and this is a no-op —
+    the condition, not the repartition, is the point.
+    """
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def get_spark(app_name: str = "tagtree-spark", cpus: int | None = None) -> SparkSession:
     n = cpus or default_parallelism()
     spark = (
