@@ -113,6 +113,39 @@ def test_all_negative_form_requires_name(model):
     assert out == carriers - clicks
 
 
+def test_neq_regex_on_series_lacking_the_label(spark):
+    """Pins the documented deviation (SURVEY.md §7.4.2, ADVICE r1): the
+    reference's mem path treats only NEQ as negative — NEQ_REGEX there is a
+    positive intersect requiring the name to EXIST with a non-matching
+    value. We standardize BOTH NEQ and NEQ_REGEX to Prometheus semantics:
+    with a positive matcher present, a series LACKING the name survives a
+    negative matcher on it."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        # tsid 1 carries env; tsid 2 does NOT carry env
+        ("event_type", "click", 1, t, t),
+        ("env", "prod", 1, t, t),
+        ("event_type", "click", 2, t, t),
+    ]
+    postings = spark.createDataFrame(
+        rows, ["name", "value", "tsid", "first_seen", "last_seen"]
+    )
+    out = tsids(
+        postings,
+        [LabelMatcher(E, "event_type", "click"), LabelMatcher(NRE, "env", "prod")],
+    )
+    # Prometheus semantics: tsid 2 (no env label) survives; tsid 1 excluded.
+    assert out == {2}
+    # same shape with NEQ — identical by our standardization
+    out2 = tsids(
+        postings,
+        [LabelMatcher(E, "event_type", "click"), LabelMatcher(NE, "env", "prod")],
+    )
+    assert out2 == {2}
+
+
 def test_time_pruning_boundary(model):
     """Interval-overlap boundary: a series qualifies iff
     last_seen >= start AND first_seen < end
