@@ -417,6 +417,83 @@ def q35_incremental_ingest(spark, sf_dir):
 
 
 @query(
+    "q36_tumbling_window",
+    """
+SELECT event_type,
+       CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q36_tumbling_window(spark, sf_dir):
+    """§2.9 event-time tumbling windows (the Structured-Streaming-native
+    aggregation shape, run in batch): per event_type per 1-day epoch-aligned
+    window — F.window('1 day') ≡ date_trunc('day') in UTC. The reference has
+    no event-time windowing at all (SURVEY.md §2.9)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).cast("bigint").alias("day_us"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "day_us")
+    )
+
+
+@query(
+    "q37_session_window",
+    """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), l AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e
+), m AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM l
+), s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), g AS (
+  SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       CAST(sum(n_events) AS BIGINT) AS n_events_total
+FROM g GROUP BY 1 ORDER BY 1""",
+)
+def q37_session_window(spark, sf_dir):
+    """§2.9 session windows: per-user sessions with a 30-minute inactivity
+    gap (F.session_window — a new event extends the session iff its ts is
+    strictly inside last_ts + gap, i.e. a new session starts at
+    ts >= prev + gap, mirrored by the oracle's gaps-and-islands form)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.max("n_events").cast("bigint").alias("max_session_events"),
+            F.sum("n_events").cast("bigint").alias("n_events_total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q34_multimodal",
     f"""
 SELECT doc_id AS media_id, 'text' AS modality,
