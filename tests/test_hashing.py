@@ -47,3 +47,41 @@ def test_h60_fits_signed_64(spark):
     df = spark.createDataFrame([(s,) for s in SAMPLES], ["s"])
     rows = df.select(h60("s").alias("h")).collect()
     assert all(0 <= r.h < 2**60 for r in rows)
+
+
+# --- property tests (SURVEY.md §5) -------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_TEXT)
+def test_h60_duckdb_matches_python_property(s):
+    """∀ strings: duck_h60(s) == python md5-derived h60(s) — the invariant
+    every MinHash signature, LSH bucket, and fingerprint oracle rests on."""
+    con = duckdb.connect()
+    (got,) = con.execute(f"SELECT {duck_h60('?')}", [s]).fetchone()
+    assert got == py_h60(s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=63), _TEXT)
+def test_h60_seeded_matches_python_property(seed, s):
+    con = duckdb.connect()
+    (got,) = con.execute(f"SELECT {duck_h60_seeded('?', seed)}", [s]).fetchone()
+    assert got == py_h60(f"{seed}#{s}")
+
+
+def test_minhash_params_valid():
+    from tagtree_spark.functions.hashing import MINHASH_P, minhash_params
+
+    params = minhash_params(64)
+    assert len(set(params)) == 64  # distinct permutations
+    for a, b in params:
+        assert 1 <= a < MINHASH_P and 0 <= b < MINHASH_P
