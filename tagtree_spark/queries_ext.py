@@ -33,7 +33,7 @@ from tagtree_spark.operators.text import (
     lang_stats,
     quality_score,
 )
-from tagtree_spark.queries import query
+from tagtree_spark.queries import TSDB_CTE, query
 from tagtree_spark.session import tune
 
 
@@ -414,6 +414,80 @@ def q35_incremental_ingest(spark, sf_dir):
         F.unix_micros("first_seen").cast("bigint").alias("first_us"),
         F.unix_micros("last_seen").cast("bigint").alias("last_us"),
     ).orderBy("tsid")
+
+
+@query(
+    "q38_rate",
+    TSDB_CTE
+    + """
+, ordered AS (
+  SELECT tsid, ts, CAST(value AS DECIMAL(18,4)) AS v,
+         lag(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY tsid ORDER BY ts, value) AS prev
+  FROM samples
+), deltas AS (
+  SELECT tsid,
+         CASE WHEN prev IS NOT NULL AND v > prev THEN v - prev
+              ELSE CAST(0 AS DECIMAL(18,4)) END AS d
+  FROM ordered
+), rng AS (
+  SELECT tsid, CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+  FROM samples GROUP BY tsid
+)
+SELECT d.tsid AS tsid, r.n_samples AS n_samples,
+       CAST(sum(d.d) AS DOUBLE) AS increase,
+       CASE WHEN r.span_us > 0
+            THEN CAST(sum(d.d) AS DOUBLE) / (r.span_us / 1e6)
+            ELSE NULL END AS rate_per_sec
+FROM deltas d JOIN rng r ON d.tsid = r.tsid
+GROUP BY d.tsid, r.n_samples, r.span_us
+ORDER BY d.tsid""",
+)
+def q38_rate(spark, sf_dir):
+    """promql-style counter rate() over the samples table — the computation
+    the reference's users run downstream of the index (promql itself is
+    external to the reference, README.org:11-14; this is the Spark-native
+    in-engine version). Counter-reset handling: only positive deltas count.
+    Deltas are decimal-exact (order-independent sum); the final divisions
+    are single IEEE ops, bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.queries import _model
+
+    _, _, samples = _model(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,4)")
+    w = Window.partitionBy("tsid").orderBy("ts", "value")
+    ordered = samples.select("tsid", "ts", v.alias("v"), F.lag(v).over(w).alias("prev"))
+    deltas = ordered.select(
+        "tsid",
+        F.when(
+            F.col("prev").isNotNull() & (F.col("v") > F.col("prev")),
+            F.col("v") - F.col("prev"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+        .alias("d"),
+    )
+    rng = samples.groupBy("tsid").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint")
+        .alias("span_us"),
+    )
+    return (
+        deltas.join(rng, "tsid")
+        .groupBy("tsid", "n_samples", "span_us")
+        .agg(F.sum("d").cast("double").alias("increase"))
+        .select(
+            "tsid",
+            "n_samples",
+            "increase",
+            F.when(
+                F.col("span_us") > 0,
+                F.col("increase") / (F.col("span_us") / F.lit(1e6)),
+            ).alias("rate_per_sec"),
+        )
+        .orderBy("tsid")
+    )
 
 
 @query(
