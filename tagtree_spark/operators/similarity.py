@@ -98,6 +98,45 @@ def lsh_bucket(vec_col: str | Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E2 embedding-cosine near-dup → (vec_a, vec_b, score) for pairs in
+    the SAME hyperplane-LSH bucket with cosine > threshold.
+
+    The bucket join bounds candidate generation (never |N|² pairs); recall
+    is the standard LSH tradeoff — raise by unioning several plane sets.
+    The oracle reproduces the identical buckets and fold order, so the
+    result matches bit-for-bit despite being an approximate operator.
+    """
+    from tagtree_spark.operators.dedup import _bucket_pairs
+
+    planes = plane_weights(n_planes, dim)
+    with_bucket = emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    ).persist()
+    cand = _bucket_pairs(with_bucket.select("bucket", "doc_id"), "bucket")
+    va = with_bucket.select(F.col("doc_id").alias("doc_a"), F.col("v").alias("va"))
+    vb = with_bucket.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            cosine("va", "vb").alias("score"),
+        )
+        .where(F.col("score") > threshold)
+    )
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query_id: int,

@@ -101,6 +101,25 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return scored.select("doc_id", "lang", pred.alias("pred_lang"), best.alias("best_score"))
 
 
+#: "BPE-ish" pre-tokenization regex (RE2∩Java common subset): alphanumeric
+#: runs or single punctuation marks — the usual pre-split a BPE tokenizer
+#: applies before merges.
+BPE_SPLIT_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """E4 token counting, two ways per document: whitespace tokens and
+    BPE-ish regex tokens → (doc_id, n_ws_tokens, n_re_tokens, n_chars_calc)."""
+    return spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(text_col, F.lit(BPE_SPLIT_RE), 0))
+        .cast("bigint")
+        .alias("n_re_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars_calc"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """E4 quality scoring, aggregated per source → one row per source.
 

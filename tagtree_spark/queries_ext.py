@@ -232,16 +232,22 @@ def q26_cosine_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), query_id=0, k=10)
 
 
-def _q33_oracle() -> str:
+def _bucket_sql(n_planes: int = 4) -> str:
+    """DuckDB expression (with a {v} placeholder for the vector column)
+    reproducing operators.similarity.lsh_bucket's hyperplane buckets."""
     plane_dot = []
-    for j in range(4):
+    for j in range(n_planes):
         w = duck_h60(f"'{j}#' || CAST(i - 1 AS VARCHAR)")
         plane_dot.append(
             f"CASE WHEN list_reduce(list_transform(range(1, 65), "
             f"i -> CAST({{v}}[i] AS DOUBLE) * CAST(({w}) % {PLANE_MOD} - {PLANE_OFF} AS DOUBLE)), "
             f"(x, y) -> x + y) >= 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END"
         )
-    bucket = "(" + " + ".join(plane_dot) + ")"
+    return "(" + " + ".join(plane_dot) + ")"
+
+
+def _q33_oracle() -> str:
+    bucket = _bucket_sql(4)
     return f"""
 WITH wb AS (
   SELECT vec_id, embedding, {bucket.format(v='embedding')} AS bucket FROM embeddings
@@ -264,6 +270,49 @@ def q33_lsh_ann(spark, sf_dir):
     bucket (4 deterministic integer-weight planes → 16 buckets), exact
     cosine within the bucket."""
     return lsh_bucket_topk(_emb(spark, sf_dir), query_id=0, k=5, n_planes=4, dim=64)
+
+
+def _q39_oracle() -> str:
+    bucket = _bucket_sql(4)
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding, {bucket.format(v='embedding')} AS bucket FROM embeddings
+)
+SELECT vec_a, vec_b, score FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_DOT.format(a='a.embedding', b='b.embedding')} /
+         (sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) *
+          sqrt({_DOT.format(a='b.embedding', b='b.embedding')})) AS score
+  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) p WHERE score > 0.45
+ORDER BY vec_a, vec_b"""
+
+
+@query("q39_embedding_neardup", _q39_oracle())
+def q39_embedding_neardup(spark, sf_dir):
+    """E2 embedding-cosine near-dup: same-LSH-bucket pairs with cosine >
+    0.45 — candidate generation bounded by bucket join (no |N|² pairs);
+    both engines reproduce identical buckets and fold order."""
+    from tagtree_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_emb(spark, sf_dir)).orderBy("vec_a", "vec_b")
+
+
+@query(
+    "q40_token_counts",
+    """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents ORDER BY doc_id""",
+)
+def q40_token_counts(spark, sf_dir):
+    """E4 token counting: whitespace tokens + BPE-ish regex pre-tokens
+    (alphanumeric runs | single punctuation), per document."""
+    from tagtree_spark.operators.text import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 @query(
