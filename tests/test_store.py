@@ -1,0 +1,73 @@
+"""Persisted model layer: materialize → load roundtrip, partition pruning
+on the date-partitioned samples, and compaction preserving contents."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tagtree_spark.plans.inspect import formatted_plan
+from tagtree_spark.tsdb.matchers import LabelMatcher, MatchOp, resolve_label_matchers
+from tagtree_spark.tsdb.model import build_model
+from tagtree_spark.tsdb.store import compact_table, load_model, materialize_model
+
+
+@pytest.fixture(scope="module")
+def store_dir(spark, events):
+    d = tempfile.mkdtemp(prefix="tagtree-store-", dir="/root/repo/.tmp")
+    materialize_model(spark, events, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_roundtrip_matches_derived(spark, events, store_dir):
+    series_d, postings_d, samples_d = build_model(events)
+    series_l, postings_l, samples_l = load_model(spark, store_dir)
+    assert series_l.count() == series_d.count()
+    assert samples_l.count() == samples_d.count()
+    # resolve over loaded postings == resolve over derived postings
+    m = [LabelMatcher(MatchOp.EQL, "event_type", "click")]
+    a = {r.tsid for r in resolve_label_matchers(postings_l, m).collect()}
+    b = {r.tsid for r in resolve_label_matchers(postings_d, m).collect()}
+    assert a == b and a
+
+
+def test_postings_partitioned_by_name(spark, store_dir):
+    """A single-label matcher scan must prune to that label's partition."""
+    dirs = glob.glob(f"{store_dir}/postings/name=*")
+    assert len(dirs) == 3  # event_type, user_bucket, k_bucket
+    _, postings, _ = load_model(spark, store_dir)
+    q = postings.where(F.col("name") == "event_type")
+    plan = formatted_plan(q)
+    assert "PartitionFilters: [isnotnull(name" in plan, plan[-500:]
+
+
+def test_samples_date_partition_pruning(spark, store_dir):
+    samples = spark.read.parquet(f"{store_dir}/samples")
+    q = samples.where(F.col("ds") == "2024-01-10")
+    plan = formatted_plan(q)
+    assert "PartitionFilters: [isnotnull(ds" in plan
+
+
+def test_compaction_preserves_contents(spark, events):
+    d = tempfile.mkdtemp(prefix="tagtree-compact-", dir="/root/repo/.tmp")
+    try:
+        # simulate streaming appends: many small files
+        for i in range(5):
+            events.where(F.col("event_id") % 5 == i).write.mode("append").parquet(f"{d}/t")
+        before = spark.read.parquet(f"{d}/t")
+        # materialize contents BEFORE the swap — the lazy plan would read
+        # the rewritten files afterwards
+        ids_before = sorted(r.event_id for r in before.select("event_id").collect())
+        files_before = len(glob.glob(f"{d}/t/part-*"))
+        compact_table(spark, f"{d}/t")
+        after = spark.read.parquet(f"{d}/t")
+        ids_after = sorted(r.event_id for r in after.select("event_id").collect())
+        assert ids_after == ids_before
+        assert len(glob.glob(f"{d}/t/part-*")) <= files_before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
