@@ -79,8 +79,54 @@ def decode_media(modality: str, payload: bytes):
     )
 
 
+def resize_media(modality: str, payload: bytes, width: int, height: int):
+    """STUB — resize requires a real decode (PIL/ffmpeg), not in this
+    container; see decode_media."""
+    raise NotImplementedError(
+        f"resize_media({modality!r}, {width}x{height}): requires decode_media"
+    )
+
+
 def _h60_bytes(b: bytes) -> int:
     return int(hashlib.md5(b).hexdigest()[:15], 16)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("chunk_h60", LongType()),
+    ]
+)
+
+CHUNK_BYTES = 100
+MAX_CHUNKS = 5
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame/chunk sampling — the 1→N mapInPandas shape a video pipeline
+    uses (decode → every-Nth-frame). With codecs stubbed, "frames" are
+    fixed-size payload chunks and the "feature" is their content hash —
+    the row-expansion plumbing (one input row yields up to MAX_CHUNKS
+    output rows inside the Arrow batch) is the real part."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"media_id": [], "chunk_idx": [], "chunk_h60": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = min(MAX_CHUNKS, (len(raw) + CHUNK_BYTES - 1) // CHUNK_BYTES)
+                for i in range(n):
+                    out["media_id"].append(int(mid))
+                    out["chunk_idx"].append(i)
+                    out["chunk_h60"].append(
+                        _h60_bytes(raw[i * CHUNK_BYTES : (i + 1) * CHUNK_BYTES])
+                    )
+            yield pd.DataFrame(out).astype(
+                {"media_id": "int64", "chunk_idx": "int64", "chunk_h60": "int64"}
+            )
+
+    return spread(media).mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:

@@ -617,6 +617,25 @@ def q37_session_window(spark, sf_dir):
 
 
 @query(
+    "q41_frame_sample",
+    f"""
+SELECT doc_id AS media_id, CAST(i AS BIGINT) AS chunk_idx,
+       {duck_h60("substr(text, CAST(i * 100 + 1 AS INT), 100)")} AS chunk_h60
+FROM documents, range(0, 5) t(i)
+WHERE i < least(5, CAST(ceil(strlen(text) / 100.0) AS BIGINT))
+ORDER BY media_id, chunk_idx""",
+)
+def q41_frame_sample(spark, sf_dir):
+    """E5 frame sampling: 1→N row expansion through Arrow-batched
+    mapInPandas (payload chunks stand in for decoded frames; the oracle
+    recomputes every chunk hash from the text)."""
+    from tagtree_spark.operators.multimodal import media_from_documents, sample_frames
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    return sample_frames(media).orderBy("media_id", "chunk_idx")
+
+
+@query(
     "q34_multimodal",
     f"""
 SELECT doc_id AS media_id, 'text' AS modality,

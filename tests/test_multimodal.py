@@ -45,6 +45,29 @@ def test_extract_features_matches_python_md5(documents):
         assert f.head_h60 == int(hashlib.md5(d.text.encode()[:16]).hexdigest()[:15], 16)
 
 
+def test_resize_is_stubbed():
+    from tagtree_spark.operators.multimodal import resize_media
+
+    with pytest.raises(NotImplementedError):
+        resize_media("image", b"\x89PNG", 224, 224)
+
+
+def test_sample_frames_row_expansion(documents):
+    from tagtree_spark.operators.multimodal import (
+        CHUNK_BYTES,
+        MAX_CHUNKS,
+        sample_frames,
+    )
+
+    media = media_from_documents(documents)
+    frames = sample_frames(media)
+    per_doc = {r.media_id: r.n for r in frames.groupBy("media_id").agg(
+        F.count("*").alias("n")).collect()}
+    for d in documents.select("doc_id", "text").collect():
+        expect = min(MAX_CHUNKS, (len(d.text.encode()) + CHUNK_BYTES - 1) // CHUNK_BYTES)
+        assert per_doc[d.doc_id] == expect
+
+
 def test_metadata_preserved(documents):
     m = media_from_documents(documents).limit(1).collect()[0]
     assert set(m.meta) == {"lang", "source"}
