@@ -4,6 +4,7 @@ mint new ids or change existing ones."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -14,9 +15,15 @@ from tagtree_spark.tsdb.ingest import add_series_batch, commit, current_tsid, ex
 from tagtree_spark.tsdb.model import LABEL_NAMES
 
 
+def _tmp_root() -> str:
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 @pytest.fixture()
 def tmpdir():
-    d = tempfile.mkdtemp(prefix="tagtree-test-", dir="/root/repo/.tmp")
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-test-")
     yield d
     shutil.rmtree(d, ignore_errors=True)
 

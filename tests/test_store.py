@@ -4,6 +4,7 @@ on the date-partitioned samples, and compaction preserving contents."""
 from __future__ import annotations
 
 import glob
+import os
 import shutil
 import tempfile
 
@@ -16,9 +17,15 @@ from tagtree_spark.tsdb.model import build_model
 from tagtree_spark.tsdb.store import compact_table, load_model, materialize_model
 
 
+def _tmp_root() -> str:
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 @pytest.fixture(scope="module")
 def store_dir(spark, events):
-    d = tempfile.mkdtemp(prefix="tagtree-store-", dir="/root/repo/.tmp")
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-store-")
     materialize_model(spark, events, d)
     yield d
     shutil.rmtree(d, ignore_errors=True)
@@ -54,7 +61,7 @@ def test_samples_date_partition_pruning(spark, store_dir):
 
 
 def test_compaction_preserves_contents(spark, events):
-    d = tempfile.mkdtemp(prefix="tagtree-compact-", dir="/root/repo/.tmp")
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-compact-")
     try:
         # simulate streaming appends: many small files
         for i in range(5):

@@ -3,6 +3,7 @@ with the batch groundtruth after draining the stream."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -13,9 +14,15 @@ from tagtree_spark.streaming.state import track_series_activity
 from tagtree_spark.tsdb.model import LABEL_NAMES, with_labels
 
 
+def _tmp_root() -> str:
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 @pytest.fixture()
 def tmpdir():
-    d = tempfile.mkdtemp(prefix="tagtree-state-", dir="/root/repo/.tmp")
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-state-")
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
