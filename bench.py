@@ -41,11 +41,16 @@ def main() -> int:
 
     qs = entry.queries()
 
-    # Warm-up (outside the timed window): JVM codegen + parquet footer reads.
+    # Warm-up (outside the timed window): JVM codegen, parquet footer reads,
+    # and Python worker pool (mapInPandas queries otherwise pay interpreter
+    # startup on first use).
     from tagtree_spark.io import load_table
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     load_table(spark, sf_dir, "lineitem").count()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     t_all = time.time()
