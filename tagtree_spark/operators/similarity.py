@@ -137,6 +137,63 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_assignments(
+    emb: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization → (vec_id, cid, cscore): each vector
+    assigned to its nearest centroid by cosine (ties → lowest cid).
+
+    The codebook is the first ``n_cells`` vectors (a deterministic stand-in
+    for k-means training — real IVF trains the codebook offline; the
+    ASSIGNMENT path is what must scale). Shape: broadcast the tiny codebook,
+    score each vector against all cells (n_cells× fan-out, map-side), keep
+    the argmin with one window — at 100 TB the assignment is a narrow pass
+    and the cell id becomes the table's partition key.
+    """
+    from pyspark.sql import Window
+
+    cents = emb.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    scored = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
+        F.broadcast(cents)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cid"))
+    return (
+        scored.select("vec_id", "v", "cid", cosine("v", "cv").alias("cscore"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 8,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 IVF-style ANN: probe only the query's cell (nprobe=1) →
+    (vec_id, cid, score). Recall is the standard IVF tradeoff — raise
+    nprobe by admitting more cells."""
+    assigned = ivf_assignments(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col).persist()
+    q = assigned.where(F.col("vec_id") == query_id).select(
+        F.col("v").alias("qv"), F.col("cid").alias("qcid")
+    )
+    return (
+        assigned.join(F.broadcast(q), F.col("cid") == F.col("qcid"))
+        .where(F.col("vec_id") != query_id)
+        .select("vec_id", "cid", cosine("v", "qv").alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query_id: int,

@@ -316,6 +316,43 @@ def q40_token_counts(spark, sf_dir):
 
 
 @query(
+    "q42_ivf_ann",
+    f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, e.embedding AS v, c.cid,
+         {_DOT.format(a='e.embedding', b='c.cv')} /
+         (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) *
+          sqrt({_DOT.format(a='c.cv', b='c.cv')})) AS cscore
+  FROM embeddings e, c
+), assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+), q AS (
+  SELECT v AS qv, cid AS qcid FROM assigned WHERE vec_id = 0
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+       {_DOT.format(a='a.v', b='q.qv')} /
+       (sqrt({_DOT.format(a='a.v', b='a.v')}) * sqrt({_DOT.format(a='q.qv', b='q.qv')})) AS score
+FROM assigned a, q WHERE a.cid = q.qcid AND a.vec_id <> 0
+ORDER BY score DESC, vec_id LIMIT 8""",
+)
+def q42_ivf_ann(spark, sf_dir):
+    """E3 IVF-style ANN (the second scale path besides hyperplane LSH):
+    coarse-quantize every vector to its nearest codebook centroid, probe
+    only the query's cell (nprobe=1). Assignment is a broadcast-codebook
+    map pass; the cell id is the partition key at scale."""
+    from tagtree_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(_emb(spark, sf_dir), query_id=0, k=8, n_cells=8)
+    return out.select("vec_id", F.col("cid").cast("bigint").alias("cid"), "score")
+
+
+@query(
     "q27_text_stats",
     """
 WITH f AS (

@@ -1,0 +1,105 @@
+"""Generative property test: resolve_label_matchers over arbitrary small
+label universes must agree with an independent Python brute-force model of
+the reference's semantics (positives intersect; negatives subtract; series
+lacking a negated name survive when positives exist; all-negative form
+requires the name present with a non-matching value; regex fully anchored).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tagtree_spark.tsdb.matchers import LabelMatcher, MatchOp, resolve_label_matchers
+
+NAMES = ("a", "b")
+VALUES = ("x", "y", "z")
+REGEXES = ("x", "x|y", "[xy]", "z.*", ".")
+
+_T = dt.datetime(2024, 1, 1)
+
+series_st = st.lists(
+    st.dictionaries(st.sampled_from(NAMES), st.sampled_from(VALUES), max_size=2),
+    min_size=1,
+    max_size=6,
+)
+
+matcher_st = st.one_of(
+    st.builds(
+        LabelMatcher,
+        st.sampled_from([MatchOp.EQL, MatchOp.NEQ, MatchOp.LSS, MatchOp.GTR, MatchOp.LTE, MatchOp.GTE]),
+        st.sampled_from(NAMES),
+        st.sampled_from(VALUES),
+    ),
+    st.builds(
+        LabelMatcher,
+        st.sampled_from([MatchOp.EQL_REGEX, MatchOp.NEQ_REGEX]),
+        st.sampled_from(NAMES),
+        st.sampled_from(REGEXES),
+    ),
+)
+
+
+def _pos_match(m: LabelMatcher, labels: dict[str, str]) -> bool:
+    """The positive form of a matcher against one label set (name must be
+    present — absent names never positively match)."""
+    v = labels.get(m.name)
+    if v is None:
+        return False
+    if m.op in (MatchOp.EQL, MatchOp.NEQ):
+        return v == m.value
+    if m.op in (MatchOp.EQL_REGEX, MatchOp.NEQ_REGEX):
+        return re.fullmatch(f"(?:{m.value})", v) is not None
+    if m.op is MatchOp.LSS:
+        return v < m.value
+    if m.op is MatchOp.GTR:
+        return v > m.value
+    if m.op is MatchOp.LTE:
+        return v <= m.value
+    return v >= m.value
+
+
+def brute_resolve(series: list[dict[str, str]], matchers: list[LabelMatcher]) -> set[int]:
+    positives = [m for m in matchers if m.positive]
+    negatives = [m for m in matchers if not m.positive]
+    tsids = range(1, len(series) + 1)
+    if positives:
+        cand = {t for t in tsids if all(_pos_match(m, series[t - 1]) for m in positives)}
+    else:
+        cand = {t for t in tsids if any(m.name in series[t - 1] for m in negatives)}
+    excl = {t for t in tsids if any(_pos_match(m, series[t - 1]) for m in negatives)}
+    return cand - excl
+
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from tagtree_spark.session import get_spark
+
+        _spark = get_spark("matcher-prop", cpus=4)
+    return _spark
+
+
+@settings(max_examples=25, deadline=None)
+@given(series_st, st.lists(matcher_st, min_size=1, max_size=3))
+def test_resolve_matches_brute_force(series, matchers):
+    spark = _get_spark()
+    rows = [
+        (name, value, tsid, _T, _T)
+        for tsid, labels in enumerate(series, start=1)
+        for name, value in labels.items()
+    ]
+    schema = (
+        "name string, value string, tsid long, "
+        "first_seen timestamp, last_seen timestamp"
+    )
+    postings = spark.createDataFrame(rows, schema)
+    got = {r.tsid for r in resolve_label_matchers(postings, matchers).collect()}
+    expect = brute_resolve(series, matchers)
+    assert got == expect, (series, matchers)
