@@ -1,0 +1,54 @@
+"""Skew mitigation: salted joins for hot keys (SURVEY.md §7.4.6).
+
+AQE's skew-join handling (enabled in session.tune) splits oversized
+sort-merge-join partitions at runtime — that covers most cases for free.
+``salted_join`` is the manual fallback for shapes AQE does not rebalance
+(e.g. a broadcast-ineligible dimension joined on a power-law key where one
+key owns >> one partition's worth of rows):
+
+  * the skewed (large) side gets a deterministic salt in [0, n_salt) —
+    derived by hashing a high-cardinality disambiguator column, NOT
+    rand(), so retries/replays of a task produce identical output;
+  * the other side is exploded n_salt× (one copy per salt value);
+  * the join key becomes (key, salt), spreading each hot key across
+    n_salt shuffle partitions.
+
+Cost: n_salt× duplication of the small side — use only for genuinely hot
+keys (at scale: split the input into hot/cold by a key-frequency sketch,
+salt the hot slice only, union the results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    n_salt: int = 8,
+    disambiguator: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``skewed`` with ``other`` on ``on`` with each hot key spread
+    over ``n_salt`` shuffle partitions. Result equals the plain join.
+
+    ``disambiguator``: a column of the skewed side with per-row variation
+    (defaults to the first non-key column) — its hash picks the salt.
+    """
+    if disambiguator is None:
+        candidates = [c for c in skewed.columns if c not in on]
+        if not candidates:
+            raise ValueError("skewed side needs a non-key column to derive the salt")
+        disambiguator = candidates[0]
+    s = skewed.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(disambiguator), F.lit(n_salt)).cast("int")
+    )
+    o = other.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return s.join(o, on=[*on, SALT_COL], how=how).drop(SALT_COL)
