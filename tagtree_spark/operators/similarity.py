@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tagtree_spark.functions.hashing import h60
+from tagtree_spark.session import spread
 
 #: Hyperplane weights are integers in [-1000, 1000] derived from h60 so the
 #: DuckDB oracle regenerates the exact same planes: w[j][i] = h60(j#i) % 2001 - 1000.
@@ -52,6 +53,7 @@ def cosine_topk(
     The single query row is broadcast (one row — a legitimate hint), then
     one narrow pass computes scores and TakeOrderedAndProject picks k.
     """
+    emb = spread(emb)
     q = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
     scored = (
         emb.where(F.col(id_col) != query_id)
@@ -117,7 +119,7 @@ def embedding_near_dup_pairs(
     from tagtree_spark.operators.dedup import _bucket_pairs
 
     planes = plane_weights(n_planes, dim)
-    with_bucket = emb.select(
+    with_bucket = spread(emb).select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("v"),
         lsh_bucket(vec_col, planes).alias("bucket"),
@@ -158,9 +160,9 @@ def ivf_assignments(
     cents = emb.where(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
-    scored = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
-        F.broadcast(cents)
-    )
+    scored = spread(emb).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).join(F.broadcast(cents))
     w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cid"))
     return (
         scored.select("vec_id", "v", "cid", cosine("v", "cv").alias("cscore"))
@@ -207,7 +209,7 @@ def lsh_bucket_topk(
     (vec_id, bucket, score). At scale the bucket column is the partition
     key, so this prunes the scan to one partition of 2^n_planes."""
     planes = plane_weights(n_planes, dim)
-    with_bucket = emb.select(
+    with_bucket = spread(emb).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         lsh_bucket(vec_col, planes).alias("bucket"),
