@@ -90,7 +90,11 @@ def _model(spark: SparkSession, sf_dir: str):
     cached = _MODEL_CACHE.get(key)
     if cached is None:
         tune(spark)
-        events = load_table(spark, sf_dir, "events")
+        from tagtree_spark.session import spread
+
+        # the events file arrives as ~1 scan partition at bench scale; the
+        # label-derivation regex work should fan out before the first shuffle
+        events = spread(load_table(spark, sf_dir, "events"))
         series = build_series(events).persist()
         postings = build_postings(series).persist()
         samples = build_samples(events, series).persist()
