@@ -577,6 +577,68 @@ def q38_rate(spark, sf_dir):
 
 
 @query(
+    "q43_cube",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus""",
+)
+def q43_cube(spark, sf_dir):
+    """Grouping-sets coverage beyond ROLLUP (q18): full CUBE over
+    (returnflag, linestatus)."""
+    li = load_table(tune(spark), sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "q44_percentiles",
+    """
+SELECT l_returnflag,
+       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS p50_qty,
+       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.95) AS BIGINT) AS p95_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+)
+def q44_percentiles(spark, sf_dir):
+    """Exact discrete percentiles per group. percentile_disc semantics
+    (smallest value whose cumulative rank covers p) are identical in Spark
+    (mode='DISC') and DuckDB quantile_disc — integer outputs, no
+    interpolation ambiguity."""
+    li = load_table(tune(spark), sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT))")
+            .cast("bigint")
+            .alias("p50_qty"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT))")
+            .cast("bigint")
+            .alias("p95_qty"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q36_tumbling_window",
     """
 SELECT event_type,
