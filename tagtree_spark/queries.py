@@ -4,7 +4,10 @@ oracle SQL, registered side by side so `__spark_entry__.queries()` /
 
 Conventions (FIXTURES.md §5):
   * every query ends with a total ORDER BY incl. tiebreakers;
-  * double sums go through DECIMAL(18,4), output as DECIMAL(38,4);
+  * double sums go through DECIMAL (exact, order-independent) internally
+    and are CAST to DOUBLE in the final output of BOTH engines — decimal
+    output columns hash-mismatch under the driver's canonicalization
+    (r1 lesson; decimal→double is correctly rounded and bit-identical);
   * timestamps in outputs are unix microseconds (Spark unix_micros /
     duckdb epoch_us) — never raw timestamps;
   * column names are aliased identically in both engines (the driver sorts
