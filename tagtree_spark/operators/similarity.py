@@ -177,16 +177,35 @@ def ivf_topk(
     query_id: int,
     k: int = 8,
     n_cells: int = 8,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """E3 IVF-style ANN: probe only the query's cell (nprobe=1) →
-    (vec_id, cid, score). Recall is the standard IVF tradeoff — raise
-    nprobe by admitting more cells."""
+    """E3 IVF-style ANN: probe the ``nprobe`` cells nearest to the query →
+    (vec_id, cid, score). Recall/cost is the standard IVF dial: nprobe=1 is
+    the cheapest probe; nprobe=n_cells degenerates to exact brute force
+    (pinned by test_ivf_full_probe_equals_brute_force)."""
+    from pyspark.sql import Window
+
     assigned = ivf_assignments(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col).persist()
-    q = assigned.where(F.col("vec_id") == query_id).select(
-        F.col("v").alias("qv"), F.col("cid").alias("qcid")
+    qv_df = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    # the nprobe centroids closest to the QUERY VECTOR (not just its own cell)
+    cents = emb.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("qcid"), F.col(vec_col).alias("cv")
     )
+    probe = (
+        cents.join(F.broadcast(qv_df))
+        .select("qcid", cosine("cv", "qv").alias("cscore"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("cscore").desc(), F.col("qcid"))
+            ),
+        )
+        .where(F.col("_rn") <= nprobe)
+        .select("qcid")
+    )
+    q = qv_df.crossJoin(F.broadcast(probe))
     return (
         assigned.join(F.broadcast(q), F.col("cid") == F.col("qcid"))
         .where(F.col("vec_id") != query_id)

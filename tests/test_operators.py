@@ -93,6 +93,29 @@ def test_lsh_bucket_subset_of_brute_force(embeddings):
         assert math.isclose(brute[r.vec_id], r.score, rel_tol=0, abs_tol=0)
 
 
+def test_ivf_full_probe_equals_brute_force(embeddings):
+    """nprobe = n_cells must degenerate to exact search: same ids, same
+    bit-identical scores as the brute-force baseline."""
+    from tagtree_spark.operators.similarity import ivf_topk
+
+    brute = [(r.vec_id, r.score) for r in cosine_topk(embeddings, 0, k=10).collect()]
+    ivf = [
+        (r.vec_id, r.score)
+        for r in ivf_topk(embeddings, 0, k=10, n_cells=8, nprobe=8).collect()
+    ]
+    assert ivf == brute
+
+
+def test_ivf_probe_subset(embeddings):
+    """nprobe=1 results are a subset of the corpus with scores matching the
+    brute-force scores exactly for the same ids."""
+    from tagtree_spark.operators.similarity import ivf_topk
+
+    brute = {r.vec_id: r.score for r in cosine_topk(embeddings, 0, k=500).collect()}
+    for r in ivf_topk(embeddings, 0, k=5, n_cells=8, nprobe=1).collect():
+        assert brute[r.vec_id] == r.score
+
+
 def test_lang_stats_counts(documents):
     out = lang_stats(documents)
     total = out.agg(F.sum("n_docs")).collect()[0][0]
