@@ -85,11 +85,14 @@ WITH ev AS (
 # This is the batch analogue of the reference's persisted index: compaction
 # materializes the mem index into the COW tree once, queries then read the
 # materialized form (/root/reference/src/index/index_server.cpp:205-232).
-_MODEL_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+_MODEL_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
 def _model(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    # applicationId is unique per SparkContext — id(spark) could collide
+    # after GC if the caller recreates sessions, leaving stale DataFrames
+    # bound to a stopped context.
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MODEL_CACHE.get(key)
     if cached is None:
         tune(spark)
