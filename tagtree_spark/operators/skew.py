@@ -39,7 +39,14 @@ def salted_join(
 
     ``disambiguator``: a column of the skewed side with per-row variation
     (defaults to the first non-key column) — its hash picks the salt.
+
+    Only ``inner`` and ``left``(-outer) are supported: in a right/full
+    join every UNMATCHED row of the exploded side would surface once per
+    salt value — n_salt duplicates. (A correct right/full variant needs a
+    post-join dedupe of the null-extended rows; not implemented.)
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
     if disambiguator is None:
         candidates = [c for c in skewed.columns if c not in on]
         if not candidates:

@@ -37,6 +37,17 @@ def test_salted_join_left_outer(spark):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would duplicate unmatched exploded-side rows n_salt times."""
+    import pytest
+
+    fact = spark.range(2).select(F.col("id").alias("k"), F.col("id").alias("p"))
+    dim = spark.range(2).select(F.col("id").alias("k"))
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, on=["k"], how=how)
+
+
 def test_salt_is_deterministic(spark):
     fact = spark.range(0, 500).select((F.col("id") % 3).alias("k"), F.col("id").alias("p"))
     dim = spark.range(0, 3).select(F.col("id").alias("k"), F.lit("a").alias("attr"))

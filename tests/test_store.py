@@ -60,6 +60,29 @@ def test_samples_date_partition_pruning(spark, store_dir):
     assert "PartitionFilters: [isnotnull(ds" in plan
 
 
+def test_compaction_with_partition_cols(spark, events):
+    """compact_table(partition_cols=...) keeps contents AND the directory
+    layout partitioned (exercises the partitioned branch)."""
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-compactp-")
+    try:
+        from tagtree_spark.tsdb.model import with_labels
+
+        ev = with_labels(events).select("event_id", "event_type")
+        for i in range(3):
+            ev.where(F.col("event_id") % 3 == i).write.mode("append").partitionBy(
+                "event_type"
+            ).parquet(f"{d}/t")
+        ids_before = sorted(
+            r.event_id for r in spark.read.parquet(f"{d}/t").select("event_id").collect()
+        )
+        compact_table(spark, f"{d}/t", partition_cols=["event_type"])
+        after = spark.read.parquet(f"{d}/t")
+        assert sorted(r.event_id for r in after.select("event_id").collect()) == ids_before
+        assert glob.glob(f"{d}/t/event_type=*"), "partition layout lost"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_compaction_preserves_contents(spark, events):
     d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-compact-")
     try:
