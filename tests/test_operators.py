@@ -76,6 +76,21 @@ def test_ngram_jaccard_exact_counts(spark):
     assert (r.n_a, r.n_b, r.n_common) == (8, 8, 7)
 
 
+def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
+    """Shingles above the document-frequency cap must not contribute to
+    n_common or the per-doc sizes (the corpus never exercises this branch;
+    pin it here)."""
+    shared = "STOP1 STOP2 STOP3"  # one shingle, present in every doc
+    docs = [(i, f"{shared} u{i}a u{i}b u{i}c", "en", "s", 1) for i in range(1, 5)]
+    d = _docs(spark, docs)
+    # Without a cap: every pair shares the stop shingle (n_common >= 1).
+    uncapped = ngram_jaccard_pairs(d, min_jaccard_pct=1, max_df=100).collect()
+    assert len(uncapped) == 6  # all C(4,2) pairs share the stop shingle
+    # Cap at df<=3: the stop shingle (df=4) is dropped → no shared shingles.
+    capped = ngram_jaccard_pairs(d, min_jaccard_pct=1, max_df=3).collect()
+    assert capped == []
+
+
 def test_cosine_topk_identical_vector_scores_one(spark):
     rows = [(0, [1.0, 2.0, 3.0], 0), (1, [2.0, 4.0, 6.0], 0), (2, [-3.0, 1.0, 0.0], 0)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
