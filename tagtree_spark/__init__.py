@@ -9,6 +9,7 @@ Layout:
   operators   — relational, dedup, similarity, text, multimodal operators
   functions   — deterministic cross-engine hash/scalar helpers
   streaming   — structured-streaming ingest path (WAL/compaction analogue)
+  engine      — TagTreeEngine facade: the reference's IndexServer API 1:1
   plans       — physical-plan inspection helpers (pushdown/exchange checks)
   queries     — the oracle-checked query inventory (q01-q23 core, queries_ext q24+)
 

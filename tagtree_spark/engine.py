@@ -1,0 +1,94 @@
+"""TagTreeEngine — the user-facing facade, mirroring the reference's
+``IndexServer`` public API 1:1 (/root/reference/include/tagtree/index/
+index_server.h:28-52) plus the sample-select path of ``PromQuerier``
+(/root/reference/src/adapters/prom/querier.cpp:13-21).
+
+A user of the reference drives six entry points; each maps to one method:
+
+| reference (index_server.h / querier) | here |
+|---|---|
+| resolve_label_matchers(matchers, start, end) → bitmap | resolve(...) → DataFrame[tsid] |
+| add_series(t, labels) / commit(series)               | add_series_batch(events) / commit(path) |
+| exists(labels) → tsids                               | exists(labels_df) |
+| get_labels(tsid) → labels                            | get_labels([tsids]) |
+| label_values(name) → set                             | label_values(name) |
+| current_tsid()                                       | current_tsid() |
+| Querier::select(tsids) (via storage)                 | select(matchers, start, end) → samples |
+
+Construction: from raw events (model derived in memory) or from a
+materialized store dir (tsdb.store layout, partition-pruned reads).
+``register_views`` exposes the model as temp views so the whole surface is
+also reachable from ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tagtree_spark.tsdb import ingest as _ingest
+from tagtree_spark.tsdb import matchers as _m
+from tagtree_spark.tsdb.model import build_model
+from tagtree_spark.tsdb.store import load_model
+
+
+class TagTreeEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        events: DataFrame | None = None,
+        store_dir: str | None = None,
+    ):
+        if (events is None) == (store_dir is None):
+            raise ValueError("provide exactly one of events= or store_dir=")
+        self.spark = spark
+        if store_dir is not None:
+            self.series, self.postings, self.samples = load_model(spark, store_dir)
+        else:
+            self.series, self.postings, self.samples = build_model(events)
+
+    # -- read path (reference §3.1) ---------------------------------------
+
+    def resolve(self, matchers: list[_m.LabelMatcher], start=None, end=None) -> DataFrame:
+        """resolve_label_matchers → distributed DataFrame[tsid]."""
+        return _m.resolve_label_matchers(self.postings, matchers, start, end)
+
+    def select(self, matchers: list[_m.LabelMatcher], start=None, end=None) -> DataFrame:
+        """PromQuerier::select — samples of the matching series in range."""
+        tsids = self.resolve(matchers, start, end)
+        return _m.select_series(self.samples, tsids, start, end)
+
+    def label_values(self, name: str) -> DataFrame:
+        return _m.label_values(self.postings, name)
+
+    def get_labels(self, tsids: list[int]) -> DataFrame:
+        return _m.get_labels(self.series, tsids)
+
+    # -- write path (reference §3.2) --------------------------------------
+
+    def add_series_batch(self, batch_events: DataFrame) -> "TagTreeEngine":
+        """MERGE a batch of events into the series table (L1/L3); returns
+        self with the updated model (postings/samples rebuilt lazily)."""
+        from tagtree_spark.tsdb.model import build_postings, build_samples
+
+        self.series = _ingest.add_series_batch(self.series, batch_events)
+        self.postings = build_postings(self.series)
+        self.samples = build_samples(batch_events, self.series)
+        return self
+
+    def exists(self, probe: DataFrame) -> DataFrame:
+        return _ingest.exists(self.series, probe)
+
+    def current_tsid(self) -> int:
+        return _ingest.current_tsid(self.series).collect()[0].max_tsid
+
+    def commit(self, path: str) -> None:
+        _ingest.commit(self.series, path)
+
+    # -- SQL surface -------------------------------------------------------
+
+    def register_views(self, prefix: str = "") -> None:
+        """Expose the model as temp views (``{prefix}series`` etc.) so the
+        entire surface is reachable from spark.sql()."""
+        self.series.createOrReplaceTempView(f"{prefix}series")
+        self.postings.createOrReplaceTempView(f"{prefix}postings")
+        self.samples.createOrReplaceTempView(f"{prefix}samples")

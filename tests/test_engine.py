@@ -1,0 +1,69 @@
+"""TagTreeEngine facade: every reference IndexServer entry point through
+one object, from both construction paths (derived and materialized)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tagtree_spark.engine import TagTreeEngine
+from tagtree_spark.tsdb.matchers import LabelMatcher, MatchOp
+
+
+def _engine(spark, events):
+    return TagTreeEngine(spark, events=events)
+
+
+def test_resolve_and_select(spark, events):
+    eng = _engine(spark, events)
+    m = [LabelMatcher(MatchOp.EQL, "event_type", "click")]
+    tsids = {r.tsid for r in eng.resolve(m).collect()}
+    assert tsids
+    samples = eng.select(m)
+    joined = samples.join(eng.series.where(F.col("event_type") != "click"), "tsid", "left_semi")
+    assert joined.count() == 0  # only click-series samples selected
+
+
+def test_label_values_and_get_labels(spark, events):
+    eng = _engine(spark, events)
+    vals = {r.value for r in eng.label_values("event_type").collect()}
+    assert "click" in vals
+    labels = eng.get_labels([1, 2]).collect()
+    assert {r.tsid for r in labels} == {1, 2}
+
+
+def test_write_path_roundtrip(spark, events):
+    eng = TagTreeEngine(spark, events=events.where(F.col("event_id") % 2 == 0))
+    before = eng.current_tsid()
+    eng.add_series_batch(events.where(F.col("event_id") % 2 == 1))
+    assert eng.current_tsid() >= before
+    hits = eng.exists(eng.series.select("event_type", "user_bucket", "k_bucket"))
+    assert hits.count() == eng.series.count()
+
+
+def test_sql_surface(spark, events):
+    eng = _engine(spark, events)
+    eng.register_views(prefix="tt_")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM tt_postings WHERE name='event_type' AND value='click'"
+    ).collect()[0].n
+    assert n == eng.resolve([LabelMatcher(MatchOp.EQL, "event_type", "click")]).count()
+
+
+def test_store_construction(spark, events):
+    import shutil
+    import tempfile
+
+    from tagtree_spark.tsdb.store import materialize_model
+    from tests.test_store import _tmp_root
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-engine-")
+    try:
+        materialize_model(spark, events, d)
+        eng = TagTreeEngine(spark, store_dir=d)
+        m = [LabelMatcher(MatchOp.EQL, "event_type", "click")]
+        derived = TagTreeEngine(spark, events=events)
+        assert {r.tsid for r in eng.resolve(m).collect()} == {
+            r.tsid for r in derived.resolve(m).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
