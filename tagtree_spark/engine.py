@@ -67,12 +67,21 @@ class TagTreeEngine:
 
     def add_series_batch(self, batch_events: DataFrame) -> "TagTreeEngine":
         """MERGE a batch of events into the series table (L1/L3); returns
-        self with the updated model (postings/samples rebuilt lazily)."""
+        self with the updated model (postings rebuilt, samples APPENDED).
+
+        Sample storage accumulates across batches, as in the reference
+        (/root/reference/src/adapters/prom/appender.cpp:14-23 — the appender
+        only ever adds). Prior sample rows stay valid because the merge
+        keeps existing TSIDs stable (tsid, created) semantics — only new
+        label sets get ids above the watermark.
+        """
         from tagtree_spark.tsdb.model import build_postings, build_samples
 
         self.series = _ingest.add_series_batch(self.series, batch_events)
         self.postings = build_postings(self.series)
-        self.samples = build_samples(batch_events, self.series)
+        self.samples = self.samples.unionByName(
+            build_samples(batch_events, self.series)
+        )
         return self
 
     def exists(self, probe: DataFrame) -> DataFrame:

@@ -40,6 +40,40 @@ def test_write_path_roundtrip(spark, events):
     assert hits.count() == eng.series.count()
 
 
+def test_select_spans_batches(spark, events):
+    """add_series_batch must APPEND samples (reference appender.cpp:14-23),
+    not replace them: a select after a merge returns samples from BOTH the
+    construction half and the merged half of the events split."""
+    first = events.where(F.col("event_id") % 2 == 0)
+    second = events.where(F.col("event_id") % 2 == 1)
+    eng = TagTreeEngine(spark, events=first)
+    eng.add_series_batch(second)
+
+    # every event lands in exactly one sample row → total must equal |events|
+    assert eng.samples.count() == events.count()
+
+    # a full select (no matchers beyond a tautology) spans both halves:
+    # compare against samples built from the full event set in one shot
+    full = TagTreeEngine(spark, events=events)
+    merged_sum = eng.samples.agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("s"))
+    full_sum = full.samples.agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("s"))
+    assert merged_sum.collect()[0].s == full_sum.collect()[0].s
+
+    # and the per-label-set sample counts agree with the one-shot model
+    # (tsids differ between incremental and one-shot assignment — the merge
+    # continues ids above the watermark — so compare via the label tuple)
+    def by_labels(e):
+        return {
+            (r.event_type, r.user_bucket, r.k_bucket, r.n)
+            for r in e.samples.join(e.series, "tsid")
+            .groupBy("event_type", "user_bucket", "k_bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    assert by_labels(eng) == by_labels(full)
+
+
 def test_sql_surface(spark, events):
     eng = _engine(spark, events)
     eng.register_views(prefix="tt_")
