@@ -28,6 +28,17 @@ N_PERM = 12
 N_BANDS = 4
 ROWS_PER_BAND = 3
 
+#: Default LSH bucket-size cap for the near-dup candidate joins. One
+#: degenerate band value (constant/boilerplate text, the all-zero LSH
+#: bucket) would otherwise collect_list the whole bucket onto one executor
+#: and emit O(d²) pairs — the cap IS the quadratic bound at 100 TB, exactly
+#: as ``max_df`` is for :func:`ngram_jaccard_pairs`. True near-dups collide
+#: in SMALL buckets (their shared band values are rare by construction), so
+#: recall for genuine pairs is essentially unaffected; an oversize bucket
+#: means the band carries no discriminating signal. Monitor drops at scale
+#: via :func:`dropped_bucket_stats`.
+MAX_BUCKET = 200
+
 #: Mask folding h60 into the 31-bit domain of the affine permutation family.
 H31_MASK = 0x7FFFFFFF
 
@@ -120,6 +131,7 @@ def minhash_near_dup_pairs(
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
     min_match: int = 6,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """E2 near-dup pairs via MinHash + LSH banding → ``(doc_a, doc_b,
     n_match)`` where n_match = #agreeing signature positions (>= min_match).
@@ -150,9 +162,10 @@ def minhash_near_dup_pairs(
     )
     # Bucketed pair generation: group docs per band value and emit ordered
     # pairs inside each bucket — one shuffle, no self-join re-reading the
-    # input. Bucket size is bounded in expectation (band collisions are
-    # rare for non-near-dups); at 100 TB add a bucket-size cap.
-    cand = _bucket_pairs(bands, "band").distinct()
+    # input. max_bucket drops degenerate hot buckets BEFORE the pair
+    # explosion, bounding the join quadratically (the oracle mirrors the
+    # same HAVING count(*) <= cap filter).
+    cand = _bucket_pairs(bands, "band", max_bucket=max_bucket).distinct()
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     n_match = F.aggregate(
@@ -185,6 +198,24 @@ def _bucket_pairs(df: DataFrame, key: str, max_bucket: int | None = None) -> Dat
         )
     )
     return buckets.where(F.size("ds") >= 2).select(pairs.alias("p")).select("p.doc_a", "p.doc_b")
+
+
+def dropped_bucket_stats(df: DataFrame, key: str, max_bucket: int) -> DataFrame:
+    """Monitoring companion to :func:`_bucket_pairs`'s cap: one row
+    ``(n_buckets, n_dropped, max_bucket_size, dropped_rows)`` describing how
+    many buckets the cap discards. At 100 TB this is the number a pipeline
+    logs per run — a rising ``n_dropped`` means the banding scheme is too
+    coarse for the corpus (add planes/bands), not that data was lost
+    silently."""
+    sizes = df.groupBy(key).agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.max("n").cast("bigint").alias("max_bucket_size"),
+        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_rows"),
+    )
 
 
 def simhash60(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -228,6 +259,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     n_bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """SimHash near-dup pairs → ``(doc_a, doc_b, hamming)``.
 
@@ -258,7 +290,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("band"),
     )
-    cand = _bucket_pairs(bands, "band").distinct()
+    cand = _bucket_pairs(bands, "band", max_bucket=max_bucket).distinct()
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("bigint")

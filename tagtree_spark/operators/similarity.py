@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tagtree_spark.functions.hashing import h60
+from tagtree_spark.operators.dedup import MAX_BUCKET, _bucket_pairs
 from tagtree_spark.session import spread
 
 #: Hyperplane weights are integers in [-1000, 1000] derived from h60 so the
@@ -107,6 +108,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """E2 embedding-cosine near-dup → (vec_a, vec_b, score) for pairs in
     the SAME hyperplane-LSH bucket with cosine > threshold.
@@ -115,16 +117,20 @@ def embedding_near_dup_pairs(
     is the standard LSH tradeoff — raise by unioning several plane sets.
     The oracle reproduces the identical buckets and fold order, so the
     result matches bit-for-bit despite being an approximate operator.
-    """
-    from tagtree_spark.operators.dedup import _bucket_pairs
 
+    ``max_bucket`` (default ``dedup.MAX_BUCKET``) drops degenerate hot
+    buckets before the pair explosion — with 2^n_planes coarse buckets a
+    single bucket holding the whole corpus is the O(N²) failure mode; at
+    scale raise ``n_planes`` with corpus size and monitor drops via
+    ``dedup.dropped_bucket_stats``.
+    """
     planes = plane_weights(n_planes, dim)
     with_bucket = spread(emb).select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("v"),
         lsh_bucket(vec_col, planes).alias("bucket"),
     ).persist()
-    cand = _bucket_pairs(with_bucket.select("bucket", "doc_id"), "bucket")
+    cand = _bucket_pairs(with_bucket.select("bucket", "doc_id"), "bucket", max_bucket=max_bucket)
     va = with_bucket.select(F.col("doc_id").alias("doc_a"), F.col("v").alias("va"))
     vb = with_bucket.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"))
     return (

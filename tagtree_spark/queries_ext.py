@@ -69,6 +69,10 @@ _N_PERM = 12
 _N_BANDS = 4
 _ROWS = 3
 
+# LSH bucket-size cap mirrored from operators.dedup.MAX_BUCKET — the oracle
+# must drop the same degenerate hot buckets the Spark side does.
+from tagtree_spark.operators.dedup import MAX_BUCKET as _MAX_BUCKET  # noqa: E402
+
 # Affine MinHash family over 31-bit shingle hashes — same constants as the
 # Spark side (functions.hashing.minhash_params).
 from tagtree_spark.functions.hashing import MINHASH_P, minhash_params  # noqa: E402
@@ -116,9 +120,11 @@ _Q25_BAND_KEY = duck_h60(
     + f""", bands AS (
   SELECT doc_id, {_Q25_BAND_KEY} AS band
   FROM sig, range(0, {_N_BANDS}) t(b)
+), keepb AS (
+  SELECT band FROM bands GROUP BY band HAVING count(*) <= {_MAX_BUCKET}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  FROM bands a JOIN keepb USING (band) JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, n_match FROM (
   SELECT doc_a, doc_b,
@@ -159,15 +165,17 @@ WITH wrd AS (
 @query(
     "q28_simhash_neardup",
     _simhash_cte()
-    + """, bands AS (
+    + f""", bands AS (
   SELECT doc_id, simhash,
          CAST(b AS VARCHAR) || ':' || CAST((simhash >> (b * 15)) & 32767 AS VARCHAR) AS band
   FROM fp, range(0, 4) t(b)
+), keepb AS (
+  SELECT band FROM bands GROUP BY band HAVING count(*) <= {_MAX_BUCKET}
 )
 SELECT doc_a, doc_b, hamming FROM (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  FROM bands a JOIN keepb USING (band) JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 ) v WHERE hamming <= 3
 ORDER BY doc_a, doc_b""",
 )
@@ -277,13 +285,15 @@ def _q39_oracle() -> str:
     return f"""
 WITH wb AS (
   SELECT vec_id, embedding, {bucket.format(v='embedding')} AS bucket FROM embeddings
+), keepb AS (
+  SELECT bucket FROM wb GROUP BY bucket HAVING count(*) <= {_MAX_BUCKET}
 )
 SELECT vec_a, vec_b, score FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          {_DOT.format(a='a.embedding', b='b.embedding')} /
          (sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) *
           sqrt({_DOT.format(a='b.embedding', b='b.embedding')})) AS score
-  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM wb a JOIN keepb USING (bucket) JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ) p WHERE score > 0.45
 ORDER BY vec_a, vec_b"""
 

@@ -53,6 +53,44 @@ def test_minhash_no_cartesian_in_plan(documents):
     assert not has_cartesian(minhash_near_dup_pairs(documents))
 
 
+def test_hot_bucket_cap_bounds_pair_generation(spark):
+    """A degenerate corpus (many identical docs → one giant LSH bucket)
+    must NOT explode into O(d²) pairs: the bucket cap drops the hot bucket
+    while genuine near-dups in small buckets are still found."""
+    from tagtree_spark.operators.dedup import dropped_bucket_stats, simhash_near_dup_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(30))
+    near_a = " ".join(f"w{i}" for i in range(30))
+    near_b = " ".join(f"w{i}" for i in range(29)) + " zz"
+    rows = [(i, boiler, "en", "s", 1) for i in range(1000)]
+    rows += [(2001, near_a, "en", "s", 1), (2002, near_b, "en", "s", 1)]
+    d = _docs(spark, rows)
+
+    pairs = minhash_near_dup_pairs(d, max_bucket=100).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    # the 1000 boilerplate docs would contribute 499,500 pairs uncapped;
+    # with the cap they contribute none, and the real near-dup survives
+    assert (2001, 2002) in got
+    assert not any(a < 2000 and b < 2000 for a, b in got)
+
+    sh_pairs = {(r.doc_a, r.doc_b) for r in simhash_near_dup_pairs(d, max_bucket=100).collect()}
+    assert (2001, 2002) in sh_pairs
+    assert not any(a < 2000 and b < 2000 for a, b in sh_pairs)
+
+
+def test_dropped_bucket_stats_reports_hot_buckets(spark):
+    from tagtree_spark.operators.dedup import dropped_bucket_stats
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 1), ("cold", 2)], ["band", "doc_id"]
+    )
+    row = dropped_bucket_stats(df, "band", max_bucket=10).collect()[0]
+    assert row.n_buckets == 2
+    assert row.n_dropped == 1
+    assert row.max_bucket_size == 50
+    assert row.dropped_rows == 50
+
+
 def test_simhash_identical_docs_equal_fingerprints(spark):
     text = " ".join(f"w{i}" for i in range(30))
     d = _docs(spark, [(1, text, "en", "s", 1), (2, text, "en", "s", 1)])
