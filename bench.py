@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from tagtree_spark.session import get_spark  # noqa: E402
+from tagtree_spark.session import get_spark, release_tracked  # noqa: E402
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -71,6 +71,9 @@ def main() -> int:
                 best = -1.0
                 break
         timings[name] = round(best, 3)
+        # operator-level caches are per-query; don't let 50 queries' worth
+        # of persisted signature/bucket tables pile up in one session
+        release_tracked()
     wall = round(time.time() - t_all, 3)
     total = round(sum(v for v in timings.values() if v > 0), 3)
 

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tagtree_spark.functions.hashing import MINHASH_P, h60, minhash_params
-from tagtree_spark.session import spread
+from tagtree_spark.session import persist_tracked, spread
 
 # MinHash defaults: 12 permutations, 4 bands x 3 rows. For a pair with
 # Jaccard J the candidate probability is 1-(1-J^3)^4 — ~0.05 at J=0.25,
@@ -155,8 +155,8 @@ def minhash_near_dup_pairs(
             F.col(id_col).alias("doc_id"),
             minhash_signature("hs", n_perm=n_perm).alias("sig"),
         )
-        .persist()
     )
+    sigs = persist_tracked(sigs)
     bands = sigs.select(
         "doc_id", F.explode(lsh_band_keys("sig", n_bands, rows_per_band)).alias("band")
     )
@@ -271,7 +271,7 @@ def simhash_near_dup_pairs(
     width = 60 // n_bands
     # One row per doc — persist so band bucketing and the verification
     # join-backs don't re-run the word-count + 60-bit-sum pipeline.
-    fp = simhash60(docs, id_col=id_col, text_col=text_col).persist()
+    fp = persist_tracked(simhash60(docs, id_col=id_col, text_col=text_col))
     mask = (1 << width) - 1
     bands = fp.select(
         "doc_id",
@@ -344,8 +344,8 @@ def ngram_jaccard_pairs(
         inv.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .where(F.size("ds") <= max_df)
-        .persist()
     )
+    buckets = persist_tracked(buckets)
     sizes = (
         buckets.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")

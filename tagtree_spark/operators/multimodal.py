@@ -99,29 +99,43 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
-CHUNK_BYTES = 100
+CHUNK_CHARS = 100
 MAX_CHUNKS = 5
+
+
+def _chunk_units(payload: bytes) -> str | bytes:
+    """Chunking domain for a payload: decoded text when the payload is
+    valid utf-8, raw bytes otherwise. Slicing by CHARACTERS (not bytes) for
+    text keeps the fake features aligned with the oracle's
+    character-indexed ``substr`` — a byte slice would split a multibyte
+    character and silently diverge (ADVICE r2). Real codecs would make this
+    frames/samples instead."""
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload
 
 
 def sample_frames(media: DataFrame) -> DataFrame:
     """Frame/chunk sampling — the 1→N mapInPandas shape a video pipeline
     uses (decode → every-Nth-frame). With codecs stubbed, "frames" are
-    fixed-size payload chunks and the "feature" is their content hash —
-    the row-expansion plumbing (one input row yields up to MAX_CHUNKS
-    output rows inside the Arrow batch) is the real part."""
+    fixed-size payload chunks (100 CHARACTERS for text payloads, mirroring
+    the oracle's substr) and the "feature" is the content hash of the
+    chunk's utf-8 bytes — the row-expansion plumbing (one input row yields
+    up to MAX_CHUNKS output rows inside the Arrow batch) is the real part."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {"media_id": [], "chunk_idx": [], "chunk_h60": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload)
-                n = min(MAX_CHUNKS, (len(raw) + CHUNK_BYTES - 1) // CHUNK_BYTES)
+                units = _chunk_units(bytes(payload))
+                n = min(MAX_CHUNKS, (len(units) + CHUNK_CHARS - 1) // CHUNK_CHARS)
                 for i in range(n):
+                    chunk = units[i * CHUNK_CHARS : (i + 1) * CHUNK_CHARS]
+                    raw = chunk.encode("utf-8") if isinstance(chunk, str) else chunk
                     out["media_id"].append(int(mid))
                     out["chunk_idx"].append(i)
-                    out["chunk_h60"].append(
-                        _h60_bytes(raw[i * CHUNK_BYTES : (i + 1) * CHUNK_BYTES])
-                    )
+                    out["chunk_h60"].append(_h60_bytes(raw))
             yield pd.DataFrame(out).astype(
                 {"media_id": "int64", "chunk_idx": "int64", "chunk_h60": "int64"}
             )
@@ -133,10 +147,16 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     mapInPandas streams pandas batches per task — payload bytes stay inside
-    the Arrow buffers; the fake feature (h60 of the first 16 bytes) matches
-    ``duck_h60(substr(text, 1, 16))`` in the oracle because Python/Spark/
-    DuckDB md5 agree byte-for-byte.
+    the Arrow buffers; the fake feature (h60 of the utf-8 bytes of the
+    first 16 CHARACTERS) matches ``duck_h60(substr(text, 1, 16))`` in the
+    oracle because substr is character-indexed and Python/Spark/DuckDB md5
+    agree byte-for-byte. ``n_bytes`` stays BYTE length (= DuckDB strlen).
     """
+
+    def _head16(b: bytes) -> int:
+        units = _chunk_units(bytes(b))
+        head = units[:16]
+        return _h60_bytes(head.encode("utf-8") if isinstance(head, str) else head)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -145,9 +165,7 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "head_h60": pdf["payload"].map(lambda b: _h60_bytes(bytes(b)[:16])).astype(
-                        "int64"
-                    ),
+                    "head_h60": pdf["payload"].map(_head16).astype("int64"),
                 }
             )
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from tagtree_spark.functions.hashing import h60
 from tagtree_spark.operators.dedup import MAX_BUCKET, _bucket_pairs
-from tagtree_spark.session import spread
+from tagtree_spark.session import persist_tracked, spread
 
 #: Hyperplane weights are integers in [-1000, 1000] derived from h60 so the
 #: DuckDB oracle regenerates the exact same planes: w[j][i] = h60(j#i) % 2001 - 1000.
@@ -129,7 +129,8 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("v"),
         lsh_bucket(vec_col, planes).alias("bucket"),
-    ).persist()
+    )
+    with_bucket = persist_tracked(with_bucket)
     cand = _bucket_pairs(with_bucket.select("bucket", "doc_id"), "bucket", max_bucket=max_bucket)
     va = with_bucket.select(F.col("doc_id").alias("doc_a"), F.col("v").alias("va"))
     vb = with_bucket.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"))
@@ -193,7 +194,7 @@ def ivf_topk(
     (pinned by test_ivf_full_probe_equals_brute_force)."""
     from pyspark.sql import Window
 
-    assigned = ivf_assignments(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col).persist()
+    assigned = persist_tracked(ivf_assignments(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col))
     qv_df = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
     # the nprobe centroids closest to the QUERY VECTOR (not just its own cell)
     cents = emb.where(F.col(id_col) < n_cells).select(

@@ -38,12 +38,16 @@ LANG_LEXICONS: dict[str, tuple[str, ...]] = {
 
 def token_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document integer features: n_tokens, n_chars_calc, n_uniq_tokens,
-    max_token_len, n_short_tokens (len<=2). Narrow projection, no shuffle."""
+    max_token_len, n_short_tokens (len<=2). Narrow projection, no shuffle.
+
+    Grouping metadata (``lang``, ``source``) passes through only when the
+    input carries it — the function works on any (id, text) frame, not just
+    the documents fixture (ADVICE r2)."""
     words = F.split(F.col(text_col), " ")
+    passthrough = [F.col(c) for c in ("lang", "source") if c in docs.columns]
     return spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.col("lang"),
-        F.col("source"),
+        *passthrough,
         F.size(words).cast("bigint").alias("n_tokens"),
         F.length(text_col).cast("bigint").alias("n_chars_calc"),
         F.size(F.array_distinct(words)).cast("bigint").alias("n_uniq_tokens"),

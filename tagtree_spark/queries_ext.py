@@ -731,7 +731,7 @@ def q37_session_window(spark, sf_dir):
 SELECT doc_id AS media_id, CAST(i AS BIGINT) AS chunk_idx,
        {duck_h60("substr(text, CAST(i * 100 + 1 AS INT), 100)")} AS chunk_h60
 FROM documents, range(0, 5) t(i)
-WHERE i < least(5, CAST(ceil(strlen(text) / 100.0) AS BIGINT))
+WHERE i < least(5, CAST(ceil(length(text) / 100.0) AS BIGINT))
 ORDER BY media_id, chunk_idx""",
 )
 def q41_frame_sample(spark, sf_dir):

@@ -59,6 +59,40 @@ def spread(df, min_partitions: int | None = None):
     return df
 
 
+# --------------------------------------------------------------------------
+# Tracked persists: operators persist one-row-per-doc intermediates that are
+# read several times within ONE query (signature tables, bucket tables).
+# Those caches must not outlive the query — bench/parity run 50 queries in
+# one session and untracked persists would accumulate (ADVICE r2). A blanket
+# spark.catalog.clearCache() is wrong here: it would also evict the
+# intentionally long-lived derived-model cache (queries._MODEL_CACHE).
+# --------------------------------------------------------------------------
+
+_TRACKED: list = []
+
+
+def persist_tracked(df):
+    """persist() + register for release_tracked(). Use for intra-query
+    caches; use a plain persist() only for intentionally session-lived
+    state."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked intermediate (harness calls this between
+    queries). Returns the number released."""
+    n = len(_TRACKED)
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _TRACKED.clear()
+    return n
+
+
 def get_spark(app_name: str = "tagtree-spark", cpus: int | None = None) -> SparkSession:
     n = cpus or default_parallelism()
     spark = (

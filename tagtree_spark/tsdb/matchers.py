@@ -55,6 +55,76 @@ class MatchOp(Enum):
 
 
 _NEGATIVE = {MatchOp.NEQ, MatchOp.NEQ_REGEX}
+_REGEX_OPS = {MatchOp.EQL_REGEX, MatchOp.NEQ_REGEX}
+
+
+def _validate_regex_subset(pattern: str) -> None:
+    """Reject regex constructs outside the RE2∩Java common subset.
+
+    The reference matches with RE2 (via libpromql); Spark matches with
+    java.util.regex. Patterns in the intersection behave identically;
+    anything else would silently diverge (SURVEY.md §7.4.3) — so reject at
+    construction with a clear error instead of relying on convention:
+      * lookahead/lookbehind ``(?= (?! (?<= (?<!`` — Java-only, RE2 rejects;
+      * backreferences ``\\1``..``\\9``, ``\\k<name>`` — Java-only;
+      * atomic groups ``(?>`` and conditionals ``(?(`` — neither RE2 nor
+        this subset;
+      * possessive quantifiers ``*+ ++ ?+ {n}+`` — Java-only;
+      * named groups — the syntaxes differ (RE2 ``(?P<n>``, Java ``(?<n>``).
+    """
+    i, n = 0, len(pattern)
+    in_class = False
+    esc_char_pos = -1  # position of the most recent escaped character
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if nxt.isdigit() and nxt != "0":
+                raise ValueError(
+                    f"regex {pattern!r}: backreference \\{nxt} is not in the "
+                    "RE2∩Java subset (RE2 has no backreferences)"
+                )
+            if nxt in ("k", "K", "g"):
+                raise ValueError(
+                    f"regex {pattern!r}: \\{nxt} is not in the RE2∩Java subset"
+                )
+            esc_char_pos = i + 1
+            i += 2
+            continue
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        elif not in_class:
+            if c == "(" and i + 1 < n and pattern[i + 1] == "?":
+                rest = pattern[i + 2 : i + 4]
+                if rest[:1] in ("=", "!", ">", "("):
+                    raise ValueError(
+                        f"regex {pattern!r}: lookaround/atomic/conditional groups "
+                        "are not in the RE2∩Java subset"
+                    )
+                if rest[:1] == "<" or rest[:1] == "P":
+                    raise ValueError(
+                        f"regex {pattern!r}: named groups / lookbehind are not in "
+                        "the RE2∩Java subset (the syntaxes diverge)"
+                    )
+            if (
+                c == "+"
+                and i > 0
+                and pattern[i - 1] in ("*", "+", "?", "}")
+                and i - 1 != esc_char_pos  # "\++" = escaped plus, one-or-more
+            ):
+                raise ValueError(
+                    f"regex {pattern!r}: possessive quantifiers are Java-only, "
+                    "not in the RE2∩Java subset"
+                )
+        i += 1
+    import re as _re
+
+    try:
+        _re.compile(pattern)
+    except _re.error as exc:
+        raise ValueError(f"regex {pattern!r}: invalid pattern: {exc}") from exc
 
 
 @dataclass(frozen=True)
@@ -62,6 +132,10 @@ class LabelMatcher:
     op: MatchOp
     name: str
     value: str
+
+    def __post_init__(self) -> None:
+        if self.op in _REGEX_OPS:
+            _validate_regex_subset(self.value)
 
     @property
     def positive(self) -> bool:

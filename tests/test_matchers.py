@@ -161,3 +161,33 @@ def test_time_pruning_boundary(model):
     assert row.tsid in tsids(
         postings, m, end=row.first_seen + dt.timedelta(microseconds=1)
     )
+
+
+def test_regex_dialect_guard():
+    """Patterns outside the RE2∩Java subset are rejected at construction
+    (SURVEY.md §7.4.3) — silently divergent semantics must not reach the
+    engine."""
+    import pytest
+
+    from tagtree_spark.tsdb.matchers import LabelMatcher, MatchOp
+
+    # common-subset patterns construct fine
+    LabelMatcher(MatchOp.EQL_REGEX, "l", "^(click|view)$")
+    LabelMatcher(MatchOp.NEQ_REGEX, "l", "p.*[0-9]+")
+    LabelMatcher(MatchOp.EQL_REGEX, "l", r"a\++")  # escaped plus, one-or-more
+
+    for bad in [
+        "(?=foo)bar",      # lookahead (Java-only)
+        "(?<=a)b",         # lookbehind (Java-only)
+        r"(a)\1",          # backreference (Java-only)
+        "a*+b",            # possessive quantifier (Java-only)
+        "(?>atomic)",      # atomic group
+        "(?P<n>x)",        # named group (syntax diverges)
+        "(?<n>x)",         # named group, Java syntax
+        "(unclosed",       # plain syntax error
+    ]:
+        with pytest.raises(ValueError):
+            LabelMatcher(MatchOp.EQL_REGEX, "l", bad)
+
+    # non-regex ops are not validated (value is a literal, not a pattern)
+    LabelMatcher(MatchOp.EQL, "l", "(?=not-a-regex)")

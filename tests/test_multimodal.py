@@ -54,7 +54,7 @@ def test_resize_is_stubbed():
 
 def test_sample_frames_row_expansion(documents):
     from tagtree_spark.operators.multimodal import (
-        CHUNK_BYTES,
+        CHUNK_CHARS,
         MAX_CHUNKS,
         sample_frames,
     )
@@ -64,10 +64,52 @@ def test_sample_frames_row_expansion(documents):
     per_doc = {r.media_id: r.n for r in frames.groupBy("media_id").agg(
         F.count("*").alias("n")).collect()}
     for d in documents.select("doc_id", "text").collect():
-        expect = min(MAX_CHUNKS, (len(d.text.encode()) + CHUNK_BYTES - 1) // CHUNK_BYTES)
+        # chunk domain is CHARACTERS of the decoded text payload
+        expect = min(MAX_CHUNKS, (len(d.text) + CHUNK_CHARS - 1) // CHUNK_CHARS)
         assert per_doc[d.doc_id] == expect
 
 
 def test_metadata_preserved(documents):
     m = media_from_documents(documents).limit(1).collect()[0]
     assert set(m.meta) == {"lang", "source"}
+
+
+def test_multibyte_text_chunks_by_characters(spark):
+    """The fake features must slice by CHARACTERS of the decoded payload —
+    a byte slice would split multibyte characters and diverge from the
+    oracle's character-indexed substr (ADVICE r2). Verified against DuckDB
+    on a multibyte document."""
+    import duckdb
+
+    from tagtree_spark.functions.hashing import duck_h60
+    from tagtree_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+        sample_frames,
+    )
+
+    # 2-byte chars: 150 'é' → 2 chunks of chars (100 + 50), 300 bytes
+    text = "é" * 150
+    docs = spark.createDataFrame(
+        [(1, text, "fr", "s", len(text))], ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    media = media_from_documents(docs)
+
+    feat = extract_features(media).collect()[0]
+    assert feat.n_bytes == 300  # byte length (DuckDB strlen)
+
+    frames = {r.chunk_idx: r.chunk_h60 for r in sample_frames(media).collect()}
+    assert len(frames) == 2
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1 AS doc_id, ? AS text", [text])
+    d_head = con.execute(f"SELECT {duck_h60('substr(text, 1, 16)')} FROM documents").fetchone()[0]
+    d_chunks = dict(
+        con.execute(
+            f"""SELECT i, {duck_h60("substr(text, CAST(i * 100 + 1 AS INT), 100)")}
+            FROM documents, range(0, 5) t(i)
+            WHERE i < least(5, CAST(ceil(length(text) / 100.0) AS BIGINT))"""
+        ).fetchall()
+    )
+    assert feat.head_h60 == d_head
+    assert frames == d_chunks

@@ -183,3 +183,14 @@ def test_lang_id_deterministic_tie_break(spark):
     assert row.pred_lang == "es"
     d2 = _docs(spark, [(2, "zz qq", "en", "s", 1)])
     assert lang_id(d2).collect()[0].pred_lang == "und"
+
+
+def test_token_features_on_generic_frame(spark):
+    """token_features must work on any (id, text) frame — lang/source pass
+    through only when present (ADVICE r2)."""
+    from tagtree_spark.operators.text import token_features
+
+    bare = spark.createDataFrame([(1, "a bb ccc")], ["doc_id", "text"])
+    row = token_features(bare).collect()[0]
+    assert row.n_tokens == 3 and row.max_token_len == 3 and row.n_short_tokens == 2
+    assert "lang" not in token_features(bare).columns

@@ -20,7 +20,7 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 from tagtree_spark.io import TABLES  # noqa: E402
-from tagtree_spark.session import get_spark  # noqa: E402
+from tagtree_spark.session import get_spark, release_tracked  # noqa: E402
 
 
 def _norm_cell(v):
@@ -72,6 +72,7 @@ def main() -> int:
     failures = []
     for name in keys:
         t0 = time.time()
+        release_tracked()  # per-query operator caches must not accumulate
         try:
             spark_pd = qs[name](spark, args.sf).toPandas()
         except Exception:
