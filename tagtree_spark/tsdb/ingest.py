@@ -130,7 +130,12 @@ def _finish(flat: DataFrame) -> DataFrame:
 
 
 def commit(series: DataFrame, path: str) -> None:
-    """L6: persist the series table. Parquet overwrite is the local ACID
-    analogue of the WAL commit (a Delta MERGE in a real deployment —
-    SURVEY.md §3.2's foreachBatch pattern)."""
-    series.write.mode("overwrite").parquet(path)
+    """L6: persist the series table crash-consistently via the staged
+    atomic-rename protocol (tsdb.store.atomic_overwrite), mirroring the
+    reference's checkpoint commit (write tmp + atomic rename + CRC,
+    /root/reference/src/wal/wal.cpp:278-305). A plain overwrite had a
+    window where a crash left no readable table (a Delta MERGE replaces
+    this in a real deployment — SURVEY.md §3.2)."""
+    from tagtree_spark.tsdb.store import atomic_overwrite
+
+    atomic_overwrite(series, path)

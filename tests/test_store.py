@@ -101,3 +101,84 @@ def test_compaction_preserves_contents(spark, events):
         assert len(glob.glob(f"{d}/t/part-*")) <= files_before
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_atomic_overwrite_crash_recovery(spark, events):
+    """Kill-during-commit: simulate a crash at EVERY step of the
+    atomic_overwrite protocol and assert recover_table always restores a
+    complete, readable table (reference checkpoint semantics,
+    src/wal/wal.cpp:278-305)."""
+    from tagtree_spark.tsdb.store import atomic_overwrite, recover_table
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-atomic-")
+    try:
+        t = f"{d}/t"
+        old_df = events.limit(10).select("event_id")
+        new_df = events.limit(25).select("event_id")
+        atomic_overwrite(old_df, t)
+
+        def reset():
+            shutil.rmtree(t, ignore_errors=True)
+            shutil.rmtree(t + ".staging", ignore_errors=True)
+            shutil.rmtree(t + ".old", ignore_errors=True)
+            atomic_overwrite(old_df, t)
+
+        def readable_count():
+            assert recover_table(t)
+            return spark.read.parquet(t).count()
+
+        # crash DURING staging write (incomplete staging, no _SUCCESS)
+        reset()
+        new_df.write.mode("overwrite").parquet(t + ".staging")
+        os.remove(f"{t}.staging/_SUCCESS")
+        assert readable_count() == 10  # old table intact, staging discarded
+        assert not os.path.exists(t + ".staging")
+
+        # crash AFTER staging completed, BEFORE the old table was moved away
+        reset()
+        new_df.write.mode("overwrite").parquet(t + ".staging")
+        assert readable_count() == 10  # commit never happened → old wins
+
+        # crash BETWEEN rename(path→old) and rename(staging→path):
+        # no live table on disk — must roll FORWARD to the complete staging
+        reset()
+        new_df.write.mode("overwrite").parquet(t + ".staging")
+        os.rename(t, t + ".old")
+        assert readable_count() == 25
+        assert not os.path.exists(t + ".old")
+
+        # crash AFTER promote, BEFORE old-cleanup: table is the new one
+        reset()
+        new_df.write.mode("overwrite").parquet(t + ".staging")
+        os.rename(t, t + ".old")
+        os.rename(t + ".staging", t)
+        assert readable_count() == 25
+        assert not os.path.exists(t + ".old")
+
+        # total loss of the live table with only a complete .old: roll back
+        reset()
+        os.rename(t, t + ".old")
+        assert readable_count() == 10
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_commit_goes_through_atomic_protocol(spark, events, tmp_path=None):
+    """tsdb.ingest.commit must leave no .staging/.old residue and survive a
+    second commit over the same path (read-modify-write safety)."""
+    from tagtree_spark.tsdb.ingest import add_series_batch, commit
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-commit-")
+    try:
+        p = f"{d}/series"
+        s1 = add_series_batch(None, events.where(F.col("event_id") % 2 == 0))
+        commit(s1, p)
+        n1 = spark.read.parquet(p).count()
+        # read-modify-write: derive the next table FROM the committed one
+        s2 = add_series_batch(spark.read.parquet(p), events)
+        commit(s2, p)
+        assert spark.read.parquet(p).count() >= n1
+        assert not os.path.exists(p + ".staging")
+        assert not os.path.exists(p + ".old")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
