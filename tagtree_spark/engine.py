@@ -41,6 +41,7 @@ class TagTreeEngine:
         if (events is None) == (store_dir is None):
             raise ValueError("provide exactly one of events= or store_dir=")
         self.spark = spark
+        self.store_dir = store_dir
         if store_dir is not None:
             self.series, self.postings, self.samples = load_model(spark, store_dir)
         else:
@@ -92,6 +93,25 @@ class TagTreeEngine:
 
     def commit(self, path: str) -> None:
         _ingest.commit(self.series, path)
+
+    def compact(self) -> None:
+        """Manual compaction of the materialized store — the reference's
+        ``manual_compact`` (/root/reference/include/tagtree/index/
+        index_server.h:48, src/index/index_server.cpp:199-203): rewrite
+        each table into right-sized files, contents unchanged, then reload
+        the model from the compacted layout. Only meaningful for engines
+        over a store_dir; derived (in-memory) engines have nothing to
+        compact."""
+        if self.store_dir is None:
+            raise ValueError("compact() requires an engine built from store_dir=")
+        import os
+
+        from tagtree_spark.tsdb.store import compact_table
+
+        compact_table(self.spark, os.path.join(self.store_dir, "series"))
+        compact_table(self.spark, os.path.join(self.store_dir, "postings"), ["name"])
+        compact_table(self.spark, os.path.join(self.store_dir, "samples"), ["ds"])
+        self.series, self.postings, self.samples = load_model(self.spark, self.store_dir)
 
     # -- SQL surface -------------------------------------------------------
 

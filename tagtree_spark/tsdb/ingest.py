@@ -113,7 +113,7 @@ def add_series_batch(series: DataFrame | None, batch_events: DataFrame) -> DataF
     return _finish(touched.unionByName(shifted))
 
 
-def _finish(flat: DataFrame) -> DataFrame:
+def _finish(flat: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Attach the labels map + label_hash columns (series schema,
     SURVEY.md §7.1)."""
     return flat.select(
@@ -126,7 +126,77 @@ def _finish(flat: DataFrame) -> DataFrame:
         label_hash(*LABEL_NAMES).alias("label_hash"),
         "first_seen",
         "last_seen",
+        *extra_cols,
     )
+
+
+def series_delta(series: DataFrame | None, batch_events: DataFrame) -> DataFrame:
+    """L1 with the reference's created flag: merge rows for the label sets
+    present in THIS batch only → series schema + ``created`` BOOLEAN.
+
+    Mirrors ``IndexServer::add_series`` returning ``(tsid, created)``
+    (/root/reference/include/tagtree/index/index_server.h:40-41): existing
+    label sets keep their TSID (created=false) with first/last_seen widened
+    to cover the batch; unseen sets get dense ids above the watermark
+    (created=true). Output is O(|batch label sets|) — the streaming sink
+    appends exactly this as a segment instead of rewriting the table, the
+    same way the reference WAL-appends only newly-created series
+    (src/wal/record_serializer.cpp:19-58) and widens intervals in place.
+
+    Id assignment agrees with :func:`add_series_batch` applied to the same
+    (series, batch): both anti-join the same batch aggregate and continue
+    from the same watermark.
+    """
+    ev = with_labels(batch_events)
+    batch = ev.groupBy(*LABEL_NAMES).agg(
+        F.min("ts").alias("b_first"),
+        F.max("ts").alias("b_last"),
+    )
+    created = F.lit(True).alias("created")
+    if series is None:
+        fresh = dense_rank_ids(
+            batch.select(
+                *LABEL_NAMES,
+                F.col("b_first").alias("first_seen"),
+                F.col("b_last").alias("last_seen"),
+            ),
+            LABEL_NAMES,
+        )
+        return _finish(fresh.withColumn("created", created), ("created",))
+
+    # existing sets hit by the batch: widen intervals, keep ids
+    hits = (
+        batch.join(
+            series.select("tsid", *LABEL_NAMES, "first_seen", "last_seen"),
+            on=list(LABEL_NAMES),
+            how="inner",
+        )
+        .select(
+            "tsid",
+            *LABEL_NAMES,
+            F.least("first_seen", "b_first").alias("first_seen"),
+            F.greatest("last_seen", "b_last").alias("last_seen"),
+            F.lit(False).alias("created"),
+        )
+    )
+    new = batch.join(series.select(*LABEL_NAMES), on=list(LABEL_NAMES), how="left_anti")
+    new_ids = dense_rank_ids(
+        new.select(
+            *LABEL_NAMES,
+            F.col("b_first").alias("first_seen"),
+            F.col("b_last").alias("last_seen"),
+        ),
+        LABEL_NAMES,
+    )
+    offset = current_tsid(series)
+    shifted = new_ids.crossJoin(F.broadcast(offset)).select(
+        (F.col("tsid") + F.col("max_tsid")).cast("bigint").alias("tsid"),
+        *LABEL_NAMES,
+        "first_seen",
+        "last_seen",
+        created,
+    )
+    return _finish(hits.unionByName(shifted), ("created",))
 
 
 def commit(series: DataFrame, path: str) -> None:

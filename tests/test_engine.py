@@ -83,6 +83,34 @@ def test_sql_surface(spark, events):
     assert n == eng.resolve([LabelMatcher(MatchOp.EQL, "event_type", "click")]).count()
 
 
+def test_manual_compact(spark, events):
+    """TagTreeEngine.compact() (reference manual_compact) rewrites the
+    store tables without changing any query answer."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from tagtree_spark.tsdb.store import materialize_model
+    from tests.test_store import _tmp_root
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-compact-eng-")
+    try:
+        materialize_model(spark, events, d)
+        eng = TagTreeEngine(spark, store_dir=d)
+        m = [LabelMatcher(MatchOp.EQL, "event_type", "click")]
+        before_tsids = {r.tsid for r in eng.resolve(m).collect()}
+        before_samples = eng.select(m).count()
+        eng.compact()
+        assert {r.tsid for r in eng.resolve(m).collect()} == before_tsids
+        assert eng.select(m).count() == before_samples
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    with pytest.raises(ValueError):
+        TagTreeEngine(spark, events=events).compact()
+
+
 def test_store_construction(spark, events):
     import shutil
     import tempfile

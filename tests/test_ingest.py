@@ -100,8 +100,8 @@ def test_streaming_ingest_and_restart(events, tmpdir, spark):
     """End-to-end stream: drain events dir → series+samples persisted; a
     RESTART with the same checkpoint re-processes nothing (exactly-once),
     and wiping the checkpoint (forced replay) leaves the series table
-    unchanged thanks to MERGE idempotence."""
-    from tagtree_spark.streaming.ingest import start_ingest
+    unchanged thanks to MERGE idempotence + deterministic segment rewrite."""
+    from tagtree_spark.streaming.ingest import read_samples, read_series, start_ingest
 
     events_dir = f"{tmpdir}/events"
     events.write.parquet(events_dir)
@@ -114,16 +114,16 @@ def test_streaming_ingest_and_restart(events, tmpdir, spark):
     )
     q = start_ingest(spark, events_dir, schema, **paths)
     q.awaitTermination(120)
-    series1 = spark.read.parquet(paths["series_path"])
+    series1 = read_series(spark, paths["series_path"])
     n_series = series1.count()
-    n_samples = spark.read.parquet(paths["samples_path"]).count()
+    n_samples = read_samples(spark, paths["samples_path"]).count()
     assert n_samples == events.count()
     ids1 = {(r.event_type, r.user_bucket, r.k_bucket): r.tsid for r in series1.collect()}
 
     # restart with same checkpoint: no new input → nothing changes
     q2 = start_ingest(spark, events_dir, schema, **paths)
     q2.awaitTermination(120)
-    assert spark.read.parquet(paths["samples_path"]).count() == n_samples
+    assert read_samples(spark, paths["samples_path"]).count() == n_samples
 
     # forced replay (fresh checkpoint): series ids must be identical
     shutil_ckpt = f"{tmpdir}/ckpt2"
@@ -134,7 +134,128 @@ def test_streaming_ingest_and_restart(events, tmpdir, spark):
         checkpoint_dir=shutil_ckpt,
     )
     q3.awaitTermination(120)
-    series2 = spark.read.parquet(paths["series_path"])
+    series2 = read_series(spark, paths["series_path"])
     assert series2.count() == n_series
     ids2 = {(r.event_type, r.user_bucket, r.k_bucket): r.tsid for r in series2.collect()}
     assert ids1 == ids2
+
+
+def _batched_events(events, n_batches):
+    """Split events into n_batches disjoint slices by event_id."""
+    return [
+        events.where(F.col("event_id") % n_batches == i) for i in range(n_batches)
+    ]
+
+
+def test_sink_writes_o_batch_segments(events, tmpdir, spark):
+    """Per-batch written ROWS must track the batch, not the store: feeding
+    the sink N batches leaves delta segments whose sizes sum to the
+    per-batch label-set counts — no segment rewrites the whole table
+    (VERDICT r2: the old sink was O(total series) per batch)."""
+    from tagtree_spark.streaming.ingest import SeriesSink, read_series
+    from tagtree_spark.tsdb.ingest import add_series_batch
+    from tagtree_spark.tsdb.model import with_labels
+
+    sink = SeriesSink(f"{tmpdir}/series", f"{tmpdir}/samples", compact_every=None)
+    batches = _batched_events(events, 4)
+    for i, b in enumerate(batches):
+        sink(b, i)
+
+    # each delta segment holds exactly the batch's label-set count — in
+    # particular it does NOT grow with the cumulative series count
+    for i, b in enumerate(batches):
+        seg = spark.read.parquet(f"{tmpdir}/series/seg-{i:010d}-delta")
+        n_batch_sets = with_labels(b).select(*LABEL_NAMES).distinct().count()
+        assert seg.count() == n_batch_sets
+
+    # merge-on-read resolves to exactly the batch-fold reference model
+    merged = read_series(spark, f"{tmpdir}/series")
+    expect = None
+    for b in batches:
+        expect = add_series_batch(expect, b)
+    got = {
+        (r.event_type, r.user_bucket, r.k_bucket): (r.tsid, r.first_seen, r.last_seen)
+        for r in merged.collect()
+    }
+    want = {
+        (r.event_type, r.user_bucket, r.k_bucket): (r.tsid, r.first_seen, r.last_seen)
+        for r in expect.collect()
+    }
+    assert got == want
+
+
+def test_sink_auto_compaction_bounds_segments(events, tmpdir, spark):
+    """With compact_every=2 the segment count stays bounded while contents
+    (series AND samples) stay identical to the uncompacted run."""
+    import glob
+
+    from tagtree_spark.streaming.ingest import SeriesSink, read_samples, read_series
+
+    a = SeriesSink(f"{tmpdir}/a_series", f"{tmpdir}/a_samples", compact_every=2)
+    b = SeriesSink(f"{tmpdir}/b_series", f"{tmpdir}/b_samples", compact_every=None)
+    batches = _batched_events(events, 6)
+    for i, batch in enumerate(batches):
+        a(batch, i)
+        b(batch, i)
+
+    n_a = len(glob.glob(f"{tmpdir}/a_series/seg-*"))
+    n_b = len(glob.glob(f"{tmpdir}/b_series/seg-*"))
+    assert n_b == 6
+    assert n_a <= 3  # base + at most compact_every pending deltas
+
+    sa = {
+        (r.tsid, r.event_type, r.first_seen, r.last_seen)
+        for r in read_series(spark, f"{tmpdir}/a_series").collect()
+    }
+    sb = {
+        (r.tsid, r.event_type, r.first_seen, r.last_seen)
+        for r in read_series(spark, f"{tmpdir}/b_series").collect()
+    }
+    assert sa == sb
+    assert (
+        read_samples(spark, f"{tmpdir}/a_samples").count()
+        == read_samples(spark, f"{tmpdir}/b_samples").count()
+        == events.count()
+    )
+
+
+def test_compaction_crash_replay_no_double_count(events, tmpdir, spark):
+    """A crash between base-write and source-segment deletion leaves base +
+    covered segments on disk simultaneously: readers must shadow the
+    covered segments (samples would otherwise double-count) and a replayed
+    compaction just finishes the cleanup."""
+    import glob
+    import shutil as _sh
+
+    from tagtree_spark.streaming.ingest import (
+        SeriesSink,
+        compact_segments,
+        read_samples,
+        read_series,
+    )
+
+    sink = SeriesSink(f"{tmpdir}/series", f"{tmpdir}/samples", compact_every=None)
+    batches = _batched_events(events, 3)
+    for i, batch in enumerate(batches):
+        sink(batch, i)
+    n_samples = read_samples(spark, f"{tmpdir}/samples").count()
+    n_series = read_series(spark, f"{tmpdir}/series").count()
+
+    # simulate the crash: write the base but "forget" the deletions by
+    # copying the segments back after a full compaction
+    pre = {d: d + ".keep" for d in glob.glob(f"{tmpdir}/samples/seg-*")}
+    for src, dst in pre.items():
+        _sh.copytree(src, dst)
+    compact_segments(spark, f"{tmpdir}/samples", before_batch=3, merge=False)
+    for src, dst in pre.items():  # resurrect the covered segments
+        if not os.path.exists(src):
+            _sh.copytree(dst, src)
+        _sh.rmtree(dst)
+
+    # base + covered segments coexist → reader must not double-count
+    assert read_samples(spark, f"{tmpdir}/samples").count() == n_samples
+    # replayed compaction finishes the deletes, contents unchanged
+    compact_segments(spark, f"{tmpdir}/samples", before_batch=3, merge=False)
+    assert read_samples(spark, f"{tmpdir}/samples").count() == n_samples
+    assert len(glob.glob(f"{tmpdir}/samples/seg-*")) == 1
+    assert read_series(spark, f"{tmpdir}/series").count() == n_series
