@@ -1,0 +1,60 @@
+"""Aggregation companions (SURVEY.md §2.8): exact vs at-scale percentiles.
+
+``percentile_disc`` (q44's oracle-checked form) buffers each group's
+values to find the exact discrete percentile — correct, and the right
+choice when groups are bounded, but OOM-prone on 100 TB groups (VERDICT r2
+"what's wrong" #4). ``approx_percentile`` is the documented at-scale path:
+Spark's Greenwald-Khanna sketch aggregates in fixed memory per group
+(error bounded by 1/accuracy in RANK space), composes map-side, and never
+materializes a group's values. It is NOT cross-engine deterministic
+(sketch merge order varies), so it stays out of the hash-checked oracle
+inventory; its error bound is pinned by test instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_expr: str,
+    percentiles: list[float],
+) -> DataFrame:
+    """Exact discrete percentiles per group (q44's shape): smallest value
+    whose cumulative rank covers p. Deterministic and oracle-checkable;
+    buffers one group's values per task — use only when groups are known
+    to be bounded. ``value_expr`` is a SQL expression (e.g.
+    ``"CAST(l_quantity AS BIGINT)"``)."""
+    aggs = [
+        F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_expr})").alias(
+            f"p{int(p * 100)}"
+        )
+        for p in percentiles
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def approx_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_expr: str,
+    percentiles: list[float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """THE 100 TB path: Greenwald-Khanna sketch percentiles per group.
+
+    Fixed memory per group regardless of group size; rank error is at most
+    ``n / accuracy`` (so accuracy=10_000 ⇒ a reported p50 is some value
+    whose true rank lies in [p49.99, p50.01] of a 1M-row group). Partial
+    sketches merge map-side, so a skewed group never buffers on one
+    executor the way percentile_disc does."""
+    aggs = [
+        F.expr(f"approx_percentile({value_expr}, {p}, {accuracy})").alias(
+            f"p{int(p * 100)}"
+        )
+        for p in percentiles
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)

@@ -146,27 +146,95 @@ def embedding_near_dup_pairs(
     )
 
 
+def kmeans_codebook(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 5,
+    train_sample: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means codebook, trained driver-side on a
+    bounded sample — the "train offline, assign at scale" split real IVF
+    uses (the ASSIGNMENT pass is the 100 TB path; training touches
+    ``train_sample`` vectors regardless of corpus size).
+
+    Determinism (reproducible run-to-run and machine-to-machine):
+      * the training sample is the ``train_sample`` lowest-id vectors
+        (a stable rule, not an RNG), collected once — bounded driver cost;
+      * initial centroids are the first ``n_cells`` sample vectors (the
+        same seed the first-n stand-in used);
+      * a fixed ``n_iters`` Lloyd iterations with cosine assignment,
+        lowest-cid tie-break, and empty cells keeping their previous
+        centroid.
+    Returns plain Python float lists, ready to broadcast into
+    :func:`ivf_assignments`/:func:`ivf_topk` as ``codebook=``.
+    """
+    import numpy as np
+
+    sample = (
+        emb.orderBy(id_col)
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    cents = x[:n_cells].copy()
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    for _ in range(n_iters):
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+        sims = xn @ cn.T
+        # argmax with lowest-cid tie-break (np.argmax takes the first max)
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in cents]
+
+
+def _centroids(
+    emb: DataFrame,
+    n_cells: int,
+    codebook: list[list[float]] | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(cid, cv) codebook frame: an explicit (e.g. k-means) codebook when
+    given, else the first-n-vectors stand-in (the oracle-checked default —
+    q42's SQL reproduces it; a trained codebook is the production path and
+    is pinned by the recall test instead)."""
+    if codebook is not None:
+        spark = emb.sparkSession
+        return spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(codebook)],
+            f"cid BIGINT, cv {emb.schema[vec_col].dataType.simpleString()}",
+        )
+    return emb.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+
 def ivf_assignments(
     emb: DataFrame,
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantization → (vec_id, cid, cscore): each vector
     assigned to its nearest centroid by cosine (ties → lowest cid).
 
-    The codebook is the first ``n_cells`` vectors (a deterministic stand-in
-    for k-means training — real IVF trains the codebook offline; the
-    ASSIGNMENT path is what must scale). Shape: broadcast the tiny codebook,
-    score each vector against all cells (n_cells× fan-out, map-side), keep
-    the argmin with one window — at 100 TB the assignment is a narrow pass
-    and the cell id becomes the table's partition key.
+    The codebook is either an explicit trained one (:func:`kmeans_codebook`)
+    or the first ``n_cells`` vectors (deterministic stand-in, oracle form).
+    Shape: broadcast the tiny codebook, score each vector against all cells
+    (n_cells× fan-out, map-side), keep the argmin with one window — at
+    100 TB the assignment is a narrow pass and the cell id becomes the
+    table's partition key.
     """
     from pyspark.sql import Window
 
-    cents = emb.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-    )
+    cents = _centroids(emb, n_cells, codebook, id_col, vec_col)
     scored = spread(emb).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     ).join(F.broadcast(cents))
@@ -187,18 +255,25 @@ def ivf_topk(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """E3 IVF-style ANN: probe the ``nprobe`` cells nearest to the query →
     (vec_id, cid, score). Recall/cost is the standard IVF dial: nprobe=1 is
     the cheapest probe; nprobe=n_cells degenerates to exact brute force
-    (pinned by test_ivf_full_probe_equals_brute_force)."""
+    (pinned by test_ivf_full_probe_equals_brute_force). Pass a trained
+    ``codebook`` (:func:`kmeans_codebook`) for production-shaped cells —
+    recall vs brute force is pinned by test_ivf_kmeans_recall."""
     from pyspark.sql import Window
 
-    assigned = persist_tracked(ivf_assignments(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col))
+    assigned = persist_tracked(
+        ivf_assignments(
+            emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, codebook=codebook
+        )
+    )
     qv_df = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
     # the nprobe centroids closest to the QUERY VECTOR (not just its own cell)
-    cents = emb.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("qcid"), F.col(vec_col).alias("cv")
+    cents = _centroids(emb, n_cells, codebook, id_col, vec_col).select(
+        F.col("cid").alias("qcid"), "cv"
     )
     probe = (
         cents.join(F.broadcast(qv_df))
