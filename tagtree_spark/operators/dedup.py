@@ -200,6 +200,70 @@ def _bucket_pairs(df: DataFrame, key: str, max_bucket: int | None = None) -> Dat
     return buckets.where(F.size("ds") >= 2).select(pairs.alias("p")).select("p.doc_a", "p.doc_b")
 
 
+def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → ``(doc_id,
+    cluster_id)`` with cluster_id = min doc id in the component — the step
+    that turns pairwise near-dup hits into dedup GROUPS (keep one doc per
+    cluster).
+
+    Iterative min-label propagation: every node starts as its own label;
+    each round every node takes the min of its own and its neighbours'
+    labels; the unique fixpoint is the component minimum (deterministic —
+    independent of iteration order, which is what lets a recursive-SQL
+    oracle reproduce it exactly).
+
+    Scale stance: rounds are O(component diameter), and near-dup
+    components are quasi-cliques (diameter ~2-3), so the loop is a handful
+    of shuffle-joins regardless of corpus size; each round is one
+    broadcast-able join + groupBy. For adversarial long-chain graphs use
+    the large-star/small-star variant (O(log n) rounds); raising
+    ``max_iters`` is enough for every near-dup workload. Raises if not
+    converged — an unconverged labelling would silently disagree with the
+    oracle's closure.
+
+    Each round's labels are eagerly ``localCheckpoint``-ed: without lineage
+    truncation the plan nests every prior round's joins and the DRIVER
+    dies planning round ~10 (OOM building the tree) — the canonical
+    iterative-algorithm failure. On a real cluster prefer reliable
+    ``checkpoint()`` (localCheckpoint pins partitions to executors, so an
+    executor loss kills the job instead of recomputing).
+    """
+    undirected = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+    edges = persist_tracked(
+        undirected.union(undirected.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("d"), "label"), on="d"
+        ).select(F.col("s").alias("node"), "label")
+        new_labels = (
+            nbr.union(labels).groupBy("node").agg(F.min("label").alias("label")).localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("old")), on="node"
+            )
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("node").cast("bigint").alias("doc_id"),
+                F.col("label").cast("bigint").alias("cluster_id"),
+            )
+    raise RuntimeError(
+        f"near_dup_clusters did not converge in {max_iters} rounds — "
+        "raise max_iters (component diameter exceeds it)"
+    )
+
+
 def dropped_bucket_stats(df: DataFrame, key: str, max_bucket: int) -> DataFrame:
     """Monitoring companion to :func:`_bucket_pairs`'s cap: one row
     ``(n_buckets, n_dropped, max_bucket_size, dropped_rows)`` describing how

@@ -124,6 +124,24 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def top_tokens(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """E4 corpus-wide heavy hitters → top-k tokens by frequency
+    ``(token, n)``, ties broken by token order.
+
+    Shape: explode → ONE groupBy(token) with map-side partial counts (the
+    shuffle carries (token, partial_count), not token occurrences) →
+    TakeOrderedAndProject for the top-k (no global sort). At 100 TB this
+    is the exact-count form; sketch alternatives (count-min/space-saving)
+    trade exactness for a smaller shuffle but are not oracle-checkable."""
+    words = spread(docs).select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    return (
+        words.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(k)
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """E4 quality scoring, aggregated per source → one row per source.
 

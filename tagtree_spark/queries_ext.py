@@ -114,8 +114,9 @@ _Q25_BAND_KEY = duck_h60(
 )
 
 
-@query(
-    "q25_minhash_neardup",
+# CTE chain ending in mh_pairs(doc_a, doc_b, n_match) — the verified
+# MinHash near-dup pairs; shared by q25 (pair listing) and q45 (clusters).
+_MINHASH_PAIRS_CTES = (
     _MINHASH_CTE
     + f""", bands AS (
   SELECT doc_id, {_Q25_BAND_KEY} AS band
@@ -125,14 +126,22 @@ _Q25_BAND_KEY = duck_h60(
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN keepb USING (band) JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), mh_pairs AS (
+  SELECT doc_a, doc_b, n_match FROM (
+    SELECT doc_a, doc_b,
+           CAST(list_sum(list_transform(range(1, {_N_PERM + 1}),
+                i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+    FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+  ) v WHERE n_match >= 6
+)"""
 )
-SELECT doc_a, doc_b, n_match FROM (
-  SELECT doc_a, doc_b,
-         CAST(list_sum(list_transform(range(1, {_N_PERM + 1}),
-              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
-  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
-) v WHERE n_match >= 6
-ORDER BY doc_a, doc_b""",
+
+
+@query(
+    "q25_minhash_neardup",
+    _MINHASH_PAIRS_CTES
+    + """
+SELECT doc_a, doc_b, n_match FROM mh_pairs ORDER BY doc_a, doc_b""",
 )
 def q25_minhash_neardup(spark, sf_dir):
     """E2 MinHash+LSH near-dup pairs: 12 permutations, 4 bands x 3 rows,
@@ -759,4 +768,121 @@ def q34_multimodal(spark, sf_dir):
     media = media_from_documents(_docs(spark, sf_dir))
     return extract_features(media).select("media_id", "modality", "n_bytes", "head_h60").orderBy(
         "media_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: dedup clusters, as-of join, heavy hitters, sampling.
+# --------------------------------------------------------------------------
+
+# Connected components need WITH RECURSIVE in front of the whole CTE list.
+_Q45_ORACLE = (
+    _MINHASH_PAIRS_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """, edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM mh_pairs
+), nodes AS (
+  SELECT DISTINCT s AS n FROM edges
+), reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n
+)
+SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY n ORDER BY doc_id"""
+)
+
+
+@query("q45_neardup_clusters", _Q45_ORACLE)
+def q45_neardup_clusters(spark, sf_dir):
+    """E2 dedup GROUPS: connected components over the MinHash near-dup pair
+    graph via iterative min-label propagation (cluster_id = component min).
+    The oracle reproduces the unique fixpoint with a recursive closure —
+    exact CC is iteration-order independent, so the iterative Spark loop
+    and the recursive SQL agree bit-for-bit."""
+    from tagtree_spark.operators.dedup import near_dup_clusters
+
+    pairs = minhash_near_dup_pairs(_docs(spark, sf_dir))
+    return near_dup_clusters(pairs).orderBy("doc_id")
+
+
+@query(
+    "q46_asof_instant",
+    TSDB_CTE
+    + """
+, tgrid AS (
+  SELECT CAST(te AS TIMESTAMP) AS eval_ts FROM (VALUES
+    (TIMESTAMP '2024-01-10 00:00:00'),
+    (TIMESTAMP '2024-01-18 00:00:00'),
+    (TIMESTAMP '2024-01-26 00:00:00')) t(te)
+), cand AS (
+  SELECT s.tsid, g.eval_ts, s.ts, s.value
+  FROM samples s JOIN tgrid g
+    ON s.ts <= g.eval_ts AND s.ts > g.eval_ts - INTERVAL 3 DAY
+), last AS (
+  SELECT tsid, eval_ts, max(ts) AS last_ts FROM cand GROUP BY 1, 2
+)
+SELECT CAST(c.tsid AS BIGINT) AS tsid,
+       CAST(epoch_us(l.eval_ts) AS BIGINT) AS eval_us,
+       CAST(epoch_us(l.last_ts) AS BIGINT) AS last_ts_us,
+       max(c.value) AS value
+FROM last l JOIN cand c
+  ON c.tsid = l.tsid AND c.eval_ts = l.eval_ts AND c.ts = l.last_ts
+GROUP BY 1, 2, 3
+ORDER BY tsid, eval_us""",
+)
+def q46_asof_instant(spark, sf_dir):
+    """As-of / instant-vector evaluation (tsdb.asof): latest sample per
+    series at each eval timestamp within a 3-day staleness lookback — the
+    PromQL instant-vector primitive the reference's users run downstream
+    (querier.cpp serves only the scan), and the point-in-time join a
+    feature-store backfill needs."""
+    import datetime as _dt
+
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.asof import asof_instant
+
+    _, _, samples = _model(spark, sf_dir)
+    times = [
+        _dt.datetime(2024, 1, 10),
+        _dt.datetime(2024, 1, 18),
+        _dt.datetime(2024, 1, 26),
+    ]
+    return asof_instant(samples, times, _dt.timedelta(days=3)).orderBy("tsid", "eval_us")
+
+
+@query(
+    "q47_top_tokens",
+    """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY token
+ORDER BY n DESC, token LIMIT 20""",
+)
+def q47_top_tokens(spark, sf_dir):
+    """E4 corpus heavy hitters: top-20 tokens by exact count — map-side
+    partial aggregation + TakeOrdered, deterministic tie-break on token."""
+    from tagtree_spark.operators.text import top_tokens
+
+    return top_tokens(_docs(spark, sf_dir), k=20)
+
+
+@query(
+    "q48_stratified_sample",
+    f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ({duck_h60("lang || ':' || CAST(doc_id AS VARCHAR)")}) % 100 < 20
+ORDER BY doc_id""",
+)
+def q48_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (operators.sampling):
+    ~20% of every lang stratum via h60(lang ':' doc_id) % 100 < 20 —
+    reproducible across runs/engines/partitionings, unlike df.sample()."""
+    from tagtree_spark.operators.sampling import stratified_sample
+
+    return (
+        stratified_sample(_docs(spark, sf_dir), pct=20, stratum_col="lang")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     )

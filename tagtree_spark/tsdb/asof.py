@@ -1,0 +1,56 @@
+"""As-of (instant-vector) evaluation over the samples table.
+
+The reference's users evaluate PromQL instant vectors downstream of the
+index: "the value of each series AS OF time t" = the latest sample at or
+before t, within a staleness lookback (prometheus uses 5m). The reference
+itself only serves the select() scan (/root/reference/src/adapters/prom/
+querier.cpp:13-21); this operator is the Spark-native in-engine evaluation
+— a point-in-time join, the same primitive a feature-store backfill needs
+("feature values as of each training timestamp").
+
+Plan shape (the 100 TB path): the eval-time grid is tiny and broadcast;
+samples join it with a range predicate (one narrow pass — the lookback
+bound keeps the fan-out per sample ≤ |grid window overlaps|), then ONE
+shuffle groups (tsid, eval_ts) for the argmax. No window-over-everything,
+no per-eval-time rescan of the samples table.
+
+Determinism: the winner is (max ts, then max value) — both engines break
+the same-timestamp tie identically, and the value passes through
+untouched (no summation), so parity is bit-exact.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_instant(
+    samples: DataFrame,
+    eval_times: list[_dt.datetime],
+    lookback: _dt.timedelta,
+) -> DataFrame:
+    """→ (tsid, eval_us, last_ts_us, value): per series and eval time, the
+    latest sample in (eval_ts - lookback, eval_ts]."""
+    spark = samples.sparkSession
+    grid = spark.createDataFrame([(t,) for t in eval_times], "eval_ts timestamp")
+    cand = samples.join(
+        F.broadcast(grid),
+        (F.col("ts") <= F.col("eval_ts"))
+        & (F.col("ts") > F.col("eval_ts") - F.lit(lookback)),
+    )
+    last = cand.groupBy("tsid", "eval_ts").agg(F.max("ts").alias("last_ts"))
+    winner = (
+        cand.join(last, on=["tsid", "eval_ts"])
+        .where(F.col("ts") == F.col("last_ts"))
+        .groupBy("tsid", "eval_ts", "last_ts")
+        .agg(F.max("value").alias("value"))  # deterministic same-ts tie-break
+    )
+    return winner.select(
+        F.col("tsid").cast("bigint").alias("tsid"),
+        F.unix_micros("eval_ts").cast("bigint").alias("eval_us"),
+        F.unix_micros("last_ts").cast("bigint").alias("last_ts_us"),
+        "value",
+    )

@@ -261,3 +261,73 @@ def test_ivf_kmeans_recall(embeddings):
     }
     recall = len(got & brute) / len(brute)
     assert recall >= 0.5, f"recall@10 with nprobe=2/8 fell to {recall}"
+
+
+def test_near_dup_clusters_components(spark):
+    """Min-label propagation must find exact components: a chain (1-2-3),
+    a separate pair (10-11), an isolated doc never appears."""
+    from tagtree_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs ~diameter rounds — still converges and
+    labels everything with the chain head."""
+    from tagtree_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in near_dup_clusters(pairs, max_iters=15).collect()}
+    assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_asof_instant_picks_latest_within_lookback(spark):
+    import datetime as dt
+
+    from tagtree_spark.tsdb.asof import asof_instant
+
+    T = dt.datetime
+    samples = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 9, 12), 5.0),   # within lookback of eval 2024-01-10
+            (1, T(2024, 1, 9, 18), 7.0),   # later → wins
+            (1, T(2024, 1, 2, 0), 9.0),    # stale (outside 3d lookback)
+            (2, T(2024, 1, 1, 0), 4.0),    # series 2 has nothing in range
+        ],
+        "tsid long, ts timestamp, value double",
+    )
+    out = asof_instant(samples, [T(2024, 1, 10)], dt.timedelta(days=3)).collect()
+    assert len(out) == 1  # series 2 absent: no sample within lookback
+    r = out[0]
+    assert r.tsid == 1 and r.value == 7.0
+    assert r.last_ts_us == int(T(2024, 1, 9, 18).timestamp() * 1_000_000)
+
+
+def test_stratified_sample_deterministic_and_stratified(documents):
+    from tagtree_spark.operators.sampling import stratified_sample
+
+    a = {r.doc_id for r in stratified_sample(documents, 20).collect()}
+    b = {r.doc_id for r in stratified_sample(documents, 20).collect()}
+    assert a == b and a  # deterministic, non-empty
+    # membership is stable under corpus growth: sampling a subset yields
+    # exactly the intersection (the property df.sample() lacks)
+    half = documents.where(F.col("doc_id") % 2 == 0)
+    c = {r.doc_id for r in stratified_sample(half, 20).collect()}
+    assert c == {d for d in a if d % 2 == 0}
+    # a larger pct strictly contains the smaller sample (nested splits)
+    d = {r.doc_id for r in stratified_sample(documents, 50).collect()}
+    assert a <= d
+
+
+def test_top_tokens_exact_counts(spark):
+    from tagtree_spark.operators.text import top_tokens
+
+    d = _docs(spark, [(1, "a b a", "en", "s", 5), (2, "b a", "en", "s", 3)])
+    rows = [(r.token, r.n) for r in top_tokens(d, k=2).collect()]
+    assert rows == [("a", 3), ("b", 2)]
