@@ -264,6 +264,68 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iters: int = 20
+) -> DataFrame:
+    """Keep-one materialization of near-dup clustering → ``(keep_id,
+    n_members)``: one row per dedup group, keeping the minimum doc id
+    (the cluster label from :func:`near_dup_clusters`); documents touched
+    by no near-dup pair survive as their own singleton group.
+
+    This is the operator a pipeline actually runs — pairs → groups →
+    surviving corpus. Shape: the cluster side is one groupBy over the
+    (small) clustered-node set; the singleton side is a left-anti join of
+    the corpus against that set (AQE broadcasts it when small). Join keys
+    are ids only — document bodies never shuffle.
+    """
+    clusters = near_dup_clusters(pairs, max_iters=max_iters)
+    members = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .select(F.col("cluster_id").alias("keep_id"), "n_members")
+    )
+    singles = (
+        docs.join(clusters, docs[id_col] == clusters["doc_id"], "left_anti")
+        .select(
+            F.col(id_col).cast("bigint").alias("keep_id"),
+            F.lit(1).cast("bigint").alias("n_members"),
+        )
+    )
+    return members.unionByName(singles)
+
+
+def benchmark_contamination(
+    docs: DataFrame, benchmark_texts: list[str], n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Benchmark decontamination probe → ``(doc_id, n_hits)`` for every
+    document sharing at least one word n-gram with the benchmark corpus —
+    the standard eval-leakage check a training pipeline runs before
+    training (n-gram collision against held-out benchmarks).
+
+    The benchmark shingle set is computed driver-side (benchmarks are
+    small — MMLU-sized, not corpus-sized) and pushed into the scan as an
+    IN-list predicate: the whole operator is a narrow filter + one
+    count-shuffle over only the HITTING shingles. For benchmark sets too
+    large for a literal predicate, swap the isin for a broadcast semi-join
+    — same plan shape, same semantics.
+    """
+    bench = sorted(
+        {
+            " ".join(ws[i : i + n])
+            for t in benchmark_texts
+            for ws in (t.split(" "),)
+            for i in range(len(ws) - n + 1)
+        }
+    )
+    sh = word_shingles(spread(docs), n=n)
+    hits = sh.select(F.col(id_col).alias("doc_id"), F.explode("shingles").alias("shingle")).where(
+        F.col("shingle").isin(bench)
+    )
+    # doc shingles are distinct per doc (word_shingles array_distincts), so
+    # count(*) counts distinct contaminated n-grams.
+    return hits.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_hits"))
+
+
 def dropped_bucket_stats(df: DataFrame, key: str, max_bucket: int) -> DataFrame:
     """Monitoring companion to :func:`_bucket_pairs`'s cap: one row
     ``(n_buckets, n_dropped, max_bucket_size, dropped_rows)`` describing how

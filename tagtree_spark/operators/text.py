@@ -142,6 +142,70 @@ def top_tokens(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFram
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 100,
+    stride: int = 80,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data chunking → one row per overlapping character window:
+    ``(doc_id, chunk_idx, chunk_h60, n_chunk_chars)``. The step that turns
+    documents into fixed-size training examples (stride < size ⇒ overlap).
+
+    CHARACTER-indexed on both engines (Spark ``substr`` and DuckDB
+    ``substr`` are 1-based char slicing), so multibyte text chunks
+    identically — the byte/char trap the r2 ADVICE flagged on the
+    multimodal oracle. Pure projection + generator (posexplode): no
+    shuffle, rows expand 1→ceil(len/stride), perfectly scan-parallel.
+    """
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda s: F.col(text_col).substr(s, F.lit(size)))
+    return (
+        spread(docs)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            h60("chunk").alias("chunk_h60"),
+            F.length("chunk").cast("bigint").alias("n_chunk_chars"),
+        )
+    )
+
+
+#: RE2∩Java-safe redaction pattern (word-boundary alternation; both engines
+#: support \b and non-capturing alternation identically on ASCII).
+REDACT_PATTERN = r"\b(customer|query|vector)\b"
+
+
+def redact(
+    docs: DataFrame,
+    pattern: str = REDACT_PATTERN,
+    repl: str = "<TERM>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII-style pattern redaction → ``(doc_id, n_hits, red_h60,
+    n_red_chars)``: replace every match with ``repl``, report the match
+    count and the redacted text's h60 (the full redacted body stays in the
+    engine — callers select it from the projection if they want it).
+
+    Narrow per-row JVM regex work — no shuffle, no Python. The default
+    pattern redacts fixture vocabulary; real deployments pass email/phone/
+    SSN patterns from the RE2∩Java common subset (same guard rationale as
+    tsdb.matchers' dialect check).
+    """
+    red = F.regexp_replace(F.col(text_col), pattern, repl)
+    return spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(text_col, F.lit(pattern), 0)).cast("bigint").alias("n_hits"),
+        h60(red).alias("red_h60"),
+        F.length(red).cast("bigint").alias("n_red_chars"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """E4 quality scoring, aggregated per source → one row per source.
 

@@ -776,7 +776,9 @@ def q34_multimodal(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 # Connected components need WITH RECURSIVE in front of the whole CTE list.
-_Q45_ORACLE = (
+# Ends in clusters(doc_id, cluster_id) — shared by q45 (listing) and q49
+# (keep-one survivors).
+_CLUSTERS_CTES = (
     _MINHASH_PAIRS_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + """, edges AS (
   SELECT doc_a AS s, doc_b AS d FROM mh_pairs
@@ -788,9 +790,16 @@ _Q45_ORACLE = (
   SELECT n, n FROM nodes
   UNION
   SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n
+), clusters AS (
+  SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY n
+)"""
 )
-SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-FROM reach GROUP BY n ORDER BY doc_id"""
+
+_Q45_ORACLE = (
+    _CLUSTERS_CTES
+    + """
+SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""
 )
 
 
@@ -866,6 +875,117 @@ def q47_top_tokens(spark, sf_dir):
     from tagtree_spark.operators.text import top_tokens
 
     return top_tokens(_docs(spark, sf_dir), k=20)
+
+
+@query(
+    "q49_dedup_survivors",
+    _CLUSTERS_CTES
+    + """
+SELECT keep_id, n_members FROM (
+  SELECT cluster_id AS keep_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM clusters GROUP BY cluster_id
+  UNION ALL
+  SELECT doc_id, CAST(1 AS BIGINT) FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
+) ORDER BY keep_id""",
+)
+def q49_dedup_survivors(spark, sf_dir):
+    """E2b keep-one dedup: near-dup clusters collapse to their min-id
+    survivor with a member count; untouched documents survive as
+    singletons — the materialized 'surviving corpus' a dedup pipeline
+    actually emits."""
+    from tagtree_spark.operators.dedup import dedup_survivors
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(docs)
+    return dedup_survivors(docs, pairs).orderBy("keep_id")
+
+
+_CHUNK_SIZE = 100
+_CHUNK_STRIDE = 80
+
+
+@query(
+    "q50_chunking",
+    f"""
+WITH c AS (
+  SELECT doc_id, CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+         substr(text, CAST(s AS INTEGER), {_CHUNK_SIZE}) AS chunk
+  FROM documents,
+       unnest(range(1, greatest(length(text), 1) + 1, {_CHUNK_STRIDE})) AS t(s)
+)
+SELECT doc_id, chunk_idx, {duck_h60('chunk')} AS chunk_h60,
+       CAST(length(chunk) AS BIGINT) AS n_chunk_chars
+FROM c ORDER BY doc_id, chunk_idx""",
+)
+def q50_chunking(spark, sf_dir):
+    """Training-data chunking: overlapping 100-char windows with stride 80
+    (character-indexed on both engines), one row per chunk."""
+    from tagtree_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+#: Stand-in benchmark corpus for the decontamination probe: phrases whose
+#: 3-grams are known-present in the fixture word pool (plus novel ones).
+BENCHMARK_TEXTS = (
+    "row column sort stream table hash",
+    "window fast query plan never seen",
+    "customer part join value spark vector",
+)
+
+_BENCH_SHINGLES = sorted(
+    {
+        " ".join(ws[i : i + 3])
+        for t in BENCHMARK_TEXTS
+        for ws in (t.split(" "),)
+        for i in range(len(ws) - 2)
+    }
+)
+_BENCH_IN_LIST = ", ".join("'" + s + "'" for s in _BENCH_SHINGLES)
+
+
+@query(
+    "q51_decontamination",
+    SHINGLE_CTE
+    + f""", dsh AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM dsh WHERE shingle IN ({_BENCH_IN_LIST})
+GROUP BY doc_id ORDER BY doc_id""",
+)
+def q51_decontamination(spark, sf_dir):
+    """Benchmark decontamination: documents sharing any word 3-gram with
+    the (driver-side, IN-list-pushed) benchmark corpus, with the count of
+    distinct contaminated n-grams."""
+    from tagtree_spark.operators.dedup import benchmark_contamination
+
+    return benchmark_contamination(_docs(spark, sf_dir), list(BENCHMARK_TEXTS)).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "q52_redaction",
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b(customer|query|vector)\b')) AS BIGINT) AS n_hits,
+       """
+    + duck_h60(r"regexp_replace(text, '\b(customer|query|vector)\b', '<TERM>', 'g')")
+    + r""" AS red_h60,
+       CAST(length(regexp_replace(text, '\b(customer|query|vector)\b', '<TERM>', 'g')) AS BIGINT) AS n_red_chars
+FROM documents ORDER BY doc_id""",
+)
+def q52_redaction(spark, sf_dir):
+    """Pattern redaction: replace fixture vocabulary matching a
+    word-boundary alternation (the RE2∩Java-safe shape of an email/SSN
+    redactor), reporting match count and redacted-text hash."""
+    from tagtree_spark.operators.text import redact
+
+    return redact(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 @query(

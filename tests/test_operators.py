@@ -331,3 +331,51 @@ def test_top_tokens_exact_counts(spark):
     d = _docs(spark, [(1, "a b a", "en", "s", 5), (2, "b a", "en", "s", 3)])
     rows = [(r.token, r.n) for r in top_tokens(d, k=2).collect()]
     assert rows == [("a", 3), ("b", 2)]
+
+
+def test_dedup_survivors_keep_one_plus_singletons(spark):
+    """Clusters {1,2,3} and {10,11} collapse to min-id survivors with
+    member counts; untouched doc 20 survives as a singleton."""
+    from tagtree_spark.operators.dedup import dedup_survivors
+
+    docs = _docs(spark, [(i, "t", "en", "s", 1) for i in (1, 2, 3, 10, 11, 20)])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"])
+    got = {r.keep_id: r.n_members for r in dedup_survivors(docs, pairs).collect()}
+    assert got == {1: 3, 10: 2, 20: 1}
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """len=25, size=10, stride=8 -> starts 1,9,17,25: three full-ish chunks
+    plus the 1-char tail; chunks overlap by size-stride chars."""
+    from tagtree_spark.operators.text import chunk_documents
+
+    text = "abcdefghijklmnopqrstuvwxy"  # 25 chars
+    d = _docs(spark, [(7, text, "en", "s", 25)])
+    rows = sorted(
+        (r.chunk_idx, r.n_chunk_chars) for r in chunk_documents(d, size=10, stride=8).collect()
+    )
+    assert rows == [(0, 10), (1, 10), (2, 9), (3, 1)]
+
+
+def test_benchmark_contamination_counts_shared_ngrams(spark):
+    from tagtree_spark.operators.dedup import benchmark_contamination
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta", "en", "s", 1),  # shares 2 bench 3-grams
+            (2, "nothing in common here at all", "en", "s", 1),
+        ],
+    )
+    out = {r.doc_id: r.n_hits for r in benchmark_contamination(docs, ["alpha beta gamma delta"]).collect()}
+    assert out == {1: 2}
+
+
+def test_redact_replaces_and_counts(spark):
+    from tagtree_spark.operators.text import redact
+
+    d = _docs(spark, [(1, "customer asks a query about vectors", "en", "s", 1)])
+    r = redact(d).collect()[0]
+    # 'vectors' must NOT match (word boundary); customer + query do
+    assert r.n_hits == 2
+    assert r.n_red_chars == len("<TERM> asks a <TERM> about vectors")
