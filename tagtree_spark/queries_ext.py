@@ -42,6 +42,25 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+# Verified MinHash near-dup pairs, computed once per (session, sf dir) and
+# persisted — q25 (pair listing), q45 (clusters), and q49 (survivors) all
+# consume the same pair set; without the cache each would re-run the whole
+# shingle→signature→band→verify pipeline. Session-lived by design, like
+# queries._MODEL_CACHE (the materialized-signature-table analogue); tiny
+# (one row per verified near-dup pair).
+_PAIRS_CACHE: dict = {}
+
+
+def _mh_pairs(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PAIRS_CACHE.get(key)
+    if got is None:
+        got = minhash_near_dup_pairs(_docs(spark, sf_dir)).persist()
+        got.count()  # materialize before the tracked upstream persists are released
+        _PAIRS_CACHE[key] = got
+    return got
+
+
 def _emb(spark, sf_dir):
     tune(spark)
     return load_table(spark, sf_dir, "embeddings")
@@ -147,7 +166,7 @@ def q25_minhash_neardup(spark, sf_dir):
     """E2 MinHash+LSH near-dup pairs: 12 permutations, 4 bands x 3 rows,
     candidates from band-bucket join (no cross join), verified on the full
     signature (>= 6/12 agreeing positions)."""
-    return minhash_near_dup_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
+    return _mh_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def _simhash_cte() -> str:
@@ -812,8 +831,7 @@ def q45_neardup_clusters(spark, sf_dir):
     and the recursive SQL agree bit-for-bit."""
     from tagtree_spark.operators.dedup import near_dup_clusters
 
-    pairs = minhash_near_dup_pairs(_docs(spark, sf_dir))
-    return near_dup_clusters(pairs).orderBy("doc_id")
+    return near_dup_clusters(_mh_pairs(spark, sf_dir)).orderBy("doc_id")
 
 
 @query(
@@ -862,6 +880,47 @@ def q46_asof_instant(spark, sf_dir):
 
 
 @query(
+    "q53_range_agg",
+    TSDB_CTE
+    + """
+, tgrid AS (
+  SELECT CAST(te AS TIMESTAMP) AS eval_ts FROM (VALUES
+    (TIMESTAMP '2024-01-10 00:00:00'),
+    (TIMESTAMP '2024-01-18 00:00:00'),
+    (TIMESTAMP '2024-01-26 00:00:00')) t(te)
+), cand AS (
+  SELECT s.tsid, g.eval_ts, s.ts, s.value
+  FROM samples s JOIN tgrid g
+    ON s.ts <= g.eval_ts AND s.ts > g.eval_ts - INTERVAL 3 DAY
+)
+SELECT CAST(tsid AS BIGINT) AS tsid,
+       CAST(epoch_us(eval_ts) AS BIGINT) AS eval_us,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       min(value) AS v_min, max(value) AS v_max,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS v_avg
+FROM cand GROUP BY tsid, eval_ts
+ORDER BY tsid, eval_us""",
+)
+def q53_range_agg(spark, sf_dir):
+    """Range-vector aggregation (the <agg>_over_time PromQL family):
+    count/min/max/avg of each series' samples in a 3-day lookback at each
+    eval timestamp — asof_instant's sibling with the full-window aggregate
+    instead of the latest-sample argmax."""
+    import datetime as _dt
+
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.asof import range_agg
+
+    _, _, samples = _model(spark, sf_dir)
+    times = [
+        _dt.datetime(2024, 1, 10),
+        _dt.datetime(2024, 1, 18),
+        _dt.datetime(2024, 1, 26),
+    ]
+    return range_agg(samples, times, _dt.timedelta(days=3)).orderBy("tsid", "eval_us")
+
+
+@query(
     "q47_top_tokens",
     """
 WITH w AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -896,9 +955,7 @@ def q49_dedup_survivors(spark, sf_dir):
     actually emits."""
     from tagtree_spark.operators.dedup import dedup_survivors
 
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_near_dup_pairs(docs)
-    return dedup_survivors(docs, pairs).orderBy("keep_id")
+    return dedup_survivors(_docs(spark, sf_dir), _mh_pairs(spark, sf_dir)).orderBy("keep_id")
 
 
 _CHUNK_SIZE = 100

@@ -27,6 +27,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def range_agg(
+    samples: DataFrame,
+    eval_times: list[_dt.datetime],
+    lookback: _dt.timedelta,
+) -> DataFrame:
+    """Range-vector aggregation — the ``<agg>_over_time`` PromQL family:
+    per series and eval time, aggregate every sample in
+    ``(eval_ts - lookback, eval_ts]`` → ``(tsid, eval_us, n_samples,
+    v_min, v_max, v_avg)``.
+
+    Same plan as :func:`asof_instant` minus the argmax join-back: broadcast
+    grid, lookback-bounded range join, ONE (tsid, eval_ts) shuffle. Cross-
+    engine determinism: min/max are order-independent; the avg is a
+    DECIMAL(18,4) sum (exact, order-independent) with one final IEEE
+    division (CLAUDE.md rules 1-2).
+    """
+    spark = samples.sparkSession
+    grid = spark.createDataFrame([(t,) for t in eval_times], "eval_ts timestamp")
+    cand = samples.join(
+        F.broadcast(grid),
+        (F.col("ts") <= F.col("eval_ts"))
+        & (F.col("ts") > F.col("eval_ts") - F.lit(lookback)),
+    )
+    dec = F.col("value").cast("decimal(18,4)")
+    return (
+        cand.groupBy("tsid", "eval_ts")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.sum(dec).alias("_vsum"),
+        )
+        .select(
+            F.col("tsid").cast("bigint").alias("tsid"),
+            F.unix_micros("eval_ts").cast("bigint").alias("eval_us"),
+            "n_samples",
+            "v_min",
+            "v_max",
+            (F.col("_vsum").cast("double") / F.col("n_samples")).alias("v_avg"),
+        )
+    )
+
+
 def asof_instant(
     samples: DataFrame,
     eval_times: list[_dt.datetime],

@@ -129,6 +129,39 @@ def load_model(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame,
     return series, postings, samples
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed on ``bucket_cols`` (optionally sorted
+    within buckets) as an external table at ``path`` — the co-located-join
+    layout for 100 TB: two tables bucketed identically on the join key
+    (e.g. samples and series on ``tsid``) sort-merge-join with NO Exchange
+    on either side, turning the fact-to-fact join that would dominate a
+    large cluster's network into a local per-bucket merge. This is the
+    Spark analogue of the reference's dense-TSID segment pages
+    (segsel = tsid / postings_per_page,
+    /root/reference/src/index/index_tree.cpp:86) — a fixed hash layout that
+    lets readers align work to the id space without re-shuffling.
+
+    Bucketing rides the session catalog (saveAsTable), so readers use
+    ``spark.table(table)`` — the bucket metadata is what lets the planner
+    drop the shuffle (plain ``read.parquet`` would not know the layout).
+    """
+    w = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def compact_table(spark: SparkSession, path: str, partition_cols: list[str] | None = None) -> None:
     """X1 analogue: rewrite a table's many small files (streaming appends)
     into one right-sized file per partition. Contents are unchanged —

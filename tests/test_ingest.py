@@ -259,3 +259,29 @@ def test_compaction_crash_replay_no_double_count(events, tmpdir, spark):
     assert read_samples(spark, f"{tmpdir}/samples").count() == n_samples
     assert len(glob.glob(f"{tmpdir}/samples/seg-*")) == 1
     assert read_series(spark, f"{tmpdir}/series").count() == n_series
+
+
+def test_stream_dedup_first_seen_wins(events, tmpdir, spark):
+    """Duplicated input stream → exactly one survivor per distinct key; the
+    dedup key is a hash, so state never holds event bodies."""
+    from tagtree_spark.streaming.dedup import dedup_stream
+
+    events_dir = f"{tmpdir}/events"
+    dup = events.limit(50)
+    dup.unionAll(dup).write.parquet(events_dir)  # every event exactly twice
+    schema = spark.read.parquet(events_dir).schema
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = dedup_stream(stream, key_cols=["event_id", "ts"])
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{tmpdir}/out")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{tmpdir}/out")
+    distinct_keys = dup.select("event_id", "ts").distinct().count()
+    assert got.count() == distinct_keys
+    assert "_dedup_key" not in got.columns

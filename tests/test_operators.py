@@ -379,3 +379,21 @@ def test_redact_replaces_and_counts(spark):
     # 'vectors' must NOT match (word boundary); customer + query do
     assert r.n_hits == 2
     assert r.n_red_chars == len("<TERM> asks a <TERM> about vectors")
+
+
+def test_range_agg_window_aggregates(spark):
+    import datetime as dt
+
+    from tagtree_spark.tsdb.asof import range_agg
+
+    T = dt.datetime
+    samples = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 9, 0), 4.0),
+            (1, T(2024, 1, 9, 12), 8.0),
+            (1, T(2024, 1, 2, 0), 100.0),  # outside 3d lookback
+        ],
+        "tsid long, ts timestamp, value double",
+    )
+    r = range_agg(samples, [T(2024, 1, 10)], dt.timedelta(days=3)).collect()[0]
+    assert (r.n_samples, r.v_min, r.v_max, r.v_avg) == (2, 4.0, 8.0, 6.0)

@@ -182,3 +182,29 @@ def test_commit_goes_through_atomic_protocol(spark, events, tmp_path=None):
         assert not os.path.exists(p + ".old")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark, events, tmp_path_factory):
+    """Two tables bucketed identically on tsid must sort-merge-join with no
+    Exchange on either side — the co-located join layout write_bucketed
+    exists for."""
+    from tagtree_spark.tsdb.model import build_model
+    from tagtree_spark.tsdb.store import write_bucketed
+
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    series, _, samples = build_model(events)
+    write_bucketed(samples, "b_samples", base + "/samples", ["tsid"], 8, ["tsid", "ts"])
+    write_bucketed(series.select("tsid", "label_hash"), "b_series", base + "/series", ["tsid"], 8, ["tsid"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a sort-merge join so the bucket layout (not a broadcast)
+        # is what eliminates the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_samples").join(spark.table("b_series"), "tsid")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == samples.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_samples")
+        spark.sql("DROP TABLE IF EXISTS b_series")
