@@ -303,11 +303,12 @@ def benchmark_contamination(
     training (n-gram collision against held-out benchmarks).
 
     The benchmark shingle set is computed driver-side (benchmarks are
-    small — MMLU-sized, not corpus-sized) and pushed into the scan as an
-    IN-list predicate: the whole operator is a narrow filter + one
-    count-shuffle over only the HITTING shingles. For benchmark sets too
-    large for a literal predicate, swap the isin for a broadcast semi-join
-    — same plan shape, same semantics.
+    small — MMLU-sized, not corpus-sized) and embedded as a literal array:
+    per document, ``n_hits = size(array_intersect(shingles, benchmark))``
+    — a PURE NARROW projection, no explode, no shuffle at all (both sides
+    are distinct, so the intersection size is the distinct-overlap count).
+    For benchmark sets too large for a literal, explode + broadcast
+    semi-join is the fallback — one count-shuffle over only the hits.
     """
     bench = sorted(
         {
@@ -317,13 +318,15 @@ def benchmark_contamination(
             for i in range(len(ws) - n + 1)
         }
     )
+    bench_arr = F.array(*[F.lit(s) for s in bench])
     sh = word_shingles(spread(docs), n=n)
-    hits = sh.select(F.col(id_col).alias("doc_id"), F.explode("shingles").alias("shingle")).where(
-        F.col("shingle").isin(bench)
+    return (
+        sh.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.array_intersect("shingles", bench_arr)).cast("bigint").alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
     )
-    # doc shingles are distinct per doc (word_shingles array_distincts), so
-    # count(*) counts distinct contaminated n-grams.
-    return hits.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_hits"))
 
 
 def dropped_bucket_stats(df: DataFrame, key: str, max_bucket: int) -> DataFrame:

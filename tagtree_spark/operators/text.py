@@ -92,9 +92,12 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     deterministic tie-break (lexicon declaration order), 'und' when all
     scores are zero."""
     words = F.split(F.col(text_col), " ")
+    # the declared-lang column passes through only when present — the
+    # function works on any (id, text) frame (same rule as token_features)
+    passthrough = ["lang"] if "lang" in docs.columns else []
     scored = spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.col("lang"),
+        *[F.col(c) for c in passthrough],
         *[_lexicon_score(words, lex).alias(f"score_{lang}") for lang, lex in LANG_LEXICONS.items()],
     )
     langs = list(LANG_LEXICONS)
@@ -102,7 +105,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     pred = F.lit("und")
     for lang in reversed(langs):  # earlier langs win ties → build from last
         pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)).otherwise(pred)
-    return scored.select("doc_id", "lang", pred.alias("pred_lang"), best.alias("best_score"))
+    return scored.select("doc_id", *passthrough, pred.alias("pred_lang"), best.alias("best_score"))
 
 
 #: "BPE-ish" pre-tokenization regex (RE2∩Java common subset): alphanumeric

@@ -84,16 +84,16 @@ def asof_instant(
         (F.col("ts") <= F.col("eval_ts"))
         & (F.col("ts") > F.col("eval_ts") - F.lit(lookback)),
     )
-    last = cand.groupBy("tsid", "eval_ts").agg(F.max("ts").alias("last_ts"))
-    winner = (
-        cand.join(last, on=["tsid", "eval_ts"])
-        .where(F.col("ts") == F.col("last_ts"))
-        .groupBy("tsid", "eval_ts", "last_ts")
-        .agg(F.max("value").alias("value"))  # deterministic same-ts tie-break
+    # Single-pass argmax: max over struct(ts, value) orders by ts first,
+    # value second — the same deterministic (latest ts, then max value)
+    # winner as a two-pass join-back, in ONE shuffle and one evaluation of
+    # the range join instead of two.
+    winner = cand.groupBy("tsid", "eval_ts").agg(
+        F.max(F.struct(F.col("ts"), F.col("value"))).alias("m")
     )
     return winner.select(
         F.col("tsid").cast("bigint").alias("tsid"),
         F.unix_micros("eval_ts").cast("bigint").alias("eval_us"),
-        F.unix_micros("last_ts").cast("bigint").alias("last_ts_us"),
-        "value",
+        F.unix_micros(F.col("m.ts")).cast("bigint").alias("last_ts_us"),
+        F.col("m.value").alias("value"),
     )

@@ -57,3 +57,40 @@ def test_resolve_has_no_cartesian(model):
         ],
     )
     assert not has_cartesian(q)
+
+
+def test_asof_broadcasts_grid_no_cartesian(spark, model):
+    """The as-of eval grid must arrive broadcast; the range join must not
+    plan as a cartesian product."""
+    import datetime as dt
+
+    from tagtree_spark.tsdb.asof import asof_instant, range_agg
+
+    _, _, samples = model
+    times = [dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)]
+    for q in (
+        asof_instant(samples, times, dt.timedelta(days=3)),
+        range_agg(samples, times, dt.timedelta(days=3)),
+    ):
+        plan = physical_plan(q)
+        assert "BroadcastNestedLoopJoin" in plan, plan  # range predicate join, broadcast side
+        assert not has_cartesian(q)
+
+
+def test_chunking_is_narrow(spark, documents):
+    """Chunk generation must be scan → project → generate: zero shuffles."""
+    from tagtree_spark.operators.text import chunk_documents
+
+    plan = physical_plan(chunk_documents(documents))
+    # spread()'s round-robin fan-out is the one allowed exchange — data-
+    # dependent shuffles (hash/range) must not appear
+    low = plan.lower()
+    assert "hashpartitioning" not in low and "rangepartitioning" not in low, plan
+
+
+def test_stratified_sample_pushes_to_scan(spark, documents):
+    """Hash sampling is a pure filter — no shuffle, no aggregation."""
+    from tagtree_spark.operators.sampling import stratified_sample
+
+    plan = physical_plan(stratified_sample(documents, 20))
+    assert "Exchange" not in plan and "Aggregate" not in plan, plan
