@@ -34,7 +34,7 @@ from tagtree_spark.operators.text import (
     quality_score,
 )
 from tagtree_spark.queries import TSDB_CTE, query
-from tagtree_spark.session import tune
+from tagtree_spark.session import spread, tune
 
 
 def _docs(spark, sf_dir):
@@ -1043,6 +1043,96 @@ def q52_redaction(spark, sf_dir):
     from tagtree_spark.operators.text import redact
 
     return redact(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q54_tfidf_topterms",
+    """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT doc_id, token, tf, df, tf * ((1000000 * n) // df) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score
+FROM r WHERE rn <= 3 ORDER BY doc_id, token""",
+)
+def q54_tfidf_topterms(spark, sf_dir):
+    """E4 TF-IDF top terms: the 3 most distinctive tokens per document.
+    INTEGER-exact idf surrogate — score = tf * ((1e6 * N) div df) — so the
+    ranking is bit-identical cross-engine (a float ln(N/df) would hang the
+    gate on libm differences). Shape: one (doc, token) count shuffle, one
+    token df shuffle, broadcast df join-back, per-doc window top-3."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # scalar watermark-style read, not a data collect
+    words = spread(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = words.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (F.col("tf") * F.expr(f"({1_000_000 * n_docs} div df)")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("score").cast("bigint").alias("score"),
+        )
+        .orderBy("doc_id", "token")
+    )
+
+
+@query(
+    "q55_correlated_subquery",
+    """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) = (
+  SELECT max(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+ORDER BY o_orderkey""",
+)
+def q55_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery — each customer's maximum-price
+    order(s). Exercises Catalyst's subquery decorrelation (rewrite to
+    aggregate + join); the comparison is decimal-exact (max is
+    order-independent), final cast to DOUBLE per the output convention."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q55")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+        FROM orders_q55 o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) = (
+          SELECT max(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          FROM orders_q55 o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+        """
+    )
 
 
 @query(
