@@ -1046,6 +1046,73 @@ def q52_redaction(spark, sf_dir):
 
 
 @query(
+    "q56_label_replace",
+    TSDB_CTE
+    + r"""
+SELECT tsid, event_type,
+       CASE WHEN regexp_matches(event_type, '^(?:(c.*|v.*))$')
+            THEN regexp_replace(event_type, '^(?:(c.*|v.*))$', 'web_\1')
+            ELSE '' END AS service
+FROM series ORDER BY tsid""",
+)
+def q56_label_replace(spark, sf_dir):
+    """PromQL label_replace analogue (tsdb/promql.py): derive label
+    ``service`` = 'web_$1' where event_type matches the anchored capture
+    regex; non-matching series keep the (absent = '') label. Narrow
+    per-row regex, no shuffle."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import label_replace
+
+    series, _, _ = _model(spark, sf_dir)
+    out = label_replace(series, "service", "web_$1", "event_type", "(c.*|v.*)")
+    return out.select(
+        "tsid", F.col("labels").getItem("event_type").alias("event_type"), "service"
+    ).orderBy("tsid")
+
+
+@query(
+    "q57_vector_ratio",
+    TSDB_CTE
+    + """
+, num AS (
+  SELECT s2.user_bucket, CAST(count(*) AS BIGINT) AS n_num,
+         sum(CAST(sm.value AS DECIMAL(18,4))) AS sv
+  FROM samples sm JOIN series s2 USING (tsid)
+  WHERE s2.event_type = 'click' GROUP BY 1
+), den AS (
+  SELECT s2.user_bucket, CAST(count(*) AS BIGINT) AS n_den,
+         sum(CAST(sm.value AS DECIMAL(18,4))) AS sv
+  FROM samples sm JOIN series s2 USING (tsid)
+  WHERE s2.event_type = 'view' GROUP BY 1
+)
+SELECT num.user_bucket AS user_bucket, n_num, n_den,
+       CAST(num.sv AS DOUBLE) AS sum_num,
+       CAST(den.sv AS DOUBLE) AS sum_den,
+       CAST(num.sv AS DOUBLE) / CAST(den.sv AS DOUBLE) AS ratio
+FROM num JOIN den USING (user_bucket)
+ORDER BY user_bucket""",
+)
+def q57_vector_ratio(spark, sf_dir):
+    """PromQL binary-op vector matching analogue (tsdb/promql.py):
+    sum(click) / sum(view) matched on user_bucket — both sides resolved
+    through the full matcher algebra, decimal-exact sums, single final
+    divisions."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.matchers import LabelMatcher, MatchOp
+    from tagtree_spark.tsdb.promql import vector_ratio
+
+    series, postings, samples = _model(spark, sf_dir)
+    return vector_ratio(
+        postings,
+        series,
+        samples,
+        [LabelMatcher(MatchOp.EQL, "event_type", "click")],
+        [LabelMatcher(MatchOp.EQL, "event_type", "view")],
+        "user_bucket",
+    ).orderBy("user_bucket")
+
+
+@query(
     "q54_tfidf_topterms",
     """
 WITH w AS (

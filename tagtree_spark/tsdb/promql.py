@@ -1,0 +1,105 @@
+"""PromQL-adjacent vector operations over the derived TSDB model.
+
+The reference serves only the index scan — PromQL evaluation lives in the
+external libpromql + modified Prometheus engine
+(/root/reference/README.org:11-24). These are the Spark-native in-engine
+forms of the two PromQL features reference users run constantly
+downstream: label manipulation (``label_replace``) and binary operations
+between instant vectors with label matching (``a / b on(label)``).
+
+Cross-engine discipline: regex replacement uses the RE2∩Java subset with
+full anchoring (same guard as matchers); vector ratios are decimal-exact
+sums with single final IEEE divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tagtree_spark.tsdb.matchers import (
+    LabelMatcher,
+    _validate_regex_subset,
+    resolve_label_matchers,
+    select_series,
+)
+
+
+def label_replace(
+    series: DataFrame,
+    dst: str,
+    replacement: str,
+    src: str,
+    regex: str,
+) -> DataFrame:
+    """PromQL ``label_replace(v, dst, replacement, src, regex)``: where the
+    ANCHORED regex matches label ``src``, set label ``dst`` to
+    ``replacement`` with ``$1``-style capture substitution; rows that don't
+    match pass through unchanged (PromQL treats a missing label as "", so
+    the added flat ``dst`` column is '' for non-matches).
+
+    Narrow projection — per-row JVM regex, no shuffle. Returns the series
+    frame with the ``labels`` map updated and a flat ``dst`` column.
+    """
+    _validate_regex_subset(regex)
+    anchored = f"^(?:{regex})$"
+    src_val = F.coalesce(F.col("labels").getItem(src), F.lit(""))
+    matched = src_val.rlike(anchored)
+    new_val = F.regexp_replace(src_val, anchored, replacement)
+    dst_val = F.when(matched, new_val).otherwise(
+        F.coalesce(F.col("labels").getItem(dst), F.lit(""))
+    )
+    new_labels = F.when(
+        matched,
+        F.map_concat(
+            F.map_filter(F.col("labels"), lambda k, _: k != F.lit(dst)),
+            F.create_map(F.lit(dst), new_val),
+        ),
+    ).otherwise(F.col("labels"))
+    return series.withColumn("labels", new_labels).withColumn(dst, dst_val)
+
+
+def vector_ratio(
+    postings: DataFrame,
+    series: DataFrame,
+    samples: DataFrame,
+    num_matchers: list[LabelMatcher],
+    den_matchers: list[LabelMatcher],
+    on_label: str,
+) -> DataFrame:
+    """PromQL binary operation between two instant vectors with label
+    matching — ``sum(num) / sum(den) on(label)``: resolve both matcher
+    sets through the full matcher algebra, aggregate each side's sample
+    values per ``on_label`` group, and join the groups.
+
+    Output: ``(<on_label>, n_num, n_den, sum_num, sum_den, ratio)``.
+    Each side is: matcher resolve (postings algebra) → samples semi-join →
+    broadcast-able series join for the group label → one groupBy. Sums are
+    DECIMAL(18,4) (order-independent); sum_num/sum_den/ratio are single
+    final casts/divisions — bit-identical cross-engine.
+    """
+
+    def side(matchers: list[LabelMatcher], prefix: str) -> DataFrame:
+        tsids = resolve_label_matchers(postings, matchers)
+        picked = select_series(samples, tsids)
+        labeled = picked.join(series.select("tsid", on_label), "tsid")
+        return labeled.groupBy(on_label).agg(
+            F.count("*").cast("bigint").alias(f"n_{prefix}"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias(f"_sv_{prefix}"),
+        )
+
+    num = side(num_matchers, "num")
+    den = side(den_matchers, "den")
+    return (
+        num.join(den, on_label)
+        .select(
+            on_label,
+            "n_num",
+            "n_den",
+            F.col("_sv_num").cast("double").alias("sum_num"),
+            F.col("_sv_den").cast("double").alias("sum_den"),
+            (F.col("_sv_num").cast("double") / F.col("_sv_den").cast("double")).alias(
+                "ratio"
+            ),
+        )
+    )

@@ -191,3 +191,38 @@ def test_regex_dialect_guard():
 
     # non-regex ops are not validated (value is a literal, not a pattern)
     LabelMatcher(MatchOp.EQL, "l", "(?=not-a-regex)")
+
+
+def test_label_replace_updates_map_and_flat_col(spark):
+    from tagtree_spark.tsdb.promql import label_replace
+
+    series = spark.createDataFrame(
+        [(1, {"event_type": "click"}), (2, {"event_type": "error"})],
+        "tsid long, labels map<string,string>",
+    )
+    out = {r.tsid: (r.labels, r.service) for r in
+           label_replace(series, "service", "web_$1", "event_type", "(c.*)").collect()}
+    assert out[1] == ({"event_type": "click", "service": "web_click"}, "web_click")
+    # non-match: labels untouched, flat col is the PromQL absent-label ""
+    assert out[2] == ({"event_type": "error"}, "")
+
+
+def test_label_replace_overwrites_existing_dst(spark):
+    from tagtree_spark.tsdb.promql import label_replace
+
+    series = spark.createDataFrame(
+        [(1, {"event_type": "click", "service": "old"})],
+        "tsid long, labels map<string,string>",
+    )
+    r = label_replace(series, "service", "new", "event_type", "click").collect()[0]
+    assert r.labels["service"] == "new" and r.service == "new"
+
+
+def test_label_replace_rejects_java_only_regex(spark):
+    import pytest
+
+    from tagtree_spark.tsdb.promql import label_replace
+
+    series = spark.createDataFrame([(1, {"a": "b"})], "tsid long, labels map<string,string>")
+    with pytest.raises(ValueError):
+        label_replace(series, "d", "x", "a", "(?=lookahead)")
