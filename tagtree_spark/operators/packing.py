@@ -1,0 +1,71 @@
+"""Sequence packing — the "concat and chunk" step of an LLM training-data
+pipeline: documents are concatenated in a deterministic order and cut into
+fixed token-budget training sequences; each document is mapped to the
+sequence range it lands in.
+
+The reference engine has no analogue (it is a TSDB index); this is one of
+the mandated beyond-the-reference pipeline operators. Semantics follow the
+standard pretraining packing recipe: a document may straddle a sequence
+boundary (begin_seq < end_seq) — the manifest records the straddle instead
+of padding, so a loader can materialize either policy.
+
+Scale stance: packing is a running sum, which is inherently sequential —
+so the stream is SHARDED first (``shard_col``, e.g. source / path prefix /
+hash bucket) and each shard packs independently with a window partitioned
+by shard. No global window (no single-partition collapse); shard count is
+the parallelism dial, and sequence ids are per-shard (a loader namespaces
+them by shard). All arithmetic is exact bigint; offsets are exclusive
+prefix sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tagtree_spark.session import spread
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ ``(shard, doc_id, n_tokens, start_offset, begin_seq, end_seq)``.
+
+    ``start_offset`` is the document's first token position in its shard's
+    concatenated token stream (exclusive prefix sum, ordered by ``id_col``);
+    ``begin_seq``/``end_seq`` are the first/last ``budget``-sized sequence
+    the document's tokens fall into. Empty docs pack zero tokens and sit at
+    their boundary (end_seq = begin_seq).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    b = int(budget)
+    toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    d = spread(docs).select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        toks.alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select(
+        "shard", "doc_id", "n_tokens", (cum - F.col("n_tokens")).alias("start_offset")
+    )
+    # integer DIV keeps sequence ids exact bigints (no double rounding)
+    return packed.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset DIV {b}").alias("begin_seq"),
+        F.expr(f"greatest(start_offset + n_tokens - 1, start_offset) DIV {b}").alias(
+            "end_seq"
+        ),
+    )

@@ -324,3 +324,50 @@ def lsh_bucket_topk(
         .select("vec_id", "bucket", cosine("v", "qv").alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), "vec_id").limit(k)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[float]] | None = None,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication → surviving
+    ``(vec_id, cid)`` rows: coarse-cluster every embedding (IVF
+    assignment), then inside each cell drop any vector whose cosine to a
+    LOWER-id cell-mate exceeds ``threshold`` (keep-the-minimum, the same
+    survivor rule as the MinHash keep-one path).
+
+    Shape mirrors the other bucketed near-dup operators: candidate pairs
+    come only from within a cell (``_bucket_pairs`` on cid — never |N|²),
+    hot degenerate cells are dropped by ``max_bucket``, and the verify
+    joins carry the vectors back by id. At 100 TB the assignment is a
+    broadcast-codebook map pass and cid is the table's partition key, so
+    the pair generation is per-partition local.
+    """
+    assigned = persist_tracked(
+        ivf_assignments(
+            emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, codebook=codebook
+        )
+    )
+    pairs = _bucket_pairs(
+        assigned.select("cid", F.col("vec_id").alias("doc_id")),
+        "cid",
+        max_bucket=max_bucket,
+    )
+    va = assigned.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    vb = assigned.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    dropped = (
+        pairs.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .where(cosine("va", "vb") > threshold)
+        .select(F.col("doc_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", F.col("cid").cast("bigint").alias("cid"))
+    )

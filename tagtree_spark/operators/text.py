@@ -271,3 +271,63 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         minmax.mx.alias("max_shingle_h"),
         F.size("shingles").cast("bigint").alias("n_shingles"),
     )
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules family of
+    quality filters: heavily repetitive documents are low-value training
+    data and get dropped before dedup even runs).
+
+    Per-document integer counters — token multiset vs set, word-bigram
+    multiset vs set, and immediate token repeats (``w[i] == w[i+1]``) —
+    plus the two duplicate fractions as single exact-int divisions:
+
+    ``(doc_id, n_tokens, n_uniq_tokens, n_2grams, n_uniq_2grams,
+    n_repeat_pairs, dup_token_frac, dup_2gram_frac)``
+
+    Shape: narrow projection, zero shuffles — the token/bigram arrays are
+    materialized once per row (each in its own withColumn so higher-order
+    lambdas don't re-split per element) and never leave the executor. At
+    100 TB this is a map-only pass that AQE pipelines into whatever scan
+    feeds it.
+    """
+    d = (
+        spread(docs)
+        .withColumn("_w", F.split(F.col(text_col), " "))
+        .withColumn(
+            "_g2",
+            F.zip_with(
+                F.expr("slice(_w, 1, size(_w) - 1)"),
+                F.expr("slice(_w, 2, size(_w) - 1)"),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        )
+    )
+    n_tokens = F.size("_w").cast("bigint")
+    n_uniq = F.size(F.array_distinct("_w")).cast("bigint")
+    n_2g = F.size("_g2").cast("bigint")
+    n_uniq_2g = F.size(F.array_distinct("_g2")).cast("bigint")
+    n_rep = F.size(
+        F.filter(
+            F.zip_with(
+                F.expr("slice(_w, 1, size(_w) - 1)"),
+                F.expr("slice(_w, 2, size(_w) - 1)"),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    ).cast("bigint")
+    return d.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        n_2g.alias("n_2grams"),
+        n_uniq_2g.alias("n_uniq_2grams"),
+        n_rep.alias("n_repeat_pairs"),
+        ((n_tokens - n_uniq).cast("double") / n_tokens).alias("dup_token_frac"),
+        F.when(n_2g > 0, (n_2g - n_uniq_2g).cast("double") / n_2g)
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )

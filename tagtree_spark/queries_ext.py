@@ -1220,3 +1220,243 @@ def q48_stratified_sample(spark, sf_dir):
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3: repetition filtering, sequence packing, semantic dedup, PromQL
+# aggregations, rollup ladder, and the end-to-end corpus pipeline.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q58_repetition",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_tokens,
+         CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n_2grams,
+         CAST(len(list_distinct(list_transform(range(1, len(w)),
+              i -> w[i] || ' ' || w[i+1]))) AS BIGINT) AS n_uniq_2grams,
+         CAST(len(list_filter(range(1, len(w)), i -> w[i] = w[i+1])) AS BIGINT)
+             AS n_repeat_pairs
+  FROM t
+)
+SELECT doc_id, n_tokens, n_uniq_tokens, n_2grams, n_uniq_2grams, n_repeat_pairs,
+       CAST(n_tokens - n_uniq_tokens AS DOUBLE) / n_tokens AS dup_token_frac,
+       CASE WHEN n_2grams > 0
+            THEN CAST(n_2grams - n_uniq_2grams AS DOUBLE) / n_2grams
+            ELSE 0.0 END AS dup_2gram_frac
+FROM f ORDER BY doc_id""",
+)
+def q58_repetition(spark, sf_dir):
+    """E4+ within-document repetition (the Gopher-rules repetition family):
+    duplicate-token and duplicate-bigram fractions plus immediate-repeat
+    counts — map-only, arrays never leave the executor."""
+    from tagtree_spark.operators.text import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q59_seq_packing",
+    """
+WITH t AS (
+  SELECT source AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT shard, doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // 128 AS BIGINT) AS begin_seq,
+       CAST(greatest(cum - 1, cum - n_tokens) // 128 AS BIGINT) AS end_seq
+FROM c ORDER BY shard, doc_id""",
+)
+def q59_seq_packing(spark, sf_dir):
+    """LLM-pipeline sequence packing (concat-and-chunk): per-shard token
+    prefix sums map every document to its 128-token training sequences.
+    Window is PARTITIONED by shard — no global single-partition sort."""
+    from tagtree_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=128).orderBy("shard", "doc_id")
+
+
+_Q60_ASSIGN_CTES = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, e.embedding AS v, c.cid,
+         {_DOT.format(a='e.embedding', b='c.cv')} /
+         (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) *
+          sqrt({_DOT.format(a='c.cv', b='c.cv')})) AS cscore
+  FROM embeddings e, c
+), assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+), keepc AS (
+  SELECT cid FROM assigned GROUP BY cid HAVING count(*) <= {_MAX_BUCKET}
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a
+  JOIN keepc ON a.cid = keepc.cid
+  JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_DOT.format(a='a.v', b='b.v')} /
+        (sqrt({_DOT.format(a='a.v', b='a.v')}) *
+         sqrt({_DOT.format(a='b.v', b='b.v')})) > 0.45
+)"""
+
+
+@query(
+    "q60_semantic_dedup",
+    _Q60_ASSIGN_CTES
+    + """
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid
+FROM assigned a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY a.vec_id""",
+)
+def q60_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: IVF-cluster embeddings, drop any
+    vector with a LOWER-id cell-mate above the cosine threshold, return
+    the surviving (vec_id, cid) manifest. Pairs only within a cell,
+    degenerate cells capped."""
+    from tagtree_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), n_cells=8, threshold=0.45).orderBy(
+        "vec_id"
+    )
+
+
+@query(
+    "q61_topk_series",
+    TSDB_CTE
+    + """
+, per AS (
+  SELECT tsid, CAST(count(*) AS BIGINT) AS n_samples,
+         sum(CAST(value AS DECIMAL(18,4))) AS tot
+  FROM samples GROUP BY tsid
+), ranked AS (
+  SELECT s.event_type, p.tsid, p.n_samples, p.tot,
+         row_number() OVER (PARTITION BY s.event_type
+                            ORDER BY p.tot DESC, p.tsid) AS rk
+  FROM per p JOIN series s USING (tsid)
+)
+SELECT event_type, tsid, n_samples,
+       CAST(tot AS DOUBLE) AS total, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY event_type, rk""",
+)
+def q61_topk_series(spark, sf_dir):
+    """PromQL ``topk(3, sum_over_time(...)) by (event_type)``: per-series
+    decimal-exact totals ranked within each label group — window is
+    partitioned by the group label, never global."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import topk_series
+
+    series, _, samples = _model(spark, sf_dir)
+    return topk_series(series, samples, "event_type", k=3).orderBy("event_type", "rk")
+
+
+@query(
+    "q62_count_values",
+    TSDB_CTE
+    + """
+SELECT CAST(floor(value) AS BIGINT) AS vbucket,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(count(DISTINCT tsid) AS BIGINT) AS n_series
+FROM samples GROUP BY 1 ORDER BY vbucket""",
+)
+def q62_count_values(spark, sf_dir):
+    """PromQL ``count_values`` (integer-bucketed): sample and series
+    counts per value bucket — one map-side-combined groupBy."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import count_values
+
+    _, _, samples = _model(spark, sf_dir)
+    return count_values(samples).orderBy("vbucket")
+
+
+@query(
+    "q63_multires_rollup",
+    TSDB_CTE
+    + """
+SELECT CAST(tsid AS BIGINT) AS tsid,
+       CAST((epoch_us(ts) // 1000000) - (epoch_us(ts) // 1000000) % 86400 AS BIGINT)
+           AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum,
+       min(value) AS v_min, max(value) AS v_max
+FROM samples GROUP BY 1, 2
+ORDER BY tsid, bucket_start""",
+)
+def q63_multires_rollup(spark, sf_dir):
+    """Hypertable rollup ladder: raw samples → 6h rollup → daily rollup
+    RE-AGGREGATED FROM THE 6h ONE (count/sum/min/max compose; sum is
+    decimal so the two-level regrouping is bit-identical to the oracle's
+    direct daily aggregation)."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.rollup import coarsen_rollup, rollup_samples
+
+    _, _, samples = _model(spark, sf_dir)
+    fine = rollup_samples(samples, minutes=360)
+    daily = coarsen_rollup(fine, fine_minutes=360, coarse_minutes=1440)
+    return daily.select(
+        "tsid",
+        "bucket_start",
+        "n",
+        F.col("v_sum").cast("double").alias("v_sum"),
+        "v_min",
+        "v_max",
+    ).orderBy("tsid", "bucket_start")
+
+
+@query(
+    "q64_corpus_pipeline",
+    _MINHASH_PAIRS_CTES
+    + """
+, drop AS (
+  SELECT DISTINCT doc_b AS doc_id FROM mh_pairs
+), surv AS (
+  SELECT source AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE lang = 'en'
+    AND len(string_split(text, ' ')) BETWEEN 20 AND 80
+    AND doc_id NOT IN (SELECT doc_id FROM drop)
+), c AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM surv
+)
+SELECT shard, doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // 128 AS BIGINT) AS begin_seq,
+       CAST(greatest(cum - 1, cum - n_tokens) // 128 AS BIGINT) AS end_seq
+FROM c ORDER BY shard, doc_id""",
+)
+def q64_corpus_pipeline(spark, sf_dir):
+    """Flagship end-to-end training-corpus build, one declarative plan:
+    language filter → token-band quality filter → MinHash near-dup drop
+    (lower-id survivor, shared verified-pair cache) → per-shard sequence
+    packing. The output is the training manifest a loader would consume."""
+    from tagtree_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    toks = F.size(F.split(F.col("text"), " "))
+    losers = _mh_pairs(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    surv = (
+        docs.where((F.col("lang") == "en") & toks.between(20, 80))
+        .join(losers, "doc_id", "left_anti")
+    )
+    return pack_sequences(surv, budget=128).orderBy("shard", "doc_id")

@@ -14,7 +14,7 @@ sums with single final IEEE divisions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tagtree_spark.tsdb.matchers import (
@@ -101,5 +101,61 @@ def vector_ratio(
             (F.col("_sv_num").cast("double") / F.col("_sv_den").cast("double")).alias(
                 "ratio"
             ),
+        )
+    )
+
+
+def topk_series(
+    series: DataFrame,
+    samples: DataFrame,
+    group_label: str,
+    k: int = 3,
+) -> DataFrame:
+    """PromQL aggregation-over-time ``topk(k, sum_over_time(...)) by
+    (group_label)``: total sample value per series, ranked within each
+    group of ``group_label``, top-k kept.
+
+    → ``(<group_label>, tsid, n_samples, total, rk)``. Sums are
+    DECIMAL(18,4) internally (order-independent), cast to DOUBLE once at
+    the end. Shape: one groupBy(tsid) shuffle (map-side partial agg), a
+    broadcast-able series join for the label, then a window partitioned by
+    the group label — no global window, so group count is the parallelism.
+    """
+    per_series = samples.groupBy("tsid").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("_tot"),
+    )
+    labeled = per_series.join(series.select("tsid", group_label), "tsid")
+    w = Window.partitionBy(group_label).orderBy(F.col("_tot").desc(), F.col("tsid"))
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            group_label,
+            "tsid",
+            "n_samples",
+            F.col("_tot").cast("double").alias("total"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+def count_values(samples: DataFrame) -> DataFrame:
+    """PromQL ``count_values``: how many samples carry each value —
+    bucketed by ``floor(value)`` so the group key is an exact integer
+    (grouping raw doubles cross-engine is undefined under different
+    aggregation orders; the floor bucket is the deterministic form).
+
+    → ``(vbucket, n_samples, n_series)``. One groupBy shuffle with
+    map-side combine; cardinality is bounded by the value domain.
+    """
+    return (
+        samples.select(
+            F.floor("value").cast("bigint").alias("vbucket"), "tsid"
+        )
+        .groupBy("vbucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.countDistinct("tsid").cast("bigint").alias("n_series"),
         )
     )

@@ -397,3 +397,112 @@ def test_range_agg_window_aggregates(spark):
     )
     r = range_agg(samples, [T(2024, 1, 10)], dt.timedelta(days=3)).collect()[0]
     assert (r.n_samples, r.v_min, r.v_max, r.v_avg) == (2, 4.0, 8.0, 6.0)
+
+
+def test_repetition_features_exact_counts(spark):
+    from tagtree_spark.operators.text import repetition_features
+
+    d = _docs(
+        spark,
+        [
+            (1, "a a a b", "en", "s", 7),   # 2grams: 'a a','a a','a b' → uniq 2
+            (2, "x", "en", "s", 1),          # single token: no 2-grams
+            (3, "p q r s", "en", "s", 7),    # no repetition at all
+        ],
+    )
+    out = {r.doc_id: r for r in repetition_features(d).collect()}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_uniq_tokens, r1.n_2grams, r1.n_uniq_2grams) == (4, 2, 3, 2)
+    assert r1.n_repeat_pairs == 2  # (a,a) at positions 1-2 and 2-3
+    assert r1.dup_token_frac == 0.5
+    assert r1.dup_2gram_frac == (3 - 2) / 3
+    r2 = out[2]
+    assert (r2.n_2grams, r2.dup_2gram_frac) == (0, 0.0)
+    r3 = out[3]
+    assert (r3.n_repeat_pairs, r3.dup_token_frac) == (0, 0.0)
+
+
+def test_pack_sequences_offsets_and_straddles(spark):
+    from tagtree_spark.operators.packing import pack_sequences
+
+    # shard s: 3 + 4 + 2 tokens, budget 4 → doc 2 straddles seqs 0-1
+    d = _docs(
+        spark,
+        [
+            (1, "a b c", "s", "s", 5),
+            (2, "d e f g", "s", "s", 7),
+            (3, "h i", "s", "s", 3),
+            (10, "z z z z z", "t", "t", 9),  # other shard packs independently
+        ],
+    )
+    out = {r.doc_id: r for r in pack_sequences(d, budget=4, shard_col="source").collect()}
+    assert (out[1].start_offset, out[1].begin_seq, out[1].end_seq) == (0, 0, 0)
+    assert (out[2].start_offset, out[2].begin_seq, out[2].end_seq) == (3, 0, 1)
+    assert (out[3].start_offset, out[3].begin_seq, out[3].end_seq) == (7, 1, 2)
+    assert (out[10].start_offset, out[10].begin_seq, out[10].end_seq) == (0, 0, 1)
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    import pytest
+
+    from tagtree_spark.operators.packing import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(_docs(spark, [(1, "a", "en", "s", 1)]), budget=0)
+
+
+def test_semantic_dedup_drops_higher_id_neighbor(spark):
+    from tagtree_spark.operators.similarity import semantic_dedup
+
+    # 4-dim toy vectors, n_cells=2 (codebook = vecs 0 and 1):
+    # vec 2 ≈ vec 0 (same direction → same cell, cosine 1.0 → dropped),
+    # vec 3 orthogonal-ish to both cells' members → survives.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.0, 1.0, 0.0, 0.0], 0),
+            (2, [2.0, 0.0, 0.0, 0.0], 0),
+            (3, [0.0, 1.0, 1.0, 1.0], 0),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    kept = semantic_dedup(emb, n_cells=2, threshold=0.9).collect()
+    ids = sorted(r.vec_id for r in kept)
+    assert ids == [0, 1, 3]
+
+
+def test_rollup_coarsen_equals_direct(documents, spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.tsdb.rollup import coarsen_rollup, rollup_samples
+
+    T = dt.datetime
+    samples = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 0, 1), 1.5),
+            (1, T(2024, 1, 1, 5, 59), 2.25),
+            (1, T(2024, 1, 1, 23, 59), 4.0),
+            (2, T(2024, 1, 2, 12, 0), 8.0),
+        ],
+        "tsid long, ts timestamp, value double",
+    )
+    daily_direct = rollup_samples(samples, minutes=1440)
+    daily_laddered = coarsen_rollup(rollup_samples(samples, minutes=360), 360, 1440)
+    a = {(r.tsid, r.bucket_start): (r.n, float(r.v_sum), r.v_min, r.v_max)
+         for r in daily_direct.collect()}
+    b = {(r.tsid, r.bucket_start): (r.n, float(r.v_sum), r.v_min, r.v_max)
+         for r in daily_laddered.collect()}
+    assert a == b and len(a) == 2
+    assert a[(1, 1704067200)] == (3, 7.75, 1.5, 4.0)
+
+
+def test_rollup_rejects_non_multiple(spark):
+    import pytest
+
+    from tagtree_spark.tsdb.rollup import coarsen_rollup, rollup_samples
+
+    samples = spark.createDataFrame([], "tsid long, ts timestamp, value double")
+    with pytest.raises(ValueError):
+        coarsen_rollup(rollup_samples(samples, 7), 7, 10)
