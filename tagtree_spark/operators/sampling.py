@@ -44,3 +44,30 @@ def stratified_sample(
 ) -> DataFrame:
     """Keep ~pct% of every stratum, deterministically (see module doc)."""
     return df.where(hash_bucket(id_col, stratum_col) < F.lit(pct))
+
+
+def weighted_mixture(
+    df: DataFrame,
+    rates: dict[str, int],
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Data-mixture sampling: keep a DIFFERENT deterministic percentage of
+    each stratum (e.g. upweight rare languages, downweight boilerplate
+    sources) — the "mixing weights" step of a training-data pipeline.
+
+    ``rates`` maps stratum value → keep percentage (0-100); strata not
+    listed keep ``default_pct``. Same h60 hash-bucket rule as
+    :func:`stratified_sample`, so the choice of kept ids is reproducible
+    across runs, engines, and partitionings, and a document's fate never
+    depends on which executor saw it. Map-only — the rate lookup is a
+    CASE expression, no join, no shuffle.
+    """
+    for k, v in rates.items():
+        if not 0 <= int(v) <= 100:
+            raise ValueError(f"rate for {k!r} must be 0-100, got {v}")
+    rate = F.lit(int(default_pct))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(int(v))).otherwise(rate)
+    return df.where(hash_bucket(id_col, stratum_col) < rate)

@@ -331,3 +331,38 @@ def repetition_features(
         .otherwise(F.lit(0.0))
         .alias("dup_2gram_frac"),
     )
+
+
+def token_rarity(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-statistics quality signal: per-document mean DOCUMENT
+    FREQUENCY of its distinct tokens — a rarity/perplexity proxy (low mean
+    df = rare vocabulary, high = boilerplate). All-integer surrogate (sum
+    of dfs + one final division) so the score is aggregation-order
+    independent cross-engine — a log-prob average would not hash-match
+    (libm vs JVM transcendentals differ in the last ulp).
+
+    → ``(doc_id, n_terms, df_sum, mean_df)``. Shape: distinct-token
+    explode → groupBy(token) df counts → join back → groupBy(doc). The
+    vocabulary side of the join is tiny after aggregation (vocab ≪
+    corpus), so AQE broadcasts it; the explode never carries the text,
+    only (doc_id, token).
+    """
+    toks = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("df").cast("bigint").alias("df_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            "df_sum",
+            (F.col("df_sum").cast("double") / F.col("n_terms")).alias("mean_df"),
+        )
+    )

@@ -1460,3 +1460,128 @@ def q64_corpus_pipeline(spark, sf_dir):
         .join(losers, "doc_id", "left_anti")
     )
     return pack_sequences(surv, budget=128).orderBy("shard", "doc_id")
+
+
+@query(
+    "q65_irate",
+    TSDB_CTE
+    + """
+, ranked AS (
+  SELECT tsid, ts, value,
+         row_number() OVER (PARTITION BY tsid ORDER BY ts DESC, value DESC) AS rn
+  FROM samples
+), l AS (SELECT tsid, ts, value FROM ranked WHERE rn = 1),
+  p AS (SELECT tsid, ts, value FROM ranked WHERE rn = 2)
+SELECT l.tsid,
+       CAST(epoch_us(l.ts) // 1000000 AS BIGINT) AS last_ts_s,
+       CAST(epoch_us(p.ts) // 1000000 AS BIGINT) AS prev_ts_s,
+       l.value - p.value AS dv,
+       CAST(epoch_us(l.ts) // 1000000 - epoch_us(p.ts) // 1000000 AS BIGINT) AS dt_sec,
+       (l.value - p.value) /
+       CAST(epoch_us(l.ts) // 1000000 - epoch_us(p.ts) // 1000000 AS DOUBLE)
+           AS rate_per_sec
+FROM l JOIN p USING (tsid)
+WHERE epoch_us(l.ts) // 1000000 - epoch_us(p.ts) // 1000000 > 0
+ORDER BY tsid""",
+)
+def q65_irate(spark, sf_dir):
+    """PromQL irate: instantaneous rate from each series' last two samples
+    — tsid-partitioned window, single IEEE subtraction/division (no
+    accumulation, so cross-engine exact)."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import irate
+
+    _, _, samples = _model(spark, sf_dir)
+    return irate(samples).orderBy("tsid")
+
+
+@query(
+    "q66_pivot",
+    TSDB_CTE
+    + """
+, sv AS (
+  SELECT s.user_bucket, s.event_type, sm.value
+  FROM samples sm JOIN series s USING (tsid)
+)
+SELECT user_bucket,
+       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END)
+            AS DOUBLE) AS sum_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END)
+            AS DOUBLE) AS sum_view
+FROM sv GROUP BY user_bucket ORDER BY user_bucket""",
+)
+def q66_pivot(spark, sf_dir):
+    """§2.8 pivot: per-user-bucket counts/sums pivoted across a FIXED
+    event-type list (explicit pivot values keep the plan a single
+    two-phase hash aggregate — an unvalued pivot would need an extra pass
+    to discover columns). Decimal sums, one final double cast each."""
+    from tagtree_spark.queries import _model
+
+    series, _, samples = _model(spark, sf_dir)
+    sv = samples.join(series.select("tsid", "user_bucket", "event_type"), "tsid")
+    piv = (
+        sv.groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+        )
+    )
+    return piv.select(
+        "user_bucket",
+        F.col("click_n").alias("n_click"),
+        F.col("view_n").alias("n_view"),
+        F.col("purchase_n").alias("n_purchase"),
+        F.col("click_s").cast("double").alias("sum_click"),
+        F.col("view_s").cast("double").alias("sum_view"),
+    ).orderBy("user_bucket")
+
+
+@query(
+    "q67_token_rarity",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(v.df) AS BIGINT) AS df_sum,
+       CAST(sum(v.df) AS DOUBLE) / count(*) AS mean_df
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id ORDER BY t.doc_id""",
+)
+def q67_token_rarity(spark, sf_dir):
+    """Corpus-statistics rarity score: mean document frequency of each
+    doc's distinct tokens (integer df sums + one division — a perplexity
+    proxy that is aggregation-order independent). Vocab side of the join
+    is post-aggregation tiny → AQE broadcasts it."""
+    from tagtree_spark.operators.text import token_rarity
+
+    return token_rarity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q68_weighted_mixture",
+    f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ({duck_h60("lang || ':' || CAST(doc_id AS VARCHAR)")}) % 100 <
+      CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'zh' THEN 80 ELSE 25 END
+ORDER BY doc_id""",
+)
+def q68_weighted_mixture(spark, sf_dir):
+    """Data-mixture sampling: per-stratum keep rates (downsample dominant
+    en, upweight rare zh) via the deterministic h60 bucket rule — map-only,
+    reproducible across engines and partitionings."""
+    from tagtree_spark.operators.sampling import weighted_mixture
+
+    return weighted_mixture(
+        _docs(spark, sf_dir),
+        {"en": 10, "de": 50, "zh": 80},
+        default_pct=25,
+    ).select("doc_id", "lang", "source").orderBy("doc_id")

@@ -159,3 +159,43 @@ def count_values(samples: DataFrame) -> DataFrame:
             F.countDistinct("tsid").cast("bigint").alias("n_series"),
         )
     )
+
+
+def irate(samples: DataFrame) -> DataFrame:
+    """PromQL ``irate``: per-series instantaneous rate from the LAST TWO
+    samples — ``(v_last - v_prev) / (ts_last - ts_prev)``.
+
+    → ``(tsid, last_ts, prev_ts, dv, dt_sec, rate_per_sec)``. Shape: one
+    window PARTITIONED by tsid ranking by timestamp descending — series
+    count is the parallelism, no global sort. The rate is a single IEEE
+    subtraction + division on exact operands (cross-engine deterministic;
+    no accumulation is involved).
+
+    Ties on ts take the higher value first (deterministic order); series
+    with fewer than 2 samples emit nothing, like PromQL.
+    """
+    w = Window.partitionBy("tsid").orderBy(
+        F.col("ts").desc(), F.col("value").desc()
+    )
+    ranked = samples.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= 2)
+    last = ranked.where(F.col("_rn") == 1).select(
+        "tsid", F.col("ts").alias("last_ts"), F.col("value").alias("_vl")
+    )
+    prev = ranked.where(F.col("_rn") == 2).select(
+        "tsid", F.col("ts").alias("prev_ts"), F.col("value").alias("_vp")
+    )
+    dt = (
+        F.unix_timestamp("last_ts") - F.unix_timestamp("prev_ts")
+    ).cast("bigint")
+    return (
+        last.join(prev, "tsid")
+        .where(dt > 0)
+        .select(
+            "tsid",
+            F.unix_timestamp("last_ts").cast("bigint").alias("last_ts_s"),
+            F.unix_timestamp("prev_ts").cast("bigint").alias("prev_ts_s"),
+            (F.col("_vl") - F.col("_vp")).alias("dv"),
+            dt.alias("dt_sec"),
+            ((F.col("_vl") - F.col("_vp")) / dt.cast("double")).alias("rate_per_sec"),
+        )
+    )

@@ -506,3 +506,64 @@ def test_rollup_rejects_non_multiple(spark):
     samples = spark.createDataFrame([], "tsid long, ts timestamp, value double")
     with pytest.raises(ValueError):
         coarsen_rollup(rollup_samples(samples, 7), 7, 10)
+
+
+def test_weighted_mixture_rates_and_determinism(documents):
+    from tagtree_spark.operators.sampling import weighted_mixture
+
+    out = weighted_mixture(documents, {"en": 0, "de": 100}, default_pct=50)
+    rows = out.select("doc_id", "lang").collect()
+    langs = {r.lang for r in rows}
+    assert "en" not in langs  # 0% stratum fully dropped
+    n_de_total = documents.where("lang = 'de'").count()
+    assert sum(1 for r in rows if r.lang == "de") == n_de_total  # 100% kept
+    # deterministic: same ids both runs
+    again = {r.doc_id for r in weighted_mixture(
+        documents, {"en": 0, "de": 100}, default_pct=50).select("doc_id").collect()}
+    assert {r.doc_id for r in rows} == again
+
+
+def test_weighted_mixture_rejects_bad_rate(spark):
+    import pytest
+
+    from tagtree_spark.operators.sampling import weighted_mixture
+
+    with pytest.raises(ValueError):
+        weighted_mixture(spark.range(1), {"en": 101})
+
+
+def test_irate_last_two_samples(spark):
+    import datetime as dt
+
+    from tagtree_spark.tsdb.promql import irate
+
+    T = dt.datetime
+    samples = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 0, 0, 0), 10.0),
+            (1, T(2024, 1, 1, 0, 0, 30), 13.0),
+            (1, T(2024, 1, 1, 0, 1, 30), 19.0),  # last two: 30s→90s, dv=6, dt=60
+            (2, T(2024, 1, 1), 5.0),             # single sample → no output
+        ],
+        "tsid long, ts timestamp, value double",
+    )
+    out = {r.tsid: r for r in irate(samples).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert (r.dv, r.dt_sec, r.rate_per_sec) == (6.0, 60, 0.1)
+
+
+def test_token_rarity_mean_df(spark):
+    from tagtree_spark.operators.text import token_rarity
+
+    d = _docs(
+        spark,
+        [
+            (1, "common rare1", "en", "s", 1),   # df(common)=3, df(rare1)=1
+            (2, "common rare2", "en", "s", 1),
+            (3, "common common", "en", "s", 1),  # distinct → one term
+        ],
+    )
+    out = {r.doc_id: r for r in token_rarity(d).collect()}
+    assert (out[1].n_terms, out[1].df_sum, out[1].mean_df) == (2, 4, 2.0)
+    assert (out[3].n_terms, out[3].df_sum, out[3].mean_df) == (1, 3, 3.0)
