@@ -1585,3 +1585,72 @@ def q68_weighted_mixture(spark, sf_dir):
         {"en": 10, "de": 50, "zh": 80},
         default_pct=25,
     ).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@query(
+    "q69_stddev_over_time",
+    TSDB_CTE
+    + """
+, g AS (
+  SELECT tsid, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(18,4))) AS s,
+         sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+             AS DECIMAL(28,8))) AS ss
+  FROM samples GROUP BY tsid
+)
+SELECT tsid, n,
+       CAST(s AS DOUBLE) AS v_sum,
+       CAST(ss AS DOUBLE) AS v_sumsq,
+       sqrt(CAST(n * ss - CAST(s * s AS DECIMAL(38,8)) AS DOUBLE) /
+            CAST(n * n AS DOUBLE)) AS stddev_pop
+FROM g ORDER BY tsid""",
+)
+def q69_stddev_over_time(spark, sf_dir):
+    """PromQL stddev_over_time: decimal-exact moments (order-independent),
+    variance assembled in exact decimal arithmetic, ONE double division +
+    ONE correctly-rounded sqrt at the end — bit-identical cross-engine."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import stddev_over_time
+
+    _, _, samples = _model(spark, sf_dir)
+    return stddev_over_time(samples).orderBy("tsid")
+
+
+@query(
+    "q70_histogram_quantile",
+    TSDB_CTE
+    + """
+, counts AS (
+  SELECT s.event_type, CAST(floor(sm.value / 100) AS BIGINT) AS bk,
+         CAST(count(*) AS BIGINT) AS c
+  FROM samples sm JOIN series s USING (tsid)
+  GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bk, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bk
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS total
+  FROM counts
+), hit AS (
+  SELECT *, greatest(1, (total * 90 + 99) // 100) AS target
+  FROM cum
+  WHERE cum >= greatest(1, (total * 90 + 99) // 100)
+    AND cum - c < greatest(1, (total * 90 + 99) // 100)
+)
+SELECT event_type, CAST(total AS BIGINT) AS n_total,
+       bk AS q_bucket,
+       CAST(bk AS DOUBLE) * 100 +
+       (CAST(target - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE)) * 100 AS q_value
+FROM hit ORDER BY event_type""",
+)
+def q70_histogram_quantile(spark, sf_dir):
+    """PromQL histogram_quantile (p90) per event_type over implicit
+    100-wide value buckets: exact-integer cumulative ranks, one linear
+    interpolation inside the hit bucket. Label-partitioned windows only."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import histogram_quantile
+
+    series, _, samples = _model(spark, sf_dir)
+    return histogram_quantile(series, samples, "event_type", q_pct=90).orderBy(
+        "event_type"
+    )

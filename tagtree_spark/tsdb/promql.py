@@ -199,3 +199,88 @@ def irate(samples: DataFrame) -> DataFrame:
             ((F.col("_vl") - F.col("_vp")) / dt.cast("double")).alias("rate_per_sec"),
         )
     )
+
+
+def stddev_over_time(samples: DataFrame) -> DataFrame:
+    """PromQL ``stddev_over_time`` per series, cross-engine exact: the two
+    moments are DECIMAL sums (order-independent — a double sum-of-squares
+    would hash-differ between engines), variance is computed with integer
+    decimal arithmetic and divided/rooted ONCE at the end (IEEE sqrt is
+    correctly rounded, so the final double matches bit-for-bit).
+
+    → ``(tsid, n, v_sum, v_sumsq, stddev_pop)``. One groupBy(tsid) with
+    map-side partial aggregation.
+    """
+    v = F.col("value").cast("decimal(18,4)")
+    g = samples.groupBy("tsid").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v).alias("_s"),
+        F.sum((v * v).cast("decimal(28,8)")).alias("_ss"),
+    )
+    # population variance = (n·Σx² − (Σx)²) / n² — numerator stays decimal
+    # (exact), one double division, one sqrt.
+    num = (F.col("n") * F.col("_ss") - (F.col("_s") * F.col("_s")).cast("decimal(38,8)")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("n")).cast("double")
+    return g.select(
+        "tsid",
+        "n",
+        F.col("_s").cast("double").alias("v_sum"),
+        F.col("_ss").cast("double").alias("v_sumsq"),
+        F.sqrt(num / den).alias("stddev_pop"),
+    )
+
+
+def histogram_quantile(
+    series: DataFrame,
+    samples: DataFrame,
+    group_label: str,
+    q_pct: int = 90,
+    bucket_width: int = 100,
+) -> DataFrame:
+    """PromQL ``histogram_quantile`` over implicit value buckets: bucket
+    every sample by ``floor(value / width)``, build per-group cumulative
+    counts, pick the first bucket whose cumulative count reaches
+    ``q_pct``% of the group total, and linearly interpolate inside it —
+    the classic Prometheus le-bucket interpolation, with the bucket
+    histogram derived from raw values instead of pre-exported counters.
+
+    → ``(<group_label>, n_total, q_bucket, q_value)``. All rank/count
+    arithmetic is exact integers; ``q_value`` is interpolated with two
+    exact-int divisions. Shape: one groupBy for bucket counts, a
+    group-label-partitioned window for the cumulative sum (bucket count
+    per group is bounded by the value domain), one filtered rank pick.
+    """
+    labeled = samples.join(series.select("tsid", group_label), "tsid")
+    b = int(bucket_width)
+    counts = (
+        labeled.select(
+            group_label, F.floor(F.col("value") / b).cast("bigint").alias("bk")
+        )
+        .groupBy(group_label, "bk")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy(group_label).orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(group_label)
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(wt)
+    )
+    # rank of the q-th sample (1-based, ceil(q% of total) clamped to >=1)
+    # — exact integer ceil division, no double rounding
+    target = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(f"(total * {int(q_pct)} + 99) DIV 100"),
+    )
+    hit = cum.where((F.col("cum") >= target) & (F.col("cum") - F.col("c") < target))
+    # interpolate inside [bk*b, (bk+1)*b): fraction = (target - below) / c
+    below = F.col("cum") - F.col("c")
+    frac = (target - below).cast("double") / F.col("c").cast("double")
+    return hit.select(
+        group_label,
+        F.col("total").alias("n_total"),
+        F.col("bk").alias("q_bucket"),
+        (F.col("bk").cast("double") * b + frac * b).alias("q_value"),
+    )

@@ -226,3 +226,34 @@ def test_label_replace_rejects_java_only_regex(spark):
     series = spark.createDataFrame([(1, {"a": "b"})], "tsid long, labels map<string,string>")
     with pytest.raises(ValueError):
         label_replace(series, "d", "x", "a", "(?=lookahead)")
+
+
+def test_histogram_quantile_interpolation(spark):
+    from tagtree_spark.tsdb.promql import histogram_quantile
+
+    series = spark.createDataFrame([(1, "a"), (2, "a")], "tsid long, event_type string")
+    # 10 samples in bucket 0 ([0,100)), 10 in bucket 1 → p90 target rank 18
+    # falls in bucket 1 at fraction (18-10)/10 → 100 + 0.8*100 = 180.0
+    import datetime as dt
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [(1, T, float(v)) for v in range(0, 100, 10)]
+    rows += [(2, T, float(v)) for v in range(100, 200, 10)]
+    samples = spark.createDataFrame(rows, "tsid long, ts timestamp, value double")
+    r = histogram_quantile(series, samples, "event_type", q_pct=90).collect()[0]
+    assert (r.n_total, r.q_bucket, r.q_value) == (20, 1, 180.0)
+
+
+def test_stddev_over_time_exact(spark):
+    import datetime as dt
+
+    from tagtree_spark.tsdb.promql import stddev_over_time
+
+    T = dt.datetime(2024, 1, 1)
+    samples = spark.createDataFrame(
+        [(1, T, 2.0), (1, T, 4.0), (1, T, 4.0), (1, T, 4.0), (1, T, 5.0),
+         (1, T, 5.0), (1, T, 7.0), (1, T, 9.0)],
+        "tsid long, ts timestamp, value double",
+    )
+    r = stddev_over_time(samples).collect()[0]
+    assert (r.n, r.v_sum, r.stddev_pop) == (8, 40.0, 2.0)
