@@ -103,3 +103,42 @@ def test_resolve_matches_brute_force(series, matchers):
     got = {r.tsid for r in resolve_label_matchers(postings, matchers).collect()}
     expect = brute_resolve(series, matchers)
     assert got == expect, (series, matchers)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]), st.integers(1, 40)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 64),
+)
+@settings(max_examples=8, deadline=None)
+def test_pack_sequences_invariants(rows, budget):
+    """Packing invariants for arbitrary shard/token distributions:
+    offsets are contiguous per shard, seq ranges are consistent with the
+    token counts, and totals are preserved."""
+    spark = _get_spark()
+    from tagtree_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j}" for j in range(n)), shard, shard, n)
+            for i, (shard, n) in enumerate(rows)
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = pack_sequences(docs, budget=budget).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        for r in rs:
+            assert r.start_offset == expect_off
+            assert r.begin_seq == r.start_offset // budget
+            last_tok = r.start_offset + max(r.n_tokens - 1, 0)
+            assert r.end_seq == last_tok // budget
+            assert r.begin_seq <= r.end_seq
+            expect_off += r.n_tokens

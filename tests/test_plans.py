@@ -94,3 +94,41 @@ def test_stratified_sample_pushes_to_scan(spark, documents):
 
     plan = physical_plan(stratified_sample(documents, 20))
     assert "Exchange" not in plan and "Aggregate" not in plan, plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """Sequence packing must never collapse to a single-partition global
+    window — the per-shard window keys the exchange by shard."""
+    from tagtree_spark.operators.packing import pack_sequences
+    from tagtree_spark.plans.inspect import single_partition_exchanges
+
+    docs = load_table(spark, SF, "documents")
+    q = pack_sequences(docs, budget=128)
+    assert single_partition_exchanges(q) == 0, physical_plan(q)
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    from tagtree_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    assert not has_cartesian(semantic_dedup(emb))
+
+
+def test_simhash_fingerprint_is_shuffle_free(spark):
+    """The r3 rewrite computes the fingerprint row-locally: no Exchange of
+    any kind may appear before band bucketing."""
+    from tagtree_spark.operators.dedup import simhash60
+
+    docs = load_table(spark, SF, "documents")
+    plan = physical_plan(simhash60(docs))
+    # the only allowed exchange is the deliberate spread() round-robin
+    # (single-file scan fan-out); no hash/range/single-partition shuffle
+    assert "hashpartitioning" not in plan and "SinglePartition" not in plan, plan
+
+
+def test_repetition_features_shuffle_free(spark):
+    from tagtree_spark.operators.text import repetition_features
+
+    docs = load_table(spark, SF, "documents")
+    plan = physical_plan(repetition_features(docs))
+    assert "hashpartitioning" not in plan and "SinglePartition" not in plan, plan
