@@ -1654,3 +1654,88 @@ def q70_histogram_quantile(spark, sf_dir):
     return histogram_quantile(series, samples, "event_type", q_pct=90).orderBy(
         "event_type"
     )
+
+
+@query(
+    "q71_grouping_sets",
+    TSDB_CTE
+    + """
+, sv AS (
+  SELECT s.event_type, s.user_bucket, sm.value
+  FROM samples sm JOIN series s USING (tsid)
+)
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(user_bucket, '<all>') AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM sv
+GROUP BY GROUPING SETS ((event_type), (user_bucket), (event_type, user_bucket))
+ORDER BY event_type, user_bucket""",
+)
+def q71_grouping_sets(spark, sf_dir):
+    """§2.8 explicit GROUPING SETS (the general form cube/rollup compile
+    to): per-type, per-bucket, and per-pair aggregates in ONE expand+agg
+    pass — not three scans. Decimal sums, final double cast."""
+    from tagtree_spark.queries import _model
+
+    series, _, samples = _model(spark, sf_dir)
+    sv = samples.join(series.select("tsid", "event_type", "user_bucket"), "tsid")
+    sv.createOrReplaceTempView("_q71_sv")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(user_bucket, '<all>') AS user_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM _q71_sv
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), (event_type, user_bucket))
+        ORDER BY event_type, user_bucket"""
+    )
+
+
+@query(
+    "q72_moving_avg",
+    TSDB_CTE
+    + """
+, o AS (
+  SELECT tsid, ts, value,
+         row_number() OVER (PARTITION BY tsid ORDER BY ts, value) AS rn,
+         CAST(count(*) OVER (PARTITION BY tsid ORDER BY ts, value
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_win,
+         sum(CAST(value AS DECIMAL(18,4)))
+             OVER (PARTITION BY tsid ORDER BY ts, value
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s_win
+  FROM samples
+)
+SELECT tsid, rn AS seq, n_win,
+       CAST(s_win AS DOUBLE) / n_win AS moving_avg
+FROM o WHERE rn <= 20
+ORDER BY tsid, seq""",
+)
+def q72_moving_avg(spark, sf_dir):
+    """§2.9 sliding-frame window: 4-sample moving average per series
+    (ROWS BETWEEN 3 PRECEDING), decimal frame sums with one division per
+    row — tsid-partitioned window, deterministic (ts, value) order."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.queries import _model
+
+    _, _, samples = _model(spark, sf_dir)
+    w = Window.partitionBy("tsid").orderBy("ts", "value")
+    wf = w.rowsBetween(-3, 0)
+    o = samples.select(
+        "tsid",
+        F.row_number().over(w).alias("seq"),
+        F.count("*").over(wf).cast("bigint").alias("n_win"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(wf).alias("s_win"),
+    )
+    return (
+        o.where(F.col("seq") <= 20)
+        .select(
+            "tsid",
+            "seq",
+            "n_win",
+            (F.col("s_win").cast("double") / F.col("n_win")).alias("moving_avg"),
+        )
+        .orderBy("tsid", "seq")
+    )
