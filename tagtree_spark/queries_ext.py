@@ -1739,3 +1739,51 @@ def q72_moving_avg(spark, sf_dir):
         )
         .orderBy("tsid", "seq")
     )
+
+
+@query(
+    "q73_label_join",
+    TSDB_CTE
+    + """
+SELECT tsid, event_type || '/' || user_bucket || '/' || k_bucket AS series_key
+FROM series ORDER BY tsid""",
+)
+def q73_label_join(spark, sf_dir):
+    """PromQL label_join: concatenate source labels into a new label —
+    narrow per-row projection, no shuffle."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import label_join
+
+    series, _, _ = _model(spark, sf_dir)
+    out = label_join(series, "series_key", "/", ["event_type", "user_bucket", "k_bucket"])
+    return out.select("tsid", "series_key").orderBy("tsid")
+
+
+@query(
+    "q74_group_share",
+    TSDB_CTE
+    + """
+, per AS (
+  SELECT tsid, sum(CAST(value AS DECIMAL(18,4))) AS tot
+  FROM samples GROUP BY tsid
+), labeled AS (
+  SELECT p.tsid, s.event_type, p.tot FROM per p JOIN series s USING (tsid)
+), g AS (
+  SELECT event_type, sum(tot) AS gtot FROM labeled GROUP BY event_type
+)
+SELECT l.tsid, l.event_type,
+       CAST(l.tot AS DOUBLE) AS total,
+       CAST(g.gtot AS DOUBLE) AS group_total,
+       CAST(l.tot AS DOUBLE) / CAST(g.gtot AS DOUBLE) AS share
+FROM labeled l JOIN g USING (event_type)
+ORDER BY tsid""",
+)
+def q74_group_share(spark, sf_dir):
+    """PromQL group_left many-to-one matching: per-series total / its
+    label group's total. Group totals roll up from the per-series decimal
+    aggregates (one samples scan), broadcast-joined back."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import group_share
+
+    series, _, samples = _model(spark, sf_dir)
+    return group_share(series, samples, "event_type").orderBy("tsid")

@@ -284,3 +284,55 @@ def histogram_quantile(
         F.col("bk").alias("q_bucket"),
         (F.col("bk").cast("double") * b + frac * b).alias("q_value"),
     )
+
+
+def label_join(
+    series: DataFrame, dst: str, sep: str, srcs: list[str]
+) -> DataFrame:
+    """PromQL ``label_join(v, dst, sep, src...)``: set label ``dst`` to
+    the values of the source labels joined by ``sep`` (absent labels
+    contribute ''). Narrow projection, no shuffle."""
+    parts = [F.coalesce(F.col("labels").getItem(s), F.lit("")) for s in srcs]
+    val = F.concat_ws(sep, *parts)
+    new_labels = F.map_concat(
+        F.map_filter(F.col("labels"), lambda k, _: k != F.lit(dst)),
+        F.create_map(F.lit(dst), val),
+    )
+    return series.withColumn("labels", new_labels).withColumn(dst, val)
+
+
+def group_share(
+    series: DataFrame,
+    samples: DataFrame,
+    group_label: str,
+) -> DataFrame:
+    """PromQL many-to-one vector matching (``/ on(label) group_left``):
+    each series' total divided by its label group's total — the standard
+    share-of-group query.
+
+    → ``(tsid, <group_label>, total, group_total, share)``. Shape: ONE
+    groupBy(tsid) pass; the group totals are a rollup OF THE PER-SERIES
+    AGGREGATES (decimal sums compose — never a second scan of samples),
+    joined back broadcast-style (group cardinality ≪ series count).
+    Totals/share are single final casts/divisions.
+    """
+    per_series = (
+        samples.groupBy("tsid")
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("_tot"))
+        .join(series.select("tsid", group_label), "tsid")
+    )
+    group_tot = per_series.groupBy(group_label).agg(
+        F.sum("_tot").alias("_gtot")
+    )
+    return (
+        per_series.join(F.broadcast(group_tot), group_label)
+        .select(
+            "tsid",
+            group_label,
+            F.col("_tot").cast("double").alias("total"),
+            F.col("_gtot").cast("double").alias("group_total"),
+            (F.col("_tot").cast("double") / F.col("_gtot").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
