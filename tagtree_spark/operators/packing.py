@@ -32,6 +32,7 @@ def pack_sequences(
     shard_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_subshards: int | None = None,
 ) -> DataFrame:
     """→ ``(shard, doc_id, n_tokens, start_offset, begin_seq, end_seq)``.
 
@@ -40,13 +41,28 @@ def pack_sequences(
     ``begin_seq``/``end_seq`` are the first/last ``budget``-sized sequence
     the document's tokens fall into. Empty docs pack zero tokens and sit at
     their boundary (end_seq = begin_seq).
+
+    ``n_subshards`` is the 100 TB parallelism dial: when the natural shard
+    column has low cardinality (20 sources would cap the window at 20
+    tasks), each shard is split into ``n_subshards`` deterministic
+    h60(doc_id) sub-streams — ``shard`` becomes ``"<shard>:<k>"`` and each
+    sub-stream packs independently. Deterministic (hash of the id, not of
+    placement), so the manifest is reproducible across runs and engines.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
     b = int(budget)
     toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    shard = F.col(shard_col).cast("string")
+    if n_subshards is not None:
+        if n_subshards <= 0:
+            raise ValueError("n_subshards must be positive")
+        from tagtree_spark.functions.hashing import h60
+
+        sub = h60(F.col(id_col).cast("string")) % n_subshards
+        shard = F.concat(shard, F.lit(":"), sub.cast("string"))
     d = spread(docs).select(
-        F.col(shard_col).alias("shard"),
+        shard.alias("shard"),
         F.col(id_col).alias("doc_id"),
         toks.alias("n_tokens"),
     )

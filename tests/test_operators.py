@@ -567,3 +567,27 @@ def test_token_rarity_mean_df(spark):
     out = {r.doc_id: r for r in token_rarity(d).collect()}
     assert (out[1].n_terms, out[1].df_sum, out[1].mean_df) == (2, 4, 2.0)
     assert (out[3].n_terms, out[3].df_sum, out[3].mean_df) == (1, 3, 3.0)
+
+
+def test_pack_sequences_subshards_split_deterministically(documents):
+    from tagtree_spark.operators.packing import pack_sequences
+
+    out = pack_sequences(documents, budget=128, n_subshards=4)
+    shards = {r.shard for r in out.select("shard").distinct().collect()}
+    # every shard key is source:k with k in 0..3
+    assert all(":" in s and int(s.rsplit(":", 1)[1]) in range(4) for s in shards)
+    # offsets are contiguous within each subshard
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.shard, []).append(r)
+    for rs in by.values():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.start_offset == off
+            off += r.n_tokens
+    # same assignment on a second run (determinism)
+    again = {(r.doc_id, r.shard) for r in
+             pack_sequences(documents, budget=128, n_subshards=4).collect()}
+    assert {(r.doc_id, r.shard) for r in rows} == again
