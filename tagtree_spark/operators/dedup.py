@@ -514,3 +514,43 @@ def ngram_jaccard_pairs(
     return out.where(
         F.col("n_common") * 100 >= F.lit(min_jaccard_pct) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     ).select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+
+
+def cross_corpus_near_dup(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kw,
+) -> DataFrame:
+    """Incremental-dedup form of MinHash near-dup: find documents of
+    corpus B that near-duplicate documents of corpus A (dedup a new crawl
+    against the base corpus) → ``(a_id, b_id, n_match)`` with ``a_id``
+    always from A.
+
+    Ids must be disjoint across the corpora (they are different tables of
+    the same id space in a real pipeline). Shape: ONE banding pass over
+    the union (same capped-bucket pipeline as
+    :func:`minhash_near_dup_pairs` — candidates are never |A|×|B|), then
+    the few verified pairs join a tiny (id, origin) map to drop
+    within-corpus hits and orient the output.
+    """
+    u = docs_a.select(F.col(id_col), F.col(text_col)).unionByName(
+        docs_b.select(F.col(id_col), F.col(text_col))
+    )
+    pairs = minhash_near_dup_pairs(u, id_col=id_col, text_col=text_col, **minhash_kw)
+    m = docs_a.select(F.col(id_col).alias("did"), F.lit(0).alias("og")).unionByName(
+        docs_b.select(F.col(id_col).alias("did"), F.lit(1).alias("og"))
+    )
+    j = (
+        pairs.join(
+            m.select(F.col("did").alias("doc_a"), F.col("og").alias("og_a")), "doc_a"
+        )
+        .join(m.select(F.col("did").alias("doc_b"), F.col("og").alias("og_b")), "doc_b")
+        .where(F.col("og_a") != F.col("og_b"))
+    )
+    return j.select(
+        F.when(F.col("og_a") == 0, F.col("doc_a")).otherwise(F.col("doc_b")).alias("a_id"),
+        F.when(F.col("og_a") == 0, F.col("doc_b")).otherwise(F.col("doc_a")).alias("b_id"),
+        "n_match",
+    )

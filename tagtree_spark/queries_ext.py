@@ -1787,3 +1787,100 @@ def q74_group_share(spark, sf_dir):
 
     series, _, samples = _model(spark, sf_dir)
     return group_share(series, samples, "event_type").orderBy("tsid")
+
+
+@query(
+    "q75_cross_corpus_dedup",
+    _MINHASH_PAIRS_CTES
+    + """
+, og AS (
+  SELECT doc_id, CAST(substr(source, 4) AS INT) % 2 AS og FROM documents
+)
+SELECT CASE WHEN a.og = 0 THEN p.doc_a ELSE p.doc_b END AS a_id,
+       CASE WHEN a.og = 0 THEN p.doc_b ELSE p.doc_a END AS b_id,
+       p.n_match
+FROM mh_pairs p
+JOIN og a ON a.doc_id = p.doc_a
+JOIN og b ON b.doc_id = p.doc_b
+WHERE a.og <> b.og
+ORDER BY a_id, b_id""",
+)
+def q75_cross_corpus_dedup(spark, sf_dir):
+    """Incremental dedup: corpus B (odd sources, the 'new crawl') deduped
+    against corpus A (even sources, the base) — one banding pass over the
+    union, within-corpus hits dropped, output oriented A-side first."""
+    from tagtree_spark.operators.dedup import cross_corpus_near_dup
+
+    docs = _docs(spark, sf_dir)
+    og = F.substring("source", 4, 10).cast("int") % 2
+    a = docs.where(og == 0)
+    b = docs.where(og == 1)
+    return cross_corpus_near_dup(a, b).orderBy("a_id", "b_id")
+
+
+@query(
+    "q76_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+), lagged AS (
+  SELECT user_id, ts, event_id,
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_s
+  FROM e
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_s IS NULL
+                   OR epoch_us(ts) // 1000000 - prev_s > 86400
+              THEN 1 ELSE 0 END AS new_sess,
+         epoch_us(ts) // 1000000 AS ts_s, event_id
+  FROM lagged
+), sess AS (
+  SELECT user_id, ts_s,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts_s) AS BIGINT) AS start_s, CAST(max(ts_s) AS BIGINT) AS end_s
+FROM sess GROUP BY user_id, sess_id
+ORDER BY user_id, sess_id""",
+)
+def q76_sessionize(spark, sf_dir):
+    """Lag-based sessionization (the batch form of q37's session windows):
+    a >24h silence starts a new session; running sum of boundaries numbers
+    the sessions. Windows partitioned by user — user count is the
+    parallelism; all arithmetic exact epoch-second integers."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = (F.unix_timestamp("ts")).cast("bigint")
+    lagged = ev.select("user_id", "ts", "event_id", ts_s.alias("ts_s")).withColumn(
+        "prev_s", F.lag("ts_s").over(w)
+    )
+    flagged = lagged.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_s").isNull() | (F.col("ts_s") - F.col("prev_s") > 86400), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("sess_id").cast("bigint").alias("sess_id"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts_s").cast("bigint").alias("start_s"),
+            F.max("ts_s").cast("bigint").alias("end_s"),
+        )
+        .orderBy("user_id", "sess_id")
+    )

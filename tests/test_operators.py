@@ -591,3 +591,21 @@ def test_pack_sequences_subshards_split_deterministically(documents):
     again = {(r.doc_id, r.shard) for r in
              pack_sequences(documents, budget=128, n_subshards=4).collect()}
     assert {(r.doc_id, r.shard) for r in rows} == again
+
+
+def test_cross_corpus_near_dup_orientation(spark):
+    from tagtree_spark.operators.dedup import cross_corpus_near_dup
+
+    text = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    a = _docs(spark, [(1, text, "en", "s", 1), (2, other, "en", "s", 1)])
+    # b contains: a near-dup of doc 1 (cross-corpus hit), plus an internal
+    # duplicate pair (11, 12) that must NOT be reported
+    b = _docs(
+        spark,
+        [(10, text, "en", "s", 1), (11, other, "en", "s", 1), (12, other, "en", "s", 1)],
+    )
+    got = {(r.a_id, r.b_id) for r in cross_corpus_near_dup(a, b).collect()}
+    assert (1, 10) in got
+    assert all(x in (1, 2) and y >= 10 for x, y in got)
+    assert (11, 12) not in got and (12, 11) not in got
