@@ -1,0 +1,52 @@
+"""Table profiling — the data-quality sweep an analytics engine runs
+before anything else touches a new table: per-column null counts, distinct
+cardinality, and min/max, in ONE scan.
+
+Shape: a single aggregate computes every column's stats (count-distincts
+share one expand pass — k small aggregates beat k full scans by k×), then
+an in-row ``stack`` unpivots the 1-row result into one row per column.
+At 100 TB this is one pass over the table with map-side partial
+aggregation; nothing is collected to the driver.
+
+Cross-engine discipline: min/max are rendered as strings for the uniform
+schema, so PROFILED COLUMNS MUST BE INT- OR STRING-TYPED — float-to-string
+rendering differs between engines (Java shortest-double vs DuckDB's), and
+the operator refuses floats rather than producing hash-unstable output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SAFE_PREFIXES = ("int", "bigint", "smallint", "tinyint", "string", "date")
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """→ one row per profiled column:
+    ``(column, n_rows, n_nulls, n_distinct, min_s, max_s)``."""
+    cols = columns or [c for c, t in df.dtypes if t in _SAFE_PREFIXES]
+    types = dict(df.dtypes)
+    for c in cols:
+        if types[c] not in _SAFE_PREFIXES:
+            raise ValueError(
+                f"column {c!r} has type {types[c]} — float/decimal min/max "
+                "render differently across engines; profile int/string "
+                "columns only"
+            )
+    aggs = [F.count("*").cast("bigint").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"_nn_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"_nd_{c}"),
+            F.min(c).cast("string").alias(f"_mn_{c}"),
+            F.max(c).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "_n AS n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, n_distinct, min_s, max_s)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")

@@ -1884,3 +1884,78 @@ def q76_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "sess_id")
     )
+
+
+@query(
+    "q77_profile",
+    """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS BIGINT) AS nn1,
+         CAST(count(DISTINCT c_custkey) AS BIGINT) AS nd1,
+         CAST(min(c_custkey) AS VARCHAR) AS mn1, CAST(max(c_custkey) AS VARCHAR) AS mx1,
+         CAST(count(CASE WHEN c_name IS NULL THEN 1 END) AS BIGINT) AS nn2,
+         CAST(count(DISTINCT c_name) AS BIGINT) AS nd2,
+         CAST(min(c_name) AS VARCHAR) AS mn2, CAST(max(c_name) AS VARCHAR) AS mx2,
+         CAST(count(CASE WHEN c_nationkey IS NULL THEN 1 END) AS BIGINT) AS nn3,
+         CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nd3,
+         CAST(min(c_nationkey) AS VARCHAR) AS mn3, CAST(max(c_nationkey) AS VARCHAR) AS mx3,
+         CAST(count(CASE WHEN c_mktsegment IS NULL THEN 1 END) AS BIGINT) AS nn4,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nd4,
+         CAST(min(c_mktsegment) AS VARCHAR) AS mn4, CAST(max(c_mktsegment) AS VARCHAR) AS mx4
+  FROM customer
+)
+SELECT 'c_custkey' AS col_name, n_rows, nn1 AS n_nulls, nd1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM s
+UNION ALL
+SELECT 'c_name', n_rows, nn2, nd2, mn2, mx2 FROM s
+UNION ALL
+SELECT 'c_nationkey', n_rows, nn3, nd3, mn3, mx3 FROM s
+UNION ALL
+SELECT 'c_mktsegment', n_rows, nn4, nd4, mn4, mx4 FROM s
+ORDER BY col_name""",
+)
+def q77_profile(spark, sf_dir):
+    """Data-quality table profile: per-column nulls/distincts/min/max of
+    customer in ONE scan (shared expand pass), unpivoted via stack.
+    Int/string columns only — float rendering is engine-specific."""
+    from tagtree_spark.operators.profile import profile_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    return profile_table(
+        cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    ).withColumnRenamed("column", "col_name").orderBy("col_name")
+
+
+@query(
+    "q78_token_histogram",
+    """
+WITH t AS (
+  SELECT CAST(floor(log2(greatest(len(string_split(text, ' ')), 1))) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT bucket,
+       CAST(1 << bucket AS BIGINT) AS bucket_min_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM t GROUP BY bucket ORDER BY bucket""",
+)
+def q78_token_histogram(spark, sf_dir):
+    """Token-length distribution (the stat that sizes packing budgets and
+    batch shapes): log2 buckets of per-doc token counts. floor(log2(int))
+    on exact ints is deterministic cross-engine; one map-side-combined
+    groupBy over a handful of buckets."""
+    docs = _docs(spark, sf_dir)
+    n = F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(1))
+    bucket = F.floor(F.log2(n)).cast("bigint")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(
+            "bucket",
+            F.expr("CAST(shiftleft(1L, CAST(bucket AS INT)) AS BIGINT)").alias(
+                "bucket_min_tokens"
+            ),
+            "n_docs",
+        )
+        .orderBy("bucket")
+    )

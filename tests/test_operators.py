@@ -609,3 +609,20 @@ def test_cross_corpus_near_dup_orientation(spark):
     assert (1, 10) in got
     assert all(x in (1, 2) and y >= 10 for x, y in got)
     assert (11, 12) not in got and (12, 11) not in got
+
+
+def test_profile_table_counts_and_refusal(spark):
+    import pytest
+
+    from tagtree_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (2, "b", 3.5)],
+        "k bigint, s string, f double",
+    )
+    out = {r.column: r for r in profile_table(df, ["k", "s"]).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_nulls == 0 and out["k"].n_distinct == 2
+    assert (out["k"].min_s, out["k"].max_s) == ("1", "2")
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    with pytest.raises(ValueError):
+        profile_table(df, ["f"])
