@@ -147,9 +147,14 @@ def minhash_near_dup_pairs(
     # sides + verification join-back); without materialization Spark would
     # re-run the md5 shingle hashing for each read. One row per doc — at
     # scale this is the "signature table" a real pipeline would materialize.
+    # filter on the cheap word-count precondition (equivalent to
+    # size(shingles) > 0): a size(shingles) predicate gets pushed below the
+    # projection and REBUILDS the whole shingle pipeline inside the Filter
     sigs = (
-        word_shingles(spread(docs), text_col=text_col)
-        .where(F.size("shingles") > 0)
+        word_shingles(
+            spread(docs).where(F.size(F.split(F.col(text_col), " ")) >= 3),
+            text_col=text_col,
+        )
         .withColumn("hs", shingle_hashes("shingles"))
         .select(
             F.col(id_col).alias("doc_id"),

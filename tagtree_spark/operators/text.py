@@ -251,10 +251,19 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     n_shingles). fp = content hash of the whole text; min/max shingle hashes
     are a 2-element bottom/top-k sketch of the shingle set (the same family
     as winnowing: representative shingle hashes picked deterministically)."""
-    sh = word_shingles(spread(docs), n=n, text_col=text_col).where(F.size("shingles") > 0)
+    # cheap word-count predicate instead of size(shingles)>0: the latter is
+    # pushed below the projection and rebuilds the shingle pipeline per row
+    sh = word_shingles(
+        spread(docs).where(F.size(F.split(F.col(text_col), " ")) >= n),
+        n=n,
+        text_col=text_col,
+    )
     # Single fold computing (min, max) in one pass: array_min + array_max on
     # the same transform() would md5 every shingle twice (CollapseProject
-    # duplicates the shared subexpression).
+    # duplicates the shared subexpression). The fold lives in its OWN
+    # withColumn: selecting .mn/.mx of an inline expression would paste the
+    # whole md5 fold once PER FIELD into the projection (2× hashing, r3
+    # measured); a multi-use non-cheap alias is kept materialized.
     minmax = F.aggregate(
         F.transform(F.col("shingles"), lambda s: h60(s)),
         F.struct(
@@ -264,11 +273,11 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
             F.least(acc.mn, h).alias("mn"), F.greatest(acc.mx, h).alias("mx")
         ),
     )
-    return sh.select(
+    return sh.withColumn("_mm", minmax).select(
         F.col(id_col).alias("doc_id"),
         h60(text_col).alias("fp"),
-        minmax.mn.alias("min_shingle_h"),
-        minmax.mx.alias("max_shingle_h"),
+        F.col("_mm.mn").alias("min_shingle_h"),
+        F.col("_mm.mx").alias("max_shingle_h"),
         F.size("shingles").cast("bigint").alias("n_shingles"),
     )
 
