@@ -1959,3 +1959,103 @@ def q78_token_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q79_shipping_priority",
+    """
+SELECT l.l_orderkey AS l_orderkey,
+       CAST(epoch_us(o.o_orderdate) // 1000000 AS BIGINT) AS orderdate_s,
+       o.o_orderpriority AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
+)
+def q79_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape — the 3-way join-reorder benchmark: segment-filtered
+    customers ⋈ date-filtered orders ⋈ lineitem, decimal revenue, top-10.
+    Catalyst pushes both filters to the scans and AQE picks broadcast for
+    the shrunken customer side; TakeOrdered caps the result."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").cast("bigint").alias("orderdate_s"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q80_regional_volume",
+    """
+SELECT n.n_name AS n_name,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY revenue DESC, n_name""",
+)
+def q80_regional_volume(spark, sf_dir):
+    """TPC-H Q5 shape — 5-way star join: region→nation→supplier (tiny
+    dimension chain, broadcast all the way) against lineitem⋈orders.
+    The dimension chain collapses to broadcast hash joins; only
+    lineitem⋈orders shuffles."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey)
+        .join(li, li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

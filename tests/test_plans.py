@@ -132,3 +132,15 @@ def test_repetition_features_shuffle_free(spark):
     docs = load_table(spark, SF, "documents")
     plan = physical_plan(repetition_features(docs))
     assert "hashpartitioning" not in plan and "SinglePartition" not in plan, plan
+
+
+def test_q80_dimension_chain_broadcasts(spark):
+    """The region→nation→supplier dimension chain must become broadcast
+    joins — only lineitem⋈orders may shuffle-join."""
+    from tagtree_spark.queries import ORACLE  # noqa: F401 (registry import)
+    from __spark_entry__ import queries
+
+    q = queries()["q80_regional_volume"](spark, SF)
+    plan = physical_plan(q)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert not has_cartesian(q)
