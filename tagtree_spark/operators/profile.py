@@ -25,7 +25,11 @@ _SAFE_PREFIXES = ("int", "bigint", "smallint", "tinyint", "string", "date")
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """→ one row per profiled column:
     ``(column, n_rows, n_nulls, n_distinct, min_s, max_s)``."""
-    cols = columns or [c for c, t in df.dtypes if t in _SAFE_PREFIXES]
+    cols = (
+        [c for c, t in df.dtypes if t in _SAFE_PREFIXES] if columns is None else columns
+    )
+    if not cols:
+        raise ValueError("no profileable (int/string/date) columns")
     types = dict(df.dtypes)
     for c in cols:
         if types[c] not in _SAFE_PREFIXES:

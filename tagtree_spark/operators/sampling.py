@@ -64,7 +64,7 @@ def weighted_mixture(
     depends on which executor saw it. Map-only — the rate lookup is a
     CASE expression, no join, no shuffle.
     """
-    for k, v in rates.items():
+    for k, v in {**rates, "<default>": default_pct}.items():
         if not 0 <= int(v) <= 100:
             raise ValueError(f"rate for {k!r} must be 0-100, got {v}")
     rate = F.lit(int(default_pct))

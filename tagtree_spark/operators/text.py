@@ -356,9 +356,15 @@ def token_rarity(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     corpus), so AQE broadcasts it; the explode never carries the text,
     only (doc_id, token).
     """
-    toks = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    from tagtree_spark.session import persist_tracked
+
+    # both sides of the vocab join consume toks — persist it or the whole
+    # scan+split+explode pipeline runs twice (the self-join recompute trap)
+    toks = persist_tracked(
+        spread(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+        )
     )
     vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     return (

@@ -1530,11 +1530,15 @@ def q66_pivot(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
         )
     )
+    zero = F.lit(0).cast("bigint")
+    # a bucket with no rows of a pivoted value yields NULL from pivot+count
+    # but 0 from the oracle's count(CASE ...) — coalesce the counts (sums
+    # genuinely stay NULL in both engines)
     return piv.select(
         "user_bucket",
-        F.col("click_n").alias("n_click"),
-        F.col("view_n").alias("n_view"),
-        F.col("purchase_n").alias("n_purchase"),
+        F.coalesce(F.col("click_n"), zero).alias("n_click"),
+        F.coalesce(F.col("view_n"), zero).alias("n_view"),
+        F.coalesce(F.col("purchase_n"), zero).alias("n_purchase"),
         F.col("click_s").cast("double").alias("sum_click"),
         F.col("view_s").cast("double").alias("sum_view"),
     ).orderBy("user_bucket")
