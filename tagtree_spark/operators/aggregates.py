@@ -58,3 +58,28 @@ def approx_percentiles(
         for p in percentiles
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def pivot_event_metrics(sv: DataFrame, values: list[str]) -> DataFrame:
+    """Fixed-value pivot of per-bucket event metrics (§2.8, q66's body):
+    ``(user_bucket, n_<v>..., sum_<v>...)`` — one two-phase hash aggregate
+    (explicit pivot values avoid the extra value-discovery pass).
+
+    A (bucket, value) combination with NO rows yields NULL from
+    ``pivot().agg(count)`` but 0 from SQL's ``count(CASE ...)`` — the
+    counts are coalesced to 0 to match relational semantics (and the
+    DuckDB oracle); the sums genuinely stay NULL in both engines.
+    """
+    piv = (
+        sv.groupBy("user_bucket")
+        .pivot("event_type", values)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    cols = [F.col("user_bucket")]
+    cols += [F.coalesce(F.col(f"{v}_n"), zero).alias(f"n_{v}") for v in values]
+    cols += [F.col(f"{v}_s").cast("double").alias(f"sum_{v}") for v in values]
+    return piv.select(*cols)

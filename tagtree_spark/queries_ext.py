@@ -1518,30 +1518,16 @@ def q66_pivot(spark, sf_dir):
     event-type list (explicit pivot values keep the plan a single
     two-phase hash aggregate — an unvalued pivot would need an extra pass
     to discover columns). Decimal sums, one final double cast each."""
+    from tagtree_spark.operators.aggregates import pivot_event_metrics
     from tagtree_spark.queries import _model
 
     series, _, samples = _model(spark, sf_dir)
     sv = samples.join(series.select("tsid", "user_bucket", "event_type"), "tsid")
-    piv = (
-        sv.groupBy("user_bucket")
-        .pivot("event_type", ["click", "view", "purchase"])
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
-        )
+    return (
+        pivot_event_metrics(sv, ["click", "view", "purchase"])
+        .drop("sum_purchase")
+        .orderBy("user_bucket")
     )
-    zero = F.lit(0).cast("bigint")
-    # a bucket with no rows of a pivoted value yields NULL from pivot+count
-    # but 0 from the oracle's count(CASE ...) — coalesce the counts (sums
-    # genuinely stay NULL in both engines)
-    return piv.select(
-        "user_bucket",
-        F.coalesce(F.col("click_n"), zero).alias("n_click"),
-        F.coalesce(F.col("view_n"), zero).alias("n_view"),
-        F.coalesce(F.col("purchase_n"), zero).alias("n_purchase"),
-        F.col("click_s").cast("double").alias("sum_click"),
-        F.col("view_s").cast("double").alias("sum_view"),
-    ).orderBy("user_bucket")
 
 
 @query(

@@ -626,3 +626,20 @@ def test_profile_table_counts_and_refusal(spark):
     assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
     with pytest.raises(ValueError):
         profile_table(df, ["f"])
+
+
+def test_pivot_missing_combo_counts_zero(spark):
+    """A (bucket, event_type) combination with no rows must count 0, not
+    NULL (pivot+count yields NULL; the SQL oracle's count(CASE) yields 0 —
+    masked by the fixture corpus, pinned here on constructed data)."""
+    from tagtree_spark.operators.aggregates import pivot_event_metrics
+
+    sv = spark.createDataFrame(
+        [("u0", "click", 1.0), ("u0", "view", 2.0), ("u1", "click", 3.0)],
+        "user_bucket string, event_type string, value double",
+    )
+    out = {r.user_bucket: r for r in
+           pivot_event_metrics(sv, ["click", "view", "purchase"]).collect()}
+    assert out["u1"].n_view == 0 and out["u1"].n_purchase == 0
+    assert out["u0"].n_purchase == 0
+    assert out["u1"].sum_view is None  # sums stay NULL in both engines
