@@ -336,3 +336,38 @@ def group_share(
             ),
         )
     )
+
+
+def counter_stats(samples: DataFrame) -> DataFrame:
+    """PromQL ``increase`` + ``resets`` over each series' full range:
+    consecutive-sample deltas in DECIMAL (cast(double→decimal) rounds
+    identically cross-engine), counter resets detected as negative deltas.
+
+    → ``(tsid, n_samples, increase, n_resets)`` where increase = Σ
+    max(Δ, 0) (decimal, order-independent because each Δ is fixed by the
+    per-series ts order before the sum) and n_resets = #(Δ < 0).
+    Shape: one tsid-partitioned lag window + one groupBy — series count is
+    the parallelism.
+    """
+    w = Window.partitionBy("tsid").orderBy("ts", "v")
+    v = F.col("value").cast("decimal(18,4)")
+    d = samples.select("tsid", "ts", v.alias("v")).withColumn(
+        "prev", F.lag("v").over(w)
+    )
+    delta = F.col("v") - F.col("prev")
+    return (
+        d.groupBy("tsid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.sum(
+                F.when(delta > 0, delta).otherwise(F.lit(0).cast("decimal(18,4)"))
+            ).alias("_inc"),
+            F.sum(F.when(delta < 0, 1).otherwise(0)).cast("bigint").alias("n_resets"),
+        )
+        .select(
+            "tsid",
+            "n_samples",
+            F.col("_inc").cast("double").alias("increase"),
+            "n_resets",
+        )
+    )

@@ -257,3 +257,23 @@ def test_stddev_over_time_exact(spark):
     )
     r = stddev_over_time(samples).collect()[0]
     assert (r.n, r.v_sum, r.stddev_pop) == (8, 40.0, 2.0)
+
+
+def test_counter_stats_increase_and_resets(spark):
+    import datetime as dt
+
+    from tagtree_spark.tsdb.promql import counter_stats
+
+    T = dt.datetime
+    # series 1: 10 → 13 → 4 (reset) → 9: increase = 3 + 5 = 8, resets = 1
+    samples = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 0), 10.0),
+            (1, T(2024, 1, 1, 1), 13.0),
+            (1, T(2024, 1, 1, 2), 4.0),
+            (1, T(2024, 1, 1, 3), 9.0),
+        ],
+        "tsid long, ts timestamp, value double",
+    )
+    r = counter_stats(samples).collect()[0]
+    assert (r.n_samples, r.increase, r.n_resets) == (4, 8.0, 1)
