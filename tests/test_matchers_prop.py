@@ -142,3 +142,69 @@ def test_pack_sequences_invariants(rows, budget):
             assert r.end_seq == last_tok // budget
             assert r.begin_seq <= r.end_seq
             expect_off += r.n_tokens
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_repetition_features_matches_python(word_lists):
+    """repetition_features ≡ a pure-Python reference for arbitrary token
+    streams (dup fractions, bigram sets, immediate repeats)."""
+    spark = _get_spark()
+    from tagtree_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws), "en", "s", 0) for i, ws in enumerate(word_lists)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.doc_id: r for r in repetition_features(docs).collect()}
+    for i, ws in enumerate(word_lists):
+        grams = [f"{ws[j]} {ws[j+1]}" for j in range(len(ws) - 1)]
+        r = out[i]
+        assert r.n_tokens == len(ws)
+        assert r.n_uniq_tokens == len(set(ws))
+        assert r.n_2grams == len(grams)
+        assert r.n_uniq_2grams == len(set(grams))
+        assert r.n_repeat_pairs == sum(ws[j] == ws[j + 1] for j in range(len(ws) - 1))
+        assert r.dup_token_frac == (len(ws) - len(set(ws))) / len(ws)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_counter_stats_matches_python(rows):
+    """counter_stats ≡ a pure-Python reference: per-series ordered deltas,
+    positive-delta sum, reset count."""
+    import datetime as dt
+
+    spark = _get_spark()
+    from tagtree_spark.tsdb.promql import counter_stats
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (tsid, base + dt.timedelta(minutes=i), float(v))
+        for i, (tsid, v) in enumerate(rows)
+    ]
+    samples = spark.createDataFrame(data, "tsid long, ts timestamp, value double")
+    out = {r.tsid: r for r in counter_stats(samples).collect()}
+    series: dict = {}
+    for tsid, ts, v in data:
+        series.setdefault(tsid, []).append((ts, v))
+    for tsid, pts in series.items():
+        pts.sort()
+        vals = [v for _, v in pts]
+        deltas = [b - a for a, b in zip(vals, vals[1:])]
+        r = out[tsid]
+        assert r.n_samples == len(vals)
+        assert r.increase == sum(d for d in deltas if d > 0)
+        assert r.n_resets == sum(1 for d in deltas if d < 0)
