@@ -172,3 +172,69 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     # spread: a single-file input would otherwise run all Python batches
     # in ONE task — Arrow parallelism needs input partitions.
     return spread(media).mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+MAX_WINDOWS = 6
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("start_unit", LongType()),
+        StructField("n_units", LongType()),
+        StructField("win_h60", LongType()),
+    ]
+)
+
+
+def audio_from_documents(docs: DataFrame) -> DataFrame:
+    """Audio-shaped multimodal table from the documents fixture: payload =
+    utf-8 bytes standing in for PCM samples, with the sample-rate metadata
+    a real audio table carries (sample_rate drives window geometry)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.map_from_arrays(
+            F.array(F.lit("sample_rate"), F.lit("channels")),
+            F.array(F.lit("100"), F.lit("1")),
+        ).alias("meta"),
+    )
+
+
+def audio_windows(media: DataFrame, win_ms: int = 500, hop_ms: int = 300) -> DataFrame:
+    """Overlapping analysis windows over an audio payload — the STFT/VAD
+    framing shape (window length and hop derived from the row's OWN
+    sample-rate metadata, hop < win ⇒ overlap), 1→N inside the Arrow
+    batch. With codecs stubbed, "samples" are characters of the decoded
+    payload (mirroring the oracle's char-indexed substr); the window
+    feature is the content hash of the window's bytes. Real decode would
+    swap `_chunk_units` for PCM frames — geometry, schema, and batching
+    are the real, tested part."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "win_idx": [], "start_unit": [], "n_units": [], "win_h60": []
+            }
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                m = dict(meta) if meta is not None else {}
+                sr = int(m.get("sample_rate", "100"))
+                win = max(1, sr * win_ms // 1000)
+                hop = max(1, sr * hop_ms // 1000)
+                units = _chunk_units(bytes(payload))
+                k = 0
+                while k * hop < len(units) and k < MAX_WINDOWS:
+                    chunk = units[k * hop : k * hop + win]
+                    raw = chunk.encode("utf-8") if isinstance(chunk, str) else chunk
+                    out["media_id"].append(int(mid))
+                    out["win_idx"].append(k)
+                    out["start_unit"].append(k * hop)
+                    out["n_units"].append(len(chunk))
+                    out["win_h60"].append(_h60_bytes(raw))
+                    k += 1
+            yield pd.DataFrame(out).astype(
+                {c: "int64" for c in ("media_id", "win_idx", "start_unit", "n_units", "win_h60")}
+            )
+
+    return spread(media).mapInPandas(batches, schema=AUDIO_WINDOW_SCHEMA)

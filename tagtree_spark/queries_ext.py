@@ -2077,3 +2077,26 @@ def q81_counter_stats(spark, sf_dir):
 
     _, _, samples = _model(spark, sf_dir)
     return counter_stats(samples).orderBy("tsid")
+
+
+@query(
+    "q82_audio_windows",
+    f"""
+SELECT doc_id AS media_id,
+       CAST(k AS BIGINT) AS win_idx,
+       CAST(k * 30 AS BIGINT) AS start_unit,
+       CAST(length(substr(text, k * 30 + 1, 50)) AS BIGINT) AS n_units,
+       {duck_h60("substr(text, k * 30 + 1, 50)")} AS win_h60
+FROM documents, range(0, 6) t(k)
+WHERE k * 30 < length(text)
+ORDER BY media_id, win_idx""",
+)
+def q82_audio_windows(spark, sf_dir):
+    """E5 overlapping audio analysis windows (STFT/VAD framing shape):
+    window/hop geometry from per-row sample-rate metadata, 1→N expansion
+    inside Arrow batches, char-indexed to mirror the oracle's substr
+    (ADVICE r2's byte/char rule)."""
+    from tagtree_spark.operators.multimodal import audio_from_documents, audio_windows
+
+    media = audio_from_documents(_docs(spark, sf_dir))
+    return audio_windows(media, win_ms=500, hop_ms=300).orderBy("media_id", "win_idx")

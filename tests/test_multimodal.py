@@ -113,3 +113,36 @@ def test_multibyte_text_chunks_by_characters(spark):
     )
     assert feat.head_h60 == d_head
     assert frames == d_chunks
+
+
+def test_audio_windows_geometry_and_overlap(spark):
+    from tagtree_spark.operators.multimodal import audio_from_documents, audio_windows
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 120, "en", "s", 120)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    # sr=100, win=50, hop=30 → starts 0,30,60,90 (120 chars); window 3 is
+    # the 30-char tail
+    rows = sorted(
+        audio_windows(audio_from_documents(docs)).collect(), key=lambda r: r.win_idx
+    )
+    assert [r.start_unit for r in rows] == [0, 30, 60, 90]
+    assert [r.n_units for r in rows] == [50, 50, 50, 30]
+    # overlap: identical content ('x'*50) → identical window hashes
+    assert rows[0].win_h60 == rows[1].win_h60 == rows[2].win_h60
+    assert rows[3].win_h60 != rows[0].win_h60
+
+
+def test_audio_windows_caps_window_count(spark):
+    from tagtree_spark.operators.multimodal import (
+        MAX_WINDOWS,
+        audio_from_documents,
+        audio_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "y" * 5000, "en", "s", 5000)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    assert audio_windows(audio_from_documents(docs)).count() == MAX_WINDOWS
