@@ -2100,3 +2100,36 @@ def q82_audio_windows(spark, sf_dir):
 
     media = audio_from_documents(_docs(spark, sf_dir))
     return audio_windows(media, win_ms=500, hop_ms=300).orderBy("media_id", "win_idx")
+
+
+@query(
+    "q83_deriv",
+    TSDB_CTE
+    + """
+, d AS (
+  SELECT tsid, epoch_us(ts) // 1000000 AS t, CAST(value AS DECIMAL(18,4)) AS y
+  FROM samples
+), c AS (
+  SELECT tsid, t - min(t) OVER (PARTITION BY tsid) AS x, y FROM d
+), g AS (
+  SELECT tsid, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy,
+         sum(CAST(x AS DECIMAL(18,0)) * y) AS sxy,
+         CAST(max(x) AS BIGINT) AS span
+  FROM c GROUP BY tsid
+)
+SELECT tsid, n, span AS dt_span_s,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE)
+            END AS slope_per_sec
+FROM g ORDER BY tsid""",
+)
+def q83_deriv(spark, sf_dir):
+    """PromQL deriv: per-series least-squares slope — centered integer x,
+    decimal moment sums (order-independent), one final double division."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import deriv
+
+    _, _, samples = _model(spark, sf_dir)
+    return deriv(samples).orderBy("tsid")

@@ -371,3 +371,42 @@ def counter_stats(samples: DataFrame) -> DataFrame:
             "n_resets",
         )
     )
+
+
+def deriv(samples: DataFrame) -> DataFrame:
+    """PromQL ``deriv``: per-series least-squares slope of value over time
+    (units: value per second).
+
+    Cross-engine exact: x is CENTERED integer seconds (ts − first ts of
+    the series — keeps Σx² small enough for exact decimal/bigint
+    arithmetic and is the numerically standard form), y is DECIMAL; all
+    four moment sums are order-independent, and the slope is ONE double
+    division of exact operands:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    → ``(tsid, n, dt_span_s, slope_per_sec)``; series with a single
+    sample or zero time span emit NULL slope (PromQL returns nothing; the
+    row keeps the counts). Shape: one tsid-partitioned min-window + one
+    groupBy.
+    """
+    w = Window.partitionBy("tsid")
+    ts_s = F.unix_timestamp("ts").cast("bigint")
+    d = samples.select("tsid", ts_s.alias("t"), F.col("value").cast("decimal(18,4)").alias("y"))
+    d = d.withColumn("x", (F.col("t") - F.min("t").over(w)).cast("bigint"))
+    g = d.groupBy("tsid").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+        F.max("x").alias("span"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return g.select(
+        "tsid",
+        "n",
+        F.col("span").cast("bigint").alias("dt_span_s"),
+        F.when(den != 0, num / den).alias("slope_per_sec"),
+    )

@@ -277,3 +277,25 @@ def test_counter_stats_increase_and_resets(spark):
     )
     r = counter_stats(samples).collect()[0]
     assert (r.n_samples, r.increase, r.n_resets) == (4, 8.0, 1)
+
+
+def test_deriv_exact_slope(spark):
+    import datetime as dt
+
+    from tagtree_spark.tsdb.promql import deriv
+
+    T = dt.datetime
+    # series 1: y = 2x + 1 over x = 0, 60, 120 s → slope exactly 2/60
+    samples = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 0, 0, 0), 1.0),
+            (1, T(2024, 1, 1, 0, 1, 0), 3.0),
+            (1, T(2024, 1, 1, 0, 2, 0), 5.0),
+            (2, T(2024, 1, 1), 7.0),  # single sample → NULL slope
+        ],
+        "tsid long, ts timestamp, value double",
+    )
+    out = {r.tsid: r for r in deriv(samples).collect()}
+    assert out[1].slope_per_sec == 2.0 / 60.0
+    assert out[1].dt_span_s == 120
+    assert out[2].slope_per_sec is None
