@@ -2064,14 +2064,15 @@ def q80_regional_volume(spark, sf_dir):
 SELECT tsid, CAST(count(*) AS BIGINT) AS n_samples,
        CAST(sum(CASE WHEN v - prev > 0 THEN v - prev
                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS increase,
-       CAST(sum(CASE WHEN v - prev < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+       CAST(sum(CASE WHEN v - prev < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       CAST(sum(CASE WHEN v - prev <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
 FROM d GROUP BY tsid ORDER BY tsid""",
 )
 def q81_counter_stats(spark, sf_dir):
-    """PromQL increase + resets per series: counter-reset-aware positive
-    delta sums in decimal (each delta fixed by the per-series ts order, so
-    the sum is order-independent) and reset counts — one lag window + one
-    groupBy."""
+    """PromQL increase + resets + changes per series: counter-reset-aware
+    positive delta sums in decimal (each delta fixed by the per-series ts
+    order, so the sum is order-independent) and reset/change counts — one
+    lag window + one groupBy."""
     from tagtree_spark.queries import _model
     from tagtree_spark.tsdb.promql import counter_stats
 

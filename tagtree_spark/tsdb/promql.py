@@ -343,11 +343,11 @@ def counter_stats(samples: DataFrame) -> DataFrame:
     consecutive-sample deltas in DECIMAL (cast(double→decimal) rounds
     identically cross-engine), counter resets detected as negative deltas.
 
-    → ``(tsid, n_samples, increase, n_resets)`` where increase = Σ
-    max(Δ, 0) (decimal, order-independent because each Δ is fixed by the
-    per-series ts order before the sum) and n_resets = #(Δ < 0).
-    Shape: one tsid-partitioned lag window + one groupBy — series count is
-    the parallelism.
+    → ``(tsid, n_samples, increase, n_resets, n_changes)`` where increase
+    = Σ max(Δ, 0) (decimal, order-independent because each Δ is fixed by
+    the per-series ts order before the sum), n_resets = #(Δ < 0), and
+    n_changes = #(Δ ≠ 0) (PromQL ``changes``). Shape: one tsid-partitioned
+    lag window + one groupBy — series count is the parallelism.
     """
     w = Window.partitionBy("tsid").orderBy("ts", "v")
     v = F.col("value").cast("decimal(18,4)")
@@ -363,12 +363,14 @@ def counter_stats(samples: DataFrame) -> DataFrame:
                 F.when(delta > 0, delta).otherwise(F.lit(0).cast("decimal(18,4)"))
             ).alias("_inc"),
             F.sum(F.when(delta < 0, 1).otherwise(0)).cast("bigint").alias("n_resets"),
+            F.sum(F.when(delta != 0, 1).otherwise(0)).cast("bigint").alias("n_changes"),
         )
         .select(
             "tsid",
             "n_samples",
             F.col("_inc").cast("double").alias("increase"),
             "n_resets",
+            "n_changes",
         )
     )
 
