@@ -2134,3 +2134,58 @@ def q83_deriv(spark, sf_dir):
 
     _, _, samples = _model(spark, sf_dir)
     return deriv(samples).orderBy("tsid")
+
+
+@query(
+    "q84_minhash_calibration",
+    _MINHASH_PAIRS_CTES
+    + """
+SELECT p.doc_a, p.doc_b, p.n_match,
+       CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS n_common,
+       CAST(len(ha.hs) AS BIGINT) AS n_a,
+       CAST(len(hb.hs) AS BIGINT) AS n_b,
+       CAST(p.n_match AS DOUBLE) / 12 AS j_est,
+       CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+       (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS j_exact
+FROM mh_pairs p
+JOIN hsed ha ON ha.doc_id = p.doc_a
+JOIN hsed hb ON hb.doc_id = p.doc_b
+ORDER BY doc_a, doc_b""",
+)
+def q84_minhash_calibration(spark, sf_dir):
+    """Estimator calibration: for every verified MinHash near-dup pair,
+    the signature-agreement estimate (n_match/12) next to the EXACT
+    shingle-set Jaccard — the number that tells an operator whether the
+    banding scheme matches the corpus. Exact side = array_intersect over
+    the per-doc distinct shingle-hash arrays (integer counts, single
+    final divisions)."""
+    from tagtree_spark.operators.dedup import shingle_hashes, word_shingles
+
+    docs = _docs(spark, sf_dir)
+    hs = (
+        word_shingles(
+            spread(docs).where(F.size(F.split(F.col("text"), " ")) >= 3)
+        )
+        .select(F.col("doc_id"), shingle_hashes("shingles").alias("hs"))
+    )
+    pairs = _mh_pairs(spark, sf_dir)
+    ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    common = F.size(F.array_intersect("ha", "hb")).cast("bigint")
+    na = F.size("ha").cast("bigint")
+    nb = F.size("hb").cast("bigint")
+    return (
+        pairs.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            common.alias("n_common"),
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            (F.col("n_match").cast("double") / 12).alias("j_est"),
+            (common.cast("double") / (na + nb - common)).alias("j_exact"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
