@@ -2189,3 +2189,33 @@ def q84_minhash_calibration(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _q85_oracle():
+    from tagtree_spark.operators.layout import duck_zorder_key
+
+    zk = duck_zorder_key("l_orderkey", "l_partkey")
+    return f"""
+WITH z AS (
+  SELECT {zk} AS zk, l_orderkey AS x, l_partkey AS y FROM lineitem
+), m AS (
+  SELECT max(zk) AS mz FROM z
+)
+SELECT CAST(zk // greatest(1, (mz + 1) // 16) AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+FROM z, m GROUP BY 1 ORDER BY zbucket"""
+
+
+@query("q85_zorder_profile", _q85_oracle())
+def q85_zorder_profile(spark, sf_dir):
+    """Z-order layout profile: Morton-interleave (l_orderkey, l_partkey),
+    bucket by key range, and report each bucket's min/max on BOTH
+    dimensions — the file-statistics evidence that an interleaved sort
+    gives simultaneous two-column data skipping. Pure integer bit
+    arithmetic, bit-identical cross-engine."""
+    from tagtree_spark.operators.layout import zorder_bucket_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return zorder_bucket_profile(li, "l_orderkey", "l_partkey").orderBy("zbucket")

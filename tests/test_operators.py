@@ -643,3 +643,27 @@ def test_pivot_missing_combo_counts_zero(spark):
     assert out["u1"].n_view == 0 and out["u1"].n_purchase == 0
     assert out["u0"].n_purchase == 0
     assert out["u1"].sum_view is None  # sums stay NULL in both engines
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from tagtree_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    # x=0b011 → bits at 0,2; y=0b101 → bits at 1,5 → z = 1+4 + 2+128... compute:
+    # x bits: i0→pos0(1), i1→pos2(4); y bits: i0→pos1(2), i2→pos5(32)
+    z = df.select(zorder_key("x", "y").alias("z")).collect()[0].z
+    assert z == 1 + 4 + 2 + 32
+
+
+def test_zorder_buckets_cluster_both_dims(spark):
+    """On a diagonal-ish dataset, z-bucket ranges must be tighter than the
+    full domain on BOTH dimensions (the data-skipping property)."""
+    from tagtree_spark.operators.layout import zorder_bucket_profile
+
+    rows = [(i, i) for i in range(1024)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    prof = zorder_bucket_profile(df, "x", "y", n_buckets=8).collect()
+    assert len(prof) >= 4
+    for r in prof:
+        assert r.max_x - r.min_x < 1023  # tighter than the full domain
+        assert r.max_y - r.min_y < 1023
