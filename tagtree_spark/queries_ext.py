@@ -2219,3 +2219,154 @@ def q85_zorder_profile(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return zorder_bucket_profile(li, "l_orderkey", "l_partkey").orderBy("zbucket")
+
+
+@query(
+    "q86_predict_linear",
+    TSDB_CTE
+    + """
+, d AS (
+  SELECT tsid, epoch_us(ts) // 1000000 AS t, CAST(value AS DECIMAL(18,4)) AS y
+  FROM samples
+), c AS (
+  SELECT tsid, t - min(t) OVER (PARTITION BY tsid) AS x, y FROM d
+), g AS (
+  SELECT tsid, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy,
+         sum(CAST(x AS DECIMAL(18,0)) * y) AS sxy,
+         CAST(max(x) AS BIGINT) AS span
+  FROM c GROUP BY tsid
+), s AS (
+  SELECT tsid, n, span,
+         CAST(n * sxy - sx * sy AS DOUBLE) /
+         CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+  FROM g
+)
+SELECT tsid, n, span AS dt_span_s,
+       CASE WHEN den <> 0 THEN slope END AS slope_per_sec,
+       CASE WHEN den <> 0
+            THEN (syd - slope * sxd) / CAST(n AS DOUBLE)
+                 + slope * CAST(span + 3600 AS DOUBLE)
+            END AS predicted
+FROM s ORDER BY tsid""",
+)
+def q86_predict_linear(spark, sf_dir):
+    """PromQL predict_linear: least-squares extrapolation 1h past each
+    series' last sample — exact decimal moments, then a fixed chain of
+    IEEE ops written identically in both engines."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import predict_linear
+
+    _, _, samples = _model(spark, sf_dir)
+    return predict_linear(samples, horizon_s=3600).orderBy("tsid")
+
+
+@query(
+    "q87_quantile_over_time",
+    TSDB_CTE
+    + """
+, d AS (
+  SELECT tsid, ts, value,
+         row_number() OVER (PARTITION BY tsid ORDER BY value, ts) AS rn,
+         count(*) OVER (PARTITION BY tsid) AS nn
+  FROM samples
+)
+SELECT tsid, CAST(count(*) AS BIGINT) AS n_samples,
+       max(CASE WHEN rn = CAST(floor(0.5 * CAST(nn - 1 AS DOUBLE)) AS BIGINT) + 1
+                THEN value END) AS q50,
+       max(CASE WHEN rn = CAST(floor(0.9 * CAST(nn - 1 AS DOUBLE)) AS BIGINT) + 1
+                THEN value END) AS q90,
+       max(CASE WHEN rn = CAST(floor(0.99 * CAST(nn - 1 AS DOUBLE)) AS BIGINT) + 1
+                THEN value END) AS q99
+FROM d GROUP BY tsid ORDER BY tsid""",
+)
+def q87_quantile_over_time(spark, sf_dir):
+    """PromQL quantile_over_time (discrete): per-series p50/p90/p99 picked
+    at rank floor(q*(n-1))+1 — a pick, not arithmetic, so the doubles are
+    cross-engine exact."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import quantile_over_time
+
+    _, _, samples = _model(spark, sf_dir)
+    return quantile_over_time(samples, qs=(0.5, 0.9, 0.99)).orderBy("tsid")
+
+
+@query(
+    "q88_gauge_delta",
+    TSDB_CTE
+    + """
+, d AS (
+  SELECT tsid, value,
+         row_number() OVER (PARTITION BY tsid ORDER BY ts, value) AS rn,
+         count(*) OVER (PARTITION BY tsid) AS nn
+  FROM samples
+)
+SELECT tsid, CAST(count(*) AS BIGINT) AS n_samples,
+       max(CASE WHEN rn = 1 THEN value END) AS first_v,
+       max(CASE WHEN rn = nn THEN value END) AS last_v,
+       max(CASE WHEN rn = nn THEN value END)
+         - max(CASE WHEN rn = 1 THEN value END) AS delta,
+       CASE WHEN max(nn) >= 2
+            THEN max(CASE WHEN rn = nn THEN value END)
+                 - max(CASE WHEN rn = nn - 1 THEN value END)
+            END AS idelta
+FROM d GROUP BY tsid ORDER BY tsid""",
+)
+def q88_gauge_delta(spark, sf_dir):
+    """PromQL delta + idelta for gauges: last-minus-first and last-minus-
+    previous per series — single IEEE subtractions on raw sample values."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import gauge_delta
+
+    _, _, samples = _model(spark, sf_dir)
+    return gauge_delta(samples).orderBy("tsid")
+
+
+# Holt-Winters oracle: the smoothing recurrence as a RECURSIVE CTE, one
+# step per sample rank. NOT list_reduce: DuckDB's list_reduce mutates the
+# accumulator struct field-by-field IN PLACE (field 2's expression sees
+# field 1's NEW value), so a struct-state fold silently computes a
+# different recurrence than Spark's snapshot-semantics F.aggregate.
+# `_HW_SN` (the new level) appears inside the trend update too — pasted
+# verbatim so both engines evaluate the identical IEEE op chain.
+_HW_SN = (
+    "0.5 * n.value + 0.5 * (r.s + "
+    "(CASE WHEN n.rn = 2 THEN n.value - r.s ELSE r.b END))"
+)
+
+
+@query(
+    "q89_holt_winters",
+    TSDB_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, s0 AS (
+  SELECT tsid, value,
+         row_number() OVER (PARTITION BY tsid ORDER BY ts, value) AS rn,
+         count(*) OVER (PARTITION BY tsid) AS nn
+  FROM samples
+), rec AS (
+  SELECT tsid, rn, nn, CAST(value AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS b
+  FROM s0 WHERE rn = 1
+  UNION ALL
+  SELECT n.tsid, n.rn, n.nn,
+         {_HW_SN} AS s,
+         0.25 * (({_HW_SN}) - r.s)
+           + 0.75 * (CASE WHEN n.rn = 2 THEN n.value - r.s ELSE r.b END) AS b
+  FROM rec r JOIN s0 n ON n.tsid = r.tsid AND n.rn = r.rn + 1
+)
+SELECT tsid, CAST(nn AS BIGINT) AS n_samples, s AS smoothed
+FROM rec WHERE rn = nn ORDER BY tsid""",
+)
+def q89_holt_winters(spark, sf_dir):
+    """PromQL holt_winters (Holt's linear trend): sequential left-to-right
+    fold of each series' time-ordered values — Spark F.aggregate ≡ the
+    oracle's step-per-rank recursive CTE, identical IEEE op order per
+    step, bit-identical doubles. Smoothing constants 0.5/0.25 are exactly
+    representable so 1−α is too."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import holt_winters
+
+    _, _, samples = _model(spark, sf_dir)
+    return holt_winters(samples).orderBy("tsid")

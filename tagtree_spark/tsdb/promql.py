@@ -412,3 +412,164 @@ def deriv(samples: DataFrame) -> DataFrame:
         F.col("span").cast("bigint").alias("dt_span_s"),
         F.when(den != 0, num / den).alias("slope_per_sec"),
     )
+
+
+def predict_linear(samples: DataFrame, horizon_s: int) -> DataFrame:
+    """PromQL ``predict_linear(v[range], t)``: least-squares extrapolation
+    ``horizon_s`` seconds past each series' last sample.
+
+    Same exact-moment discipline as :func:`deriv` (centered integer x,
+    decimal y, order-independent sums); slope, intercept, and the
+    prediction are then a FIXED chain of IEEE ops —
+    ``intercept = (Σy − slope·Σx)/n``, ``pred = intercept +
+    slope·(span + horizon)`` — written in the same order in the oracle,
+    so the doubles match bit-for-bit.
+
+    → ``(tsid, n, dt_span_s, slope_per_sec, predicted)``; single-sample /
+    zero-span series emit NULL slope and prediction (PromQL drops them).
+    """
+    w = Window.partitionBy("tsid")
+    ts_s = F.unix_timestamp("ts").cast("bigint")
+    d = samples.select(
+        "tsid", ts_s.alias("t"), F.col("value").cast("decimal(18,4)").alias("y")
+    )
+    d = d.withColumn("x", (F.col("t") - F.min("t").over(w)).cast("bigint"))
+    g = d.groupBy("tsid").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+        F.max("x").alias("span"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    pred = intercept + slope * (F.col("span") + F.lit(horizon_s)).cast("double")
+    return g.select(
+        "tsid",
+        "n",
+        F.col("span").cast("bigint").alias("dt_span_s"),
+        F.when(den != 0, slope).alias("slope_per_sec"),
+        F.when(den != 0, pred).alias("predicted"),
+    )
+
+
+def quantile_over_time(samples: DataFrame, qs: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """PromQL ``quantile_over_time`` (discrete form) per series: for each
+    q, the sample value at rank ``floor(q·(n−1)) + 1`` of the series'
+    values sorted ascending.
+
+    The PICK involves no arithmetic on the value (cross-engine exact for
+    doubles); the rank index uses one identical IEEE multiply + floor in
+    both engines. Ties on value are ordered by ts — the picked VALUE is
+    the same under any tie order. Shape: one tsid-partitioned sort window
+    + one groupBy; series count is the parallelism, no value buffering
+    beyond the window sort (TSDB series are time-bounded; for unbounded
+    groups use aggregates.approx_percentiles).
+
+    → ``(tsid, n_samples, q50, q90, ...)``.
+    """
+    w = Window.partitionBy("tsid").orderBy("value", "ts")
+    wn = Window.partitionBy("tsid")
+    d = (
+        samples.select("tsid", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nn", F.count("*").over(wn))
+    )
+    aggs = [F.count("*").cast("bigint").alias("n_samples")]
+    for q in qs:
+        k = F.floor(F.lit(q) * (F.col("nn") - 1).cast("double")) + 1
+        aggs.append(
+            F.max(F.when(F.col("rn") == k, F.col("value"))).alias(
+                f"q{int(q * 100)}"
+            )
+        )
+    return d.groupBy("tsid").agg(*aggs)
+
+
+def gauge_delta(samples: DataFrame) -> DataFrame:
+    """PromQL ``delta`` + ``idelta`` for gauges over each series' full
+    range: ``delta = v_last − v_first``, ``idelta = v_last − v_prev``
+    (last two samples). Each is ONE IEEE subtraction of raw sample doubles
+    — no accumulation, cross-engine deterministic. Ties on ts order by
+    value (total order). Series with <2 samples emit NULL idelta;
+    single-sample delta is 0-span (v−v=0), kept with its count like
+    counter_stats.
+
+    → ``(tsid, n_samples, first_v, last_v, delta, idelta)``. Shape: one
+    tsid-partitioned rank window + one groupBy.
+    """
+    w = Window.partitionBy("tsid").orderBy("ts", "value")
+    wn = Window.partitionBy("tsid")
+    d = (
+        samples.select("tsid", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nn", F.count("*").over(wn))
+    )
+    first_v = F.max(F.when(F.col("rn") == 1, F.col("value")))
+    last_v = F.max(F.when(F.col("rn") == F.col("nn"), F.col("value")))
+    prev_v = F.max(F.when(F.col("rn") == F.col("nn") - 1, F.col("value")))
+    return d.groupBy("tsid").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        first_v.alias("first_v"),
+        last_v.alias("last_v"),
+        (last_v - first_v).alias("delta"),
+        F.when(F.max("nn") >= 2, last_v - prev_v).alias("idelta"),
+    )
+
+
+#: Holt smoothing constants — chosen EXACTLY representable in binary
+#: (0.5, 0.25) so `1−α` / `1−β` are identical literals in both engines
+#: (1.0−0.3 ≠ literal 0.7 in IEEE — inexact constants would hash-differ).
+HOLT_SF = 0.5
+HOLT_TF = 0.25
+
+
+def holt_winters(samples: DataFrame, sf: float = HOLT_SF, tf: float = HOLT_TF) -> DataFrame:
+    """PromQL ``holt_winters`` (Holt's linear trend / double exponential
+    smoothing) per series: the smoothed level after folding the series'
+    time-ordered values with
+
+        ℓ₀ = v₀;  b from ℓ₁'s step: b₁ = v₁ − v₀
+        ℓᵢ = α·vᵢ + (1−α)(ℓᵢ₋₁ + bᵢ₋₁);  bᵢ = β(ℓᵢ − ℓᵢ₋₁) + (1−β)bᵢ₋₁
+
+    This is a SEQUENTIAL left-to-right fold — Spark ``F.aggregate`` over
+    the per-series sorted value array ≡ DuckDB ``list_reduce`` (identical
+    bracketing, CLAUDE.md rule 3), so the smoothed doubles match
+    bit-for-bit. The per-series array is bounded (a series' window), same
+    memory envelope as the window sort the other *_over_time ops use.
+
+    → ``(tsid, n_samples, smoothed)``.
+    """
+    inv_sf, inv_tf = 1.0 - sf, 1.0 - tf
+
+    def step(acc, x):
+        s, b, i = acc["s"], acc["b"], acc["i"]
+        beff = F.when(i == 1, x - s).otherwise(b)
+        snew = F.when(i == 0, x).otherwise(
+            F.lit(sf) * x + F.lit(inv_sf) * (s + beff)
+        )
+        bnew = F.when(i == 0, F.lit(0.0)).otherwise(
+            F.lit(tf) * (snew - s) + F.lit(inv_tf) * beff
+        )
+        return F.struct(snew.alias("s"), bnew.alias("b"), (i + F.lit(1)).alias("i"))
+
+    g = samples.groupBy("tsid").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "value"))),
+            lambda st: st["value"],
+        ).alias("_vs"),
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("s"), F.lit(0.0).alias("b"), F.lit(0).alias("i")
+    )
+    return g.select(
+        "tsid",
+        "n_samples",
+        F.aggregate(F.col("_vs"), zero, step, lambda st: st["s"]).alias("smoothed"),
+    )
