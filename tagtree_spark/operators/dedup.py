@@ -565,3 +565,57 @@ def cross_corpus_near_dup(
         F.when(F.col("og_a") == 0, F.col("doc_b")).otherwise(F.col("doc_a")).alias("b_id"),
         "n_match",
     )
+
+
+def span_dup_stats(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring (span) duplication profile: for each document, how
+    many of its n-token sliding windows occur elsewhere in the corpus.
+
+    The suffix-array span dedup of the dedup-training-data line of work,
+    re-expressed for Spark: every length-``n`` token window is hashed
+    (h60, so the oracle reproduces the buckets), windows are counted
+    corpus-wide, and a window with total occurrence count ≥ 2 — in
+    another document OR repeated within the same one — is "duplicated".
+    Downstream, a high ``dup_ratio`` flags boilerplate / templated docs
+    for removal, and the per-window counts are exactly the spans an
+    excision pass would cut.
+
+    Scale shape: one narrow projection per doc (split once, windows via
+    one transform over an index sequence — the words array is
+    materialized first so it is split once per row, not once per window),
+    explode to (doc, window-hash) pairs — the shuffle key is a 60-bit
+    int, never text — one count shuffle, one hash join back, one per-doc
+    aggregation. No self-join, no cross-join; the window-hash join is
+    AQE-sized (broadcasts when the duplicated set is small).
+
+    Docs shorter than ``n`` tokens have no windows and are excluded (they
+    cannot carry a duplicated span). → ``(doc_id, n_windows,
+    n_dup_windows, dup_ratio)``, dup_ratio an exact-integer division.
+    """
+    with_words = spread(docs).withColumn("_words", F.split(F.col(text_col), " "))
+    wins = F.expr(
+        f"transform(sequence(0, size(_words) - {n}), "
+        f"i -> conv(substring(md5(concat_ws(' ', slice(_words, i + 1, {n}))), 1, 15), 16, 10))"
+    )
+    exploded = (
+        with_words.where(F.size("_words") >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("_wh_s"))
+        .select("doc_id", F.col("_wh_s").cast("bigint").alias("wh"))
+    )
+    occ = exploded.groupBy("wh").agg(F.count("*").cast("bigint").alias("n_occ"))
+    return (
+        exploded.join(occ, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double"),
+        )
+    )

@@ -20,7 +20,7 @@ shuffle, trivially 100 TB-safe.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tagtree_spark.functions.hashing import h60
@@ -71,3 +71,35 @@ def weighted_mixture(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == k, F.lit(int(v))).otherwise(rate)
     return df.where(hash_bucket(id_col, stratum_col) < rate)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: every row gets a
+    ``(shard, pos)`` address that is a pure function of (epoch, id).
+
+    A training job reads shard s in pos order; different epochs get
+    statistically independent orders (the hash is salted with the epoch),
+    and re-running an epoch — on any cluster layout — reproduces the
+    identical order. This replaces ``ORDER BY rand()`` (seed- and
+    partitioning-dependent) and a single global ``row_number`` (one
+    executor sorts the world). The rank window partitions by shard, so
+    parallelism = n_shards and each sort is 1/n_shards of the data; at
+    100 TB set n_shards ≈ cluster cores and let each shard stream to its
+    own output file.
+
+    → ``(id_col, shard, pos)``, one row per input row.
+    """
+    idc = F.col(id_col)
+    key = h60(F.concat_ws(":", F.lit(f"e{epoch}"), idc.cast("string")))
+    shard = (key % F.lit(n_shards)).cast("bigint")
+    w = Window.partitionBy(shard).orderBy(key, idc)
+    return df.select(
+        idc,
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

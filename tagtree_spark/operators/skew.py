@@ -59,3 +59,49 @@ def salted_join(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return s.join(o, on=[*on, SALT_COL], how=how).drop(SALT_COL)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, "F.Column"],
+    n_salt: int = 16,
+    disambiguator: str | None = None,
+) -> DataFrame:
+    """Skew-safe two-phase aggregation: ``groupBy(keys)`` where one key
+    value may own far more rows than fit one shuffle partition.
+
+    Phase 1 groups by ``(keys, salt)`` — the hot key's rows spread over
+    ``n_salt`` shuffle partitions, each producing a partial (count, sums)
+    row. Phase 2 re-aggregates the ≤ |keys|·n_salt partials by ``keys``
+    alone — a trivially small shuffle. Result ≡ plain
+    ``df.groupBy(keys).agg(count, sums)`` EXACTLY, provided every summed
+    column is an integer/decimal type (re-aggregable, order-independent —
+    CLAUDE.md rule 2; pass doubles through ``.cast("decimal(18,4)")``).
+
+    Spark's own hash aggregate already does map-side partial aggregation,
+    which covers skew for single-stage aggs; ``salted_agg`` is for the
+    shapes where partials can't stay map-side (high-cardinality composite
+    keys spilling the hash map, or agg immediately after a wide
+    transformation repartitioned on the hot key). Mirrors the hot-key
+    strategy of :func:`salted_join`.
+
+    ``sums`` maps output column name → column expression to sum.
+    → one row per distinct ``keys`` with ``n_rows`` + the summed columns.
+    """
+    if disambiguator is None:
+        candidates = [c for c in df.columns if c not in keys]
+        if not candidates:
+            raise ValueError("need a non-key column to derive the salt")
+        disambiguator = candidates[0]
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(disambiguator), F.lit(n_salt)).cast("int")
+    )
+    partial = salted.groupBy(*keys, SALT_COL).agg(
+        F.count("*").alias("_n"),
+        *[F.sum(c).alias(f"_s_{name}") for name, c in sums.items()],
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        *[F.sum(f"_s_{name}").alias(name) for name in sums],
+    )

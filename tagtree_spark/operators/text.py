@@ -381,3 +381,34 @@ def token_rarity(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
             (F.col("df_sum").cast("double") / F.col("n_terms")).alias("mean_df"),
         )
     )
+
+
+def adjacent_pair_stats(docs: DataFrame, k: int = 30, text_col: str = "text") -> DataFrame:
+    """Corpus bigram (adjacent token pair) frequencies — the statistic a
+    BPE/WordPiece vocabulary builder's first merge round consumes, and a
+    cheap collocation signal for corpus QA.
+
+    Shape: split once per row (words materialized before the transform so
+    the lambda indexes, never re-splits), one transform over an index
+    sequence building "a b" pair strings, explode, ONE count shuffle
+    (map-side partial agg collapses repeated pairs per partition first),
+    TakeOrdered top-k. Pair strings are the shuffle key — bounded by 2×
+    max token length; at 100 TB swap the string key for h60(pair) and
+    join the winners back for display.
+
+    → ``(pair, n_pairs)``, top-``k`` by count with a total (count desc,
+    pair) order.
+    """
+    with_words = spread(docs).withColumn("_words", F.split(F.col(text_col), " "))
+    pairs = F.expr(
+        "transform(sequence(1, size(_words) - 1), "
+        "i -> concat(element_at(_words, i), ' ', element_at(_words, i + 1)))"
+    )
+    return (
+        with_words.where(F.size("_words") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "pair")
+        .limit(k)
+    )

@@ -2370,3 +2370,197 @@ def q89_holt_winters(spark, sf_dir):
 
     _, _, samples = _model(spark, sf_dir)
     return holt_winters(samples).orderBy("tsid")
+
+
+@query(
+    "q90_salted_agg",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q90_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation (salting): groupBy(event_type) where
+    one type may own most rows — phase 1 spreads each key over 16 salted
+    shuffle partitions, phase 2 merges the partials. Decimal sums make the
+    two-phase result EXACTLY the plain groupBy (the oracle is the plain
+    form)."""
+    from tagtree_spark.operators.skew import salted_agg
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"_sv": F.col("value").cast("decimal(18,4)")},
+        n_salt=16,
+        disambiguator="event_id",
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.col("_sv").cast("double").alias("sum_value"),
+        (F.col("_sv").cast("double") / F.col("n_rows").cast("double")).alias(
+            "avg_value"
+        ),
+    ).orderBy("event_type")
+
+
+@query(
+    "q91_epoch_shuffle",
+    f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {duck_h60("'e1' || ':' || CAST(doc_id AS VARCHAR)")} AS k
+  FROM documents
+), sharded AS (
+  SELECT doc_id, k, k % 8 AS shard FROM keyed
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+FROM sharded ORDER BY shard, pos""",
+)
+def q91_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training-order shuffle: (shard, pos) is a
+    pure function of (epoch, doc_id) — reproducible across runs, engines,
+    and cluster layouts; windows partition by shard, never global."""
+    from tagtree_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(_docs(spark, sf_dir), epoch=1, n_shards=8).orderBy(
+        "shard", "pos"
+    )
+
+
+@query(
+    "q92_span_dedup",
+    f"""
+WITH docw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), el AS (
+  SELECT doc_id,
+         {duck_h60("array_to_string(w[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')")} AS wh
+  FROM docw, unnest(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8
+), occ AS (
+  SELECT wh, CAST(count(*) AS BIGINT) AS n_occ FROM el GROUP BY wh
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_ratio
+FROM el JOIN occ USING (wh)
+GROUP BY doc_id ORDER BY doc_id""",
+)
+def q92_span_dedup(spark, sf_dir):
+    """Exact-substring (span) duplication profile: fraction of each doc's
+    8-token sliding windows that occur elsewhere in the corpus — the
+    span-level dedup signal (h60 window hashes, one count shuffle, one
+    join-back; no self-join)."""
+    from tagtree_spark.operators.dedup import span_dup_stats
+
+    return span_dup_stats(_docs(spark, sf_dir), n=8).orderBy("doc_id")
+
+
+@query(
+    "q93_bpe_pairs",
+    """
+WITH docw AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+), p AS (
+  SELECT w[CAST(i AS BIGINT)] || ' ' || w[CAST(i + 1 AS BIGINT)] AS pair
+  FROM docw, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY pair ORDER BY n_pairs DESC, pair LIMIT 30""",
+)
+def q93_bpe_pairs(spark, sf_dir):
+    """Corpus bigram frequencies (the first BPE merge round's statistic):
+    one transform over an index sequence, explode, one map-side-combined
+    count shuffle, TakeOrdered top-30."""
+    from tagtree_spark.operators.text import adjacent_pair_stats
+
+    return adjacent_pair_stats(_docs(spark, sf_dir), k=30)
+
+
+@query(
+    "q94_clamp_sgn",
+    TSDB_CTE
+    + """
+SELECT tsid, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN value < 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       min(least(greatest(value, 5.0), 100.0)) AS clamp_min,
+       max(least(greatest(value, 5.0), 100.0)) AS clamp_max,
+       CAST(sum(CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END)
+            AS BIGINT) AS sgn_sum
+FROM samples GROUP BY tsid ORDER BY tsid""",
+)
+def q94_clamp_sgn(spark, sf_dir):
+    """PromQL clamp(v, 5, 100) + sgn summarized per series: counts clipped
+    by each bound and post-clamp min/max — least/greatest PICK raw doubles
+    (no arithmetic), cross-engine exact."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import clamp_stats
+
+    _, _, samples = _model(spark, sf_dir)
+    return clamp_stats(samples, lo=5.0, hi=100.0).orderBy("tsid")
+
+
+@query(
+    "q95_bottomk_absent",
+    TSDB_CTE
+    + """
+, per AS (
+  SELECT tsid, CAST(count(*) AS BIGINT) AS n_samples,
+         sum(CAST(value AS DECIMAL(18,4))) AS tot
+  FROM samples GROUP BY tsid
+), ranked AS (
+  SELECT s.event_type, p.tsid, p.n_samples, p.tot,
+         row_number() OVER (PARTITION BY s.event_type
+                            ORDER BY p.tot ASC, p.tsid) AS rk
+  FROM per p JOIN series s USING (tsid)
+), bk AS (
+  SELECT event_type AS name, tsid, n_samples,
+         CAST(tot AS DOUBLE) AS total, CAST(rk AS BIGINT) AS rk,
+         CAST(0 AS BIGINT) AS absent
+  FROM ranked WHERE rk <= 2
+), probe AS (
+  SELECT * FROM (VALUES ('click'), ('error'), ('gone_metric'), ('nosuch')) v(name)
+), ab AS (
+  SELECT p.name, CAST(NULL AS BIGINT) AS tsid, CAST(NULL AS BIGINT) AS n_samples,
+         CAST(NULL AS DOUBLE) AS total, CAST(NULL AS BIGINT) AS rk,
+         CAST(1 AS BIGINT) AS absent
+  FROM probe p ANTI JOIN (SELECT DISTINCT event_type FROM series) s
+    ON p.name = s.event_type
+)
+SELECT * FROM bk UNION ALL SELECT * FROM ab
+ORDER BY absent, name, rk""",
+)
+def q95_bottomk_absent(spark, sf_dir):
+    """PromQL bottomk(2) by event_type + absent() over a probe list of
+    metric names, unioned into one alerting-shaped result: the 2 weakest
+    series per present metric, and absent=1 rows for names with no series."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import absent_names, bottomk_series
+
+    series, _, samples = _model(spark, sf_dir)
+    bk = bottomk_series(series, samples, "event_type", k=2).select(
+        F.col("event_type").alias("name"),
+        "tsid",
+        "n_samples",
+        "total",
+        "rk",
+        F.lit(0).cast("bigint").alias("absent"),
+    )
+    ab = absent_names(series, ["click", "error", "gone_metric", "nosuch"]).select(
+        "name",
+        F.lit(None).cast("bigint").alias("tsid"),
+        F.lit(None).cast("bigint").alias("n_samples"),
+        F.lit(None).cast("double").alias("total"),
+        F.lit(None).cast("bigint").alias("rk"),
+        "absent",
+    )
+    return bk.unionByName(ab).orderBy("absent", "name", "rk")

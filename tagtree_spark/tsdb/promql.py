@@ -110,10 +110,12 @@ def topk_series(
     samples: DataFrame,
     group_label: str,
     k: int = 3,
+    largest: bool = True,
 ) -> DataFrame:
     """PromQL aggregation-over-time ``topk(k, sum_over_time(...)) by
     (group_label)``: total sample value per series, ranked within each
-    group of ``group_label``, top-k kept.
+    group of ``group_label``, top-k kept. ``largest=False`` is PromQL's
+    ``bottomk`` (same plan, ascending rank; see :func:`bottomk_series`).
 
     → ``(<group_label>, tsid, n_samples, total, rk)``. Sums are
     DECIMAL(18,4) internally (order-independent), cast to DOUBLE once at
@@ -126,7 +128,8 @@ def topk_series(
         F.sum(F.col("value").cast("decimal(18,4)")).alias("_tot"),
     )
     labeled = per_series.join(series.select("tsid", group_label), "tsid")
-    w = Window.partitionBy(group_label).orderBy(F.col("_tot").desc(), F.col("tsid"))
+    rank_on = F.col("_tot").desc() if largest else F.col("_tot").asc()
+    w = Window.partitionBy(group_label).orderBy(rank_on, F.col("tsid"))
     return (
         labeled.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
@@ -572,4 +575,57 @@ def holt_winters(samples: DataFrame, sf: float = HOLT_SF, tf: float = HOLT_TF) -
         "tsid",
         "n_samples",
         F.aggregate(F.col("_vs"), zero, step, lambda st: st["s"]).alias("smoothed"),
+    )
+
+
+def bottomk_series(
+    series: DataFrame,
+    samples: DataFrame,
+    group_label: str,
+    k: int = 3,
+) -> DataFrame:
+    """PromQL ``bottomk(k, ...) by (group_label)`` — see :func:`topk_series`."""
+    return topk_series(series, samples, group_label, k=k, largest=False)
+
+
+def clamp_stats(samples: DataFrame, lo: float, hi: float) -> DataFrame:
+    """PromQL ``clamp(v, lo, hi)`` (+ ``sgn``) summarized per series:
+    sample count, how many samples each bound clipped, and the post-clamp
+    min/max, plus the sum of ``sgn(value)``.
+
+    Every output is either an integer count or a PICK of a raw double /
+    literal bound (``least``/``greatest`` select, never compute) — all
+    cross-engine exact. One groupBy(tsid) with map-side partials; the
+    clamp itself is a narrow projection a real pipeline would apply
+    sample-wise. → ``(tsid, n_samples, n_below, n_above, clamp_min,
+    clamp_max, sgn_sum)``.
+    """
+    v = F.col("value")
+    clamped = F.least(F.greatest(v, F.lit(float(lo))), F.lit(float(hi)))
+    sgn = F.when(v > 0, 1).when(v < 0, -1).otherwise(0)
+    return samples.groupBy("tsid").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        F.sum(F.when(v < lo, 1).otherwise(0)).cast("bigint").alias("n_below"),
+        F.sum(F.when(v > hi, 1).otherwise(0)).cast("bigint").alias("n_above"),
+        F.min(clamped).alias("clamp_min"),
+        F.max(clamped).alias("clamp_max"),
+        F.sum(sgn).cast("bigint").alias("sgn_sum"),
+    )
+
+
+def absent_names(series: DataFrame, names: list[str]) -> DataFrame:
+    """PromQL ``absent(name{...})`` evaluated for a batch of metric names:
+    emit ``(name, absent=1)`` for every probed name with NO series in the
+    index — the alerting primitive for "metric stopped reporting".
+
+    The probe list is a literal inline frame (broadcast by size);
+    presence is a distinct-project of the series table + left-anti join.
+    No shuffle beyond the distinct's.
+    """
+    spark = series.sparkSession
+    grid = spark.createDataFrame([(n,) for n in names], "name string")
+    present = series.select(F.col("event_type").alias("name")).distinct()
+    return (
+        grid.join(present, "name", "left_anti")
+        .select("name", F.lit(1).cast("bigint").alias("absent"))
     )

@@ -667,3 +667,81 @@ def test_zorder_buckets_cluster_both_dims(spark):
     for r in prof:
         assert r.max_x - r.min_x < 1023  # tighter than the full domain
         assert r.max_y - r.min_y < 1023
+
+
+def test_epoch_shuffle_deterministic_and_epoch_varying(documents):
+    from tagtree_spark.operators.sampling import epoch_shuffle
+
+    a = {(r["doc_id"]): (r["shard"], r["pos"]) for r in epoch_shuffle(documents, 1).collect()}
+    b = {(r["doc_id"]): (r["shard"], r["pos"]) for r in epoch_shuffle(documents, 1).collect()}
+    c = {(r["doc_id"]): (r["shard"], r["pos"]) for r in epoch_shuffle(documents, 2).collect()}
+    assert a == b  # rerun reproduces the identical order
+    assert a != c  # a different epoch reshuffles
+    # (shard, pos) is a dense unique address: every shard counts 1..n_shard
+    addrs = list(a.values())
+    assert len(set(addrs)) == len(addrs)
+    for s in {sh for sh, _ in addrs}:
+        ps = sorted(p for sh, p in addrs if sh == s)
+        assert ps == list(range(1, len(ps) + 1))
+
+
+def test_span_dup_stats_flags_shared_and_repeated_spans(spark):
+    from tagtree_spark.operators.dedup import span_dup_stats
+
+    w8 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    docs = spark.createDataFrame(
+        [
+            (1, w8 + " u1 u2"),          # 3 windows; first window shared with doc 2
+            (2, w8 + " z9 z8"),          # 3 windows; first window shared with doc 1
+            (3, w8 + " " + w8),          # within-doc repetition duplicates windows
+            (4, "a b c d e f g h"),      # 1 window, unique
+            (5, "too short"),            # < n tokens → excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in span_dup_stats(docs, n=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_windows"] == 3 and out[1]["n_dup_windows"] == 1
+    assert out[2]["n_windows"] == 3 and out[2]["n_dup_windows"] == 1
+    # doc 3: 9 windows; the full-repeat makes windows 1 and 9 identical
+    assert out[3]["n_windows"] == 9 and out[3]["n_dup_windows"] >= 2
+    assert out[4]["n_dup_windows"] == 0 and out[4]["dup_ratio"] == 0.0
+    assert out[1]["dup_ratio"] == 1.0 / 3.0
+
+
+def test_adjacent_pair_stats_counts(spark):
+    from tagtree_spark.operators.text import adjacent_pair_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "solo")], ["doc_id", "text"]
+    )
+    rows = adjacent_pair_stats(docs, k=10).collect()
+    counts = {r["pair"]: r["n_pairs"] for r in rows}
+    assert counts == {"a b": 3, "b a": 1, "b c": 1, "b x": 1, "a x": 0} or counts == {
+        "a b": 3,
+        "b a": 1,
+        "b c": 1,
+        "b x": 1,
+    }
+    assert rows[0]["pair"] == "a b"  # count-desc, pair-asc total order
+
+
+def test_clamp_stats_bounds_and_sgn(spark):
+    from tagtree_spark.tsdb.promql import clamp_stats
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    samples = spark.createDataFrame(
+        [
+            (1, t0, -3.0),
+            (1, t0 + dt.timedelta(seconds=1), 0.0),
+            (1, t0 + dt.timedelta(seconds=2), 7.5),
+            (1, t0 + dt.timedelta(seconds=3), 99.0),
+        ],
+        ["tsid", "ts", "value"],
+    )
+    r = clamp_stats(samples, lo=0.0, hi=50.0).collect()[0]
+    assert (r["n_samples"], r["n_below"], r["n_above"]) == (4, 1, 1)
+    assert (r["clamp_min"], r["clamp_max"]) == (0.0, 50.0)
+    assert r["sgn_sum"] == 1  # +1 +1 -1 0

@@ -54,3 +54,43 @@ def test_salt_is_deterministic(spark):
     a = salted_join(fact, dim, on=["k"]).orderBy("p").collect()
     b = salted_join(fact, dim, on=["k"]).orderBy("p").collect()
     assert a == b
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from tagtree_spark.operators.skew import salted_agg
+
+    # 95% of rows on one hot key
+    df = spark.range(0, 4000).select(
+        F.when(F.col("id") % 20 < 19, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 7).cast("decimal(18,4)").alias("v"),
+    )
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n_rows"], r["sv"])
+        for r in salted_agg(df, ["k"], {"sv": F.col("v")}, n_salt=8).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """Phase 1 must group on (keys, salt): the partial row count for the
+    hot key exceeds 1, i.e. no single reducer saw every hot row."""
+    from tagtree_spark.operators.skew import SALT_COL, salted_agg
+
+    df = spark.range(0, 1000).select(
+        F.lit("hot").alias("k"),
+        F.col("id").alias("rid"),
+        F.lit(1).cast("decimal(18,4)").alias("v"),
+    )
+    partial = df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64("rid"), F.lit(8)).cast("int")
+    ).groupBy("k", SALT_COL).count()
+    assert partial.count() > 1
+    out = salted_agg(df, ["k"], {"sv": F.col("v")}, n_salt=8).collect()
+    assert out[0]["n_rows"] == 1000 and int(out[0]["sv"]) == 1000
