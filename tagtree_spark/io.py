@@ -27,9 +27,15 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# events.ts is written as parquet TIMESTAMP(NANOS), which Spark cannot read
-# natively; read it as long nanos and truncate to microseconds (same
-# truncation duckdb applies when casting TIMESTAMP_NS → TIMESTAMP).
+# events.ts has been observed in two physical forms across driver-generated
+# testdata: parquet TIMESTAMP(NANOS) (unreadable natively — read as long
+# nanos and truncate to micros, the same truncation duckdb applies casting
+# TIMESTAMP_NS → TIMESTAMP) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+# (read natively as TIMESTAMP_NTZ). Everything downstream — unix_micros,
+# event-time windows, watermarks — assumes the session type TIMESTAMP (LTZ),
+# so normalize both forms here. The session timezone is pinned to UTC
+# (session.py), making the NTZ→LTZ cast wall-clock-preserving and identical
+# to duckdb's naive TIMESTAMP read.
 _NANO_TS_COLUMNS = {"events": ("ts",)}
 
 
@@ -41,8 +47,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in nano_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
