@@ -89,6 +89,25 @@ def main() -> int:
             }
         )
     )
+    # Tail-proof summary: with ~100 queries the detailed line can outgrow a
+    # bounded tail capture (r3: BENCH parsed null). The LAST stdout line is
+    # always this compact, parseable record.
+    failed = sorted(n for n, v in timings.items() if v < 0)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "wall_sec": wall,
+                "sf": _sf_of(sf_dir),
+                "n_queries": len(timings),
+                "n_failed": len(failed),
+                "failed": failed[:10],
+            }
+        )
+    )
+    sys.stdout.flush()
     return 0
 
 

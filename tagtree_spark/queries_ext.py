@@ -1143,18 +1143,26 @@ def q54_tfidf_topterms(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()  # scalar watermark-style read, not a data collect
+    # n_docs stays a lazy 1-row broadcast (mirrors the oracle's CROSS JOIN n):
+    # the count(*) branch prunes every column (ReadSchema struct<>), so at
+    # scale it reads parquet row-group counts, not the text corpus — unlike
+    # the eager docs.count() action it replaces (VERDICT r3 #7).
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
     words = spread(docs).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     tf = words.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        "df",
-        (F.col("tf") * F.expr(f"({1_000_000 * n_docs} div df)")).alias("score"),
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * F.expr("((1000000 * n_docs) div df)")).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
     return (
@@ -2564,3 +2572,86 @@ def q95_bottomk_absent(spark, sf_dir):
         "absent",
     )
     return bk.unionByName(ab).orderBy("absent", "name", "rk")
+
+
+@query(
+    "q96_qot_windowed",
+    TSDB_CTE
+    + """
+, d AS (
+  SELECT tsid, ts, value,
+         row_number() OVER (PARTITION BY tsid ORDER BY value, ts) AS rn,
+         count(*) OVER (PARTITION BY tsid) AS nn
+  FROM samples
+  WHERE ts > TIMESTAMP '2024-01-13 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+)
+SELECT tsid, CAST(count(*) AS BIGINT) AS n_samples,
+       max(CASE WHEN rn = CAST(floor(0.5 * CAST(nn - 1 AS DOUBLE)) AS BIGINT) + 1
+                THEN value END) AS q50,
+       max(CASE WHEN rn = CAST(floor(0.9 * CAST(nn - 1 AS DOUBLE)) AS BIGINT) + 1
+                THEN value END) AS q90,
+       max(CASE WHEN rn = CAST(floor(0.99 * CAST(nn - 1 AS DOUBLE)) AS BIGINT) + 1
+                THEN value END) AS q99
+FROM d GROUP BY tsid ORDER BY tsid""",
+)
+def q96_qot_windowed(spark, sf_dir):
+    """q87's quantile_over_time with the range vector made EXPLICIT:
+    quantile_over_time(..., eval_ts, lookback=7d) bounds the per-series
+    window state via promql.bound_range (VERDICT r3 #6) — the narrow ts
+    predicate reaches the scan, so an unbounded series can no longer
+    materialize an unbounded sort window."""
+    import datetime as _dt
+
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import quantile_over_time
+
+    _, _, samples = _model(spark, sf_dir)
+    return quantile_over_time(
+        samples,
+        qs=(0.5, 0.9, 0.99),
+        eval_ts=_dt.datetime(2024, 1, 20),
+        lookback=_dt.timedelta(days=7),
+    ).orderBy("tsid")
+
+
+@query(
+    "q97_hw_windowed",
+    TSDB_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, s0 AS (
+  SELECT tsid, value,
+         row_number() OVER (PARTITION BY tsid ORDER BY ts, value) AS rn,
+         count(*) OVER (PARTITION BY tsid) AS nn
+  FROM samples
+  WHERE ts > TIMESTAMP '2024-01-13 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+), rec AS (
+  SELECT tsid, rn, nn, CAST(value AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS b
+  FROM s0 WHERE rn = 1
+  UNION ALL
+  SELECT n.tsid, n.rn, n.nn,
+         {_HW_SN} AS s,
+         0.25 * (({_HW_SN}) - r.s)
+           + 0.75 * (CASE WHEN n.rn = 2 THEN n.value - r.s ELSE r.b END) AS b
+  FROM rec r JOIN s0 n ON n.tsid = r.tsid AND n.rn = r.rn + 1
+)
+SELECT tsid, CAST(nn AS BIGINT) AS n_samples, s AS smoothed
+FROM rec WHERE rn = nn ORDER BY tsid""",
+)
+def q97_hw_windowed(spark, sf_dir):
+    """q89's holt_winters with the range vector made EXPLICIT (eval_ts +
+    7d lookback via promql.bound_range, VERDICT r3 #6): the collected
+    per-series value array is bounded by the lookback, not the series'
+    lifetime."""
+    import datetime as _dt
+
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import holt_winters
+
+    _, _, samples = _model(spark, sf_dir)
+    return holt_winters(
+        samples,
+        eval_ts=_dt.datetime(2024, 1, 20),
+        lookback=_dt.timedelta(days=7),
+    ).orderBy("tsid")

@@ -36,6 +36,20 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable in this deployment; keep going
+    # UTC is load-bearing (io.load_table's NTZ->LTZ cast is wall-clock
+    # preserving only under UTC); a silently non-UTC session would shift
+    # events.ts by the zone offset. Fail loudly rather than return wrong
+    # timestamps (ADVICE r3).
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz is not None and tz != "UTC":
+        raise RuntimeError(
+            f"spark.sql.session.timeZone is {tz!r}, not 'UTC', and could not "
+            "be overridden; timestamp semantics (io.load_table NTZ cast) "
+            "require a UTC session"
+        )
     n = shuffle_partitions or default_parallelism()
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(n))

@@ -79,9 +79,24 @@ def dense_rank_ids(df: DataFrame, order_cols: tuple[str, ...], id_col: str = "ts
         F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)),
     )
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    # Prefix-sum over ≤numPartitions counter rows. Folded to ONE array row
+    # (collect_list + per-index aggregate) instead of an unpartitioned
+    # window: same O(p²) work on p≈32 rows, but no WindowExec single-task
+    # warning drowning out real regressions (VERDICT r3 #8).
+    offsets = (
+        counts.agg(
+            F.array_sort(F.collect_list(F.struct("_pid", "_cnt"))).alias("_cs")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(_cs, (x, i) -> struct(x._pid AS _pid, "
+                    "aggregate(slice(_cs, 1, i), CAST(0 AS BIGINT), "
+                    "(a, y) -> a + y._cnt) AS _off))"
+                )
+            ).alias("_o")
+        )
+        .select(F.col("_o._pid").alias("_pid"), F.col("_o._off").alias("_off"))
     )
     # offsets has ≤numPartitions rows — broadcast is bounded by cluster
     # parallelism, not data volume.
