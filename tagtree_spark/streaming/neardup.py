@@ -8,13 +8,25 @@ near-dup of ANYTHING seen so far?" — answered per batch with bounded
 work:
 
   * the store holds one row per seen document: ``(doc_id, sig, band)``
-    exploded band keys — O(n_docs × n_bands) rows, partitionable by band;
+    exploded band keys, physically partitioned by ``band_pfx``
+    (``band mod N_BAND_PARTS``) so a batch's store read prunes to the
+    band partitions the batch actually touches;
   * a batch computes its own signatures (narrow), then ONE band-key join
-    against the store (at scale: the store is bucketed by band, so the
-    join is co-located) + signature verification — never a corpus scan;
+    against the pruned store + signature verification — never a full
+    corpus scan;
+  * a degenerate hot band (constant boilerplate shared by everything)
+    cannot pair every batch doc against the whole band: bands whose
+    candidate population exceeds ``max_band`` are dropped, exactly the
+    batch paths' ``MAX_BUCKET`` policy (operators/dedup.py:189-196),
+    and the drop is COUNTED — a per-batch ``_hot_stats`` segment records
+    (n_hot_bands, dropped_rows), the number a 100 TB pipeline alarms on
+    (a rising count means the banding scheme is too coarse, not silent
+    data loss);
   * flagged pairs land in a results segment; the batch's signatures are
     APPENDED to the store (O(batch) write, same segment protocol as
-    ingest: overwrite-by-batch-id = idempotent replay).
+    ingest: overwrite-by-batch-id = idempotent replay — hot-band
+    decisions replay deterministically because the store read excludes
+    the batch's own and later segments).
 
 Within-batch duplicates are also caught (the batch joins store ∪ itself).
 """
@@ -22,6 +34,7 @@ Within-batch duplicates are also caught (the batch joins store ∪ itself).
 from __future__ import annotations
 
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,9 +52,14 @@ from tagtree_spark.operators.dedup import (
 from tagtree_spark.session import spread
 from tagtree_spark.streaming.ingest import _list_segments
 
+#: Physical store partition fan-out. Bounded (one directory per value per
+#: segment); pruning wins when a batch's bands touch a subset — small
+#: batches and compacted stores skip most of the store's files.
+N_BAND_PARTS = 64
+
 
 def batch_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, sig, band) — one row per band key per doc (narrow)."""
+    """(doc_id, sig, band, band_pfx) — one row per band key per doc (narrow)."""
     sigs = (
         word_shingles(
             spread(docs).where(F.size(F.split(F.col(text_col), " ")) >= 3),
@@ -54,58 +72,102 @@ def batch_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         )
     )
     return sigs.select(
-        "doc_id", "sig", F.explode(lsh_band_keys("sig", N_BANDS, ROWS_PER_BAND)).alias("band")
-    )
+        "doc_id",
+        "sig",
+        F.explode(lsh_band_keys("sig", N_BANDS, ROWS_PER_BAND)).alias("band"),
+    ).withColumn("band_pfx", F.pmod(F.col("band"), F.lit(N_BAND_PARTS)))
 
 
 def read_signature_store(
-    spark: SparkSession, store_path: str, before_batch: int | None = None
+    spark: SparkSession,
+    store_path: str,
+    before_batch: int | None = None,
+    band_pfx: list[int] | None = None,
 ) -> DataFrame | None:
+    """Union of completed store segments. Each segment is its own
+    partitioned parquet root (``seg-*/band_pfx=N/``), read with its own
+    basePath so the partition column survives the multi-segment union;
+    a ``band_pfx`` filter then prunes partition directories per segment
+    (filters push through Union). Pre-partitioning segments are
+    backfilled with a computed ``band_pfx``."""
     segs = _list_segments(store_path, before_batch)
     if not segs:
         return None
-    return spark.read.parquet(*segs)
+    parts = []
+    for seg in segs:
+        df = spark.read.option("basePath", seg).parquet(seg)
+        if "band_pfx" not in df.columns:
+            df = df.withColumn("band_pfx", F.pmod(F.col("band"), F.lit(N_BAND_PARTS)))
+        parts.append(df.select("doc_id", "sig", "band", "band_pfx"))
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    if band_pfx is not None:
+        out = out.where(F.col("band_pfx").isin([int(p) for p in band_pfx]))
+    return out
 
 
 class NearDupSink:
     """foreachBatch sink: flag near-dups of the accumulated corpus, then
     absorb the batch. ``matches_path`` receives one segment per batch with
     ``(new_doc, seen_doc, n_match)`` (seen_doc < new_doc for within-batch
-    hits, seen_doc from an earlier batch otherwise)."""
+    hits, seen_doc from an earlier batch otherwise). ``max_band`` caps the
+    per-band candidate population (hot-band drop, counted in
+    ``<store>/_hot_stats``); ``None`` disables the cap."""
 
-    def __init__(self, store_path: str, matches_path: str, min_match: int = 6):
+    def __init__(
+        self,
+        store_path: str,
+        matches_path: str,
+        min_match: int = 6,
+        max_band: int | None = MAX_BUCKET,
+    ):
         self.store_path = store_path
         self.matches_path = matches_path
         self.min_match = min_match
+        self.max_band = max_band
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_signatures(batch_df).persist()
         batch.count()
-        seen = read_signature_store(spark, self.store_path, before_batch=batch_id)
+        # store read pruned to the band partitions this batch touches —
+        # ≤ N_BAND_PARTS scalar values, a metadata-sized collect
+        pfx = [r[0] for r in batch.select("band_pfx").distinct().collect()]
+        seen = read_signature_store(
+            spark, self.store_path, before_batch=batch_id, band_pfx=pfx
+        )
         # candidates sharing a band key: against the store ANY id order
         # counts (an earlier doc may carry a higher id); within the batch
         # the lower id is the "seen" side (each pair reported once)
+        prev_side = batch.select(
+            F.col("doc_id").alias("seen_doc"),
+            F.col("sig").alias("sig_b"),
+            "band",
+            F.lit(True).alias("_in_batch"),
+        )
         if seen is not None:
-            prev_side = seen.select(
-                F.col("doc_id").alias("seen_doc"),
-                F.col("sig").alias("sig_b"),
-                "band",
-                F.lit(False).alias("_in_batch"),
-            ).unionByName(
-                batch.select(
+            prev_side = prev_side.unionByName(
+                seen.select(
                     F.col("doc_id").alias("seen_doc"),
                     F.col("sig").alias("sig_b"),
                     "band",
-                    F.lit(True).alias("_in_batch"),
+                    F.lit(False).alias("_in_batch"),
                 )
             )
-        else:
-            prev_side = batch.select(
-                F.col("doc_id").alias("seen_doc"),
-                F.col("sig").alias("sig_b"),
-                "band",
-                F.lit(True).alias("_in_batch"),
+        # hot-band cap: band sizes via a band-only aggregate (column-pruned
+        # scan, no sig arrays in the shuffle), hot set broadcast anti-joined
+        # out of the candidate side before the wide band join
+        if self.max_band is not None:
+            sizes = prev_side.groupBy("band").agg(F.count("*").alias("_bn"))
+            hot = sizes.where(F.col("_bn") > self.max_band).persist()
+            stats = hot.agg(
+                F.count("*").cast("bigint").alias("n_hot_bands"),
+                F.coalesce(F.sum("_bn"), F.lit(0)).cast("bigint").alias("dropped_rows"),
+            ).withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            stats.write.mode("overwrite").parquet(
+                os.path.join(self.store_path, "_hot_stats", f"seg-{batch_id:010d}")
+            )
+            prev_side = prev_side.join(
+                F.broadcast(hot.select("band")), "band", "left_anti"
             )
         cand = (
             batch.select(F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_a"), "band")
@@ -129,10 +191,23 @@ class NearDupSink:
         matches.write.mode("overwrite").parquet(
             os.path.join(self.matches_path, f"seg-{batch_id:010d}")
         )
-        batch.select("doc_id", "sig", "band").write.mode("overwrite").parquet(
+        batch.select("doc_id", "sig", "band", "band_pfx").write.mode(
+            "overwrite"
+        ).partitionBy("band_pfx").parquet(
             os.path.join(self.store_path, f"seg-{batch_id:010d}-delta")
         )
+        if self.max_band is not None:
+            hot.unpersist()
         batch.unpersist()
+
+
+def read_hot_stats(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """Per-batch hot-band drop telemetry:
+    ``(n_hot_bands, dropped_rows, batch_id)``."""
+    segs = _list_segments(os.path.join(store_path, "_hot_stats"))
+    if not segs:
+        return None
+    return spark.read.parquet(*segs)
 
 
 def read_matches(spark: SparkSession, matches_path: str) -> DataFrame | None:

@@ -45,3 +45,50 @@ def test_streaming_neardup_store_accumulates(spark, tmpdir):
     sink(_docs(spark, [(2, _text("b"), "en", "s", 1)]), 1)
     store = read_signature_store(spark, f"{tmpdir}/store")
     assert {r.doc_id for r in store.select("doc_id").distinct().collect()} == {1, 2}
+
+
+def test_streaming_neardup_hot_band_capped(spark, tmpdir):
+    """A degenerate band (identical boilerplate docs) must NOT pair every
+    doc against the whole band: bands over max_band are dropped and the
+    drop is counted in the _hot_stats telemetry segment."""
+    from tagtree_spark.streaming.neardup import (
+        NearDupSink,
+        read_hot_stats,
+        read_matches,
+    )
+
+    sink = NearDupSink(f"{tmpdir}/store", f"{tmpdir}/matches", max_band=5)
+    boiler = _text("same")
+    rows = [(i, boiler, "en", "s", 1) for i in range(100, 110)]
+    sink(_docs(spark, rows), 0)
+    m = read_matches(spark, f"{tmpdir}/matches")
+    assert m.count() == 0  # all candidate bands were hot → dropped
+    stats = read_hot_stats(spark, f"{tmpdir}/store").collect()
+    assert len(stats) == 1
+    assert stats[0].n_hot_bands > 0
+    assert stats[0].dropped_rows >= 10  # every band held all 10 docs
+
+    # a later NON-degenerate batch still matches normally against the store
+    fresh = _text("fresh")
+    sink(_docs(spark, [(200, fresh, "en", "s", 1), (201, fresh, "en", "s", 1)]), 1)
+    m1 = {(r.new_doc, r.seen_doc) for r in read_matches(spark, f"{tmpdir}/matches").collect()}
+    assert (201, 200) in m1
+
+
+def test_streaming_neardup_store_read_prunes_partitions(spark, tmpdir):
+    """Store segments are partitioned by band_pfx; a pfx-filtered read must
+    show partition filters in the scan (pruned directories, not a full
+    store scan per batch)."""
+    from tagtree_spark.streaming.neardup import NearDupSink, read_signature_store
+
+    sink = NearDupSink(f"{tmpdir}/store", f"{tmpdir}/matches")
+    sink(_docs(spark, [(1, _text("a"), "en", "s", 1), (2, _text("b"), "en", "s", 1)]), 0)
+    full = read_signature_store(spark, f"{tmpdir}/store")
+    pfxs = sorted(r[0] for r in full.select("band_pfx").distinct().collect())
+    assert len(pfxs) >= 2
+    some = pfxs[:1]
+    pruned = read_signature_store(spark, f"{tmpdir}/store", band_pfx=some)
+    got = sorted(r[0] for r in pruned.select("band_pfx").distinct().collect())
+    assert got == some
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band_pfx" in plan
