@@ -23,12 +23,20 @@ also reachable from ``spark.sql``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tagtree_spark.tsdb import ingest as _ingest
 from tagtree_spark.tsdb import matchers as _m
 from tagtree_spark.tsdb.model import build_model
 from tagtree_spark.tsdb.store import load_model
+
+#: Auto-compaction volume trigger: compact the store after this many NEW
+#: series since the last compaction — the reference's policy of compacting
+#: every 100k added series (/root/reference/src/index/index_server.cpp:199-203).
+AUTO_COMPACT_SERIES = 100_000
 
 
 class TagTreeEngine:
@@ -37,11 +45,14 @@ class TagTreeEngine:
         spark: SparkSession,
         events: DataFrame | None = None,
         store_dir: str | None = None,
+        auto_compact_series: int | None = AUTO_COMPACT_SERIES,
     ):
         if (events is None) == (store_dir is None):
             raise ValueError("provide exactly one of events= or store_dir=")
         self.spark = spark
         self.store_dir = store_dir
+        self.auto_compact_series = auto_compact_series
+        self._new_since_compact = 0
         if store_dir is not None:
             self.series, self.postings, self.samples = load_model(spark, store_dir)
         else:
@@ -93,6 +104,68 @@ class TagTreeEngine:
 
     def commit(self, path: str) -> None:
         _ingest.commit(self.series, path)
+
+    def ingest_batch(self, batch_events: DataFrame) -> "TagTreeEngine":
+        """Store-backed batch ingest: merge the batch's series (L1/L3),
+        commit the series table, APPEND the batch's samples as a new set of
+        files under the store's date partitions, and auto-compact once the
+        volume trigger fires — the reference's compact-every-100k-series
+        policy (/root/reference/src/index/index_server.cpp:199-203), here a
+        NEW-SERIES counter against ``auto_compact_series`` instead of the
+        streaming sinks' every-N-batches cadence.
+
+        The per-batch sample write is O(batch); between compactions the
+        store's postings table goes stale (postings are derivable — the
+        in-memory view stays correct) and small sample files accumulate;
+        compaction rewrites postings from the committed series and folds
+        sample files into right-sized partitions, so the store's file count
+        stays bounded by the compaction cadence, not the batch count. In a
+        real deployment the append+compact pair is a Delta/Iceberg
+        transaction; locally the series commit rides atomic_overwrite and
+        samples accept the append-crash window (SURVEY.md §4.2).
+        """
+        if self.store_dir is None:
+            raise ValueError("ingest_batch() requires an engine built from store_dir=")
+        from tagtree_spark.tsdb.model import build_postings, build_samples
+        from tagtree_spark.tsdb.store import atomic_overwrite, compact_table
+
+        series_path = os.path.join(self.store_dir, "series")
+        samples_path = os.path.join(self.store_dir, "samples")
+        postings_path = os.path.join(self.store_dir, "postings")
+
+        before = self.current_tsid()
+        merged = _ingest.add_series_batch(self.series, batch_events)
+        _ingest.commit(merged, series_path)
+        # re-anchor on the committed table (the pre-commit plan would
+        # re-read the renamed path and re-apply the merge on recompute)
+        self.series = self.spark.read.parquet(series_path)
+        self.postings = build_postings(self.series)
+        (
+            build_samples(batch_events, self.series)
+            .withColumn("ds", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("ds")
+            .parquet(samples_path)
+        )
+        self.samples = self.spark.read.parquet(samples_path).drop("ds")
+        after = self.current_tsid()
+        self._new_since_compact += max(0, after - before)
+        if (
+            self.auto_compact_series is not None
+            and self._new_since_compact >= self.auto_compact_series
+        ):
+            atomic_overwrite(
+                build_postings(self.series).repartition("name"),
+                postings_path,
+                ["name"],
+            )
+            compact_table(self.spark, samples_path, ["ds"])
+            compact_table(self.spark, series_path)
+            self.series, self.postings, self.samples = load_model(
+                self.spark, self.store_dir
+            )
+            self._new_since_compact = 0
+        return self
 
     def compact(self) -> None:
         """Manual compaction of the materialized store — the reference's

@@ -103,18 +103,67 @@ def recover_table(path: str) -> bool:
     return os.path.exists(path)
 
 
-def materialize_model(spark: SparkSession, events: DataFrame, out_dir: str) -> None:
+def materialize_model(
+    spark: SparkSession,
+    events: DataFrame,
+    out_dir: str,
+    rows_per_file: int | None = None,
+) -> None:
     """Derive series/postings/samples from events and persist them with
-    query-aligned partitioning. One-time cost; every subsequent query reads
-    the materialized layout with partition pruning."""
+    query-aligned partitioning AND within-partition clustering. One-time
+    cost; every subsequent query reads the materialized layout with
+    partition pruning + file/row-group skipping.
+
+    Layout decisions (each the Spark analogue of a reference pruning
+    structure):
+
+      * ``postings`` partitioned by ``name``, rows sorted by
+        ``(value, tsid)`` within each partition — a (name, value) matcher
+        prunes to one directory and then skips row groups by ``value``
+        min/max (per-(name,value) key ranges,
+        /root/reference/src/index/index_tree.cpp:113-117);
+      * ``samples`` partitioned by ``ds``, rows Z-ORDERED by
+        ``zorder_key(tsid, minute_of_day)`` within each date — matcher +
+        time-range queries constrain BOTH tsid and ts, and the Morton
+        interleave keeps file/row-group min/max tight on both dimensions
+        simultaneously (the per-key/per-page interval tests,
+        /root/reference/src/index/index_tree.cpp:213-216,263-267; layout
+        proven by the q85-style bucket profile in test_store).
+
+    ``rows_per_file`` bounds file size (maxRecordsPerFile) so a date
+    partition splits into several z-contiguous files — at scale this is
+    the knob that turns the z-sort into actual file-level skipping.
+    """
+    from tagtree_spark.operators.layout import zorder_key
+
     series, postings, samples = build_model(events)
     series.write.mode("overwrite").parquet(os.path.join(out_dir, "series"))
-    postings.write.mode("overwrite").partitionBy("name").parquet(
-        os.path.join(out_dir, "postings")
+    (
+        postings.repartition("name")
+        .sortWithinPartitions("name", "value", "tsid")
+        .write.mode("overwrite")
+        .partitionBy("name")
+        .parquet(os.path.join(out_dir, "postings"))
     )
-    samples.withColumn("ds", F.to_date("ts")).write.mode("overwrite").partitionBy(
-        "ds"
-    ).parquet(os.path.join(out_dir, "samples"))
+    # Range-normalize both dims to 8 bits before interleaving (real
+    # Z-ordering range-buckets unequal domains first — otherwise the wider
+    # dimension's high bits dominate every split and the narrow dimension
+    # never clusters). max tsid is a 1-row aggregate over the SERIES table
+    # (dense ids → max == series count), metadata-sized next to samples.
+    max_tsid = series.agg(F.max("tsid")).first()[0] or 1
+    sx = F.expr(f"(tsid * 256) div {int(max_tsid) + 1}")
+    sy = F.expr("((unix_seconds(ts) % 86400) div 60) div 6")  # minute/6: 0..239
+    zk = zorder_key(sx, sy, bits=8)
+    w = (
+        samples.withColumn("ds", F.to_date("ts"))
+        .repartition("ds")
+        .sortWithinPartitions(F.col("ds"), zk, F.col("tsid"), F.col("ts"))
+        .write.mode("overwrite")
+        .partitionBy("ds")
+    )
+    if rows_per_file:
+        w = w.option("maxRecordsPerFile", rows_per_file)
+    w.parquet(os.path.join(out_dir, "samples"))
 
 
 def load_model(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:

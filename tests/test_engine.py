@@ -129,3 +129,68 @@ def test_store_construction(spark, events):
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ingest_batch_auto_compacts_bounded_files(spark, events):
+    """Volume-triggered auto-compaction (reference: compact every 100k new
+    series): across N store-backed batch ingests, the samples file count
+    stays bounded by the compaction cadence, and contents equal the model
+    derived from all events at once."""
+    import glob
+    import shutil
+    import tempfile
+
+    from tagtree_spark.tsdb.model import build_model
+    from tagtree_spark.tsdb.store import materialize_model
+    from tests.test_store import _tmp_root
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-autocompact-")
+    try:
+        base = events.where(F.col("event_id") % 5 == 0)
+        materialize_model(spark, base, d)
+        # trigger on EVERY batch that adds >=1 series → file count must
+        # stay flat instead of growing by ~n_partitions files per batch
+        eng = TagTreeEngine(spark, store_dir=d, auto_compact_series=1)
+        counts = []
+        for k in range(1, 5):
+            eng.ingest_batch(events.where(F.col("event_id") % 5 == k))
+            counts.append(len(glob.glob(f"{d}/samples/ds=*/*.parquet")))
+        assert counts[-1] <= counts[0] + 3, counts  # bounded, not linear
+        # contents: identical to the all-at-once model
+        _, _, samples_all = build_model(events)
+        assert eng.samples.count() == samples_all.count()
+        assert eng.series.count() == build_model(events)[0].count()
+        # and the new series are queryable end-to-end
+        m = [LabelMatcher(MatchOp.EQL, "event_type", "click")]
+        derived = TagTreeEngine(spark, events=events)
+        assert eng.select(m).count() == derived.select(m).count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ingest_batch_no_compact_accumulates_then_manual(spark, events):
+    """With the trigger disabled, files accumulate per batch (the behavior
+    the trigger exists to bound); a manual compact() folds them back."""
+    import glob
+    import shutil
+    import tempfile
+
+    from tagtree_spark.tsdb.store import materialize_model
+    from tests.test_store import _tmp_root
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-nocompact-")
+    try:
+        materialize_model(spark, events.where(F.col("event_id") % 3 == 0), d)
+        eng = TagTreeEngine(spark, store_dir=d, auto_compact_series=None)
+        n0 = len(glob.glob(f"{d}/samples/ds=*/*.parquet"))
+        eng.ingest_batch(events.where(F.col("event_id") % 3 == 1))
+        eng.ingest_batch(events.where(F.col("event_id") % 3 == 2))
+        n2 = len(glob.glob(f"{d}/samples/ds=*/*.parquet"))
+        assert n2 > n0
+        total = eng.samples.count()
+        eng.compact()
+        assert eng.samples.count() == total
+        n3 = len(glob.glob(f"{d}/samples/ds=*/*.parquet"))
+        assert n3 < n2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -208,3 +208,61 @@ def test_bucketed_join_has_no_exchange(spark, events, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_samples")
         spark.sql("DROP TABLE IF EXISTS b_series")
+
+
+def test_materialized_samples_zorder_layout(spark, events):
+    """The persisted samples layout must actually cluster two-dimensionally:
+    with a date partition split across several files, per-file min/max
+    spans on BOTH tsid and minute-of-day must be materially tighter than
+    the partition-wide spans — the file-level-statistics evidence that a
+    matcher+range query skips files (q85's bucket profile, applied to the
+    real store layout)."""
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-zstore-")
+    try:
+        materialize_model(spark, events, d, rows_per_file=8)
+        sam = spark.read.parquet(f"{d}/samples")
+        prof = (
+            sam.withColumn("f", F.input_file_name())
+            .withColumn("m", (F.unix_seconds("ts") % 86400) / 60)
+            .groupBy("ds", "f")
+            .agg(
+                F.count("*").alias("n"),
+                (F.max("tsid") - F.min("tsid")).alias("tspan"),
+                (F.max("m") - F.min("m")).alias("mspan"),
+            )
+        )
+        per_ds = (
+            prof.groupBy("ds")
+            .agg(
+                F.count("*").alias("nfiles"),
+                F.avg("tspan").alias("avg_tspan"),
+                F.avg("mspan").alias("avg_mspan"),
+            )
+            .where(F.col("nfiles") >= 4)
+            .collect()
+        )
+        assert per_ds, "expected at least one date split into >=4 files"
+        glob_t = sam.agg(F.max("tsid") - F.min("tsid")).first()[0]
+        # averaged across all multi-file dates: BOTH dimensions materially
+        # tighter than the partition-wide span (a 1-d sort would leave one
+        # dimension at ~full span)
+        avg_t = sum(r.avg_tspan for r in per_ds) / len(per_ds)
+        avg_m = sum(r.avg_mspan for r in per_ds) / len(per_ds)
+        assert avg_t < 0.75 * glob_t, (avg_t, glob_t)
+        assert avg_m < 0.75 * 1440, avg_m
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_materialized_postings_value_sorted(spark, store_dir):
+    """Within a name partition, rows are value-sorted: a value-equality
+    matcher over the store gets row-group min/max skipping on value."""
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{store_dir}/postings/name=event_type/*.parquet")
+    assert files
+    vals = []
+    for f in files:
+        col = pq.read_table(f, columns=["value"]).column("value").to_pylist()
+        assert col == sorted(col), f
+        vals.append((col[0], col[-1]))
