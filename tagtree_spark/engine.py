@@ -26,11 +26,15 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from tagtree_spark.tsdb import ingest as _ingest
 from tagtree_spark.tsdb import matchers as _m
 from tagtree_spark.tsdb.model import build_model
+from tagtree_spark.tsdb.storage import (
+    MemorySampleStorage,
+    SampleStorage,
+    open_storage,
+)
 from tagtree_spark.tsdb.store import load_model
 
 #: Auto-compaction volume trigger: compact the store after this many NEW
@@ -46,6 +50,7 @@ class TagTreeEngine:
         events: DataFrame | None = None,
         store_dir: str | None = None,
         auto_compact_series: int | None = AUTO_COMPACT_SERIES,
+        storage: SampleStorage | None = None,
     ):
         if (events is None) == (store_dir is None):
             raise ValueError("provide exactly one of events= or store_dir=")
@@ -54,9 +59,21 @@ class TagTreeEngine:
         self.auto_compact_series = auto_compact_series
         self._new_since_compact = 0
         if store_dir is not None:
-            self.series, self.postings, self.samples = load_model(spark, store_dir)
+            self.series, self.postings, _ = load_model(spark, store_dir)
+            self.storage: SampleStorage = storage or open_storage(spark, store_dir)
         else:
-            self.series, self.postings, self.samples = build_model(events)
+            self.series, self.postings, samples = build_model(events)
+            # the pluggable seam: the index (series/postings) always comes
+            # from the index layer; a caller-supplied SampleStorage binds
+            # any sample backend behind it (reference storage.h:49-53)
+            self.storage = storage or MemorySampleStorage(samples)
+
+    @property
+    def samples(self) -> DataFrame:
+        """The sample frame, via the storage seam (reference
+        storage.h:49-53 — the index layer never touches sample bytes
+        directly; swap the storage to swap the backend)."""
+        return self.storage.read()
 
     # -- read path (reference §3.1) ---------------------------------------
 
@@ -65,9 +82,10 @@ class TagTreeEngine:
         return _m.resolve_label_matchers(self.postings, matchers, start, end)
 
     def select(self, matchers: list[_m.LabelMatcher], start=None, end=None) -> DataFrame:
-        """PromQuerier::select — samples of the matching series in range."""
+        """PromQuerier::select — samples of the matching series in range,
+        through the storage seam (Queryable::querier → Querier::select)."""
         tsids = self.resolve(matchers, start, end)
-        return _m.select_series(self.samples, tsids, start, end)
+        return self.storage.select(tsids, start, end)
 
     def label_values(self, name: str) -> DataFrame:
         return _m.label_values(self.postings, name)
@@ -91,9 +109,7 @@ class TagTreeEngine:
 
         self.series = _ingest.add_series_batch(self.series, batch_events)
         self.postings = build_postings(self.series)
-        self.samples = self.samples.unionByName(
-            build_samples(batch_events, self.series)
-        )
+        self.storage.append(build_samples(batch_events, self.series))
         return self
 
     def exists(self, probe: DataFrame) -> DataFrame:
@@ -130,7 +146,6 @@ class TagTreeEngine:
         from tagtree_spark.tsdb.store import atomic_overwrite, compact_table
 
         series_path = os.path.join(self.store_dir, "series")
-        samples_path = os.path.join(self.store_dir, "samples")
         postings_path = os.path.join(self.store_dir, "postings")
 
         before = self.current_tsid()
@@ -140,14 +155,7 @@ class TagTreeEngine:
         # re-read the renamed path and re-apply the merge on recompute)
         self.series = self.spark.read.parquet(series_path)
         self.postings = build_postings(self.series)
-        (
-            build_samples(batch_events, self.series)
-            .withColumn("ds", F.to_date("ts"))
-            .write.mode("append")
-            .partitionBy("ds")
-            .parquet(samples_path)
-        )
-        self.samples = self.spark.read.parquet(samples_path).drop("ds")
+        self.storage.append(build_samples(batch_events, self.series))
         after = self.current_tsid()
         self._new_since_compact += max(0, after - before)
         if (
@@ -159,11 +167,9 @@ class TagTreeEngine:
                 postings_path,
                 ["name"],
             )
-            compact_table(self.spark, samples_path, ["ds"])
+            self.storage.compact()
             compact_table(self.spark, series_path)
-            self.series, self.postings, self.samples = load_model(
-                self.spark, self.store_dir
-            )
+            self.series, self.postings, _ = load_model(self.spark, self.store_dir)
             self._new_since_compact = 0
         return self
 
@@ -177,14 +183,12 @@ class TagTreeEngine:
         compact."""
         if self.store_dir is None:
             raise ValueError("compact() requires an engine built from store_dir=")
-        import os
-
         from tagtree_spark.tsdb.store import compact_table
 
         compact_table(self.spark, os.path.join(self.store_dir, "series"))
         compact_table(self.spark, os.path.join(self.store_dir, "postings"), ["name"])
-        compact_table(self.spark, os.path.join(self.store_dir, "samples"), ["ds"])
-        self.series, self.postings, self.samples = load_model(self.spark, self.store_dir)
+        self.storage.compact()
+        self.series, self.postings, _ = load_model(self.spark, self.store_dir)
 
     # -- SQL surface -------------------------------------------------------
 

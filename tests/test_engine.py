@@ -194,3 +194,32 @@ def test_ingest_batch_no_compact_accumulates_then_manual(spark, events):
         assert n3 < n2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pluggable_sample_storage_seam(spark, events):
+    """The reference's abstract Storage (storage.h:49-53): the index layer
+    talks to SampleStorage only — a caller-supplied backend sees every
+    select/append, and swapping it never touches index code."""
+    from tagtree_spark.tsdb.model import build_model
+    from tagtree_spark.tsdb.storage import MemorySampleStorage
+
+    calls = []
+
+    class SpyStorage(MemorySampleStorage):
+        def select(self, tsids, start=None, end=None):
+            calls.append("select")
+            return super().select(tsids, start, end)
+
+        def append(self, samples):
+            calls.append("append")
+            return super().append(samples)
+
+    _, _, samples = build_model(events)
+    eng = TagTreeEngine(spark, events=events, storage=SpyStorage(samples))
+    m = [LabelMatcher(MatchOp.EQL, "event_type", "click")]
+    n = eng.select(m).count()
+    assert n > 0 and calls == ["select"]
+    eng.add_series_batch(events.limit(50))
+    assert calls == ["select", "append"]
+    # the engine's sample view IS the storage's view
+    assert eng.samples is eng.storage.read() or eng.samples.count() == eng.storage.read().count()
