@@ -481,6 +481,23 @@ def ngram_jaccard_pairs(
     RARE shingles, so recall is unaffected). Jaccard is computed over the
     kept-shingle space in both engines.
     """
+    out = _shingle_pair_counts(docs, id_col, text_col, n, max_df)
+    return out.where(
+        F.col("n_common") * 100
+        >= F.lit(min_jaccard_pct) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    ).select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+
+
+def _shingle_pair_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """Shared inverted-index pair machinery for the exact set-overlap
+    family (Jaccard, containment): ``(doc_a, doc_b, n_common, n_a, n_b)``
+    for every pair sharing >=1 kept shingle."""
     sh = (
         word_shingles(spread(docs), n=n, text_col=text_col)
         .where(F.size("shingles") > 0)
@@ -521,10 +538,42 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    out = common.join(sa, "doc_a").join(sb, "doc_b")
-    return out.where(
-        F.col("n_common") * 100 >= F.lit(min_jaccard_pct) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    ).select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment_pct: int = 80,
+    max_df: int = 50,
+) -> DataFrame:
+    """ASYMMETRIC overlap: pairs where the smaller shingle set is mostly
+    CONTAINED in the larger — C = |A∩B| / min(|A|,|B|) >= pct/100 →
+    ``(doc_a, doc_b, n_common, n_a, n_b, containment_pct)``.
+
+    Jaccard misses the quote/excerpt case a training pipeline cares about
+    (a short doc fully copied inside a long one has tiny J but C = 1);
+    containment is the standard screen for it. Same inverted-index plan
+    and df cap as :func:`ngram_jaccard_pairs` — integer-exact, the pct is
+    an integer floor-div so both engines hash identically.
+    """
+    out = _shingle_pair_counts(docs, id_col, text_col, n, max_df)
+    mn = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        out.where(F.col("n_common") * 100 >= F.lit(min_containment_pct) * mn)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("(n_common * 100) div least(n_a, n_b)")
+            .cast("bigint")
+            .alias("containment_pct"),
+        )
+    )
 
 
 def cross_corpus_near_dup(

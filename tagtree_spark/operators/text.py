@@ -412,3 +412,54 @@ def adjacent_pair_stats(docs: DataFrame, k: int = 30, text_col: str = "text") ->
         .orderBy(F.col("n_pairs").desc(), "pair")
         .limit(k)
     )
+
+
+def gopher_rules(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality-rule verdicts in the Gopher/C4 filter style
+    (Rae et al. 2021 §A1.1, public) — the row-wise keep/drop stage a
+    training pipeline applies before anything expensive:
+
+      * r_len      — at least 20 tokens;
+      * r_wordlen  — mean word length in [3, 10] chars, tested as the
+        integer cross-multiplication ``3·n_tokens <= wchars <= 10·n_tokens``
+        (no division → no fp, cross-engine exact);
+      * r_ttr      — type-token ratio >= 1/2 (``2·n_uniq >= n_tokens``);
+      * r_rep      — top token <= 20% of tokens (``5·max_tf <= n_tokens``);
+      * keep       — all four.
+
+    Everything derives from ONE (doc, token) count table: n_tokens = Σc,
+    n_uniq = #rows, max_tf = max(c), wchars = Σ len(token)·c — a single
+    narrow shuffle, flags are integer comparisons.
+    → ``(doc_id, n_tokens, n_uniq, max_tf, wchars, r_len, r_wordlen,
+    r_ttr, r_rep, keep)``.
+    """
+    words = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    tf = words.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    g = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_uniq"),
+        F.max("c").cast("bigint").alias("max_tf"),
+        F.sum(F.length("token") * F.col("c")).cast("bigint").alias("wchars"),
+    )
+    r_len = (F.col("n_tokens") >= 20).cast("bigint")
+    r_wordlen = (
+        (F.lit(3) * F.col("n_tokens") <= F.col("wchars"))
+        & (F.col("wchars") <= F.lit(10) * F.col("n_tokens"))
+    ).cast("bigint")
+    r_ttr = (F.lit(2) * F.col("n_uniq") >= F.col("n_tokens")).cast("bigint")
+    r_rep = (F.lit(5) * F.col("max_tf") <= F.col("n_tokens")).cast("bigint")
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq",
+        "max_tf",
+        "wchars",
+        r_len.alias("r_len"),
+        r_wordlen.alias("r_wordlen"),
+        r_ttr.alias("r_ttr"),
+        r_rep.alias("r_rep"),
+        (r_len * r_wordlen * r_ttr * r_rep).cast("bigint").alias("keep"),
+    )

@@ -2655,3 +2655,77 @@ def q97_hw_windowed(spark, sf_dir):
         eval_ts=_dt.datetime(2024, 1, 20),
         lookback=_dt.timedelta(days=7),
     ).orderBy("tsid")
+
+
+@query(
+    "q98_gopher_rules",
+    """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS c FROM w GROUP BY 1, 2
+), g AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_uniq,
+         CAST(max(c) AS BIGINT) AS max_tf,
+         CAST(sum(length(token) * c) AS BIGINT) AS wchars
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_uniq, max_tf, wchars,
+       CAST(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+       CAST(CASE WHEN 3 * n_tokens <= wchars AND wchars <= 10 * n_tokens
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+       CAST(CASE WHEN 2 * n_uniq >= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_ttr,
+       CAST(CASE WHEN 5 * max_tf <= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
+       CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+          * (CASE WHEN 3 * n_tokens <= wchars AND wchars <= 10 * n_tokens THEN 1 ELSE 0 END)
+          * (CASE WHEN 2 * n_uniq >= n_tokens THEN 1 ELSE 0 END)
+          * (CASE WHEN 5 * max_tf <= n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS keep
+FROM g ORDER BY doc_id""",
+)
+def q98_gopher_rules(spark, sf_dir):
+    """E4 per-document Gopher/C4-style quality rules (integer cross-
+    multiplications, no per-doc division): length band, mean-word-length
+    band, type-token ratio, top-token repetition cap, and the combined
+    keep verdict — the row-wise filter stage of a training pipeline."""
+    from tagtree_spark.operators.text import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q99_containment",
+    SHINGLE_CTE
+    + f""", hsd AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, s -> {duck_h60('s')})) AS hs
+  FROM sh WHERE len(shingles) > 0
+), inv_all AS (
+  SELECT doc_id, unnest(hs) AS s FROM hsd
+), keep AS (
+  SELECT s FROM inv_all GROUP BY s HAVING count(*) <= 50
+), inv AS (
+  SELECT inv_all.* FROM inv_all JOIN keep USING (s)
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM inv GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST((n_common * 100) // least(sa.n_sh, sb.n_sh) AS BIGINT) AS containment_pct
+FROM common JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_common * 100 >= 60 * least(sa.n_sh, sb.n_sh)
+ORDER BY doc_a, doc_b""",
+)
+def q99_containment(spark, sf_dir):
+    """E2 asymmetric overlap: pairs where the smaller shingle set is >=60%
+    CONTAINED in the larger — the quote/excerpt screen Jaccard misses (a
+    short doc copied inside a long one has tiny J but C≈1). Same df-capped
+    inverted-index plan as q32; integer-exact."""
+    from tagtree_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _docs(spark, sf_dir), min_containment_pct=60
+    ).orderBy("doc_a", "doc_b")

@@ -745,3 +745,38 @@ def test_clamp_stats_bounds_and_sgn(spark):
     assert (r["n_samples"], r["n_below"], r["n_above"]) == (4, 1, 1)
     assert (r["clamp_min"], r["clamp_max"]) == (0.0, 50.0)
     assert r["sgn_sum"] == 1  # +1 +1 -1 0
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc fully contained in a long one: low Jaccard (misses at
+    50%) but containment 100% — the asymmetric screen's reason to exist."""
+    from tagtree_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[:12])  # exact prefix excerpt
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc)], ["doc_id", "text"]
+    )
+    j = ngram_jaccard_pairs(docs, min_jaccard_pct=50).collect()
+    assert j == []  # J = 10/58 ≈ 0.17 — Jaccard misses it
+    c = ngram_containment_pairs(docs, min_containment_pct=80).collect()
+    assert len(c) == 1 and c[0].containment_pct == 100
+
+
+def test_gopher_rules_flags(spark):
+    from tagtree_spark.operators.text import gopher_rules
+
+    good = " ".join(f"word{i}" for i in range(30))          # passes all
+    short = "one two three"                                  # fails r_len
+    repeated = " ".join(["dup"] * 40)                        # fails r_rep+r_ttr
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, repeated)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert rows[1].keep == 1
+    assert rows[2].keep == 0 and rows[2].r_len == 0
+    assert rows[3].keep == 0 and rows[3].r_rep == 0 and rows[3].r_ttr == 0
