@@ -50,7 +50,7 @@ from tagtree_spark.operators.dedup import (
     word_shingles,
 )
 from tagtree_spark.session import spread
-from tagtree_spark.streaming.ingest import _list_segments
+from tagtree_spark.streaming.ingest import _complete, _list_segments, _parse_segment
 
 #: Physical store partition fan-out. Bounded (one directory per value per
 #: segment); pruning wins when a batch's bands touch a subset — small
@@ -105,6 +105,33 @@ def read_signature_store(
     return out
 
 
+def compact_store(spark: SparkSession, store_path: str, before_batch: int) -> None:
+    """X1 for the signature store: fold segments with id < before_batch
+    into one base, PRESERVING the band_pfx partitioning (the generic
+    streaming.ingest.compact_segments would flatten it and lose the
+    per-batch partition pruning). Same crash-safe order: complete base
+    first, then delete shadowed segments; replays converge."""
+    import glob as _glob
+    import shutil as _shutil
+
+    base = os.path.join(store_path, f"seg-{before_batch - 1:010d}-base")
+    if not _complete(base):
+        if len(_list_segments(store_path, before_batch)) <= 1:
+            return
+        merged = read_signature_store(spark, store_path, before_batch=before_batch)
+        if merged is None:
+            return
+        merged.write.mode("overwrite").partitionBy("band_pfx").parquet(base)
+        if not _complete(base):
+            return
+    for d in _glob.glob(os.path.join(store_path, "seg-*")):
+        if d == base:
+            continue
+        meta = _parse_segment(d)
+        if meta is not None and meta[0] < before_batch:
+            _shutil.rmtree(d, ignore_errors=True)
+
+
 class NearDupSink:
     """foreachBatch sink: flag near-dups of the accumulated corpus, then
     absorb the batch. ``matches_path`` receives one segment per batch with
@@ -119,14 +146,18 @@ class NearDupSink:
         matches_path: str,
         min_match: int = 6,
         max_band: int | None = MAX_BUCKET,
+        compact_every: int | None = 8,
     ):
         self.store_path = store_path
         self.matches_path = matches_path
         self.min_match = min_match
         self.max_band = max_band
+        self.compact_every = compact_every
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
+            compact_store(spark, self.store_path, batch_id)
         batch = batch_signatures(batch_df).persist()
         batch.count()
         # store read pruned to the band partitions this batch touches —

@@ -92,3 +92,32 @@ def test_streaming_neardup_store_read_prunes_partitions(spark, tmpdir):
     assert got == some
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "band_pfx" in plan
+
+
+def test_streaming_neardup_store_compaction(spark, tmpdir):
+    """compact_every folds store segments into a band_pfx-partitioned base:
+    segment count bounded, matches identical before/after, later batches
+    still see the full corpus."""
+    import glob
+
+    from tagtree_spark.streaming.neardup import (
+        NearDupSink,
+        read_matches,
+        read_signature_store,
+    )
+
+    sink = NearDupSink(f"{tmpdir}/store", f"{tmpdir}/matches", compact_every=3)
+    texts = {i: _text(f"t{i}") for i in range(5)}
+    for b in range(5):
+        sink(_docs(spark, [(b * 10, texts[b], "en", "s", 1)]), b)
+    # batch 3 triggered compaction of segs 0-2 → base + segs 3,4
+    segs = glob.glob(f"{tmpdir}/store/seg-*")
+    assert any(s.endswith("-base") for s in segs)
+    assert len(segs) <= 3, segs
+    store = read_signature_store(spark, f"{tmpdir}/store")
+    assert {r.doc_id for r in store.select("doc_id").distinct().collect()} == {0, 10, 20, 30, 40}
+    assert "band_pfx" in store.columns
+    # a duplicate of a pre-compaction doc is still caught through the base
+    sink(_docs(spark, [(99, texts[0], "en", "s", 1)]), 5)
+    m = {(r.new_doc, r.seen_doc) for r in read_matches(spark, f"{tmpdir}/matches").collect()}
+    assert (99, 0) in m
