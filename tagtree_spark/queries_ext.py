@@ -2729,3 +2729,51 @@ def q99_containment(spark, sf_dir):
     return ngram_containment_pairs(
         _docs(spark, sf_dir), min_containment_pct=60
     ).orderBy("doc_a", "doc_b")
+
+
+# Materialized-store cache: one persisted z-ordered store per
+# (session, sf_dir), under the system tmp dir — the q100 path exercises
+# the PERSISTED layout (partition-pruned postings, z-ordered samples),
+# session-lived like queries._MODEL_CACHE.
+_STORE_CACHE: dict = {}
+
+
+def _store_model(spark, sf_dir):
+    import tempfile
+
+    from tagtree_spark.tsdb.store import load_model, materialize_model
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STORE_CACHE:
+        d = tempfile.mkdtemp(prefix="tagtree-q100-store-")
+        materialize_model(spark, load_table(spark, sf_dir, "events"), d)
+        _STORE_CACHE[key] = d
+    return load_model(spark, _STORE_CACHE[key])
+
+
+from tagtree_spark.queries import ORACLE as _ORACLE_REG  # noqa: E402
+
+
+@query("q100_store_select", _ORACLE_REG["q12_select_samples"])
+def q100_store_select(spark, sf_dir):
+    """Querier::select through the PERSISTED store layout (tsdb/store.py):
+    resolve the q07 matcher conjunction over name-partitioned postings
+    (directory pruning), semi-join the z-ordered date-partitioned samples
+    in a time range (partition pruning + 2-d file skipping), aggregate —
+    result identical to the derived-model q12 and checked against the SAME
+    oracle. This is the read path a deployment actually runs: store, not
+    rebuild (/root/reference/src/adapters/prom/querier.cpp:13-21 over the
+    on-disk index, not the mem index)."""
+    from tagtree_spark.queries import T_05, T_25, _Q7_MATCHERS
+    from tagtree_spark.tsdb.matchers import resolve_label_matchers, select_series
+
+    _, postings, samples = _store_model(spark, sf_dir)
+    tsids = resolve_label_matchers(postings, _Q7_MATCHERS)
+    sel = select_series(samples, tsids, start=T_05, end=T_25)
+    return sel.agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        F.unix_micros(F.min("ts")).cast("bigint").alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).cast("bigint").alias("max_ts_us"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
