@@ -780,3 +780,23 @@ def test_gopher_rules_flags(spark):
     assert rows[1].keep == 1
     assert rows[2].keep == 0 and rows[2].r_len == 0
     assert rows[3].keep == 0 and rows[3].r_rep == 0 and rows[3].r_ttr == 0
+
+
+def test_bound_range_anchoring(spark, model):
+    """Range vectors are anchored: lookback without eval_ts (or vice versa)
+    raises; bounding restricts to (eval_ts - lookback, eval_ts]."""
+    import datetime as dt
+
+    import pytest
+
+    from tagtree_spark.tsdb.promql import bound_range
+
+    _, _, samples = model
+    with pytest.raises(ValueError):
+        bound_range(samples, None, dt.timedelta(days=7))
+    with pytest.raises(ValueError):
+        bound_range(samples, dt.datetime(2024, 1, 20), None)
+    b = bound_range(samples, dt.datetime(2024, 1, 20), dt.timedelta(days=7))
+    lo, hi = b.agg(F.min("ts"), F.max("ts")).first()
+    assert lo > dt.datetime(2024, 1, 13) and hi <= dt.datetime(2024, 1, 20)
+    assert bound_range(samples, None, None) is samples
