@@ -266,3 +266,28 @@ def test_materialized_postings_value_sorted(spark, store_dir):
         col = pq.read_table(f, columns=["value"]).column("value").to_pylist()
         assert col == sorted(col), f
         vals.append((col[0], col[-1]))
+
+
+def test_parquet_storage_read_repairs_interrupted_compaction(spark, events):
+    """ParquetSampleStorage.read() must repair a crash that left the
+    samples table renamed away (mid-atomic_overwrite) before reading —
+    the seam keeps the recovery protocol, not just the happy path."""
+    import os
+    import tempfile
+
+    from tagtree_spark.tsdb.storage import ParquetSampleStorage
+    from tagtree_spark.tsdb.store import materialize_model
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-recover-")
+    try:
+        materialize_model(spark, events, d)
+        sp = os.path.join(d, "samples")
+        st = ParquetSampleStorage(spark, sp)
+        n = st.read().count()
+        # simulate crash after step 2 of atomic_overwrite (table renamed
+        # to .old, promote never happened)
+        os.rename(sp, sp + ".old")
+        assert st.read().count() == n  # read recovered the .old copy
+        assert os.path.exists(sp)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
