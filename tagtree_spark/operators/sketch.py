@@ -1,0 +1,116 @@
+"""Deterministic, exactly-verifiable sketches (Flajolet et al. 2007's
+HyperLogLog, public) — the 100 TB path for distinct counting is a sketch
+merge, not a COUNT(DISTINCT) shuffle, but builtin sketches
+(approx_count_distinct) differ between engines and cannot be
+oracle-checked. This HLL is built from the cross-engine h60 hash with
+INTEGER register math, so the whole sketch — every register, the scaled
+harmonic sum, and the final estimate (one fixed IEEE expression) — is
+bit-identical in Spark and DuckDB while still being a real HLL:
+
+  * bucket j = h60(x) mod m (m = 2^p buckets);
+  * rank    = leading zeros of the remaining 54 bits + 1
+              (= 55 - bit_length(rem), via length(bin(rem)) — identical
+              minimal-length binary rendering in both engines);
+  * register M[j] = max rank in bucket; empty buckets contribute rank 0;
+  * Σ 2^-M[j] is kept EXACT by scaling with 2^60: present buckets sum
+    shiftleft(1, 60-M) in bigint (M ≥ 1 → ≤ 2^59 each), empty buckets add
+    (m - hit) · 2^60 in DECIMAL(38,0) (the total can exceed bigint);
+  * estimate = α_m·m²·2^60 / S — literally the same arithmetic expression
+    in both engines (decimal→double casts are correctly rounded and
+    bit-identical; one final IEEE multiply-divide chain).
+
+This is the raw HLL estimator (no small/large-range correction): the
+point is the sketch pipeline shape — map-side register partials, a
+64-row merge, O(1) driver result — with hash-checkable output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tagtree_spark.functions.hashing import duck_h60, h60
+
+#: HLL parameters: p=6 → m=64 buckets, α_64 = 0.709 (Flajolet et al. 2007,
+#: Fig. 3 — exact published constant for m = 64).
+HLL_P = 6
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.709
+
+
+def hll_distinct(df: DataFrame, col: str) -> DataFrame:
+    """Global HLL distinct estimate of a string-castable column →
+    one row ``(n_exact, buckets_hit, s_scaled, hll_estimate)``.
+
+    ``n_exact`` (an exact COUNT(DISTINCT)) rides along so the estimate's
+    error is visible in the result itself; at 100 TB you would drop it and
+    keep only the sketch (map-side partial registers → 64-row merge).
+    """
+    h = h60(F.col(col).cast("string"))
+    keyed = df.select(
+        F.col(col).cast("string").alias("_x"),
+        # integer bit ops only — a double division of a 60-bit int would
+        # round before the cast
+        h.bitwiseAND(F.lit(HLL_M - 1)).cast("bigint").alias("_b"),
+        F.shiftright(h, HLL_P).cast("bigint").alias("_rem"),
+    ).withColumn(
+        "_rank",
+        F.when(F.col("_rem") > 0, F.lit(55) - F.length(F.bin(F.col("_rem"))))
+        .otherwise(F.lit(55))
+        .cast("bigint"),
+    )
+    regs = keyed.groupBy("_b").agg(F.max("_rank").alias("_m"))
+    agg = regs.agg(
+        F.count("*").cast("bigint").alias("buckets_hit"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - _m AS INT))"))
+        .cast("decimal(38,0)")
+        .alias("_s_hit"),
+    )
+    exact = df.agg(F.countDistinct(F.col(col).cast("string")).alias("n_exact"))
+    s = (
+        F.col("_s_hit")
+        + (F.lit(HLL_M).cast("decimal(38,0)") - F.col("buckets_hit").cast("decimal(38,0)"))
+        * F.lit(1 << 60).cast("decimal(38,0)")
+    ).cast("double")
+    return (
+        exact.join(F.broadcast(agg))
+        .select(
+            "n_exact",
+            "buckets_hit",
+            s.alias("s_scaled"),
+            (
+                F.lit(HLL_ALPHA)
+                * F.lit(float(HLL_M * HLL_M))
+                * F.lit(float(1 << 60))
+                / s
+            ).alias("hll_estimate"),
+        )
+    )
+
+
+def duck_hll_distinct_sql(table: str, col: str) -> str:
+    """DuckDB SQL computing the identical sketch over ``table.col``."""
+    h = duck_h60(f"CAST({col} AS VARCHAR)")
+    return f"""
+WITH k AS (
+  SELECT {h} AS h FROM {table}
+), r AS (
+  SELECT h % {HLL_M} AS b, h // {HLL_M} AS rem FROM k
+), ranked AS (
+  SELECT b, CASE WHEN rem > 0 THEN 55 - length(bin(rem)) ELSE 55 END AS rank FROM r
+), regs AS (
+  SELECT b, max(rank) AS m FROM ranked GROUP BY b
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS buckets_hit,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(60 - m AS INT)) AS DECIMAL(38,0)) AS s_hit
+  FROM regs
+), exact AS (
+  SELECT CAST(count(DISTINCT CAST({col} AS VARCHAR)) AS BIGINT) AS n_exact FROM {table}
+)
+SELECT n_exact, buckets_hit,
+       CAST(s_hit + (CAST({HLL_M} AS DECIMAL(38,0)) - CAST(buckets_hit AS DECIMAL(38,0)))
+                    * CAST({1 << 60} AS DECIMAL(38,0)) AS DOUBLE) AS s_scaled,
+       {HLL_ALPHA} * {float(HLL_M * HLL_M)} * {float(1 << 60)}
+         / CAST(s_hit + (CAST({HLL_M} AS DECIMAL(38,0)) - CAST(buckets_hit AS DECIMAL(38,0)))
+                        * CAST({1 << 60} AS DECIMAL(38,0)) AS DOUBLE) AS hll_estimate
+FROM exact CROSS JOIN agg"""

@@ -2777,3 +2777,21 @@ def q100_store_select(spark, sf_dir):
         F.unix_micros(F.max("ts")).cast("bigint").alias("max_ts_us"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
+
+
+from tagtree_spark.operators.sketch import duck_hll_distinct_sql  # noqa: E402
+
+
+@query("q101_hll_distinct", duck_hll_distinct_sql("lineitem", "l_orderkey"))
+def q101_hll_distinct(spark, sf_dir):
+    """Exactly-verifiable HyperLogLog distinct estimate of
+    lineitem.l_orderkey: h60-based integer registers (bit-identical
+    cross-engine), decimal-exact scaled harmonic sum, ONE final IEEE
+    expression for the estimate — the sketch shape 100 TB distinct counts
+    actually use (map-side register partials, 64-row merge), made
+    hash-checkable. n_exact rides along so the estimator error is visible
+    in the result."""
+    from tagtree_spark.operators.sketch import hll_distinct
+
+    tune(spark)
+    return hll_distinct(load_table(spark, sf_dir, "lineitem"), "l_orderkey")

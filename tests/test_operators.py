@@ -800,3 +800,17 @@ def test_bound_range_anchoring(spark, model):
     lo, hi = b.agg(F.min("ts"), F.max("ts")).first()
     assert lo > dt.datetime(2024, 1, 13) and hi <= dt.datetime(2024, 1, 20)
     assert bound_range(samples, None, None) is samples
+
+
+def test_hll_estimate_within_error_band(spark):
+    """HLL with m=64 has ~13% standard error; on a 20k-distinct input the
+    raw estimator must land within 3σ (~40%) of exact, and the registers
+    must be deterministic across runs."""
+    from tagtree_spark.operators.sketch import hll_distinct
+
+    df = spark.range(20_000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    r1 = hll_distinct(df, "k").first()
+    assert r1.n_exact == 20_000
+    assert abs(r1.hll_estimate - 20_000) < 0.4 * 20_000, r1
+    r2 = hll_distinct(df, "k").first()
+    assert r1.hll_estimate == r2.hll_estimate and r1.s_scaled == r2.s_scaled
