@@ -114,3 +114,85 @@ SELECT n_exact, buckets_hit,
          / CAST(s_hit + (CAST({HLL_M} AS DECIMAL(38,0)) - CAST(buckets_hit AS DECIMAL(38,0)))
                         * CAST({1 << 60} AS DECIMAL(38,0)) AS DOUBLE) AS hll_estimate
 FROM exact CROSS JOIN agg"""
+
+
+def hll_registers(df: DataFrame, col: str, group_cols: list[str] | None = None) -> DataFrame:
+    """Per-group HLL registers ``(*group_cols, _b, _m)`` — the MERGEABLE
+    form: registers from disjoint partitions/corpora/days merge by
+    ``groupBy(_b).max(_m)`` (associative + commutative + idempotent), which
+    is what makes sketch distinct-counting a map-side partial at 100 TB.
+    """
+    h = h60(F.col(col).cast("string"))
+    keyed = df.select(
+        *(group_cols or []),
+        h.bitwiseAND(F.lit(HLL_M - 1)).cast("bigint").alias("_b"),
+        F.shiftright(h, HLL_P).cast("bigint").alias("_rem"),
+    ).withColumn(
+        "_rank",
+        F.when(F.col("_rem") > 0, F.lit(55) - F.length(F.bin(F.col("_rem"))))
+        .otherwise(F.lit(55))
+        .cast("bigint"),
+    )
+    return keyed.groupBy(*(group_cols or []), "_b").agg(F.max("_rank").alias("_m"))
+
+
+def merge_registers(a: DataFrame, b: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Union two register sets and re-max — sketch merge (lossless)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*(group_cols or []), "_b")
+        .agg(F.max("_m").alias("_m"))
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Finish a register set into ``(*group_cols, buckets_hit, s_scaled,
+    hll_estimate)`` — same exact-arithmetic finish as :func:`hll_distinct`."""
+    agg = regs.groupBy(*(group_cols or [])).agg(
+        F.count("*").cast("bigint").alias("buckets_hit"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - _m AS INT))"))
+        .cast("decimal(38,0)")
+        .alias("_s_hit"),
+    )
+    s = (
+        F.col("_s_hit")
+        + (F.lit(HLL_M).cast("decimal(38,0)") - F.col("buckets_hit").cast("decimal(38,0)"))
+        * F.lit(1 << 60).cast("decimal(38,0)")
+    ).cast("double")
+    return agg.select(
+        *(group_cols or []),
+        "buckets_hit",
+        s.alias("s_scaled"),
+        (
+            F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) * F.lit(float(1 << 60)) / s
+        ).alias("hll_estimate"),
+    )
+
+
+def duck_hll_grouped_sql(table: str, col: str, group_col: str) -> str:
+    """DuckDB SQL for the per-group sketch + exact count, one row per group."""
+    h = duck_h60(f"CAST({col} AS VARCHAR)")
+    return f"""
+WITH k AS (
+  SELECT {group_col} AS g, {h} AS h FROM {table}
+), r AS (
+  SELECT g, h % {HLL_M} AS b, h // {HLL_M} AS rem FROM k
+), ranked AS (
+  SELECT g, b, CASE WHEN rem > 0 THEN 55 - length(bin(rem)) ELSE 55 END AS rank FROM r
+), regs AS (
+  SELECT g, b, max(rank) AS m FROM ranked GROUP BY g, b
+), agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS buckets_hit,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(60 - m AS INT)) AS DECIMAL(38,0)) AS s_hit
+  FROM regs GROUP BY g
+), exact AS (
+  SELECT {group_col} AS g, CAST(count(DISTINCT CAST({col} AS VARCHAR)) AS BIGINT) AS n_exact
+  FROM {table} GROUP BY {group_col}
+)
+SELECT exact.g AS {group_col}, n_exact, buckets_hit,
+       CAST(s_hit + (CAST({HLL_M} AS DECIMAL(38,0)) - CAST(buckets_hit AS DECIMAL(38,0)))
+                    * CAST({1 << 60} AS DECIMAL(38,0)) AS DOUBLE) AS s_scaled,
+       {HLL_ALPHA} * {float(HLL_M * HLL_M)} * {float(1 << 60)}
+         / CAST(s_hit + (CAST({HLL_M} AS DECIMAL(38,0)) - CAST(buckets_hit AS DECIMAL(38,0)))
+                        * CAST({1 << 60} AS DECIMAL(38,0)) AS DOUBLE) AS hll_estimate
+FROM exact JOIN agg USING (g) ORDER BY {group_col}"""

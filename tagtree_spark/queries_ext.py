@@ -2795,3 +2795,31 @@ def q101_hll_distinct(spark, sf_dir):
 
     tune(spark)
     return hll_distinct(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+from tagtree_spark.operators.sketch import duck_hll_grouped_sql  # noqa: E402
+
+
+@query(
+    "q102_hll_by_group",
+    duck_hll_grouped_sql("orders", "o_custkey", "o_orderpriority"),
+)
+def q102_hll_by_group(spark, sf_dir):
+    """Per-group HLL: distinct customers per order priority — the
+    production sketch shape (map-side register partials, per-group 64-row
+    merge), exact count alongside for visible error. Registers are
+    mergeable (max is associative/commutative/idempotent), pinned by
+    test_hll_merge_associative."""
+    from tagtree_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    regs = hll_registers(orders, "o_custkey", ["o_orderpriority"])
+    est = hll_estimate_from_registers(regs, ["o_orderpriority"])
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct(F.col("o_custkey").cast("string")).alias("n_exact")
+    )
+    return exact.join(est, "o_orderpriority").orderBy("o_orderpriority")

@@ -814,3 +814,28 @@ def test_hll_estimate_within_error_band(spark):
     assert abs(r1.hll_estimate - 20_000) < 0.4 * 20_000, r1
     r2 = hll_distinct(df, "k").first()
     assert r1.hll_estimate == r2.hll_estimate and r1.s_scaled == r2.s_scaled
+
+
+def test_hll_merge_associative(spark):
+    """Sketch merge: registers of two disjoint halves merged == registers
+    of the whole — the associativity that makes HLL a map-side partial."""
+    from tagtree_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+        merge_registers,
+    )
+
+    df = spark.range(10_000).select(F.concat(F.lit("u"), F.col("id")).alias("k"))
+    a = df.where(F.col("k").substr(2, 9).cast("long") % 2 == 0)
+    b = df.where(F.col("k").substr(2, 9).cast("long") % 2 == 1)
+    whole = {(r._b, r._m) for r in hll_registers(df, "k").collect()}
+    merged = {
+        (r._b, r._m)
+        for r in merge_registers(hll_registers(a, "k"), hll_registers(b, "k")).collect()
+    }
+    assert whole == merged
+    e1 = hll_estimate_from_registers(hll_registers(df, "k")).first()
+    e2 = hll_estimate_from_registers(
+        merge_registers(hll_registers(a, "k"), hll_registers(b, "k"))
+    ).first()
+    assert e1.hll_estimate == e2.hll_estimate
