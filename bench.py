@@ -1,14 +1,18 @@
 """Benchmark harness: run the full query inventory at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print TWO
+JSON lines — the detailed record then a compact totals-only record:
 
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q01_eql": sec, ...}, "sf": 0.1}
+     "queries": {"q01_eql": sec, ...}, "wall_sec": W, "sf": 0.1}
+    {"metric": "total_wall_sec", "value": N, "unit": "sec", "wall_sec": W,
+     "sf": 0.1, "n_queries": Q, "n_failed": 0, "failed": []}
 
+The LAST line is always small enough to survive a bounded tail capture
+(the detailed line outgrew the driver's window at ~100 queries, r3).
 Execution is forced through the noop sink (full plan runs, nothing is
 transferred to the driver) — collect() would make the bench measure driver
 materialization instead of the engine. All Spark logs go to stderr; stdout
-carries exactly the one JSON line.
+carries exactly the two JSON lines.
 """
 
 from __future__ import annotations
