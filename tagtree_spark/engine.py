@@ -104,7 +104,15 @@ class TagTreeEngine:
         only ever adds). Prior sample rows stay valid because the merge
         keeps existing TSIDs stable (tsid, created) semantics — only new
         label sets get ids above the watermark.
+
+        Store-backed engines delegate to :meth:`ingest_batch`: there the
+        storage append is DURABLE, so the merged series must be committed
+        first — otherwise a crash leaves orphan sample files whose tsids a
+        later ingest could reassign to different label sets (ADVICE r4
+        medium). ingest_batch commits series before appending samples.
         """
+        if self.store_dir is not None:
+            return self.ingest_batch(batch_events)
         from tagtree_spark.tsdb.model import build_postings, build_samples
 
         self.series = _ingest.add_series_batch(self.series, batch_events)

@@ -276,7 +276,10 @@ def ivf_topk(
     # top-nprobe cells by query-centroid cosine, folded to one array row
     # (sort_array over n_cells structs) — no unpartitioned window over the
     # O(n_cells) frame (VERDICT r3 #8). Ascending sort on (-cscore, qcid)
-    # == score desc with qcid tiebreak.
+    # == score desc with qcid tiebreak. nanvl maps a NaN cosine (degenerate
+    # zero centroid) to +inf BEFORE negating so it still sorts first —
+    # Spark ranks NaN greatest under DESC, and plain negation would flip a
+    # NaN cell from probed-first to never-probed (ADVICE r4 low).
     probe = (
         cents.join(F.broadcast(qv_df))
         .select("qcid", cosine("cv", "qv").alias("cscore"))
@@ -284,7 +287,10 @@ def ivf_topk(
             F.slice(
                 F.array_sort(
                     F.collect_list(
-                        F.struct((-F.col("cscore")).alias("_n"), F.col("qcid"))
+                        F.struct(
+                            (-F.nanvl(F.col("cscore"), F.lit(float("inf")))).alias("_n"),
+                            F.col("qcid"),
+                        )
                     )
                 ),
                 1,

@@ -13,8 +13,9 @@ bit-identical in Spark and DuckDB while still being a real HLL:
               minimal-length binary rendering in both engines);
   * register M[j] = max rank in bucket; empty buckets contribute rank 0;
   * Σ 2^-M[j] is kept EXACT by scaling with 2^60: present buckets sum
-    shiftleft(1, 60-M) in bigint (M ≥ 1 → ≤ 2^59 each), empty buckets add
-    (m - hit) · 2^60 in DECIMAL(38,0) (the total can exceed bigint);
+    shiftleft(1, 60-M) cast to DECIMAL(38,0) per term (M ≥ 1 → ≤ 2^59
+    each, but ≥16 rank-1 buckets overflow an int64 SUM), empty buckets
+    add (m - hit) · 2^60 in DECIMAL(38,0);
   * estimate = α_m·m²·2^60 / S — literally the same arithmetic expression
     in both engines (decimal→double casts are correctly rounded and
     bit-identical; one final IEEE multiply-divide chain).
@@ -62,7 +63,15 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     regs = keyed.groupBy("_b").agg(F.max("_rank").alias("_m"))
     agg = regs.agg(
         F.count("*").cast("bigint").alias("buckets_hit"),
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - _m AS INT))"))
+        # SUM in DECIMAL(38,0), not bigint: sparse data fills registers with
+        # rank 1 (term 2^59) and ≥16 such buckets overflow int64 under ANSI
+        # mode. DuckDB never hit this because its sum(BIGINT) widens to
+        # HUGEINT; decimal sums are exact in both engines.
+        F.sum(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - _m AS INT)) AS DECIMAL(38,0))"
+            )
+        )
         .cast("decimal(38,0)")
         .alias("_s_hit"),
     )
@@ -150,7 +159,15 @@ def hll_estimate_from_registers(regs: DataFrame, group_cols: list[str] | None = 
     hll_estimate)`` — same exact-arithmetic finish as :func:`hll_distinct`."""
     agg = regs.groupBy(*(group_cols or [])).agg(
         F.count("*").cast("bigint").alias("buckets_hit"),
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - _m AS INT))"))
+        # SUM in DECIMAL(38,0), not bigint: sparse data fills registers with
+        # rank 1 (term 2^59) and ≥16 such buckets overflow int64 under ANSI
+        # mode. DuckDB never hit this because its sum(BIGINT) widens to
+        # HUGEINT; decimal sums are exact in both engines.
+        F.sum(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - _m AS INT)) AS DECIMAL(38,0))"
+            )
+        )
         .cast("decimal(38,0)")
         .alias("_s_hit"),
     )

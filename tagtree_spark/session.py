@@ -29,6 +29,36 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+#: Zone ids that name UTC without being the literal string "UTC". A
+#: deployment that forbids setting the conf but already runs under one of
+#: these has correct timestamp semantics — don't hard-fail it (ADVICE r4).
+_UTC_ALIASES = frozenset(
+    {"UTC", "GMT", "GMT0", "UCT", "Z", "Zulu", "Universal", "Greenwich",
+     "Etc/UTC", "Etc/GMT", "Etc/GMT0", "Etc/GMT+0", "Etc/GMT-0", "Etc/UCT",
+     "Etc/Universal", "Etc/Zulu", "Etc/Greenwich",
+     "+00:00", "-00:00", "GMT+00:00", "UTC+00:00"}
+)
+
+
+def _is_utc_equivalent(tz: str) -> bool:
+    """True iff ``tz`` resolves to a fixed zero offset (alias table first,
+    then zoneinfo: offset 0 on both a January and a July instant — catches
+    region names the alias table misses while rejecting DST zones)."""
+    if tz in _UTC_ALIASES:
+        return True
+    try:
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        return all(
+            datetime(2024, m, 1, tzinfo=z).utcoffset().total_seconds() == 0
+            for m in (1, 7)
+        )
+    except Exception:
+        return False
+
+
 def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime conf to an externally-provided session (idempotent)."""
     for k, v in _RUNTIME_CONF.items():
@@ -44,7 +74,7 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
         tz = spark.conf.get("spark.sql.session.timeZone")
     except Exception:
         tz = None
-    if tz is not None and tz != "UTC":
+    if tz is not None and not _is_utc_equivalent(tz):
         raise RuntimeError(
             f"spark.sql.session.timeZone is {tz!r}, not 'UTC', and could not "
             "be overridden; timestamp semantics (io.load_table NTZ cast) "

@@ -82,7 +82,9 @@ def compact_store(spark: SparkSession, store_path: str, before_batch: int) -> No
         if len(_list_segments(store_path, before_batch)) <= 1:
             return
         merged = read_vector_store(spark, store_path, before_batch=before_batch)
-        if merged is None:
+        # zero-row partitioned write would create a dataless base segment
+        # that breaks every later read (ADVICE r4 high)
+        if merged is None or merged.isEmpty():
             return
         merged.write.mode("overwrite").partitionBy("bucket").parquet(base)
         if not _complete(base):
@@ -124,7 +126,12 @@ class EmbedDedupSink:
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
             compact_store(spark, self.store_path, batch_id)
         batch = batch_buckets(batch_df, n_planes=self.n_planes, dim=self.dim).persist()
-        batch.count()
+        # a zero-row bucket-partitioned delta write would leave a dataless
+        # segment that poisons every later store read; an absent segment is
+        # the replay-idempotent equivalent (ADVICE r4 high)
+        if batch.count() == 0:
+            batch.unpersist()
+            return
         bks = [r[0] for r in batch.select("bucket").distinct().collect()]
         seen = read_vector_store(
             spark, self.store_path, before_batch=batch_id, buckets=bks

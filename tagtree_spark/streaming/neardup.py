@@ -119,7 +119,9 @@ def compact_store(spark: SparkSession, store_path: str, before_batch: int) -> No
         if len(_list_segments(store_path, before_batch)) <= 1:
             return
         merged = read_signature_store(spark, store_path, before_batch=before_batch)
-        if merged is None:
+        # zero-row dynamic-partitioned write would create a dataless base
+        # segment that breaks every later read (ADVICE r4 high)
+        if merged is None or merged.isEmpty():
             return
         merged.write.mode("overwrite").partitionBy("band_pfx").parquet(base)
         if not _complete(base):
@@ -159,7 +161,15 @@ class NearDupSink:
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
             compact_store(spark, self.store_path, batch_id)
         batch = batch_signatures(batch_df).persist()
-        batch.count()
+        # An all-filtered batch (every doc <3 words) yields ZERO signature
+        # rows; a zero-row dynamic-partitioned write would leave a segment
+        # with only _SUCCESS and no data files, which poisons every later
+        # store read (UNABLE_TO_INFER_SCHEMA). An absent segment is the
+        # replay-idempotent equivalent, so skip the batch entirely
+        # (ADVICE r4 high).
+        if batch.count() == 0:
+            batch.unpersist()
+            return
         # store read pruned to the band partitions this batch touches —
         # ≤ N_BAND_PARTS scalar values, a metadata-sized collect
         pfx = [r[0] for r in batch.select("band_pfx").distinct().collect()]

@@ -60,6 +60,11 @@ class SampleStorage(ABC):
     def close(self) -> None:  # Storage::close — nothing to release by default
         pass
 
+    def compact(self) -> None:
+        """X1 — fold small files. Default no-op so custom backends satisfy
+        the whole contract the engine invokes (TagTreeEngine.compact and the
+        ingest_batch auto-compact path call it; ADVICE r4 low)."""
+
 
 class MemorySampleStorage(SampleStorage):
     def __init__(self, samples: DataFrame):

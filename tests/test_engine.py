@@ -223,3 +223,32 @@ def test_pluggable_sample_storage_seam(spark, events):
     assert calls == ["select", "append"]
     # the engine's sample view IS the storage's view
     assert eng.samples is eng.storage.read() or eng.samples.count() == eng.storage.read().count()
+
+
+def test_add_series_batch_store_backed_commits_series_first(spark, events):
+    """On a store-backed engine, add_series_batch must not durably append
+    samples while the merged series stays uncommitted — a crash would leave
+    orphan sample files whose tsids a later ingest could reassign (ADVICE
+    r4 medium). It delegates to ingest_batch, which commits series before
+    appending samples; the committed series watermark must cover every tsid
+    present in the durable sample store."""
+    import shutil
+    import tempfile
+
+    from tagtree_spark.tsdb.store import materialize_model
+    from tests.test_store import _tmp_root
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-addbatch-store-")
+    try:
+        base = events.where(F.col("event_id") % 3 == 0)
+        materialize_model(spark, base, d)
+        eng = TagTreeEngine(spark, store_dir=d, auto_compact_series=None)
+        eng.add_series_batch(events.where(F.col("event_id") % 3 == 1))
+        # committed (reloaded) series must cover every durable sample tsid
+        committed = TagTreeEngine(spark, store_dir=d)
+        max_sample_tsid = eng.samples.agg(F.max("tsid").alias("m")).collect()[0].m
+        assert committed.current_tsid() >= max_sample_tsid
+        # and answers match the in-memory view
+        assert committed.series.count() == eng.series.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

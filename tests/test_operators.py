@@ -839,3 +839,33 @@ def test_hll_merge_associative(spark):
         merge_registers(hll_registers(a, "k"), hll_registers(b, "k"))
     ).first()
     assert e1.hll_estimate == e2.hll_estimate
+
+
+def test_hll_sparse_registers_no_overflow(spark):
+    """Sparse input (~1 element per bucket) fills registers with rank 1;
+    each scaled term is then 2^59 and >=16 such buckets overflow an int64
+    SUM under ANSI mode (the r5 q102 sf0.001 failure). The sum must run in
+    DECIMAL(38,0) and still agree with the exact Python computation."""
+    import hashlib
+
+    from tagtree_spark.operators.sketch import HLL_M, HLL_P, hll_distinct
+
+    def py_h60(s):  # the h60 contract: first 15 hex chars of md5
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n = 200
+    df = spark.range(n).select(F.concat(F.lit("s"), F.col("id")).alias("k"))
+    r = hll_distinct(df, "k").first()
+    # exact Python replica of the sketch
+    regs: dict[int, int] = {}
+    for i in range(n):
+        h = py_h60(f"s{i}")
+        b, rem = h & (HLL_M - 1), h >> HLL_P
+        rank = 55 - rem.bit_length() if rem > 0 else 55
+        regs[b] = max(regs.get(b, 0), rank)
+    s = sum(1 << (60 - m) for m in regs.values()) + (HLL_M - len(regs)) * (1 << 60)
+    assert r.buckets_hit == len(regs)
+    assert r.s_scaled == float(s)
+    # the sparse regime really is the overflow regime: hit-bucket terms
+    # alone exceed int64
+    assert sum(1 << (60 - m) for m in regs.values()) > 2**63

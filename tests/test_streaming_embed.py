@@ -88,3 +88,18 @@ def test_embed_store_compaction(spark, tmpdir):
     sink(_vecs(spark, [(99, _v("s0"))]), 5)
     m = {(r.new_vec, r.seen_vec) for r in read_matches(spark, f"{tmpdir}/matches").collect()}
     assert (99, 0) in m
+
+
+def test_embed_empty_batch_does_not_poison_store(spark, tmpdir):
+    """A zero-row micro-batch must not write a dataless bucket-partitioned
+    segment (would break every later store read; ADVICE r4 high)."""
+    from tagtree_spark.streaming.embed import EmbedDedupSink, read_matches
+
+    sink = EmbedDedupSink(f"{tmpdir}/store", f"{tmpdir}/matches", threshold=0.9)
+    a = _v("a")
+    sink(_vecs(spark, [(1, a)]), 0)
+    sink(_vecs(spark, []), 1)  # empty batch
+    assert not glob.glob(f"{tmpdir}/store/seg-0000000001*")
+    sink(_vecs(spark, [(2, a)]), 2)
+    m = {(r.new_vec, r.seen_vec) for r in read_matches(spark, f"{tmpdir}/matches").collect()}
+    assert (2, 1) in m

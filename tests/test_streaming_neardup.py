@@ -94,6 +94,27 @@ def test_streaming_neardup_store_read_prunes_partitions(spark, tmpdir):
     assert "PartitionFilters" in plan and "band_pfx" in plan
 
 
+def test_streaming_neardup_empty_batch_does_not_poison_store(spark, tmpdir):
+    """A batch whose docs are ALL filtered out (<3 words) must not write a
+    dataless partitioned segment — that segment would break every later
+    store read with UNABLE_TO_INFER_SCHEMA (ADVICE r4 high). The absent
+    segment is the replay-idempotent equivalent."""
+    import glob
+
+    from tagtree_spark.streaming.neardup import NearDupSink, read_matches
+
+    sink = NearDupSink(f"{tmpdir}/store", f"{tmpdir}/matches")
+    a = _text("a")
+    sink(_docs(spark, [(1, a, "en", "s", 1)]), 0)
+    # batch 1: every doc has <3 words → zero signature rows
+    sink(_docs(spark, [(2, "hi", "en", "s", 1), (3, "x y", "en", "s", 1)]), 1)
+    assert not glob.glob(f"{tmpdir}/store/seg-0000000001*")
+    # batch 2 still reads the store and matches against batch 0
+    sink(_docs(spark, [(4, a, "en", "s", 1)]), 2)
+    m = {(r.new_doc, r.seen_doc) for r in read_matches(spark, f"{tmpdir}/matches").collect()}
+    assert (4, 1) in m
+
+
 def test_streaming_neardup_store_compaction(spark, tmpdir):
     """compact_every folds store segments into a band_pfx-partitioned base:
     segment count bounded, matches identical before/after, later batches
