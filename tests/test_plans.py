@@ -144,3 +144,37 @@ def test_q80_dimension_chain_broadcasts(spark):
     plan = physical_plan(q)
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert not has_cartesian(q)
+
+
+def test_store_matcher_prunes_name_partitions(spark, events):
+    """q103-q105 read the PERSISTED name-partitioned postings: a matcher's
+    postings scan must show a PartitionFilters entry on ``name`` (directory
+    pruning — the disk-path analogue of the reference's per-(name,value)
+    key ranges), not a full postings scan."""
+    import shutil
+    import tempfile
+
+    from tagtree_spark.tsdb.matchers import (
+        LabelMatcher,
+        MatchOp,
+        resolve_label_matchers,
+    )
+    from tagtree_spark.tsdb.store import load_model, materialize_model
+    from tests.test_store import _tmp_root
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-store-prune-")
+    try:
+        materialize_model(spark, events, d)
+        _, postings, _ = load_model(spark, d)
+        q = resolve_label_matchers(
+            postings, [LabelMatcher(MatchOp.EQL, "event_type", "click")]
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan, plan
+        # the filter must actually constrain the name partition column
+        import re
+
+        pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert any("name" in f and f.strip() for f in pf), plan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
