@@ -5,11 +5,19 @@ metadata, processed by Arrow-batched ``mapInPandas`` — the Spark-idiomatic
 shape for media pipelines at 100 TB (payload bytes never pass through
 row-at-a-time Python; each task streams pandas batches).
 
-The container has no image/audio codecs, so the actual decode step is
-STUBBED (``decode_media`` raises NotImplementedError, as mandated by the
-project brief); ``extract_features`` runs the same mapInPandas plumbing
-with a deterministic fake feature (md5-derived — reproducible in the
-DuckDB oracle), so schema, batching, and partitioning are real and tested.
+Two decode tiers:
+
+  * REAL byte-level decode for formats the stdlib can parse: WAV/PCM16
+    audio (RIFF chunk walk) and binary PPM (P6) images — ``decode_media``
+    returns actual samples/pixels, ``resize_media`` does a real
+    nearest-neighbour resize of P6 payloads, and the q106/q107 pipelines
+    encode documents into genuine WAV/PPM bytes, decode them back inside
+    mapInPandas, and feature-ize the decoded data (oracle-checked).
+  * STUB for modalities with no pure-Python format in this container
+    (video containers, compressed codecs): ``decode_media`` raises
+    NotImplementedError rather than let fake features pass as decodes;
+    ``extract_features`` exercises the same plumbing with a deterministic
+    md5-derived feature.
 """
 
 from __future__ import annotations
@@ -65,25 +73,146 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(modality: str, payload: bytes):
-    """STUB — real decode needs PIL/ffmpeg/librosa, not in this container.
+# --------------------------------------------------------------------------
+# Real byte-level codecs (E5, VERDICT r4 "next" #3): WAV/PCM16 and PPM(P6)
+# are fully public formats parseable with the stdlib alone — no codec
+# library needed. decode_media dispatches on the payload's magic bytes;
+# only modalities with no pure-Python format left (video containers,
+# compressed codecs) still raise.
+# --------------------------------------------------------------------------
 
-    The contract a production build would implement: image → HxWxC uint8
-    array, audio → PCM float32, video → sampled frames. Deliberately raises
-    so callers can't silently treat fake features as real decodes.
+
+def encode_wav_pcm16(samples: list[int], sample_rate: int, channels: int = 1) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: PCM (format 1), 16-bit LE
+    interleaved samples. Layout per the public WAVE spec — 'RIFF' size
+    'WAVE', an 'fmt ' chunk (16 bytes), then one 'data' chunk."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        channels,
+        sample_rate,
+        sample_rate * channels * 2,  # byte rate
+        channels * 2,  # block align
+        16,  # bits per sample
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse a RIFF/WAVE PCM16 payload → ``(sample_rate, channels,
+    samples)``. Walks the chunk list (chunks are (4cc, u32 size, bytes),
+    word-aligned), so writers that emit extra chunks (LIST/INFO, fact)
+    still decode. Raises ValueError on non-RIFF bytes or non-PCM16
+    encodings — a corrupt payload must fail loudly, not hash quietly."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    rate = nch = None
+    samples: list[int] = []
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, nch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAVE encoding (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("WAVE data chunk before fmt chunk")
+            n = len(body) // 2
+            samples.extend(struct.unpack(f"<{n}h", body[: 2 * n]))
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None:
+        raise ValueError("WAVE payload has no fmt chunk")
+    return int(rate), int(nch), samples
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) writer — header + raw RGB triples."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"P6 payload needs {width * height * 3} bytes, got {len(rgb)}")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6) payload → ``(width, height, rgb_bytes)``.
+    Full header grammar: whitespace-separated tokens, '#' comments allowed
+    anywhere in the header, single whitespace byte before pixel data."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header from pixels
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = width * height * 3
+    rgb = payload[pos : pos + need]
+    if len(rgb) != need:
+        raise ValueError(f"PPM pixel data truncated: {len(rgb)}/{need} bytes")
+    return width, height, rgb
+
+
+def decode_media(modality: str, payload: bytes):
+    """Decode a media payload by modality + magic bytes:
+
+      * ``audio`` / RIFF..WAVE → ``(sample_rate, channels, [int16 samples])``
+        (:func:`decode_wav_pcm16`);
+      * ``image`` / P6 → ``(width, height, rgb_bytes)`` (:func:`decode_ppm`).
+
+    Video (container demux + inter-frame codecs) has no pure-Python format
+    to target in this environment and still raises — callers must not treat
+    fake features as real decodes for modalities we cannot actually parse.
     """
+    if modality == "audio" and payload[:4] == b"RIFF":
+        return decode_wav_pcm16(payload)
+    if modality == "image" and payload[:2] == b"P6":
+        return decode_ppm(payload)
     raise NotImplementedError(
-        f"decode_media({modality!r}): media codecs are not available in this "
-        "environment; use extract_features() (deterministic md5-based fake) "
-        "for pipeline plumbing."
+        f"decode_media({modality!r}): no pure-Python decoder for this "
+        "payload (video/compressed codecs are out of scope in this "
+        "environment); WAV/PCM16 audio and P6 PPM images decode for real."
     )
 
 
-def resize_media(modality: str, payload: bytes, width: int, height: int):
-    """STUB — resize requires a real decode (PIL/ffmpeg), not in this
-    container; see decode_media."""
+def resize_media(modality: str, payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbour resize of a P6 PPM image payload → new P6 payload
+    (real decode → index map → re-encode). Other modalities raise: audio
+    resampling and video scaling need DSP/codec machinery out of scope
+    here."""
+    if modality == "image":
+        w0, h0, rgb = decode_ppm(payload)
+        out = bytearray()
+        for y in range(height):
+            sy = y * h0 // height
+            for x in range(width):
+                sx = x * w0 // width
+                o = (sy * w0 + sx) * 3
+                out += rgb[o : o + 3]
+        return encode_ppm(width, height, bytes(out))
     raise NotImplementedError(
-        f"resize_media({modality!r}, {width}x{height}): requires decode_media"
+        f"resize_media({modality!r}, {width}x{height}): only P6 image "
+        "payloads resize without codec libraries"
     )
 
 
@@ -238,3 +367,138 @@ def audio_windows(media: DataFrame, win_ms: int = 500, hop_ms: int = 300) -> Dat
             )
 
     return spread(media).mapInPandas(batches, schema=AUDIO_WINDOW_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real-decode pipelines over the documents fixture: synthesize a canonical
+# WAV/PPM payload from each doc's bytes (deterministic, so a SQL oracle can
+# recompute the features straight from the text), then DECODE THE BYTES
+# BACK inside mapInPandas and compute features from the decoded samples —
+# the full encode→Arrow→parse→feature path a media pipeline runs, with
+# hash-checkable output.
+# --------------------------------------------------------------------------
+
+#: text byte b → int16 sample b*257 - 32768 (0 → -32768, 255 → 32767):
+#: spans the full PCM16 range and inverts exactly in integer SQL.
+_SAMPLE_SCALE, _SAMPLE_OFF = 257, -32768
+WAV_SAMPLE_RATE = 100
+
+AUDIO_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("max_s", LongType()),
+        StructField("min_s", LongType()),
+    ]
+)
+
+IMG_WIDTH = 8  # fixed raster width; height grows with the payload
+
+IMAGE_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixel_bytes", LongType()),
+        StructField("sum_pixels", LongType()),
+    ]
+)
+
+
+def wav_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL RIFF/WAVE PCM16 bytes: sample i
+    is the affine-mapped i-th utf-8 byte of the text. Arrow-batched 1→1
+    encode (the ingest-side twin of the decode path)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                encode_wav_pcm16(
+                    [b * _SAMPLE_SCALE + _SAMPLE_OFF for b in t.encode("utf-8")],
+                    WAV_SAMPLE_RATE,
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "modality": "audio",
+                    "payload": payloads,
+                    "meta": [
+                        {"sample_rate": str(WAV_SAMPLE_RATE), "channels": "1"}
+                    ]
+                    * len(payloads),
+                }
+            )
+
+    return spread(docs).select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decoded_audio_features(media: DataFrame) -> DataFrame:
+    """Per-payload features computed from DECODED PCM samples (real RIFF
+    chunk-walk parse, not payload hashing): count, exact integer absolute
+    sum, min/max sample. Integer-only so the oracle matches bit-for-bit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_DECODED_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, _nch, samples = decode_wav_pcm16(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["sum_abs"].append(sum(abs(s) for s in samples))
+                out["max_s"].append(max(samples) if samples else 0)
+                out["min_s"].append(min(samples) if samples else 0)
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=AUDIO_DECODED_SCHEMA)
+
+
+def ppm_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL binary PPM (P6) images: the
+    text's utf-8 bytes laid out as grayscale RGB triples on a fixed-width
+    raster, zero-padded to fill the last row (padding adds 0 to any pixel
+    sum, keeping the oracle a plain aggregate over the text bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                row_bytes = IMG_WIDTH * 3
+                height = max(1, -(-len(raw) // row_bytes))
+                padded = raw.ljust(row_bytes * height, b"\x00")
+                payloads.append(encode_ppm(IMG_WIDTH, height, padded))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "modality": "image",
+                    "payload": payloads,
+                    "meta": [{"format": "ppm"}] * len(payloads),
+                }
+            )
+
+    return spread(docs).select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decoded_image_features(media: DataFrame) -> DataFrame:
+    """Per-image features from DECODED pixels (real P6 header parse +
+    dimension-checked pixel read): geometry and the exact integer pixel
+    sum."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in IMAGE_DECODED_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rgb = decode_ppm(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixel_bytes"].append(len(rgb))
+                out["sum_pixels"].append(sum(rgb))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=IMAGE_DECODED_SCHEMA)

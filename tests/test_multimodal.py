@@ -15,9 +15,94 @@ from tagtree_spark.operators.multimodal import (
 )
 
 
-def test_decode_is_stubbed():
+def test_decode_unsupported_formats_raise():
+    """Modalities/formats with no pure-Python decoder must still raise —
+    PNG (compressed) and video have no stdlib parse path."""
     with pytest.raises(NotImplementedError):
-        decode_media("image", b"\x89PNG")
+        decode_media("image", b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(NotImplementedError):
+        decode_media("video", b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_wav_roundtrip_matches_stdlib_wave():
+    """encode_wav_pcm16 bytes must be readable by the stdlib wave module,
+    and decode_wav_pcm16 must invert both our writer and wave's."""
+    import io
+    import struct
+    import wave
+
+    from tagtree_spark.operators.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    payload = encode_wav_pcm16(samples, 8000)
+    with wave.open(io.BytesIO(payload)) as w:
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (8000, 1, 2)
+        got = list(struct.unpack(f"<{w.getnframes()}h", w.readframes(w.getnframes())))
+    assert got == samples
+    # stdlib-written bytes decode identically through our chunk walk
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    rate, nch, got2 = decode_wav_pcm16(buf.getvalue())
+    assert (rate, nch, got2) == (8000, 1, samples)
+    assert decode_wav_pcm16(payload) == (8000, 1, samples)
+
+
+def test_wav_decode_skips_foreign_chunks_and_rejects_corrupt():
+    """The chunk walk must skip unknown chunks (LIST/INFO) including
+    odd-sized ones (word alignment), and reject non-PCM16 or truncated
+    payloads loudly."""
+    import struct
+
+    from tagtree_spark.operators.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+    base = encode_wav_pcm16([5, -5, 7], 44100)
+    # splice an odd-sized LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    foreign = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # 5 + pad
+    spliced = base[:fmt_end] + foreign + base[fmt_end:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav_pcm16(spliced) == (44100, 1, [5, -5, 7])
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFXjunk")
+    # 8-bit PCM must be rejected, not misparsed
+    bad = bytearray(base)
+    bits_off = 12 + 8 + 14  # bits-per-sample field inside fmt
+    bad[bits_off : bits_off + 2] = struct.pack("<H", 8)
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(bytes(bad))
+
+
+def test_ppm_roundtrip_comments_and_truncation():
+    from tagtree_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rgb = bytes(range(2 * 3 * 3))
+    payload = encode_ppm(3, 2, rgb)
+    assert decode_ppm(payload) == (3, 2, rgb)
+    # header comments are legal anywhere between tokens
+    commented = b"P6\n# made by a test\n3 2\n# maxval next\n255\n" + rgb
+    assert decode_ppm(commented) == (3, 2, rgb)
+    with pytest.raises(ValueError):
+        decode_ppm(payload[:-1])  # truncated pixels
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # PGM, not P6
+
+
+def test_resize_ppm_nearest_neighbour():
+    from tagtree_spark.operators.multimodal import decode_ppm, encode_ppm, resize_media
+
+    # 2x1 image: left pixel red, right pixel blue
+    src = encode_ppm(2, 1, bytes([255, 0, 0, 0, 0, 255]))
+    out = resize_media("image", src, 4, 2)
+    w, h, rgb = decode_ppm(out)
+    assert (w, h) == (4, 2)
+    pixels = [tuple(rgb[i : i + 3]) for i in range(0, len(rgb), 3)]
+    assert pixels == [(255, 0, 0), (255, 0, 0), (0, 0, 255), (0, 0, 255)] * 2
+    with pytest.raises(NotImplementedError):
+        resize_media("audio", b"RIFF", 1, 1)
 
 
 def test_media_schema(documents):
@@ -45,11 +130,32 @@ def test_extract_features_matches_python_md5(documents):
         assert f.head_h60 == int(hashlib.md5(d.text.encode()[:16]).hexdigest()[:15], 16)
 
 
-def test_resize_is_stubbed():
-    from tagtree_spark.operators.multimodal import resize_media
+def test_wav_pipeline_decodes_real_payloads(documents):
+    """wav_from_documents payloads are genuine RIFF/WAVE bytes; the decoded
+    features must equal a driver-side Python decode of the same docs."""
+    from tagtree_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        decoded_audio_features,
+        wav_from_documents,
+    )
 
-    with pytest.raises(NotImplementedError):
-        resize_media("image", b"\x89PNG", 224, 224)
+    docs = {r.doc_id: r.text for r in documents.orderBy("doc_id").limit(5).collect()}
+    media = wav_from_documents(documents)
+    rows = {
+        r.media_id: r
+        for r in decoded_audio_features(media).orderBy("media_id").limit(5).collect()
+    }
+    for did, text in docs.items():
+        expect = [b * 257 - 32768 for b in text.encode()]
+        got = rows[did]
+        assert got.n_samples == len(expect)
+        assert got.sum_abs == sum(abs(s) for s in expect)
+        assert (got.max_s, got.min_s) == (max(expect), min(expect))
+    # the payload itself is a decodable WAV container
+    one = media.where(F.col("media_id") == min(docs)).first()
+    rate, nch, samples = decode_wav_pcm16(bytes(one.payload))
+    assert (rate, nch) == (100, 1)
+    assert samples == [b * 257 - 32768 for b in docs[min(docs)].encode()]
 
 
 def test_sample_frames_row_expansion(documents):
