@@ -3,7 +3,15 @@
 JSON lines — the detailed record then a compact totals-only record:
 
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q01_eql": sec, ...}, "wall_sec": W, "sf": 0.1}
+     "queries": {"q01_eql": sec, ...},
+     "spread": {"q01_eql": [min, max], ...}, "wall_sec": W, "sf": 0.1}
+
+"queries" carries the per-query MIN of the two timed runs (the comparable
+metric); "spread" carries [min, max] of both runs so a one-off outlier is
+self-identifying from the artifact alone (r4: three queries read 2-5x
+slower in the driver tail purely from host contention — with the spread
+recorded, a wide [min,max] on an unchanged query reads as noise, not a
+regression, without a re-run).
     {"metric": "total_wall_sec", "value": N, "unit": "sec", "wall_sec": W,
      "sf": 0.1, "n_queries": Q, "n_failed": 0, "failed": []}
 
@@ -61,20 +69,23 @@ def main() -> int:
     # "value" = sum of per-query minima (the comparable metric); true
     # wall-clock of the whole run is reported as wall_sec.
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     t_all = time.time()
     for name, fn in qs.items():
-        best = None
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.time()
             try:
                 run_query(fn(spark, sf_dir))
-                dt = time.time() - t0
-                best = dt if best is None or dt < best else best
+                runs.append(time.time() - t0)
             except Exception as exc:  # keep benching; a broken query reads as -1
                 print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
-                best = -1.0
+                runs = []
                 break
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3) if runs else -1.0
+        spreads[name] = (
+            [round(min(runs), 3), round(max(runs), 3)] if runs else [-1.0, -1.0]
+        )
         # operator-level caches are per-query; don't let 50 queries' worth
         # of persisted signature/bucket tables pile up in one session
         release_tracked()
@@ -88,6 +99,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "wall_sec": wall,
                 "sf": _sf_of(sf_dir),
             }
