@@ -23,7 +23,9 @@ also reachable from ``spark.sql``.
 
 from __future__ import annotations
 
+import functools
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -43,6 +45,27 @@ from tagtree_spark.tsdb.store import load_model
 AUTO_COMPACT_SERIES = 100_000
 
 
+def _tracked(fn):
+    """Per-entry-point instrumentation — the counterpart of the reference's
+    cumulative per-call timers (/root/reference/src/swig/wrapper.cpp:25-36:
+    every SWIG entry wraps the call in a TimeCounter and ``PrintStats``
+    dumps call count + cumulative wall). Records calls and wall seconds per
+    method on the owning engine; for lazy read-path methods the wall is
+    plan-construction time (execution happens in Spark when the caller
+    acts — per-job wall lives in the Spark UI/event log at deployment)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        t0 = time.perf_counter()
+        try:
+            return fn(self, *args, **kwargs)
+        finally:
+            c, w = self._stats.get(fn.__name__, (0, 0.0))
+            self._stats[fn.__name__] = (c + 1, w + (time.perf_counter() - t0))
+
+    return wrapper
+
+
 class TagTreeEngine:
     def __init__(
         self,
@@ -58,6 +81,8 @@ class TagTreeEngine:
         self.store_dir = store_dir
         self.auto_compact_series = auto_compact_series
         self._new_since_compact = 0
+        # entry-point metrics: {method: (n_calls, cumulative_wall_sec)}
+        self._stats: dict[str, tuple[int, float]] = {}
         if store_dir is not None:
             self.series, self.postings, _ = load_model(spark, store_dir)
             self.storage: SampleStorage = storage or open_storage(spark, store_dir)
@@ -77,24 +102,29 @@ class TagTreeEngine:
 
     # -- read path (reference §3.1) ---------------------------------------
 
+    @_tracked
     def resolve(self, matchers: list[_m.LabelMatcher], start=None, end=None) -> DataFrame:
         """resolve_label_matchers → distributed DataFrame[tsid]."""
         return _m.resolve_label_matchers(self.postings, matchers, start, end)
 
+    @_tracked
     def select(self, matchers: list[_m.LabelMatcher], start=None, end=None) -> DataFrame:
         """PromQuerier::select — samples of the matching series in range,
         through the storage seam (Queryable::querier → Querier::select)."""
-        tsids = self.resolve(matchers, start, end)
+        tsids = _m.resolve_label_matchers(self.postings, matchers, start, end)
         return self.storage.select(tsids, start, end)
 
+    @_tracked
     def label_values(self, name: str) -> DataFrame:
         return _m.label_values(self.postings, name)
 
+    @_tracked
     def get_labels(self, tsids: list[int]) -> DataFrame:
         return _m.get_labels(self.series, tsids)
 
     # -- write path (reference §3.2) --------------------------------------
 
+    @_tracked
     def add_series_batch(self, batch_events: DataFrame) -> "TagTreeEngine":
         """MERGE a batch of events into the series table (L1/L3); returns
         self with the updated model (postings rebuilt, samples APPENDED).
@@ -120,15 +150,19 @@ class TagTreeEngine:
         self.storage.append(build_samples(batch_events, self.series))
         return self
 
+    @_tracked
     def exists(self, probe: DataFrame) -> DataFrame:
         return _ingest.exists(self.series, probe)
 
+    @_tracked
     def current_tsid(self) -> int:
         return _ingest.current_tsid(self.series).collect()[0].max_tsid
 
+    @_tracked
     def commit(self, path: str) -> None:
         _ingest.commit(self.series, path)
 
+    @_tracked
     def ingest_batch(self, batch_events: DataFrame) -> "TagTreeEngine":
         """Store-backed batch ingest: merge the batch's series (L1/L3),
         commit the series table, APPEND the batch's samples as a new set of
@@ -181,6 +215,7 @@ class TagTreeEngine:
             self._new_since_compact = 0
         return self
 
+    @_tracked
     def compact(self) -> None:
         """Manual compaction of the materialized store — the reference's
         ``manual_compact`` (/root/reference/include/tagtree/index/
@@ -197,6 +232,27 @@ class TagTreeEngine:
         compact_table(self.spark, os.path.join(self.store_dir, "postings"), ["name"])
         self.storage.compact()
         self.series, self.postings, _ = load_model(self.spark, self.store_dir)
+
+    # -- metrics (reference wrapper.cpp:25-36 PrintStats) ------------------
+
+    def stats(self) -> dict[str, dict[str, float]]:
+        """Cumulative per-entry-point metrics since construction (or the
+        last :meth:`reset_stats`): ``{method: {"calls": n,
+        "wall_sec": s}}``. Pure driver-side counters — reading them costs
+        nothing and triggers no job."""
+        return {
+            name: {"calls": c, "wall_sec": w}
+            for name, (c, w) in sorted(self._stats.items())
+        }
+
+    def print_stats(self) -> None:
+        """The reference's ``PrintStats`` shape: one line per entry point,
+        call count + cumulative wall."""
+        for name, (c, w) in sorted(self._stats.items()):
+            print(f"{name:20s} calls={c:<8d} wall={w:.6f}s")
+
+    def reset_stats(self) -> None:
+        self._stats.clear()
 
     # -- SQL surface -------------------------------------------------------
 

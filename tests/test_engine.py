@@ -252,3 +252,26 @@ def test_add_series_batch_store_backed_commits_series_first(spark, events):
         assert committed.series.count() == eng.series.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_engine_stats_counters_advance(spark, events):
+    """Per-entry-point metrics (the reference's PrintStats counterpart,
+    wrapper.cpp:25-36): counters must advance across resolve/select/ingest
+    calls, accumulate wall time, and reset cleanly."""
+    eng = TagTreeEngine(spark, events=events)
+    assert eng.stats() == {}
+    m = [LabelMatcher(MatchOp.EQL, "event_type", "click")]
+    eng.resolve(m)
+    eng.resolve(m)
+    eng.select(m).count()
+    eng.label_values("event_type")
+    eng.add_series_batch(events.limit(20))
+    s = eng.stats()
+    assert s["resolve"]["calls"] == 2
+    assert s["select"]["calls"] == 1  # select does not double-count resolve
+    assert s["label_values"]["calls"] == 1
+    assert s["add_series_batch"]["calls"] == 1
+    assert all(v["wall_sec"] >= 0 for v in s.values())
+    assert sum(v["wall_sec"] for v in s.values()) > 0
+    eng.reset_stats()
+    assert eng.stats() == {}
