@@ -8,13 +8,14 @@ row-at-a-time Python; each task streams pandas batches).
 Two decode tiers:
 
   * REAL byte-level decode for formats the stdlib can parse: WAV/PCM16
-    audio (RIFF chunk walk) and binary PPM (P6) images — ``decode_media``
-    returns actual samples/pixels, ``resize_media`` does a real
-    nearest-neighbour resize of P6 payloads, and the q106/q107 pipelines
-    encode documents into genuine WAV/PPM bytes, decode them back inside
+    audio (RIFF chunk walk), binary PPM (P6) images, and Y4M
+    (YUV4MPEG2) uncompressed video — ``decode_media`` returns actual
+    samples/pixels/frames, ``resize_media`` does a real nearest-neighbour
+    resize of P6 payloads, and the q106/q107/q108 pipelines encode
+    documents into genuine WAV/PPM/Y4M bytes, decode them back inside
     mapInPandas, and feature-ize the decoded data (oracle-checked).
-  * STUB for modalities with no pure-Python format in this container
-    (video containers, compressed codecs): ``decode_media`` raises
+  * STUB for compressed codecs (PNG/JPEG/MP4...), which have no
+    pure-Python decode path in this container: ``decode_media`` raises
     NotImplementedError rather than let fake features pass as decodes;
     ``extract_features`` exercises the same plumbing with a deterministic
     md5-derived feature.
@@ -178,20 +179,24 @@ def decode_media(modality: str, payload: bytes):
 
       * ``audio`` / RIFF..WAVE → ``(sample_rate, channels, [int16 samples])``
         (:func:`decode_wav_pcm16`);
-      * ``image`` / P6 → ``(width, height, rgb_bytes)`` (:func:`decode_ppm`).
+      * ``image`` / P6 → ``(width, height, rgb_bytes)`` (:func:`decode_ppm`);
+      * ``video`` / YUV4MPEG2 → ``(width, height, [gray frames])``
+        (:func:`decode_y4m`).
 
-    Video (container demux + inter-frame codecs) has no pure-Python format
-    to target in this environment and still raises — callers must not treat
-    fake features as real decodes for modalities we cannot actually parse.
+    Compressed codecs (PNG/JPEG/MP4...) have no pure-Python decode path in
+    this environment and still raise — callers must not treat fake
+    features as real decodes for formats we cannot actually parse.
     """
     if modality == "audio" and payload[:4] == b"RIFF":
         return decode_wav_pcm16(payload)
     if modality == "image" and payload[:2] == b"P6":
         return decode_ppm(payload)
+    if modality == "video" and payload[:9] == b"YUV4MPEG2":
+        return decode_y4m(payload)
     raise NotImplementedError(
         f"decode_media({modality!r}): no pure-Python decoder for this "
-        "payload (video/compressed codecs are out of scope in this "
-        "environment); WAV/PCM16 audio and P6 PPM images decode for real."
+        "payload (compressed codecs are out of scope in this environment); "
+        "WAV/PCM16 audio, P6 PPM images, and Y4M video decode for real."
     )
 
 
@@ -502,3 +507,118 @@ def decoded_image_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out).astype("int64")
 
     return spread(media).mapInPandas(batches, schema=IMAGE_DECODED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real video decode: YUV4MPEG2 (Y4M) is the public UNCOMPRESSED video
+# interchange format (plain-text stream header, raw planar frames behind
+# FRAME markers) — the one video format parseable with the stdlib alone.
+# Grayscale streams use the spec's Cmono colorspace (Y plane only).
+# --------------------------------------------------------------------------
+
+
+def encode_y4m(width: int, height: int, frames: list[bytes], fps: int = 25) -> bytes:
+    """Minimal Y4M writer: mono (grayscale) colorspace, one Y plane of
+    ``width*height`` bytes per frame."""
+    for i, f in enumerate(frames):
+        if len(f) != width * height:
+            raise ValueError(f"frame {i}: need {width * height} bytes, got {len(f)}")
+    head = f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 Cmono\n".encode("ascii")
+    return head + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a Y4M payload → ``(width, height, [gray frames])``. Handles
+    the full stream-header tag grammar (W/H/F/I/A/C/X tags, space
+    separated) and per-frame parameter tags after FRAME; rejects
+    non-mono colorspaces (chroma planes need real subsampling math) and
+    truncated frames loudly."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = None
+    for tag in payload[9:nl].split(b" "):
+        if tag[:1] == b"W":
+            width = int(tag[1:])
+        elif tag[:1] == b"H":
+            height = int(tag[1:])
+        elif tag[:1] == b"C" and tag[1:] not in (b"mono",):
+            raise ValueError(f"unsupported Y4M colorspace {tag[1:].decode()!r}")
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    frame_bytes, frames, pos = width * height, [], nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)  # frame line may carry parameter tags
+        if fnl < 0:
+            raise ValueError("truncated FRAME header")
+        frame = payload[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(frame) != frame_bytes:
+            raise ValueError(f"truncated frame: {len(frame)}/{frame_bytes} bytes")
+        frames.append(frame)
+        pos = fnl + 1 + frame_bytes
+    return width, height, frames
+
+
+#: q108 raster geometry: 8x8 gray frames (64 text bytes per frame).
+VID_W = VID_H = 8
+
+
+def y4m_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL Y4M streams: the text's utf-8
+    bytes as consecutive 8x8 grayscale frames, zero-padded to fill the
+    last frame (padding adds 0 to any pixel sum)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fb = VID_W * VID_H
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                n = max(1, -(-len(raw) // fb))
+                padded = raw.ljust(fb * n, b"\x00")
+                payloads.append(
+                    encode_y4m(VID_W, VID_H, [padded[i * fb : (i + 1) * fb] for i in range(n)])
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "modality": "video",
+                    "payload": payloads,
+                    "meta": [{"format": "y4m", "fps": "25"}] * len(payloads),
+                }
+            )
+
+    return spread(docs).select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_sum", LongType()),
+    ]
+)
+
+
+def sampled_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
+    """Decode each Y4M payload and keep every ``every``-th frame (the
+    frame-sampling shape a video pipeline runs after demux), with the
+    exact integer pixel sum of each kept frame. 1→N row expansion inside
+    the Arrow batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in VIDEO_FRAME_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, frames = decode_y4m(bytes(payload))
+                for i in range(0, len(frames), every):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(len(frames))
+                    out["frame_sum"].append(sum(frames[i]))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)

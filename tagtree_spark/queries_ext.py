@@ -2945,3 +2945,37 @@ def q107_ppm_decode(spark, sf_dir):
 
     media = ppm_from_documents(_docs(spark, sf_dir))
     return decoded_image_features(media).orderBy("media_id")
+
+
+@query(
+    "q108_y4m_frames",
+    """
+WITH f AS (
+  SELECT doc_id, (i - 1) // 64 AS frame_idx,
+         sum(ord(substr(text, CAST(i AS INT), 1))) AS frame_sum
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) t
+  GROUP BY doc_id, (i - 1) // 64
+), n AS (
+  SELECT doc_id, greatest(1, (length(text) + 63) // 64) AS n_frames FROM documents
+)
+SELECT f.doc_id AS media_id,
+       CAST(f.frame_idx AS BIGINT) AS frame_idx,
+       CAST(n.n_frames AS BIGINT) AS n_frames,
+       CAST(f.frame_sum AS BIGINT) AS frame_sum
+FROM f JOIN n ON f.doc_id = n.doc_id
+WHERE f.frame_idx % 2 = 0
+ORDER BY media_id, frame_idx""",
+)
+def q108_y4m_frames(spark, sf_dir):
+    """E5 real VIDEO decode: text bytes → genuine Y4M (YUV4MPEG2 Cmono)
+    streams of 8x8 grayscale frames → stream-header + FRAME-marker parse
+    back to raw planes → every-2nd-frame sampling with exact integer pixel
+    sums (1→N in the Arrow batch). Zero padding in the last frame adds 0
+    to its sum, so the oracle is per-64-char-chunk byte aggregates."""
+    from tagtree_spark.operators.multimodal import (
+        sampled_frame_features,
+        y4m_from_documents,
+    )
+
+    media = y4m_from_documents(_docs(spark, sf_dir))
+    return sampled_frame_features(media, every=2).orderBy("media_id", "frame_idx")

@@ -1,5 +1,6 @@
 """E5 multimodal plumbing: BINARY payload round-trip through Arrow-batched
-mapInPandas; codec decode is stubbed and must say so loudly."""
+mapInPandas; real WAV/PPM/Y4M byte-level codecs; compressed formats must
+refuse to decode loudly."""
 
 from __future__ import annotations
 
@@ -16,8 +17,8 @@ from tagtree_spark.operators.multimodal import (
 
 
 def test_decode_unsupported_formats_raise():
-    """Modalities/formats with no pure-Python decoder must still raise —
-    PNG (compressed) and video have no stdlib parse path."""
+    """Formats with no pure-Python decoder must still raise — PNG and MP4
+    are compressed; only WAV/PPM/Y4M have a stdlib parse path."""
     with pytest.raises(NotImplementedError):
         decode_media("image", b"\x89PNG\r\n\x1a\n")
     with pytest.raises(NotImplementedError):
@@ -252,3 +253,49 @@ def test_audio_windows_caps_window_count(spark):
         ["doc_id", "text", "lang", "source", "n_chars"],
     )
     assert audio_windows(audio_from_documents(docs)).count() == MAX_WINDOWS
+
+
+def test_y4m_roundtrip_and_corrupt():
+    from tagtree_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = [bytes(range(64)), bytes(64), b"\xff" * 64]
+    payload = encode_y4m(8, 8, frames)
+    assert decode_y4m(payload) == (8, 8, frames)
+    # frame-level parameter tags after FRAME are legal per the spec
+    tagged = payload.replace(b"FRAME\n", b"FRAME Xtag\n", 1)
+    assert decode_y4m(tagged) == (8, 8, frames)
+    with pytest.raises(ValueError):
+        decode_y4m(payload[:-1])  # truncated last frame
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W8 H8 F25:1 C420\n")  # chroma needs real codecs
+    with pytest.raises(ValueError):
+        decode_y4m(b"nonsense")
+    # dispatch through decode_media
+    assert decode_media("video", payload) == (8, 8, frames)
+
+
+def test_y4m_frame_sampling_matches_python(documents):
+    from tagtree_spark.operators.multimodal import (
+        sampled_frame_features,
+        y4m_from_documents,
+    )
+
+    docs = {r.doc_id: r.text for r in documents.orderBy("doc_id").limit(3).collect()}
+    rows = [
+        r
+        for r in sampled_frame_features(y4m_from_documents(documents), every=2)
+        .orderBy("media_id", "frame_idx")
+        .collect()
+        if r.media_id in docs
+    ]
+    for did, text in docs.items():
+        raw = text.encode()
+        n = max(1, -(-len(raw) // 64))
+        padded = raw.ljust(64 * n, b"\x00")
+        expect = [
+            (i, n, sum(padded[i * 64 : (i + 1) * 64])) for i in range(0, n, 2)
+        ]
+        got = [
+            (r.frame_idx, r.n_frames, r.frame_sum) for r in rows if r.media_id == did
+        ]
+        assert got == expect
