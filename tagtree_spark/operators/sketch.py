@@ -213,3 +213,125 @@ SELECT exact.g AS {group_col}, n_exact, buckets_hit,
          / CAST(s_hit + (CAST({HLL_M} AS DECIMAL(38,0)) - CAST(buckets_hit AS DECIMAL(38,0)))
                         * CAST({1 << 60} AS DECIMAL(38,0)) AS DOUBLE) AS hll_estimate
 FROM exact JOIN agg USING (g) ORDER BY {group_col}"""
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, public) — the frequency
+# twin of the HLL above: d seeded hash rows × w counting buckets, estimate
+# = min over rows. Same exact-verifiability trick: seeded h60 buckets and
+# integer register sums are bit-identical in Spark/DuckDB, so the WHOLE
+# sketch (every register and every estimate) is oracle-checkable while
+# keeping the real CMS shape — registers are mergeable by (row, bucket)
+# SUM (map-side partial at 100 TB; state is d×w integers regardless of
+# stream volume), and estimates never undercount (est ≥ exact, with
+# equality when a token's d buckets are all collision-free).
+# --------------------------------------------------------------------------
+
+from tagtree_spark.functions.hashing import duck_h60_seeded, h60_seeded  # noqa: E402
+
+CMS_D = 4  #: hash rows (depth) — error probability ~ e^-d
+CMS_W = 256  #: buckets per row (width) — overcount ~ total/w per collision
+
+
+def cms_registers(
+    items: DataFrame,
+    col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """CMS registers ``(row, bucket, cnt)``. ``items`` is one row per
+    occurrence, or — with ``weight_col`` — one row per distinct value with
+    its count (feeding the sketch from an upstream aggregate instead of
+    re-shuffling occurrences). One d-way narrow fan-out + ONE
+    (row, bucket) aggregate — the shuffle carries at most d×w groups after
+    map-side partials."""
+    keyed = items.select(
+        *( [F.col(weight_col).alias("_wt")] if weight_col else [] ),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("row"),
+                        F.pmod(h60_seeded(F.col(col).cast("string"), r), F.lit(w))
+                        .cast("bigint")
+                        .alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb"),
+    )
+    agg = F.sum("_wt") if weight_col else F.count("*")
+    return keyed.groupBy("rb.row", "rb.bucket").agg(agg.cast("bigint").alias("cnt"))
+
+
+def merge_cms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Register merge: union + (row, bucket) SUM — linear sketch, lossless
+    for counts."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    tokens: DataFrame, registers: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Point-query the sketch for each DISTINCT value of ``tokens.col`` →
+    ``(col, cms_est)``: d register lookups per token (broadcast the d×w
+    register table), min across rows."""
+    probes = tokens.select(F.col(col)).distinct().select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("row"),
+                        F.pmod(h60_seeded(F.col(col).cast("string"), r), F.lit(w))
+                        .cast("bigint")
+                        .alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select(col, "rb.row", "rb.bucket")
+    return (
+        probes.join(F.broadcast(registers), ["row", "bucket"])
+        .groupBy(col)
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )
+
+
+def duck_cms_heavy_hitters_sql(
+    table: str, split_col: str, k: int = 20, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """DuckDB SQL computing the identical sketch over whitespace tokens of
+    ``table.split_col``: exact top-k with their CMS estimates riding along
+    (the estimator error made visible, like the HLL's n_exact)."""
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT token, n, {r} AS row, "
+        f"{duck_h60_seeded('token', r)} % {w} AS bucket FROM counts"
+        for r in range(d)
+    )
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split({split_col}, ' ')) AS token FROM {table}
+), counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY token
+), probes AS (
+  {probe_rows}
+), regs AS (
+  SELECT row, bucket, CAST(sum(n) AS BIGINT) AS cnt
+  FROM probes GROUP BY row, bucket
+), est AS (
+  SELECT p.token, min(r.cnt) AS cms_est
+  FROM (SELECT DISTINCT token, row, bucket FROM probes) p
+  JOIN regs r USING (row, bucket)
+  GROUP BY p.token
+)
+SELECT c.token, c.n, CAST(e.cms_est AS BIGINT) AS cms_est
+FROM counts c JOIN est e ON c.token = e.token
+ORDER BY c.n DESC, c.token LIMIT {k}"""

@@ -134,8 +134,9 @@ def top_tokens(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFram
     Shape: explode → ONE groupBy(token) with map-side partial counts (the
     shuffle carries (token, partial_count), not token occurrences) →
     TakeOrderedAndProject for the top-k (no global sort). At 100 TB this
-    is the exact-count form; sketch alternatives (count-min/space-saving)
-    trade exactness for a smaller shuffle but are not oracle-checkable."""
+    is the exact-count form; the sketch alternative (count-min, d×w fixed
+    registers) is operators/sketch.py cms_registers — h60-seeded, so it IS
+    oracle-checkable (q109)."""
     words = spread(docs).select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
     return (
         words.groupBy("token")

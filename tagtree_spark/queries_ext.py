@@ -2979,3 +2979,35 @@ def q108_y4m_frames(spark, sf_dir):
 
     media = y4m_from_documents(_docs(spark, sf_dir))
     return sampled_frame_features(media, every=2).orderBy("media_id", "frame_idx")
+
+
+from tagtree_spark.operators.sketch import duck_cms_heavy_hitters_sql  # noqa: E402
+
+
+@query("q109_cms_heavy_hitters", duck_cms_heavy_hitters_sql("documents", "text"))
+def q109_cms_heavy_hitters(spark, sf_dir):
+    """Exactly-verifiable count-min sketch (Cormode & Muthukrishnan 2005)
+    over corpus tokens: top-20 exact heavy hitters with their CMS point
+    estimates riding along (estimator error visible, like q101's
+    n_exact). The sketch is the real 100 TB shape — d×w integer registers
+    fed from ONE token aggregate (map-side partials), mergeable by
+    (row, bucket) SUM, broadcast for point queries — and every register is
+    bit-identical cross-engine via seeded h60."""
+    from tagtree_spark.operators.sketch import cms_estimates, cms_registers
+
+    from tagtree_spark.session import persist_tracked
+
+    words = spread(_docs(spark, sf_dir)).select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    counts = persist_tracked(
+        words.groupBy("token").agg(F.count("*").cast("bigint").alias("n"))
+    )
+    regs = cms_registers(counts, "token", weight_col="n")
+    est = cms_estimates(counts, regs, "token")
+    return (
+        counts.join(est, "token")
+        .select("token", "n", "cms_est")
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )

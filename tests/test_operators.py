@@ -869,3 +869,79 @@ def test_hll_sparse_registers_no_overflow(spark):
     # the sparse regime really is the overflow regime: hit-bucket terms
     # alone exceed int64
     assert sum(1 << (60 - m) for m in regs.values()) > 2**63
+
+
+def test_cms_never_undercounts_and_is_exact_without_collisions(spark):
+    """CMS point estimates are always >= the exact count; with far fewer
+    distinct values than buckets (collision-unlikely regime) every
+    estimate that shares no bucket is exact. Checked against a Python
+    replica of the seeded-h60 registers."""
+    import hashlib
+
+    from tagtree_spark.operators.sketch import (
+        CMS_D,
+        CMS_W,
+        cms_estimates,
+        cms_registers,
+    )
+
+    def py_bucket(s, r):
+        return int(hashlib.md5(f"{r}#{s}".encode()).hexdigest()[:15], 16) % CMS_W
+
+    rows = [(f"tok{i % 7}",) for i in range(70)]  # 7 distinct, 10 each
+    df = spark.createDataFrame(rows, ["token"])
+    regs = cms_registers(df, "token")
+    est = {
+        r.token: r.cms_est for r in cms_estimates(df, regs, "token").collect()
+    }
+    # python replica
+    exact = {f"tok{i}": 10 for i in range(7)}
+    pyregs: dict[tuple[int, int], int] = {}
+    for t, n in exact.items():
+        for r in range(CMS_D):
+            k = (r, py_bucket(t, r))
+            pyregs[k] = pyregs.get(k, 0) + n
+    for t, n in exact.items():
+        py_est = min(pyregs[(r, py_bucket(t, r))] for r in range(CMS_D))
+        assert est[t] == py_est
+        assert est[t] >= n
+
+
+def test_cms_merge_is_linear(spark):
+    """Registers of two disjoint halves merged by (row,bucket) SUM equal
+    the whole's registers — the linearity that makes CMS a map-side
+    partial / cross-corpus mergeable sketch."""
+    from pyspark.sql import functions as F2
+
+    from tagtree_spark.operators.sketch import cms_registers, merge_cms
+
+    base = spark.range(200).select(
+        "id", F2.concat(F2.lit("w"), (F2.col("id") % 23).cast("string")).alias("token")
+    )
+    whole = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_registers(base.select("token"), "token").collect()
+    }
+    left = cms_registers(base.where(F2.col("id") < 100).select("token"), "token")
+    right = cms_registers(base.where(F2.col("id") >= 100).select("token"), "token")
+    merged = {(r.row, r.bucket): r.cnt for r in merge_cms(left, right).collect()}
+    assert merged == whole
+
+
+def test_cms_weighted_equals_occurrence_registers(spark):
+    """Feeding the sketch from a (value, count) aggregate with weight_col
+    must produce identical registers to feeding raw occurrences."""
+    from pyspark.sql import functions as F2
+
+    from tagtree_spark.operators.sketch import cms_registers
+
+    occ = spark.createDataFrame(
+        [(f"t{i % 5}",) for i in range(50)], ["token"]
+    )
+    counts = occ.groupBy("token").agg(F2.count("*").cast("bigint").alias("n"))
+    a = {(r.row, r.bucket): r.cnt for r in cms_registers(occ, "token").collect()}
+    b = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_registers(counts, "token", weight_col="n").collect()
+    }
+    assert a == b
