@@ -668,3 +668,92 @@ def span_dup_stats(
             F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double"),
         )
     )
+
+
+#: Bloom decontamination geometry: m bits, k seeded-h60 hash functions.
+BLOOM_M = 4096
+BLOOM_K = 4
+
+
+def bloom_bit_positions(
+    benchmark_texts: list[str], n: int = 3, m: int = BLOOM_M, k: int = BLOOM_K
+) -> list[int]:
+    """The SET bit positions of a Bloom filter over the benchmark corpus's
+    word n-grams: position = h60(seed || '#' || gram) mod m for each of k
+    seeds. Driver-side (benchmarks are MMLU-sized); deterministic, so the
+    DuckDB oracle recomputes the identical filter."""
+    import hashlib
+
+    grams = {
+        " ".join(ws[i : i + n])
+        for t in benchmark_texts
+        for ws in (t.split(" "),)
+        for i in range(len(ws) - n + 1)
+    }
+    bits = {
+        int(hashlib.md5(f"{seed}#{g}".encode()).hexdigest()[:15], 16) % m
+        for g in grams
+        for seed in range(k)
+    }
+    return sorted(bits)
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    benchmark_texts: list[str],
+    n: int = 3,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter decontamination probe → ``(doc_id, n_grams,
+    n_bloom_hits, n_exact_hits)`` for every document.
+
+    The SCALE path next to :func:`benchmark_contamination`'s exact
+    IN-list: a real benchmark suite's n-gram set is millions of strings —
+    too big to ship as a literal array or broadcast raw — but its Bloom
+    filter is m bits regardless of set size (the classic distributed-join
+    pre-filter; Bloom 1970, public). Membership test per shingle: all k
+    seeded-h60 positions set. Exact hits ride along, so false positives
+    (n_bloom_hits > n_exact_hits) are visible in the result instead of
+    silently inflating the drop rate; n_bloom_hits >= n_exact_hits always
+    (no false negatives) — pinned by test.
+
+    Map-only: the bit array travels as a literal (one broadcast-sized
+    constant), each doc is one narrow row — no shuffle, no explode.
+    """
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    from tagtree_spark.functions.hashing import h60_seeded
+
+    bits = bloom_bit_positions(benchmark_texts, n=n, m=m, k=k)
+    bits_arr = F.array(*[F.lit(b).cast("bigint") for b in bits])
+    bench = sorted(
+        {
+            " ".join(ws[i : i + n])
+            for t in benchmark_texts
+            for ws in (t.split(" "),)
+            for i in range(len(ws) - n + 1)
+        }
+    )
+    bench_arr = F.array(*[F.lit(s) for s in bench])
+
+    def _passes(s):
+        return _reduce(
+            _and,
+            [
+                F.array_contains(bits_arr, F.pmod(h60_seeded(s, seed), F.lit(m)))
+                for seed in range(k)
+            ],
+        )
+
+    sh = word_shingles(spread(docs), n=n)
+    return sh.select(
+        F.col(id_col).alias("doc_id"),
+        F.size("shingles").cast("bigint").alias("n_grams"),
+        F.size(F.filter("shingles", _passes)).cast("bigint").alias("n_bloom_hits"),
+        F.size(F.array_intersect("shingles", bench_arr))
+        .cast("bigint")
+        .alias("n_exact_hits"),
+    )

@@ -3011,3 +3011,41 @@ def q109_cms_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
     )
+
+
+def _duck_bloom_sql() -> str:
+    """DuckDB oracle for q110: identical Bloom filter (same driver-side bit
+    positions via seeded md5-h60) probed with list_filter lambdas."""
+    from tagtree_spark.functions.hashing import duck_h60_seeded
+    from tagtree_spark.operators.dedup import BLOOM_K, BLOOM_M, bloom_bit_positions
+
+    bits = bloom_bit_positions(list(BENCHMARK_TEXTS), n=3)
+    bits_lit = "[" + ", ".join(str(b) for b in bits) + "]"
+    tests = " AND ".join(
+        f"list_contains({bits_lit}, {duck_h60_seeded('s', seed)} % {BLOOM_M})"
+        for seed in range(BLOOM_K)
+    )
+    return (
+        SHINGLE_CTE
+        + f"""
+SELECT doc_id,
+       CAST(len(shingles) AS BIGINT) AS n_grams,
+       CAST(len(list_filter(shingles, s -> {tests})) AS BIGINT) AS n_bloom_hits,
+       CAST(len(list_filter(shingles, s -> list_contains([{_BENCH_IN_LIST}], s))) AS BIGINT) AS n_exact_hits
+FROM sh ORDER BY doc_id"""
+    )
+
+
+@query("q110_bloom_decontam", _duck_bloom_sql())
+def q110_bloom_decontam(spark, sf_dir):
+    """Bloom-filter decontamination — q51's SCALE path: a real benchmark
+    suite's n-gram set is too large for a literal IN-list, but its Bloom
+    filter is m bits regardless. Per doc: shingle count, Bloom-passing
+    count (all k seeded-h60 positions set), and the exact count riding
+    along so false positives are visible (bloom >= exact always; no false
+    negatives). Map-only, no shuffle, no explode."""
+    from tagtree_spark.operators.dedup import bloom_contamination
+
+    return bloom_contamination(_docs(spark, sf_dir), list(BENCHMARK_TEXTS)).orderBy(
+        "doc_id"
+    )

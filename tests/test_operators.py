@@ -945,3 +945,26 @@ def test_cms_weighted_equals_occurrence_registers(spark):
         for r in cms_registers(counts, "token", weight_col="n").collect()
     }
     assert a == b
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """Bloom has no false negatives: every exact hit passes the filter
+    (n_bloom_hits >= n_exact_hits per doc), and a doc sharing a benchmark
+    3-gram is flagged. A doc with entirely novel grams usually has 0 bloom
+    hits (tiny filter load), but the invariant tested is one-sided."""
+    from tagtree_spark.operators.dedup import bloom_contamination
+
+    bench = ["alpha beta gamma delta"]
+    d = _docs(
+        spark,
+        [
+            (1, "xx alpha beta gamma yy zz", "en", "s", 1),  # contains bench gram
+            (2, "p q r s t u v w", "en", "s", 1),  # novel
+            (3, "hi", "en", "s", 1),  # <3 words: zero grams
+        ],
+    )
+    rows = {r.doc_id: r for r in bloom_contamination(d, bench).collect()}
+    assert rows[1].n_exact_hits == 1 and rows[1].n_bloom_hits >= 1
+    assert rows[3].n_grams == 0 and rows[3].n_bloom_hits == 0
+    for r in rows.values():
+        assert r.n_bloom_hits >= r.n_exact_hits
