@@ -464,3 +464,56 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         r_rep.alias("r_rep"),
         (r_len * r_wordlen * r_ttr * r_rep).cast("bigint").alias("keep"),
     )
+
+
+def vocab_encode(
+    docs: DataFrame,
+    vocab_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary encoding — the tokenize→id step of training prep:
+    build a frequency vocabulary (top ``vocab_size`` tokens by count,
+    ties broken by token; id = 1-based rank, OOV = 0), encode every
+    document as its id sequence → ``(doc_id, n_tokens, n_oov, ids_h60)``
+    where ids_h60 hashes the comma-joined sequence (cross-engine h60, so
+    the ENTIRE encoded sequence is oracle-checked, not just its length).
+
+    Shape: one token-count aggregate; the vocabulary rank is a window over
+    the LIMITed V-row frame (bounded metadata — the single-partition
+    exchange holds vocab_size rows, never corpus rows); ids come back via
+    one broadcast-sized left join; per-doc sequences reassemble with a
+    position-sorted fold, no second shuffle of token occurrences beyond
+    the doc_id regroup.
+    """
+    from pyspark.sql import Window
+
+    from tagtree_spark.functions.hashing import h60
+
+    toks = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("_n"))
+    top = counts.orderBy(F.col("_n").desc(), "token").limit(vocab_size)
+    vocab = top.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.col("_n").desc(), "token"))
+        .cast("bigint")
+        .alias("vid"),
+    )
+    enc = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("vid"), F.lit(0)).cast("bigint").alias("id")
+    )
+    seq = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda x: x["id"]
+        ),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        h60(seq).alias("ids_h60"),
+    )

@@ -3049,3 +3049,37 @@ def q110_bloom_decontam(spark, sf_dir):
     return bloom_contamination(_docs(spark, sf_dir), list(BENCHMARK_TEXTS)).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "q111_vocab_encode",
+    """
+WITH docw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, w[CAST(i AS INT)] AS token
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM docw) t
+), vc AS (
+  SELECT token, count(*) AS n FROM tok GROUP BY token
+), vocab AS (
+  SELECT token, row_number() OVER (ORDER BY n DESC, token) AS vid
+  FROM (SELECT * FROM vc ORDER BY n DESC, token LIMIT 100) v
+), enc AS (
+  SELECT t.doc_id, t.pos, coalesce(v.vid, 0) AS id
+  FROM tok t LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       """
+    + duck_h60("string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)")
+    + """ AS ids_h60
+FROM enc GROUP BY doc_id ORDER BY doc_id""",
+)
+def q111_vocab_encode(spark, sf_dir):
+    """E4 vocabulary encoding: top-100 frequency vocab (rank = id, OOV=0),
+    each document re-expressed as its id sequence; the h60 of the joined
+    sequence makes the whole encoding oracle-checked end to end."""
+    from tagtree_spark.operators.text import vocab_encode
+
+    return vocab_encode(_docs(spark, sf_dir), vocab_size=100).orderBy("doc_id")

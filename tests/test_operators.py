@@ -968,3 +968,27 @@ def test_bloom_contamination_superset_of_exact(spark):
     assert rows[3].n_grams == 0 and rows[3].n_bloom_hits == 0
     for r in rows.values():
         assert r.n_bloom_hits >= r.n_exact_hits
+
+
+def test_vocab_encode_sequences(spark):
+    """Vocab ids are frequency ranks (1-based, ties by token), OOV is 0,
+    and the hashed id sequence matches a Python replica."""
+    import hashlib
+
+    from tagtree_spark.operators.text import vocab_encode
+
+    d = _docs(
+        spark,
+        [
+            (1, "b b a c zz", "en", "s", 1),
+            (2, "a b", "en", "s", 1),
+        ],
+    )
+    rows = {r.doc_id: r for r in vocab_encode(d, vocab_size=3).collect()}
+    # counts: b=3, a=2, c=1, zz=1 → vocab(b=1, a=2, c=3); zz is OOV
+    ids = {1: [1, 1, 2, 3, 0], 2: [2, 1]}
+    for did, seq in ids.items():
+        joined = ",".join(str(i) for i in seq)
+        h = int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)
+        r = rows[did]
+        assert (r.n_tokens, r.n_oov, r.ids_h60) == (len(seq), seq.count(0), h)
