@@ -3083,3 +3083,49 @@ def q111_vocab_encode(spark, sf_dir):
     from tagtree_spark.operators.text import vocab_encode
 
     return vocab_encode(_docs(spark, sf_dir), vocab_size=100).orderBy("doc_id")
+
+
+@query(
+    "q112_instant_offset",
+    TSDB_CTE
+    + """
+, tgrid AS (
+  SELECT CAST(te AS TIMESTAMP) AS eval_ts FROM (VALUES
+    (TIMESTAMP '2024-01-10 00:00:00'),
+    (TIMESTAMP '2024-01-18 00:00:00'),
+    (TIMESTAMP '2024-01-26 00:00:00')) t(te)
+), cand AS (
+  SELECT s.tsid, g.eval_ts, s.ts, s.value
+  FROM samples s JOIN tgrid g
+    ON s.ts <= g.eval_ts - INTERVAL 1 DAY
+   AND s.ts > g.eval_ts - INTERVAL 1 DAY - INTERVAL 3 DAY
+), last AS (
+  SELECT tsid, eval_ts, max(ts) AS last_ts FROM cand GROUP BY 1, 2
+)
+SELECT CAST(c.tsid AS BIGINT) AS tsid,
+       CAST(epoch_us(l.eval_ts) AS BIGINT) AS eval_us,
+       CAST(epoch_us(l.last_ts) AS BIGINT) AS last_ts_us,
+       max(c.value) AS value
+FROM last l JOIN cand c
+  ON c.tsid = l.tsid AND c.eval_ts = l.eval_ts AND c.ts = l.last_ts
+GROUP BY 1, 2, 3
+ORDER BY tsid, eval_us""",
+)
+def q112_instant_offset(spark, sf_dir):
+    """PromQL offset modifier: q46's instant vector shifted back 1 day
+    (evaluated at t-1d, reported at t) — the day-over-day comparison
+    primitive. Same broadcast eval grid + single-pass argmax."""
+    import datetime as _dt
+
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.asof import instant_offset
+
+    _, _, samples = _model(spark, sf_dir)
+    times = [
+        _dt.datetime(2024, 1, 10),
+        _dt.datetime(2024, 1, 18),
+        _dt.datetime(2024, 1, 26),
+    ]
+    return instant_offset(
+        samples, times, _dt.timedelta(days=3), _dt.timedelta(days=1)
+    ).orderBy("tsid", "eval_us")

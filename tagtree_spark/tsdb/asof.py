@@ -97,3 +97,24 @@ def asof_instant(
         F.unix_micros(F.col("m.ts")).cast("bigint").alias("last_ts_us"),
         F.col("m.value").alias("value"),
     )
+
+
+def instant_offset(
+    samples: DataFrame,
+    eval_times: list[_dt.datetime],
+    lookback: _dt.timedelta,
+    offset: _dt.timedelta,
+) -> DataFrame:
+    """PromQL ``offset`` modifier: the instant vector evaluated at
+    ``t - offset`` but REPORTED at ``t`` (``metric offset 1d`` — yesterday's
+    value on today's timeline, the shape of day-over-day comparisons).
+    Same broadcast-grid plan as :func:`asof_instant` over the shifted
+    grid; only the reported eval timestamp moves back."""
+    shifted = asof_instant(samples, [t - offset for t in eval_times], lookback)
+    off_us = int(offset.total_seconds() * 1_000_000)
+    return shifted.select(
+        "tsid",
+        (F.col("eval_us") + F.lit(off_us)).cast("bigint").alias("eval_us"),
+        "last_ts_us",
+        "value",
+    )
