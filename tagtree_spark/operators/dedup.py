@@ -670,18 +670,33 @@ def span_dup_stats(
     )
 
 
-#: Bloom decontamination geometry: m bits, k seeded-h60 hash functions.
+#: Bloom decontamination geometry: m bits, k derived hash positions.
 BLOOM_M = 4096
 BLOOM_K = 4
+
+#: m = 2^12 → the double-hash stride comes from the bits above the 12
+#: position bits.
+_BLOOM_SHIFT = 12
+
+
+def bloom_positions_from_h(h: int, m: int = BLOOM_M, k: int = BLOOM_K) -> list[int]:
+    """The k filter positions of one n-gram from its SINGLE h60: classic
+    Kirsch–Mitzenmacher double hashing (2006, public) — pos_i =
+    (h1 + i·h2) mod m with h1 = h mod m and h2 = (h >> 12) | 1 (odd, so
+    the stride is a unit mod the power-of-two m and the k probes are
+    distinct). ONE md5 per gram instead of k — 4× less hashing in the
+    probe's hot path, same false-positive behaviour."""
+    h1, h2 = h % m, (h >> _BLOOM_SHIFT) | 1
+    return [(h1 + i * h2) % m for i in range(k)]
 
 
 def bloom_bit_positions(
     benchmark_texts: list[str], n: int = 3, m: int = BLOOM_M, k: int = BLOOM_K
 ) -> list[int]:
     """The SET bit positions of a Bloom filter over the benchmark corpus's
-    word n-grams: position = h60(seed || '#' || gram) mod m for each of k
-    seeds. Driver-side (benchmarks are MMLU-sized); deterministic, so the
-    DuckDB oracle recomputes the identical filter."""
+    word n-grams (k Kirsch–Mitzenmacher positions from one h60 per gram).
+    Driver-side (benchmarks are MMLU-sized); deterministic, so the DuckDB
+    oracle recomputes the identical filter."""
     import hashlib
 
     grams = {
@@ -691,9 +706,11 @@ def bloom_bit_positions(
         for i in range(len(ws) - n + 1)
     }
     bits = {
-        int(hashlib.md5(f"{seed}#{g}".encode()).hexdigest()[:15], 16) % m
+        p
         for g in grams
-        for seed in range(k)
+        for p in bloom_positions_from_h(
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16), m=m, k=k
+        )
     }
     return sorted(bits)
 
@@ -714,18 +731,18 @@ def bloom_contamination(
     too big to ship as a literal array or broadcast raw — but its Bloom
     filter is m bits regardless of set size (the classic distributed-join
     pre-filter; Bloom 1970, public). Membership test per shingle: all k
-    seeded-h60 positions set. Exact hits ride along, so false positives
-    (n_bloom_hits > n_exact_hits) are visible in the result instead of
-    silently inflating the drop rate; n_bloom_hits >= n_exact_hits always
-    (no false negatives) — pinned by test.
+    Kirsch–Mitzenmacher positions (derived from ONE h60 — the gram hashes
+    are materialized in their own projection first, so the md5 runs once
+    per gram, not once per probe) set. Exact hits ride along, so false
+    positives (n_bloom_hits > n_exact_hits) are visible in the result
+    instead of silently inflating the drop rate; n_bloom_hits >=
+    n_exact_hits always (no false negatives) — pinned by test.
 
     Map-only: the bit array travels as a literal (one broadcast-sized
     constant), each doc is one narrow row — no shuffle, no explode.
     """
     from functools import reduce as _reduce
     from operator import and_ as _and
-
-    from tagtree_spark.functions.hashing import h60_seeded
 
     bits = bloom_bit_positions(benchmark_texts, n=n, m=m, k=k)
     bits_arr = F.array(*[F.lit(b).cast("bigint") for b in bits])
@@ -739,20 +756,24 @@ def bloom_contamination(
     )
     bench_arr = F.array(*[F.lit(s) for s in bench])
 
-    def _passes(s):
+    def _passes(h):
+        h1 = F.pmod(h, F.lit(m))
+        h2 = F.shiftright(h, _BLOOM_SHIFT).bitwiseOR(F.lit(1))
         return _reduce(
             _and,
             [
-                F.array_contains(bits_arr, F.pmod(h60_seeded(s, seed), F.lit(m)))
-                for seed in range(k)
+                F.array_contains(bits_arr, F.pmod(h1 + F.lit(i) * h2, F.lit(m)))
+                for i in range(k)
             ],
         )
 
-    sh = word_shingles(spread(docs), n=n)
+    sh = word_shingles(spread(docs), n=n).withColumn(
+        "_ghs", F.transform(F.col("shingles"), lambda s: h60(s))
+    )
     return sh.select(
         F.col(id_col).alias("doc_id"),
         F.size("shingles").cast("bigint").alias("n_grams"),
-        F.size(F.filter("shingles", _passes)).cast("bigint").alias("n_bloom_hits"),
+        F.size(F.filter("_ghs", _passes)).cast("bigint").alias("n_bloom_hits"),
         F.size(F.array_intersect("shingles", bench_arr))
         .cast("bigint")
         .alias("n_exact_hits"),

@@ -83,13 +83,12 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def encode_wav_pcm16(samples: list[int], sample_rate: int, channels: int = 1) -> bytes:
-    """Minimal canonical RIFF/WAVE writer: PCM (format 1), 16-bit LE
-    interleaved samples. Layout per the public WAVE spec — 'RIFF' size
-    'WAVE', an 'fmt ' chunk (16 bytes), then one 'data' chunk."""
+def _wav_wrap(data: bytes, sample_rate: int, channels: int) -> bytes:
+    """Wrap raw little-endian PCM16 bytes in the canonical RIFF/WAVE
+    container — 'RIFF' size 'WAVE', an 'fmt ' chunk (16 bytes), one
+    'data' chunk (public WAVE spec layout)."""
     import struct
 
-    data = struct.pack(f"<{len(samples)}h", *samples)
     fmt = struct.pack(
         "<HHIIHH",
         1,  # PCM
@@ -104,19 +103,27 @@ def encode_wav_pcm16(samples: list[int], sample_rate: int, channels: int = 1) ->
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav_pcm16(payload: bytes) -> tuple[int, int, list[int]]:
-    """Parse a RIFF/WAVE PCM16 payload → ``(sample_rate, channels,
-    samples)``. Walks the chunk list (chunks are (4cc, u32 size, bytes),
-    word-aligned), so writers that emit extra chunks (LIST/INFO, fact)
-    still decode. Raises ValueError on non-RIFF bytes or non-PCM16
-    encodings — a corrupt payload must fail loudly, not hash quietly."""
+def encode_wav_pcm16(samples: list[int], sample_rate: int, channels: int = 1) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: PCM (format 1), 16-bit LE
+    interleaved samples."""
+    import struct
+
+    return _wav_wrap(struct.pack(f"<{len(samples)}h", *samples), sample_rate, channels)
+
+
+def _wav_parse(payload: bytes) -> tuple[int, int, bytes]:
+    """RIFF chunk walk → ``(sample_rate, channels, raw PCM16 data bytes)``.
+    Chunks are (4cc, u32 size, bytes), word-aligned, so writers that emit
+    extra chunks (LIST/INFO, fact) still decode. Raises ValueError on
+    non-RIFF bytes or non-PCM16 encodings — a corrupt payload must fail
+    loudly, not hash quietly."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
     rate = nch = None
-    samples: list[int] = []
+    data = b""
     while pos + 8 <= end:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -128,12 +135,20 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, list[int]]:
         elif cid == b"data":
             if rate is None:
                 raise ValueError("WAVE data chunk before fmt chunk")
-            n = len(body) // 2
-            samples.extend(struct.unpack(f"<{n}h", body[: 2 * n]))
+            data += body[: 2 * (len(body) // 2)]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None:
         raise ValueError("WAVE payload has no fmt chunk")
-    return int(rate), int(nch), samples
+    return int(rate), int(nch), data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse a RIFF/WAVE PCM16 payload → ``(sample_rate, channels,
+    samples)`` (see :func:`_wav_parse` for the chunk-walk contract)."""
+    import struct
+
+    rate, nch, data = _wav_parse(payload)
+    return rate, nch, list(struct.unpack(f"<{len(data) // 2}h", data))
 
 
 def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
@@ -418,11 +433,20 @@ def wav_from_documents(docs: DataFrame) -> DataFrame:
     encode (the ingest-side twin of the decode path)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             payloads = [
-                encode_wav_pcm16(
-                    [b * _SAMPLE_SCALE + _SAMPLE_OFF for b in t.encode("utf-8")],
+                _wav_wrap(
+                    (
+                        np.frombuffer(t.encode("utf-8"), np.uint8).astype(np.int64)
+                        * _SAMPLE_SCALE
+                        + _SAMPLE_OFF
+                    )
+                    .astype("<i2")
+                    .tobytes(),
                     WAV_SAMPLE_RATE,
+                    1,
                 )
                 for t in pdf["text"]
             ]
@@ -447,16 +471,19 @@ def decoded_audio_features(media: DataFrame) -> DataFrame:
     sum, min/max sample. Integer-only so the oracle matches bit-for-bit."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             out: dict[str, list] = {k.name: [] for k in AUDIO_DECODED_SCHEMA}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, _nch, samples = decode_wav_pcm16(bytes(payload))
+                rate, _nch, data = _wav_parse(bytes(payload))
+                s = np.frombuffer(data, "<i2").astype(np.int64)
                 out["media_id"].append(int(mid))
                 out["sample_rate"].append(rate)
-                out["n_samples"].append(len(samples))
-                out["sum_abs"].append(sum(abs(s) for s in samples))
-                out["max_s"].append(max(samples) if samples else 0)
-                out["min_s"].append(min(samples) if samples else 0)
+                out["n_samples"].append(s.size)
+                out["sum_abs"].append(int(np.abs(s).sum()) if s.size else 0)
+                out["max_s"].append(int(s.max()) if s.size else 0)
+                out["min_s"].append(int(s.min()) if s.size else 0)
             yield pd.DataFrame(out).astype("int64")
 
     return spread(media).mapInPandas(batches, schema=AUDIO_DECODED_SCHEMA)
@@ -495,6 +522,8 @@ def decoded_image_features(media: DataFrame) -> DataFrame:
     sum."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             out: dict[str, list] = {k.name: [] for k in IMAGE_DECODED_SCHEMA}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -503,7 +532,7 @@ def decoded_image_features(media: DataFrame) -> DataFrame:
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_pixel_bytes"].append(len(rgb))
-                out["sum_pixels"].append(sum(rgb))
+                out["sum_pixels"].append(int(np.frombuffer(rgb, np.uint8).sum()))
             yield pd.DataFrame(out).astype("int64")
 
     return spread(media).mapInPandas(batches, schema=IMAGE_DECODED_SCHEMA)
@@ -610,6 +639,8 @@ def sampled_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
     the Arrow batch."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             out: dict[str, list] = {k.name: [] for k in VIDEO_FRAME_SCHEMA}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -618,7 +649,7 @@ def sampled_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
                     out["media_id"].append(int(mid))
                     out["frame_idx"].append(i)
                     out["n_frames"].append(len(frames))
-                    out["frame_sum"].append(sum(frames[i]))
+                    out["frame_sum"].append(int(np.frombuffer(frames[i], np.uint8).sum()))
             yield pd.DataFrame(out).astype("int64")
 
     return spread(media).mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)

@@ -3014,25 +3014,36 @@ def q109_cms_heavy_hitters(spark, sf_dir):
 
 
 def _duck_bloom_sql() -> str:
-    """DuckDB oracle for q110: identical Bloom filter (same driver-side bit
-    positions via seeded md5-h60) probed with list_filter lambdas."""
-    from tagtree_spark.functions.hashing import duck_h60_seeded
-    from tagtree_spark.operators.dedup import BLOOM_K, BLOOM_M, bloom_bit_positions
+    """DuckDB oracle for q110: identical Bloom filter — one md5-h60 per
+    gram (materialized into an integer list first), k Kirsch–Mitzenmacher
+    positions derived arithmetically inside the probe lambda."""
+    from tagtree_spark.functions.hashing import duck_h60
+    from tagtree_spark.operators.dedup import (
+        _BLOOM_SHIFT,
+        BLOOM_K,
+        BLOOM_M,
+        bloom_bit_positions,
+    )
 
     bits = bloom_bit_positions(list(BENCHMARK_TEXTS), n=3)
     bits_lit = "[" + ", ".join(str(b) for b in bits) + "]"
     tests = " AND ".join(
-        f"list_contains({bits_lit}, {duck_h60_seeded('s', seed)} % {BLOOM_M})"
-        for seed in range(BLOOM_K)
+        f"list_contains({bits_lit}, "
+        f"((h % {BLOOM_M}) + {i} * ((h // {1 << _BLOOM_SHIFT}) | 1)) % {BLOOM_M})"
+        for i in range(BLOOM_K)
     )
     return (
         SHINGLE_CTE
-        + f"""
+        + f""", shh AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {duck_h60('s')}) AS ghs
+  FROM sh
+)
 SELECT doc_id,
        CAST(len(shingles) AS BIGINT) AS n_grams,
-       CAST(len(list_filter(shingles, s -> {tests})) AS BIGINT) AS n_bloom_hits,
+       CAST(len(list_filter(ghs, h -> {tests})) AS BIGINT) AS n_bloom_hits,
        CAST(len(list_filter(shingles, s -> list_contains([{_BENCH_IN_LIST}], s))) AS BIGINT) AS n_exact_hits
-FROM sh ORDER BY doc_id"""
+FROM shh ORDER BY doc_id"""
     )
 
 
