@@ -3140,3 +3140,17 @@ def q112_instant_offset(spark, sf_dir):
     return instant_offset(
         samples, times, _dt.timedelta(days=3), _dt.timedelta(days=1)
     ).orderBy("tsid", "eval_us")
+
+
+@query("q113_store_get_labels", _ORACLE_REG["q10_get_labels"])
+def q113_store_get_labels(spark, sf_dir):
+    """L4 get_labels answered from the PERSISTED series table (completes
+    the store-backed read surface next to q100/q103-q105: every reference
+    read entry point now runs against the disk layout), same oracle as the
+    derived-model q10."""
+    series, _, _ = _store_model(spark, sf_dir)
+    return (
+        series.where(F.col("tsid") <= 10)
+        .select("tsid", "event_type", "user_bucket", "k_bucket")
+        .orderBy("tsid")
+    )

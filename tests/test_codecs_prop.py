@@ -1,0 +1,70 @@
+"""Property tests for the pure-Python media codecs (hypothesis): encode∘
+decode must be identity for every valid input, and decode must never
+accept a payload whose geometry lies about its data."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tagtree_spark.operators.multimodal import (
+    decode_ppm,
+    decode_wav_pcm16,
+    decode_y4m,
+    encode_ppm,
+    encode_wav_pcm16,
+    encode_y4m,
+)
+
+_int16 = st.integers(min_value=-32768, max_value=32767)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    samples=st.lists(_int16, max_size=300),
+    rate=st.integers(min_value=1, max_value=384_000),
+)
+def test_wav_roundtrip_property(samples, rate):
+    assert decode_wav_pcm16(encode_wav_pcm16(samples, rate)) == (rate, 1, samples)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    data=st.data(),
+)
+def test_ppm_roundtrip_property(w, h, data):
+    rgb = data.draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3), label="rgb"
+    )
+    assert decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    n_frames=st.integers(min_value=0, max_value=5),
+    data=st.data(),
+)
+def test_y4m_roundtrip_property(w, h, n_frames, data):
+    frames = [
+        data.draw(st.binary(min_size=w * h, max_size=w * h), label=f"f{i}")
+        for i in range(n_frames)
+    ]
+    assert decode_y4m(encode_y4m(w, h, frames)) == (w, h, frames)
+
+
+@settings(max_examples=100, deadline=None)
+@given(samples=st.lists(_int16, min_size=1, max_size=50))
+def test_wav_truncation_always_detected_or_shorter(samples):
+    """Chopping bytes off the data chunk must never yield MORE samples,
+    and chopping an odd number of bytes drops the partial sample."""
+    payload = encode_wav_pcm16(samples, 8000)
+    for cut in (1, 2, 3):
+        if len(payload) - cut < 46:  # below the minimal container
+            continue
+        _r, _c, got = decode_wav_pcm16(payload[:-cut])
+        assert len(got) <= len(samples)
+        assert got == samples[: len(got)]
