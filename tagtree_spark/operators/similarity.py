@@ -384,3 +384,97 @@ def semantic_dedup(
         assigned.join(dropped, "vec_id", "left_anti")
         .select("vec_id", F.col("cid").cast("bigint").alias("cid"))
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF layout: the claim "the cell id becomes the table's partition
+# key at 100 TB" (ivf_assignments docstring) made REAL — vectors land in
+# cid=N partition directories, the codebook is a tiny sibling table, and a
+# probe reads ONLY the nprobe cell directories (PartitionFilters in the
+# scan; pinned by plan test).
+# --------------------------------------------------------------------------
+
+
+def materialize_ivf(
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = 8,
+    codebook: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: ``vectors/`` partitioned by cell id,
+    ``codebook/`` (cid, cv). One assignment pass; at scale this is the
+    build step of a vector store and the partitioning IS the index."""
+    import os
+
+    assigned = ivf_assignments(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, codebook=codebook
+    ).drop("cscore")
+    assigned.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(out_dir, "vectors")
+    )
+    _centroids(emb, n_cells, codebook, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "codebook"))
+
+
+def ivf_store_topk(
+    spark,
+    store_dir: str,
+    query_id: int,
+    k: int = 8,
+    nprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k over the PERSISTED IVF layout: pick the ``nprobe`` cells
+    nearest the query (tiny codebook scan), then read ONLY those cell
+    directories (partition pruning via a literal isin — the probe list is
+    nprobe ints, a metadata-sized driver decision like the streaming
+    sinks' pruned store reads). Scores are the same cosine fold as
+    :func:`ivf_topk`, so results match the in-memory path bit-for-bit."""
+    import os
+
+    vec_path = os.path.join(store_dir, "vectors")
+    cents = spark.read.parquet(os.path.join(store_dir, "codebook"))
+    qv_df = (
+        spark.read.parquet(vec_path)
+        .where(F.col("vec_id") == query_id)
+        .select(F.col("v").alias("qv"))
+    )
+    probe = (
+        cents.join(F.broadcast(qv_df))
+        .select("cid", cosine("cv", "qv").alias("cscore"))
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.nanvl(F.col("cscore"), F.lit(float("inf")))).alias("_n"),
+                            F.col("cid"),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("_top")
+        )
+        .select(F.explode("_top").alias("_t"))
+        .select(F.col("_t.cid").alias("cid"))
+    )
+    cids = [int(r.cid) for r in probe.collect()]
+    pruned = (
+        spark.read.option("basePath", vec_path)
+        .parquet(vec_path)
+        .where(F.col("cid").isin(cids))
+    )
+    return (
+        pruned.join(F.broadcast(qv_df))
+        .where(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cid"),
+            cosine("v", "qv").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+    )

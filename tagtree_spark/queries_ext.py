@@ -3154,3 +3154,33 @@ def q113_store_get_labels(spark, sf_dir):
         .select("tsid", "event_type", "user_bucket", "k_bucket")
         .orderBy("tsid")
     )
+
+
+# Session-cached persisted IVF store per (session, sf_dir) — like the
+# q100/q103-q105 _store_model cache, for the vector-store disk path.
+_IVF_CACHE: dict = {}
+
+
+def _ivf_store(spark, sf_dir):
+    import tempfile
+
+    from tagtree_spark.operators.similarity import materialize_ivf
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_CACHE:
+        d = tempfile.mkdtemp(prefix="tagtree-ivf-store-")
+        materialize_ivf(load_table(spark, sf_dir, "embeddings"), d, n_cells=8)
+        _IVF_CACHE[key] = d
+    return _IVF_CACHE[key]
+
+
+@query("q114_ivf_store_topk", _ORACLE_REG["q42_ivf_ann"])
+def q114_ivf_store_topk(spark, sf_dir):
+    """E3 ANN through the PERSISTED IVF layout: vectors live in cid=N
+    partition directories, the probe reads ONLY the query's cell
+    (PartitionFilters in the scan, pinned by plan test) — the vector-store
+    disk path next to q42's in-memory assignment, same oracle."""
+    from tagtree_spark.operators.similarity import ivf_store_topk
+
+    return ivf_store_topk(spark, _ivf_store(spark, sf_dir), query_id=0, k=8, nprobe=1)

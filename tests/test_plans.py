@@ -178,3 +178,32 @@ def test_store_matcher_prunes_name_partitions(spark, events):
         assert any("name" in f and f.strip() for f in pf), plan
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_store_probe_prunes_cell_partitions(spark, embeddings):
+    """The persisted IVF probe must read only the probed cid partition
+    directories — PartitionFilters on cid in the vectors scan, and the
+    results must equal the in-memory ivf_topk bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from tagtree_spark.operators.similarity import (
+        ivf_store_topk,
+        ivf_topk,
+        materialize_ivf,
+    )
+    from tests.test_store import _tmp_root
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-ivf-prune-")
+    try:
+        materialize_ivf(embeddings, d, n_cells=8)
+        got = ivf_store_topk(spark, d, query_id=0, k=8, nprobe=1)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cid" in plan, plan
+        mem = [
+            (r.vec_id, r.score)
+            for r in ivf_topk(embeddings, 0, k=8, n_cells=8, nprobe=1).collect()
+        ]
+        assert [(r.vec_id, r.score) for r in got.collect()] == mem
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
