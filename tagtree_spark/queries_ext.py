@@ -3184,3 +3184,79 @@ def q114_ivf_store_topk(spark, sf_dir):
     from tagtree_spark.operators.similarity import ivf_store_topk
 
     return ivf_store_topk(spark, _ivf_store(spark, sf_dir), query_id=0, k=8, nprobe=1)
+
+
+@query(
+    "q115_changes",
+    TSDB_CTE
+    + """
+, d AS (
+  SELECT tsid, value,
+         lag(value) OVER (PARTITION BY tsid ORDER BY ts, value) AS prev
+  FROM samples
+  WHERE ts > TIMESTAMP '2024-01-13 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+)
+SELECT tsid, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+FROM d GROUP BY tsid ORDER BY tsid""",
+)
+def q115_changes(spark, sf_dir):
+    """PromQL changes() over a 7d range vector: per-series count of
+    consecutive-sample value changes (flap/restart detection). Pure
+    comparisons on raw doubles — no arithmetic — so cross-engine exact."""
+    import datetime as _dt
+
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import changes_over_time
+
+    _, _, samples = _model(spark, sf_dir)
+    return changes_over_time(
+        samples,
+        eval_ts=_dt.datetime(2024, 1, 20),
+        lookback=_dt.timedelta(days=7),
+    ).orderBy("tsid")
+
+
+@query(
+    "q116_mad",
+    TSDB_CTE
+    + """
+, d AS (
+  SELECT tsid, ts, value,
+         row_number() OVER (PARTITION BY tsid ORDER BY value, ts) AS rn,
+         CAST(floor(0.5 * CAST(count(*) OVER (PARTITION BY tsid) - 1 AS DOUBLE))
+              AS BIGINT) + 1 AS kk
+  FROM samples
+  WHERE ts > TIMESTAMP '2024-01-13 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+), m AS (
+  SELECT tsid, ts, value, rn, kk,
+         max(CASE WHEN rn = kk THEN value END) OVER (PARTITION BY tsid) AS med
+  FROM d
+), dv AS (
+  SELECT tsid, value, rn, kk, med, abs(value - med) AS dev,
+         row_number() OVER (PARTITION BY tsid ORDER BY abs(value - med), ts) AS rd
+  FROM m
+)
+SELECT tsid, CAST(count(*) AS BIGINT) AS n_samples,
+       max(CASE WHEN rn = kk THEN value END) AS med,
+       max(CASE WHEN rd = kk THEN dev END) AS mad
+FROM dv GROUP BY tsid ORDER BY tsid""",
+)
+def q116_mad(spark, sf_dir):
+    """PromQL mad_over_time (discrete form) over a 7d range vector: the
+    robust spike detector. Median + MAD are rank PICKS (no averaging);
+    each deviation is one IEEE subtract + abs — cross-engine exact."""
+    import datetime as _dt
+
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.promql import mad_over_time
+
+    _, _, samples = _model(spark, sf_dir)
+    return mad_over_time(
+        samples,
+        eval_ts=_dt.datetime(2024, 1, 20),
+        lookback=_dt.timedelta(days=7),
+    ).orderBy("tsid")

@@ -677,3 +677,83 @@ def absent_names(series: DataFrame, names: list[str]) -> DataFrame:
         grid.join(present, "name", "left_anti")
         .select("name", F.lit(1).cast("bigint").alias("absent"))
     )
+
+
+def changes_over_time(
+    samples: DataFrame,
+    eval_ts: _dt.datetime | None = None,
+    lookback: _dt.timedelta | None = None,
+) -> DataFrame:
+    """PromQL ``changes()`` over a range vector: per series, how many times
+    the sample value CHANGED between consecutive samples in range (the
+    flap-detection primitive: restarts, config flips, state churn).
+
+    Pure comparisons — consecutive order is (ts, value) (total, so the
+    lag pairing is deterministic under duplicate timestamps), the change
+    test is ``value <> prev`` on raw doubles (no arithmetic) — cross-engine
+    exact. Shape: one tsid-partitioned lag window + one groupBy on the
+    same key (single shuffle; the second agg reuses the window's
+    partitioning). Pass ``eval_ts`` + ``lookback`` to bound the window
+    state (:func:`bound_range`).
+
+    → ``(tsid, n_samples, n_changes)``.
+    """
+    samples = bound_range(samples, eval_ts, lookback)
+    w = Window.partitionBy("tsid").orderBy("ts", "value")
+    d = samples.select("tsid", "ts", "value").withColumn(
+        "prev", F.lag("value").over(w)
+    )
+    return d.groupBy("tsid").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("value") != F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changes"),
+    )
+
+
+def mad_over_time(
+    samples: DataFrame,
+    eval_ts: _dt.datetime | None = None,
+    lookback: _dt.timedelta | None = None,
+) -> DataFrame:
+    """PromQL ``mad_over_time`` (median absolute deviation, discrete form)
+    per series — the robust outlier/spike detector.
+
+    Exactness: the median is the DISCRETE rank pick at
+    ``floor(0.5·(n−1)) + 1`` (same convention as
+    :func:`quantile_over_time` — a selection, not an average); each
+    deviation is ONE IEEE subtraction + ``abs`` of raw doubles (exact and
+    identical cross-engine); the MAD is a second discrete pick over the
+    deviations. Ties (value then ts; deviation then ts) make every pick
+    deterministic, and the picked VALUE is tie-order independent.
+
+    Shape: two sort windows + the final groupBy, all partitioned by tsid —
+    one shuffle, reused across all three. → ``(tsid, n_samples, med, mad)``.
+    """
+    samples = bound_range(samples, eval_ts, lookback)
+    wv = Window.partitionBy("tsid").orderBy("value", "ts")
+    wn = Window.partitionBy("tsid")
+    k = (
+        F.floor(F.lit(0.5) * (F.count("*").over(wn) - 1).cast("double")) + 1
+    ).cast("bigint")
+    d = (
+        samples.select("tsid", "ts", "value")
+        .withColumn("rn", F.row_number().over(wv))
+        .withColumn("kk", k)
+        .withColumn(
+            "med",
+            F.max(F.when(F.col("rn") == F.col("kk"), F.col("value"))).over(wn),
+        )
+        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    )
+    wd = Window.partitionBy("tsid").orderBy("dev", "ts")
+    d = d.withColumn("rd", F.row_number().over(wd))
+    return d.groupBy("tsid").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        F.max(F.when(F.col("rn") == F.col("kk"), F.col("value"))).alias("med"),
+        F.max(F.when(F.col("rd") == F.col("kk"), F.col("dev"))).alias("mad"),
+    )

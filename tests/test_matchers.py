@@ -299,3 +299,48 @@ def test_deriv_exact_slope(spark):
     assert out[1].slope_per_sec == 2.0 / 60.0
     assert out[1].dt_span_s == 120
     assert out[2].slope_per_sec is None
+
+
+def test_changes_over_time_counts_flaps(spark):
+    import datetime as dt
+
+    from tagtree_spark.tsdb.promql import changes_over_time
+
+    T = dt.datetime
+    # series 1: 1 → 1 → 2 → 2 → 1 : changes at samples 3 and 5 → 2
+    # series 2: constant → 0 changes
+    samples = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 0), 1.0),
+            (1, T(2024, 1, 1, 1), 1.0),
+            (1, T(2024, 1, 1, 2), 2.0),
+            (1, T(2024, 1, 1, 3), 2.0),
+            (1, T(2024, 1, 1, 4), 1.0),
+            (2, T(2024, 1, 1, 0), 5.0),
+            (2, T(2024, 1, 1, 1), 5.0),
+        ],
+        "tsid long, ts timestamp, value double",
+    )
+    out = {r.tsid: r for r in changes_over_time(samples).collect()}
+    assert (out[1].n_samples, out[1].n_changes) == (5, 2)
+    assert (out[2].n_samples, out[2].n_changes) == (2, 0)
+    # lookback bound drops the first two samples of series 1: 2→2→1 → 1
+    bounded = changes_over_time(
+        samples, eval_ts=T(2024, 1, 1, 4), lookback=dt.timedelta(hours=3)
+    )
+    out = {r.tsid: r for r in bounded.collect()}
+    assert (out[1].n_samples, out[1].n_changes) == (3, 1)
+
+
+def test_mad_over_time_discrete_picks(spark):
+    import datetime as dt
+
+    from tagtree_spark.tsdb.promql import mad_over_time
+
+    T = dt.datetime
+    # series 1 values {1, 3, 7, 20, 21}: n=5, k = floor(0.5*4)+1 = 3 →
+    # med = 7; deviations {6, 4, 0, 13, 14} sorted {0,4,6,13,14} → mad = 6
+    rows = [(1, T(2024, 1, 1, i), v) for i, v in enumerate([20.0, 3.0, 7.0, 1.0, 21.0])]
+    samples = spark.createDataFrame(rows, "tsid long, ts timestamp, value double")
+    r = mad_over_time(samples).collect()[0]
+    assert (r.n_samples, r.med, r.mad) == (5, 7.0, 6.0)
