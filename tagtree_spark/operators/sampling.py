@@ -103,3 +103,76 @@ def epoch_shuffle(
         shard.alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights from hashed bigram features (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — public method): score every document by how target-like
+    its hashed n-gram profile is, to importance-resample a raw corpus
+    toward a target domain.
+
+    Each adjacent-token bigram hashes (h60) into one of ``n_buckets``
+    feature buckets. The TARGET distribution is the bucket histogram of
+    the rows matching ``target_pred`` (e.g. ``F.col('lang') == 'en'`` or a
+    quality flag); the RAW distribution is the whole corpus' histogram. A
+    document's weight is the ratio of exact integer sums
+
+        importance = Σ_b target_count[b] / Σ_b raw_count[b]
+
+    over its own bigram occurrences — a ratio-of-sums surrogate for the
+    DSIR log-likelihood ratio that stays integer-exact until ONE final
+    IEEE division (cross-engine hashable; a log-space score would
+    accumulate fp error engine-differently). Sums are DECIMAL(38,0): each
+    term is a corpus-wide bucket count, so bigint sums could overflow at
+    extreme scale (CLAUDE.md rule 7).
+
+    Scale shape: the two histograms are ``n_buckets``-row tables built by
+    one map-side-combined groupBy each and BROADCAST back; the per-doc
+    score is then a narrow aggregation over the doc's own bigrams — no
+    shuffle of document bodies, no join bigger than (rows × n_buckets
+    lookups). → ``(doc_id, n_bigrams, t_sum, r_sum, importance)``.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("boolean").alias("_is_target"),
+        words.alias("_w"),
+    )
+    big = base.select(
+        "doc_id",
+        "_is_target",
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.expr(
+                    "transform(slice(_w, 1, size(_w) - 1), "
+                    "(x, i) -> concat(x, ' ', _w[i + 1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    ).withColumn("bucket", h60("bigram") % F.lit(n_buckets))
+    hist = big.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("raw_n"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("target_n"),
+    )
+    scored = big.join(F.broadcast(hist), "bucket").groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("target_n").cast("decimal(38,0)")).alias("_t"),
+        F.sum(F.col("raw_n").cast("decimal(38,0)")).alias("_r"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("_t").cast("bigint").alias("t_sum"),
+        F.col("_r").cast("bigint").alias("r_sum"),
+        (F.col("_t").cast("double") / F.col("_r").cast("double")).alias("importance"),
+    )

@@ -13,7 +13,7 @@ No Python UDFs — everything is built-in column expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tagtree_spark.functions.hashing import h60
@@ -516,4 +516,60 @@ def vocab_encode(
         F.count("*").cast("bigint").alias("n_tokens"),
         F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("bigint").alias("n_oov"),
         h60(seq).alias("ids_h60"),
+    )
+
+
+def boilerplate_prefix(
+    docs: DataFrame,
+    n_prefix: int = 4,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """E4 boilerplate detection by repeated leading prefix: per group
+    (site/source), the most frequent ``n_prefix``-token document prefix;
+    docs carrying it are flagged — the header/banner screen a web-corpus
+    pipeline runs before dedup (repeated nav/disclaimer text skews both
+    MinHash bands and n-gram LMs).
+
+    Shape: one (group, prefix) count shuffle over one row per doc, a
+    per-group top-1 window over the tiny distinct-prefix table, then a
+    BROADCAST join of the one-row-per-group winners back to the docs —
+    never a shuffle of document bodies. Tie-break on (count desc, prefix
+    asc) is total, so the winner is deterministic.
+
+    → ``(doc_id, group, is_boilerplate, top_count)`` with
+    ``top_count`` = the winning prefix's frequency in the doc's group
+    (NULL when the group has no prefix reaching ``min_count``).
+    """
+    words = F.split(F.col(text_col), " ")
+    pref = F.when(
+        F.size(words) >= n_prefix,
+        F.concat_ws(" ", F.slice(words, 1, n_prefix)),
+    )
+    d = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group"),
+        pref.alias("prefix"),
+    )
+    counts = (
+        d.where(F.col("prefix").isNotNull())
+        .groupBy("group", "prefix")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("group").orderBy(F.col("n").desc(), "prefix")
+    top = (
+        counts.where(F.col("n") >= min_count)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("group", F.col("prefix").alias("top_prefix"), F.col("n").alias("top_count"))
+    )
+    return d.join(F.broadcast(top), "group", "left").select(
+        "doc_id",
+        "group",
+        (F.col("prefix").isNotNull() & (F.col("prefix") == F.col("top_prefix")))
+        .cast("boolean")
+        .alias("is_boilerplate"),
+        "top_count",
     )

@@ -3260,3 +3260,79 @@ def q116_mad(spark, sf_dir):
         eval_ts=_dt.datetime(2024, 1, 20),
         lookback=_dt.timedelta(days=7),
     ).orderBy("tsid")
+
+
+@query(
+    "q117_boilerplate",
+    """
+WITH d AS (
+  SELECT doc_id, source AS src,
+         CASE WHEN len(string_split(text, ' ')) >= 2
+              THEN array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+         END AS prefix
+  FROM documents
+), counts AS (
+  SELECT src, prefix, CAST(count(*) AS BIGINT) AS n
+  FROM d WHERE prefix IS NOT NULL GROUP BY 1, 2
+), top AS (
+  SELECT src, prefix AS top_prefix, n AS top_count
+  FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY n DESC, prefix) AS rk
+        FROM counts WHERE n >= 2) WHERE rk = 1
+)
+SELECT d.doc_id, d.src,
+       coalesce(d.prefix IS NOT NULL AND d.prefix = t.top_prefix, FALSE) AS is_boilerplate,
+       t.top_count
+FROM d LEFT JOIN top t USING (src)
+ORDER BY doc_id""",
+)
+def q117_boilerplate(spark, sf_dir):
+    """E4 boilerplate screen: per-source most frequent 2-token leading
+    prefix (count >= 2), docs carrying it flagged — repeated nav/banner
+    text detection before dedup. Tiny per-source winner table broadcast
+    back; bodies never shuffle."""
+    from tagtree_spark.operators.text import boilerplate_prefix
+
+    out = boilerplate_prefix(_docs(spark, sf_dir), n_prefix=2, min_count=2)
+    return (
+        out.withColumnRenamed("group", "src")
+        .withColumn("is_boilerplate", F.coalesce("is_boilerplate", F.lit(False)))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q118_dsir",
+    """
+WITH b0 AS (
+  SELECT doc_id, (lang = 'en') AS it, string_split(text, ' ') AS w FROM documents
+), bb AS (
+  SELECT doc_id, it, """
+    + duck_h60("bigram")
+    + """ % 64 AS bucket
+  FROM (
+    SELECT doc_id, it,
+           unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+    FROM b0 WHERE len(w) >= 2
+  )
+), hist AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS raw_n,
+         CAST(sum(CASE WHEN it THEN 1 ELSE 0 END) AS BIGINT) AS target_n
+  FROM bb GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(target_n) AS BIGINT) AS t_sum,
+       CAST(sum(raw_n) AS BIGINT) AS r_sum,
+       CAST(sum(target_n) AS DOUBLE) / CAST(sum(raw_n) AS DOUBLE) AS importance
+FROM bb JOIN hist USING (bucket)
+GROUP BY doc_id ORDER BY doc_id""",
+)
+def q118_dsir(spark, sf_dir):
+    """E7 DSIR-style importance weights (hashed bigram features, target =
+    lang='en' docs): ratio-of-exact-integer-sums surrogate for the
+    importance ratio, one final IEEE division. Histograms are 64-row
+    broadcast tables; document bodies never shuffle."""
+    from tagtree_spark.operators.sampling import dsir_importance
+
+    return dsir_importance(
+        _docs(spark, sf_dir), F.col("lang") == "en", n_buckets=64
+    ).orderBy("doc_id")

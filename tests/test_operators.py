@@ -992,3 +992,53 @@ def test_vocab_encode_sequences(spark):
         h = int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)
         r = rows[did]
         assert (r.n_tokens, r.n_oov, r.ids_h60) == (len(seq), seq.count(0), h)
+
+
+def test_boilerplate_prefix_flags_repeated_header(spark):
+    from tagtree_spark.operators.text import boilerplate_prefix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "terms of service apply here", "a"),
+            (2, "terms of service apply now too", "a"),
+            (3, "terms of service differ", "a"),
+            (4, "fresh unique words entirely", "a"),
+            (5, "short", "a"),               # < n_prefix tokens → never flagged
+            (6, "no repeats in this source", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in boilerplate_prefix(docs, n_prefix=3, min_count=2).collect()}
+    assert [out[i].is_boilerplate for i in (1, 2, 3)] == [True, True, True]
+    assert out[4].is_boilerplate is False
+    assert out[5].is_boilerplate is None or out[5].is_boilerplate is False
+    assert out[1].top_count == 3
+    # source b has no prefix reaching min_count → no winner
+    assert out[6].top_count is None
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.operators.sampling import dsir_importance
+
+    # target docs (is_t=1) share the bigram "x y"; doc 4 is raw-only noise
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x y", 1),
+            (2, "x y", 1),
+            (3, "x y z", 0),     # mixed: one target-heavy bigram + one rare
+            (4, "p q r s", 0),
+        ],
+        "doc_id long, text string, is_t int",
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(docs, F.col("is_t") == 1, n_buckets=4096).collect()
+    }
+    # every doc-3 bigram is rarer in the target than doc-1/2's pure "x y"
+    assert out[1].importance > out[3].importance > out[4].importance
+    assert out[4].t_sum == 0 and out[4].importance == 0.0
+    # ratio is exact integer sums: doc 2's single bigram "x y" occurs 4x
+    # in the corpus, 3x in the target (docs 1+2) → 3/4
+    assert (out[2].t_sum, out[2].r_sum, out[2].importance) == (3, 4, 0.75)
