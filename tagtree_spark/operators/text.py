@@ -573,3 +573,105 @@ def boilerplate_prefix(
         .alias("is_boilerplate"),
         "top_count",
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """E4 byte-pair-encoding merge training (Sennrich et al. 2016 — the
+    public BPE algorithm every modern tokenizer derives from): learn the
+    first ``n_merges`` merge rules from the corpus.
+
+    Industrial shape: BPE trains on the WORD-FREQUENCY table, not the raw
+    corpus — one token-count shuffle reduces 100 TB of text to a
+    vocab-sized (word, n) frame, and every merge round then runs windows
+    partitioned by word over that small frame. Per round: (1) adjacent
+    symbol pairs via a lead window, weighted pair counts, argmax with a
+    total (count desc, left, right) tie order — ONE driver scalar per
+    round (bounded, like kmeans' centroid collect); (2) greedy
+    left-to-right non-overlapping merge application, set-based: match
+    runs via gaps-and-islands, select even offsets within each run
+    (exactly the sequential fold's choices — overlapping matches share a
+    symbol, so greedy keeps alternate ones), drop consumed successors,
+    renumber. Lineage is truncated each round (localCheckpoint, like
+    near_dup_clusters' rounds).
+
+    Everything is integer counts and string equality — no floats anywhere
+    — so the DuckDB oracle replays the identical unrolled rounds and every
+    merge rule, count included, hash-matches.
+
+    → ``(step, lsym, rsym, cnt)``, one row per learned merge, step 1-based.
+    """
+    spark = docs.sparkSession
+    toks = spread(docs).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    wc = (
+        toks.where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    chars = F.expr("filter(split(word, ''), x -> x <> '')")
+    syms = wc.select(
+        "word", "n", F.posexplode(chars).alias("p0", "sym")
+    ).select("word", "n", (F.col("p0") + 1).cast("bigint").alias("pos"), "sym")
+    syms = syms.localCheckpoint()
+
+    wseq = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            syms.withColumn("nxt", F.lead("sym").over(wseq))
+            .where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        left, right, cnt = pairs[0].sym, pairs[0].nxt, pairs[0].cnt
+        merges.append((step, left, right, cnt))
+        d = (
+            syms.withColumn("nxt", F.lead("sym").over(wseq))
+            .withColumn(
+                "m",
+                (F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right)),
+            )
+            .withColumn(
+                "cm",
+                F.sum(F.when(F.col("m"), 1).otherwise(0)).over(
+                    wseq.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .withColumn("island", F.when(F.col("m"), F.col("pos") - F.col("cm")))
+        )
+        d = d.withColumn(
+            "sel",
+            F.when(
+                F.col("m"),
+                ((F.col("pos") - F.min("pos").over(
+                    Window.partitionBy("word", "island")
+                )) % 2) == 0,
+            ).otherwise(F.lit(False)),
+        ).withColumn(
+            "consumed", F.coalesce(F.lag("sel").over(wseq), F.lit(False))
+        )
+        syms = (
+            d.where(~F.col("consumed"))
+            .select(
+                "word",
+                "n",
+                F.row_number().over(wseq).cast("bigint").alias("pos"),
+                F.when(F.col("sel"), F.concat(F.col("sym"), F.lit(right)))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        merges, "step bigint, lsym string, rsym string, cnt bigint"
+    ).orderBy("step")

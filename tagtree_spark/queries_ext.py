@@ -3336,3 +3336,68 @@ def q118_dsir(spark, sf_dir):
     return dsir_importance(
         _docs(spark, sf_dir), F.col("lang") == "en", n_buckets=64
     ).orderBy("doc_id")
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB replay of bpe_train's rounds (see operators/text.py
+    bpe_train): per round, the argmax pair CTE and the same set-based
+    greedy merge (gaps-and-islands run selection, even offsets, consumed
+    successors dropped). Pure integers + string equality — hash-exact."""
+    sql = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks WHERE word <> '' GROUP BY 1
+), syms1 AS (
+  SELECT word, n, CAST(u.i AS BIGINT) AS pos, u.s AS sym FROM (
+    SELECT word, n, unnest(list_transform(range(1, length(word) + 1),
+                    i -> {'i': i, 's': word[i]})) AS u
+    FROM wc)
+)"""
+    for k in range(1, n_merges + 1):
+        sql += f"""
+, p{k} AS (
+  SELECT sym AS lsym, nxt AS rsym, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT word, n, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM syms{k})
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+  ORDER BY cnt DESC, lsym, rsym LIMIT 1
+), m{k} AS (
+  SELECT word, n, pos, sym,
+         coalesce(sym = (SELECT lsym FROM p{k})
+                  AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT rsym FROM p{k}), FALSE) AS m
+  FROM syms{k}
+), i{k} AS (
+  SELECT *, CASE WHEN m THEN pos - sum(CASE WHEN m THEN 1 ELSE 0 END)
+       OVER (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING) END AS island
+  FROM m{k}
+), s{k} AS (
+  SELECT *, CASE WHEN m THEN (pos - min(pos) OVER (PARTITION BY word, island)) % 2 = 0
+                 ELSE FALSE END AS sel
+  FROM i{k}
+), c{k} AS (
+  SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed FROM s{k}
+), syms{k + 1} AS (
+  SELECT word, n, CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         CASE WHEN sel THEN sym || (SELECT rsym FROM p{k}) ELSE sym END AS sym
+  FROM c{k} WHERE NOT consumed
+)"""
+    return (
+        sql
+        + "\nSELECT * FROM ("
+        + "\nUNION ALL ".join(
+            f"SELECT CAST({k} AS BIGINT) AS step, lsym, rsym, cnt FROM p{k}"
+            for k in range(1, n_merges + 1)
+        )
+        + ") ORDER BY step"
+    )
+
+
+@query("q119_bpe_train", _bpe_oracle_sql(4))
+def q119_bpe_train(spark, sf_dir):
+    """E4 BPE tokenizer training (first 4 merge rules): word-frequency
+    table → per-round weighted pair argmax + set-based greedy merge.
+    Every learned rule (strings AND counts) hash-matches the oracle's
+    unrolled replay — an oracle-checked ITERATIVE algorithm."""
+    from tagtree_spark.operators.text import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=4)

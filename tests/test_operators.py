@@ -1042,3 +1042,27 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     # ratio is exact integer sums: doc 2's single bigram "x y" occurs 4x
     # in the corpus, 3x in the target (docs 1+2) → 3/4
     assert (out[2].t_sum, out[2].r_sum, out[2].importance) == (3, 4, 0.75)
+
+
+def test_bpe_train_matches_hand_run(spark):
+    from tagtree_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    got = [(r.step, r.lsym, r.rsym, r.cnt) for r in bpe_train(docs, 4).collect()]
+    # hand-run BPE: l+o (6, ties o+w on lexicographic left), lo+w (6),
+    # e+w (3, ties n+e), n+ew (3)
+    assert got == [(1, "l", "o", 6), (2, "lo", "w", 6), (3, "e", "w", 3), (4, "n", "ew", 3)]
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark):
+    from tagtree_spark.operators.text import bpe_train
+
+    # "aaaaa": round 1 learns (a,a) with 4 adjacent pairs (overlap counted,
+    # the standard BPE count); greedy application yields [aa, aa, a], so
+    # round 2's candidates are aa+aa (1) and aa+a (1) — tie broken on rsym.
+    docs = spark.createDataFrame([(1, "aaaaa")], "doc_id long, text string")
+    got = [(r.step, r.lsym, r.rsym, r.cnt) for r in bpe_train(docs, 2).collect()]
+    assert got == [(1, "a", "a", 4), (2, "aa", "a", 1)]
