@@ -1,0 +1,119 @@
+"""Behavioral event analytics (§2.11 extension surface): ordered funnels
+and cohort retention — the two queries every product-analytics user of a
+TSDB-shaped event store runs (the reference stores exactly this event
+shape; its downstream Prometheus engine cannot express either).
+
+Cross-engine discipline: every output is an exact integer count or an
+epoch-integer time — no float arithmetic anywhere.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    window: _dt.timedelta = _dt.timedelta(days=7),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: how many users performed ``steps`` in
+    order, each step strictly after the previous one and all within
+    ``window`` of the user's FIRST step-1 event.
+
+    Semantics (the standard product-analytics funnel): step 1 anchors at
+    the user's earliest ``steps[0]`` event; step k's timestamp is the
+    user's earliest ``steps[k]`` event strictly after step k−1 and within
+    the window. min-of-timestamp picks only — deterministic, no floats.
+
+    Scale shape: one filtered groupBy(user) per step, each joined to the
+    previous stage's (user, ts) frame — the stage frames only SHRINK down
+    the funnel, and each join keys on user_id (AQE broadcasts the later,
+    smaller stages). No windows over raw events, no event-list collection.
+
+    → one row per stage: ``(stage, step, n_users)`` with stage 1-based.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    win_s = int(window.total_seconds())
+    stage = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("ts").alias("t1"))
+        .withColumn("deadline", F.col("t1") + F.expr(f"INTERVAL {win_s} SECOND"))
+    )
+    counts = [stage.count()]
+    prev = stage.select(user_col, F.col("t1").alias("tprev"), "deadline")
+    for step in steps[1:]:
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .join(prev, user_col)
+            .where((F.col("ts") > F.col("tprev")) & (F.col("ts") <= F.col("deadline")))
+            .groupBy(user_col, "deadline")
+            .agg(F.min("ts").alias("tprev"))
+            .select(user_col, "tprev", "deadline")
+        )
+        counts.append(nxt.count())
+        prev = nxt
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, s, int(n)) for i, (s, n) in enumerate(zip(steps, counts))],
+        "stage bigint, step string, n_users bigint",
+    ).orderBy("stage")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    max_weeks: int = 4,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    as retained in each later week they were active.
+
+    ``cohort_day`` is the Monday of the user's first event's ISO week as
+    days since 2024-01-01 (integer — dates/timestamps never cross the
+    engine boundary raw); ``week_offset`` counts whole weeks from the
+    cohort week. Exact distinct-user counts.
+
+    Scale shape: the first-seen table is one groupBy(user) (shrinks to
+    one row per user, broadcastable); activity is a distinct over (user,
+    week); one join + one count agg. No windows over raw events.
+
+    → ``(cohort_day, week_offset, n_active)``.
+    """
+    epoch = F.lit("2024-01-01").cast("date")
+    first = (
+        events.groupBy(user_col)
+        .agg(F.min("ts").alias("t0"))
+        .select(
+            user_col,
+            F.datediff(F.date_trunc("week", F.col("t0")).cast("date"), epoch).alias(
+                "cohort_day"
+            ),
+        )
+    )
+    active = events.select(
+        user_col,
+        F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), epoch).alias(
+            "week_day"
+        ),
+    ).distinct()
+    return (
+        active.join(F.broadcast(first), user_col)
+        .withColumn(
+            "week_offset", ((F.col("week_day") - F.col("cohort_day")) / 7).cast("bigint")
+        )
+        .where(F.col("week_offset") <= max_weeks)
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .select(
+            F.col("cohort_day").cast("bigint").alias("cohort_day"),
+            "week_offset",
+            "n_active",
+        )
+    )

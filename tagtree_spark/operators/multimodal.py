@@ -653,3 +653,47 @@ def sampled_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out).astype("int64")
 
     return spread(media).mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+
+
+SCENE_CUT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("delta_sum", LongType()),
+        StructField("is_cut", LongType()),
+    ]
+)
+
+
+def scene_cut_stats(media: DataFrame, threshold: int = 1500) -> DataFrame:
+    """Shot/scene-cut detection from DECODED video: per adjacent frame
+    pair, the exact integer sum of absolute pixel deltas (the classic
+    frame-difference energy), flagged as a cut when above ``threshold`` —
+    the segmentation step a video training pipeline runs before sampling
+    clips.
+
+    Runs on genuinely decoded Y4M planes (:func:`decode_y4m`), row-local
+    inside the Arrow batch (1→N−1 expansion, no shuffle); deltas are
+    int32-widened before subtraction (uint8 arithmetic would wrap).
+    → ``(media_id, frame_idx, delta_sum, is_cut)`` with ``frame_idx`` the
+    LATER frame of the pair (>=1); is_cut is int (0/1) for oracle-type
+    stability.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in SCENE_CUT_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, frames = decode_y4m(bytes(payload))
+                planes = [np.frombuffer(f, np.uint8).astype(np.int32) for f in frames]
+                for i in range(1, len(planes)):
+                    d = int(np.abs(planes[i] - planes[i - 1]).sum())
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["delta_sum"].append(d)
+                    out["is_cut"].append(int(d > threshold))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=SCENE_CUT_SCHEMA)

@@ -3401,3 +3401,108 @@ def q119_bpe_train(spark, sf_dir):
     from tagtree_spark.operators.text import bpe_train
 
     return bpe_train(_docs(spark, sf_dir), n_merges=4)
+
+
+@query(
+    "q120_scene_cuts",
+    """
+WITH g AS (
+  SELECT doc_id, i,
+         CASE WHEN i <= length(text) THEN ord(substr(text, CAST(i AS INT), 1))
+              ELSE 0 END AS b
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(1, (length(text) + 63) // 64) * 64 + 1)) AS i
+        FROM documents) t
+), d AS (
+  SELECT doc_id, i, b, lag(b, 64) OVER (PARTITION BY doc_id ORDER BY i) AS pb FROM g
+)
+SELECT doc_id AS media_id, CAST((i - 1) // 64 AS BIGINT) AS frame_idx,
+       CAST(sum(abs(b - pb)) AS BIGINT) AS delta_sum,
+       CAST(CASE WHEN sum(abs(b - pb)) > 1500 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+FROM d WHERE pb IS NOT NULL
+GROUP BY doc_id, (i - 1) // 64
+HAVING count(*) = 64
+ORDER BY media_id, frame_idx""",
+)
+def q120_scene_cuts(spark, sf_dir):
+    """E5 scene-cut detection through the REAL Y4M decode path: adjacent
+    decoded frames' absolute pixel-delta energy, thresholded — the shot
+    segmentation step before clip sampling. Oracle replays the padded
+    64-byte frame raster from the text bytes with a lag-64 window."""
+    from tagtree_spark.operators.multimodal import scene_cut_stats, y4m_from_documents
+
+    media = y4m_from_documents(_docs(spark, sf_dir))
+    return scene_cut_stats(media, threshold=1500).orderBy("media_id", "frame_idx")
+
+
+@query(
+    "q121_funnel",
+    """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS tprev, min(s1.t1 + INTERVAL 7 DAY) AS deadline
+  FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.tprev AND e.ts <= s2.deadline
+  GROUP BY 1
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+) ORDER BY stage""",
+)
+def q121_funnel(spark, sf_dir):
+    """Ordered conversion funnel view→click→purchase within 7 days of the
+    anchor view: per-stage user counts, min-timestamp picks only. Stage
+    frames shrink down the funnel; joins key on user_id."""
+    import datetime as _dt
+
+    from tagtree_spark.operators.events import funnel
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], _dt.timedelta(days=7))
+
+
+@query(
+    "q122_retention",
+    """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), f AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01',
+                   CAST(date_trunc('week', min(ts)) AS DATE)) AS cohort_day
+  FROM e GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01',
+                   CAST(date_trunc('week', ts) AS DATE)) AS week_day
+  FROM e
+)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST((week_day - cohort_day) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM a JOIN f USING (user_id)
+WHERE (week_day - cohort_day) // 7 <= 4
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q122_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-seen ISO week
+    (integer days since 2024-01-01 — no raw dates cross the engine
+    boundary), counted in each later active week. Broadcast first-seen
+    join, exact counts."""
+    from tagtree_spark.operators.events import retention_cohorts
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, max_weeks=4).orderBy("cohort_day", "week_offset")

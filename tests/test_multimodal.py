@@ -299,3 +299,20 @@ def test_y4m_frame_sampling_matches_python(documents):
             (r.frame_idx, r.n_frames, r.frame_sum) for r in rows if r.media_id == did
         ]
         assert got == expect
+
+
+def test_scene_cut_stats_exact_delta(spark):
+    from tagtree_spark.operators.multimodal import encode_y4m, scene_cut_stats
+
+    f0 = bytes([10] * 64)
+    f1 = bytes([10] * 32 + [30] * 32)  # delta vs f0: 32 * 20 = 640
+    f2 = bytes([0] * 64)               # delta vs f1: 32*10 + 32*30 = 1280
+    payload = encode_y4m(8, 8, [f0, f1, f2])
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), {"format": "y4m"})],
+        "media_id long, modality string, payload binary, meta map<string,string>",
+    )
+    out = {r.frame_idx: r for r in scene_cut_stats(media, threshold=1000).collect()}
+    assert (out[1].delta_sum, out[1].is_cut) == (640, 0)
+    assert (out[2].delta_sum, out[2].is_cut) == (1280, 1)
+    assert set(out) == {1, 2}  # no pair row for the first frame

@@ -1066,3 +1066,42 @@ def test_bpe_merge_application_is_greedy_left_to_right(spark):
     docs = spark.createDataFrame([(1, "aaaaa")], "doc_id long, text string")
     got = [(r.step, r.lsym, r.rsym, r.cnt) for r in bpe_train(docs, 2).collect()]
     assert got == [(1, "a", "a", 4), (2, "aa", "a", 1)]
+
+
+def test_funnel_ordered_within_window(spark):
+    import datetime as dt
+
+    from tagtree_spark.operators.events import funnel
+
+    T = dt.datetime
+    rows = [
+        # user 1 completes in order within 7d
+        (1, "view", T(2024, 1, 1)), (1, "click", T(2024, 1, 2)), (1, "purchase", T(2024, 1, 3)),
+        # user 2: click BEFORE view → stalls at stage 1
+        (2, "click", T(2024, 1, 1)), (2, "view", T(2024, 1, 2)),
+        # user 3: purchase outside the 7d window of the first view
+        (3, "view", T(2024, 1, 1)), (3, "click", T(2024, 1, 2)), (3, "purchase", T(2024, 1, 20)),
+        # user 4 never views
+        (4, "purchase", T(2024, 1, 1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.stage: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert (out[1].n_users, out[2].n_users, out[3].n_users) == (3, 2, 1)
+    assert out[3].step == "purchase"
+
+
+def test_retention_cohorts_week_offsets(spark):
+    import datetime as dt
+
+    from tagtree_spark.operators.events import retention_cohorts
+
+    T = dt.datetime
+    # 2024-01-01 is a Monday. user 1: cohort week 0, active weeks 0 and 2;
+    # user 2: cohort week 1, active week 1 only.
+    rows = [
+        (1, T(2024, 1, 2)), (1, T(2024, 1, 4)), (1, T(2024, 1, 16)),
+        (2, T(2024, 1, 9)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort_day, r.week_offset): r.n_active for r in retention_cohorts(ev).collect()}
+    assert got == {(0, 0): 1, (0, 2): 1, (7, 0): 1}
