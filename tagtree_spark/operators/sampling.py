@@ -133,11 +133,14 @@ def dsir_importance(
     term is a corpus-wide bucket count, so bigint sums could overflow at
     extreme scale (CLAUDE.md rule 7).
 
-    Scale shape: the two histograms are ``n_buckets``-row tables built by
-    one map-side-combined groupBy each and BROADCAST back; the per-doc
-    score is then a narrow aggregation over the doc's own bigrams — no
-    shuffle of document bodies, no join bigger than (rows × n_buckets
-    lookups). → ``(doc_id, n_bigrams, t_sum, r_sum, importance)``.
+    Scale shape: ONE corpus pass. Bigrams reduce to a per-(doc, bucket)
+    count frame first; both the ``n_buckets``-row histogram and the
+    per-doc scoring consume that SAME aggregate, so the bigram explode is
+    computed once and the second consumer rides the reused shuffle
+    (ReusedExchange in the plan). The histogram is broadcast back; the
+    doc-side weight is ``Σ_b k_db·count[b]`` — no shuffle of document
+    bodies, no join bigger than (doc×bucket rows vs 64 rows).
+    → ``(doc_id, n_bigrams, t_sum, r_sum, importance)``.
     """
     words = F.split(F.col(text_col), " ")
     base = docs.select(
@@ -158,16 +161,23 @@ def dsir_importance(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("bigram"),
     ).withColumn("bucket", h60("bigram") % F.lit(n_buckets))
-    hist = big.groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("raw_n"),
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
+    dbk = big.groupBy("doc_id", "_is_target", "bucket").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    hist = dbk.groupBy("bucket").agg(
+        F.sum("k").cast("bigint").alias("raw_n"),
+        F.sum(F.when(F.col("_is_target"), F.col("k")).otherwise(0))
         .cast("bigint")
         .alias("target_n"),
     )
-    scored = big.join(F.broadcast(hist), "bucket").groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_bigrams"),
-        F.sum(F.col("target_n").cast("decimal(38,0)")).alias("_t"),
-        F.sum(F.col("raw_n").cast("decimal(38,0)")).alias("_r"),
+    scored = dbk.join(F.broadcast(hist), "bucket").groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        F.sum(
+            F.col("k").cast("decimal(38,0)") * F.col("target_n").cast("decimal(38,0)")
+        ).alias("_t"),
+        F.sum(
+            F.col("k").cast("decimal(38,0)") * F.col("raw_n").cast("decimal(38,0)")
+        ).alias("_r"),
     )
     return scored.select(
         "doc_id",

@@ -335,3 +335,85 @@ WITH words AS (
 SELECT c.token, c.n, CAST(e.cms_est AS BIGINT) AS cms_est
 FROM counts c JOIN est e ON c.token = e.token
 ORDER BY c.n DESC, c.token LIMIT {k}"""
+
+
+# --------------------------------------------------------------------------
+# KMV / theta sketch (Bar-Yossef et al. 2002; Beyer et al. 2007 — public
+# k-minimum-values estimator, the basis of the DataSketches theta sketch).
+# Distinct-count with SET OPERATIONS the HLL above cannot do: two sketches
+# union by re-ranking the merged k smallest hashes, and |A∩B| follows by
+# inclusion–exclusion. Same exact-verifiability trick as the HLL/CMS: the
+# k smallest DISTINCT h60 values per group are a deterministic set, and
+# the estimate (k−1)·2^60 / h_k is one decimal-exact product cast to
+# double and ONE IEEE division — bit-identical cross-engine.
+# --------------------------------------------------------------------------
+
+KMV_K = 16  #: register count — relative error ~ 1/sqrt(k-2)
+H60_SPACE = 1 << 60  #: h60 hash space size (hashes are uniform in [0, 2^60))
+
+
+def kmv_registers(df: DataFrame, col: str, group_col: str) -> DataFrame:
+    """Per-group KMV registers: the ``KMV_K`` smallest distinct h60 values
+    of ``col``. One distinct + one rank window, both keyed by the group —
+    a sketch of ≤k rows per group regardless of group size (the 100 TB
+    state bound), SUM/union-mergeable by re-ranking.
+
+    → ``(group, rn, hash)`` with rn 1-based ascending.
+    """
+    from pyspark.sql import Window
+
+    h = df.select(
+        F.col(group_col).alias("group"),
+        h60(F.col(col).cast("string")).alias("hash"),
+    ).distinct()
+    w = Window.partitionBy("group").orderBy("hash")
+    return (
+        h.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= KMV_K)
+        .select("group", "rn", "hash")
+    )
+
+
+def kmv_union(regs: DataFrame) -> DataFrame:
+    """Union all groups' registers into one sketch (scope '__union__'):
+    distinct hashes re-ranked, k smallest kept — the mergeability that
+    makes KMV a DISTRIBUTED sketch (shards sketch locally; the combiner
+    unions ≤k rows per shard)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hash")
+    return (
+        regs.select("hash")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= KMV_K)
+        .select(F.lit("__union__").alias("group"), "rn", "hash")
+    )
+
+
+def kmv_estimates(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Estimates from register sets: exact count when the group never
+    filled its k registers, else ``(k−1)·2^60 / h_k``. ``exact`` maps
+    group → true distinct count (rides along like q101's n_exact, making
+    the estimator's error VISIBLE and the whole sketch oracle-checked).
+
+    → ``(group, n_regs, n_exact, est)``.
+    """
+    per = regs.groupBy("group").agg(
+        F.count("*").cast("bigint").alias("n_regs"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("hash"))).alias("kth"),
+    )
+    num = (F.lit(KMV_K - 1).cast("decimal(38,0)") * F.lit(H60_SPACE).cast("decimal(38,0)")).cast(
+        "double"
+    )
+    return (
+        per.join(exact, "group", "left")
+        .select(
+            "group",
+            "n_regs",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.when(F.col("n_regs") < KMV_K, F.col("n_regs").cast("double"))
+            .otherwise(num / F.col("kth").cast("double"))
+            .alias("est"),
+        )
+    )

@@ -3506,3 +3506,106 @@ def q122_retention(spark, sf_dir):
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
     return retention_cohorts(ev, max_weeks=4).orderBy("cohort_day", "week_offset")
+
+
+@query(
+    "q123_kmv_distinct",
+    """
+WITH h AS (
+  SELECT DISTINCT event_type AS scope, """
+    + duck_h60("CAST(user_id AS VARCHAR)")
+    + """ AS hash FROM events
+), regs AS (
+  SELECT scope, CAST(rn AS BIGINT) AS rn, hash FROM (
+    SELECT scope, hash, row_number() OVER (PARTITION BY scope ORDER BY hash) AS rn FROM h
+  ) WHERE rn <= 16
+), ur AS (
+  SELECT '__union__' AS scope, CAST(rn AS BIGINT) AS rn, hash FROM (
+    SELECT hash, row_number() OVER (ORDER BY hash) AS rn FROM (SELECT DISTINCT hash FROM h)
+  ) WHERE rn <= 16
+), allr AS (
+  SELECT * FROM regs UNION ALL SELECT * FROM ur
+), ex AS (
+  SELECT event_type AS scope, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT '__union__', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+), per AS (
+  SELECT scope, CAST(count(*) AS BIGINT) AS n_regs,
+         max(CASE WHEN rn = 16 THEN hash END) AS kth
+  FROM allr GROUP BY 1
+)
+SELECT p.scope, p.n_regs, e.n_exact,
+       CASE WHEN p.n_regs < 16 THEN CAST(p.n_regs AS DOUBLE)
+            ELSE CAST(CAST(15 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT) AS DOUBLE)
+                 / CAST(p.kth AS DOUBLE) END AS est
+FROM per p LEFT JOIN ex e USING (scope)
+ORDER BY scope""",
+)
+def q123_kmv_distinct(spark, sf_dir):
+    """KMV/theta distinct sketch per event_type PLUS a merged '__union__'
+    sketch (re-ranked k smallest — the set-operation mergeability HLL
+    lacks): every register deterministic, estimate = one decimal product
+    + one IEEE division, true count rides along (error visible)."""
+    from tagtree_spark.operators.sketch import kmv_estimates, kmv_registers, kmv_union
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    regs = kmv_registers(ev, "user_id", "event_type")
+    allr = regs.unionByName(kmv_union(regs))
+    exact = (
+        ev.groupBy(F.col("event_type").alias("group"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+        .unionByName(
+            ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_exact")).select(
+                F.lit("__union__").alias("group"), "n_exact"
+            )
+        )
+    )
+    return (
+        kmv_estimates(allr, exact)
+        .withColumnRenamed("group", "scope")
+        .orderBy("scope")
+    )
+
+
+@query(
+    "q124_interval_join",
+    """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+)
+SELECT l.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(epoch_us(r.ts) - epoch_us(l.ts)) AS BIGINT) AS min_delta_us,
+       CAST(max(epoch_us(r.ts) - epoch_us(l.ts)) AS BIGINT) AS max_delta_us
+FROM e l JOIN e r
+  ON r.user_id = l.user_id
+ AND l.event_type = 'click' AND r.event_type = 'error'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+GROUP BY 1 ORDER BY 1""",
+)
+def q124_interval_join(spark, sf_dir):
+    """§2.7/§2.9 interval join in batch, through the SAME body the
+    stream-stream join runs ("errors within 1h after a click, same
+    user"): per-user pair counts + exact microsecond delta extremes.
+    Equi-key on user bounds the match scan; watermarks make the identical
+    plan state-bounded when both sides stream."""
+    from tagtree_spark.streaming.joins import interval_join_streams
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "ts")
+    j = interval_join_streams(
+        clicks, errors, ["user_id"], lower="0 seconds", upper="1 hour"
+    )
+    delta = F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min(delta).cast("bigint").alias("min_delta_us"),
+            F.max(delta).cast("bigint").alias("max_delta_us"),
+        )
+        .orderBy("user_id")
+    )

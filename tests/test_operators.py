@@ -1105,3 +1105,37 @@ def test_retention_cohorts_week_offsets(spark):
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
     got = {(r.cohort_day, r.week_offset): r.n_active for r in retention_cohorts(ev).collect()}
     assert got == {(0, 0): 1, (0, 2): 1, (7, 0): 1}
+
+
+def test_kmv_estimate_within_error_band(spark):
+    from tagtree_spark.operators.sketch import KMV_K, kmv_estimates, kmv_registers
+
+    n = 2000
+    df = spark.createDataFrame([(i % 2, f"u{i}") for i in range(n)], "g int, item string")
+    regs = kmv_registers(df, "item", "g")
+    # registers are capped at k per group and ascending
+    per = {r.group: r for r in kmv_estimates(
+        regs,
+        df.groupBy(F.col("g").alias("group")).agg(
+            F.countDistinct("item").cast("bigint").alias("n_exact")
+        ),
+    ).collect()}
+    for g in (0, 1):
+        assert per[g].n_regs == KMV_K
+        assert per[g].n_exact == n // 2
+        # KMV relative error ~ 1/sqrt(k-2): allow a generous 3x band
+        assert abs(per[g].est - n // 2) / (n // 2) < 3 / math.sqrt(KMV_K - 2)
+
+
+def test_kmv_union_merges_sketches(spark):
+    from tagtree_spark.operators.sketch import KMV_K, kmv_registers, kmv_union
+
+    # two groups over the SAME item universe: union registers must equal
+    # either group's registers (identical hash sets after dedup)
+    df = spark.createDataFrame(
+        [(g, f"u{i}") for g in (0, 1) for i in range(500)], "g int, item string"
+    )
+    regs = kmv_registers(df, "item", "g")
+    u = sorted(r.hash for r in kmv_union(regs).collect())
+    g0 = sorted(r.hash for r in regs.where(F.col("group") == 0).collect())
+    assert u == g0 and len(u) == KMV_K
