@@ -604,7 +604,64 @@ def bpe_train(
 
     → ``(step, lsym, rsym, cnt)``, one row per learned merge, step 1-based.
     """
-    spark = docs.sparkSession
+    merges, _ = _bpe_rounds(docs, n_merges, text_col)
+    return docs.sparkSession.createDataFrame(
+        merges, "step bigint, lsym string, rsym string, cnt bigint"
+    ).orderBy("step")
+
+
+def bpe_apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
+    """One greedy left-to-right merge round over a symbol frame
+    ``(word, n, pos, sym)`` — the set-based equivalent of the sequential
+    fold: match positions → consecutive-match runs (gaps-and-islands) →
+    keep even offsets within each run (overlapping matches share a
+    symbol) → drop consumed successors → renumber. Shared by training
+    and encoding; all windows partition by word (one shuffle, reused)."""
+    wseq = Window.partitionBy("word").orderBy("pos")
+    d = (
+        syms.withColumn("nxt", F.lead("sym").over(wseq))
+        .withColumn(
+            "m",
+            (F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right)),
+        )
+        .withColumn(
+            "cm",
+            F.sum(F.when(F.col("m"), 1).otherwise(0)).over(
+                wseq.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("island", F.when(F.col("m"), F.col("pos") - F.col("cm")))
+    )
+    d = d.withColumn(
+        "sel",
+        F.when(
+            F.col("m"),
+            ((F.col("pos") - F.min("pos").over(
+                Window.partitionBy("word", "island")
+            )) % 2) == 0,
+        ).otherwise(F.lit(False)),
+    ).withColumn(
+        "consumed", F.coalesce(F.lag("sel").over(wseq), F.lit(False))
+    )
+    return (
+        d.where(~F.col("consumed"))
+        .select(
+            "word",
+            "n",
+            F.row_number().over(wseq).cast("bigint").alias("pos"),
+            F.when(F.col("sel"), F.concat(F.col("sym"), F.lit(right)))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+
+
+def _bpe_rounds(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the BPE training rounds; return (merge rules, final symbol
+    frame). The final frame IS the encoded vocabulary — encoding a corpus
+    is a join against it (see :func:`bpe_encode`)."""
     toks = spread(docs).select(
         F.explode(F.split(F.col(text_col), " ")).alias("word")
     )
@@ -620,7 +677,7 @@ def bpe_train(
     syms = syms.localCheckpoint()
 
     wseq = Window.partitionBy("word").orderBy("pos")
-    merges = []
+    merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         pairs = (
             syms.withColumn("nxt", F.lead("sym").over(wseq))
@@ -635,43 +692,71 @@ def bpe_train(
             break
         left, right, cnt = pairs[0].sym, pairs[0].nxt, pairs[0].cnt
         merges.append((step, left, right, cnt))
-        d = (
-            syms.withColumn("nxt", F.lead("sym").over(wseq))
-            .withColumn(
-                "m",
-                (F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right)),
-            )
-            .withColumn(
-                "cm",
-                F.sum(F.when(F.col("m"), 1).otherwise(0)).over(
-                    wseq.rowsBetween(Window.unboundedPreceding, 0)
-                ),
-            )
-            .withColumn("island", F.when(F.col("m"), F.col("pos") - F.col("cm")))
+        syms = bpe_apply_merge(syms, left, right).localCheckpoint()
+    return merges, syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``n_merges`` BPE rules on the corpus and ENCODE every
+    document with them — the tokenizer-application step that follows
+    :func:`bpe_train` in a real pipeline.
+
+    Industrial shape again: only the VOCABULARY is encoded (the training
+    rounds' final symbol frame, vocab-sized); documents then join their
+    tokens to the encoded vocab — the corpus-sized side does one explode,
+    one broadcastable join, one per-doc re-assembly. The h60 of each
+    document's full symbol stream makes the end-to-end encoding
+    oracle-checkable.
+
+    → ``(doc_id, n_tokens, n_syms, enc_h60)``.
+    """
+    _, syms = _bpe_rounds(docs, n_merges, text_col)
+    return bpe_encode_from_vocab(docs, syms, id_col, text_col)
+
+
+def bpe_encode_from_vocab(
+    docs: DataFrame,
+    syms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents against an already-trained symbol frame (the
+    second element of :func:`_bpe_rounds` — lets callers train once and
+    encode many corpora/batches)."""
+    wenc = syms.groupBy("word").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda x: x["sym"],
+            ),
+        ).alias("enc"),
+        F.count("*").cast("bigint").alias("w_syms"),
+    )
+    dt = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "word"),
         )
-        d = d.withColumn(
-            "sel",
-            F.when(
-                F.col("m"),
-                ((F.col("pos") - F.min("pos").over(
-                    Window.partitionBy("word", "island")
-                )) % 2) == 0,
-            ).otherwise(F.lit(False)),
-        ).withColumn(
-            "consumed", F.coalesce(F.lag("sel").over(wseq), F.lit(False))
-        )
-        syms = (
-            d.where(~F.col("consumed"))
-            .select(
-                "word",
-                "n",
-                F.row_number().over(wseq).cast("bigint").alias("pos"),
-                F.when(F.col("sel"), F.concat(F.col("sym"), F.lit(right)))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-            .localCheckpoint()
-        )
-    return spark.createDataFrame(
-        merges, "step bigint, lsym string, rsym string, cnt bigint"
-    ).orderBy("step")
+        .where(F.col("word") != "")
+        .select("doc_id", F.col("p0").cast("bigint").alias("pos"), "word")
+    )
+    joined = dt.join(F.broadcast(wenc), "word")
+    stream = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+            lambda x: x["enc"],
+        ),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("w_syms").cast("bigint").alias("n_syms"),
+        h60(stream).alias("enc_h60"),
+    )

@@ -3338,11 +3338,13 @@ def q118_dsir(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
+def _bpe_rounds_sql(n_merges: int) -> str:
     """Unrolled DuckDB replay of bpe_train's rounds (see operators/text.py
     bpe_train): per round, the argmax pair CTE and the same set-based
     greedy merge (gaps-and-islands run selection, even offsets, consumed
-    successors dropped). Pure integers + string equality — hash-exact."""
+    successors dropped). Pure integers + string equality — hash-exact.
+    Builds the WITH chain up to syms{n_merges+1}; callers append the
+    final SELECT (merge listing for q119, vocab encoding for q125)."""
     sql = """
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS word FROM documents
@@ -3381,8 +3383,12 @@ WITH toks AS (
          CASE WHEN sel THEN sym || (SELECT rsym FROM p{k}) ELSE sym END AS sym
   FROM c{k} WHERE NOT consumed
 )"""
+    return sql
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
     return (
-        sql
+        _bpe_rounds_sql(n_merges)
         + "\nSELECT * FROM ("
         + "\nUNION ALL ".join(
             f"SELECT CAST({k} AS BIGINT) AS step, lsym, rsym, cnt FROM p{k}"
@@ -3392,15 +3398,36 @@ WITH toks AS (
     )
 
 
+# Trained BPE rounds per (session, sf dir) — q119 (merge listing) and q125
+# (corpus encoding) share one training run; the final symbol frame is tiny
+# (vocab × symbols) and persisted like _mh_pairs/_MODEL_CACHE.
+_BPE_CACHE: dict = {}
+
+
+def _bpe(spark, sf_dir):
+    from tagtree_spark.operators.text import _bpe_rounds
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BPE_CACHE.get(key)
+    if got is None:
+        merges, syms = _bpe_rounds(_docs(spark, sf_dir), 4, "text")
+        syms = syms.persist()
+        syms.count()
+        got = (merges, syms)
+        _BPE_CACHE[key] = got
+    return got
+
+
 @query("q119_bpe_train", _bpe_oracle_sql(4))
 def q119_bpe_train(spark, sf_dir):
     """E4 BPE tokenizer training (first 4 merge rules): word-frequency
     table → per-round weighted pair argmax + set-based greedy merge.
     Every learned rule (strings AND counts) hash-matches the oracle's
     unrolled replay — an oracle-checked ITERATIVE algorithm."""
-    from tagtree_spark.operators.text import bpe_train
-
-    return bpe_train(_docs(spark, sf_dir), n_merges=4)
+    merges, _ = _bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step bigint, lsym string, rsym string, cnt bigint"
+    ).orderBy("step")
 
 
 @query(
@@ -3609,3 +3636,44 @@ def q124_interval_join(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """q125's oracle: the q119 round chain, then every document re-joined
+    to the encoded vocabulary (syms{n+1}) and its full symbol stream
+    hashed end-to-end."""
+    n = n_merges + 1
+    return (
+        _bpe_rounds_sql(n_merges)
+        + f"""
+, wenc AS (
+  SELECT word, string_agg(sym, ' ' ORDER BY pos) AS enc,
+         CAST(count(*) AS BIGINT) AS w_syms
+  FROM syms{n} GROUP BY word
+), dt AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, string_split(text, ' ')[i] AS word
+  FROM (SELECT doc_id, text,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        FROM documents) t
+  WHERE string_split(text, ' ')[i] <> ''
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w_syms) AS BIGINT) AS n_syms,
+       """
+        + duck_h60("string_agg(enc, ' ' ORDER BY pos)")
+        + """ AS enc_h60
+FROM dt JOIN wenc USING (word)
+GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
+@query("q125_bpe_encode", _bpe_encode_oracle_sql(4))
+def q125_bpe_encode(spark, sf_dir):
+    """E4 BPE tokenizer APPLICATION: encode every document with the 4
+    learned merge rules — vocab-only merge rounds, broadcast join of doc
+    tokens to the encoded vocabulary, per-doc symbol stream hashed end to
+    end (train q119 + apply q125 = the full tokenizer loop)."""
+    from tagtree_spark.operators.text import bpe_encode_from_vocab
+
+    _, syms = _bpe(spark, sf_dir)
+    return bpe_encode_from_vocab(_docs(spark, sf_dir), syms).orderBy("doc_id")
