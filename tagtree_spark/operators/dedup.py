@@ -778,3 +778,78 @@ def bloom_contamination(
         .cast("bigint")
         .alias("n_exact_hits"),
     )
+
+
+def prefix_filtered_jaccard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard_pct: int = 50,
+) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (Chaudhuri et al.
+    2006; PPJoin, Xiao et al. 2008 — the public lossless alternative to
+    the df cap): index only each document's first ``⌊(1−t)·|d|⌋ + 1``
+    shingles under a global (df asc, hash asc) rarity order. Any pair
+    with J ≥ t MUST share a prefix shingle (|A∩B| ≥ t·|A∪B| ≥
+    ⌈t·max(|A|,|B|)⌉, and sets overlapping that much collide within
+    these prefixes), so recall is EXACTLY 1.0 — unlike ``max_df``
+    (drops hot shingles) or LSH (probabilistic) — while the join touches
+    only the rarest ~(1−t) fraction of each posting list.
+
+    Shape: one df count over the inverted index, one per-doc rarity-rank
+    window, the prefix-only self-join (candidates), then verification by
+    joining candidates back to the two full shingle-hash arrays
+    (array_intersect on bounded per-doc arrays). At 100 TB the prefix
+    index is the only self-joined structure, and its hottest key is a
+    shingle kept ONLY by docs whose rarity order put it in their prefix.
+
+    → ``(doc_a, doc_b, n_common, n_a, n_b)`` for J ≥ t — identical rows
+    to :func:`ngram_jaccard_pairs` with the df cap disabled.
+    """
+    from pyspark.sql import Window
+
+    sh = (
+        word_shingles(spread(docs), n=n, text_col=text_col)
+        .where(F.size("shingles") > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(F.transform("shingles", lambda s: h60(s))).alias("hs"),
+        )
+        .withColumn("n_sh", F.size("hs").cast("bigint"))
+    )
+    sh = persist_tracked(sh)
+    inv = sh.select("doc_id", "n_sh", F.explode("hs").alias("s"))
+    df_ = inv.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    plen = F.expr(f"((100 - {int(min_jaccard_pct)}) * n_sh) div 100") + 1
+    pref = (
+        inv.join(df_, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= plen)
+        .select("doc_id", "s")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    ver = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint").alias("n_common"),
+            F.size("hs_a").cast("bigint").alias("n_a"),
+            F.size("hs_b").cast("bigint").alias("n_b"),
+        )
+    )
+    return ver.where(
+        F.col("n_common") * 100
+        >= F.lit(int(min_jaccard_pct)) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    )

@@ -1,0 +1,74 @@
+"""Graph statistics over the near-dup pair graph (E2b's analysis
+companion): degree, strict 2-hop reach, and per-node triangle counts —
+the structural signals a dedup pipeline uses to tell chain-shaped false
+positives (low clustering) from genuine duplicate cliques (high
+clustering) before collapsing clusters.
+
+All exact integer counts over the VERIFIED pair set (already bounded by
+the LSH band caps upstream) — the graph frame is orders of magnitude
+smaller than the corpus, and every join below keys on a node id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def graph_stats(pairs: DataFrame) -> DataFrame:
+    """Per-node stats of the undirected graph given as ``(doc_a, doc_b)``
+    pairs (one row per edge, doc_a < doc_b):
+
+    - ``degree``: distinct direct neighbors;
+    - ``n_two_hop``: nodes at distance EXACTLY 2 (neighbors-of-neighbors
+      that are neither the node nor its direct neighbors) — the dedup
+      blast radius one transitive step out;
+    - ``n_tri``: triangles through the node (adjacent neighbor pairs) —
+      the clustering signal (cliques ≫ chains).
+
+    Shape: symmetrize → distinct neighbor set → one self-join for 2-hop,
+    one wedge join + edge probe for triangles; every join keys on a node
+    id. → ``(doc_id, degree, n_two_hop, n_tri)``.
+    """
+    ed = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    nb = ed.distinct()
+
+    two = (
+        nb.alias("a")
+        .join(nb.alias("b"), F.col("a.v") == F.col("b.u"))
+        .where(F.col("b.v") != F.col("a.u"))
+        .select(F.col("a.u").alias("u"), F.col("b.v").alias("w"))
+        .distinct()
+    )
+    strict2 = two.join(
+        nb.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_anti"
+    )
+    c2 = strict2.groupBy("u").agg(F.count("*").cast("bigint").alias("n_two_hop"))
+
+    wedge = (
+        nb.alias("a")
+        .join(nb.alias("b"), F.col("a.u") == F.col("b.u"))
+        .where(F.col("a.v") < F.col("b.v"))
+        .select(F.col("a.u").alias("u"), F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+    )
+    tri = (
+        wedge.join(
+            nb.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+        )
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+
+    deg = nb.groupBy("u").agg(F.countDistinct("v").cast("bigint").alias("degree"))
+    return (
+        deg.join(c2, "u", "left")
+        .join(tri, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            "degree",
+            F.coalesce("n_two_hop", F.lit(0)).cast("bigint").alias("n_two_hop"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+        )
+    )

@@ -3677,3 +3677,94 @@ def q125_bpe_encode(spark, sf_dir):
 
     _, syms = _bpe(spark, sf_dir)
     return bpe_encode_from_vocab(_docs(spark, sf_dir), syms).orderBy("doc_id")
+
+
+@query(
+    "q126_prefix_filter",
+    SHINGLE_CTE
+    + """
+, hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles, s -> """
+    + duck_h60("s")
+    + """)) AS hs
+  FROM sh WHERE len(shingles) > 0
+), hsz AS (
+  SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_sh FROM hs
+), inv AS (
+  SELECT doc_id, n_sh, unnest(hs) AS s FROM hsz
+), dfc AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY 1
+), pref AS (
+  SELECT doc_id, s FROM (
+    SELECT i.doc_id, i.s, i.n_sh,
+           row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s) AS rn
+    FROM inv i JOIN dfc d USING (s)
+  ) WHERE rn <= (50 * n_sh) // 100 + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+), ver AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS n_common,
+         ha.n_sh AS n_a, hb.n_sh AS n_b
+  FROM cand c
+  JOIN hsz ha ON ha.doc_id = c.doc_a
+  JOIN hsz hb ON hb.doc_id = c.doc_b
+)
+SELECT * FROM ver
+WHERE n_common * 100 >= 50 * (n_a + n_b - n_common)
+ORDER BY doc_a, doc_b""",
+)
+def q126_prefix_filter(spark, sf_dir):
+    """E2 exact similarity join with PREFIX FILTERING (lossless, recall
+    1.0): only each doc's rarest ⌊(1−t)·n⌋+1 shingles are self-joined;
+    candidates verify against the full hash arrays. The exact-join scale
+    path next to the lossy df cap (q32) and probabilistic LSH (q25)."""
+    from tagtree_spark.operators.dedup import prefix_filtered_jaccard
+
+    return prefix_filtered_jaccard(_docs(spark, sf_dir), min_jaccard_pct=50).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query(
+    "q127_dup_graph_stats",
+    _MINHASH_PAIRS_CTES
+    + """
+, ed AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  UNION ALL SELECT doc_b, doc_a FROM mh_pairs
+), nb AS (
+  SELECT DISTINCT u, v FROM ed
+), two AS (
+  SELECT DISTINCT a.u, b.v AS w
+  FROM nb a JOIN nb b ON a.v = b.u
+  WHERE b.v <> a.u
+), strict2 AS (
+  SELECT t.u, t.w FROM two t LEFT JOIN nb n ON n.u = t.u AND n.v = t.w
+  WHERE n.u IS NULL
+), c2 AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS n_two_hop FROM strict2 GROUP BY 1
+), tri AS (
+  SELECT a.u, CAST(count(*) AS BIGINT) AS n_tri
+  FROM nb a JOIN nb b ON a.u = b.u AND a.v < b.v
+  JOIN nb e ON e.u = a.v AND e.v = b.v
+  GROUP BY a.u
+), deg AS (
+  SELECT u, CAST(count(DISTINCT v) AS BIGINT) AS degree FROM nb GROUP BY 1
+)
+SELECT d.u AS doc_id, d.degree,
+       CAST(coalesce(c2.n_two_hop, 0) AS BIGINT) AS n_two_hop,
+       CAST(coalesce(tri.n_tri, 0) AS BIGINT) AS n_tri
+FROM deg d LEFT JOIN c2 ON c2.u = d.u LEFT JOIN tri ON tri.u = d.u
+ORDER BY doc_id""",
+)
+def q127_dup_graph_stats(spark, sf_dir):
+    """E2b dup-graph structure: per node degree, strict 2-hop reach, and
+    triangle count over the verified MinHash pair graph — the
+    clique-vs-chain signal read before collapsing clusters (chains are
+    usually banding accidents; cliques are real duplicate families)."""
+    from tagtree_spark.operators.graph import graph_stats
+
+    return graph_stats(_mh_pairs(spark, sf_dir)).orderBy("doc_id")

@@ -1139,3 +1139,38 @@ def test_kmv_union_merges_sketches(spark):
     u = sorted(r.hash for r in kmv_union(regs).collect())
     g0 = sorted(r.hash for r in regs.where(F.col("group") == 0).collect())
     assert u == g0 and len(u) == KMV_K
+
+
+def test_prefix_filter_is_lossless(documents):
+    """Prefix filtering must produce EXACTLY the uncapped inverted-index
+    join's pairs (recall 1.0 — the lemma, not a heuristic)."""
+    from tagtree_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard,
+    )
+
+    full = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b)
+        for r in ngram_jaccard_pairs(
+            documents, min_jaccard_pct=50, max_df=10**9
+        ).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b)
+        for r in prefix_filtered_jaccard(documents, min_jaccard_pct=50).collect()
+    }
+    assert pref == full and len(pref) > 0
+
+
+def test_graph_stats_triangle_vs_chain(spark):
+    from tagtree_spark.operators.graph import graph_stats
+
+    # triangle 1-2-3 plus a chain 3-4-5
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in graph_stats(pairs).collect()}
+    assert (out[1].degree, out[1].n_two_hop, out[1].n_tri) == (2, 1, 1)   # reaches 4
+    assert (out[3].degree, out[3].n_two_hop, out[3].n_tri) == (3, 1, 1)   # reaches 5
+    assert (out[5].degree, out[5].n_two_hop, out[5].n_tri) == (1, 1, 0)   # reaches 3
+    assert (out[4].degree, out[4].n_two_hop, out[4].n_tri) == (2, 2, 0)   # reaches 1,2
