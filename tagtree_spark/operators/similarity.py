@@ -478,3 +478,81 @@ def ivf_store_topk(
         .orderBy(F.col("score").desc(), "vec_id")
         .limit(k)
     )
+
+
+def int8_quantize_report(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the 4× storage
+    compressor every 100 TB embedding pipeline applies before indexing
+    (cf. faiss ScalarQuantizer QT_8bit: per-dimension affine grid).
+
+    Pass 1 learns the grid: per-dimension global ``[min, max]`` via
+    posexplode + hash agg (map-side partial combine; the final state is
+    exactly ``n_dims`` rows), folded into ONE row of ``lo[]/hi[]`` arrays
+    and broadcast — no driver collect, no second scan barrier beyond the
+    grid's own agg. Pass 2 is map-only: each vector folds once
+    (house single-fold style — code, dequantized value, squared error and
+    running stats all inside one ``aggregate`` step, so the code
+    subexpression is never re-evaluated across projections).
+
+    Exactness (cross-engine): codes are
+    ``round(((x - lo) * 255) / (hi - lo))`` — IEEE sub/mul/div on doubles
+    are bit-deterministic, the scaled value is ≥ 0 so Spark HALF_UP ≡
+    DuckDB half-away-from-zero, and faithful shortest-repr rounding cannot
+    flip a .5 boundary. ``code_sum`` is an integer sum (order-free);
+    ``sse`` is a sequential left fold in dimension order with a 0.0 init
+    (≡ DuckDB ``list_reduce`` — every term ≥ 0, so the leading 0.0 + e1
+    is exact).
+
+    → ``(vec_id, n_dims, code_sum, max_code, sse)``.
+    """
+    emb = spread(emb)
+    st = (
+        emb.select(F.posexplode(vec_col).alias("p", "x"))
+        .groupBy("p")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    grid = (
+        st.agg(F.array_sort(F.collect_list(F.struct("p", "mn", "mx"))).alias("s"))
+        .select(
+            F.transform("s", lambda s: s.mn.cast("double")).alias("lo"),
+            F.transform("s", lambda s: s.mx.cast("double")).alias("hi"),
+        )
+    )
+
+    def step(stt, x):
+        lo = F.get("lo", stt.i)
+        hi = F.get("hi", stt.i)
+        xd = x.cast("double")
+        code = (
+            F.when(hi == lo, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.round(((xd - lo) * F.lit(255.0)) / (hi - lo)).cast("bigint")
+            )
+        )
+        dq = lo + (code.cast("double") * (hi - lo)) / F.lit(255.0)
+        e = (xd - dq) * (xd - dq)
+        return F.struct(
+            (stt.i + F.lit(1)).alias("i"),
+            (stt.cs + code).alias("cs"),
+            F.greatest(stt.mc, code).alias("mc"),
+            (stt.sse + e).alias("sse"),
+        )
+
+    init = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(0).cast("bigint").alias("cs"),
+        F.lit(0).cast("bigint").alias("mc"),
+        F.lit(0.0).alias("sse"),
+    )
+    folded = emb.join(F.broadcast(grid)).withColumn(
+        "_q", F.aggregate(F.col(vec_col), init, step)
+    )
+    return folded.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(vec_col).cast("bigint").alias("n_dims"),
+        F.col("_q.cs").alias("code_sum"),
+        F.col("_q.mc").alias("max_code"),
+        F.col("_q.sse").alias("sse"),
+    )

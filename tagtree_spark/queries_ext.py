@@ -3768,3 +3768,47 @@ def q127_dup_graph_stats(spark, sf_dir):
     from tagtree_spark.operators.graph import graph_stats
 
     return graph_stats(_mh_pairs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q128_int8_quant",
+    """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), st AS (
+  SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d
+), c AS (
+  SELECT vec_id, d, x, mn, mx,
+         CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+              ELSE CAST(round(((x - mn) * 255.0) / (mx - mn)) AS BIGINT)
+         END AS code
+  FROM ex JOIN st USING (d)
+), r AS (
+  SELECT vec_id, d, code,
+         (x - (mn + (CAST(code AS DOUBLE) * (mx - mn)) / 255.0))
+         * (x - (mn + (CAST(code AS DOUBLE) * (mx - mn)) / 255.0)) AS e
+  FROM c
+), g AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+         CAST(sum(code) AS BIGINT) AS code_sum,
+         CAST(max(code) AS BIGINT) AS max_code,
+         list(e ORDER BY d) AS el
+  FROM r GROUP BY vec_id
+)
+SELECT vec_id, n_dims, code_sum, max_code,
+       list_reduce(el, (sx, sy) -> sx + sy) AS sse
+FROM g ORDER BY vec_id""",
+)
+def q128_int8_quant(spark, sf_dir):
+    """E3 scalar int8 quantization (faiss QT_8bit-style per-dim affine
+    grid): learn global per-dimension [min,max], emit each vector's code
+    statistics and exact reconstruction SSE. The 4x embedding-storage
+    compressor applied before ANN indexing at corpus scale; SSE is the
+    quality audit that decides 8 bits is enough. Grid learned in one
+    posexplode+hash agg (64-row state), applied map-only via a broadcast
+    one-row lo[]/hi[] frame and a single per-vector fold."""
+    from tagtree_spark.operators.similarity import int8_quantize_report
+
+    return int8_quantize_report(_emb(spark, sf_dir)).orderBy("vec_id")

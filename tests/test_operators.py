@@ -1174,3 +1174,30 @@ def test_graph_stats_triangle_vs_chain(spark):
     assert (out[3].degree, out[3].n_two_hop, out[3].n_tri) == (3, 1, 1)   # reaches 5
     assert (out[5].degree, out[5].n_two_hop, out[5].n_tri) == (1, 1, 0)   # reaches 3
     assert (out[4].degree, out[4].n_two_hop, out[4].n_tri) == (2, 2, 0)   # reaches 1,2
+
+
+def test_int8_quantize_report_exact_grid(spark):
+    from tagtree_spark.operators.similarity import int8_quantize_report
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 10.0, 5.0]),
+            (2, [1.0, 20.0, 5.0]),
+            (3, [0.5, 15.0, 5.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in int8_quantize_report(emb).collect()}
+    assert set(out) == {1, 2, 3}
+    # dim grids: [0,1], [10,20], [5,5] (constant dim -> code 0, zero error)
+    r1 = out[1]
+    assert r1.n_dims == 3
+    # vec 1 sits on grid corners exactly: codes (0, 0, 0) -> sse == 0
+    assert r1.code_sum == 0 and r1.sse == 0.0
+    r2 = out[2]
+    # vec 2 is the other corner: codes (255, 255, 0), exact reconstruction
+    assert r2.code_sum == 510 and r2.max_code == 255 and r2.sse == 0.0
+    r3 = out[3]
+    # vec 3 is mid-grid: round(127.5) -> 128 on both dims (half-up)
+    assert r3.code_sum == 256
+    assert 0.0 < r3.sse < 1.0
