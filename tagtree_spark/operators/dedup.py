@@ -52,6 +52,26 @@ def shingle_hashes(shingle_col: str = "shingles") -> Column:
     )
 
 
+def doc_shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """``(doc_id, hs)``: the distinct 60-bit word-n-gram shingle hashes per
+    document — the SHARED base pass of the whole exact set-overlap family
+    (Jaccard q32, containment q99, prefix-filter q126) and, masked to 31
+    bits, of the MinHash signature pipeline (q25). One md5 per distinct
+    shingle is the dominant cost of all of them; callers cache/persist ONE
+    instance of this frame per (session, corpus) and pass it in, so the
+    hashing runs once instead of once per query."""
+    return (
+        word_shingles(spread(docs), n=n, text_col=text_col)
+        .where(F.size("shingles") > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(F.transform("shingles", lambda s: h60(s))).alias("hs"),
+        )
+    )
+
+
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Add ``shingles``: the distinct word n-grams of ``text_col``.
 
@@ -92,10 +112,11 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def minhash_signature(hash_col: str = "hs", n_perm: int = N_PERM) -> Column:
+def minhash_signature(hash_col: str | Column = "hs", n_perm: int = N_PERM) -> Column:
     """MinHash signature column over the 31-bit shingle hashes: element j =
     min over hashes of (a_j*h + b_j) mod 2^31-1 (affine universal family,
     constants from :func:`minhash_params` so the oracle regenerates them)."""
+    hashes = F.col(hash_col) if isinstance(hash_col, str) else hash_col
 
     def _perm(a: int, b: int):
         # closure, NOT default args: extra lambda params would make
@@ -103,7 +124,7 @@ def minhash_signature(hash_col: str = "hs", n_perm: int = N_PERM) -> Column:
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
     mins = [
-        F.array_min(F.transform(F.col(hash_col), _perm(a, b)))
+        F.array_min(F.transform(hashes, _perm(a, b)))
         for a, b in minhash_params(n_perm)
     ]
     return F.array(*mins)
@@ -132,6 +153,7 @@ def minhash_near_dup_pairs(
     rows_per_band: int = ROWS_PER_BAND,
     min_match: int = 6,
     max_bucket: int | None = MAX_BUCKET,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """E2 near-dup pairs via MinHash + LSH banding → ``(doc_a, doc_b,
     n_match)`` where n_match = #agreeing signature positions (>= min_match).
@@ -150,17 +172,31 @@ def minhash_near_dup_pairs(
     # filter on the cheap word-count precondition (equivalent to
     # size(shingles) > 0): a size(shingles) predicate gets pushed below the
     # projection and REBUILDS the whole shingle pipeline inside the Filter
-    sigs = (
-        word_shingles(
-            spread(docs).where(F.size(F.split(F.col(text_col), " ")) >= 3),
-            text_col=text_col,
+    if sh is not None:
+        # Cached doc_shingle_hashes frame: mask the 60-bit hashes to the
+        # 31-bit permutation domain (distinct-after-mask == hashing the
+        # shingle strings with the masked h60 directly).
+        sigs = sh.select(
+            "doc_id",
+            minhash_signature(
+                F.array_distinct(
+                    F.transform("hs", lambda x: x.bitwiseAND(F.lit(H31_MASK)))
+                ),
+                n_perm=n_perm,
+            ).alias("sig"),
         )
-        .withColumn("hs", shingle_hashes("shingles"))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            minhash_signature("hs", n_perm=n_perm).alias("sig"),
+    else:
+        sigs = (
+            word_shingles(
+                spread(docs).where(F.size(F.split(F.col(text_col), " ")) >= 3),
+                text_col=text_col,
+            )
+            .withColumn("hs", shingle_hashes("shingles"))
+            .select(
+                F.col(id_col).alias("doc_id"),
+                minhash_signature("hs", n_perm=n_perm).alias("sig"),
+            )
         )
-    )
     sigs = persist_tracked(sigs)
     bands = sigs.select(
         "doc_id", F.explode(lsh_band_keys("sig", n_bands, rows_per_band)).alias("band")
@@ -463,6 +499,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard_pct: int = 50,
     max_df: int = 50,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via a shingle inverted index →
     ``(doc_a, doc_b, n_common, n_a, n_b)`` for J >= min_jaccard_pct/100.
@@ -481,7 +518,7 @@ def ngram_jaccard_pairs(
     RARE shingles, so recall is unaffected). Jaccard is computed over the
     kept-shingle space in both engines.
     """
-    out = _shingle_pair_counts(docs, id_col, text_col, n, max_df)
+    out = _shingle_pair_counts(docs, id_col, text_col, n, max_df, sh=sh)
     return out.where(
         F.col("n_common") * 100
         >= F.lit(min_jaccard_pct) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -494,18 +531,14 @@ def _shingle_pair_counts(
     text_col: str = "text",
     n: int = 3,
     max_df: int = 50,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Shared inverted-index pair machinery for the exact set-overlap
     family (Jaccard, containment): ``(doc_a, doc_b, n_common, n_a, n_b)``
-    for every pair sharing >=1 kept shingle."""
-    sh = (
-        word_shingles(spread(docs), n=n, text_col=text_col)
-        .where(F.size("shingles") > 0)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.array_distinct(F.transform("shingles", lambda s: h60(s))).alias("hs"),
-        )
-    )
+    for every pair sharing >=1 kept shingle. Pass a cached
+    :func:`doc_shingle_hashes` frame as ``sh`` to skip the md5 base pass."""
+    if sh is None:
+        sh = doc_shingle_hashes(docs, id_col=id_col, text_col=text_col, n=n)
     inv = sh.select("doc_id", F.explode("hs").alias("s"))
     # ONE shuffle builds the inverted index buckets; the df cap is a filter
     # on bucket size (no count+join-back pass). Persisted: pairs and
@@ -548,6 +581,7 @@ def ngram_containment_pairs(
     n: int = 3,
     min_containment_pct: int = 80,
     max_df: int = 50,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC overlap: pairs where the smaller shingle set is mostly
     CONTAINED in the larger — C = |A∩B| / min(|A|,|B|) >= pct/100 →
@@ -559,7 +593,7 @@ def ngram_containment_pairs(
     and df cap as :func:`ngram_jaccard_pairs` — integer-exact, the pct is
     an integer floor-div so both engines hash identically.
     """
-    out = _shingle_pair_counts(docs, id_col, text_col, n, max_df)
+    out = _shingle_pair_counts(docs, id_col, text_col, n, max_df, sh=sh)
     mn = F.least(F.col("n_a"), F.col("n_b"))
     return (
         out.where(F.col("n_common") * 100 >= F.lit(min_containment_pct) * mn)
@@ -786,6 +820,7 @@ def prefix_filtered_jaccard(
     text_col: str = "text",
     n: int = 3,
     min_jaccard_pct: int = 50,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-similarity join via PREFIX FILTERING (Chaudhuri et al.
     2006; PPJoin, Xiao et al. 2008 — the public lossless alternative to
@@ -809,32 +844,53 @@ def prefix_filtered_jaccard(
     """
     from pyspark.sql import Window
 
-    sh = (
-        word_shingles(spread(docs), n=n, text_col=text_col)
-        .where(F.size("shingles") > 0)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.array_distinct(F.transform("shingles", lambda s: h60(s))).alias("hs"),
+    if sh is None:
+        sh = persist_tracked(
+            doc_shingle_hashes(docs, id_col=id_col, text_col=text_col, n=n)
         )
-        .withColumn("n_sh", F.size("hs").cast("bigint"))
-    )
-    sh = persist_tracked(sh)
+    sh = sh.withColumn("n_sh", F.size("hs").cast("bigint"))
     inv = sh.select("doc_id", "n_sh", F.explode("hs").alias("s"))
-    df_ = inv.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
+    # df as a window count (not agg + join-back): ONE shuffle on s instead
+    # of two (the agg's and the join's), then the per-doc rarity window.
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     plen = F.expr(f"((100 - {int(min_jaccard_pct)}) * n_sh) div 100") + 1
     pref = (
-        inv.join(df_, "s")
+        inv.withColumn(
+            "df", F.count("*").over(Window.partitionBy("s")).cast("bigint")
+        )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= plen)
-        .select("doc_id", "s")
+        .select("s", "doc_id", "n_sh")
     )
+    # Bucketed pair generation (ONE shuffle — a self-join would shuffle the
+    # prefix index twice and re-run its window per side) with the LOSSLESS
+    # length filter applied inline: J >= t implies min(|A|,|B|)/max >= t
+    # (n_common <= min and union >= max), so size-incompatible pairs can
+    # never verify — pruning them here changes nothing in the output but
+    # skips the expensive array_intersect verification for them.
+    pct = int(min_jaccard_pct)
+    buckets = pref.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
+    )
+    pair_structs = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ds, (x, i) -> filter("
+                "transform(slice(ds, i + 2, size(ds)), "
+                "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.n_sh AS na, y.n_sh AS nb)), "
+                f"p -> {pct} * greatest(p.na, p.nb) <= 100 * least(p.na, p.nb)))"
+            )
+        )
+    )
+    # No distinct on the candidate stream: deduping 100s of thousands of
+    # candidate rows costs a full shuffle, while verifying a duplicate is
+    # one extra bounded array_intersect and the final output (pairs that
+    # actually pass) is tiny — dedupe THERE instead.
     cand = (
-        pref.alias("a")
-        .join(pref.alias("b"), "s")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        buckets.where(F.size("ds") >= 2)
+        .select(pair_structs.alias("p"))
+        .select("p.doc_a", "p.doc_b")
     )
     ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
@@ -852,4 +908,4 @@ def prefix_filtered_jaccard(
     return ver.where(
         F.col("n_common") * 100
         >= F.lit(int(min_jaccard_pct)) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    )
+    ).distinct()

@@ -72,3 +72,56 @@ def graph_stats(pairs: DataFrame) -> DataFrame:
             F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
         )
     )
+
+
+def pagerank_int(
+    pairs: DataFrame, iters: int = 3, scale: int = 10**9
+) -> DataFrame:
+    """Integer fixed-point PageRank over the undirected near-dup pair graph
+    — the canonical iterative/Pregel-style computation, expressed as a
+    join+groupBy loop (one shuffle per round, lineage cut per round like
+    ``near_dup_clusters``'s label propagation).
+
+    Exactness: ranks are BIGINT fixed-point at ``scale`` (1.0 ≡ 10^9).
+    Each round: every node sends ``r div deg`` (integral division) along
+    each edge; a node's new rank is ``(15·scale) div 100 + (85·Σ) div
+    100``. Integer sums are associative/commutative — no fp anywhere, so
+    the result is order-free and bit-identical cross-engine (DuckDB ``//``
+    ≡ Spark ``div`` on non-negative integers).
+
+    Overflow headroom: each contribution ≤ scale, so Σ ≤ deg·scale — a
+    node would need ~9·10^9 neighbors to overflow int64; the upstream LSH
+    band caps bound degree far below that.
+
+    → ``(doc_id, degree, rank_fp)``, rank_fp ≥ (15·scale) div 100.
+    """
+    ed = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    nb = ed.distinct()
+    deg = nb.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+    base = (15 * scale) // 100
+
+    rk = deg.select(
+        F.col("u").alias("doc_id"), "deg", F.lit(scale).cast("bigint").alias("r")
+    )
+    for _ in range(iters):
+        contrib = nb.join(
+            rk.select("doc_id", "deg", "r"), nb["v"] == F.col("doc_id")
+        ).select(F.col("u"), F.expr("r div deg").alias("c"))
+        summed = contrib.groupBy("u").agg(F.sum("c").cast("bigint").alias("s"))
+        rk = (
+            deg.join(summed, "u", "left")
+            .select(
+                F.col("u").alias("doc_id"),
+                "deg",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(f"(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return rk.select(
+        "doc_id", F.col("deg").alias("degree"), F.col("r").alias("rank_fp")
+    )

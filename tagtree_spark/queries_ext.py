@@ -55,9 +55,31 @@ def _mh_pairs(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _PAIRS_CACHE.get(key)
     if got is None:
-        got = minhash_near_dup_pairs(_docs(spark, sf_dir)).persist()
+        got = minhash_near_dup_pairs(
+            _docs(spark, sf_dir), sh=_sh(spark, sf_dir)
+        ).persist()
         got.count()  # materialize before the tracked upstream persists are released
         _PAIRS_CACHE[key] = got
+    return got
+
+
+# Shared per-(session, sf dir) distinct-shingle-hash table (doc_id, hs):
+# the md5 base pass of the exact set-overlap family (q32 Jaccard, q99
+# containment, q126 prefix filter) and of the MinHash signatures (via a
+# 31-bit mask). One persisted copy, one row per doc — the materialized
+# "shingle table" a real corpus pipeline would keep next to the documents.
+_SH_CACHE: dict = {}
+
+
+def _sh(spark, sf_dir):
+    from tagtree_spark.operators.dedup import doc_shingle_hashes
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SH_CACHE.get(key)
+    if got is None:
+        got = doc_shingle_hashes(_docs(spark, sf_dir)).persist()
+        got.count()
+        _SH_CACHE[key] = got
     return got
 
 
@@ -240,7 +262,9 @@ ORDER BY doc_a, doc_b""",
 def q32_ngram_jaccard(spark, sf_dir):
     """E2 exact n-gram Jaccard pairs (J >= 0.5) via shingle inverted-index
     join — integer-only output, no cross join."""
-    return ngram_jaccard_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), sh=_sh(spark, sf_dir)
+    ).orderBy("doc_a", "doc_b")
 
 
 _DOT = (
@@ -2727,7 +2751,7 @@ def q99_containment(spark, sf_dir):
     from tagtree_spark.operators.dedup import ngram_containment_pairs
 
     return ngram_containment_pairs(
-        _docs(spark, sf_dir), min_containment_pct=60
+        _docs(spark, sf_dir), min_containment_pct=60, sh=_sh(spark, sf_dir)
     ).orderBy("doc_a", "doc_b")
 
 
@@ -3723,9 +3747,9 @@ def q126_prefix_filter(spark, sf_dir):
     path next to the lossy df cap (q32) and probabilistic LSH (q25)."""
     from tagtree_spark.operators.dedup import prefix_filtered_jaccard
 
-    return prefix_filtered_jaccard(_docs(spark, sf_dir), min_jaccard_pct=50).orderBy(
-        "doc_a", "doc_b"
-    )
+    return prefix_filtered_jaccard(
+        _docs(spark, sf_dir), min_jaccard_pct=50, sh=_sh(spark, sf_dir)
+    ).orderBy("doc_a", "doc_b")
 
 
 @query(
@@ -3812,3 +3836,50 @@ def q128_int8_quant(spark, sf_dir):
     from tagtree_spark.operators.similarity import int8_quantize_report
 
     return int8_quantize_report(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**9) -> str:
+    """q129's oracle: the mh_pairs chain, then `iters` unrolled integer
+    fixed-point PageRank rounds (BIGINT fixed-point ≡ the Spark loop —
+    all-integer arithmetic, so order-free and engine-exact)."""
+    base = (15 * scale) // 100
+    sql = (
+        _MINHASH_PAIRS_CTES
+        + f"""
+, ed AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  UNION ALL SELECT doc_b, doc_a FROM mh_pairs
+), nb AS (
+  SELECT DISTINCT u, v FROM ed
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM nb GROUP BY 1
+), r0 AS (
+  SELECT u AS doc_id, deg, CAST({scale} AS BIGINT) AS r FROM deg
+)"""
+    )
+    for i in range(1, iters + 1):
+        sql += f"""
+, r{i} AS (
+  SELECT d.u AS doc_id, d.deg,
+         CAST({base} + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+  FROM deg d LEFT JOIN (
+    SELECT n.u, sum(rk.r // rk.deg) AS s
+    FROM nb n JOIN r{i - 1} rk ON rk.doc_id = n.v GROUP BY n.u
+  ) s ON s.u = d.u
+)"""
+    sql += f"""
+SELECT doc_id, deg AS degree, r AS rank_fp FROM r{iters} ORDER BY doc_id"""
+    return sql
+
+
+@query("q129_pagerank", _pagerank_oracle_sql(3))
+def q129_pagerank(spark, sf_dir):
+    """E2b iterative graph algorithm: 3 rounds of integer fixed-point
+    PageRank over the verified near-dup pair graph — ranks duplicate
+    families by centrality (which docs sit at the middle of a dup
+    cluster vs dangle off a chain). Pregel-as-DataFrame: one join +
+    one groupBy per round, lineage cut per round; all-BIGINT arithmetic
+    so the result is order-free and bit-identical cross-engine."""
+    from tagtree_spark.operators.graph import pagerank_int
+
+    return pagerank_int(_mh_pairs(spark, sf_dir), iters=3).orderBy("doc_id")

@@ -1201,3 +1201,22 @@ def test_int8_quantize_report_exact_grid(spark):
     # vec 3 is mid-grid: round(127.5) -> 128 on both dims (half-up)
     assert r3.code_sum == 256
     assert 0.0 < r3.sse < 1.0
+
+
+def test_pagerank_int_star_center_ranks_highest(spark):
+    from tagtree_spark.operators.graph import pagerank_int
+
+    # star: 0-1, 0-2, 0-3 plus a detached edge 4-5
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 5)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r.doc_id: r for r in pagerank_int(pairs, iters=3).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    center, leaf = out[0], out[1]
+    assert center.degree == 3 and leaf.degree == 1
+    assert center.rank_fp > leaf.rank_fp
+    # symmetric leaves get identical ranks (determinism)
+    assert out[1].rank_fp == out[2].rank_fp == out[3].rank_fp
+    # detached 2-clique nodes exchange their full rank: fixed point ~1.0
+    assert abs(out[4].rank_fp - 10**9) <= 2
+    assert out[4].rank_fp == out[5].rank_fp
