@@ -3883,3 +3883,50 @@ def q129_pagerank(spark, sf_dir):
     from tagtree_spark.operators.graph import pagerank_int
 
     return pagerank_int(_mh_pairs(spark, sf_dir), iters=3).orderBy("doc_id")
+
+
+@query(
+    "q130_gapfill",
+    TSDB_CTE
+    + """
+, bnd AS (
+  SELECT tsid, min(ts) AS mn, max(ts) AS mx FROM samples GROUP BY tsid
+), grid AS (
+  SELECT tsid, unnest(generate_series(date_trunc('hour', mn), mx,
+                                      INTERVAL 1 HOUR)) AS gts
+  FROM bnd
+), u AS (
+  SELECT tsid, epoch_us(ts) AS us, value, 0 AS is_grid FROM samples
+  UNION ALL
+  SELECT tsid, epoch_us(gts), NULL, 1 FROM grid
+), d AS (
+  SELECT tsid, us, is_grid,
+         last_value(value IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS) OVER wp AS pe,
+         first_value(value IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS) OVER wn AS ne
+  FROM u
+  WINDOW wp AS (PARTITION BY tsid ORDER BY us, is_grid, value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY tsid ORDER BY us, is_grid, value
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT tsid, CAST(us // 1000000 AS BIGINT) AS bucket_s,
+       CASE WHEN pe = us THEN pv
+            ELSE pv + (nv - pv) * (CAST(us - pe AS DOUBLE) / CAST(ne - pe AS DOUBLE))
+       END AS v_interp
+FROM d
+WHERE is_grid = 1 AND pe IS NOT NULL AND (pe = us OR ne IS NOT NULL)
+ORDER BY tsid, bucket_s""",
+)
+def q130_gapfill(spark, sf_dir):
+    """Hypertable gap-fill: every series resampled onto an hourly grid
+    with LINEAR interpolation between the enclosing samples (TimescaleDB
+    time_bucket_gapfill + interpolate) — one union + two frame windows
+    per series, no grid-to-samples join; epoch-microsecond integer time
+    math and a three-IEEE-op interpolation, bit-exact cross-engine."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.rollup import interpolate_grid
+
+    _, _, samples = _model(spark, sf_dir)
+    return interpolate_grid(samples).orderBy("tsid", "bucket_s")

@@ -60,3 +60,86 @@ def coarsen_rollup(fine: DataFrame, fine_minutes: int, coarse_minutes: int) -> D
             F.max("v_max").alias("v_max"),
         )
     )
+
+
+def interpolate_grid(samples: DataFrame, step: str = "1 hour") -> DataFrame:
+    """Gap-fill + linear interpolation onto a regular time grid — the
+    hypertable ``time_bucket_gapfill(...) + interpolate()`` shape
+    (TimescaleDB/InfluxDB), absent from both Prometheus (which only
+    carries values forward) and the reference (index-only). Joins of
+    irregular series onto a common grid are how downstream models consume
+    a TSDB at scale.
+
+    Grid: hourly instants from ``date_trunc(step0, min(ts))`` to
+    ``max(ts)`` per series; each grid instant gets the linear
+    interpolation of the nearest enclosing samples, computed with ONE
+    union + two frame windows (no grid×samples join): grid rows and
+    sample rows interleave ordered by (ts, is_grid), ``last(ignorenulls)``
+    carries the previous sample's (value, ts) forward, ``first(
+    ignorenulls)`` pulls the next sample's back. Partitioned by tsid —
+    series count is the parallelism, state is one row.
+
+    Exactness: epoch MICROSECOND integers for all time math; the
+    interpolated value is ``pv + (nv − pv) · ((g−pe)/(ne−pe))`` — exact
+    int→double conversions and three IEEE ops, bit-identical cross-engine;
+    a grid instant exactly on a sample returns that sample's value via the
+    ``pe = g`` guard (no 0/0). Grid instants before the first or after the
+    last sample are dropped (no extrapolation).
+
+    → ``(tsid, bucket_s BIGINT epoch-seconds, v_interp DOUBLE)``.
+    """
+    from pyspark.sql import Window
+
+    b = samples.groupBy("tsid").agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    grid = b.select(
+        "tsid",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "mn"), F.col("mx"), F.expr(f"INTERVAL {step}")
+            )
+        ).alias("gts"),
+    )
+    g = grid.select(
+        "tsid",
+        F.unix_micros("gts").alias("us"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+    )
+    sm = samples.select(
+        "tsid", F.unix_micros("ts").alias("us"), "value", F.lit(0).alias("is_grid")
+    )
+    u = sm.unionByName(g)
+    order = [F.col("us"), F.col("is_grid"), F.col("value")]
+    wp = (
+        Window.partitionBy("tsid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("tsid")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sample_us = F.when(F.col("is_grid") == 0, F.col("us"))
+    d = (
+        u.withColumn("pv", F.last("value", ignorenulls=True).over(wp))
+        .withColumn("pe", F.last(sample_us, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("value", ignorenulls=True).over(wn))
+        .withColumn("ne", F.first(sample_us, ignorenulls=True).over(wn))
+    )
+    ge = F.col("us")
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (ge - F.col("pe")).cast("double") / (F.col("ne") - F.col("pe")).cast("double")
+    )
+    return (
+        d.where(F.col("is_grid") == 1)
+        .where(
+            F.col("pe").isNotNull()
+            & ((F.col("pe") == ge) | F.col("ne").isNotNull())
+        )
+        .select(
+            "tsid",
+            F.expr("us div 1000000").cast("bigint").alias("bucket_s"),
+            F.when(F.col("pe") == ge, F.col("pv")).otherwise(interp).alias("v_interp"),
+        )
+    )

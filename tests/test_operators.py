@@ -1220,3 +1220,31 @@ def test_pagerank_int_star_center_ranks_highest(spark):
     # detached 2-clique nodes exchange their full rank: fixed point ~1.0
     assert abs(out[4].rank_fp - 10**9) <= 2
     assert out[4].rank_fp == out[5].rank_fp
+
+
+def test_interpolate_grid_linear_and_exact_hits(spark):
+    import datetime as dt
+
+    from tagtree_spark.tsdb.rollup import interpolate_grid
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # series 1: samples at 00:30 (v=10) and 02:30 (v=30)
+        (1, t0 + dt.timedelta(minutes=30), 10.0),
+        (1, t0 + dt.timedelta(minutes=150), 30.0),
+        # series 2: one sample exactly on the hour
+        (2, t0 + dt.timedelta(hours=1), 5.0),
+    ]
+    samples = spark.createDataFrame(rows, "tsid bigint, ts timestamp, value double")
+    out = {(r.tsid, r.bucket_s): r.v_interp for r in interpolate_grid(samples).collect()}
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    # grid for series 1: 00:00 (before first sample -> dropped), 01:00, 02:00
+    assert (1, base) not in out
+    # 01:00 is 30min into the 120min span 10 -> 30: 10 + 20*(30/120) = 15
+    assert out[(1, base + 3600)] == 15.0
+    # 02:00: 10 + 20*(90/120) = 25
+    assert out[(1, base + 7200)] == 25.0
+    # series 2: grid 00:00 dropped (no prev), 01:00 is an exact sample hit
+    assert out[(2, base + 3600)] == 5.0
+    assert (2, base) not in out
+    assert len(out) == 3
