@@ -117,3 +117,37 @@ def retention_cohorts(
             "n_active",
         )
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence — the product-analytics "path analysis" primitive (what do
+    users do AFTER a search?) and the order-1 sequence model a
+    training-data pipeline fits to session logs.
+
+    Per user, events are totally ordered by (ts, event_id) (ties fixed by
+    the unique id, so the lag pairing is deterministic); each consecutive
+    pair emits one (from_type, to_type) transition. One user-partitioned
+    lag window + one groupBy — user count is the parallelism, the
+    transition matrix is |event_types|² rows. ``p`` is the row-normalized
+    probability: exact integer counts, ONE final IEEE division —
+    order-independent and cross-engine exact.
+
+    → ``(from_type, to_type, n, p)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("to_type")
+    ).withColumn("from_type", F.lag("to_type").over(w))
+    counts = (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wtot = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "p",
+        F.col("n").cast("double") / F.sum("n").over(wtot).cast("double"),
+    )

@@ -556,3 +556,69 @@ def int8_quantize_report(
         F.col("_q.mc").alias("max_code"),
         F.col("_q.sse").alias("sse"),
     )
+
+
+def _sq8_grid(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row ``(lo[], hi[])`` per-dimension min/max grid (the SQ8
+    codebook) — posexplode + hash agg, broadcast by callers."""
+    st = (
+        emb.select(F.posexplode(vec_col).alias("p", "x"))
+        .groupBy("p")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    return st.agg(
+        F.array_sort(F.collect_list(F.struct("p", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform("s", lambda s: s.mn.cast("double")).alias("lo"),
+        F.transform("s", lambda s: s.mx.cast("double")).alias("hi"),
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine search over the int8-QUANTIZED vectors — the
+    compressed-scan ANN path: at corpus scale the engine stores 1 byte per
+    dimension (4× less IO than float32) and scans codes, reconstructing
+    values on the fly; this operator scores against the dequantized
+    vectors so the result is exactly what an SQ8 index would return
+    (faiss IndexScalarQuantizer semantics).
+
+    Dequantization is the same affine grid as
+    :func:`int8_quantize_report` (round-trip through the code), applied
+    in ONE transform per row against the broadcast one-row grid; scores
+    are sequential double folds (cross-engine exact). The top-k is
+    TakeOrdered on (score desc, vec_id).
+
+    → ``(vec_id, score)`` — SQ8's answer; diff against
+    :func:`cosine_topk` to measure quantization recall.
+    """
+    emb = spread(emb)
+    grid = _sq8_grid(emb, vec_col)
+
+    def dq_arr(col):
+        def one(x, i):
+            lo = F.get("lo", i)
+            hi = F.get("hi", i)
+            xd = x.cast("double")
+            code = F.round(((xd - lo) * F.lit(255.0)) / (hi - lo)).cast("bigint")
+            return F.when(hi == lo, lo).otherwise(
+                lo + (code.cast("double") * (hi - lo)) / F.lit(255.0)
+            )
+
+        return F.transform(col, one)
+
+    dq = emb.join(F.broadcast(grid)).select(
+        id_col, dq_arr(F.col(vec_col)).alias("dq")
+    )
+    q = dq.where(F.col(id_col) == query_id).select(F.col("dq").alias("qv"))
+    scored = (
+        dq.where(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(F.col(id_col).alias("vec_id"), cosine("dq", "qv").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), "vec_id").limit(k)

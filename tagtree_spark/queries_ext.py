@@ -3930,3 +3930,82 @@ def q130_gapfill(spark, sf_dir):
 
     _, _, samples = _model(spark, sf_dir)
     return interpolate_grid(samples).orderBy("tsid", "bucket_s")
+
+
+def _sq8_oracle_sql(k: int = 10) -> str:
+    """q131's oracle: per-dim grid, dequantize through the int8 code
+    (IDENTICAL expression shape to similarity.sq8_topk), cosine via the
+    house sequential fold, top-k."""
+    dq = (
+        "list_transform(range(1, 65), i -> "
+        "CASE WHEN sa.hi[i] = sa.lo[i] THEN sa.lo[i] "
+        "ELSE sa.lo[i] + (CAST(CAST(round(((CAST(embedding[i] AS DOUBLE) - sa.lo[i]) * 255.0) "
+        "/ (sa.hi[i] - sa.lo[i])) AS BIGINT) AS DOUBLE) * (sa.hi[i] - sa.lo[i])) / 255.0 END)"
+    )
+    dotf = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+    return f"""
+WITH ex AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), st AS (
+  SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d
+), sa AS (
+  SELECT list(mn ORDER BY d) AS lo, list(mx ORDER BY d) AS hi FROM st
+), dqv AS (
+  SELECT vec_id, {dq} AS dq FROM embeddings, sa
+), q AS (
+  SELECT dq AS qv FROM dqv WHERE vec_id = 0
+)
+SELECT vec_id, dotp / (sqrt(na) * sqrt(nq)) AS score FROM (
+  SELECT vec_id,
+         {dotf.format(a='dq', b='qv')} AS dotp,
+         {dotf.format(a='dq', b='dq')} AS na,
+         {dotf.format(a='qv', b='qv')} AS nq
+  FROM dqv, q WHERE vec_id <> 0
+) s
+ORDER BY score DESC, vec_id LIMIT {k}"""
+
+
+@query("q131_sq8_topk", _sq8_oracle_sql(10))
+def q131_sq8_topk(spark, sf_dir):
+    """E3 compressed-scan ANN: exact top-10 cosine neighbours of vec_id=0
+    over the int8-DEQUANTIZED vectors (faiss IndexScalarQuantizer
+    semantics) — the 4x-less-IO scan path a 100 TB embedding store
+    actually runs; diff vs q26 measures SQ8 recall. One broadcast grid,
+    one transform per row, sequential-fold scores, TakeOrdered top-k."""
+    from tagtree_spark.operators.similarity import sq8_topk
+
+    return sq8_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+@query(
+    "q132_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM counts
+ORDER BY from_type, to_type""",
+)
+def q132_transitions(spark, sf_dir):
+    """Path analysis: first-order Markov transition matrix over per-user
+    event sequences (deterministic (ts, event_id) ordering), with exact
+    integer counts and ONE final division for the row-normalized
+    probability — order-independent, cross-engine exact."""
+    from tagtree_spark.operators.events import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(ev).orderBy("from_type", "to_type")
