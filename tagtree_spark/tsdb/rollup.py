@@ -109,23 +109,29 @@ def interpolate_grid(samples: DataFrame, step: str = "1 hour") -> DataFrame:
         "tsid", F.unix_micros("ts").alias("us"), "value", F.lit(0).alias("is_grid")
     )
     u = sm.unionByName(g)
-    order = [F.col("us"), F.col("is_grid"), F.col("value")]
+    # Both lookups are GROWING frames (unbounded preceding .. current):
+    # "next sample" runs over the REVERSED sort order instead of a
+    # current-row..unbounded-following frame — Spark evaluates shrinking
+    # frames by re-scanning the frame per row (O(n²) per series), while
+    # growing frames are incremental O(n). Tie order reverses with the
+    # sort, so the frame membership (and thus the picked sample) is
+    # exactly the asc first-over-following row.
     wp = (
         Window.partitionBy("tsid")
-        .orderBy(*order)
+        .orderBy(F.col("us"), F.col("is_grid"), F.col("value"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wn = (
         Window.partitionBy("tsid")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("us").desc(), F.col("is_grid").desc(), F.col("value").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sample_us = F.when(F.col("is_grid") == 0, F.col("us"))
     d = (
         u.withColumn("pv", F.last("value", ignorenulls=True).over(wp))
         .withColumn("pe", F.last(sample_us, ignorenulls=True).over(wp))
-        .withColumn("nv", F.first("value", ignorenulls=True).over(wn))
-        .withColumn("ne", F.first(sample_us, ignorenulls=True).over(wn))
+        .withColumn("nv", F.last("value", ignorenulls=True).over(wn))
+        .withColumn("ne", F.last(sample_us, ignorenulls=True).over(wn))
     )
     ge = F.col("us")
     interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
