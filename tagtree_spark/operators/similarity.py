@@ -622,3 +622,104 @@ def sq8_topk(
         .select(F.col(id_col).alias("vec_id"), cosine("dq", "qv").alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), "vec_id").limit(k)
+
+
+def jl_weights(n_proj: int, dim: int) -> list[list[int]]:
+    """Driver-side constant: integer JL projection weights
+    w[j][i] = h60("jl{j}#{i}") % 2001 - 1000 — deterministic md5, so the
+    SQL oracle regenerates the identical matrix (same family as
+    :func:`plane_weights`, distinct salt)."""
+    import hashlib
+
+    out = []
+    for j in range(n_proj):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"jl{j}#{i}".encode()).hexdigest()[:15], 16)
+            row.append(h % PLANE_MOD - PLANE_OFF)
+        out.append(row)
+    return out
+
+
+def jl_project(
+    emb: DataFrame,
+    n_proj: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of the embedding column to
+    ``n_proj`` coordinates — the dimensionality reducer run BEFORE ANN
+    indexing at corpus scale (64→8 dims = 8× less distance arithmetic per
+    probe, with JL's distance-preservation guarantee in expectation).
+
+    Map-only: each output coordinate is one sequential double fold of
+    vector × integer plane (the house exact-dot discipline — Spark
+    ``aggregate`` ≡ DuckDB ``list_reduce`` bracketing, so every projected
+    value is bit-identical cross-engine). No shuffle, no state; the plan
+    is a single projection over the scan.
+
+    → ``(vec_id, p0..p{n_proj-1})``.
+    """
+    planes = jl_weights(n_proj, dim)
+    cols = [F.col(id_col).alias("vec_id")]
+    for j, w in enumerate(planes):
+        cols.append(
+            dot(vec_col, F.array(*[F.lit(float(x)) for x in w])).alias(f"p{j}")
+        )
+    return spread(emb).select(*cols)
+
+
+#: Fixed-point scale for cross-engine-exact embedding sums: 2^40. A
+#: power of two, so ``x * SCALE`` is an EXACT double (exponent shift);
+#: rounding it to an integer quantizes each coordinate at 2^-40 — far
+#: below float32 noise for unit-range embeddings — and integer sums are
+#: order-free. (A decimal cast is NOT safe here: Spark casts fp→decimal
+#: through the shortest string repr while DuckDB rounds the exact binary
+#: value, so arbitrary floats round differently — found by this
+#: operator's own parity run.)
+MOMENT_SCALE = 1 << 40
+
+
+def embedding_moments(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension corpus moments of the embedding column — the
+    calibration statistics a quantizer/whitener reads before choosing
+    grids (mean/variance per coordinate, plus the exact min/max the SQ8
+    grid uses). Moments are computed over the 2^-40-quantized values
+    (see MOMENT_SCALE) so every sum is an integer — order-independent
+    and bit-identical cross-engine; mean/variance are ONE fixed IEEE
+    chain over the exact totals. Each scaled term is summed as
+    DECIMAL(38,0) (a raw bigint sum would overflow at corpus scale:
+    2^40-scaled terms × 10^9 rows > int64). min/max are picks.
+
+    Shape: posexplode + hash agg with map-side partial combine; final
+    state is one row per dimension. → ``(d, n, mean, var, mn, mx)``.
+    """
+    ex = emb.select(F.posexplode(vec_col).alias("p", "x")).select(
+        (F.col("p") + 1).cast("bigint").alias("d"),
+        F.round(F.col("x").cast("double") * F.lit(float(MOMENT_SCALE)))
+        .cast("bigint")
+        .alias("v"),
+        F.col("x").cast("double").alias("x"),
+    )
+    agg = ex.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("_s"),
+        F.sum(
+            (F.col("v").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)"))
+        ).alias("_s2"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    nD = F.col("n").cast("double")
+    sc = float(MOMENT_SCALE)
+    mean = F.col("_s").cast("double") / F.lit(sc) / nD
+    ex2 = F.col("_s2").cast("double") / F.lit(sc * sc) / nD
+    return agg.select(
+        "d",
+        "n",
+        mean.alias("mean"),
+        (ex2 - mean * mean).alias("var"),
+        "mn",
+        "mx",
+    )

@@ -4009,3 +4009,70 @@ def q132_transitions(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return event_transitions(ev).orderBy("from_type", "to_type")
+
+
+def _jl_oracle_sql(n_proj: int = 8) -> str:
+    """q133's oracle: regenerate the integer JL planes from md5 and fold
+    the identical sequential dot products."""
+    cols = []
+    for j in range(n_proj):
+        w = duck_h60(f"'jl{j}#' || CAST(i - 1 AS VARCHAR)")
+        cols.append(
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"CAST(({w}) % {PLANE_MOD} - {PLANE_OFF} AS DOUBLE)), "
+            f"(x, y) -> x + y) AS p{j}"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+SELECT vec_id,
+       {sel}
+FROM embeddings
+ORDER BY vec_id"""
+
+
+@query("q133_jl_project", _jl_oracle_sql(8))
+def q133_jl_project(spark, sf_dir):
+    """E3 dimensionality reduction: deterministic integer-plane
+    Johnson-Lindenstrauss projection 64→8 dims, map-only, one sequential
+    fold per output coordinate — what a 100 TB embedding pipeline runs
+    before building its ANN index to cut per-probe arithmetic 8x."""
+    from tagtree_spark.operators.similarity import jl_project
+
+    return jl_project(_emb(spark, sf_dir), n_proj=8).orderBy("vec_id")
+
+
+@query(
+    "q134_embed_moments",
+    """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * CAST(1099511627776 AS DOUBLE))
+              AS BIGINT) AS v,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), agg AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(v AS HUGEINT)) AS s,
+         sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2,
+         min(x) AS mn, max(x) AS mx
+  FROM ex GROUP BY d
+)
+SELECT d, n,
+       CAST(s AS DOUBLE) / CAST(1099511627776 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       CAST(s2 AS DOUBLE) / (CAST(1099511627776 AS DOUBLE) * CAST(1099511627776 AS DOUBLE))
+           / CAST(n AS DOUBLE)
+         - (CAST(s AS DOUBLE) / CAST(1099511627776 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(s AS DOUBLE) / CAST(1099511627776 AS DOUBLE) / CAST(n AS DOUBLE)) AS var,
+       mn, mx
+FROM agg ORDER BY d""",
+)
+def q134_embed_moments(spark, sf_dir):
+    """E3 quantizer calibration: per-dimension corpus mean/variance over
+    2^-40-quantized coordinates (integer-exact order-free sums as
+    DECIMAL(38,0) — corpus-scale overflow-safe — then one final IEEE
+    chain) + exact min/max — read before choosing SQ8 grids or
+    whitening. Posexplode + map-side-partial hash agg; 64-row state."""
+    from tagtree_spark.operators.similarity import embedding_moments
+
+    return embedding_moments(_emb(spark, sf_dir)).orderBy("d")
