@@ -83,3 +83,52 @@ def pivot_event_metrics(sv: DataFrame, values: list[str]) -> DataFrame:
     cols += [F.coalesce(F.col(f"{v}_n"), zero).alias(f"n_{v}") for v in values]
     cols += [F.col(f"{v}_s").cast("double").alias(f"sum_{v}") for v in values]
     return piv.select(*cols)
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    key_expr: str,
+    value_expr: str,
+    percentiles: list[float],
+    rate_pct: int = 5,
+) -> DataFrame:
+    """Deterministic MERGEABLE quantile estimation: exact discrete
+    quantiles computed over a hash-Bernoulli sample (keep iff
+    ``h60(key) % 100 < rate_pct``), reported next to the full-data exact
+    picks so the estimate's value error is part of the output.
+
+    Why this exists next to ``approx_percentiles``: GK sketches are the
+    fixed-memory path but are NOT cross-engine deterministic (merge order
+    changes the sketch). A hash-Bernoulli sample IS a mergeable summary —
+    the sample of a union is the union of the samples, with no merge-order
+    sensitivity — so two corpus shards sampled independently compose
+    exactly; and because membership is a pure h60 predicate, the estimate
+    is bit-identical in any engine. Sample size concentrates at
+    rate·N (Chernoff), so the rank error of the p-quantile estimate is
+    O(sqrt(p(1-p)/(rate·N))) — at corpus scale the sample still has
+    millions of rows and per-mille rank error, while the exact path would
+    buffer the full column.
+
+    → one row: ``(n_full, n_samp, exact_p50.., samp_p50..)``.
+    """
+    from tagtree_spark.functions.hashing import h60
+
+    keep = (h60(F.expr(key_expr)) % 100) < rate_pct
+
+    def picks(prefix: str):
+        return [
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_expr})"
+            )
+            .cast("double")
+            .alias(f"{prefix}_p{int(p * 100)}")
+            for p in percentiles
+        ]
+
+    full = df.agg(
+        F.count("*").cast("bigint").alias("n_full"), *picks("exact")
+    )
+    samp = df.where(keep).agg(
+        F.count("*").cast("bigint").alias("n_samp"), *picks("samp")
+    )
+    return full.join(F.broadcast(samp))

@@ -4076,3 +4076,37 @@ def q134_embed_moments(spark, sf_dir):
     from tagtree_spark.operators.similarity import embedding_moments
 
     return embedding_moments(_emb(spark, sf_dir)).orderBy("d")
+
+
+@query(
+    "q135_sampled_quantiles",
+    f"""
+WITH s AS (
+  SELECT l_extendedprice FROM lineitem
+  WHERE ({duck_h60("CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)")}) % 100 < 5
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_full,
+  (SELECT CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) FROM lineitem) AS exact_p50,
+  (SELECT CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) FROM lineitem) AS exact_p90,
+  (SELECT CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE) FROM lineitem) AS exact_p99,
+  (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_samp,
+  (SELECT CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) FROM s) AS samp_p50,
+  (SELECT CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) FROM s) AS samp_p90,
+  (SELECT CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE) FROM s) AS samp_p99""",
+)
+def q135_sampled_quantiles(spark, sf_dir):
+    """Mergeable deterministic quantile sketch: exact discrete quantiles
+    over an h60-Bernoulli 5% sample (sample-of-union ≡ union-of-samples,
+    no GK merge-order nondeterminism) reported NEXT TO the full-data
+    exact picks — the at-scale estimator plus its own error audit in one
+    row."""
+    from tagtree_spark.operators.aggregates import sampled_quantiles
+
+    li = load_table(tune(spark), sf_dir, "lineitem")
+    return sampled_quantiles(
+        li,
+        "concat_ws('#', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING))",
+        "l_extendedprice",
+        [0.5, 0.9, 0.99],
+    )
