@@ -1248,3 +1248,61 @@ def test_interpolate_grid_linear_and_exact_hits(spark):
     assert out[(2, base + 3600)] == 5.0
     assert (2, base) not in out
     assert len(out) == 3
+
+
+def test_pagerank_int_mass_conservation(spark):
+    # On a connected regular-ish graph the total rank mass stays ~N*scale:
+    # each round redistributes (0.85 of) everything and injects 0.15; the
+    # only loss is integer-floor slack, bounded by (#edges + #nodes) per
+    # round. A 6-cycle: every node degree 2.
+    from tagtree_spark.operators.graph import pagerank_int
+
+    n = 6
+    pairs = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "doc_a bigint, doc_b bigint"
+    )
+    sym = [(min(a, b), max(a, b)) for a, b in [(i, (i + 1) % n) for i in range(n)]]
+    out = pagerank_int(pairs, iters=3).collect()
+    total = sum(r.rank_fp for r in out)
+    scale = 10**9
+    slack = 3 * (2 * n + n)  # 3 rounds of worst-case floor loss
+    assert n * scale - slack <= total <= n * scale
+    # symmetric cycle: all nodes identical rank, exactly 1.0 fixed point
+    assert len({r.rank_fp for r in out}) == 1
+
+
+def test_int8_quantize_sse_bounded_by_grid_step(spark):
+    # reconstruction error per dim <= (step/2)^2 where step=(hi-lo)/255
+    from tagtree_spark.operators.similarity import int8_quantize_report
+
+    vals = [
+        (i, [((i * 37 + j * 13) % 101) / 101.0 for j in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(vals, "vec_id bigint, embedding array<float>")
+    import builtins
+
+    los = [builtins.min(v[j] for _, v in vals) for j in range(8)]
+    his = [builtins.max(v[j] for _, v in vals) for j in range(8)]
+    bound = sum(((hi - lo) / 255.0 / 2) ** 2 for lo, hi in zip(los, his)) * 1.01 + 1e-12
+    for r in int8_quantize_report(emb).collect():
+        assert 0.0 <= r.sse <= bound
+        assert 0 <= r.max_code <= 255
+
+
+def test_interpolate_grid_values_within_neighbor_range(spark):
+    import datetime as dt
+
+    from tagtree_spark.tsdb.rollup import interpolate_grid
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (7, t0 + dt.timedelta(minutes=17 * k), float((k * 31) % 11)) for k in range(40)
+    ]
+    samples = spark.createDataFrame(rows, "tsid bigint, ts timestamp, value double")
+    vals = [r.value for r in samples.collect()]
+    lo, hi = min(vals), max(vals)
+    out = interpolate_grid(samples).collect()
+    assert len(out) > 5
+    for r in out:
+        # linear interpolation never leaves the enclosing sample range
+        assert lo - 1e-9 <= r.v_interp <= hi + 1e-9

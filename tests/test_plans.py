@@ -207,3 +207,41 @@ def test_ivf_store_probe_prunes_cell_partitions(spark, embeddings):
         assert [(r.vec_id, r.score) for r in got.collect()] == mem
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_jl_project_is_map_only(spark):
+    from tagtree_spark.operators.similarity import jl_project
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = physical_plan(jl_project(emb, n_proj=4))
+    # a projection over the scan: no aggregation/join exchanges at all
+    assert "Exchange hashpartitioning" not in plan
+    assert not has_cartesian(jl_project(emb, n_proj=4))
+
+
+def test_sq8_grid_is_broadcast_not_shuffled_join(spark):
+    from tagtree_spark.operators.similarity import sq8_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = physical_plan(sq8_topk(emb, query_id=0, k=5))
+    # the one-row grid and the one-row query vector join as broadcast
+    # nested loops, never as a shuffled join of the vector table
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-k stays TakeOrdered (no global sort of the scored scan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_interpolate_grid_windows_partition_by_tsid(spark):
+    import datetime as dt
+
+    from tagtree_spark.plans.inspect import single_partition_exchanges
+    from tagtree_spark.tsdb.rollup import interpolate_grid
+
+    samples = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 30), 1.0)],
+        "tsid bigint, ts timestamp, value double",
+    )
+    # both interpolation windows hash-partition on tsid — series count is
+    # the parallelism, never a single-partition window
+    assert single_partition_exchanges(interpolate_grid(samples)) == 0
