@@ -4110,3 +4110,39 @@ def q135_sampled_quantiles(spark, sf_dir):
         "l_extendedprice",
         [0.5, 0.9, 0.99],
     )
+
+
+@query(
+    "q136_fuzzy_linkage",
+    """
+WITH b AS (
+  SELECT c_custkey AS id, c_name AS s,
+         c_nationkey || '#' || substr(c_name, 1, 13) AS blk
+  FROM customer
+), keep AS (
+  SELECT blk FROM b GROUP BY blk HAVING count(*) <= 500
+), pairs AS (
+  SELECT a.id AS id_a, x.id AS id_b, levenshtein(a.s, x.s) AS dist
+  FROM b a JOIN keep USING (blk) JOIN b x
+    ON a.blk = x.blk AND a.id < x.id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(dist AS BIGINT) AS dist
+FROM pairs WHERE dist <= 2
+ORDER BY id_a, id_b""",
+)
+def q136_fuzzy_linkage(spark, sf_dir):
+    """Entity resolution: near-identical customer names within a
+    (nation, name-prefix) block, verified by exact Levenshtein distance
+    (Spark ≡ DuckDB by algorithm) — blocked candidate generation capped
+    per block, one shuffle, never all-pairs."""
+    from tagtree_spark.operators.linkage import blocked_fuzzy_pairs
+
+    cu = load_table(tune(spark), sf_dir, "customer")
+    return blocked_fuzzy_pairs(
+        cu,
+        "c_custkey",
+        "c_name",
+        "concat_ws('#', CAST(c_nationkey AS STRING), substr(c_name, 1, 13))",
+        max_dist=2,
+    ).orderBy("id_a", "id_b")

@@ -1306,3 +1306,21 @@ def test_interpolate_grid_values_within_neighbor_range(spark):
     for r in out:
         # linear interpolation never leaves the enclosing sample range
         assert lo - 1e-9 <= r.v_interp <= hi + 1e-9
+
+
+def test_blocked_fuzzy_pairs_respects_block_and_distance(spark):
+    from tagtree_spark.operators.linkage import blocked_fuzzy_pairs
+
+    recs = spark.createDataFrame(
+        [
+            (1, "acme corp", "b1"),
+            (2, "acme c0rp", "b1"),   # 1 edit from 1
+            (3, "acme corp", "b2"),   # exact dup of 1 but different block
+            (4, "zzzzzzzzz", "b1"),   # far from everything
+        ],
+        "rid bigint, name string, blk string",
+    )
+    out = {(r.id_a, r.id_b): r.dist for r in blocked_fuzzy_pairs(
+        recs, "rid", "name", "blk", max_dist=2
+    ).collect()}
+    assert out == {(1, 2): 1}
