@@ -186,3 +186,36 @@ def dsir_importance(
         F.col("_r").cast("bigint").alias("r_sum"),
         (F.col("_t").cast("double") / F.col("_r").cast("double")).alias("importance"),
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Fixed-SIZE deterministic sample per group: the k rows with the
+    smallest ``h60(id)`` in each group — the mergeable alternative to a
+    rate-based sample when the contract is "exactly k rows per stratum"
+    (eval sets, human-review batches, per-source probes).
+
+    Mergeability (the KMV property): the bottom-k of a union is the
+    bottom-k of the per-shard bottom-k's — shards sample independently,
+    a coordinator merges, nothing is order-sensitive. Spark's plan is
+    exactly that shape: per-partition partial TakeOrdered under the
+    group window. Deterministic: h60 is a pure function of the id.
+
+    → ``(group, id, rk)`` with rk = 1..k by hash order.
+    """
+    from pyspark.sql import Window
+
+    from tagtree_spark.functions.hashing import h60
+
+    w = Window.partitionBy(group_col).orderBy(
+        h60(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(F.col(group_col), F.col(id_col))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+    )

@@ -4146,3 +4146,30 @@ def q136_fuzzy_linkage(spark, sf_dir):
         "concat_ws('#', CAST(c_nationkey AS STRING), substr(c_name, 1, 13))",
         max_dist=2,
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q137_bottomk_sample",
+    f"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ({duck_h60("CAST(doc_id AS VARCHAR)")}), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 5
+ORDER BY source, rk""",
+)
+def q137_bottomk_sample(spark, sf_dir):
+    """E7 fixed-size deterministic sample: exactly 5 docs per source by
+    smallest h60(doc_id) — the KMV-mergeable fixed-size sampler (bottom-k
+    of a union = bottom-k of per-shard bottom-k's), per-group window over
+    hash order."""
+    from tagtree_spark.operators.sampling import bottomk_sample
+
+    return bottomk_sample(_docs(spark, sf_dir), "source", "doc_id", k=5).orderBy(
+        "source", "rk"
+    )
