@@ -697,3 +697,91 @@ def scene_cut_stats(media: DataFrame, threshold: int = 1500) -> DataFrame:
             yield pd.DataFrame(out).astype("int64")
 
     return spread(media).mapInPandas(batches, schema=SCENE_CUT_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash) from DECODED pixels: parse the
+    PPM, collapse RGB → integer gray (r+g+b), downsample rows into 8
+    bands (band = (row·8) div height — exact integer mapping), then emit
+    one bit per horizontal gradient (grid[b][c] > grid[b][c+1], 8 bands ×
+    7 comparisons = 56 bits). Pure integer arithmetic end-to-end, so the
+    SQL oracle reproduces the hash bit-for-bit from the source bytes.
+
+    The standard image near-dup key: brightness/scale shifts perturb few
+    gradient bits, so hamming distance ≈ visual difference. → (media_id,
+    dhash)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out: dict[str, list] = {"media_id": [], "dhash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rgb = decode_ppm(bytes(payload))
+                px = np.frombuffer(rgb, np.uint8).astype(np.int64)
+                gray = px.reshape(h, w, 3).sum(axis=2)  # (h, 8)
+                band = (np.arange(h) * 8) // h
+                grid = np.zeros((8, w), dtype=np.int64)
+                np.add.at(grid, band, gray)
+                bits = (grid[:, :-1] > grid[:, 1:]).astype(np.int64)  # (8, 7)
+                shifts = (7 * np.arange(8)[:, None] + np.arange(7)[None, :])
+                out["media_id"].append(int(mid))
+                out["dhash"].append(int((bits << shifts).sum()))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-dup pairs: bucket the 56-bit dHash into 4 × 14-bit
+    bands (a pair within hamming ≤ 6 of 56 bits must agree on ≥1 band by
+    pigeonhole over ≤6 flipped bits in 4 bands... any pair with ≤3
+    differing bands collides; candidates then verify with the exact
+    popcount) → ``(doc_a, doc_b, hamming)``.
+
+    Same capped-bucket discipline as the SimHash path: the band join is
+    the quadratic bound, the verify is one xor+bit_count per candidate.
+    """
+    from tagtree_spark.operators.dedup import MAX_BUCKET, _bucket_pairs
+
+    hashes = image_dhash(media).withColumnRenamed("media_id", "doc_id")
+    hashes = hashes.persist()
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(k)),
+                        (F.shiftright("dhash", 14 * k) % (1 << 14)).cast("string"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    cand = _bucket_pairs(bands, "band", max_bucket=MAX_BUCKET).distinct()
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("dhash").alias("h_a"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("dhash").alias("h_b"))
+    out = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return out

@@ -4220,3 +4220,71 @@ def q138_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+_DHASH_CTES = """
+WITH geo AS (
+  SELECT doc_id, greatest(1, (length(text) + 23) // 24) AS hh FROM documents
+), px AS (
+  SELECT t.doc_id,
+         ((i - 1) // 3) % 8 AS col,
+         ((((i - 1) // 3) // 8) * 8) // g.hh AS b,
+         ord(substr(t.text, CAST(i AS INT), 1)) AS o
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents) t
+  JOIN geo g ON g.doc_id = t.doc_id
+), grid AS (
+  SELECT doc_id, b, col, sum(o) AS v FROM px GROUP BY 1, 2, 3
+), lattice AS (
+  SELECT d.doc_id, bb.b, cc.c
+  FROM geo d, range(0, 8) bb(b), range(0, 7) cc(c)
+), bits AS (
+  SELECT l.doc_id, l.b, l.c,
+         CASE WHEN coalesce(g1.v, 0) > coalesce(g2.v, 0) THEN 1 ELSE 0 END AS bit
+  FROM lattice l
+  LEFT JOIN grid g1 ON g1.doc_id = l.doc_id AND g1.b = l.b AND g1.col = l.c
+  LEFT JOIN grid g2 ON g2.doc_id = l.doc_id AND g2.b = l.b AND g2.col = l.c + 1
+), dh AS (
+  SELECT doc_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(7 * b + c AS INT))) AS BIGINT) AS dhash
+  FROM bits GROUP BY doc_id
+)"""
+
+
+@query(
+    "q139_image_dhash",
+    _DHASH_CTES
+    + """
+, bandsq AS (
+  SELECT doc_id,
+         CAST(k AS VARCHAR) || ':' || CAST((dhash >> CAST(14 * k AS INT)) % 16384 AS VARCHAR) AS band
+  FROM dh, range(0, 4) t(k)
+), keep AS (
+  SELECT band FROM bandsq GROUP BY band HAVING count(*) <= 200
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bandsq a JOIN keep USING (band)
+  JOIN bandsq b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(da.dhash, db.dhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN dh da ON da.doc_id = doc_a
+JOIN dh db ON db.doc_id = doc_b
+WHERE bit_count(xor(da.dhash, db.dhash)) <= 6
+ORDER BY doc_a, doc_b""",
+)
+def q139_image_dhash(spark, sf_dir):
+    """E5+E2 image near-dup: REAL PPM decode → perceptual difference hash
+    (8-band row downsample, 56 horizontal-gradient bits, all-integer) →
+    14-bit-band bucketed candidate join → exact hamming verify ≤ 6. The
+    image twin of the SimHash text path, with the decode actually
+    exercised in the Spark plan (mapInPandas) and the oracle recomputing
+    every bit from the source bytes."""
+    from tagtree_spark.operators.multimodal import (
+        dhash_near_dup_pairs,
+        ppm_from_documents,
+    )
+
+    media = ppm_from_documents(_docs(spark, sf_dir))
+    return dhash_near_dup_pairs(media, max_hamming=6).orderBy("doc_a", "doc_b")

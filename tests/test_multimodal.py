@@ -316,3 +316,36 @@ def test_scene_cut_stats_exact_delta(spark):
     assert (out[1].delta_sum, out[1].is_cut) == (640, 0)
     assert (out[2].delta_sum, out[2].is_cut) == (1280, 1)
     assert set(out) == {1, 2}  # no pair row for the first frame
+
+
+def test_image_dhash_identical_and_brightness_shift(spark):
+    from tagtree_spark.operators.multimodal import (
+        dhash_near_dup_pairs,
+        encode_ppm,
+        image_dhash,
+    )
+
+    # two identical images, one brightness-shifted copy (+10 per channel,
+    # no clipping), one unrelated
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(30, 200, size=(16, 8, 3)).astype(np.uint8)
+    shifted = (base.astype(np.int64) + 10).clip(0, 255).astype(np.uint8)
+    other = rng.randint(0, 256, size=(16, 8, 3)).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_ppm(8, 16, base.tobytes())), {}),
+        (2, "image", bytearray(encode_ppm(8, 16, base.tobytes())), {}),
+        (3, "image", bytearray(encode_ppm(8, 16, shifted.tobytes())), {}),
+        (4, "image", bytearray(encode_ppm(8, 16, other.tobytes())), {}),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, modality string, payload binary, meta map<string,string>"
+    )
+    h = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert h[1] == h[2]
+    # uniform brightness shift preserves every gradient comparison exactly
+    assert h[1] == h[3]
+    assert h[1] != h[4]
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dhash_near_dup_pairs(media).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
