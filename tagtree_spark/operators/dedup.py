@@ -850,14 +850,15 @@ def prefix_filtered_jaccard(
         )
     sh = sh.withColumn("n_sh", F.size("hs").cast("bigint"))
     inv = sh.select("doc_id", "n_sh", F.explode("hs").alias("s"))
-    # df as a window count (not agg + join-back): ONE shuffle on s instead
-    # of two (the agg's and the join's), then the per-doc rarity window.
+    # df via hash agg + BROADCAST join-back: the post-agg df table is one
+    # row per distinct shingle (tiny next to the exploded index), so the
+    # join costs no shuffle of inv — and a hash agg beats a count-over-
+    # window, which would push all 260k+ index rows through a sort.
+    df_ = inv.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     plen = F.expr(f"((100 - {int(min_jaccard_pct)}) * n_sh) div 100") + 1
     pref = (
-        inv.withColumn(
-            "df", F.count("*").over(Window.partitionBy("s")).cast("bigint")
-        )
+        inv.join(F.broadcast(df_), "s")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= plen)
         .select("s", "doc_id", "n_sh")
