@@ -740,19 +740,22 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return spread(media).mapInPandas(batches, schema=DHASH_SCHEMA)
 
 
-def dhash_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Image near-dup pairs: bucket the 56-bit dHash into 4 × 14-bit
-    bands (a pair within hamming ≤ 6 of 56 bits must agree on ≥1 band by
-    pigeonhole over ≤6 flipped bits in 4 bands... any pair with ≤3
-    differing bands collides; candidates then verify with the exact
-    popcount) → ``(doc_a, doc_b, hamming)``.
-
-    Same capped-bucket discipline as the SimHash path: the band join is
-    the quadratic bound, the verify is one xor+bit_count per candidate.
-    """
+def hash_band_pairs(
+    hashes: DataFrame,
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    n_bands: int = 4,
+    bits_per_band: int = 14,
+) -> DataFrame:
+    """Generic banded-hamming near-dup join over a ``(doc_id, <hash>)``
+    frame: bucket the fingerprint into ``n_bands`` bit bands (a pair with
+    ≤ n_bands−1 differing bands collides on at least one band key),
+    generate candidates per bucket (capped — the quadratic bound, same
+    discipline as the SimHash path), verify with the exact popcount →
+    ``(doc_a, doc_b, hamming)``. Shared by the image-dHash and
+    audio-fingerprint dedup paths."""
     from tagtree_spark.operators.dedup import MAX_BUCKET, _bucket_pairs
 
-    hashes = image_dhash(media).withColumnRenamed("media_id", "doc_id")
     hashes = hashes.persist()
     bands = hashes.select(
         "doc_id",
@@ -762,17 +765,20 @@ def dhash_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
                     F.concat_ws(
                         ":",
                         F.lit(str(k)),
-                        (F.shiftright("dhash", 14 * k) % (1 << 14)).cast("string"),
+                        (
+                            F.shiftright(hash_col, bits_per_band * k)
+                            % (1 << bits_per_band)
+                        ).cast("string"),
                     )
-                    for k in range(4)
+                    for k in range(n_bands)
                 ]
             )
         ).alias("band"),
     )
     cand = _bucket_pairs(bands, "band", max_bucket=MAX_BUCKET).distinct()
-    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("dhash").alias("h_a"))
-    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("dhash").alias("h_b"))
-    out = (
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col(hash_col).alias("h_a"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col(hash_col).alias("h_b"))
+    return (
         cand.join(ha, "doc_a")
         .join(hb, "doc_b")
         .select(
@@ -784,4 +790,56 @@ def dhash_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
         )
         .where(F.col("hamming") <= max_hamming)
     )
-    return out
+
+
+def dhash_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-dup pairs over the decoded-pixel dHash — see
+    :func:`hash_band_pairs` for the banded join."""
+    hashes = image_dhash(media).withColumnRenamed("media_id", "doc_id")
+    return hash_band_pairs(hashes, "dhash", max_hamming=max_hamming)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """56-bit audio fingerprint from DECODED PCM16 samples: the sample
+    stream is downsampled into 57 equal groups (group = (idx·57) div n —
+    exact integer mapping), each group's energy is the integer Σ|sample|,
+    and bit g says whether energy ROSE between consecutive groups
+    (E[g+1] > E[g]) — the energy-envelope fingerprint (the time-domain
+    core of Shazam-style audio hashing, minus the FFT so every bit is
+    integer-exact and SQL-reproducible). Robust to uniform gain changes
+    of sign-preserving scale. → (media_id, afp)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out: dict[str, list] = {"media_id": [], "afp": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, _nch, data = _wav_parse(bytes(payload))
+                sm = np.abs(np.frombuffer(data, "<i2").astype(np.int64))
+                n = sm.size
+                eng = np.zeros(57, dtype=np.int64)
+                if n:
+                    grp = (np.arange(n) * 57) // n
+                    np.add.at(eng, grp, sm)
+                bits = (eng[1:] > eng[:-1]).astype(np.int64)  # 56 bits
+                out["media_id"].append(int(mid))
+                out["afp"].append(int((bits << np.arange(56)).sum()))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Audio near-dup pairs over the decoded-sample energy fingerprint —
+    see :func:`hash_band_pairs` for the banded join."""
+    hashes = audio_fingerprint(media).withColumnRenamed("media_id", "doc_id")
+    return hash_band_pairs(hashes, "afp", max_hamming=max_hamming)

@@ -4288,3 +4288,65 @@ def q139_image_dhash(spark, sf_dir):
 
     media = ppm_from_documents(_docs(spark, sf_dir))
     return dhash_near_dup_pairs(media, max_hamming=6).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q140_audio_neardup",
+    """
+WITH ln AS (
+  SELECT doc_id, length(text) AS n FROM documents
+), grp AS (
+  SELECT t.doc_id, ((i - 1) * 57) // ln.n AS g,
+         abs(ord(substr(t.text, CAST(i AS INT), 1)) * 257 - 32768) AS a
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents) t
+  JOIN ln ON ln.doc_id = t.doc_id
+), eng AS (
+  SELECT doc_id, g, sum(a) AS e FROM grp GROUP BY 1, 2
+), lattice AS (
+  SELECT d.doc_id, gg.g FROM ln d, range(0, 57) gg(g)
+), filled AS (
+  SELECT l.doc_id, l.g, coalesce(e.e, 0) AS e
+  FROM lattice l LEFT JOIN eng e ON e.doc_id = l.doc_id AND e.g = l.g
+), fp AS (
+  SELECT a.doc_id,
+         CAST(sum(CASE WHEN b.e > a.e
+                       THEN (CAST(1 AS BIGINT) << CAST(a.g AS INT)) ELSE 0 END)
+              AS BIGINT) AS afp
+  FROM filled a JOIN filled b ON b.doc_id = a.doc_id AND b.g = a.g + 1
+  WHERE a.g < 56
+  GROUP BY a.doc_id
+), bandsq AS (
+  SELECT doc_id,
+         CAST(k AS VARCHAR) || ':' ||
+         CAST((afp >> CAST(14 * k AS INT)) % 16384 AS VARCHAR) AS band
+  FROM fp, range(0, 4) t(k)
+), keep AS (
+  SELECT band FROM bandsq GROUP BY band HAVING count(*) <= 200
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bandsq a JOIN keep USING (band)
+  JOIN bandsq b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa.afp, fb.afp)) AS BIGINT) AS hamming
+FROM cand
+JOIN fp fa ON fa.doc_id = doc_a
+JOIN fp fb ON fb.doc_id = doc_b
+WHERE bit_count(xor(fa.afp, fb.afp)) <= 12
+ORDER BY doc_a, doc_b""",
+)
+def q140_audio_neardup(spark, sf_dir):
+    """E5+E2 audio near-dup: REAL WAV decode → 56-bit energy-envelope
+    fingerprint (57 integer sample groups, rise/fall bits — the
+    time-domain core of audio hashing, FFT-free so every bit is
+    SQL-reproducible) → banded hamming pairs ≤ 6. Completes the
+    modality-dedup matrix: text (SimHash), image (dHash), audio (energy
+    fingerprint) — all through the same capped band-join scale shape."""
+    from tagtree_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        wav_from_documents,
+    )
+
+    media = wav_from_documents(_docs(spark, sf_dir))
+    return audio_near_dup_pairs(media, max_hamming=12).orderBy("doc_a", "doc_b")

@@ -349,3 +349,32 @@ def test_image_dhash_identical_and_brightness_shift(spark):
     assert h[1] != h[4]
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in dhash_near_dup_pairs(media).collect()}
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+
+
+def test_audio_fingerprint_gain_invariant_and_pairs(spark):
+    from tagtree_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+        encode_wav_pcm16,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(-8000, 8000, size=300).tolist()
+    doubled = [2 * x for x in base]          # uniform gain: same envelope bits
+    other = rng.randint(-8000, 8000, size=300).tolist()
+    rows = [
+        (1, "audio", bytearray(encode_wav_pcm16(base, 100)), {}),
+        (2, "audio", bytearray(encode_wav_pcm16(base, 100)), {}),
+        (3, "audio", bytearray(encode_wav_pcm16(doubled, 100)), {}),
+        (4, "audio", bytearray(encode_wav_pcm16(other, 100)), {}),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, modality string, payload binary, meta map<string,string>"
+    )
+    h = {r.media_id: r.afp for r in audio_fingerprint(media).collect()}
+    assert h[1] == h[2] == h[3]  # identical + positive uniform gain
+    assert h[1] != h[4]
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in audio_near_dup_pairs(media).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
