@@ -4350,3 +4350,72 @@ def q140_audio_neardup(spark, sf_dir):
 
     media = wav_from_documents(_docs(spark, sf_dir))
     return audio_near_dup_pairs(media, max_hamming=12).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q141_video_neardup",
+    """
+WITH g AS (
+  SELECT doc_id, i,
+         CASE WHEN i <= length(text) THEN ord(substr(text, CAST(i AS INT), 1))
+              ELSE 0 END AS b
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(1, (length(text) + 63) // 64) * 64 + 1)) AS i
+        FROM documents) t
+), d AS (
+  SELECT doc_id, i, b, lag(b, 64) OVER (PARTITION BY doc_id ORDER BY i) AS pb FROM g
+), nn AS (
+  SELECT doc_id,
+         (greatest(1, (length(text) + 63) // 64) - 1) * 64 AS nd
+  FROM documents
+), eng0 AS (
+  SELECT d.doc_id, ((d.i - 65) * 57) // nn.nd AS g2, sum(abs(d.b - d.pb)) AS e
+  FROM d JOIN nn ON nn.doc_id = d.doc_id
+  WHERE d.pb IS NOT NULL AND nn.nd > 0
+  GROUP BY 1, 2
+), lattice AS (
+  SELECT d2.doc_id, gg.g2 FROM nn d2, range(0, 57) gg(g2)
+), filled AS (
+  SELECT l.doc_id, l.g2, coalesce(e.e, 0) AS e
+  FROM lattice l LEFT JOIN eng0 e ON e.doc_id = l.doc_id AND e.g2 = l.g2
+), fp AS (
+  SELECT a.doc_id,
+         CAST(sum(CASE WHEN b2.e > a.e
+                       THEN (CAST(1 AS BIGINT) << CAST(a.g2 AS INT)) ELSE 0 END)
+              AS BIGINT) AS vfp
+  FROM filled a JOIN filled b2 ON b2.doc_id = a.doc_id AND b2.g2 = a.g2 + 1
+  WHERE a.g2 < 56
+  GROUP BY a.doc_id
+), bandsq AS (
+  SELECT doc_id,
+         CAST(k AS VARCHAR) || ':' ||
+         CAST((vfp >> CAST(14 * k AS INT)) % 16384 AS VARCHAR) AS band
+  FROM fp, range(0, 4) t(k)
+), keep AS (
+  SELECT band FROM bandsq GROUP BY band HAVING count(*) <= 200
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bandsq a JOIN keep USING (band)
+  JOIN bandsq b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa.vfp, fb.vfp)) AS BIGINT) AS hamming
+FROM cand
+JOIN fp fa ON fa.doc_id = doc_a
+JOIN fp fb ON fb.doc_id = doc_b
+WHERE bit_count(xor(fa.vfp, fb.vfp)) <= 4
+ORDER BY doc_a, doc_b""",
+)
+def q141_video_neardup(spark, sf_dir):
+    """E5+E2 video near-dup: REAL Y4M decode → 56-bit motion-envelope
+    fingerprint (consecutive-frame delta energies in 57 groups,
+    rise/fall bits) → banded hamming pairs ≤ 4. With q28/q139/q140 this
+    closes the text/image/audio/video dedup matrix, all through one
+    capped band-join shape and fully integer oracles."""
+    from tagtree_spark.operators.multimodal import (
+        video_near_dup_pairs,
+        y4m_from_documents,
+    )
+
+    media = y4m_from_documents(_docs(spark, sf_dir))
+    return video_near_dup_pairs(media, max_hamming=4).orderBy("doc_a", "doc_b")

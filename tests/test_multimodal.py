@@ -378,3 +378,29 @@ def test_audio_fingerprint_gain_invariant_and_pairs(spark):
     assert h[1] != h[4]
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in audio_near_dup_pairs(media).collect()}
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+
+
+def test_video_fingerprint_identity_and_difference(spark):
+    from tagtree_spark.operators.multimodal import (
+        encode_y4m,
+        video_fingerprint,
+        video_near_dup_pairs,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, 64).astype(np.uint8).tobytes() for _ in range(6)]
+    other = [rng.randint(0, 256, 64).astype(np.uint8).tobytes() for _ in range(6)]
+    rows = [
+        (1, "video", bytearray(encode_y4m(8, 8, frames)), {}),
+        (2, "video", bytearray(encode_y4m(8, 8, frames)), {}),
+        (3, "video", bytearray(encode_y4m(8, 8, other)), {}),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, modality string, payload binary, meta map<string,string>"
+    )
+    h = {r.media_id: r.vfp for r in video_fingerprint(media).collect()}
+    assert h[1] == h[2] and h[1] != h[3]
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in video_near_dup_pairs(media).collect()}
+    assert pairs[(1, 2)] == 0
