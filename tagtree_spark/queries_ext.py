@@ -4419,3 +4419,163 @@ def q141_video_neardup(spark, sf_dir):
 
     media = y4m_from_documents(_docs(spark, sf_dir))
     return video_near_dup_pairs(media, max_hamming=4).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# r5 batch: decision-support join shapes (TPC-H Q18/Q21 analogues) and
+# time-interval window frames
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q142_large_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c.c_name AS c_name,
+       CAST(o.o_custkey AS BIGINT) AS o_custkey,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(epoch_us(o.o_orderdate) // 1000000 AS BIGINT) AS orderdate_s,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+       big.total_qty AS total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20""",
+)
+def q142_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customer): orders whose total line
+    quantity exceeds a threshold, with their customer. One hash agg over
+    lineitem produces BOTH the filter and the output measure (no second
+    lineitem pass, unlike the textbook HAVING-subquery plan); the
+    surviving order set is tiny, so AQE broadcasts it into orders and
+    customer. Quantities are integral → BIGINT-exact; money via the
+    decimal convention."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").cast("bigint").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, orders.o_orderkey == big.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .select(
+            "c_name",
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.unix_timestamp("o_orderdate").cast("bigint").alias("orderdate_s"),
+            F.col("o_totalprice").cast("decimal(18,4)").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q143_trailing_window",
+    """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) OVER w AS BIGINT) AS trail_n,
+       CAST(CAST(sum(v) OVER w AS DECIMAL(18,4)) AS DOUBLE) AS trail_sum
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id""",
+)
+def q143_trailing_window(spark, sf_dir):
+    """Time-interval window frame: per event, the count and exact decimal
+    sum of the same user's events in the trailing hour — a RANGE frame
+    over integer epoch-µs (RANGE, not ROWS: simultaneous events are frame
+    peers in both engines). The idiomatic rolling-feature primitive for
+    sessionized activity; user-partitioned windows = user count is the
+    parallelism, no global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-3_600_000_000, 0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).cast("bigint").alias("trail_n"),
+            F.sum("v").over(w).cast("decimal(18,4)").cast("double").alias("trail_sum"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q144_lone_returns",
+    """
+WITH r AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+), multi AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1
+  HAVING count(DISTINCT l_suppkey) >= 2
+), lone AS (
+  SELECT a.l_orderkey, a.l_suppkey
+  FROM r a JOIN multi m ON m.l_orderkey = a.l_orderkey
+  WHERE NOT EXISTS (SELECT 1 FROM r b
+                    WHERE b.l_orderkey = a.l_orderkey
+                      AND b.l_suppkey <> a.l_suppkey)
+)
+SELECT s.s_name AS s_name,
+       CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+       CAST(count(*) AS BIGINT) AS n_lone
+FROM lone JOIN supplier s ON s.s_suppkey = lone.l_suppkey
+GROUP BY 1, 2
+ORDER BY n_lone DESC, s_suppkey
+LIMIT 25""",
+)
+def q144_lone_returns(spark, sf_dir):
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS): suppliers who were the ONLY
+    supplier with a returned line in a multi-supplier order. The semi
+    side (order had ≥2 suppliers) is a hash agg; the anti side ("no
+    OTHER supplier returned") is a left-anti self-join on orderkey with
+    a supplier inequality — both equi-keyed on l_orderkey, so the plan
+    is two shuffled hash joins, never a cross product. Supplier dim is
+    broadcast for the final name join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .where(F.col("n_supp") >= 2)
+        .select("l_orderkey")
+    )
+    a = r.alias("a").join(multi, "l_orderkey", "left_semi")
+    b = r.alias("b")
+    lone = a.join(
+        b,
+        (a["l_orderkey"] == b["l_orderkey"]) & (a["l_suppkey"] != b["l_suppkey"]),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        lone.join(F.broadcast(supp), supp.s_suppkey == lone.l_suppkey)
+        .groupBy("s_name", F.col("s_suppkey").cast("bigint").alias("s_suppkey"))
+        .agg(F.count("*").cast("bigint").alias("n_lone"))
+        .orderBy(F.col("n_lone").desc(), "s_suppkey")
+        .limit(25)
+    )
