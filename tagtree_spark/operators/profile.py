@@ -54,3 +54,35 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "_n AS n_rows",
         f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, n_distinct, min_s, max_s)",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+def expectations(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """Data-quality assertion report (the Great-Expectations shape) →
+    one row per rule: ``(rule, n_rows, n_violations, n_nulls)``.
+
+    ``rules`` is ``[(name, condition_column), ...]``; a row VIOLATES a
+    rule when the condition is false, and rows where the condition is
+    NULL (null inputs) are counted separately — the three-valued-logic
+    pitfall made explicit instead of silently passing.
+
+    All rules are evaluated in ONE scan (a single agg with a
+    sum-per-rule, stack-unpivoted to rows, same shape as
+    :func:`profile_table`) — at 100 TB the report costs one pass over
+    the table regardless of how many expectations are attached.
+    """
+    if not rules:
+        raise ValueError("no rules")
+    aggs = [F.count("*").cast("bigint").alias("_n")]
+    for i, (_, cond) in enumerate(rules):
+        aggs += [
+            F.sum(F.when(~cond, 1).otherwise(0)).cast("bigint").alias(f"_v_{i}"),
+            F.sum(F.when(cond.isNull(), 1).otherwise(0)).cast("bigint").alias(f"_u_{i}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', _v_{i}, _u_{i}" for i, (name, _) in enumerate(rules)
+    )
+    return one.selectExpr(
+        "_n AS n_rows",
+        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations, n_nulls)",
+    ).select("rule", "n_rows", "n_violations", "n_nulls")

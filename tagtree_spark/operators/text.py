@@ -760,3 +760,44 @@ def bpe_encode_from_vocab(
         F.sum("w_syms").cast("bigint").alias("n_syms"),
         h60(stream).alias("enc_h60"),
     )
+
+
+def hash_classifier(
+    docs: DataFrame, mod: int = 2001, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hashed linear quality classifier → ``(doc_id, n_tokens, score,
+    keep)``: each token contributes an integer weight derived from its
+    hash bucket (``h60(tok) % mod`` centered on zero), the document score
+    is the tf-weighted sum, and ``keep`` is the sign — the fastText-style
+    linear-scorer shape (hashed n-gram features ⋅ weight vector) used as
+    a cheap corpus quality screen, with a deterministic weight table so
+    both engines reproduce every score bit-for-bit.
+
+    Map-only narrow projection: one md5 per token inside a single
+    ``aggregate`` fold (score and token count computed in ONE pass; the
+    fold lives in its own withColumn so the per-field extraction doesn't
+    re-paste it). Real deployments swap the hash-derived weights for a
+    broadcast-joined learned table — the plan shape is identical.
+    At 100 TB this is embarrassingly parallel with zero shuffles.
+    """
+    half = (mod - 1) // 2
+    fold = F.aggregate(
+        F.col("_toks"),
+        F.struct(
+            F.lit(0).cast("bigint").alias("s"), F.lit(0).cast("bigint").alias("n")
+        ),
+        lambda acc, t: F.struct(
+            (acc.s + (h60(t) % mod - half)).alias("s"), (acc.n + 1).alias("n")
+        ),
+    )
+    return (
+        spread(docs)
+        .withColumn("_toks", F.split(F.col(text_col), " "))
+        .withColumn("_sc", fold)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col("_sc.n").alias("n_tokens"),
+            F.col("_sc.s").alias("score"),
+            (F.col("_sc.s") > 0).cast("bigint").alias("keep"),
+        )
+    )

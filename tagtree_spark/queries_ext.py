@@ -4579,3 +4579,130 @@ def q144_lone_returns(spark, sf_dir):
         .orderBy(F.col("n_lone").desc(), "s_suppkey")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# r5 batch: pipeline bookkeeping — hashed quality classifier, snapshot
+# diff, data-quality expectations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q145_hash_classifier",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(toks, tok -> """
+    + duck_h60("tok")
+    + """ % 2001 - 1000)), 0) AS BIGINT) AS score
+  FROM t
+)
+SELECT doc_id, n_tokens, score,
+       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sc ORDER BY doc_id""",
+)
+def q145_hash_classifier(spark, sf_dir):
+    """E4+ hashed linear quality classifier: per-token integer weights
+    from centered hash buckets, tf-weighted document score, sign = the
+    keep decision — the fastText-linear-scorer plan shape (map-only,
+    one md5 per token, zero shuffles) with a deterministic weight table
+    both engines rebuild bit-for-bit."""
+    from tagtree_spark.operators.text import hash_classifier
+
+    return hash_classifier(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q146_snapshot_diff",
+    r"""
+WITH old AS (
+  SELECT doc_id, """
+    + duck_h60("text")
+    + r""" AS old_h60 FROM documents
+), new AS (
+  SELECT doc_id, """
+    + duck_h60(
+        r"regexp_replace(text, '\b(customer|query|vector)\b', '<TERM>', 'g')"
+    )
+    + r""" AS new_h60 FROM documents WHERE n_chars >= 200
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'dropped'
+            WHEN o.old_h60 <> n.new_h60 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(coalesce(o.old_h60, -1) AS BIGINT) AS old_h60,
+       CAST(coalesce(n.new_h60, -1) AS BIGINT) AS new_h60
+FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+ORDER BY doc_id""",
+)
+def q146_snapshot_diff(spark, sf_dir):
+    """E-family snapshot diff: the corpus vs its next cleaned build
+    (redaction pass + length screen) — per-doc added/dropped/changed/
+    unchanged from a full-outer join of (id, content-hash) views. Only
+    ids+hashes shuffle; the incremental-rebuild bookkeeping every
+    continuously-rebuilt training corpus needs."""
+    from tagtree_spark.operators.diff import snapshot_diff
+    from tagtree_spark.operators.text import REDACT_PATTERN
+
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("n_chars") >= 200).select(
+        "doc_id", F.regexp_replace("text", REDACT_PATTERN, "<TERM>").alias("text")
+    )
+    return snapshot_diff(docs, new).orderBy("doc_id")
+
+
+@query(
+    "q147_expectations",
+    """
+WITH l AS (SELECT * FROM lineitem)
+SELECT * FROM (
+  SELECT 'discount_le_8pct' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         CAST(sum(CASE WHEN (l_discount <= 0.08) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+  FROM l
+  UNION ALL
+  SELECT 'price_positive', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN (l_extendedprice > 0) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM l
+  UNION ALL
+  SELECT 'qty_in_1_50', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN (l_quantity BETWEEN 1 AND 50) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM l
+  UNION ALL
+  SELECT 'returnflag_domain', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN (l_returnflag IN ('A','N','R')) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM l
+  UNION ALL
+  SELECT 'shipdate_before_1999', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN NOT (l_shipdate < TIMESTAMP '1999-01-01') THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN (l_shipdate < TIMESTAMP '1999-01-01') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM l
+) ORDER BY rule""",
+)
+def q147_expectations(spark, sf_dir):
+    """Data-quality expectations report (Great-Expectations shape): five
+    assertions over lineitem — range, domain, positivity, temporal-bound
+    — ALL evaluated in one scan (single agg, stack-unpivoted), with
+    three-valued logic made explicit (violations vs null inputs). The
+    oracle's five-scan UNION ALL proves the one-pass plan equivalent."""
+    from tagtree_spark.operators.profile import expectations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        ("discount_le_8pct", F.col("l_discount") <= 0.08),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("qty_in_1_50", F.col("l_quantity").between(1, 50)),
+        ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+        (
+            "shipdate_before_1999",
+            F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"),
+        ),
+    ]
+    return expectations(li, rules).orderBy("rule")

@@ -1339,3 +1339,62 @@ def test_exact_disc_quantiles_distributed_matches_percentile_disc(spark):
     for p in (0.5, 0.9, 0.99):
         k = math.ceil(p * 997)
         assert got[p] == ordered[k - 1], (p, got[p], ordered[k - 1])
+
+
+def test_hash_classifier_score_matches_python(spark):
+    import hashlib
+
+    from tagtree_spark.operators.text import hash_classifier
+
+    rows = [(1, "alpha beta gamma"), (2, ""), (3, "alpha alpha")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in hash_classifier(docs).collect()}
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        assert got[doc_id].n_tokens == len(toks)
+        assert got[doc_id].score == sum(w(t) for t in toks)
+        assert got[doc_id].keep == (1 if got[doc_id].score > 0 else 0)
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from tagtree_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will drop")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "dropped", 4: "added"}
+    hashes = {r.doc_id: r for r in snapshot_diff(old, new).collect()}
+    assert hashes[3].new_h60 == -1 and hashes[4].old_h60 == -1
+
+
+def test_expectations_counts_violations_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.operators.profile import expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 200.0)], ["id", "v"]
+    )
+    rep = {
+        r.rule: r
+        for r in expectations(
+            df,
+            [
+                ("v_positive", F.col("v") > 0),
+                ("v_le_100", F.col("v") <= 100),
+            ],
+        ).collect()
+    }
+    assert rep["v_positive"].n_rows == 4
+    assert rep["v_positive"].n_violations == 1  # -5; NULL counted separately
+    assert rep["v_positive"].n_nulls == 1
+    assert rep["v_le_100"].n_violations == 1  # 200
+    assert rep["v_le_100"].n_nulls == 1
