@@ -199,3 +199,64 @@ def exact_disc_quantiles_distributed(
         "n": n_total,
         **{p: byloc[(pid, rn)] for p, pid, rn in wanted},
     }
+
+
+def subsample_stability(
+    df: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    n_reps: int = 8,
+) -> DataFrame:
+    """Stability bands for a grouped median → ``(key, n_rows, med_full,
+    n_reps, med_lo, med_hi)``: ``n_reps`` deterministic half-subsamples
+    (row ∈ replicate b iff ``h60(id#b)`` is even) each produce a discrete
+    median; the spread [med_lo, med_hi] is the error bar a single-run
+    median hides. The hash-bootstrap answer to "how stable is this
+    aggregate?" — no RNG, so both engines (and any re-run) rebuild the
+    same bands.
+
+    Cost: the replicate explode is ×n_reps on (key, val, id) triples
+    only, then one (key, b) window — at 100 TB run it on a stratified
+    sample or cap n_reps; the full-data median rides the same scan.
+    Medians are discrete rank PICKS (lower-middle convention), never
+    averaged — the value returned is an input value, bit-identical
+    cross-engine.
+    """
+    from pyspark.sql import Window
+
+    from tagtree_spark.functions.hashing import h60
+
+    base = df.select(
+        F.col(key_col).alias("k"), F.col(val_col).alias("v"), F.col(id_col).alias("i")
+    )
+    wf = Window.partitionBy("k").orderBy("v", "i")
+    full = (
+        base.withColumn("rn", F.row_number().over(wf))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("k")))
+        .where(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("k", F.col("cnt").cast("bigint").alias("n_rows"), F.col("v").alias("med_full"))
+    )
+    reps = base.select(
+        "k", "v", "i", F.explode(F.array(*[F.lit(b) for b in range(n_reps)])).alias("b")
+    ).where(h60(F.concat_ws("#", F.col("i").cast("string"), F.col("b").cast("string"))) % 2 == 0)
+    wr = Window.partitionBy("k", "b").orderBy("v", "i")
+    med_b = (
+        reps.withColumn("rn", F.row_number().over(wr))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("k", "b")))
+        .where(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("k", "b", F.col("v").alias("med"))
+    )
+    bands = med_b.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_reps"),
+        F.min("med").alias("med_lo"),
+        F.max("med").alias("med_hi"),
+    )
+    return full.join(bands, "k", "left").select(
+        F.col("k").alias(key_col),
+        "n_rows",
+        "med_full",
+        F.coalesce("n_reps", F.lit(0)).cast("bigint").alias("n_reps"),
+        "med_lo",
+        "med_hi",
+    )

@@ -151,3 +151,41 @@ def event_transitions(events: DataFrame) -> DataFrame:
         "p",
         F.col("n").cast("double") / F.sum("n").over(wtot).cast("double"),
     )
+
+
+def type_cooccurrence(events: DataFrame) -> DataFrame:
+    """Event-type co-occurrence (the market-basket primitive) →
+    ``(type_a, type_b, n_userdays)``: for every unordered pair of event
+    types, how many (user, day) cells saw both.
+
+    One shuffle: groupBy (user, day) collects the SORTED distinct type
+    set, then a narrow nested ``transform`` expands the in-row pairs —
+    never a self-join, so the pair blowup is bounded by the per-cell
+    type-set size (≤ the type-domain cardinality, a constant), not by
+    corpus size. The pair counts then reduce map-side. At 100 TB the
+    heavy table shuffles once on (user, day) and everything after is
+    tiny."""
+    day = F.expr("unix_micros(ts) div 86400000000")
+    cells = (
+        events.select(F.col("user_id"), day.alias("d"), F.col("event_type"))
+        .groupBy("user_id", "d")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    )
+    pairs = cells.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("types"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("types"), i + 2, F.size("types")),
+                        lambda b: F.struct(a.alias("type_a"), b.alias("type_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_userdays"))
+    )

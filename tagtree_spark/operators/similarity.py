@@ -723,3 +723,73 @@ def embedding_moments(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         "mn",
         "mx",
     )
+
+
+def ann_recall_audit(
+    emb: DataFrame,
+    every: int = 100,
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k audit of the hyperplane-LSH ANN path against exact cosine
+    → ``(qid, n_exact, n_ann, n_hit, recall)`` for a deterministic query
+    sample (``id % every == 0``).
+
+    The exact side is a broadcast nested-loop probe of the tiny query
+    sample over the corpus — the audit is DESIGNED to run on a sample
+    (cost = |sample| linear scans, the brute-force baseline the index is
+    judged against). The ANN side is the production path itself: a
+    bucket equi-join. Both feed one per-qid top-k window; the hit count
+    is an inner join of the two id sets. The number every approximate
+    index must report before it is trusted at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    emb = spread(emb)
+    qs = emb.where(F.col(id_col) % every == 0).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+
+    def topk(scored):
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("qid", "vec_id")
+        )
+
+    exact = topk(
+        base.join(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine("v", "qv").alias("score"))
+    )
+    planes = plane_weights(n_planes, dim)
+    wb = base.withColumn("bucket", lsh_bucket("v", planes))
+    qb = qs.withColumn("bucket", lsh_bucket("qv", planes))
+    ann = topk(
+        wb.join(F.broadcast(qb), "bucket")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine("v", "qv").alias("score"))
+    )
+    ec = exact.groupBy("qid").agg(F.count("*").cast("bigint").alias("n_exact"))
+    ac = ann.groupBy("qid").agg(F.count("*").cast("bigint").alias("n_ann"))
+    hc = (
+        exact.join(ann, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        ec.join(ac, "qid", "left")
+        .join(hc, "qid", "left")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            "n_exact",
+            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)).cast("double") / k).alias("recall"),
+        )
+    )

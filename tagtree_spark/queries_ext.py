@@ -4706,3 +4706,139 @@ def q147_expectations(spark, sf_dir):
         ),
     ]
     return expectations(li, rules).orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# r5 batch: ANN recall audit, event co-occurrence, aggregate stability
+# --------------------------------------------------------------------------
+
+
+def _q148_oracle() -> str:
+    bucket = _bucket_sql(4)
+    cos = (
+        f"({_DOT.format(a='b.embedding', b='q.qv')}) / "
+        f"(sqrt({_DOT.format(a='b.embedding', b='b.embedding')}) * "
+        f"sqrt({_DOT.format(a='q.qv', b='q.qv')}))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+), qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0
+), ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, b.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM base b, qs q WHERE b.vec_id <> q.qid
+  ) t WHERE rn <= 10
+), wb AS (
+  SELECT vec_id, embedding, {bucket.format(v='embedding')} AS bucket FROM base
+), qbk AS (
+  SELECT qid, qv, {bucket.format(v='qv')} AS bucket FROM qs
+), an AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, b.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM wb b JOIN qbk q ON b.bucket = q.bucket AND b.vec_id <> q.qid
+  ) t WHERE rn <= 10
+), ec AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1
+), ac AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_ann FROM an GROUP BY 1
+), hc AS (
+  SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_hit
+  FROM ex JOIN an ON an.qid = ex.qid AND an.vec_id = ex.vec_id GROUP BY 1
+)
+SELECT CAST(ec.qid AS BIGINT) AS qid, ec.n_exact,
+       CAST(coalesce(ac.n_ann, 0) AS BIGINT) AS n_ann,
+       CAST(coalesce(hc.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(hc.n_hit, 0) AS DOUBLE) / 10 AS recall
+FROM ec LEFT JOIN ac ON ac.qid = ec.qid LEFT JOIN hc ON hc.qid = ec.qid
+ORDER BY qid"""
+
+
+@query("q148_ann_recall", _q148_oracle())
+def q148_ann_recall(spark, sf_dir):
+    """E3 recall audit: for a deterministic query sample (vec_id % 100 = 0),
+    recall@10 of the hyperplane-LSH ANN path (q33's machinery) against
+    the exact cosine top-10 — the calibration query every approximate
+    index needs before it is trusted at scale (q84 is the same audit for
+    MinHash). The exact side is a broadcast probe over the corpus (the
+    audit runs on a query SAMPLE by construction); the ANN side is the
+    production bucket-equi-join."""
+    from tagtree_spark.operators.similarity import ann_recall_audit
+
+    return ann_recall_audit(_emb(spark, sf_dir), every=100, k=10).orderBy("qid")
+
+
+@query(
+    "q149_type_cooccurrence",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+         event_type
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_userdays
+FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.d = b.d
+                    AND a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY type_a, type_b""",
+)
+def q149_type_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence: unordered event-type pairs by the
+    number of (user, day) cells containing both. Spark side groups each
+    cell to its sorted distinct type set and expands pairs IN-ROW
+    (nested transform — no self-join; the oracle's self-join proves it
+    equivalent); pair counts reduce map-side."""
+    from tagtree_spark.operators.events import type_cooccurrence
+
+    ev = load_table(spark, sf_dir, "events")
+    return type_cooccurrence(ev).orderBy("type_a", "type_b")
+
+
+@query(
+    "q150_median_stability",
+    """
+WITH base AS (
+  SELECT event_type AS k, value AS v, event_id AS i FROM events
+), fullm AS (
+  SELECT k, n_rows, v AS med_full FROM (
+    SELECT k, v, i,
+           row_number() OVER (PARTITION BY k ORDER BY v, i) AS rn,
+           CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_rows
+    FROM base
+  ) t WHERE rn = (n_rows + 1) // 2
+), reps AS (
+  SELECT k, v, i, b FROM base, range(0, 8) r(b)
+  WHERE """
+    + duck_h60("CAST(i AS VARCHAR) || '#' || CAST(b AS VARCHAR)")
+    + """ % 2 = 0
+), medb AS (
+  SELECT k, b, v AS med FROM (
+    SELECT k, b, v, i,
+           row_number() OVER (PARTITION BY k, b ORDER BY v, i) AS rn,
+           count(*) OVER (PARTITION BY k, b) AS cnt
+    FROM reps
+  ) t WHERE rn = (cnt + 1) // 2
+), bands AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_reps,
+         min(med) AS med_lo, max(med) AS med_hi
+  FROM medb GROUP BY 1
+)
+SELECT f.k AS event_type, f.n_rows, f.med_full,
+       CAST(coalesce(b.n_reps, 0) AS BIGINT) AS n_reps, b.med_lo, b.med_hi
+FROM fullm f LEFT JOIN bands b ON b.k = f.k
+ORDER BY event_type""",
+)
+def q150_median_stability(spark, sf_dir):
+    """Stability bands for a grouped median: 8 deterministic hash
+    half-subsamples each yield a discrete median; [med_lo, med_hi] is
+    the error bar a single-run point estimate hides. All medians are
+    rank PICKS of input values (no averaging) — bit-identical
+    cross-engine, no RNG anywhere."""
+    from tagtree_spark.operators.aggregates import subsample_stability
+
+    ev = load_table(spark, sf_dir, "events")
+    return subsample_stability(ev).orderBy("event_type")

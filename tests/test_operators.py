@@ -1398,3 +1398,48 @@ def test_expectations_counts_violations_and_nulls(spark):
     assert rep["v_positive"].n_nulls == 1
     assert rep["v_le_100"].n_violations == 1  # 200
     assert rep["v_le_100"].n_nulls == 1
+
+
+def test_type_cooccurrence_matches_selfjoin(spark):
+    import datetime as dt
+
+    from tagtree_spark.operators.events import type_cooccurrence
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1, same day: a+b+c -> pairs (a,b) (a,c) (b,c)
+        (1, base, "a"), (1, base, "b"), (1, base, "c"), (1, base, "a"),
+        # user 1, next day: a+b only
+        (1, base + dt.timedelta(days=1), "a"),
+        (1, base + dt.timedelta(days=1), "b"),
+        # user 2, one type only -> no pairs
+        (2, base, "a"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {(r.type_a, r.type_b): r.n_userdays for r in type_cooccurrence(ev).collect()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_subsample_stability_band_contains_plausible_median(spark):
+    from tagtree_spark.operators.aggregates import subsample_stability
+
+    rows = [("g", float(v), v) for v in range(1, 102)]  # 1..101, median 51
+    df = spark.createDataFrame(rows, ["event_type", "value", "event_id"])
+    r = subsample_stability(df).collect()[0]
+    assert r.n_rows == 101 and r.med_full == 51.0
+    assert r.n_reps == 8
+    assert r.med_lo <= r.med_full <= r.med_hi
+    # half-subsample medians of a 1..101 grid stay well inside the range
+    assert 1.0 < r.med_lo and r.med_hi < 101.0
+
+
+def test_ann_recall_audit_self_consistent(spark, embeddings):
+    from tagtree_spark.operators.similarity import ann_recall_audit
+
+    emb = embeddings
+    rows = ann_recall_audit(emb, every=25, k=5).collect()
+    assert rows, "expected at least one audited query"
+    for r in rows:
+        assert 0 <= r.n_hit <= min(r.n_exact, r.n_ann)
+        assert r.n_exact <= 5 and r.n_ann <= 5
+        assert r.recall == r.n_hit / 5
