@@ -260,3 +260,36 @@ def subsample_stability(
         "med_lo",
         "med_hi",
     )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    n_bins: int = 8,
+) -> DataFrame:
+    """Per-group equi-depth binning → ``(key, bucket, n, v_min, v_max)``:
+    ``ntile(n_bins)`` over the (value, id)-ordered rows of each group —
+    the feature-engineering quantile-bucketizer, with the bucket
+    boundaries reported as exact PICKED values (min/max of each bucket).
+
+    Each group sorts independently (group count = parallelism). For a
+    GLOBAL equi-depth split of one giant group use
+    :func:`exact_disc_quantiles_distributed` — range partition + rank —
+    instead of a one-partition window."""
+    from pyspark.sql import Window
+
+    return (
+        df.select(F.col(key_col).alias("k"), F.col(val_col).alias("v"), F.col(id_col).alias("i"))
+        .withColumn("bucket", F.ntile(n_bins).over(
+            Window.partitionBy("k").orderBy("v", "i")
+        ).cast("bigint"))
+        .groupBy("k", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+        .select(F.col("k").alias(key_col), "bucket", "n", "v_min", "v_max")
+    )

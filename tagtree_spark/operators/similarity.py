@@ -793,3 +793,62 @@ def ann_recall_audit(
             (F.coalesce("n_hit", F.lit(0)).cast("double") / k).alias("recall"),
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining → ``(vec_id, label_a, neg_id,
+    label_b, score)``: for every anchor, the most-similar vector with a
+    DIFFERENT label among its hyperplane-LSH bucket peers — the
+    embedding-training data loader's "hardest wrong answer" primitive.
+
+    Same capped bucket-equi-join scale shape as
+    :func:`embedding_near_dup_pairs`, but DIRECTIONAL (each anchor keeps
+    its own top-1, so the join is a.bucket = b.bucket with a per-anchor
+    window, not the a<b pair lattice). Never all-pairs; at 100 TB raise
+    ``n_planes`` with corpus size so buckets stay bounded.
+    """
+    from pyspark.sql import Window
+
+    cap = MAX_BUCKET if max_bucket is None else max_bucket
+    planes = plane_weights(n_planes, dim)
+    wb = spread(emb).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("lbl"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    )
+    wb = persist_tracked(wb)
+    keep = wb.groupBy("bucket").agg(F.count("*").alias("_n")).where(
+        F.col("_n") <= cap
+    ).select("bucket")
+    a = wb.join(keep, "bucket").select(
+        "bucket", F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+        F.col("lbl").alias("label_a"),
+    )
+    b = wb.select(
+        "bucket", F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+        F.col("lbl").alias("label_b"),
+    )
+    scored = (
+        a.join(b, "bucket")
+        .where((F.col("a_id") != F.col("b_id")) & (F.col("label_a") != F.col("label_b")))
+        .select(
+            F.col("a_id").alias("vec_id"), "label_a",
+            F.col("b_id").alias("neg_id"), "label_b",
+            cosine("va", "vb").alias("score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -417,3 +417,69 @@ def kmv_estimates(regs: DataFrame, exact: DataFrame) -> DataFrame:
             .alias("est"),
         )
     )
+
+
+def kmv_overlap(
+    a: DataFrame, b: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Theta-sketch set-overlap estimate next to its exact answer → ONE
+    row ``(n_a_exact, n_b_exact, n_inter_exact, n_common, theta,
+    est_inter)`` — the join-size / corpus-overlap estimator: how many
+    distinct keys do two tables share, WITHOUT joining the tables.
+
+    Each side is sketched by its :func:`kmv_registers` (≤k rows); theta
+    = the smaller side's k-th min (or the full hash space when a sketch
+    never filled — then the estimate IS exact); ``n_common`` = shared
+    register hashes below theta; ``est_inter = n_common · 2^60 / theta``
+    (one IEEE division of exact integers). At 100 TB the sketches are
+    built shard-locally and merged (k rows per shard move), while the
+    exact columns here ride along to make the estimator's error visible
+    — the same audit-first pattern as q101's HLL and q123's KMV counts.
+    """
+    tagged = a.select(
+        F.lit("a").alias("g"), F.col(col_a).cast("string").alias("key")
+    ).unionByName(
+        b.select(F.lit("b").alias("g"), F.col(col_b).cast("string").alias("key"))
+    )
+    regs = kmv_registers(tagged, "key", "g")
+    per = regs.groupBy("group").agg(
+        F.max(F.when(F.col("rn") == KMV_K, F.col("hash"))).alias("kth")
+    )
+    row = per.agg(
+        F.least(
+            F.coalesce(F.max(F.when(F.col("group") == "a", F.col("kth"))), F.lit(H60_SPACE)),
+            F.coalesce(F.max(F.when(F.col("group") == "b", F.col("kth"))), F.lit(H60_SPACE)),
+        ).cast("bigint").alias("theta")
+    )
+    ra = regs.where(F.col("group") == "a").select("hash")
+    rb = regs.where(F.col("group") == "b").select("hash")
+    common = ra.join(rb, "hash").join(F.broadcast(row)).where(
+        F.col("hash") < F.col("theta")
+    ).agg(F.count("*").cast("bigint").alias("n_common"))
+    na = a.select(F.col(col_a).alias("key")).distinct().agg(
+        F.count("*").cast("bigint").alias("n_a_exact")
+    )
+    nb = b.select(F.col(col_b).alias("key")).distinct().agg(
+        F.count("*").cast("bigint").alias("n_b_exact")
+    )
+    ia = a.select(F.col(col_a).alias("key")).distinct()
+    ib = b.select(F.col(col_b).alias("key")).distinct()
+    ni = ia.join(ib, "key").agg(F.count("*").cast("bigint").alias("n_inter_exact"))
+    # n_common <= k and 2^60 is a power of two: the double product is EXACT,
+    # so est is one IEEE division of exact values (identical cross-engine;
+    # decimal(38,0) products would exceed DuckDB's width cap).
+    est = (
+        F.col("n_common").cast("double")
+        * F.lit(H60_SPACE).cast("double")
+        / F.col("theta").cast("double")
+    )
+    return (
+        na.join(F.broadcast(nb))
+        .join(F.broadcast(ni))
+        .join(F.broadcast(common))
+        .join(F.broadcast(row))
+        .select(
+            "n_a_exact", "n_b_exact", "n_inter_exact", "n_common", "theta",
+            est.alias("est_inter"),
+        )
+    )

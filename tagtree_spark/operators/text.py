@@ -801,3 +801,29 @@ def hash_classifier(
             (F.col("_sc.s") > 0).cast("bigint").alias("keep"),
         )
     )
+
+
+#: Normalization pipeline: collapse runs of whitespace, trim, lowercase —
+#: the standard pre-tokenization cleaning pass.
+def normalization_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Text normalization with effect accounting → ``(doc_id, changed,
+    norm_h60, n_chars_norm, n_ws_runs)``: lowercase + collapse
+    whitespace runs + trim, reporting whether the document changed, the
+    normalized content hash (the body stays in-engine; join it back by
+    doc_id), and how many multi-whitespace runs were collapsed.
+
+    Map-only narrow JVM regex work — the cheapest pass in the pipeline,
+    and the one that makes every later hash-keyed dedup stage actually
+    fire on cosmetically-different duplicates."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        (norm != F.col(text_col)).cast("bigint").alias("changed"),
+        h60(norm).alias("norm_h60"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        F.size(F.regexp_extract_all(text_col, F.lit(r"\s\s+"), 0))
+        .cast("bigint")
+        .alias("n_ws_runs"),
+    )

@@ -4842,3 +4842,155 @@ def q150_median_stability(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return subsample_stability(ev).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# r5 batch: hard-negative mining, normalization, binning, overlap sketch
+# --------------------------------------------------------------------------
+
+
+def _q151_oracle() -> str:
+    bucket = _bucket_sql(4)
+    cos = (
+        f"({_DOT.format(a='a.embedding', b='b.embedding')}) / "
+        f"(sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) * "
+        f"sqrt({_DOT.format(a='b.embedding', b='b.embedding')}))"
+    )
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding, label, {bucket.format(v='embedding')} AS bucket
+  FROM embeddings
+), keepb AS (
+  SELECT bucket FROM wb GROUP BY bucket HAVING count(*) <= {_MAX_BUCKET}
+), sc AS (
+  SELECT a.vec_id AS vec_id, a.label AS label_a,
+         b.vec_id AS neg_id, b.label AS label_b, {cos} AS score
+  FROM wb a JOIN keepb USING (bucket)
+  JOIN wb b ON b.bucket = a.bucket
+  WHERE b.vec_id <> a.vec_id AND b.label <> a.label
+)
+SELECT vec_id, label_a, neg_id, label_b, score FROM (
+  SELECT vec_id, label_a, neg_id, label_b, score,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, neg_id) AS rn
+  FROM sc
+) t WHERE rn = 1 ORDER BY vec_id"""
+
+
+@query("q151_hard_negatives", _q151_oracle())
+def q151_hard_negatives(spark, sf_dir):
+    """E3+ contrastive hard-negative mining: per anchor, the most-similar
+    DIFFERENT-label vector among its LSH bucket peers — the "hardest
+    wrong answer" every contrastive/embedding training loader mines.
+    Capped bucket equi-join (q39's scale shape) made directional with a
+    per-anchor top-1 window."""
+    from tagtree_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
+@query(
+    "q152_normalization",
+    r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nrm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN nrm <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
+       """
+    + duck_h60("nrm")
+    + r""" AS norm_h60,
+       CAST(length(nrm) AS BIGINT) AS n_chars_norm,
+       CAST(len(regexp_extract_all(text, '\s\s+')) AS BIGINT) AS n_ws_runs
+FROM n ORDER BY doc_id""",
+)
+def q152_normalization(spark, sf_dir):
+    """E4+ normalization pass with effect accounting: lowercase +
+    whitespace-run collapse + trim; per doc whether anything changed,
+    the normalized content hash (what hash-keyed dedup keys on), and
+    the number of collapsed runs. Map-only JVM regex — the cheapest
+    stage, run first so cosmetic variants dedup."""
+    from tagtree_spark.operators.text import normalization_report
+
+    return normalization_report(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q153_equidepth_bins",
+    """
+WITH t AS (
+  SELECT event_type AS k, value AS v, event_id AS i FROM events
+), nt AS (
+  SELECT k, v, i,
+         CAST(ntile(8) OVER (PARTITION BY k ORDER BY v, i) AS BIGINT) AS bucket
+  FROM t
+)
+SELECT k AS event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+       min(v) AS v_min, max(v) AS v_max
+FROM nt GROUP BY 1, 2
+ORDER BY event_type, bucket""",
+)
+def q153_equidepth_bins(spark, sf_dir):
+    """Equi-depth quantile binning per group (feature bucketizer):
+    ntile over a deterministic (value, id) order; boundaries reported as
+    exact picked values. Groups sort independently — group count is the
+    parallelism; the global-split variant is q135's distributed order
+    statistics."""
+    from tagtree_spark.operators.aggregates import equidepth_bins
+
+    ev = load_table(spark, sf_dir, "events")
+    return equidepth_bins(ev).orderBy("event_type", "bucket")
+
+
+@query(
+    "q154_overlap_sketch",
+    """
+WITH ak AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders
+), bk AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key FROM customer
+  WHERE c_acctbal > 5000
+), ah AS (
+  SELECT """ + duck_h60("key") + """ AS hash FROM ak
+), bh AS (
+  SELECT """ + duck_h60("key") + """ AS hash FROM bk
+), ra AS (
+  SELECT hash, rn FROM (
+    SELECT hash, row_number() OVER (ORDER BY hash) AS rn FROM ah
+  ) t WHERE rn <= 16
+), rb AS (
+  SELECT hash, rn FROM (
+    SELECT hash, row_number() OVER (ORDER BY hash) AS rn FROM bh
+  ) t WHERE rn <= 16
+), th AS (
+  SELECT least(
+    coalesce((SELECT max(CASE WHEN rn = 16 THEN hash END) FROM ra),
+             1152921504606846976),
+    coalesce((SELECT max(CASE WHEN rn = 16 THEN hash END) FROM rb),
+             1152921504606846976)) AS theta
+), cm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common
+  FROM ra JOIN rb ON rb.hash = ra.hash, th WHERE ra.hash < th.theta
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ak) AS n_a_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM bk) AS n_b_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM ak JOIN bk ON bk.key = ak.key)
+         AS n_inter_exact,
+       cm.n_common AS n_common,
+       CAST(th.theta AS BIGINT) AS theta,
+       CAST(cm.n_common AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         / CAST(th.theta AS DOUBLE) AS est_inter
+FROM cm, th""",
+)
+def q154_overlap_sketch(spark, sf_dir):
+    """Theta-sketch distinct-key overlap estimate WITH its exact answer:
+    how many customers both placed an order and hold a >5000 balance —
+    estimated from two 16-register KMV sketches (k rows move per shard
+    at 100 TB) next to the exact three-way counts that make the estimator's
+    error visible. One IEEE division of exact integers."""
+    from tagtree_spark.operators.sketch import kmv_overlap
+
+    orders = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    return kmv_overlap(orders, rich, "o_custkey", "c_custkey")

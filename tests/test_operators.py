@@ -1443,3 +1443,62 @@ def test_ann_recall_audit_self_consistent(spark, embeddings):
         assert 0 <= r.n_hit <= min(r.n_exact, r.n_ann)
         assert r.n_exact <= 5 and r.n_ann <= 5
         assert r.recall == r.n_hit / 5
+
+
+def test_hard_negatives_picks_best_cross_label(spark):
+    from tagtree_spark.operators.similarity import hard_negatives
+
+    # 4-dim vectors, one plane set still hashes them into buckets; use a
+    # tiny corpus that lands anchors with their negatives (dim=4).
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "x"),
+        (2, [0.9, 0.1, 0.0, 0.0], "x"),   # same label - never a negative of 1
+        (3, [0.8, 0.2, 0.0, 0.0], "y"),   # cross-label, very close to 1
+        (4, [-1.0, 0.0, 0.0, 0.0], "y"),  # cross-label, far from 1
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r.vec_id: r for r in hard_negatives(emb, n_planes=2, dim=4).collect()}
+    for r in got.values():
+        assert r.label_a != r.label_b
+    if 1 in got:  # bucket-dependent, but if 1 got a negative it must be 3 not 4
+        assert got[1].neg_id == 3
+
+
+def test_normalization_report_flags_and_hash(spark):
+    import hashlib
+
+    from tagtree_spark.operators.text import normalization_report
+
+    docs = spark.createDataFrame(
+        [(1, "Hello   World "), (2, "already clean")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in normalization_report(docs).collect()}
+    assert got[1].changed == 1 and got[2].changed == 0
+    norm1 = "hello world"
+    assert got[1].norm_h60 == int(hashlib.md5(norm1.encode()).hexdigest()[:15], 16)
+    assert got[1].n_chars_norm == len(norm1)
+    assert got[1].n_ws_runs == 1
+
+
+def test_equidepth_bins_balanced_and_ordered(spark):
+    from tagtree_spark.operators.aggregates import equidepth_bins
+
+    rows = [("g", float(v), v) for v in range(1, 17)]
+    df = spark.createDataFrame(rows, ["event_type", "value", "event_id"])
+    bins = sorted(equidepth_bins(df, n_bins=4).collect(), key=lambda r: r.bucket)
+    assert [b.n for b in bins] == [4, 4, 4, 4]
+    for prev, nxt in zip(bins, bins[1:]):
+        assert prev.v_max < nxt.v_min
+
+
+def test_kmv_overlap_exact_when_unfilled(spark):
+    from tagtree_spark.operators.sketch import kmv_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(5, 15)], ["k"])
+    r = kmv_overlap(a, b, "k", "k").collect()[0]
+    assert r.n_a_exact == 10 and r.n_b_exact == 10 and r.n_inter_exact == 5
+    # both sketches unfilled (10 < 16 registers): theta = full space and the
+    # estimate IS the exact register intersection
+    assert r.theta == 1 << 60
+    assert r.n_common == 5 and r.est_inter == 5.0
