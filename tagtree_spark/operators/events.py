@@ -189,3 +189,58 @@ def type_cooccurrence(events: DataFrame) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").cast("bigint").alias("n_userdays"))
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    touch_type: str = "click",
+    window_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Last-touch attribution → one row per conversion event:
+    ``(event_id, user_id, touch_id, gap_us)`` where ``touch_id`` is the
+    LAST preceding touch event by the same user within ``window_us``
+    (−1 / −1 when none) — the point-in-time credit-assignment join of
+    every growth/ads pipeline, and the event-table twin of the as-of
+    join (tsdb/asof.py) with an inline type filter.
+
+    Shape: filter to the two types (pushed to the scan), ONE user-keyed
+    window with a GROWING frame carrying the last touch forward (never a
+    shrinking frame — CLAUDE perf trap), then keep conversions. At
+    100 TB: one shuffle on user_id, per-user state is a single struct.
+    """
+    from pyspark.sql import Window
+
+    ev = events.where(F.col("event_type").isin(convert_type, touch_type)).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_id = F.when(F.col("event_type") == touch_type, F.col("event_id"))
+    touch_us = F.when(F.col("event_type") == touch_type, F.col("us"))
+    carried = ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        "event_type",
+        F.last(touch_id, ignorenulls=True).over(w).alias("t_id"),
+        F.last(touch_us, ignorenulls=True).over(w).alias("t_us"),
+    )
+    in_window = F.col("t_id").isNotNull() & (
+        F.col("us") - F.col("t_us") <= F.lit(window_us)
+    )
+    return carried.where(F.col("event_type") == convert_type).select(
+        "event_id",
+        "user_id",
+        F.when(in_window, F.col("t_id")).otherwise(F.lit(-1)).cast("bigint").alias("touch_id"),
+        F.when(in_window, F.col("us") - F.col("t_us"))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("gap_us"),
+    )

@@ -827,3 +827,41 @@ def normalization_report(
         .cast("bigint")
         .alias("n_ws_runs"),
     )
+
+
+def phrase_search(
+    docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional phrase search → ``(doc_id, n_occ, first_pos)`` for
+    documents containing ``phrase`` as ADJACENT whitespace tokens — the
+    inverted-index-with-positions primitive (the capability plain
+    bag-of-words postings can't answer).
+
+    Build: posexplode to (doc, pos, term), filtered immediately to the
+    phrase's terms (the filter rides the scan projection, so only the
+    queried terms' postings ever materialize — at 100 TB the persisted
+    form of this is the positional postings table partitioned by term,
+    and a k-term phrase touches k partitions). Match: k−1 equi-joins on
+    (doc_id, pos+j) — position adjacency as join keys, never a regex
+    over bodies.
+    """
+    terms = phrase.split(" ")
+    if len(terms) < 2:
+        raise ValueError("phrase needs >= 2 tokens")
+    toks = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+    m = (
+        toks.where(F.col("term") == terms[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for j, t in enumerate(terms[1:], start=1):
+        tj = toks.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - j).alias("p0")
+        )
+        m = m.join(tj, ["doc_id", "p0"])
+    return m.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_occ"),
+        F.min("p0").cast("bigint").alias("first_pos"),
+    )

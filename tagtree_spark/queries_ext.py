@@ -4994,3 +4994,75 @@ def q154_overlap_sketch(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     rich = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
     return kmv_overlap(orders, rich, "o_custkey", "c_custkey")
+
+
+# --------------------------------------------------------------------------
+# r5 batch: attribution and positional phrase search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q155_attribution",
+    """
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+  FROM events WHERE event_type IN ('purchase', 'click')
+), carried AS (
+  SELECT event_id, user_id, us, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS t_id,
+         last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+           OVER w AS t_us
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CAST(CASE WHEN t_id IS NOT NULL AND us - t_us <= 604800000000
+                 THEN t_id ELSE -1 END AS BIGINT) AS touch_id,
+       CAST(CASE WHEN t_id IS NOT NULL AND us - t_us <= 604800000000
+                 THEN us - t_us ELSE -1 END AS BIGINT) AS gap_us
+FROM carried WHERE event_type = 'purchase'
+ORDER BY event_id""",
+)
+def q155_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credited to the same user's
+    most recent click within 7 days (−1 when none) — the event-table
+    twin of the as-of join, via ONE user-keyed growing-frame window
+    carrying the last touch forward. Exact integer µs gaps."""
+    from tagtree_spark.operators.events import last_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(ev).orderBy("event_id")
+
+
+@query(
+    "q156_phrase_search",
+    """
+WITH dw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), toks AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM dw
+), flat AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[CAST(i AS INT)] AS term FROM toks
+), a AS (
+  SELECT doc_id, p FROM flat WHERE term = 'customer'
+), b AS (
+  SELECT doc_id, p - 1 AS p FROM flat WHERE term = 'query'
+)
+SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(min(a.p) AS BIGINT) AS first_pos
+FROM a JOIN b ON b.doc_id = a.doc_id AND b.p = a.p
+GROUP BY 1 ORDER BY doc_id""",
+)
+def q156_phrase_search(spark, sf_dir):
+    """Positional phrase search for "customer query": postings with
+    positions, filtered to the phrase's terms at the scan, matched by
+    (doc, pos+1) equi-join — adjacency as join keys, no regex over
+    bodies. The capability that separates a positional inverted index
+    from bag-of-words postings."""
+    from tagtree_spark.operators.text import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), "customer query").orderBy("doc_id")

@@ -1502,3 +1502,44 @@ def test_kmv_overlap_exact_when_unfilled(spark):
     # estimate IS the exact register intersection
     assert r.theta == 1 << 60
     assert r.n_common == 5 and r.est_inter == 5.0
+
+
+def test_last_touch_attribution_window_and_order(spark):
+    import datetime as dt
+
+    from tagtree_spark.operators.events import last_touch_attribution
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def at(**kw):
+        return t0 + dt.timedelta(**kw)
+
+    rows = [
+        (1, at(hours=0), 1, "click"),
+        (2, at(hours=1), 1, "click"),     # later click wins (last touch)
+        (3, at(hours=2), 1, "purchase"),  # -> 2
+        (4, at(days=20), 1, "purchase"),  # click too old -> -1
+        (5, at(hours=0), 2, "purchase"),  # no click at all -> -1
+        (6, at(hours=1), 2, "view"),      # ignored type
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {r.event_id: r for r in last_touch_attribution(ev).collect()}
+    assert got[3].touch_id == 2 and got[3].gap_us == 3_600_000_000
+    assert got[4].touch_id == -1 and got[4].gap_us == -1
+    assert got[5].touch_id == -1
+
+
+def test_phrase_search_adjacency_only(spark):
+    from tagtree_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data rocks big data"),
+            (2, "big old data"),          # not adjacent -> no row
+            (3, "data big"),              # wrong order -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in phrase_search(docs, "big data").collect()}
+    assert set(got) == {1}
+    assert got[1].n_occ == 2 and got[1].first_pos == 0
