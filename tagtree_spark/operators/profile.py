@@ -86,3 +86,48 @@ def expectations(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFram
         "_n AS n_rows",
         f"stack({len(rules)}, {stack_args}) AS (rule, n_violations, n_nulls)",
     ).select("rule", "n_rows", "n_violations", "n_nulls")
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """Privacy risk audit → ONE row ``(n_rows, n_groups, n_small_groups,
+    n_rows_at_risk, min_group_size)``: group by the quasi-identifier
+    columns; any group smaller than ``k`` re-identifies its members —
+    the k-anonymity check run before a table leaves the pipeline.
+
+    One hash agg on the quasi-identifiers, one tiny re-agg — the risk
+    report costs a single shuffle of group keys regardless of table
+    size."""
+    g = df.groupBy(*quasi_cols).agg(F.count("*").cast("bigint").alias("_n"))
+    return g.agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0)).cast("bigint").alias("n_small_groups"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("_n").cast("bigint").alias("min_group_size"),
+    )
+
+
+def fd_check(df: DataFrame, name: str, lhs: str, rhs: str) -> DataFrame:
+    """Functional-dependency audit ``lhs → rhs`` → ONE row ``(fd,
+    n_groups, n_violating, n_rows_in_violating, max_rhs_variants)``: a
+    group violates when one lhs value maps to >1 distinct rhs values —
+    the schema-discovery / data-cleaning primitive (does part →
+    supplier hold? does order → customer?).
+
+    One (lhs) hash agg carrying count + distinct-rhs, then a tiny
+    re-agg."""
+    g = df.groupBy(F.col(lhs).alias("_l")).agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.count_distinct(F.col(rhs)).cast("bigint").alias("_d"),
+    )
+    return g.agg(
+        F.lit(name).alias("fd"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("_d") > 1, 1).otherwise(0)).cast("bigint").alias("n_violating"),
+        F.sum(F.when(F.col("_d") > 1, F.col("_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_in_violating"),
+        F.max("_d").cast("bigint").alias("max_rhs_variants"),
+    )

@@ -5066,3 +5066,106 @@ def q156_phrase_search(spark, sf_dir):
     from tagtree_spark.operators.text import phrase_search
 
     return phrase_search(_docs(spark, sf_dir), "customer query").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# r5 batch: exact anomaly screen, privacy audit, FD discovery
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q157_zscore_outliers",
+    """
+WITH base AS (
+  SELECT CAST(event_id AS BIGINT) AS id, event_type AS key,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS vi
+  FROM events
+), mom AS (
+  SELECT key, CAST(count(*) AS HUGEINT) AS n,
+         sum(vi) AS s, sum(vi * vi) AS q
+  FROM base GROUP BY 1
+)
+SELECT b.id AS id, b.key AS key,
+       CAST(CASE WHEN (b.vi * m.n - m.s) * (b.vi * m.n - m.s)
+                      > 9 * (m.n * m.q - m.s * m.s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM base b JOIN mom m ON m.key = b.key
+ORDER BY id""",
+)
+def q157_zscore_outliers(spark, sf_dir):
+    """Anomaly screen with ZERO floating point: |v − µ| > 3σ cross-
+    multiplied into exact integer arithmetic — (vi·n − S)² > 9(nQ − S²)
+    over 10⁴-scaled values (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT), so
+    the flag is immune to summation order and bit-identical across
+    engines. Two map-heavy passes + a broadcast join-back of |groups|
+    rows."""
+    from tagtree_spark.operators.anomaly import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_outliers(ev).orderBy("id")
+
+
+@query(
+    "q158_k_anonymity",
+    """
+WITH g AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_b,
+         CAST(count(*) AS BIGINT) AS _n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(sum(_n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN _n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+       CAST(sum(CASE WHEN _n < 5 THEN _n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       CAST(min(_n) AS BIGINT) AS min_group_size
+FROM g""",
+)
+def q158_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (k=5) on (event_type, hour) quasi-identifiers:
+    group sizes below k re-identify their members — the privacy check a
+    table passes before leaving the pipeline. One hash agg on the
+    quasi-identifier + a tiny re-agg."""
+    from tagtree_spark.operators.profile import k_anonymity
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hour_b")
+    )
+    return k_anonymity(ev, ["event_type", "hour_b"], k=5)
+
+
+@query(
+    "q159_fd_check",
+    """
+SELECT * FROM (
+  SELECT 'lineitem.partkey->suppkey' AS fd,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(CASE WHEN _d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         CAST(sum(CASE WHEN _d > 1 THEN _n ELSE 0 END) AS BIGINT) AS n_rows_in_violating,
+         CAST(max(_d) AS BIGINT) AS max_rhs_variants
+  FROM (SELECT l_partkey, count(*) AS _n, count(DISTINCT l_suppkey) AS _d
+        FROM lineitem GROUP BY 1) t
+  UNION ALL
+  SELECT 'orders.orderkey->custkey',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN _d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN _d > 1 THEN _n ELSE 0 END) AS BIGINT),
+         CAST(max(_d) AS BIGINT)
+  FROM (SELECT o_orderkey, count(*) AS _n, count(DISTINCT o_custkey) AS _d
+        FROM orders GROUP BY 1) t
+) ORDER BY fd""",
+)
+def q159_fd_check(spark, sf_dir):
+    """Functional-dependency discovery: does part → supplier hold in
+    lineitem (no — parts ship from many suppliers) and order → customer
+    in orders (yes)? One lhs-keyed agg per FD carrying count +
+    distinct-rhs, tiny re-agg — the schema-inference / cleaning
+    primitive."""
+    from tagtree_spark.operators.profile import fd_check
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        fd_check(li, "lineitem.partkey->suppkey", "l_partkey", "l_suppkey")
+        .unionByName(fd_check(orders, "orders.orderkey->custkey", "o_orderkey", "o_custkey"))
+        .orderBy("fd")
+    )

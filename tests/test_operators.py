@@ -1543,3 +1543,37 @@ def test_phrase_search_adjacency_only(spark):
     got = {r.doc_id: r for r in phrase_search(docs, "big data").collect()}
     assert set(got) == {1}
     assert got[1].n_occ == 2 and got[1].first_pos == 0
+
+
+def test_zscore_outliers_flags_only_extreme(spark):
+    from tagtree_spark.operators.anomaly import zscore_outliers
+
+    # 20 values at ~10 and one at 1000: only the extreme flags at 3 sigma
+    rows = [("g", 10.0 + (i % 3) * 0.1, i) for i in range(20)] + [("g", 1000.0, 99)]
+    df = spark.createDataFrame(rows, ["event_type", "value", "event_id"])
+    got = {r.id: r.is_outlier for r in zscore_outliers(df).collect()}
+    assert got[99] == 1
+    assert all(v == 0 for i, v in got.items() if i != 99)
+
+
+def test_k_anonymity_counts_small_groups(spark):
+    from tagtree_spark.operators.profile import k_anonymity
+
+    rows = [("a", 1)] * 10 + [("b", 1)] * 2 + [("c", 2)] * 1
+    df = spark.createDataFrame(rows, ["qa", "qb"])
+    r = k_anonymity(df, ["qa", "qb"], k=5).collect()[0]
+    assert r.n_rows == 13 and r.n_groups == 3
+    assert r.n_small_groups == 2 and r.n_rows_at_risk == 3
+    assert r.min_group_size == 1
+
+
+def test_fd_check_holds_and_violates(spark):
+    from tagtree_spark.operators.profile import fd_check
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (2, "z"), (3, "w")], ["l", "r"]
+    )
+    r = fd_check(df, "l->r", "l", "r").collect()[0]
+    assert r.fd == "l->r"
+    assert r.n_groups == 3 and r.n_violating == 1
+    assert r.n_rows_in_violating == 2 and r.max_rhs_variants == 2
