@@ -865,3 +865,55 @@ def phrase_search(
         F.count("*").cast("bigint").alias("n_occ"),
         F.min("p0").cast("bigint").alias("first_pos"),
     )
+
+
+def materialize_postings(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text",
+    n_term_parts: int = 64,
+) -> None:
+    """Persist the POSITIONAL postings table ``(doc_id, pos, term)``
+    partitioned by ``tp = h60(term) % n_term_parts`` — the on-disk
+    inverted index with positions. Hash-prefix partitioning bounds the
+    directory count against an unbounded term domain while still letting
+    a k-term query read only k partitions (PartitionFilters; pinned by
+    plan test). The search-engine twin of the IVF vector store
+    (similarity.materialize_ivf) and the name-partitioned label postings
+    (tsdb/store.py)."""
+    toks = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+    toks.withColumn("tp", (h60("term") % n_term_parts).cast("int")).write.mode(
+        "overwrite"
+    ).partitionBy("tp").parquet(path)
+
+
+def store_phrase_search(
+    spark, path: str, phrase: str, n_term_parts: int = 64
+) -> DataFrame:
+    """Phrase search answered from the PERSISTED postings store → same
+    output as :func:`phrase_search`. The scan reads ONLY the phrase
+    terms' tp partitions (computed driver-side from the same h60) and
+    filters to the terms inside them — a k-term phrase touches k of
+    ``n_term_parts`` partitions no matter how large the corpus."""
+    import hashlib
+
+    terms = phrase.split(" ")
+    if len(terms) < 2:
+        raise ValueError("phrase needs >= 2 tokens")
+    tps = sorted(
+        {int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_term_parts for t in terms}
+    )
+    toks = (
+        spark.read.parquet(path)
+        .where(F.col("tp").isin(tps) & F.col("term").isin(terms))
+        .select("doc_id", "pos", "term")
+    )
+    m = toks.where(F.col("term") == terms[0]).select("doc_id", F.col("pos").alias("p0"))
+    for j, t in enumerate(terms[1:], start=1):
+        tj = toks.where(F.col("term") == t).select("doc_id", (F.col("pos") - j).alias("p0"))
+        m = m.join(tj, ["doc_id", "p0"])
+    return m.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_occ"),
+        F.min("p0").cast("bigint").alias("first_pos"),
+    )

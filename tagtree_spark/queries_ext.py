@@ -5169,3 +5169,74 @@ def q159_fd_check(spark, sf_dir):
         .unionByName(fd_check(orders, "orders.orderkey->custkey", "o_orderkey", "o_custkey"))
         .orderBy("fd")
     )
+
+
+# --------------------------------------------------------------------------
+# r5 batch: persisted positional postings + classifier eval
+# --------------------------------------------------------------------------
+
+# Session-cached persisted positional-postings store per (session, sf_dir),
+# like _IVF_CACHE for the vector store.
+_POSTINGS_CACHE: dict = {}
+
+
+def _postings_store(spark, sf_dir):
+    import tempfile
+
+    from tagtree_spark.operators.text import materialize_postings
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _POSTINGS_CACHE:
+        d = tempfile.mkdtemp(prefix="tagtree-postings-store-")
+        materialize_postings(_docs(spark, sf_dir), d)
+        _POSTINGS_CACHE[key] = d
+    return _POSTINGS_CACHE[key]
+
+
+@query("q160_store_phrase_search", _ORACLE_REG["q156_phrase_search"])
+def q160_store_phrase_search(spark, sf_dir):
+    """Phrase search through the PERSISTED positional postings store:
+    term-hash-partitioned layout; the scan reads ONLY the phrase terms'
+    tp partitions (PartitionFilters, pinned by plan test) — the
+    search-engine disk path next to q156's in-memory build, same
+    oracle."""
+    from tagtree_spark.operators.text import store_phrase_search
+
+    return store_phrase_search(
+        spark, _postings_store(spark, sf_dir), "customer query"
+    ).orderBy("doc_id")
+
+
+def _q161_oracle() -> str:
+    scores = []
+    for lang, lex in LANG_LEXICONS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in lex) + "]"
+        scores.append(
+            f"CAST(len(list_filter(w, t -> list_contains({arr}, t))) AS BIGINT) AS score_{lang}"
+        )
+    langs = list(LANG_LEXICONS)
+    g = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{lang} = {g} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+sc AS (SELECT doc_id, lang, {', '.join(scores)} FROM s),
+pr AS (SELECT doc_id, lang AS gold, {case} AS pred FROM sc)
+SELECT gold, pred, CAST(count(*) AS BIGINT) AS n
+FROM pr GROUP BY 1, 2 ORDER BY gold, pred"""
+
+
+@query("q161_lang_confusion", _q161_oracle())
+def q161_lang_confusion(spark, sf_dir):
+    """Classifier eval: confusion matrix of the lang-id heuristic (q29)
+    against the gold lang column — the audit every heuristic gate runs
+    before its decisions prune a corpus. Pure integer cells from one
+    (gold, pred) hash agg."""
+    from tagtree_spark.operators.evals import confusion_matrix
+
+    pred = lang_id(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("gold_lang"))
+    joined = docs.join(pred.select("doc_id", "pred_lang"), "doc_id")
+    return confusion_matrix(joined, "gold_lang", "pred_lang").orderBy("gold", "pred")

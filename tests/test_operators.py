@@ -1577,3 +1577,18 @@ def test_fd_check_holds_and_violates(spark):
     assert r.fd == "l->r"
     assert r.n_groups == 3 and r.n_violating == 1
     assert r.n_rows_in_violating == 2 and r.max_rhs_variants == 2
+
+
+def test_confusion_matrix_and_class_report(spark):
+    from tagtree_spark.operators.evals import class_report, confusion_matrix
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a")],
+        ["gold", "pred"],
+    )
+    cm = {(r.gold, r.pred): r.n for r in confusion_matrix(df, "gold", "pred").collect()}
+    assert cm == {("a", "a"): 1, ("a", "b"): 1, ("b", "b"): 2, ("c", "a"): 1}
+    rep = {r.label: r for r in class_report(df, "gold", "pred").collect()}
+    assert rep["a"].n_gold == 2 and rep["a"].n_pred == 2 and rep["a"].n_correct == 1
+    assert rep["b"].n_gold == 2 and rep["b"].n_pred == 3 and rep["b"].n_correct == 2
+    assert rep["c"].n_gold == 1 and rep["c"].n_pred == 0 and rep["c"].n_correct == 0

@@ -245,3 +245,18 @@ def test_interpolate_grid_windows_partition_by_tsid(spark):
     # both interpolation windows hash-partition on tsid — series count is
     # the parallelism, never a single-partition window
     assert single_partition_exchanges(interpolate_grid(samples)) == 0
+
+
+def test_postings_store_phrase_scan_prunes_term_partitions(spark, tmpdir):
+    from tagtree_spark.operators.text import materialize_postings, store_phrase_search
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)], ["doc_id", "text"]
+    )
+    path = f"{tmpdir}/postings"
+    materialize_postings(docs, path)
+    plan = store_phrase_search(spark, path, "alpha beta")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tp" in plan
+    # and the search itself is correct through the store
+    rows = store_phrase_search(spark, path, "alpha beta").collect()
+    assert len(rows) == 20 and all(r.n_occ == 1 and r.first_pos == 0 for r in rows)
