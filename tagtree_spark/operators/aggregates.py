@@ -293,3 +293,55 @@ def equidepth_bins(
         )
         .select(F.col("k").alias(key_col), "bucket", "n", "v_min", "v_max")
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Winsorization report → ``(key, n, p_lo, p_hi, n_clip_lo,
+    n_clip_hi)``: data-driven clip thresholds at the lo/hi discrete
+    quantiles (rank picks, ``floor(q·(n−1))+1`` — the repo-wide
+    convention) and how many rows each side would clip — the outlier-
+    robust scaler's calibration pass (clamp_stats' data-driven twin).
+
+    One per-key sort window for the picks, broadcast join-back of
+    |keys| rows for the clip counts. Values are PICKED, never averaged
+    — cross-engine exact for doubles."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("k"), F.col(val_col).alias("v"), F.col(id_col).alias("i")
+    )
+    w = Window.partitionBy("k").orderBy("v", "i")
+    wn = Window.partitionBy("k")
+    d = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nn", F.count("*").over(wn)
+    )
+    r_lo = F.floor(F.lit(lo) * (F.col("nn") - 1)) + 1
+    r_hi = F.floor(F.lit(hi) * (F.col("nn") - 1)) + 1
+    picks = d.groupBy("k").agg(
+        F.max(F.col("nn")).cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn") == r_lo, F.col("v"))).alias("p_lo"),
+        F.max(F.when(F.col("rn") == r_hi, F.col("v"))).alias("p_hi"),
+    )
+    return (
+        base.join(F.broadcast(picks), "k")
+        .groupBy("k")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p_lo").alias("p_lo"),
+            F.max("p_hi").alias("p_hi"),
+            F.sum(F.when(F.col("v") < F.col("p_lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_lo"),
+            F.sum(F.when(F.col("v") > F.col("p_hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_hi"),
+        )
+        .select(F.col("k").alias(key_col), "n", "p_lo", "p_hi", "n_clip_lo", "n_clip_hi")
+    )

@@ -852,3 +852,42 @@ def hard_negatives(
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): probe the query's bucket AND
+    every bucket at Hamming distance 1 (one hyperplane flipped — the
+    most-likely-miss neighbours), trading ``n_planes`` extra bucket reads
+    for the recall a single-probe LSH loses at the margins → (vec_id,
+    bucket, score) top-k.
+
+    Same scan shape as :func:`lsh_bucket_topk` — at scale the bucket
+    column is the partition key and this reads 1 + n_planes of the
+    2^n_planes partitions; the probe set is computed from the ONE query
+    row (broadcast)."""
+    planes = plane_weights(n_planes, dim)
+    with_bucket = spread(emb).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    )
+    q = with_bucket.where(F.col("vec_id") == query_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cond = F.col("bucket") == F.col("qbucket")
+    for j in range(n_planes):
+        cond = cond | (F.col("bucket") == F.col("qbucket").bitwiseXOR(F.lit(1 << j)))
+    scored = (
+        with_bucket.join(F.broadcast(q), cond)
+        .where(F.col("vec_id") != query_id)
+        .select("vec_id", "bucket", cosine("v", "qv").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), "vec_id").limit(k)

@@ -105,3 +105,27 @@ def salted_agg(
         F.sum("_n").cast("bigint").alias("n_rows"),
         *[F.sum(f"_s_{name}").alias(name) for name in sums],
     )
+
+
+def join_hotspots(
+    a: DataFrame, b: DataFrame, key_a: str, key_b: str, topk: int = 20
+) -> DataFrame:
+    """Join-amplification diagnosis → the ``topk`` keys by output-row
+    contribution ``n_a · n_b`` → ``(key, n_a, n_b, n_pairs)``. THE
+    pre-flight check before any large join: one hot key with 10⁵ rows
+    on each side emits 10¹⁰ pairs and stalls a single reducer at 100 TB
+    — this report (two key-counted aggs + a key join + TakeOrdered)
+    names those keys first, so the caller can salt (salted_agg), cap, or
+    pre-aggregate them."""
+    ca = a.groupBy(F.col(key_a).alias("key")).agg(
+        F.count("*").cast("bigint").alias("n_a")
+    )
+    cb = b.groupBy(F.col(key_b).alias("key")).agg(
+        F.count("*").cast("bigint").alias("n_b")
+    )
+    return (
+        ca.join(cb, "key")
+        .select("key", "n_a", "n_b", (F.col("n_a") * F.col("n_b")).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "key")
+        .limit(topk)
+    )

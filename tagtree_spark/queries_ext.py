@@ -5240,3 +5240,100 @@ def q161_lang_confusion(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("gold_lang"))
     joined = docs.join(pred.select("doc_id", "pred_lang"), "doc_id")
     return confusion_matrix(joined, "gold_lang", "pred_lang").orderBy("gold", "pred")
+
+
+# --------------------------------------------------------------------------
+# r5 batch: multi-probe ANN, winsorization, join diagnostics
+# --------------------------------------------------------------------------
+
+
+def _q162_oracle() -> str:
+    bucket = _bucket_sql(4)
+    probes = "q.qb, " + ", ".join(f"xor(q.qb, {1 << j})" for j in range(4))
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding, {bucket.format(v='embedding')} AS bucket FROM embeddings
+), q AS (
+  SELECT embedding AS qv, bucket AS qb FROM wb WHERE vec_id = 0
+)
+SELECT vec_id, bucket, dotp / (sqrt(na) * sqrt(nq)) AS score FROM (
+  SELECT vec_id, bucket,
+         {_DOT.format(a='embedding', b='qv')} AS dotp,
+         {_DOT.format(a='embedding', b='embedding')} AS na,
+         {_DOT.format(a='qv', b='qv')} AS nq
+  FROM wb, q WHERE wb.bucket IN ({probes}) AND vec_id <> 0
+) s
+ORDER BY score DESC, vec_id LIMIT 5"""
+
+
+@query("q162_multiprobe_ann", _q162_oracle())
+def q162_multiprobe_ann(spark, sf_dir):
+    """E3 multi-probe LSH ANN (Lv et al. 2007): probe the query's bucket
+    plus every 1-bit-flipped neighbour bucket — n_planes extra bucket
+    reads buy back the recall single-probe LSH loses at hyperplane
+    margins (q148 measures exactly that loss). Still a partition-pruned
+    scan shape: 5 of 16 buckets."""
+    from tagtree_spark.operators.similarity import lsh_multiprobe_topk
+
+    return lsh_multiprobe_topk(_emb(spark, sf_dir), query_id=0, k=5)
+
+
+@query(
+    "q163_winsorize",
+    """
+WITH base AS (
+  SELECT event_type AS k, value AS v, event_id AS i FROM events
+), d AS (
+  SELECT k, v, i,
+         row_number() OVER (PARTITION BY k ORDER BY v, i) AS rn,
+         count(*) OVER (PARTITION BY k) AS nn
+  FROM base
+), picks AS (
+  SELECT k, CAST(max(nn) AS BIGINT) AS n,
+         max(CASE WHEN rn = CAST(floor(0.05 * (nn - 1)) AS BIGINT) + 1 THEN v END) AS p_lo,
+         max(CASE WHEN rn = CAST(floor(0.95 * (nn - 1)) AS BIGINT) + 1 THEN v END) AS p_hi
+  FROM d GROUP BY 1
+)
+SELECT b.k AS event_type, max(p.n) AS n, max(p.p_lo) AS p_lo, max(p.p_hi) AS p_hi,
+       CAST(sum(CASE WHEN b.v < p.p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN b.v > p.p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+FROM base b JOIN picks p ON p.k = b.k
+GROUP BY 1 ORDER BY event_type""",
+)
+def q163_winsorize(spark, sf_dir):
+    """Winsorization calibration: per-group p5/p95 discrete rank picks
+    (the repo-wide floor(q·(n−1))+1 convention) + the clip counts each
+    side would incur — the outlier-robust scaler's audit, values picked
+    never averaged."""
+    from tagtree_spark.operators.aggregates import winsorize_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return winsorize_stats(ev).orderBy("event_type")
+
+
+@query(
+    "q164_join_hotspots",
+    """
+WITH ca AS (
+  SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS n_a
+  FROM lineitem GROUP BY 1
+), cb AS (
+  SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS n_b
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+)
+SELECT ca.key AS key, ca.n_a, cb.n_b, ca.n_a * cb.n_b AS n_pairs
+FROM ca JOIN cb ON cb.key = ca.key
+ORDER BY n_pairs DESC, key
+LIMIT 20""",
+)
+def q164_join_hotspots(spark, sf_dir):
+    """Join-amplification diagnosis for q144's self-join: top-20
+    orderkeys by contributed pair count n_a·n_b — the pre-flight skew
+    report run before any large join (hot keys then get salted, capped,
+    or pre-aggregated). Two key-counted aggs + key join + TakeOrdered."""
+    from tagtree_spark.operators.skew import join_hotspots
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_hotspots(
+        li, li.where(F.col("l_returnflag") == "R"), "l_orderkey", "l_orderkey"
+    )

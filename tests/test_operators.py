@@ -1592,3 +1592,36 @@ def test_confusion_matrix_and_class_report(spark):
     assert rep["a"].n_gold == 2 and rep["a"].n_pred == 2 and rep["a"].n_correct == 1
     assert rep["b"].n_gold == 2 and rep["b"].n_pred == 3 and rep["b"].n_correct == 2
     assert rep["c"].n_gold == 1 and rep["c"].n_pred == 0 and rep["c"].n_correct == 0
+
+
+def test_multiprobe_superset_of_single_probe(spark, embeddings):
+    from tagtree_spark.operators.similarity import lsh_bucket_topk, lsh_multiprobe_topk
+
+    single = {r.vec_id for r in lsh_bucket_topk(embeddings, 0, k=50).collect()}
+    multi_rows = lsh_multiprobe_topk(embeddings, 0, k=50).collect()
+    multi = {r.vec_id for r in multi_rows}
+    # multi-probe scans a superset of buckets: its candidate pool contains
+    # the single-probe pool, so the (same-k) result can only improve
+    assert len(multi) >= len(single)
+    buckets = {r.bucket for r in multi_rows}
+    assert len(buckets) >= 1  # neighbours may come from several buckets
+
+
+def test_winsorize_stats_hand_computed(spark):
+    from tagtree_spark.operators.aggregates import winsorize_stats
+
+    rows = [("g", float(v), v) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, ["event_type", "value", "event_id"])
+    r = winsorize_stats(df).collect()[0]
+    # floor(0.05*99)+1 = 5 -> value 5; floor(0.95*99)+1 = 95 -> value 95
+    assert r.n == 100 and r.p_lo == 5.0 and r.p_hi == 95.0
+    assert r.n_clip_lo == 4 and r.n_clip_hi == 5
+
+
+def test_join_hotspots_orders_by_amplification(spark):
+    from tagtree_spark.operators.skew import join_hotspots
+
+    a = spark.createDataFrame([(1,)] * 10 + [(2,)] * 3 + [(3,)] * 1, ["k"])
+    b = spark.createDataFrame([(1,)] * 2 + [(2,)] * 5, ["k"])
+    got = join_hotspots(a, b, "k", "k", topk=5).collect()
+    assert [(r.key, r.n_pairs) for r in got] == [(1, 20), (2, 15)]
