@@ -219,3 +219,25 @@ def bottomk_sample(
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= k)
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gains a
+    ``split`` column from ``h60(salt '#' id) % 100`` — <train_pct →
+    'train', <train_pct+val_pct → 'val', else 'test'. The id (never the
+    content) decides, so re-deriving the corpus, re-partitioning, or
+    re-running NEVER migrates a document across splits — the leakage
+    guarantee an rng-based splitter cannot give. Map-only."""
+    b = h60(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))) % 100
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)

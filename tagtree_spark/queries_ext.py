@@ -5337,3 +5337,68 @@ def q164_join_hotspots(spark, sf_dir):
     return join_hotspots(
         li, li.where(F.col("l_returnflag") == "R"), "l_orderkey", "l_orderkey"
     )
+
+
+# --------------------------------------------------------------------------
+# r5 batch: split manifest + dedup-then-sample composition
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q165_split_manifest",
+    f"""
+WITH sp AS (
+  SELECT doc_id, source,
+         CASE WHEN ({duck_h60("'split#' || CAST(doc_id AS VARCHAR)")}) % 100 < 80
+              THEN 'train'
+              WHEN ({duck_h60("'split#' || CAST(doc_id AS VARCHAR)")}) % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+FROM sp GROUP BY 1, 2
+ORDER BY source, split""",
+)
+def q165_split_manifest(spark, sf_dir):
+    """Deterministic train/val/test split manifest (80/10/10 on
+    h60('split#'||id) %% 100) audited per source — id-keyed, so rebuilds
+    and repartitions never migrate a document across splits (the leakage
+    guarantee RNG splits can't give). Map-only assign + one tiny agg."""
+    from tagtree_spark.operators.sampling import split_assign
+
+    docs = split_assign(_docs(spark, sf_dir))
+    return (
+        docs.groupBy("source", "split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "q166_dedup_then_sample",
+    f"""
+WITH surv AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY {duck_h60("text")}
+)
+SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source
+FROM documents d JOIN surv s ON s.doc_id = d.doc_id
+WHERE ({duck_h60("d.lang || ':' || CAST(d.doc_id AS VARCHAR)")}) % 100 < 20
+ORDER BY doc_id""",
+)
+def q166_dedup_then_sample(spark, sf_dir):
+    """Pipeline composition: exact-dedup survivors (q24's hash-groupBy)
+    feeding the deterministic stratified sampler (q48's bucket rule) —
+    the dedupe-before-sample ordering every corpus build needs (sampling
+    first would re-admit duplicates), declared as ONE plan: hash agg →
+    semi join → narrow filter."""
+    from tagtree_spark.operators.dedup import exact_dedup
+    from tagtree_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    surv = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(surv, "doc_id", "left_semi")
+    return (
+        stratified_sample(kept, pct=20, stratum_col="lang")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -1625,3 +1625,19 @@ def test_join_hotspots_orders_by_amplification(spark):
     b = spark.createDataFrame([(1,)] * 2 + [(2,)] * 5, ["k"])
     got = join_hotspots(a, b, "k", "k", topk=5).collect()
     assert [(r.key, r.n_pairs) for r in got] == [(1, 20), (2, 15)]
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    from tagtree_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    a = {r.doc_id: r.split for r in split_assign(df).collect()}
+    b = {r.doc_id: r.split for r in split_assign(df.repartition(7)).collect()}
+    assert a == b  # partitioning never moves a doc across splits
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    # roughly 80/10/10 over 500 ids
+    assert 320 <= c["train"] <= 480 and c["val"] >= 20 and c["test"] >= 20
