@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tagtree_spark.functions.hashing import duck_h60
+from tagtree_spark.functions.hashing import duck_h60, h60
 from tagtree_spark.io import load_table
 from tagtree_spark.operators.dedup import (
     exact_dedup,
@@ -5402,3 +5402,99 @@ def q166_dedup_then_sample(spark, sf_dir):
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# r5 batch: lakehouse CDC semantics (MERGE apply + time travel)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q167_cdc_apply",
+    f"""
+WITH ch AS (
+  SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'U' AS op, upper(text) AS text
+  FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + 100000, 'I' AS op, text
+  FROM documents WHERE doc_id % 3 = 2
+), kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = d.doc_id)
+), nxt AS (
+  SELECT doc_id, text FROM kept
+  UNION ALL
+  SELECT doc_id, text FROM ch WHERE op <> 'D'
+)
+SELECT doc_id, {duck_h60("text")} AS content_h60 FROM nxt
+ORDER BY doc_id""",
+)
+def q167_cdc_apply(spark, sf_dir):
+    """Lakehouse MERGE: apply a derived change set (delete ≡0 mod 3,
+    uppercase-update ≡1, insert-copy ≡2) to the corpus snapshot — one
+    key anti-join + one union, upsert semantics. The next-snapshot
+    content hashes verify every row moved correctly."""
+    from tagtree_spark.operators.cdc import apply_changes
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    m = F.col("doc_id") % 3
+    ch = (
+        docs.where(m == 0).select("doc_id", F.lit("D").alias("op"), F.lit(None).cast("string").alias("text"))
+        .unionByName(docs.where(m == 1).select("doc_id", F.lit("U").alias("op"), F.upper("text").alias("text")))
+        .unionByName(docs.where(m == 2).select((F.col("doc_id") + 100000).alias("doc_id"), F.lit("I").alias("op"), "text"))
+    )
+    nxt = apply_changes(docs, ch)
+    return nxt.select("doc_id", h60("text").alias("content_h60")).orderBy("doc_id")
+
+
+@query(
+    "q168_time_travel",
+    r"""
+WITH log AS (
+  SELECT doc_id, 1 AS version, 'U' AS op, text FROM documents
+  UNION ALL
+  SELECT doc_id, 2 AS version, 'U' AS op,
+         regexp_replace(text, '\b(customer|query|vector)\b', '<TERM>', 'g') AS text
+  FROM documents
+  WHERE len(regexp_extract_all(text, '\b(customer|query|vector)\b')) > 0
+  UNION ALL
+  SELECT doc_id, 3 AS version, 'D' AS op, CAST(NULL AS VARCHAR) AS text
+  FROM documents WHERE n_chars < 200
+), snap AS (
+  SELECT doc_id, op, text FROM (
+    SELECT doc_id, op, text,
+           row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+    FROM log WHERE version <= 2
+  ) t WHERE rn = 1
+)
+SELECT doc_id, """ + duck_h60("text") + r""" AS content_h60
+FROM snap WHERE op <> 'D'
+ORDER BY doc_id""",
+)
+def q168_time_travel(spark, sf_dir):
+    """Time travel over an append-only version log (v1 load, v2 redaction
+    pass, v3 short-doc purge): reconstruct AS OF v2 — latest ≤v row per
+    key via one argmax window, tombstones dropped, version predicate
+    prunes the log scan. Snapshot v2 sees redactions but not the purge."""
+    from tagtree_spark.operators.cdc import snapshot_as_of
+    from tagtree_spark.operators.text import REDACT_PATTERN
+
+    docs = _docs(spark, sf_dir)
+    v1 = docs.select("doc_id", F.lit(1).alias("version"), F.lit("U").alias("op"), "text")
+    v2 = (
+        docs.where(F.size(F.regexp_extract_all("text", F.lit(REDACT_PATTERN), 0)) > 0)
+        .select(
+            "doc_id", F.lit(2).alias("version"), F.lit("U").alias("op"),
+            F.regexp_replace("text", REDACT_PATTERN, "<TERM>").alias("text"),
+        )
+    )
+    v3 = docs.where(F.col("n_chars") < 200).select(
+        "doc_id", F.lit(3).alias("version"), F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    log = v1.unionByName(v2).unionByName(v3)
+    asof = snapshot_as_of(log, 2)
+    return asof.select("doc_id", h60("text").alias("content_h60")).orderBy("doc_id")

@@ -1641,3 +1641,37 @@ def test_split_assign_deterministic_and_complete(spark):
     assert c["train"] > c["val"] and c["train"] > c["test"]
     # roughly 80/10/10 over 500 ids
     assert 320 <= c["train"] <= 480 and c["val"] >= 20 and c["test"] >= 20
+
+
+def test_apply_changes_merge_semantics(spark):
+    from tagtree_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], ["doc_id", "text"]
+    )
+    ch = spark.createDataFrame(
+        [(2, "U", "TWO"), (3, "D", None), (4, "I", "four"), (1, "I", "ONE")],
+        ["doc_id", "op", "text"],
+    )
+    got = {r.doc_id: r.text for r in apply_changes(base, ch).collect()}
+    # U updates, D deletes, I inserts, I on existing key replaces
+    assert got == {1: "ONE", 2: "TWO", 4: "four"}
+
+
+def test_snapshot_as_of_versions(spark):
+    from tagtree_spark.operators.cdc import snapshot_as_of
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "U", "a1"), (1, 2, "U", "a2"), (1, 3, "D", None),
+            (2, 1, "U", "b1"),
+            (3, 2, "U", "c2"),
+        ],
+        ["doc_id", "version", "op", "text"],
+    )
+    v1 = {r.doc_id: r.text for r in snapshot_as_of(log, 1).collect()}
+    v2 = {r.doc_id: r.text for r in snapshot_as_of(log, 2).collect()}
+    v3 = {r.doc_id: r.text for r in snapshot_as_of(log, 3).collect()}
+    assert v1 == {1: "a1", 2: "b1"}
+    assert v2 == {1: "a2", 2: "b1", 3: "c2"}
+    assert v3 == {2: "b1", 3: "c2"}  # tombstone applied
