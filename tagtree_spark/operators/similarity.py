@@ -891,3 +891,54 @@ def lsh_multiprobe_topk(
         .select("vec_id", "bucket", cosine("v", "qv").alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), "vec_id").limit(k)
+
+
+def class_prototypes(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space health check → ``(label_a, label_b, cos)`` for
+    every unordered label pair: cosine between the CLASS PROTOTYPES
+    (per-label centroid vectors). Collapsed prototypes (cos → 1) mean
+    the embedding can't separate those classes — the report to read
+    before trusting label-conditioned retrieval or hard-negative mining
+    (q151) on a space.
+
+    Exactness: centroids come from 2^-40-quantized per-dim integer sums
+    (order-free, DECIMAL(38,0) — q134's machinery) divided once; the
+    pair cosine is a sequential fold. |labels| centroids → the pair join
+    is |L|²/2 rows of 64 floats — broadcast scale regardless of corpus
+    size; the corpus itself is touched by ONE posexplode + hash agg."""
+    ex = emb.select(
+        F.col(label_col).alias("lbl"), F.posexplode(vec_col).alias("p", "x")
+    ).select(
+        "lbl",
+        F.col("p").alias("d"),
+        F.round(F.col("x").cast("double") * F.lit(float(MOMENT_SCALE)))
+        .cast("bigint")
+        .alias("v"),
+    )
+    cent = ex.groupBy("lbl", "d").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+    )
+    mean = (
+        F.col("s").cast("double") / F.lit(float(MOMENT_SCALE)) / F.col("n").cast("double")
+    )
+    arrs = (
+        cent.select("lbl", "d", mean.alias("m"))
+        .groupBy("lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda t: t["m"]
+            ).alias("c")
+        )
+    )
+    a = arrs.select(F.col("lbl").alias("label_a"), F.col("c").alias("ca"))
+    b = arrs.select(F.col("lbl").alias("label_b"), F.col("c").alias("cb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", cosine("ca", "cb").alias("cos"))
+    )

@@ -917,3 +917,38 @@ def store_phrase_search(
         F.count("*").cast("bigint").alias("n_occ"),
         F.min("p0").cast("bigint").alias("first_pos"),
     )
+
+
+def token_windows(
+    docs: DataFrame,
+    size: int = 32,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-context training windows with overlap → ``(doc_id, start,
+    w_h60)``: every ``size``-token window at ``stride`` offsets (the LM
+    training-example extractor — stride < size keeps cross-boundary
+    context that disjoint chunking loses). Documents shorter than one
+    window emit nothing; each window's joined text is hashed end-to-end
+    so the oracle verifies the exact content, not just offsets.
+
+    1→N narrow explode — tokens are materialized ONCE per doc (own
+    withColumn), each window is a bounded slice. At 100 TB this is the
+    map-only stage before packing (operators/packing.py)."""
+    toks = spread(docs).withColumn("_toks", F.split(F.col(text_col), " ")).where(
+        F.size("_toks") >= size
+    )
+    starts = F.sequence(F.lit(0), F.size("_toks") - size, F.lit(stride))
+    return (
+        toks.select(
+            F.col(id_col).alias("doc_id"), "_toks", F.explode(starts).alias("start")
+        )
+        .select(
+            "doc_id",
+            F.col("start").cast("bigint").alias("start"),
+            h60(F.concat_ws(" ", F.slice("_toks", F.col("start") + 1, size))).alias(
+                "w_h60"
+            ),
+        )
+    )

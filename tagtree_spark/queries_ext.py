@@ -5498,3 +5498,74 @@ def q168_time_travel(spark, sf_dir):
     log = v1.unionByName(v2).unionByName(v3)
     asof = snapshot_as_of(log, 2)
     return asof.select("doc_id", h60("text").alias("content_h60")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# r5 batch: class prototypes + LM token windows
+# --------------------------------------------------------------------------
+
+
+def _q169_oracle() -> str:
+    cos = (
+        f"({_DOT.format(a='a.c', b='b.c')}) / "
+        f"(sqrt({_DOT.format(a='a.c', b='a.c')}) * "
+        f"sqrt({_DOT.format(a='b.c', b='b.c')}))"
+    )
+    return f"""
+WITH ex AS (
+  SELECT label AS lbl, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                    * CAST(1099511627776 AS DOUBLE)) AS BIGINT) AS v
+  FROM embeddings
+), cent AS (
+  SELECT lbl, d, CAST(count(*) AS BIGINT) AS n, sum(CAST(v AS HUGEINT)) AS s
+  FROM ex GROUP BY 1, 2
+), m AS (
+  SELECT lbl, d,
+         CAST(s AS DOUBLE) / CAST(1099511627776 AS DOUBLE) / CAST(n AS DOUBLE) AS m
+  FROM cent
+), arrs AS (
+  SELECT lbl, list(m ORDER BY d) AS c FROM m GROUP BY lbl
+)
+SELECT a.lbl AS label_a, b.lbl AS label_b, {cos} AS cos
+FROM arrs a JOIN arrs b ON a.lbl < b.lbl
+ORDER BY label_a, label_b"""
+
+
+@query("q169_class_prototypes", _q169_oracle())
+def q169_class_prototypes(spark, sf_dir):
+    """E3+ embedding-space health: cosine between per-label CENTROID
+    prototypes for every label pair — collapsed prototypes mean the
+    space can't separate those classes (read before trusting
+    label-conditioned retrieval or q151's mining). Centroids from
+    integer-exact quantized sums (q134 machinery), pair join is
+    |L|²/2 tiny rows; the corpus is touched once."""
+    from tagtree_spark.operators.similarity import class_prototypes
+
+    return class_prototypes(_emb(spark, sf_dir)).orderBy("label_a", "label_b")
+
+
+@query(
+    "q170_token_windows",
+    """
+WITH dw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), ok AS (
+  SELECT doc_id, w FROM dw WHERE len(w) >= 32
+), st AS (
+  SELECT doc_id, w, unnest(range(0, len(w) - 31, 16)) AS s FROM ok
+)
+SELECT doc_id, CAST(s AS BIGINT) AS start,
+       """
+    + duck_h60("array_to_string(list_slice(w, CAST(s + 1 AS INT), CAST(s + 32 AS INT)), ' ')")
+    + """ AS w_h60
+FROM st ORDER BY doc_id, start""",
+)
+def q170_token_windows(spark, sf_dir):
+    """E4+ LM training windows: every 32-token context at stride 16
+    (overlap keeps cross-boundary context disjoint chunking loses), each
+    window's exact text hashed end-to-end. Map-only 1→N explode, the
+    stage before sequence packing (q59)."""
+    from tagtree_spark.operators.text import token_windows
+
+    return token_windows(_docs(spark, sf_dir)).orderBy("doc_id", "start")

@@ -1675,3 +1675,36 @@ def test_snapshot_as_of_versions(spark):
     assert v1 == {1: "a1", 2: "b1"}
     assert v2 == {1: "a2", 2: "b1", 3: "c2"}
     assert v3 == {2: "b1", 3: "c2"}  # tombstone applied
+
+
+def test_class_prototypes_identical_labels_collapse(spark):
+    from tagtree_spark.operators.similarity import class_prototypes
+
+    # labels x and y hold IDENTICAL vectors -> prototype cosine == 1;
+    # label z is orthogonal -> cosine 0 with both
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    vz = [0.0, 1.0, 0.0, 0.0]
+    rows = [(1, v1, "x"), (2, v1, "y"), (3, vz, "z"), (4, v1, "x")]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {(r.label_a, r.label_b): r.cos for r in class_prototypes(emb, dim=4).collect()}
+    assert abs(got[("x", "y")] - 1.0) < 1e-12
+    assert abs(got[("x", "z")]) < 1e-12 and abs(got[("y", "z")]) < 1e-12
+
+
+def test_token_windows_offsets_and_content(spark):
+    import hashlib
+
+    from tagtree_spark.operators.text import token_windows
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame([(1, text), (2, "too short")], ["doc_id", "text"])
+    got = sorted(
+        token_windows(docs, size=4, stride=3).collect(), key=lambda r: r.start
+    )
+    # starts: 0, 3, 6 (last window t6..t9)
+    assert [r.start for r in got] == [0, 3, 6]
+    toks = text.split(" ")
+    for r in got:
+        w = " ".join(toks[r.start : r.start + 4])
+        assert r.w_h60 == int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+    assert all(r.doc_id == 1 for r in got)  # short doc emits nothing
