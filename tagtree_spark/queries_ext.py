@@ -5569,3 +5569,138 @@ def q170_token_windows(spark, sf_dir):
     from tagtree_spark.operators.text import token_windows
 
     return token_windows(_docs(spark, sf_dir)).orderBy("doc_id", "start")
+
+
+# --------------------------------------------------------------------------
+# r5 batch: hybrid retrieval — RRF fusion + BM25
+# --------------------------------------------------------------------------
+
+
+def _q171_oracle() -> str:
+    cos = (
+        f"({_DOT.format(a='e.embedding', b='qq.qv')}) / "
+        f"(sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) * "
+        f"sqrt({_DOT.format(a='qq.qv', b='qq.qv')}))"
+    )
+    return f"""
+WITH dw AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents
+), q AS (
+  SELECT w AS qw FROM dw WHERE doc_id = 0
+), ta AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY len(list_intersect(w, qw)) DESC, doc_id)
+           AS rank
+  FROM dw, q WHERE doc_id <> 0
+), vb AS (
+  SELECT vec_id AS id,
+         row_number() OVER (ORDER BY {cos} DESC, vec_id) AS rank
+  FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) qq
+  WHERE vec_id <> 0
+)
+SELECT ta.id AS id,
+       CAST(ta.rank AS BIGINT) AS r_text, CAST(vb.rank AS BIGINT) AS r_vec,
+       (CAST(0 AS DOUBLE)
+        + (CAST(1 AS DOUBLE) / CAST(60 + ta.rank AS DOUBLE)))
+        + (CAST(1 AS DOUBLE) / CAST(60 + vb.rank AS DOUBLE)) AS rrf
+FROM ta JOIN vb ON vb.id = ta.id
+ORDER BY rrf DESC, id LIMIT 20"""
+
+
+@query("q171_rrf_fusion", _q171_oracle())
+def q171_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal rank fusion (Cormack et al. 2009) of
+    a LEXICAL ranking (shared distinct tokens with doc 0) and a DENSE
+    ranking (embedding cosine to vec 0) — Σ 1/(60+rank), added in fixed
+    bracketed order. The calibration-free way to merge the engine's two
+    retrieval families into one list; all per-query structures are
+    bounded top-N rows."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.operators.retrieval import rrf_fuse
+    from tagtree_spark.operators.similarity import cosine
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    qw = docs.where(F.col("doc_id") == 0).select(F.col("w").alias("qw"))
+    wt = Window.orderBy(F.size(F.array_intersect("w", "qw")).desc(), "doc_id")
+    ta = (
+        docs.where(F.col("doc_id") != 0)
+        .join(F.broadcast(qw))
+        .select(F.col("doc_id").alias("id"), F.row_number().over(wt).alias("rank"))
+    )
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    wv = Window.orderBy(cosine("embedding", "qv").desc(), "vec_id")
+    vb = (
+        emb.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(F.col("vec_id").alias("id"), F.row_number().over(wv).alias("rank"))
+    )
+    fused = rrf_fuse([ta, vb])
+    return (
+        fused.join(ta.select("id", F.col("rank").cast("bigint").alias("r_text")), "id")
+        .join(vb.select("id", F.col("rank").cast("bigint").alias("r_vec")), "id")
+        .select("id", "r_text", "r_vec", "rrf")
+        .orderBy(F.col("rrf").desc(), "id")
+        .limit(20)
+    )
+
+
+@query(
+    "q172_bm25",
+    """
+WITH tc AS (
+  SELECT doc_id, len(w) AS dl,
+         len(list_filter(w, x -> x = 'customer')) AS c0,
+         len(list_filter(w, x -> x = 'query')) AS c1,
+         len(list_filter(w, x -> x = 'vector')) AS c2
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+), gs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         CAST(sum(CASE WHEN c0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM tc
+)
+SELECT doc_id,
+       CAST((CASE WHEN c0 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN c1 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_hit,
+       ((CAST(0 AS DOUBLE)
+         + (CASE WHEN c0 > 0 THEN
+              CAST((1000000 * n_docs) // df0 AS DOUBLE)
+              * (CAST(c0 AS DOUBLE) * 2.25)
+              / (CAST(c0 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END))
+         + (CASE WHEN c1 > 0 THEN
+              CAST((1000000 * n_docs) // df1 AS DOUBLE)
+              * (CAST(c1 AS DOUBLE) * 2.25)
+              / (CAST(c1 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END))
+         + (CASE WHEN c2 > 0 THEN
+              CAST((1000000 * n_docs) // df2 AS DOUBLE)
+              * (CAST(c2 AS DOUBLE) * 2.25)
+              / (CAST(c2 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END) AS score
+FROM tc, gs
+WHERE c0 > 0 OR c1 > 0 OR c2 > 0
+ORDER BY score DESC, doc_id LIMIT 20""",
+)
+def q172_bm25(spark, sf_dir):
+    """BM25 (k1=1.25, b=0.75 — exact-binary constants) for the query
+    {customer, query, vector}: integer idf surrogate (no libm ln), ONE
+    fold computes every per-doc term frequency and the doc length,
+    corpus stats broadcast back, term scores added in fixed bracketed
+    order — deterministic doubles, top-20."""
+    from tagtree_spark.operators.retrieval import bm25_scores
+
+    return (
+        bm25_scores(_docs(spark, sf_dir), ["customer", "query", "vector"])
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

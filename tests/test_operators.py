@@ -1708,3 +1708,34 @@ def test_token_windows_offsets_and_content(spark):
         w = " ".join(toks[r.start : r.start + 4])
         assert r.w_h60 == int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
     assert all(r.doc_id == 1 for r in got)  # short doc emits nothing
+
+
+def test_rrf_fuse_combines_and_handles_missing(spark):
+    from tagtree_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["id", "rank"])
+    b = spark.createDataFrame([(2, 1), (3, 2)], ["id", "rank"])
+    got = {r.id: r.rrf for r in rrf_fuse([a, b], k=60).collect()}
+    assert abs(got[1] - 1 / 61) < 1e-15
+    assert abs(got[2] - (1 / 62 + 1 / 61)) < 1e-15
+    assert abs(got[3] - 1 / 62) < 1e-15
+    assert max(got, key=got.get) == 2  # present in both wins
+
+
+def test_bm25_ranks_tf_and_rarity(spark):
+    from tagtree_spark.operators.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple pie"),   # high tf of rare term
+            (2, "apple tart and crust"),    # single hit
+            (3, "banana bread and butter"), # common term only
+            (4, "banana banana split"),
+            (5, "plain scone no fruit"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in bm25_scores(docs, ["apple", "banana"]).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].score > got[2].score  # higher tf wins within a term
+    assert got[1].n_terms_hit == 1 and got[2].n_terms_hit == 1
