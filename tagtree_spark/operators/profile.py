@@ -131,3 +131,54 @@ def fd_check(df: DataFrame, name: str, lhs: str, rhs: str) -> DataFrame:
         .alias("n_rows_in_violating"),
         F.max("_d").cast("bigint").alias("max_rhs_variants"),
     )
+
+
+def chi2_contingency(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-square independence test over a contingency table →
+    ONE row ``(n, n_cells, dof, chi2)`` — the drift test: are the two
+    categoricals (e.g. time-half × event type) independent? Large chi2
+    vs dof ⇒ the distribution moved.
+
+    Exactness discipline: every count is an integer; each cell's
+    (o−e)²/e uses ONE fixed IEEE chain, and the cell terms are summed by
+    an ORDERED fold over (row, col)-sorted cells — same bracketing in
+    both engines, so chi2 is bit-deterministic. One (row, col) hash agg
+    + tiny broadcast total joins; cells ≤ |rows|·|cols|."""
+    obs = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").cast("bigint").alias("rt"))
+    ct = obs.groupBy("c").agg(F.sum("o").cast("bigint").alias("ct"))
+    gt = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    # FULL row x col lattice (tiny: |rows| x |cols|), so combinations the
+    # data never produced still contribute their (0 - e)^2/e term — a
+    # vanished category is exactly the drift the test must see
+    cells = (
+        rt.join(F.broadcast(ct))
+        .join(F.broadcast(obs), ["r", "c"], "left")
+        .select("r", "c", "rt", "ct", F.coalesce("o", F.lit(0)).cast("bigint").alias("o"))
+    )
+    e = (F.col("rt").cast("double") * F.col("ct").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    term = (
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    )
+    terms = cells.join(F.broadcast(gt)).select("r", "c", F.col("n"), term.alias("t"))
+    return terms.groupBy().agg(
+        F.max("n").alias("n"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        (
+            (F.count_distinct("r") - 1) * (F.count_distinct("c") - 1)
+        ).cast("bigint").alias("dof"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("r", "c", "t"))),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2"),
+    )

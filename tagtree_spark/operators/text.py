@@ -952,3 +952,50 @@ def token_windows(
             ),
         )
     )
+
+
+def bigram_novelty(
+    train: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution-shift screen → per target doc ``(doc_id, n_bg,
+    n_seen, novelty_pct)``: the fraction of the doc's word bigrams never
+    seen in the TRAIN corpus — the held-out novelty score that flags a
+    crawl drifting away from (or duplicating) the reference corpus
+    before any model sees it.
+
+    Train side reduces to a distinct bigram-hash set (one hash agg);
+    target bigrams left-semi-count against it via ONE equi-join on the
+    60-bit hash. Integer percent output."""
+    def bigrams(df):
+        toks = spread(df).withColumn("_toks", F.split(F.col(text_col), " ")).where(
+            F.size("_toks") >= 2
+        )
+        return toks.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(
+                    F.slice("_toks", 1, F.size("_toks") - 1),
+                    lambda w, i: h60(
+                        F.concat_ws(" ", w, F.element_at("_toks", i + 2))
+                    ),
+                )
+            ).alias("bg"),
+        )
+
+    seen = bigrams(train).select("bg").distinct().withColumn("_hit", F.lit(1))
+    tb = bigrams(target)
+    # no broadcast hint: the train bigram set grows with the corpus — let
+    # AQE choose; the join key is the 60-bit hash either way
+    joined = tb.join(seen, "bg", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bg"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_seen"),
+    ).select(
+        "doc_id",
+        "n_bg",
+        "n_seen",
+        F.expr("100 * (n_bg - n_seen) div n_bg").cast("bigint").alias("novelty_pct"),
+    )

@@ -5704,3 +5704,88 @@ def q172_bm25(spark, sf_dir):
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# r5 batch: distribution-shift screens — bigram novelty + chi-square drift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q173_bigram_novelty",
+    """
+WITH dw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), bg AS (
+  SELECT doc_id, """
+    + duck_h60("w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]")
+    + """ AS bg
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM dw WHERE len(w) >= 2) t
+), seen AS (
+  SELECT DISTINCT bg FROM bg WHERE doc_id % 2 = 0
+), tgt AS (
+  SELECT doc_id, b.bg, CASE WHEN s.bg IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM bg b LEFT JOIN seen s ON s.bg = b.bg
+  WHERE doc_id % 2 = 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+       CAST(sum(hit) AS BIGINT) AS n_seen,
+       CAST(100 * (count(*) - sum(hit)) // count(*) AS BIGINT) AS novelty_pct
+FROM tgt GROUP BY doc_id ORDER BY doc_id""",
+)
+def q173_bigram_novelty(spark, sf_dir):
+    """Distribution-shift screen: odd docs scored by the fraction of
+    their word bigrams NEVER seen in the even-doc reference corpus —
+    the held-out novelty metric that flags a drifting (or duplicated)
+    crawl before training. Train side = one distinct-hash agg; target
+    side = one equi-join on the 60-bit bigram hash; integer percent."""
+    from tagtree_spark.operators.text import bigram_novelty
+
+    docs = _docs(spark, sf_dir)
+    return bigram_novelty(
+        docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1)
+    ).orderBy("doc_id")
+
+
+@query(
+    "q174_chi2_drift",
+    """
+WITH src AS (
+  SELECT CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) % 2 = 0 THEN 'h0' ELSE 'h1' END AS r,
+         event_type AS c
+  FROM events
+), obs AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM src GROUP BY 1, 2
+), rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+gt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT rt.r, ct.c, rt.rt, ct.ct, CAST(coalesce(obs.o, 0) AS BIGINT) AS o
+  FROM rt CROSS JOIN ct LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c
+), terms AS (
+  SELECT r, c, n,
+         (CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n AS DOUBLE))
+         * (CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n AS DOUBLE))
+         / ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n AS DOUBLE)) AS t
+  FROM cells, gt
+)
+SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
+       list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+           list(t ORDER BY r, c)), (x, y) -> x + y) AS chi2
+FROM terms""",
+)
+def q174_chi2_drift(spark, sf_dir):
+    """Chi-square drift test: is event-type mix independent of an
+    even/odd-µs time split? Full row×col lattice (absent combos
+    contribute their (0−e)²/e — a vanished category IS drift), every
+    cell term one fixed IEEE chain, summed by an ordered fold — chi2 is
+    bit-deterministic. One (r, c) hash agg + tiny total joins."""
+    from tagtree_spark.operators.profile import chi2_contingency
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.unix_micros("ts") % 2 == 0, "h0").otherwise("h1").alias("half"),
+        "event_type",
+    )
+    return chi2_contingency(ev, "half", "event_type")

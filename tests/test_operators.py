@@ -1739,3 +1739,32 @@ def test_bm25_ranks_tf_and_rarity(spark):
     assert set(got) == {1, 2, 3, 4}
     assert got[1].score > got[2].score  # higher tf wins within a term
     assert got[1].n_terms_hit == 1 and got[2].n_terms_hit == 1
+
+
+def test_bigram_novelty_extremes(spark):
+    from tagtree_spark.operators.text import bigram_novelty
+
+    train = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(10, "a b c"), (11, "x y z"), (12, "a b x y")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in bigram_novelty(train, target).collect()}
+    assert got[10].novelty_pct == 0 and got[10].n_bg == 2 and got[10].n_seen == 2
+    assert got[11].novelty_pct == 100 and got[11].n_seen == 0
+    assert got[12].n_bg == 3 and got[12].n_seen == 1  # only 'a b' seen
+
+
+def test_chi2_zero_on_independent_and_positive_on_drift(spark):
+    from tagtree_spark.operators.profile import chi2_contingency
+
+    # perfectly proportional table -> chi2 == 0
+    rows = [("h0", "a")] * 10 + [("h0", "b")] * 20 + [("h1", "a")] * 5 + [("h1", "b")] * 10
+    df = spark.createDataFrame(rows, ["half", "t"])
+    r = chi2_contingency(df, "half", "t").collect()[0]
+    assert r.n == 45 and r.dof == 1 and abs(r.chi2) < 1e-12
+    # vanished category in h1 -> large chi2, and the zero cell is counted
+    rows2 = [("h0", "a")] * 10 + [("h0", "b")] * 10 + [("h1", "a")] * 10
+    r2 = chi2_contingency(
+        spark.createDataFrame(rows2, ["half", "t"]), "half", "t"
+    ).collect()[0]
+    assert r2.n_cells == 4 and r2.chi2 > 3.84  # > 95th pct of chi2(dof=1)
