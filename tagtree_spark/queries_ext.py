@@ -5789,3 +5789,55 @@ def q174_chi2_drift(spark, sf_dir):
         "event_type",
     )
     return chi2_contingency(ev, "half", "event_type")
+
+
+# --------------------------------------------------------------------------
+# r5 batch: cross-series lagged correlation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q175_lagged_xcorr",
+    TSDB_CTE
+    + """
+, labeled AS (
+  SELECT se.event_type, sa.ts, sa.value
+  FROM samples sa JOIN series se ON se.tsid = sa.tsid
+), hv AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT)) AS hv
+  FROM labeled WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), a AS (SELECT hour AS ha, hv AS va FROM hv WHERE event_type = 'click'),
+b AS (SELECT hour AS hb, hv AS vb FROM hv WHERE event_type = 'purchase'),
+al AS (SELECT ha, va, l.lag FROM a, (SELECT unnest([-2, -1, 0, 1, 2]) AS lag) l),
+j AS (SELECT al.lag, al.va, b.vb FROM al JOIN b ON b.hb = al.ha + al.lag),
+sums AS (
+  SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+         sum(va) AS sa, sum(vb) AS sb,
+         sum(va * vb) AS sab, sum(va * va) AS saa, sum(vb * vb) AS sbb
+  FROM j GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+       CAST(n * sab - sa * sb AS DOUBLE)
+         / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+            * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) AS r
+FROM sums
+WHERE n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+ORDER BY lag""",
+)
+def q175_lagged_xcorr(spark, sf_dir):
+    """Cross-series analytics: Pearson correlation of hourly CLICK volume
+    vs hourly PURCHASE volume (each = every matching series of the label
+    matcher, resolved through the index and summed) at hour lags −2..+2
+    — "does A lead B?", the question PromQL's lag-0 binary ops can't
+    ask. Six exact integer sums (DECIMAL(38,0) ≡ HUGEINT) per lag, one
+    final IEEE chain; degenerate lags dropped on an exact predicate."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.rollup import lagged_xcorr
+
+    series, _, samples = _model(spark, sf_dir)
+    labeled = samples.join(series.select("tsid", "event_type"), "tsid")
+    a = labeled.where(F.col("event_type") == "click").select("ts", "value")
+    b = labeled.where(F.col("event_type") == "purchase").select("ts", "value")
+    return lagged_xcorr(a, b).orderBy("lag")

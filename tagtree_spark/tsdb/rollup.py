@@ -149,3 +149,63 @@ def interpolate_grid(samples: DataFrame, step: str = "1 hour") -> DataFrame:
             F.when(F.col("pe") == ge, F.col("pv")).otherwise(interp).alias("v_interp"),
         )
     )
+
+
+def lagged_xcorr(
+    a_samples: DataFrame,
+    b_samples: DataFrame,
+    lags: tuple = (-2, -1, 0, 1, 2),
+) -> DataFrame:
+    """Cross-series analytics: Pearson correlation between two sample
+    streams' HOURLY rollups at several hour lags → ``(lag, n, r)`` —
+    the "does metric A lead metric B?" question PromQL cannot ask (its
+    binary ops only align at lag 0). Each input is any ``(ts, value)``
+    frame — a single series, or every series of a matcher resolved
+    through the index and summed.
+
+    Exactness: hourly values are 10⁴-scaled integer sums
+    (DECIMAL(38,0) ≡ DuckDB HUGEINT); all six correlation sums (n, Σa,
+    Σb, Σab, Σa², Σb²) stay exact integers, and r is ONE final IEEE
+    chain over their correctly-rounded double casts — deterministic
+    cross-engine. Lags with zero variance in the overlap are dropped
+    BEFORE the division (exact integer predicate). Shape: one hourly
+    agg per side, a |lags|-way explode of side A's (tiny) hour list,
+    one equi-join per lagged hour key."""
+
+    def hourly(df, out):
+        return (
+            df.select(
+                F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+                (F.col("value").cast("decimal(18,4)") * 10000)
+                .cast("decimal(38,0)")
+                .alias("vi"),
+            )
+            .groupBy("hour")
+            .agg(F.sum("vi").cast("decimal(38,0)").alias(out))
+        )
+
+    a = hourly(a_samples, "va").select(F.col("hour").alias("ha"), "va")
+    b = hourly(b_samples, "vb").select(F.col("hour").alias("hb"), "vb")
+    al = a.select(
+        "ha", "va", F.explode(F.array(*[F.lit(int(L)) for L in lags])).alias("lag")
+    )
+    j = al.join(b, al.ha + al.lag == b.hb)
+    sums = j.groupBy("lag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("va").cast("decimal(38,0)").alias("sa"),
+        F.sum("vb").cast("decimal(38,0)").alias("sb"),
+        F.sum(F.col("va") * F.col("vb")).cast("decimal(38,0)").alias("sab"),
+        F.sum(F.col("va") * F.col("va")).cast("decimal(38,0)").alias("saa"),
+        F.sum(F.col("vb") * F.col("vb")).cast("decimal(38,0)").alias("sbb"),
+    )
+    v1 = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    v2 = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    return (
+        sums.where((v1 > 0) & (v2 > 0))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("n").cast("bigint").alias("n"),
+            (num / (F.sqrt(v1.cast("double")) * F.sqrt(v2.cast("double")))).alias("r"),
+        )
+    )

@@ -1768,3 +1768,22 @@ def test_chi2_zero_on_independent_and_positive_on_drift(spark):
         spark.createDataFrame(rows2, ["half", "t"]), "half", "t"
     ).collect()[0]
     assert r2.n_cells == 4 and r2.chi2 > 3.84  # > 95th pct of chi2(dof=1)
+
+
+def test_lagged_xcorr_detects_shifted_copy(spark):
+    import datetime as dt
+
+    from tagtree_spark.tsdb.rollup import lagged_xcorr
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 2.0, 6.0]
+    rows_a, rows_b = [], []
+    for h, v in enumerate(vals):
+        rows_a.append((t0 + dt.timedelta(hours=h), v))
+        rows_b.append((t0 + dt.timedelta(hours=h + 1), v))  # B = A shifted +1h
+    a = spark.createDataFrame(rows_a, ["ts", "value"])
+    b = spark.createDataFrame(rows_b, ["ts", "value"])
+    got = {r.lag: r for r in lagged_xcorr(a, b).collect()}
+    assert abs(got[1].r - 1.0) < 1e-12  # perfect correlation at lag +1
+    assert got[1].n == 10
+    assert got[0].r < 0.99  # not at lag 0
