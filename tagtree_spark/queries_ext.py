@@ -5841,3 +5841,226 @@ def q175_lagged_xcorr(spark, sf_dir):
     a = labeled.where(F.col("event_type") == "click").select("ts", "value")
     b = labeled.where(F.col("event_type") == "purchase").select("ts", "value")
     return lagged_xcorr(a, b).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# r5 batch: TPC-H Q4/Q12/Q22 shapes + relational set ops
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q176_priority_returns",
+    """
+SELECT o.o_orderpriority AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1 ORDER BY o_orderpriority""",
+)
+def q176_priority_returns(spark, sf_dir):
+    """TPC-H Q4 shape: order counts per priority where EXISTS a returned
+    line, date-windowed — the classic semi-join + agg; the EXISTS
+    becomes one left-semi hash join on orderkey, filters pushed to both
+    scans."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q177_status_priority_mix",
+    """
+SELECT l.l_linestatus AS l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY l_linestatus""",
+)
+def q177_status_priority_mix(spark, sf_dir):
+    """TPC-H Q12 shape: per line status, high- vs low-priority order
+    counts for lines shipped in 1997 — join + conditional aggregation,
+    the ship-mode report's structure with the date filter pushed to the
+    lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("n_high"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("n_low"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q178_idle_rich_customers",
+    """
+WITH avgbal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0
+), urgent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer c, avgbal
+WHERE c.c_acctbal > avgbal.ab
+  AND NOT EXISTS (SELECT 1 FROM urgent u WHERE u.o_custkey = c.c_custkey)
+GROUP BY 1 ORDER BY c_nationkey""",
+)
+def q178_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with NO urgent
+    order, grouped by nation — scalar-subquery threshold (decimal-exact
+    sum, one IEEE division) + anti join; the threshold broadcast is one
+    row, the anti side a distinct key set."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,4)")
+    avgbal = cust.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(bal).cast("double") / F.count("*")).alias("ab")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(avgbal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.sum(bal).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q179_set_ops",
+    """
+SELECT doc_id FROM (
+  SELECT doc_id FROM documents WHERE lang = 'en'
+  INTERSECT
+  SELECT doc_id FROM documents WHERE n_chars >= 200
+  EXCEPT
+  SELECT doc_id FROM documents WHERE source = 'src0'
+) t ORDER BY doc_id""",
+)
+def q179_set_ops(spark, sf_dir):
+    """Relational set operators on document id sets: English ∩ long-form
+    ∖ src0 — INTERSECT/EXCEPT as first-class (distinct) set algebra,
+    the SQL-surface counterpart of the postings AND/ANDNOT ops
+    (tsdb/matchers SO1-SO3). Hash-based set ops, no sort."""
+    docs = _docs(spark, sf_dir)
+    en = docs.where(F.col("lang") == "en").select("doc_id")
+    longf = docs.where(F.col("n_chars") >= 200).select("doc_id")
+    src0 = docs.where(F.col("source") == "src0").select("doc_id")
+    return en.intersect(longf).exceptAll(src0).distinct().orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# r5 batch: window-function surface + calendar profile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q180_window_suite",
+    """
+WITH e AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, event_type, value
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist,
+       first_value(event_id) OVER w AS first_id,
+       nth_value(event_id, 3) OVER
+         (PARTITION BY event_type ORDER BY value, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_id
+FROM e
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+ORDER BY event_id""",
+)
+def q180_window_suite(spark, sf_dir):
+    """Analytic-function surface in one pass: rank / dense_rank /
+    percent_rank / cume_dist / first_value / nth_value over one
+    type-partitioned (value, id) order — percent_rank and cume_dist are
+    single divisions of exact ranks (deterministic doubles); nth_value
+    uses the running frame so both engines see the same prefix."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"), "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("event_id").over(w).alias("first_id"),
+        F.nth_value("event_id", 3).over(wr).alias("third_id"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q181_diurnal_profile",
+    """
+SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+       CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour""",
+)
+def q181_diurnal_profile(spark, sf_dir):
+    """Calendar profile: events and distinct users per (ISO weekday,
+    UTC hour) — the ops-dashboard heatmap, and a cross-engine calendar
+    exactness check (DuckDB isodow 1=Mon ≡ Spark weekday+1; hour under
+    the session's load-bearing UTC)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
+    )
