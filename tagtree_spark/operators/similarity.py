@@ -101,6 +101,27 @@ def lsh_bucket(vec_col: str | Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def bucketed_embeddings(
+    emb, n_planes: int = 4, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str | None = None,
+):
+    """Shared (vec_id, v[, lbl], bucket) frame for the whole LSH family —
+    q33/q39/q148/q151/q162 all consume the same hyperplane buckets, so a
+    session caches ONE persisted copy (queries_ext._wb) instead of each
+    query re-folding 4 plane dot products per vector. The materialized
+    "bucket column" a production vector store keeps next to its vectors."""
+    planes = plane_weights(n_planes, dim)
+    cols = [
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    ]
+    if label_col is not None:
+        cols.insert(2, F.col(label_col).alias("lbl"))
+    return spread(emb).select(*cols)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.45,
@@ -109,6 +130,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = MAX_BUCKET,
+    wb: DataFrame | None = None,
 ) -> DataFrame:
     """E2 embedding-cosine near-dup → (vec_a, vec_b, score) for pairs in
     the SAME hyperplane-LSH bucket with cosine > threshold.
@@ -124,13 +146,9 @@ def embedding_near_dup_pairs(
     scale raise ``n_planes`` with corpus size and monitor drops via
     ``dedup.dropped_bucket_stats``.
     """
-    planes = plane_weights(n_planes, dim)
-    with_bucket = spread(emb).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
-    )
-    with_bucket = persist_tracked(with_bucket)
+    if wb is None:
+        wb = persist_tracked(bucketed_embeddings(emb, n_planes, dim, id_col, vec_col))
+    with_bucket = wb.select(F.col("vec_id").alias("doc_id"), "v", "bucket")
     cand = _bucket_pairs(with_bucket.select("bucket", "doc_id"), "bucket", max_bucket=max_bucket)
     va = with_bucket.select(F.col("doc_id").alias("doc_a"), F.col("v").alias("va"))
     vb = with_bucket.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"))
@@ -318,15 +336,13 @@ def lsh_bucket_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    wb: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's hyperplane-LSH bucket →
     (vec_id, bucket, score). At scale the bucket column is the partition
     key, so this prunes the scan to one partition of 2^n_planes."""
-    planes = plane_weights(n_planes, dim)
-    with_bucket = spread(emb).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
+    with_bucket = (
+        bucketed_embeddings(emb, n_planes, dim, id_col, vec_col) if wb is None else wb
     )
     q = with_bucket.where(F.col("vec_id") == query_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
@@ -733,6 +749,7 @@ def ann_recall_audit(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    wb: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k audit of the hyperplane-LSH ANN path against exact cosine
     → ``(qid, n_exact, n_ann, n_hit, recall)`` for a deterministic query
@@ -748,11 +765,12 @@ def ann_recall_audit(
     """
     from pyspark.sql import Window
 
-    emb = spread(emb)
-    qs = emb.where(F.col(id_col) % every == 0).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    if wb is None:
+        wb = bucketed_embeddings(emb, n_planes, dim, id_col, vec_col)
+    qs = wb.where(F.col("vec_id") % every == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    base = wb.select("vec_id", "v")
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
 
     def topk(scored):
@@ -767,11 +785,12 @@ def ann_recall_audit(
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", cosine("v", "qv").alias("score"))
     )
-    planes = plane_weights(n_planes, dim)
-    wb = base.withColumn("bucket", lsh_bucket("v", planes))
-    qb = qs.withColumn("bucket", lsh_bucket("qv", planes))
+    wbk = wb.select("vec_id", "v", "bucket")
+    qb = wb.where(F.col("vec_id") % every == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
+    )
     ann = topk(
-        wb.join(F.broadcast(qb), "bucket")
+        wbk.join(F.broadcast(qb), "bucket")
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", cosine("v", "qv").alias("score"))
     )
@@ -803,6 +822,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     max_bucket: int | None = None,
+    wb: DataFrame | None = None,
 ) -> DataFrame:
     """Contrastive hard-negative mining → ``(vec_id, label_a, neg_id,
     label_b, score)``: for every anchor, the most-similar vector with a
@@ -818,14 +838,10 @@ def hard_negatives(
     from pyspark.sql import Window
 
     cap = MAX_BUCKET if max_bucket is None else max_bucket
-    planes = plane_weights(n_planes, dim)
-    wb = spread(emb).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        F.col(label_col).alias("lbl"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
-    )
-    wb = persist_tracked(wb)
+    if wb is None:
+        wb = persist_tracked(
+            bucketed_embeddings(emb, n_planes, dim, id_col, vec_col, label_col)
+        )
     keep = wb.groupBy("bucket").agg(F.count("*").alias("_n")).where(
         F.col("_n") <= cap
     ).select("bucket")
@@ -862,6 +878,7 @@ def lsh_multiprobe_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    wb: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe LSH ANN (Lv et al. 2007): probe the query's bucket AND
     every bucket at Hamming distance 1 (one hyperplane flipped — the
@@ -873,11 +890,8 @@ def lsh_multiprobe_topk(
     column is the partition key and this reads 1 + n_planes of the
     2^n_planes partitions; the probe set is computed from the ONE query
     row (broadcast)."""
-    planes = plane_weights(n_planes, dim)
-    with_bucket = spread(emb).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
+    with_bucket = (
+        bucketed_embeddings(emb, n_planes, dim, id_col, vec_col) if wb is None else wb
     )
     q = with_bucket.where(F.col("vec_id") == query_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")

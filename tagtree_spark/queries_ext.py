@@ -88,6 +88,25 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+# Shared per-(session, sf dir) hyperplane-bucketed embeddings
+# (vec_id, v, lbl, bucket): the whole LSH family (q33/q39/q148/q151/q162)
+# reads the same 4-plane buckets — one persisted copy, like _sh() for
+# shingles. The materialized bucket column a vector store keeps on disk.
+_WB_CACHE: dict = {}
+
+
+def _wb(spark, sf_dir):
+    from tagtree_spark.operators.similarity import bucketed_embeddings
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _WB_CACHE.get(key)
+    if got is None:
+        got = bucketed_embeddings(_emb(spark, sf_dir), label_col="label").persist()
+        got.count()
+        _WB_CACHE[key] = got
+    return got
+
+
 # --------------------------------------------------------------------------
 # Shared oracle CTE fragments
 # --------------------------------------------------------------------------
@@ -329,7 +348,10 @@ def q33_lsh_ann(spark, sf_dir):
     """E3 scale path: hyperplane-LSH bucketed ANN — probe only the query's
     bucket (4 deterministic integer-weight planes → 16 buckets), exact
     cosine within the bucket."""
-    return lsh_bucket_topk(_emb(spark, sf_dir), query_id=0, k=5, n_planes=4, dim=64)
+    return lsh_bucket_topk(
+        _emb(spark, sf_dir), query_id=0, k=5, n_planes=4, dim=64,
+        wb=_wb(spark, sf_dir),
+    )
 
 
 def _q39_oracle() -> str:
@@ -357,7 +379,9 @@ def q39_embedding_neardup(spark, sf_dir):
     both engines reproduce identical buckets and fold order."""
     from tagtree_spark.operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_emb(spark, sf_dir)).orderBy("vec_a", "vec_b")
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), wb=_wb(spark, sf_dir)
+    ).orderBy("vec_a", "vec_b")
 
 
 @query(
@@ -4768,7 +4792,9 @@ def q148_ann_recall(spark, sf_dir):
     production bucket-equi-join."""
     from tagtree_spark.operators.similarity import ann_recall_audit
 
-    return ann_recall_audit(_emb(spark, sf_dir), every=100, k=10).orderBy("qid")
+    return ann_recall_audit(
+        _emb(spark, sf_dir), every=100, k=10, wb=_wb(spark, sf_dir)
+    ).orderBy("qid")
 
 
 @query(
@@ -4885,7 +4911,7 @@ def q151_hard_negatives(spark, sf_dir):
     per-anchor top-1 window."""
     from tagtree_spark.operators.similarity import hard_negatives
 
-    return hard_negatives(_emb(spark, sf_dir)).orderBy("vec_id")
+    return hard_negatives(_emb(spark, sf_dir), wb=_wb(spark, sf_dir)).orderBy("vec_id")
 
 
 @query(
@@ -5275,7 +5301,9 @@ def q162_multiprobe_ann(spark, sf_dir):
     scan shape: 5 of 16 buckets."""
     from tagtree_spark.operators.similarity import lsh_multiprobe_topk
 
-    return lsh_multiprobe_topk(_emb(spark, sf_dir), query_id=0, k=5)
+    return lsh_multiprobe_topk(
+        _emb(spark, sf_dir), query_id=0, k=5, wb=_wb(spark, sf_dir)
+    )
 
 
 @query(
