@@ -6092,3 +6092,200 @@ def q181_diurnal_profile(spark, sf_dir):
         )
         .orderBy("dow", "hour")
     )
+
+
+# --------------------------------------------------------------------------
+# r5 batch: composition reports — conversion lags, cluster sizes, source
+# scorecard
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q182_conversion_lag_quantiles",
+    """
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+  FROM events WHERE event_type IN ('purchase', 'click')
+), carried AS (
+  SELECT event_id, user_id, us, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS t_id,
+         last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+           OVER w AS t_us
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), gaps AS (
+  SELECT event_id, us - t_us AS gap_us
+  FROM carried
+  WHERE event_type = 'purchase' AND t_id IS NOT NULL
+    AND us - t_us <= 604800000000
+), rk AS (
+  SELECT gap_us,
+         row_number() OVER (ORDER BY gap_us, event_id) AS rn,
+         count(*) OVER () AS nn
+  FROM gaps
+)
+SELECT CAST(max(nn) AS BIGINT) AS n_attributed,
+       CAST(max(CASE WHEN rn = CAST(floor(0.50 * (nn - 1)) AS BIGINT) + 1
+                THEN gap_us END) AS BIGINT) AS p50_us,
+       CAST(max(CASE WHEN rn = CAST(floor(0.90 * (nn - 1)) AS BIGINT) + 1
+                THEN gap_us END) AS BIGINT) AS p90_us,
+       CAST(max(CASE WHEN rn = CAST(floor(0.99 * (nn - 1)) AS BIGINT) + 1
+                THEN gap_us END) AS BIGINT) AS p99_us
+FROM rk""",
+)
+def q182_conversion_lag_quantiles(spark, sf_dir):
+    """Composition: q155's last-touch gaps feeding the repo's discrete
+    quantile picks — p50/p90/p99 click-to-purchase latency, the
+    marketing funnel's SLA numbers. Rank picks of exact integer µs."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.operators.events import last_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    gaps = last_touch_attribution(ev).where(F.col("touch_id") != -1).select(
+        "event_id", "gap_us"
+    )
+    w = Window.orderBy("gap_us", "event_id")
+    rk = gaps.select(
+        "gap_us",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("nn"),
+    )
+
+    def pick(q, name):
+        return F.max(
+            F.when(
+                F.col("rn") == F.floor(F.lit(q) * (F.col("nn") - 1)) + 1,
+                F.col("gap_us"),
+            )
+        ).cast("bigint").alias(name)
+
+    return rk.agg(
+        F.max("nn").cast("bigint").alias("n_attributed"),
+        pick(0.50, "p50_us"),
+        pick(0.90, "p90_us"),
+        pick(0.99, "p99_us"),
+    )
+
+
+@query(
+    "q183_cluster_size_histogram",
+    "SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM ("
+    "  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM ("
+    + _Q45_ORACLE
+    + ") c GROUP BY cluster_id) g GROUP BY 1 ORDER BY 1",
+)
+def q183_cluster_size_histogram(spark, sf_dir):
+    """Composition: q45's near-dup connected components summarized as a
+    cluster-SIZE histogram — the one-line answer to "is my duplication a
+    few huge families or many pairs?" that decides survivor policy and
+    LSH re-tuning. Tiny re-agg over the cached pair machinery."""
+    from tagtree_spark.operators.dedup import near_dup_clusters
+
+    clusters = near_dup_clusters(_mh_pairs(spark, sf_dir))
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("sz"))
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _q184_oracle() -> str:
+    scores = []
+    for lang, lex in LANG_LEXICONS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in lex) + "]"
+        scores.append(
+            f"CAST(len(list_filter(w, t -> list_contains({arr}, t))) AS BIGINT)"
+            f" AS score_{lang}"
+        )
+    langs = list(LANG_LEXICONS)
+    g = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = (
+        "CASE WHEN " + g + " = 0 THEN 'und' "
+        + " ".join(f"WHEN score_{lang} = {g} THEN '{lang}'" for lang in langs)
+        + " ELSE 'und' END"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, lang, text, string_split(text, ' ') AS w FROM documents
+), pr AS (
+  SELECT doc_id, source, lang, {case} AS pred
+  FROM (SELECT doc_id, source, lang, {', '.join(scores)} FROM base) sc
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2
+), gq AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_uniq,
+         CAST(max(c) AS BIGINT) AS max_tf,
+         CAST(sum(length(token) * c) AS BIGINT) AS wchars
+  FROM tf GROUP BY doc_id
+), kp AS (
+  SELECT doc_id,
+         CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+            * (CASE WHEN 3 * n_tokens <= wchars AND wchars <= 10 * n_tokens THEN 1 ELSE 0 END)
+            * (CASE WHEN 2 * n_uniq >= n_tokens THEN 1 ELSE 0 END)
+            * (CASE WHEN 5 * max_tf <= n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS keep
+  FROM gq
+), dupc AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY {duck_h60('text')}) AS cnt
+  FROM documents
+)
+SELECT b.source AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kp.keep) AS BIGINT) AS n_gopher_keep,
+       CAST(sum(CASE WHEN pr.pred = pr.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_match,
+       CAST(sum(CASE WHEN dupc.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+FROM base b
+JOIN pr ON pr.doc_id = b.doc_id
+JOIN kp ON kp.doc_id = b.doc_id
+JOIN dupc ON dupc.doc_id = b.doc_id
+GROUP BY 1 ORDER BY source"""
+
+
+@query("q184_source_scorecard", _q184_oracle())
+def q184_source_scorecard(spark, sf_dir):
+    """Composition: the per-SOURCE data-vendor scorecard — doc count,
+    Gopher-keep count (q98), lang-id agreement with the declared lang
+    (q29/q161), and exact-dup membership (q24) in one report. The table
+    a pipeline owner reads before renegotiating a source's place in the
+    mixture (q68). All integer counts; each input is one already-proven
+    operator."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.operators.text import gopher_rules, lang_id
+
+    docs = _docs(spark, sf_dir)
+    pred = lang_id(docs).select("doc_id", "pred_lang")
+    keep = gopher_rules(docs).select("doc_id", "keep")
+    dupc = (
+        docs.select("doc_id", h60("text").alias("h"))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
+        .select("doc_id", "cnt")
+    )
+    base = docs.select("doc_id", "source", "lang")
+    return (
+        base.join(pred, "doc_id")
+        .join(keep, "doc_id")
+        .join(dupc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_gopher_keep"),
+            F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lang_match"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+        .orderBy("source")
+    )
