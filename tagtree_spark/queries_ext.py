@@ -6289,3 +6289,49 @@ def q184_source_scorecard(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q185_event_asof_enrich",
+    """
+WITH pe AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ev_us,
+         CAST(user_id AS BIGINT) AS user_id
+  FROM events WHERE event_type = 'purchase'
+), dv AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS d_us, value
+  FROM events WHERE event_type = 'view'
+), cand AS (
+  SELECT pe.event_id, pe.ev_us, pe.user_id, dv.d_us, dv.value
+  FROM pe JOIN dv ON dv.user_id = pe.user_id
+  WHERE dv.d_us <= pe.ev_us AND dv.d_us > pe.ev_us - 259200000000
+), win AS (
+  SELECT event_id, ev_us, user_id, d_us, value,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY d_us DESC, value DESC) AS rn
+  FROM cand
+)
+SELECT event_id, ev_us, user_id,
+       d_us AS dim_ts_us, value AS dim_value
+FROM win WHERE rn = 1 ORDER BY event_id""",
+)
+def q185_event_asof_enrich(spark, sf_dir):
+    """Per-event point-in-time enrichment (the batch groundtruth of the
+    streaming AsofEnrichSink, now oracle-checked): every purchase gains
+    the same user's LATEST view value within 3 days — the Flink
+    temporal-table-join shape as one range join + per-event argmax.
+    Events with no in-window dimension row drop (inner PIT join)."""
+    import datetime as _dt
+
+    from tagtree_spark.streaming.enrich import asof_enrich
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_enrich(
+        purchases, views, _dt.timedelta(days=3), key="user_id"
+    ).orderBy("event_id")
