@@ -6335,3 +6335,145 @@ def q185_event_asof_enrich(spark, sf_dir):
     return asof_enrich(
         purchases, views, _dt.timedelta(days=3), key="user_id"
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# r5 batch: growth accounting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q186_growth_accounting",
+    """
+WITH ud AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+  FROM events
+), firstd AS (
+  SELECT user_id, min(d) AS fd FROM ud GROUP BY 1
+), daily AS (
+  SELECT ud.d,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN f.fd = ud.d THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM ud JOIN firstd f ON f.user_id = ud.user_id
+  GROUP BY ud.d
+)
+SELECT CAST(d AS BIGINT) AS d, n_active, n_new,
+       CAST(sum(n_new) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
+FROM daily ORDER BY d""",
+)
+def q186_growth_accounting(spark, sf_dir):
+    """Growth accounting I: per day — active users, NEW users (first-ever
+    activity), and the cumulative unique-user count (running sum of
+    news; no giant distinct-over-window state). One (user, day) distinct
+    + a user-keyed first-day join + a day-ordered running sum over the
+    tiny daily table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).distinct()
+    firstd = ud.groupBy("user_id").agg(F.min("d").alias("fd"))
+    daily = (
+        ud.join(firstd, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("bigint").alias("n_active"),
+            F.sum(F.when(F.col("fd") == F.col("d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d", "n_active", "n_new", F.sum("n_new").over(w).cast("bigint").alias("n_cum")
+    ).orderBy("d")
+
+
+@query(
+    "q187_churn_matrix",
+    """
+WITH uw AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w
+  FROM events
+), firstw AS (
+  SELECT user_id, min(w) AS fw FROM uw GROUP BY 1
+), lagged AS (
+  SELECT uw.user_id, uw.w, f.fw,
+         lag(uw.w) OVER (PARTITION BY uw.user_id ORDER BY uw.w) AS pw
+  FROM uw JOIN firstw f ON f.user_id = uw.user_id
+), cls AS (
+  SELECT w,
+         CASE WHEN w = fw THEN 'new'
+              WHEN pw = w - 1 THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM lagged
+), act AS (
+  SELECT w, CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM cls GROUP BY w
+), churn AS (
+  SELECT w + 1 AS w, CAST(count(*) AS BIGINT) AS n_churned
+  FROM lagged l
+  WHERE NOT EXISTS (SELECT 1 FROM uw n WHERE n.user_id = l.user_id AND n.w = l.w + 1)
+  GROUP BY l.w + 1
+)
+SELECT CAST(a.w AS BIGINT) AS w, a.n_new, a.n_retained, a.n_resurrected,
+       CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned_in
+FROM act a LEFT JOIN churn c ON c.w = a.w
+ORDER BY w""",
+)
+def q187_churn_matrix(spark, sf_dir):
+    """Growth accounting II: per week, users classified new / retained
+    (active previous week) / resurrected (gap ≥ 2 weeks), plus how many
+    of the previous week's actives churned INTO this week. One (user,
+    week) distinct, a user-partitioned lag window, an anti-join for
+    churn — all integer counts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.expr("unix_micros(ts) div 604800000000").alias("w"),
+    ).distinct()
+    firstw = uw.groupBy("user_id").agg(F.min("w").alias("fw"))
+    lw = Window.partitionBy("user_id").orderBy("w")
+    lagged = uw.join(firstw, "user_id").withColumn("pw", F.lag("w").over(lw))
+    status = (
+        F.when(F.col("w") == F.col("fw"), "new")
+        .when(F.col("pw") == F.col("w") - 1, "retained")
+        .otherwise("resurrected")
+    )
+    act = (
+        lagged.select("w", status.alias("status"))
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+            .cast("bigint").alias("n_new"),
+            F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+            .cast("bigint").alias("n_retained"),
+            F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+            .cast("bigint").alias("n_resurrected"),
+        )
+    )
+    nxt = uw.select("user_id", (F.col("w") - 1).alias("w"))
+    churn = (
+        lagged.select("user_id", "w")
+        .join(nxt, ["user_id", "w"], "left_anti")
+        .groupBy((F.col("w") + 1).alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_churned_in"))
+    )
+    return (
+        act.join(churn, "w", "left")
+        .select(
+            F.col("w").cast("bigint").alias("w"),
+            "n_new", "n_retained", "n_resurrected",
+            F.coalesce("n_churned_in", F.lit(0)).cast("bigint").alias("n_churned_in"),
+        )
+        .orderBy("w")
+    )
