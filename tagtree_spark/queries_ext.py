@@ -6477,3 +6477,119 @@ def q187_churn_matrix(spark, sf_dir):
         )
         .orderBy("w")
     )
+
+
+@query(
+    "q188_tsdb_status",
+    TSDB_CTE
+    + """
+, pairs AS (
+  SELECT name, value, CAST(count(*) AS BIGINT) AS n_series
+  FROM postings GROUP BY 1, 2
+), ranked AS (
+  SELECT name, value, n_series,
+         row_number() OVER (PARTITION BY name
+                            ORDER BY n_series DESC, value) AS rn
+  FROM pairs
+)
+SELECT p.name AS name,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(p.n_series) AS BIGINT) AS n_series,
+       CAST(max(p.n_series) AS BIGINT) AS max_pair_series,
+       max(CASE WHEN r.rn = 1 THEN r.value END) AS top_value
+FROM pairs p JOIN ranked r ON r.name = p.name AND r.value = p.value
+GROUP BY 1 ORDER BY name""",
+)
+def q188_tsdb_status(spark, sf_dir):
+    """Index cardinality status (the Prometheus /api/v1/status/tsdb
+    analogue, the introspection surface the reference's users run
+    against its inverted index): per label name — value count, total
+    postings, hottest (name, value) pair's series count and its value
+    (ties → lexicographically first). One postings agg + a per-name
+    argmax window; the cardinality report that catches label explosions
+    before they kill the index."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.queries import _model
+
+    _, postings, _ = _model(spark, sf_dir)
+    pairs = postings.groupBy("name", "value").agg(
+        F.count("*").cast("bigint").alias("n_series")
+    )
+    w = Window.partitionBy("name").orderBy(F.col("n_series").desc(), "value")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_values"),
+            F.sum("n_series").cast("bigint").alias("n_series"),
+            F.max("n_series").cast("bigint").alias("max_pair_series"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("top_value"),
+        )
+        .orderBy("name")
+    )
+
+
+@query(
+    "q189_simhash_calibration",
+    _simhash_cte()
+    + f""", bands AS (
+  SELECT doc_id, simhash,
+         CAST(b AS VARCHAR) || ':' || CAST((simhash >> (b * 15)) & 32767 AS VARCHAR) AS band
+  FROM fp, range(0, 4) t(b)
+), keepb AS (
+  SELECT band FROM bands GROUP BY band HAVING count(*) <= {_MAX_BUCKET}
+), sp AS (
+  SELECT doc_a, doc_b, hamming FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN keepb USING (band)
+    JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  ) v WHERE hamming <= 8
+), docw2 AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM docw2
+), hsd2 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles, s -> {duck_h60('s')})) AS hs
+  FROM sh2 WHERE len(shingles) > 0
+)
+SELECT sp.doc_a AS doc_a, sp.doc_b AS doc_b, sp.hamming AS hamming,
+       CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS n_common,
+       CAST(len(ha.hs) AS BIGINT) AS n_a,
+       CAST(len(hb.hs) AS BIGINT) AS n_b
+FROM sp JOIN hsd2 ha ON ha.doc_id = sp.doc_a
+JOIN hsd2 hb ON hb.doc_id = sp.doc_b
+ORDER BY doc_a, doc_b""",
+)
+def q189_simhash_calibration(spark, sf_dir):
+    """Calibration III (with q84's MinHash-vs-Jaccard and q148's ANN
+    recall): for every SimHash candidate at a RELAXED threshold
+    (hamming ≤ 8), the exact shingle overlap — the precision curve that
+    says where to set the production hamming cutoff. Spark side reuses
+    the cached shingle table (_sh) and the band-join pair generator;
+    integer-only output."""
+    from tagtree_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _docs(spark, sf_dir)
+    sp = simhash_near_dup_pairs(docs, max_hamming=8)
+    sh = _sh(spark, sf_dir)
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    return (
+        sp.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "hamming",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint").alias("n_common"),
+            F.size("hs_a").cast("bigint").alias("n_a"),
+            F.size("hs_b").cast("bigint").alias("n_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
