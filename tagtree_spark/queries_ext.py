@@ -6593,3 +6593,98 @@ def q189_simhash_calibration(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q190_part_ledger",
+    """
+WITH big AS (
+  SELECT p_partkey FROM part WHERE p_size >= 48
+), led AS (
+  SELECT l.l_partkey, epoch_us(l.l_shipdate) AS us,
+         CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(l.l_quantity AS BIGINT) AS qty
+  FROM lineitem l JOIN big ON big.p_partkey = l.l_partkey
+)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey, CAST(us AS BIGINT) AS us,
+       l_orderkey, l_linenumber, qty,
+       CAST(sum(qty) OVER (PARTITION BY l_partkey
+            ORDER BY us, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_qty
+FROM led ORDER BY l_partkey, us, l_orderkey, l_linenumber""",
+)
+def q190_part_ledger(spark, sf_dir):
+    """Inventory ledger: per large part, the running shipped quantity in
+    shipdate order — the warehouse balance view. Part-partitioned
+    growing-frame running sums (part count = parallelism, never a global
+    sort); the dimension filter broadcast-prunes the fact scan. Integer
+    quantities."""
+    from pyspark.sql import Window
+
+    big = load_table(spark, sf_dir, "part").where(F.col("p_size") >= 48).select(
+        "p_partkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    led = li.join(F.broadcast(big), li.l_partkey == big.p_partkey).select(
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("us"),
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("us", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return led.withColumn(
+        "running_qty", F.sum("qty").over(w).cast("bigint")
+    ).orderBy("l_partkey", "us", "l_orderkey", "l_linenumber")
+
+
+@query(
+    "q191_top_journeys",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events) e
+), j AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS journey
+  FROM seq WHERE rn <= 5 GROUP BY user_id
+)
+SELECT journey, CAST(count(*) AS BIGINT) AS n_users
+FROM j GROUP BY 1
+ORDER BY n_users DESC, journey LIMIT 15""",
+)
+def q191_top_journeys(spark, sf_dir):
+    """User-journey analysis: each user's first five events as an ordered
+    path string, top-15 journeys by user count — the product-analytics
+    "common paths" report. One user-partitioned rank window + ordered
+    string agg + TakeOrdered."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "rn", F.row_number().over(w)
+    ).where(F.col("rn") <= 5)
+    j = seq.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("journey")
+    )
+    return (
+        j.groupBy("journey")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "journey")
+        .limit(15)
+    )
