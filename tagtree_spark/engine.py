@@ -233,6 +233,19 @@ class TagTreeEngine:
         self.storage.compact()
         self.series, self.postings, _ = load_model(self.spark, self.store_dir)
 
+    @_tracked
+    def retention(self, cutoff_date: str) -> int:
+        """Apply the retention policy: drop samples partitions older than
+        ``cutoff_date`` (ISO date). The index (series/postings) survives —
+        matchers over expired ranges resolve to tsids with no samples,
+        matching the reference's behaviour when its external storage
+        expires data underneath the index. Store-backed engines only."""
+        if self.store_dir is None:
+            raise ValueError("retention() requires an engine built from store_dir=")
+        from tagtree_spark.tsdb.store import retention_sweep
+
+        return retention_sweep(self.spark, self.store_dir, cutoff_date)
+
     # -- metrics (reference wrapper.cpp:25-36 PrintStats) ------------------
 
     def stats(self) -> dict[str, dict[str, float]]:

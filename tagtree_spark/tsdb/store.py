@@ -225,3 +225,29 @@ def compact_table(spark: SparkSession, path: str, partition_cols: list[str] | No
         atomic_overwrite(df.repartition(*partition_cols), path, partition_cols)
     else:
         atomic_overwrite(df.coalesce(spark.sparkContext.defaultParallelism), path)
+
+
+def retention_sweep(spark: SparkSession, store_dir: str, cutoff_date: str) -> int:
+    """Retention policy (the TSDB's oldest maintenance verb — Prometheus
+    ``--storage.tsdb.retention.time``): physically drop every samples
+    ``ds=`` partition strictly OLDER than ``cutoff_date`` (ISO date
+    string). Series and postings stay — the index remains able to answer
+    matchers whose range predates retention (they resolve to tsids with
+    no surviving samples, exactly the reference's behaviour when its
+    external sample storage expires data under the index).
+
+    Partition-dir deletion only — no rewrite, no read of surviving data;
+    at 100 TB this is O(expired partitions) metadata work (on Delta it
+    becomes ``DELETE WHERE ds < cutoff`` + vacuum). Returns the number
+    of partitions dropped."""
+    import glob as _glob
+    import shutil as _shutil
+
+    sdir = os.path.join(store_dir, "samples")
+    dropped = 0
+    for d in sorted(_glob.glob(os.path.join(sdir, "ds=*"))):
+        ds = os.path.basename(d).split("=", 1)[1]
+        if ds < cutoff_date:
+            _shutil.rmtree(d, ignore_errors=True)
+            dropped += 1
+    return dropped

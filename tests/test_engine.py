@@ -275,3 +275,28 @@ def test_engine_stats_counters_advance(spark, events):
     assert sum(v["wall_sec"] for v in s.values()) > 0
     eng.reset_stats()
     assert eng.stats() == {}
+
+
+def test_engine_retention_drops_old_samples_keeps_index(spark, events, tmpdir):
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.engine import TagTreeEngine
+    from tagtree_spark.tsdb.store import materialize_model
+
+    d = f"{tmpdir}/eng-ret"
+    materialize_model(spark, events, d)
+    eng = TagTreeEngine(spark, store_dir=d)
+    days = sorted(
+        r.ds
+        for r in eng.storage.read().select(F.to_date("ts").alias("ds")).distinct().collect()
+    )
+    n = eng.retention(str(days[1]))
+    assert n >= 1
+    left = sorted(
+        r.ds
+        for r in eng.storage.read().select(F.to_date("ts").alias("ds")).distinct().collect()
+    )
+    assert min(left) == days[1]
+    # the index still answers matchers (possibly resolving to expired range)
+    assert eng.series.count() > 0 and eng.postings.count() > 0
+    assert eng.stats()["retention"]["calls"] == 1

@@ -291,3 +291,24 @@ def test_parquet_storage_read_repairs_interrupted_compaction(spark, events):
         assert os.path.exists(sp)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_retention_sweep_drops_old_partitions_only(spark, events, tmpdir):
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.tsdb.store import load_model, materialize_model, retention_sweep
+
+    d = f"{tmpdir}/store-ret"
+    materialize_model(spark, events, d)
+    _, _, samples = load_model(spark, d)
+    days = sorted(r.ds for r in samples.select(F.to_date("ts").alias("ds")).distinct().collect())
+    assert len(days) >= 3
+    cutoff = str(days[1])  # drop the oldest day only
+    n = retention_sweep(spark, d, cutoff)
+    assert n >= 1
+    _, _, samples2 = load_model(spark, d)
+    left = sorted(r.ds for r in samples2.select(F.to_date("ts").alias("ds")).distinct().collect())
+    assert min(left) >= days[1] and str(min(left)) == cutoff
+    # series/postings untouched: matchers still resolve
+    series, postings, _ = load_model(spark, d)
+    assert postings.count() > 0 and series.count() > 0
