@@ -427,6 +427,11 @@ def materialize_ivf(
     assigned = ivf_assignments(
         emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, codebook=codebook
     ).drop("cscore")
+    # refuse a zero-row dynamic-partitioned write (CLAUDE.md rule 13):
+    # _SUCCESS-only output poisons every later read with
+    # UNABLE_TO_INFER_SCHEMA; an explicit error beats a broken store
+    if assigned.isEmpty():
+        raise ValueError("materialize_ivf: no vectors to index")
     assigned.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(out_dir, "vectors")
     )

@@ -883,6 +883,11 @@ def materialize_postings(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
     )
+    # refuse a zero-row dynamic-partitioned write: it would emit only
+    # _SUCCESS and poison every later read with UNABLE_TO_INFER_SCHEMA
+    # (CLAUDE.md rule 13) — an explicit error beats a broken store
+    if toks.isEmpty():
+        raise ValueError("materialize_postings: no tokens to index")
     toks.withColumn("tp", (h60("term") % n_term_parts).cast("int")).write.mode(
         "overwrite"
     ).partitionBy("tp").parquet(path)

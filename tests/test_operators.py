@@ -1787,3 +1787,17 @@ def test_lagged_xcorr_detects_shifted_copy(spark):
     assert abs(got[1].r - 1.0) < 1e-12  # perfect correlation at lag +1
     assert got[1].n == 10
     assert got[0].r < 0.99  # not at lag 0
+
+
+def test_materialize_postings_and_ivf_refuse_empty(spark, tmpdir):
+    import pytest as _pytest
+
+    from tagtree_spark.operators.similarity import materialize_ivf
+    from tagtree_spark.operators.text import materialize_postings
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="no tokens"):
+        materialize_postings(empty_docs, f"{tmpdir}/pp")
+    empty_emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError, match="no vectors"):
+        materialize_ivf(empty_emb, f"{tmpdir}/iv")
