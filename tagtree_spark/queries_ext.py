@@ -6688,3 +6688,56 @@ def q191_top_journeys(spark, sf_dir):
         .orderBy(F.col("n_users").desc(), "journey")
         .limit(15)
     )
+
+
+@query(
+    "q192_routed_rollup",
+    TSDB_CTE
+    + """
+, fine AS (
+  SELECT tsid,
+         epoch_us(ts) // 1000000
+           - (epoch_us(ts) // 1000000) % 3600 AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(18,4))) AS v_sum,
+         min(value) AS v_min, max(value) AS v_max
+  FROM samples GROUP BY 1, 2
+), recent AS (
+  SELECT tsid, CAST(bucket_start AS BIGINT) AS bucket_start,
+         CAST(60 AS BIGINT) AS resolution_min, n,
+         CAST(CAST(v_sum AS DECIMAL(18,4)) AS DOUBLE) AS v_sum, v_min, v_max
+  FROM fine WHERE bucket_start >= 1705708800
+), old AS (
+  SELECT tsid, CAST(cb AS BIGINT) AS bucket_start,
+         CAST(360 AS BIGINT) AS resolution_min,
+         CAST(sum(n) AS BIGINT) AS n,
+         CAST(CAST(sum(v_sum) AS DECIMAL(18,4)) AS DOUBLE) AS v_sum,
+         min(v_min) AS v_min, max(v_max) AS v_max
+  FROM (SELECT tsid, bucket_start - bucket_start % 21600 AS cb,
+               n, v_sum, v_min, v_max
+        FROM fine) f
+  WHERE cb < 1705708800
+  GROUP BY 1, 2
+)
+SELECT tsid, bucket_start, resolution_min, n, v_sum, v_min, v_max FROM old
+UNION ALL
+SELECT tsid, bucket_start, resolution_min, n, v_sum, v_min, v_max FROM recent
+ORDER BY tsid, bucket_start""",
+)
+def q192_routed_rollup(spark, sf_dir):
+    """Continuous-aggregate READ routing: one full-history answer tiled
+    from two resolutions — hourly buckets after 2024-01-20, 6-hour
+    buckets before it (the TimescaleDB real-time-aggregate rule). In
+    production both sides are pre-materialized ladder tables (q63 /
+    RollupSink) and this plan reads two pruned partition ranges; decimal
+    sums make the coarse side bit-identical to raw aggregation."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.rollup import routed_rollup_read
+
+    _, _, samples = _model(spark, sf_dir)
+    r = routed_rollup_read(samples, 1_705_708_800)
+    return r.select(
+        "tsid", "bucket_start", "resolution_min", "n",
+        F.col("v_sum").cast("decimal(18,4)").cast("double").alias("v_sum"),
+        "v_min", "v_max",
+    ).orderBy("tsid", "bucket_start")

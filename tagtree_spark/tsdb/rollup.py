@@ -209,3 +209,41 @@ def lagged_xcorr(
             (num / (F.sqrt(v1.cast("double")) * F.sqrt(v2.cast("double")))).alias("r"),
         )
     )
+
+
+def routed_rollup_read(
+    samples: DataFrame,
+    boundary_s: int,
+    fine_minutes: int = 60,
+    coarse_minutes: int = 360,
+) -> DataFrame:
+    """The continuous-aggregate READ path: answer a full-history rollup
+    query from TWO resolutions — fine buckets for time ≥ ``boundary_s``
+    (recent data), coarse buckets for older time — the TimescaleDB
+    real-time-aggregate routing rule, → ``(tsid, bucket_start,
+    resolution_min, n, v_sum, v_min, v_max)``.
+
+    ``boundary_s`` must sit on a coarse bucket edge (validated) so the
+    two regions tile without overlap. Here both resolutions derive from
+    the samples; in production they are the PRE-materialized ladder
+    (q63 / streaming RollupSink segments) and this union reads two
+    pruned partition ranges instead of any raw data. Decimal sums keep
+    the coarse side bit-identical to aggregating raw points."""
+    if boundary_s % (coarse_minutes * 60) != 0:
+        raise ValueError("boundary must align with a coarse bucket edge")
+    fine = rollup_samples(samples, fine_minutes)
+    recent = fine.where(F.col("bucket_start") >= boundary_s).select(
+        "tsid", "bucket_start",
+        F.lit(fine_minutes).cast("bigint").alias("resolution_min"),
+        "n", "v_sum", "v_min", "v_max",
+    )
+    old = (
+        coarsen_rollup(fine, fine_minutes, coarse_minutes)
+        .where(F.col("bucket_start") < boundary_s)
+        .select(
+            "tsid", "bucket_start",
+            F.lit(coarse_minutes).cast("bigint").alias("resolution_min"),
+            "n", "v_sum", "v_min", "v_max",
+        )
+    )
+    return old.unionByName(recent)

@@ -1801,3 +1801,27 @@ def test_materialize_postings_and_ivf_refuse_empty(spark, tmpdir):
     empty_emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     with _pytest.raises(ValueError, match="no vectors"):
         materialize_ivf(empty_emb, f"{tmpdir}/iv")
+
+
+def test_routed_rollup_tiles_without_overlap(spark, events):
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.rollup import routed_rollup_read
+
+    _, _, samples = _model(spark, "/root/testdata/sf0.001")
+    boundary = 1_705_708_800
+    r = routed_rollup_read(samples, boundary).cache()
+    # regions tile: coarse strictly below the boundary, fine at/above
+    bad = r.where(
+        ((F.col("resolution_min") == 360) & (F.col("bucket_start") >= boundary))
+        | ((F.col("resolution_min") == 60) & (F.col("bucket_start") < boundary))
+    ).count()
+    assert bad == 0
+    # no sample lost or double-counted: total n equals the sample count
+    assert r.agg(F.sum("n")).collect()[0][0] == samples.count()
+    # misaligned boundary refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="align"):
+        routed_rollup_read(samples, boundary + 60)
