@@ -164,7 +164,8 @@ def type_cooccurrence(events: DataFrame) -> DataFrame:
     type-set size (≤ the type-domain cardinality, a constant), not by
     corpus size. The pair counts then reduce map-side. At 100 TB the
     heavy table shuffles once on (user, day) and everything after is
-    tiny."""
+    tiny. Expects the events schema (``user_id``, ``ts`` timestamp,
+    ``event_type``)."""
     day = F.expr("unix_micros(ts) div 86400000000")
     cells = (
         events.select(F.col("user_id"), day.alias("d"), F.col("event_type"))

@@ -839,6 +839,10 @@ def hard_negatives(
     its own top-1, so the join is a.bucket = b.bucket with a per-anchor
     window, not the a<b pair lattice). Never all-pairs; at 100 TB raise
     ``n_planes`` with corpus size so buckets stay bounded.
+
+    A caller-supplied ``wb`` must include the label (built via
+    ``bucketed_embeddings(..., label_col=...)`` — the shared
+    queries_ext._wb cache does).
     """
     from pyspark.sql import Window
 
