@@ -861,7 +861,7 @@ def prefix_filtered_jaccard(
         inv.join(F.broadcast(df_), "s")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= plen)
-        .select("s", "doc_id", "n_sh")
+        .select("s", "doc_id", "n_sh", "rn")
     )
     # Bucketed pair generation (ONE shuffle — a self-join would shuffle the
     # prefix index twice and re-run its window per side) with the LOSSLESS
@@ -871,7 +871,7 @@ def prefix_filtered_jaccard(
     # skips the expensive array_intersect verification for them.
     pct = int(min_jaccard_pct)
     buckets = pref.groupBy("s").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh", "rn"))).alias("ds")
     )
     pair_structs = F.explode(
         F.flatten(
@@ -879,24 +879,44 @@ def prefix_filtered_jaccard(
                 "transform(ds, (x, i) -> filter("
                 "transform(slice(ds, i + 2, size(ds)), "
                 "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                "x.n_sh AS na, y.n_sh AS nb)), "
+                "x.n_sh AS na, y.n_sh AS nb, x.rn AS pa, y.rn AS pb)), "
                 f"p -> {pct} * greatest(p.na, p.nb) <= 100 * least(p.na, p.nb)))"
             )
         )
     )
-    # No distinct on the candidate stream: deduping 100s of thousands of
-    # candidate rows costs a full shuffle, while verifying a duplicate is
-    # one extra bounded array_intersect and the final output (pairs that
-    # actually pass) is tiny — dedupe THERE instead.
     cand = (
         buckets.where(F.size("ds") >= 2)
         .select(pair_structs.alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb", "p.pa", "p.pb")
     )
+    # PPJoin positional filter (Xiao et al. 2008 §3.2) — one pair-keyed
+    # agg that BOTH dedupes the candidate stream and computes a provably
+    # safe overlap upper bound. Both shingle lists are sorted by the same
+    # global (df, s) rarity order, so the max prefix ranks (pa_max,
+    # pb_max) are achieved by the SAME shingle — the globally largest
+    # common prefix shingle s*; every common shingle not already counted
+    # in the prefix intersection is > s* in BOTH lists, hence
+    #   n_common <= n_pref_common + min(na − pa_max, nb − pb_max).
+    # Pairs whose bound falls below alpha = ceil(t·(na+nb)/(100+t))
+    # (the minimum overlap J >= t requires) can NEVER verify — dropping
+    # them changes nothing (r5 measured: 59% of candidates pruned,
+    # q126 5.6s → 2.8s at sf0.1).
+    agg = cand.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("bigint").alias("npc"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max("pa").alias("pa_max"),
+        F.max("pb").alias("pb_max"),
+    )
+    alpha = F.expr(f"({pct} * (na + nb) + {100 + pct} - 1) div {100 + pct}")
+    ubound = F.col("npc") + F.least(
+        F.col("na") - F.col("pa_max"), F.col("nb") - F.col("pb_max")
+    )
+    kept = agg.where(ubound >= alpha).select("doc_a", "doc_b")
     ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     ver = (
-        cand.join(ha, "doc_a")
+        kept.join(ha, "doc_a")
         .join(hb, "doc_b")
         .select(
             "doc_a",
@@ -909,4 +929,4 @@ def prefix_filtered_jaccard(
     return ver.where(
         F.col("n_common") * 100
         >= F.lit(int(min_jaccard_pct)) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    ).distinct()
+    )
