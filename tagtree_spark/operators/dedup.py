@@ -930,3 +930,69 @@ def prefix_filtered_jaccard(
         F.col("n_common") * 100
         >= F.lit(int(min_jaccard_pct)) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     )
+
+
+def keep_longest_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Survivor POLICY variant of :func:`dedup_survivors`: per near-dup
+    cluster keep the LONGEST member (ties → smallest id) →
+    ``(cluster_id, keep_id, keep_len, n_members)``. Min-id survival is
+    arbitrary; keep-longest is the policy production pipelines usually
+    want (the longest variant of a template family carries the most
+    content). Clustered groups only — singletons have no policy to
+    apply.
+
+    One window argmax over the (small) clustered-node set joined to the
+    corpus lengths; ids and lengths shuffle, bodies never."""
+    from pyspark.sql import Window
+
+    clusters = near_dup_clusters(pairs, max_iters=max_iters)
+    lens = docs.select(F.col(id_col).alias("doc_id"), F.col(len_col).alias("_len"))
+    j = clusters.join(lens, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("_len").desc(), "doc_id")
+    wn = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wn).cast("bigint"))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").cast("bigint").alias("keep_id"),
+            F.col("_len").cast("bigint").alias("keep_len"),
+            "n_members",
+        )
+    )
+
+
+def containment_drop_list(
+    docs: DataFrame,
+    min_containment_pct: int = 90,
+    sh: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excerpt-dedup DECISION: from the containment pairs
+    (:func:`ngram_containment_pairs`), the documents to DROP — always
+    the CONTAINED side (smaller shingle set; equal sizes → the larger
+    id) → ``(dropped_id, n_containers)``. The screen that removes
+    quotes/excerpts wholesale while their source documents survive.
+    Deterministic policy expression, mirrored exactly by the oracle."""
+    pairs = ngram_containment_pairs(
+        docs, id_col=id_col, text_col=text_col,
+        min_containment_pct=min_containment_pct, sh=sh,
+    )
+    dropped = F.when(
+        (F.col("n_a") < F.col("n_b"))
+        | ((F.col("n_a") == F.col("n_b")) & (F.col("doc_a") > F.col("doc_b"))),
+        F.col("doc_a"),
+    ).otherwise(F.col("doc_b"))
+    return (
+        pairs.select(dropped.alias("dropped_id"))
+        .groupBy("dropped_id")
+        .agg(F.count("*").cast("bigint").alias("n_containers"))
+    )

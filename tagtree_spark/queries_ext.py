@@ -6741,3 +6741,71 @@ def q192_routed_rollup(spark, sf_dir):
         F.col("v_sum").cast("decimal(18,4)").cast("double").alias("v_sum"),
         "v_min", "v_max",
     ).orderBy("tsid", "bucket_start")
+
+
+@query(
+    "q193_keep_longest",
+    "SELECT cluster_id, keep_id, keep_chars AS keep_len, n_members FROM ("
+    "  SELECT c.cluster_id AS cluster_id,"
+    "         row_number() OVER (PARTITION BY c.cluster_id"
+    "                            ORDER BY d.n_chars DESC, c.doc_id) AS rn,"
+    "         CAST(c.doc_id AS BIGINT) AS keep_id,"
+    "         CAST(d.n_chars AS BIGINT) AS keep_chars,"
+    "         CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members"
+    "  FROM (" + _Q45_ORACLE + ") c JOIN documents d ON d.doc_id = c.doc_id"
+    ") t WHERE rn = 1 ORDER BY cluster_id",
+)
+def q193_keep_longest(spark, sf_dir):
+    """Survivor POLICY variant of q49: per near-dup cluster keep the
+    LONGEST member (production's usual choice — the longest variant of a
+    template family carries the most content) instead of the arbitrary
+    min-id. Window argmax over the clustered nodes joined to corpus
+    lengths; cached pair machinery."""
+    from tagtree_spark.operators.dedup import keep_longest_survivors
+
+    docs = _docs(spark, sf_dir)
+    return keep_longest_survivors(docs, _mh_pairs(spark, sf_dir)).orderBy(
+        "cluster_id"
+    )
+
+
+@query(
+    "q194_containment_drops",
+    SHINGLE_CTE
+    + f""", hsd AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, s -> {duck_h60('s')})) AS hs
+  FROM sh WHERE len(shingles) > 0
+), inv_all AS (
+  SELECT doc_id, unnest(hs) AS s FROM hsd
+), keep AS (
+  SELECT s FROM inv_all GROUP BY s HAVING count(*) <= 50
+), inv AS (
+  SELECT inv_all.* FROM inv_all JOIN keep USING (s)
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM inv GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), p90 AS (
+  SELECT doc_a, doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM common JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE n_common * 100 >= 90 * least(sa.n_sh, sb.n_sh)
+)
+SELECT dropped_id, CAST(count(*) AS BIGINT) AS n_containers FROM (
+  SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a > doc_b)
+              THEN doc_a ELSE doc_b END AS dropped_id
+  FROM p90
+) t GROUP BY 1 ORDER BY dropped_id""",
+)
+def q194_containment_drops(spark, sf_dir):
+    """Excerpt-dedup decision: the documents to DROP from ≥90%%
+    containment pairs — always the contained side (smaller shingle set,
+    equal → larger id), with how many containers each had. The screen
+    that removes quotes/excerpts while their sources survive; shares the
+    cached shingle table."""
+    from tagtree_spark.operators.dedup import containment_drop_list
+
+    return containment_drop_list(
+        _docs(spark, sf_dir), min_containment_pct=90, sh=_sh(spark, sf_dir)
+    ).orderBy("dropped_id")

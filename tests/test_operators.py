@@ -1825,3 +1825,31 @@ def test_routed_rollup_tiles_without_overlap(spark, events):
 
     with _pytest.raises(ValueError, match="align"):
         routed_rollup_read(samples, boundary + 60)
+
+
+def test_keep_longest_vs_min_id_policy(spark):
+    from tagtree_spark.operators.dedup import dedup_survivors, keep_longest_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (9, 7)], ["doc_id", "n_chars"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    kl = keep_longest_survivors(docs, pairs).collect()
+    assert len(kl) == 1
+    assert kl[0].keep_id == 2 and kl[0].keep_len == 99 and kl[0].n_members == 3
+    # min-id policy keeps 1 for the same cluster — policies genuinely differ
+    mi = {r.keep_id for r in dedup_survivors(docs, pairs).collect()}
+    assert 1 in mi and 2 not in mi
+
+
+def test_containment_drop_list_drops_contained_side(spark):
+    from tagtree_spark.operators.dedup import containment_drop_list
+
+    long_text = " ".join(f"w{i}" for i in range(30))
+    excerpt = " ".join(f"w{i}" for i in range(10))  # fully contained prefix
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, excerpt), (3, "totally different text here now")],
+        ["doc_id", "text"],
+    )
+    got = {r.dropped_id: r.n_containers for r in containment_drop_list(docs).collect()}
+    assert got == {2: 1}  # the excerpt drops, the source survives
