@@ -1,0 +1,89 @@
+"""Custom Spark data source for the engine's segment stores.
+
+Every streaming sink in this repo (ingest/rollup/neardup/embed/distinct/
+topk/moments/cdc) persists state as ``seg-<batch>-delta`` / ``-base``
+parquet directories with two read-protocol rules: a complete base SHADOWS
+every segment with id ≤ its own, and ``before_batch`` excludes a replaying
+batch's own (possibly half-written) segment. Those rules normally live in
+Python helpers — this module packages them as a PySpark 4 **Python data
+source** so ANY consumer, including plain SQL users, reads a store
+correctly:
+
+    spark.dataSource.register(SegmentDataSource)
+    spark.read.format("tagtree_segments").option("path", store).load()
+
+One input partition per data FILE (parallel scan); rows are served as
+Arrow record batches straight from the parquet files — no pandas
+round-trip. The merge step stays with the caller (sum/max/argmax depends
+on the store family); this source guarantees WHICH files are visible.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _SegFile(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _visible_files(path: str, before_batch: int | None) -> list[str]:
+    from tagtree_spark.streaming.ingest import _list_segments
+
+    files: list[str] = []
+    for seg in _list_segments(path, before_batch):
+        files.extend(sorted(glob.glob(os.path.join(seg, "*.parquet"))))
+    return files
+
+
+class SegmentStoreReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("tagtree_segments requires .option('path', ...)")
+        bb = options.get("before_batch")
+        self.before = int(bb) if bb is not None else None
+
+    def partitions(self):
+        return [_SegFile(f) for f in _visible_files(self.path, self.before)]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        yield from pq.read_table(partition.path).to_batches()
+
+
+class SegmentDataSource(DataSource):
+    """``format("tagtree_segments")`` — options: ``path`` (store dir),
+    ``before_batch`` (optional replay-exclusion bound)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tagtree_segments"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        bb = self.options.get("before_batch")
+        files = _visible_files(
+            self.options.get("path", ""), int(bb) if bb is not None else None
+        )
+        if not files:
+            raise ValueError(
+                f"tagtree_segments: no complete segments under "
+                f"{self.options.get('path')!r}"
+            )
+        return from_arrow_schema(pq.read_schema(files[0]))
+
+    def reader(self, schema):
+        return SegmentStoreReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(SegmentDataSource)

@@ -1,0 +1,75 @@
+"""PySpark-4 Python data source over segment stores (tagtree_spark/
+sources.py): the base-shadowing + replay-exclusion read protocol via plain
+spark.read.format(...)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS event_id",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS event_type",
+        "CAST(10 + (id % 7) AS DOUBLE) AS value",
+    )
+
+
+def _momset(df):
+    return {(r.key, str(r.n), str(r.s), str(r.q)) for r in df.collect()}
+
+
+def test_source_reads_match_helper(spark, tmpdir):
+    from tagtree_spark import sources
+    from tagtree_spark.streaming.moments import MomentsSink, read_moments
+
+    sink = MomentsSink(f"{tmpdir}/mom")
+    for b, (lo, hi) in enumerate([(0, 300), (300, 700), (700, 1000)]):
+        sink(_df(spark, lo, hi), b)
+    sources.register(spark)
+    raw = (
+        spark.read.format("tagtree_segments")
+        .option("path", f"{tmpdir}/mom")
+        .load()
+    )
+    merged = raw.groupBy("key").agg(
+        F.sum("n").cast("decimal(38,0)").alias("n"),
+        F.sum("s").cast("decimal(38,0)").alias("s"),
+        F.sum("q").cast("decimal(38,0)").alias("q"),
+    )
+    assert _momset(merged) == _momset(read_moments(spark, f"{tmpdir}/mom"))
+
+
+def test_source_before_batch_and_base_shadowing(spark, tmpdir):
+    from tagtree_spark import sources
+    from tagtree_spark.streaming.moments import (
+        MomentsSink,
+        compact_moments,
+        read_moments,
+    )
+
+    sink = MomentsSink(f"{tmpdir}/mom", compact_every=None)
+    for b in range(4):
+        sink(_df(spark, b * 100, (b + 1) * 100), b)
+    sources.register(spark)
+
+    def load(**opts):
+        r = spark.read.format("tagtree_segments").option("path", f"{tmpdir}/mom")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return load_merge(r.load())
+
+    def load_merge(raw):
+        return raw.groupBy("key").agg(
+            F.sum("n").cast("decimal(38,0)").alias("n"),
+            F.sum("s").cast("decimal(38,0)").alias("s"),
+            F.sum("q").cast("decimal(38,0)").alias("q"),
+        )
+
+    # replay exclusion: before_batch=2 sees only batches 0 and 1
+    assert _momset(load(before_batch=2)) == _momset(
+        read_moments(spark, f"{tmpdir}/mom", before_batch=2)
+    )
+    # base shadowing: after compaction the source must not double-count
+    compact_moments(spark, f"{tmpdir}/mom", before_batch=4)
+    assert _momset(load()) == _momset(read_moments(spark, f"{tmpdir}/mom"))
