@@ -23,7 +23,12 @@ from __future__ import annotations
 import glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _SegFile(InputPartition):
@@ -83,7 +88,59 @@ class SegmentDataSource(DataSource):
     def reader(self, schema):
         return SegmentStoreReader(self.options)
 
+    def streamReader(self, schema):
+        return SegmentStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Register the source on a session (idempotent)."""
     spark.dataSource.register(SegmentDataSource)
+
+
+def _delta_ids(path: str) -> list[int]:
+    from tagtree_spark.streaming.ingest import _complete, _parse_segment
+
+    ids = []
+    for d in sorted(glob.glob(os.path.join(path, "seg-*-delta"))):
+        meta = _parse_segment(d)
+        if meta is not None and _complete(d):
+            ids.append(meta[0])
+    return ids
+
+
+class SegmentStreamReader(DataSourceStreamReader):
+    """Tail a segment store as a STREAM: each micro-batch serves the delta
+    segments whose batch ids fall in [start, end) — the store's append
+    log replayed in order. Deltas only, by contract: a compaction base is
+    the BATCH readers' shortcut and would double-count here, so stores
+    being tailed should compact behind the committed offset (or not at
+    all). Offsets are ``{"batch": <next id>}``."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("tagtree_segments requires .option('path', ...)")
+
+    def initialOffset(self):
+        return {"batch": 0}
+
+    def latestOffset(self):
+        ids = _delta_ids(self.path)
+        return {"batch": (ids[-1] + 1) if ids else 0}
+
+    def partitions(self, start, end):
+        lo, hi = start["batch"], end["batch"]
+        files = []
+        for i in _delta_ids(self.path):
+            if lo <= i < hi:
+                seg = os.path.join(self.path, f"seg-{i:010d}-delta")
+                files.extend(sorted(glob.glob(os.path.join(seg, "*.parquet"))))
+        return [_SegFile(f) for f in files]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        yield from pq.read_table(partition.path).to_batches()
+
+    def commit(self, end):
+        pass

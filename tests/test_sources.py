@@ -73,3 +73,33 @@ def test_source_before_batch_and_base_shadowing(spark, tmpdir):
     # base shadowing: after compaction the source must not double-count
     compact_moments(spark, f"{tmpdir}/mom", before_batch=4)
     assert _momset(load()) == _momset(read_moments(spark, f"{tmpdir}/mom"))
+
+
+def test_stream_reader_tails_delta_segments(spark, tmpdir):
+    from tagtree_spark import sources
+    from tagtree_spark.streaming.moments import MomentsSink
+
+    store = f"{tmpdir}/mom-stream"
+    sink = MomentsSink(store, compact_every=None)
+    for b in range(3):
+        sink(_df(spark, b * 100, (b + 1) * 100), b)
+    sources.register(spark)
+    q = (
+        spark.readStream.format("tagtree_segments")
+        .option("path", store)
+        .load()
+        .writeStream.format("memory")
+        .queryName("seg_tail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT key, CAST(sum(n) AS STRING) n, CAST(sum(s) AS STRING) s,"
+        " CAST(sum(q) AS STRING) q FROM seg_tail GROUP BY key"
+    )
+    from tagtree_spark.streaming.moments import read_moments
+
+    assert {(r.key, r.n, r.s, r.q) for r in got.collect()} == _momset(
+        read_moments(spark, store)
+    )
