@@ -996,3 +996,58 @@ def containment_drop_list(
         .groupBy("dropped_id")
         .agg(F.count("*").cast("bigint").alias("n_containers"))
     )
+
+
+def lsh_band_histogram(
+    docs: DataFrame,
+    sh: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """LSH health telemetry, oracle-checkable → ``(bucket_size,
+    n_buckets, is_dropped)``: the distribution of MinHash band-bucket
+    sizes, with the ``max_bucket`` cap's verdict per size class — the
+    report that says whether the banding still discriminates (a fat tail
+    of near-cap buckets means n_bands/rows_per_band need retuning BEFORE
+    the pair join degenerates). Same signature pipeline as
+    :func:`minhash_near_dup_pairs`; two tiny aggs after it."""
+    if sh is not None:
+        sigs = sh.select(
+            "doc_id",
+            minhash_signature(
+                F.array_distinct(
+                    F.transform("hs", lambda x: x.bitwiseAND(F.lit(H31_MASK)))
+                ),
+                n_perm=n_perm,
+            ).alias("sig"),
+        )
+    else:
+        sigs = (
+            word_shingles(
+                spread(docs).where(F.size(F.split(F.col(text_col), " ")) >= 3),
+                text_col=text_col,
+            )
+            .withColumn("hs", shingle_hashes("shingles"))
+            .select(
+                F.col(id_col).alias("doc_id"),
+                minhash_signature("hs", n_perm=n_perm).alias("sig"),
+            )
+        )
+    bands = sigs.select(
+        F.explode(lsh_band_keys("sig", n_bands, rows_per_band)).alias("band")
+    )
+    sizes = bands.groupBy("band").agg(F.count("*").cast("bigint").alias("sz"))
+    cap = F.lit(max_bucket if max_bucket is not None else (1 << 62))
+    return (
+        sizes.groupBy(F.col("sz").alias("bucket_size"))
+        .agg(F.count("*").cast("bigint").alias("n_buckets"))
+        .select(
+            "bucket_size",
+            "n_buckets",
+            (F.col("bucket_size") > cap).cast("bigint").alias("is_dropped"),
+        )
+    )

@@ -6809,3 +6809,29 @@ def q194_containment_drops(spark, sf_dir):
     return containment_drop_list(
         _docs(spark, sf_dir), min_containment_pct=90, sh=_sh(spark, sf_dir)
     ).orderBy("dropped_id")
+
+
+@query(
+    "q195_lsh_band_histogram",
+    _MINHASH_CTE
+    + f""", bands AS (
+  SELECT doc_id, {_Q25_BAND_KEY} AS band
+  FROM sig, range(0, {_N_BANDS}) t(b)
+), sizes AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS sz FROM bands GROUP BY band
+)
+SELECT sz AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(CASE WHEN sz > {_MAX_BUCKET} THEN 1 ELSE 0 END AS BIGINT) AS is_dropped
+FROM sizes GROUP BY sz ORDER BY bucket_size""",
+)
+def q195_lsh_band_histogram(spark, sf_dir):
+    """LSH health telemetry with an oracle: the MinHash band-bucket SIZE
+    distribution and which size classes the MAX_BUCKET cap drops — the
+    dropped_bucket_stats counters, now hash-verified. A fat near-cap
+    tail says retune n_bands/rows_per_band before the pair join
+    degenerates; shares the cached shingle table."""
+    from tagtree_spark.operators.dedup import lsh_band_histogram
+
+    return lsh_band_histogram(
+        _docs(spark, sf_dir), sh=_sh(spark, sf_dir)
+    ).orderBy("bucket_size")
