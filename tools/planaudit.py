@@ -95,10 +95,13 @@ def main() -> int:
         n_1part = plan.count("Exchange SinglePartition")
         cart = "CartesianProduct" in plan
         # scans that read every column of a driver table (no pruning) —
-        # heuristic: ReadSchema with >8 fields
+        # heuristic: ReadSchema with >8 fields. Stop at end-of-line: the
+        # plan printer TRUNCATES long ReadSchema lines without a closing
+        # '>', and a multi-line match would count commas from unrelated
+        # plan nodes (false positive observed on q190's 5-column scan).
         wide = [
             s
-            for s in re.findall(r"ReadSchema: struct<([^>]*)", plan)
+            for s in re.findall(r"ReadSchema: struct<([^>\n]*)", plan)
             if s.count(",") >= 8
         ]
         if cart:
