@@ -6835,3 +6835,44 @@ def q195_lsh_band_histogram(spark, sf_dir):
     return lsh_band_histogram(
         _docs(spark, sf_dir), sh=_sh(spark, sf_dir)
     ).orderBy("bucket_size")
+
+
+@query(
+    "q196_incremental_exact_dedup",
+    f"""
+WITH og AS (
+  SELECT doc_id, source, CAST(substr(source, 4) AS INT) % 2 AS og,
+         {duck_h60('text')} AS h
+  FROM documents
+), base AS (
+  SELECT DISTINCT h FROM og WHERE og = 0
+)
+SELECT n.source AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dupes
+FROM og n LEFT JOIN base b ON b.h = n.h
+WHERE n.og = 1
+GROUP BY 1 ORDER BY source""",
+)
+def q196_incremental_exact_dedup(spark, sf_dir):
+    """Incremental EXACT dedup rate (q75's hash-equality twin): per
+    new-crawl source (odd), how many documents byte-duplicate the base
+    corpus (even) — the cheapest pre-admission screen, one 60-bit-key
+    join, bodies never shuffle."""
+    docs = _docs(spark, sf_dir)
+    og = docs.select(
+        "doc_id", "source",
+        (F.substring("source", 4, 10).cast("int") % 2).alias("og"),
+        h60("text").alias("h"),
+    )
+    base = og.where(F.col("og") == 0).select("h").distinct().withColumn("_hit", F.lit(1))
+    return (
+        og.where(F.col("og") == 1)
+        .join(base, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_exact_dupes"),
+        )
+        .orderBy("source")
+    )
