@@ -49,10 +49,22 @@ def snapshot_as_of(
 
     One key-partitioned argmax window over the version-bounded log —
     the predicate ``version <= V`` is a scan-range prune when the log is
-    version-partitioned on disk."""
+    version-partitioned on disk. Ties within one (key, version) resolve
+    deterministically: op precedence (D shadows U shadows I) then a
+    whole-row hash, so re-runs/replays reconstruct identical snapshots
+    even from a log that violates one-row-per-key-per-version."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(F.col(version_col).desc())
+    prec = (
+        F.when(F.col(op_col) == "D", F.lit(2))
+        .when(F.col(op_col) == "U", F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(version_col).desc(),
+        prec.desc(),
+        F.xxhash64(*[F.col(c) for c in log.columns]).desc(),
+    )
     latest = (
         log.where(F.col(version_col) <= version)
         .withColumn("_rn", F.row_number().over(w))

@@ -826,7 +826,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
-    max_bucket: int | None = None,
+    max_bucket: int | None = MAX_BUCKET,
     wb: DataFrame | None = None,
 ) -> DataFrame:
     """Contrastive hard-negative mining → ``(vec_id, label_a, neg_id,
@@ -838,7 +838,9 @@ def hard_negatives(
     :func:`embedding_near_dup_pairs`, but DIRECTIONAL (each anchor keeps
     its own top-1, so the join is a.bucket = b.bucket with a per-anchor
     window, not the a<b pair lattice). Never all-pairs; at 100 TB raise
-    ``n_planes`` with corpus size so buckets stay bounded.
+    ``n_planes`` with corpus size so buckets stay bounded. ``max_bucket``
+    follows the family convention (default ``dedup.MAX_BUCKET``; ``None``
+    = uncapped).
 
     A caller-supplied ``wb`` must include the label (built via
     ``bucketed_embeddings(..., label_col=...)`` — the shared
@@ -846,15 +848,17 @@ def hard_negatives(
     """
     from pyspark.sql import Window
 
-    cap = MAX_BUCKET if max_bucket is None else max_bucket
     if wb is None:
         wb = persist_tracked(
             bucketed_embeddings(emb, n_planes, dim, id_col, vec_col, label_col)
         )
-    keep = wb.groupBy("bucket").agg(F.count("*").alias("_n")).where(
-        F.col("_n") <= cap
-    ).select("bucket")
-    a = wb.join(keep, "bucket").select(
+    a = wb
+    if max_bucket is not None:
+        keep = wb.groupBy("bucket").agg(F.count("*").alias("_n")).where(
+            F.col("_n") <= max_bucket
+        ).select("bucket")
+        a = wb.join(keep, "bucket")
+    a = a.select(
         "bucket", F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
         F.col("lbl").alias("label_a"),
     )

@@ -74,10 +74,11 @@ class SegmentDataSource(DataSource):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("tagtree_segments requires .option('path', ...)")
         bb = self.options.get("before_batch")
-        files = _visible_files(
-            self.options.get("path", ""), int(bb) if bb is not None else None
-        )
+        files = _visible_files(path, int(bb) if bb is not None else None)
         if not files:
             raise ValueError(
                 f"tagtree_segments: no complete segments under "
@@ -108,28 +109,76 @@ def _delta_ids(path: str) -> list[int]:
     return ids
 
 
+def _base_horizon(path: str) -> int | None:
+    """Highest complete base-segment id, or None if the store has never
+    compacted. Deltas with ids ≤ this horizon are folded into the base
+    (and usually deleted) — a delta-only tail cannot reconstruct them."""
+    from tagtree_spark.streaming.ingest import _complete, _parse_segment
+
+    best: int | None = None
+    for d in glob.glob(os.path.join(path, "seg-*-base")):
+        meta = _parse_segment(d)
+        if meta is not None and _complete(d):
+            best = meta[0] if best is None else max(best, meta[0])
+    return best
+
+
 class SegmentStreamReader(DataSourceStreamReader):
     """Tail a segment store as a STREAM: each micro-batch serves the delta
     segments whose batch ids fall in [start, end) — the store's append
     log replayed in order. Deltas only, by contract: a compaction base is
     the BATCH readers' shortcut and would double-count here, so stores
     being tailed should compact behind the committed offset (or not at
-    all). Offsets are ``{"batch": <next id>}``."""
+    all). Offsets are ``{"batch": <next id>}``.
+
+    A store that has ALREADY compacted cannot be tailed from 0 — the
+    folded history lives only in the base segment, which a delta tail
+    must not double-count. ``initialOffset`` fails loudly in that case
+    unless ``.option("start_after_base", "true")`` opts into starting at
+    base_horizon+1 (post-compaction deltas only). ``partitions`` likewise
+    raises if compaction overruns the committed offset mid-stream, so a
+    partial log is never served silently."""
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("tagtree_segments requires .option('path', ...)")
+        sab = options.get("start_after_base", "false")
+        self.start_after_base = str(sab).lower() in ("true", "1", "yes")
 
     def initialOffset(self):
-        return {"batch": 0}
+        horizon = _base_horizon(self.path)
+        if horizon is None:
+            return {"batch": 0}
+        if self.start_after_base:
+            return {"batch": horizon + 1}
+        raise ValueError(
+            f"tagtree_segments stream: store {self.path!r} has compacted "
+            f"(base horizon {horizon}); deltas <= {horizon} are folded away, "
+            "so tailing from 0 would silently drop history. Batch-read the "
+            "store for a full snapshot, or .option('start_after_base', "
+            "'true') to tail post-compaction deltas only."
+        )
+
+    def partitions(self, start, end):
+        lo = start["batch"]
+        horizon = _base_horizon(self.path)
+        if horizon is not None and horizon >= lo:
+            raise ValueError(
+                f"tagtree_segments stream: compaction at base horizon "
+                f"{horizon} overran the stream offset {lo} — deltas in "
+                f"[{lo}, {horizon}] were folded away before this reader "
+                "served them. Compact behind the committed offset "
+                "(compact_every larger than the tail lag), or restart the "
+                "stream with .option('start_after_base', 'true')."
+            )
+        return self._delta_partitions(lo, end["batch"])
 
     def latestOffset(self):
         ids = _delta_ids(self.path)
         return {"batch": (ids[-1] + 1) if ids else 0}
 
-    def partitions(self, start, end):
-        lo, hi = start["batch"], end["batch"]
+    def _delta_partitions(self, lo, hi):
         files = []
         for i in _delta_ids(self.path):
             if lo <= i < hi:

@@ -59,6 +59,32 @@ def _read_log(spark: SparkSession, store_path: str, before_batch: int | None = N
     return reduce(lambda a, b: a.unionByName(b), (spark.read.parquet(s) for s in segs))
 
 
+def _latest_per_key(log: DataFrame, key_col: str, op_col: str) -> DataFrame:
+    """Argmax window shared by snapshot + compaction: latest ``_v`` per
+    key, with DETERMINISTIC tie-breaks for two change rows that share a
+    (key, _v) — op precedence (D shadows U shadows I, the conservative
+    read of an ambiguous batch) then a hash of the whole row, so replays
+    and re-runs fold identically even when a producer violates the
+    one-row-per-key-per-batch contract."""
+    from pyspark.sql import Window
+
+    prec = (
+        F.when(F.col(op_col) == "D", F.lit(2))
+        .when(F.col(op_col) == "U", F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_v").desc(),
+        prec.desc(),
+        F.xxhash64(*[F.col(c) for c in log.columns]).desc(),
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def read_snapshot(
     spark: SparkSession,
     store_path: str,
@@ -73,19 +99,12 @@ def read_snapshot(
     to versions below the last fold point is lossy — the standard
     Delta-vacuum tradeoff; size ``compact_every`` to the history window
     the deployment must keep."""
-    from pyspark.sql import Window
-
     log = _read_log(spark, store_path)
     if log is None:
         return None
     if version is not None:
         log = log.where(F.col("_v") <= version)
-    w = Window.partitionBy(key_col).orderBy(F.col("_v").desc())
-    latest = (
-        log.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    latest = _latest_per_key(log, key_col, op_col)
     return latest.where(F.col(op_col) != "D").drop(op_col, "_v")
 
 
@@ -102,8 +121,6 @@ def compact_upserts(
     import glob as _glob
     import shutil as _shutil
 
-    from pyspark.sql import Window
-
     base = os.path.join(store_path, f"seg-{before_batch - 1:010d}-base")
     if not _complete(base):
         if len(_list_segments(store_path, before_batch)) <= 1:
@@ -111,12 +128,7 @@ def compact_upserts(
         log = _read_log(spark, store_path, before_batch=before_batch)
         if log is None:
             return
-        w = Window.partitionBy(key_col).orderBy(F.col("_v").desc())
-        folded = (
-            log.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        folded = _latest_per_key(log, key_col, op_col)
         folded.write.mode("overwrite").parquet(base)
         if not _complete(base):
             return

@@ -1464,6 +1464,29 @@ def test_hard_negatives_picks_best_cross_label(spark):
         assert got[1].neg_id == 3
 
 
+def test_hard_negatives_max_bucket_none_is_uncapped(spark):
+    """max_bucket=None disables the cap (family convention: matches
+    _bucket_pairs / embedding_near_dup_pairs — ADVICE r5). With n_planes=0
+    every vector shares one bucket, so a cap of 1 drops everything while
+    None keeps the full candidate set. Near-identical vectors land on the
+    same side of any hyperplane, i.e. one shared bucket of size 3."""
+    from tagtree_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "x"),
+        (2, [0.99, 0.01, 0.0, 0.0], "y"),
+        (3, [0.98, 0.02, 0.0, 0.0], "y"),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    capped = hard_negatives(emb, n_planes=1, dim=4, max_bucket=1).collect()
+    assert capped == []
+    uncapped = {
+        r.vec_id: r.neg_id
+        for r in hard_negatives(emb, n_planes=1, dim=4, max_bucket=None).collect()
+    }
+    assert uncapped[1] == 2  # closest cross-label neighbour survives
+
+
 def test_normalization_report_flags_and_hash(spark):
     import hashlib
 

@@ -75,6 +75,48 @@ def test_source_before_batch_and_base_shadowing(spark, tmpdir):
     assert _momset(load()) == _momset(read_moments(spark, f"{tmpdir}/mom"))
 
 
+def test_schema_requires_path_option():
+    """schema() with no path must report the missing option, not a
+    confusing "no complete segments under ''" (ADVICE r5)."""
+    import pytest
+
+    from tagtree_spark.sources import SegmentDataSource
+
+    src = SegmentDataSource(options={})
+    with pytest.raises(ValueError, match=r"requires \.option\('path'"):
+        src.schema()
+
+
+def test_stream_reader_refuses_compacted_store(spark, tmpdir):
+    """Tailing a store that has already compacted must fail loudly (the
+    folded history is gone from the delta log) unless the caller opts
+    into start_after_base (ADVICE r5)."""
+    import pytest
+
+    from tagtree_spark.sources import SegmentStreamReader
+    from tagtree_spark.streaming.moments import MomentsSink, compact_moments
+
+    store = f"{tmpdir}/mom-compacted"
+    sink = MomentsSink(store, compact_every=None)
+    for b in range(4):
+        sink(_df(spark, b * 100, (b + 1) * 100), b)
+    compact_moments(spark, store, before_batch=3)  # folds 0-2, delta 3 stays
+
+    r = SegmentStreamReader({"path": store})
+    with pytest.raises(ValueError, match="has compacted"):
+        r.initialOffset()
+    # compaction overrunning a committed offset is also loud
+    with pytest.raises(ValueError, match="overran"):
+        r.partitions({"batch": 1}, {"batch": 4})
+
+    # opting in starts at base_horizon+1: only the post-compaction delta
+    r2 = SegmentStreamReader({"path": store, "start_after_base": "true"})
+    start = r2.initialOffset()
+    assert start == {"batch": 3}
+    parts = r2.partitions(start, r2.latestOffset())
+    assert parts and all("seg-0000000003-delta" in p.path for p in parts)
+
+
 def test_stream_reader_tails_delta_segments(spark, tmpdir):
     from tagtree_spark import sources
     from tagtree_spark.streaming.moments import MomentsSink

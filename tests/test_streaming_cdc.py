@@ -67,3 +67,35 @@ def test_empty_batch_safe(spark, tmpdir):
     sink(_changes(spark, [(1, "I", "a")]), 0)
     sink(spark.createDataFrame([], "doc_id bigint, op string, text string"), 1)
     assert _snap_dict(read_snapshot(spark, f"{tmpdir}/ups")) == {1: "a"}
+
+
+def test_same_version_ties_resolve_deterministically(spark, tmpdir):
+    """Two change rows for one key in ONE batch (same _v) must fold the
+    same way on every read/replay: op precedence D > U > I (ADVICE r5)."""
+    from tagtree_spark.streaming.cdc import UpsertSink, compact_upserts, read_snapshot
+
+    sink = UpsertSink(f"{tmpdir}/ups", compact_every=None)
+    # key 1: I and D in the same batch -> D shadows (conservative)
+    # key 2: I and U in the same batch -> U shadows I
+    sink(_changes(spark, [(1, "I", "a"), (1, "D", None), (2, "I", "b"), (2, "U", "B")]), 0)
+    first = _snap_dict(read_snapshot(spark, f"{tmpdir}/ups"))
+    assert first == {2: "B"}
+    for _ in range(3):  # re-reads are stable
+        assert _snap_dict(read_snapshot(spark, f"{tmpdir}/ups")) == first
+    # the fold path uses the same tie-break: compacting must not flip it
+    sink(_changes(spark, [(3, "I", "c")]), 1)
+    compact_upserts(spark, f"{tmpdir}/ups", before_batch=2)
+    assert _snap_dict(read_snapshot(spark, f"{tmpdir}/ups")) == {2: "B", 3: "c"}
+
+
+def test_snapshot_as_of_tie_break(spark):
+    """Batch time travel (operators/cdc.py) shares the deterministic
+    tie-break: D beats U beats I within one (key, version)."""
+    from tagtree_spark.operators.cdc import snapshot_as_of
+
+    log = spark.createDataFrame(
+        [(1, 0, "I", "a"), (1, 0, "D", None), (2, 0, "I", "b"), (2, 0, "U", "B")],
+        "doc_id bigint, version bigint, op string, text string",
+    )
+    got = {r.doc_id: r.text for r in snapshot_as_of(log, 0).collect()}
+    assert got == {2: "B"}
