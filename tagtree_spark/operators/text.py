@@ -575,10 +575,19 @@ def boilerplate_prefix(
     )
 
 
+# Contract bound on driver-paced training rounds: each round is one
+# distributed pair-count job + one bounded collect, so wall-clock grows
+# with n_merges, not data size. 4096 rounds ≈ a small-model vocab; past
+# that, raise batch_k (rounds shrink by the per-round acceptance factor)
+# or pre-tokenize with a published vocab instead of training in-line.
+BPE_MAX_MERGES = 4096
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 4,
     text_col: str = "text",
+    batch_k: int = 1,
 ) -> DataFrame:
     """E4 byte-pair-encoding merge training (Sennrich et al. 2016 — the
     public BPE algorithm every modern tokenizer derives from): learn the
@@ -602,9 +611,24 @@ def bpe_train(
     — so the DuckDB oracle replays the identical unrolled rounds and every
     merge rule, count included, hash-matches.
 
+    SCALE CONTRACT: the loop is driver-paced — one pair-count shuffle and
+    one bounded collect per ROUND — so wall-clock grows with the merge
+    count, not the data size. ``n_merges`` is capped at
+    ``BPE_MAX_MERGES`` (=4096). ``batch_k > 1`` learns up to ``batch_k``
+    merges per round: the top-k pairs are collected once and the maximal
+    PROVABLY-SEQUENTIAL-EQUIVALENT prefix is accepted — candidates must
+    be mutually symbol-disjoint (so applying one cannot change another's
+    count) and must strictly outrank an upper bound on every pair a
+    previously-accepted merge can create (new pairs (x, l·r)/(l·r, y)
+    inherit ≤ the count of the old (x, l)/(r, y) they came from). The
+    accepted batch is applied in ONE window pass. Batched output is
+    therefore IDENTICAL to sequential on every corpus — the check falls
+    back to smaller batches when merges interact — it only changes the
+    round count (→ job count), ~k× fewer on natural text.
+
     → ``(step, lsym, rsym, cnt)``, one row per learned merge, step 1-based.
     """
-    merges, _ = _bpe_rounds(docs, n_merges, text_col)
+    merges, _ = _bpe_rounds(docs, n_merges, text_col, batch_k)
     return docs.sparkSession.createDataFrame(
         merges, "step bigint, lsym string, rsym string, cnt bigint"
     ).orderBy("step")
@@ -617,13 +641,38 @@ def bpe_apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
     keep even offsets within each run (overlapping matches share a
     symbol) → drop consumed successors → renumber. Shared by training
     and encoding; all windows partition by word (one shuffle, reused)."""
+    return bpe_apply_merges(syms, [(left, right)])
+
+
+def bpe_apply_merges(syms: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """Apply a batch of MUTUALLY SYMBOL-DISJOINT merge rules in one
+    window pass. Disjointness makes this exactly the sequential
+    application of each rule in turn: a match site identifies exactly one
+    rule, and two consecutive match positions would share their middle
+    symbol across rules — impossible when rules share no symbols — so
+    every gaps-and-islands run is single-rule and the even-offset greedy
+    selection is unchanged. Callers must pass a disjoint batch
+    (:func:`_bpe_rounds` enforces it); a single rule is trivially one."""
+    if len(rules) > 1:
+        seen: set[str] = set()
+        for lft, rgt in rules:
+            if lft in seen or rgt in seen:
+                raise ValueError(
+                    f"bpe_apply_merges: rules share symbols ({lft!r},{rgt!r})"
+                    " — batch application would diverge from sequential"
+                )
+            seen.update((lft, rgt))
+    m = F.lit(False)
+    merged = F.col("sym")
+    for lft, rgt in rules:
+        hit = (F.col("sym") == F.lit(lft)) & (F.col("nxt") == F.lit(rgt))
+        m = m | hit
+        merged = F.when(hit, F.concat(F.col("sym"), F.lit(rgt))).otherwise(merged)
     wseq = Window.partitionBy("word").orderBy("pos")
     d = (
         syms.withColumn("nxt", F.lead("sym").over(wseq))
-        .withColumn(
-            "m",
-            (F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right)),
-        )
+        .withColumn("m", m)
+        .withColumn("merged", merged)
         .withColumn(
             "cm",
             F.sum(F.when(F.col("m"), 1).otherwise(0)).over(
@@ -649,19 +698,30 @@ def bpe_apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
             "word",
             "n",
             F.row_number().over(wseq).cast("bigint").alias("pos"),
-            F.when(F.col("sel"), F.concat(F.col("sym"), F.lit(right)))
-            .otherwise(F.col("sym"))
-            .alias("sym"),
+            F.when(F.col("sel"), F.col("merged")).otherwise(F.col("sym")).alias("sym"),
         )
     )
 
 
 def _bpe_rounds(
-    docs: DataFrame, n_merges: int, text_col: str
+    docs: DataFrame, n_merges: int, text_col: str, batch_k: int = 1
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run the BPE training rounds; return (merge rules, final symbol
     frame). The final frame IS the encoded vocabulary — encoding a corpus
-    is a join against it (see :func:`bpe_encode`)."""
+    is a join against it (see :func:`bpe_encode`).
+
+    ``batch_k > 1`` learns several merges per round when provably safe
+    (see :func:`bpe_train`'s scale contract); the output is identical to
+    sequential for ANY corpus, only the round count changes."""
+    if n_merges > BPE_MAX_MERGES:
+        raise ValueError(
+            f"bpe_train: n_merges={n_merges} exceeds BPE_MAX_MERGES="
+            f"{BPE_MAX_MERGES}. Rounds are driver-paced Spark jobs; train "
+            "large vocabs with batch_k to cut rounds, or bring a published "
+            "vocab (bpe_encode_from_vocab) instead of in-line training."
+        )
+    if batch_k < 1:
+        raise ValueError(f"bpe_train: batch_k must be >= 1, got {batch_k}")
     toks = spread(docs).select(
         F.explode(F.split(F.col(text_col), " ")).alias("word")
     )
@@ -678,22 +738,73 @@ def _bpe_rounds(
 
     wseq = Window.partitionBy("word").orderBy("pos")
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         pairs = (
             syms.withColumn("nxt", F.lead("sym").over(wseq))
             .where(F.col("nxt").isNotNull())
             .groupBy("sym", "nxt")
             .agg(F.sum("n").cast("bigint").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "sym", "nxt")
-            .limit(1)
-            .collect()
         )
-        if not pairs:
+        want = min(batch_k, n_merges - len(merges))
+        if want > 1:
+            pairs = pairs.persist()
+        top = pairs.orderBy(F.col("cnt").desc(), "sym", "nxt").limit(want).collect()
+        if not top:
+            if want > 1:
+                pairs.unpersist()
             break
-        left, right, cnt = pairs[0].sym, pairs[0].nxt, pairs[0].cnt
-        merges.append((step, left, right, cnt))
-        syms = bpe_apply_merge(syms, left, right).localCheckpoint()
+        accepted = _bpe_safe_prefix(pairs, top) if want > 1 else top[:1]
+        if want > 1:
+            pairs.unpersist()
+        base = len(merges)
+        merges.extend(
+            (base + 1 + i, r.sym, r.nxt, r.cnt) for i, r in enumerate(accepted)
+        )
+        syms = bpe_apply_merges(
+            syms, [(r.sym, r.nxt) for r in accepted]
+        ).localCheckpoint()
     return merges, syms
+
+
+def _bpe_safe_prefix(pairs: DataFrame, top: list) -> list:
+    """Maximal prefix of the ranked top-k pair list whose batched
+    application is EXACTLY the sequential rounds:
+
+    - stop at the first candidate sharing a symbol with an earlier one
+      (applying the earlier merge could change its count or greedy sites);
+    - stop when an earlier accepted merge (l, r) could CREATE a pair that
+      outranks the candidate. A created pair (x, l·r) / (l·r, y) occurs at
+      most as often as the old (x, l) / (r, y) it replaces, so
+      max(count of pairs ending in l or starting with r) is a sound upper
+      bound; requiring the candidate's count to be STRICTLY above it also
+      absorbs the unknown tie-order of the created pair's name.
+
+    One extra bounded aggregation per round (two ≤k-row collects over the
+    persisted pair table) — independent of corpus size."""
+    lefts = [r.sym for r in top]
+    rights = [r.nxt for r in top]
+    lb = {
+        r.nxt: r.b
+        for r in pairs.where(F.col("nxt").isin(lefts))
+        .groupBy("nxt").agg(F.max("cnt").alias("b")).collect()
+    }
+    rb = {
+        r.sym: r.b
+        for r in pairs.where(F.col("sym").isin(rights))
+        .groupBy("sym").agg(F.max("cnt").alias("b")).collect()
+    }
+    accepted = [top[0]]
+    used = {top[0].sym, top[0].nxt}
+    created_bound = max(lb.get(top[0].sym, 0), rb.get(top[0].nxt, 0))
+    for cand in top[1:]:
+        if cand.sym in used or cand.nxt in used:
+            break
+        if created_bound >= cand.cnt:
+            break
+        accepted.append(cand)
+        used.update((cand.sym, cand.nxt))
+        created_bound = max(created_bound, lb.get(cand.sym, 0), rb.get(cand.nxt, 0))
+    return accepted
 
 
 def bpe_encode(

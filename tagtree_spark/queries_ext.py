@@ -3458,7 +3458,9 @@ def _bpe(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _BPE_CACHE.get(key)
     if got is None:
-        merges, syms = _bpe_rounds(_docs(spark, sf_dir), 4, "text")
+        # batch_k=4: provably identical merges to sequential (see
+        # bpe_train's safe-prefix contract + test), in ~half the rounds
+        merges, syms = _bpe_rounds(_docs(spark, sf_dir), 4, "text", batch_k=4)
         syms = syms.persist()
         syms.count()
         got = (merges, syms)

@@ -1068,6 +1068,48 @@ def test_bpe_merge_application_is_greedy_left_to_right(spark):
     assert got == [(1, "a", "a", 4), (2, "aa", "a", 1)]
 
 
+def test_bpe_batched_equals_sequential(spark):
+    """batch_k>1 must reproduce the sequential merge list EXACTLY on
+    every corpus — the safe-prefix acceptance falls back to smaller
+    batches whenever merges interact (VERDICT r5 item 3)."""
+    from tagtree_spark.operators.text import bpe_train
+
+    corpora = [
+        # disjoint top pairs: cd/ef/gh families never share symbols
+        [(1, "cd cd cd cd ef ef ef gh gh xy")],
+        # chained merges: each round's winner feeds the next (l+o, lo+w...)
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        # self-overlap runs + interaction
+        [(1, "aaaaa aaa bb bb bb cc cc")],
+        # equal counts everywhere: pure tie-order territory
+        [(1, "ab cd ef gh ij kl mn op")],
+        # created-pair hazard: merging (a,b) creates (x,ab) pairs that
+        # outrank later candidates - the bound check must stop the batch
+        [(1, "xab xab xab xab ab ab cd cd cd")],
+    ]
+    for rows in corpora:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        seq = [(r.step, r.lsym, r.rsym, r.cnt) for r in bpe_train(docs, 5).collect()]
+        for k in (2, 4, 8):
+            bat = [
+                (r.step, r.lsym, r.rsym, r.cnt)
+                for r in bpe_train(docs, 5, batch_k=k).collect()
+            ]
+            assert bat == seq, f"batch_k={k} diverged on {rows}: {bat} != {seq}"
+
+
+def test_bpe_train_merge_cap_contract(spark):
+    import pytest
+
+    from tagtree_spark.operators.text import BPE_MAX_MERGES, bpe_train
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="BPE_MAX_MERGES"):
+        bpe_train(docs, BPE_MAX_MERGES + 1)
+    with pytest.raises(ValueError, match="batch_k"):
+        bpe_train(docs, 2, batch_k=0)
+
+
 def test_funnel_ordered_within_window(spark):
     import datetime as dt
 
