@@ -83,6 +83,10 @@ class TagTreeEngine:
         self._new_since_compact = 0
         # entry-point metrics: {method: (n_calls, cumulative_wall_sec)}
         self._stats: dict[str, tuple[int, float]] = {}
+        # row counters: {method: {"rows_in"/"rows_out": n}}, harvested
+        # lazily from per-call Observations (see _observed)
+        self._row_stats: dict[str, dict[str, int]] = {}
+        self._pending_obs: list[tuple[str, str, object]] = []
         if store_dir is not None:
             self.series, self.postings, _ = load_model(spark, store_dir)
             self.storage: SampleStorage = storage or open_storage(spark, store_dir)
@@ -100,27 +104,69 @@ class TagTreeEngine:
         directly; swap the storage to swap the backend)."""
         return self.storage.read()
 
+    # -- row telemetry (reference wrapper.cpp:25-36 PrintStats) ------------
+
+    def _observed(self, method: str, df: DataFrame, kind: str = "rows_out") -> DataFrame:
+        """Attach a row-count Observation to an entry point's frame. The
+        count is computed by Spark DURING the caller's own first action
+        over the frame (no extra job, the reference's zero-cost
+        cumulative-counter semantics) and folded into :meth:`stats` on
+        the next read. Counts rows flowing through this plan node — a
+        plan that re-reads the frame within one action counts each pass,
+        so treat rows_in on write paths as capacity telemetry, not an
+        exact ledger."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.observation import Observation
+
+        obs = Observation()
+        self._pending_obs.append((method, kind, obs))
+        return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    def _bump_rows(self, method: str, kind: str, n: int) -> None:
+        d = self._row_stats.setdefault(method, {})
+        d[kind] = d.get(kind, 0) + n
+
+    def _harvest_obs(self) -> None:
+        """Fold completed Observations into _row_stats; keep the rest
+        pending. Non-blocking: a frame the caller never executed stays
+        pending forever and costs nothing."""
+        still: list[tuple[str, str, object]] = []
+        for method, kind, obs in self._pending_obs:
+            jo = getattr(obs, "_jo", None)
+            try:
+                if jo is None or jo.getRowOrEmpty().isEmpty():
+                    still.append((method, kind, obs))
+                    continue
+                n = int(dict(jo.getAsJava()).get("n", 0))
+            except Exception:
+                still.append((method, kind, obs))
+                continue
+            self._bump_rows(method, kind, n)
+        self._pending_obs = still
+
     # -- read path (reference §3.1) ---------------------------------------
 
     @_tracked
     def resolve(self, matchers: list[_m.LabelMatcher], start=None, end=None) -> DataFrame:
         """resolve_label_matchers → distributed DataFrame[tsid]."""
-        return _m.resolve_label_matchers(self.postings, matchers, start, end)
+        return self._observed(
+            "resolve", _m.resolve_label_matchers(self.postings, matchers, start, end)
+        )
 
     @_tracked
     def select(self, matchers: list[_m.LabelMatcher], start=None, end=None) -> DataFrame:
         """PromQuerier::select — samples of the matching series in range,
         through the storage seam (Queryable::querier → Querier::select)."""
         tsids = _m.resolve_label_matchers(self.postings, matchers, start, end)
-        return self.storage.select(tsids, start, end)
+        return self._observed("select", self.storage.select(tsids, start, end))
 
     @_tracked
     def label_values(self, name: str) -> DataFrame:
-        return _m.label_values(self.postings, name)
+        return self._observed("label_values", _m.label_values(self.postings, name))
 
     @_tracked
     def get_labels(self, tsids: list[int]) -> DataFrame:
-        return _m.get_labels(self.series, tsids)
+        return self._observed("get_labels", _m.get_labels(self.series, tsids))
 
     # -- write path (reference §3.2) --------------------------------------
 
@@ -145,6 +191,7 @@ class TagTreeEngine:
             return self.ingest_batch(batch_events)
         from tagtree_spark.tsdb.model import build_postings, build_samples
 
+        batch_events = self._observed("add_series_batch", batch_events, "rows_in")
         self.series = _ingest.add_series_batch(self.series, batch_events)
         self.postings = build_postings(self.series)
         self.storage.append(build_samples(batch_events, self.series))
@@ -152,15 +199,16 @@ class TagTreeEngine:
 
     @_tracked
     def exists(self, probe: DataFrame) -> DataFrame:
-        return _ingest.exists(self.series, probe)
+        return self._observed("exists", _ingest.exists(self.series, probe))
 
     @_tracked
     def current_tsid(self) -> int:
+        self._bump_rows("current_tsid", "rows_out", 1)
         return _ingest.current_tsid(self.series).collect()[0].max_tsid
 
     @_tracked
     def commit(self, path: str) -> None:
-        _ingest.commit(self.series, path)
+        _ingest.commit(self._observed("commit", self.series, "rows_out"), path)
 
     @_tracked
     def ingest_batch(self, batch_events: DataFrame) -> "TagTreeEngine":
@@ -190,6 +238,7 @@ class TagTreeEngine:
         series_path = os.path.join(self.store_dir, "series")
         postings_path = os.path.join(self.store_dir, "postings")
 
+        batch_events = self._observed("ingest_batch", batch_events, "rows_in")
         before = self.current_tsid()
         merged = _ingest.add_series_batch(self.series, batch_events)
         _ingest.commit(merged, series_path)
@@ -250,22 +299,36 @@ class TagTreeEngine:
 
     def stats(self) -> dict[str, dict[str, float]]:
         """Cumulative per-entry-point metrics since construction (or the
-        last :meth:`reset_stats`): ``{method: {"calls": n,
-        "wall_sec": s}}``. Pure driver-side counters — reading them costs
-        nothing and triggers no job."""
-        return {
-            name: {"calls": c, "wall_sec": w}
-            for name, (c, w) in sorted(self._stats.items())
-        }
+        last :meth:`reset_stats`): ``{method: {"calls": n, "wall_sec": s,
+        "rows_out": r, "rows_in": r}}``. Pure driver-side counters —
+        reading them costs nothing and triggers no job; row counters are
+        harvested from Observations that Spark filled during the CALLER's
+        actions (a returned frame the caller never executed reports no
+        rows, matching the lazy read-path contract)."""
+        self._harvest_obs()
+        out: dict[str, dict[str, float]] = {}
+        for name, (c, w) in self._stats.items():
+            out[name] = {"calls": c, "wall_sec": w}
+        for name, rows in self._row_stats.items():
+            out.setdefault(name, {}).update(rows)
+        return dict(sorted(out.items()))
 
     def print_stats(self) -> None:
         """The reference's ``PrintStats`` shape: one line per entry point,
-        call count + cumulative wall."""
-        for name, (c, w) in sorted(self._stats.items()):
-            print(f"{name:20s} calls={c:<8d} wall={w:.6f}s")
+        call count + cumulative wall + cumulative rows."""
+        for name, m in self.stats().items():
+            rows = " ".join(
+                f"{k}={int(v)}" for k, v in m.items() if k.startswith("rows_")
+            )
+            print(
+                f"{name:20s} calls={int(m.get('calls', 0)):<8d} "
+                f"wall={m.get('wall_sec', 0.0):.6f}s {rows}"
+            )
 
     def reset_stats(self) -> None:
         self._stats.clear()
+        self._row_stats.clear()
+        self._pending_obs.clear()
 
     # -- SQL surface -------------------------------------------------------
 

@@ -900,3 +900,130 @@ def video_near_dup_pairs(media: DataFrame, max_hamming: int = 12) -> DataFrame:
     see :func:`hash_band_pairs` for the banded join."""
     hashes = video_fingerprint(media).withColumnRenamed("media_id", "doc_id")
     return hash_band_pairs(hashes, "vfp", max_hamming=max_hamming)
+
+
+# --------------------------------------------------------------------------
+# Codec-audit path (VERDICT r5 "next" #5): the principled REFUSAL of
+# compressed codecs (decode_media's NotImplementedError) is itself
+# driver-verifiable behavior — a real ingest sees a mixture of decodable,
+# compressed, and corrupt payloads, and the triage verdict per payload is
+# data a pipeline routes on (decode vs quarantine vs transcode queue).
+# --------------------------------------------------------------------------
+
+CODEC_MIX_CLASSES = 8  # doc_id % 8 → (modality, payload family), see below
+
+
+def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic 8-class payload mixture keyed on ``doc_id % 8`` —
+    the triage fixture for :func:`try_decode_status`:
+
+    ======  ========  =====================================  ============
+    class   modality  payload                                expected
+    ======  ========  =====================================  ============
+    0       audio     real RIFF/WAVE PCM16                   decoded
+    1       image     real binary PPM (P6)                   decoded
+    2       video     real YUV4MPEG2 stream                  decoded
+    3       audio     ID3/MPEG audio magic + raw bytes       unsupported
+    4       image     PNG signature + raw bytes              unsupported
+    5       video     MP4 ftyp box + raw bytes               unsupported
+    6       image     P6 with truncated pixel data           corrupt
+    7       audio     RIFF/WAVE declaring MPEG (fmt=85)      corrupt
+    ======  ========  =====================================  ============
+
+    Decodable payloads reuse the exact builders of
+    wav/ppm/y4m_from_documents; 'unsupported' carries a real compressed
+    container's magic so decode_media's refusal branch fires; 'corrupt'
+    payloads match a supported magic but fail the format's own validation.
+    """
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        fb = VID_W * VID_H
+        row_bytes = IMG_WIDTH * 3
+
+        def wav(raw: bytes) -> bytes:
+            data = (
+                (np.frombuffer(raw, np.uint8).astype(np.int64) * _SAMPLE_SCALE + _SAMPLE_OFF)
+                .astype("<i2")
+                .tobytes()
+            )
+            return _wav_wrap(data, WAV_SAMPLE_RATE, 1)
+
+        def ppm(raw: bytes) -> bytes:
+            height = max(1, -(-len(raw) // row_bytes))
+            return encode_ppm(IMG_WIDTH, height, raw.ljust(row_bytes * height, b"\x00"))
+
+        def y4m(raw: bytes) -> bytes:
+            n = max(1, -(-len(raw) // fb))
+            padded = raw.ljust(fb * n, b"\x00")
+            return encode_y4m(VID_W, VID_H, [padded[i * fb : (i + 1) * fb] for i in range(n)])
+
+        def mpeg_wav(raw: bytes) -> bytes:
+            # RIFF/WAVE container honestly declaring a non-PCM encoding
+            # (fmt tag 85 = MPEG Layer 3): magic matches, validation fails
+            fmt = struct.pack("<HHIIHH", 85, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE, 1, 16)
+            body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            body += b"data" + struct.pack("<I", len(raw)) + raw
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        build = {
+            0: ("audio", "wav", wav),
+            1: ("image", "ppm", ppm),
+            2: ("video", "y4m", y4m),
+            3: ("audio", "mp3", lambda raw: b"ID3\x03\x00" + raw),
+            4: ("image", "png", lambda raw: b"\x89PNG\r\n\x1a\n" + raw),
+            5: ("video", "mp4", lambda raw: b"\x00\x00\x00\x18ftypisom" + raw),
+            6: ("image", "ppm", lambda raw: ppm(raw)[:-3]),  # truncated pixels
+            7: ("audio", "wav", mpeg_wav),
+        }
+        for pdf in it:
+            out: dict[str, list] = {"media_id": [], "modality": [], "payload": [], "meta": []}
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                modality, codec, fn = build[int(did) % CODEC_MIX_CLASSES]
+                out["media_id"].append(int(did))
+                out["modality"].append(modality)
+                out["payload"].append(fn(t.encode("utf-8")))
+                out["meta"].append({"claimed_codec": codec})
+            yield pd.DataFrame(out)
+
+    return spread(docs).select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+DECODE_STATUS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def try_decode_status(media: DataFrame) -> DataFrame:
+    """Per-payload decode triage → ``(media_id, modality, status)`` with
+    status ∈ ``decoded`` (a real parse succeeded), ``unsupported_codec``
+    (decode_media's principled compressed-codec refusal), ``corrupt``
+    (magic matched a supported format but its own validation failed).
+    Map-only Arrow pass; the refusal branch is exercised as DATA, not
+    just as an exception path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"media_id": [], "modality": [], "status": []}
+            for mid, modality, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                try:
+                    decode_media(str(modality), bytes(payload))
+                    status = "decoded"
+                except NotImplementedError:
+                    status = "unsupported_codec"
+                except ValueError:
+                    status = "corrupt"
+                out["media_id"].append(int(mid))
+                out["modality"].append(str(modality))
+                out["status"].append(status)
+            yield pd.DataFrame(out)
+
+    return spread(media).mapInPandas(batches, schema=DECODE_STATUS_SCHEMA)

@@ -277,6 +277,32 @@ def test_engine_stats_counters_advance(spark, events):
     assert eng.stats() == {}
 
 
+def test_engine_stats_row_counters(spark, events):
+    """Row telemetry (VERDICT r5 item 7): rows_out/rows_in accumulate via
+    Observations filled during the CALLER's actions — no extra jobs, and
+    an unexecuted lazy frame reports nothing."""
+    eng = TagTreeEngine(spark, events=events)
+    m = [LabelMatcher(MatchOp.EQL, "event_type", "click")]
+    n1 = eng.resolve(m).count()
+    s = eng.stats()
+    assert s["resolve"]["rows_out"] == n1 > 0
+    n2 = eng.resolve(m).count()  # second call accumulates
+    assert eng.stats()["resolve"]["rows_out"] == n1 + n2
+    # a never-executed frame contributes nothing (lazy contract)
+    eng.label_values("event_type")
+    assert "rows_out" not in eng.stats().get("label_values", {})
+    # select rows ride the caller's count()
+    k = eng.select(m).count()
+    assert eng.stats()["select"]["rows_out"] == k > 0
+    # write path records rows_in for the ingested batch
+    eng.add_series_batch(events.limit(20))
+    eng.current_tsid()  # forces execution over the merged model
+    assert eng.stats()["add_series_batch"].get("rows_in", 0) >= 20
+    assert eng.stats()["current_tsid"]["rows_out"] >= 1
+    eng.reset_stats()
+    assert eng.stats() == {}
+
+
 def test_engine_retention_drops_old_samples_keeps_index(spark, events, tmpdir):
     from pyspark.sql import functions as F
 

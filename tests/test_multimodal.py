@@ -404,3 +404,28 @@ def test_video_fingerprint_identity_and_difference(spark):
     assert h[1] == h[2] and h[1] != h[3]
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in video_near_dup_pairs(media).collect()}
     assert pairs[(1, 2)] == 0
+
+
+def test_codec_triage_mixture(spark):
+    """All 8 mixture classes produce the right triage verdict, including
+    the compressed-codec refusal branch exercised as data."""
+    from tagtree_spark.operators.multimodal import (
+        media_mixture_from_documents,
+        try_decode_status,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i} " * 3) for i in range(16)],
+        "doc_id long, text string",
+    )
+    media = media_mixture_from_documents(docs)
+    got = {r.media_id: (r.modality, r.status) for r in try_decode_status(media).collect()}
+    expect_mod = {0: "audio", 1: "image", 2: "video", 3: "audio",
+                  4: "image", 5: "video", 6: "image", 7: "audio"}
+    expect_st = {0: "decoded", 1: "decoded", 2: "decoded",
+                 3: "unsupported_codec", 4: "unsupported_codec",
+                 5: "unsupported_codec", 6: "corrupt", 7: "corrupt"}
+    assert len(got) == 16
+    for mid, (mod, st) in got.items():
+        assert mod == expect_mod[mid % 8], mid
+        assert st == expect_st[mid % 8], mid
