@@ -114,11 +114,26 @@ class TagTreeEngine:
         the next read. Counts rows flowing through this plan node — a
         plan that re-reads the frame within one action counts each pass,
         so treat rows_in on write paths as capacity telemetry, not an
-        exact ledger."""
+        exact ledger.
+
+        MUST be attached to a frame consumed exactly ONCE per action: a
+        CollectMetrics node duplicated into several branches of one
+        executed plan can resolve from a pruned branch and report 0
+        (ADVICE r6 high — the write paths observe the build_samples
+        output, not the raw batch, for exactly this reason)."""
         from pyspark.sql import functions as F
         from pyspark.sql.observation import Observation
 
         obs = Observation()
+        # Opportunistic harvest + cap so a long-lived engine whose caller
+        # never reads stats() doesn't leak one Observation per call
+        # (ADVICE r6 low): fold completed ones now, and above the cap drop
+        # the OLDEST never-executed entries (their frames were likely
+        # discarded unexecuted; dropping loses nothing but a maybe-count).
+        if len(self._pending_obs) >= 64:
+            self._harvest_obs()
+        if len(self._pending_obs) >= 256:
+            del self._pending_obs[: len(self._pending_obs) - 255]
         self._pending_obs.append((method, kind, obs))
         return df.observe(obs, F.count(F.lit(1)).alias("n"))
 
@@ -191,10 +206,20 @@ class TagTreeEngine:
             return self.ingest_batch(batch_events)
         from tagtree_spark.tsdb.model import build_postings, build_samples
 
-        batch_events = self._observed("add_series_batch", batch_events, "rows_in")
         self.series = _ingest.add_series_batch(self.series, batch_events)
         self.postings = build_postings(self.series)
-        self.storage.append(build_samples(batch_events, self.series))
+        # rows_in rides the samples build (one row per batch event after the
+        # series merge) — the ONE frame this path consumes exactly once per
+        # action; observing batch_events directly duplicated the
+        # CollectMetrics node across the merge's touch/anti-join branches
+        # and resolved 0 from a pruned one (ADVICE r6 high). The count
+        # fills when the appended samples first flow through a caller
+        # action (lazy storage) or during the append write (parquet).
+        self.storage.append(
+            self._observed(
+                "add_series_batch", build_samples(batch_events, self.series), "rows_in"
+            )
+        )
         return self
 
     @_tracked
@@ -238,7 +263,6 @@ class TagTreeEngine:
         series_path = os.path.join(self.store_dir, "series")
         postings_path = os.path.join(self.store_dir, "postings")
 
-        batch_events = self._observed("ingest_batch", batch_events, "rows_in")
         before = self.current_tsid()
         merged = _ingest.add_series_batch(self.series, batch_events)
         _ingest.commit(merged, series_path)
@@ -246,7 +270,14 @@ class TagTreeEngine:
         # re-read the renamed path and re-apply the merge on recompute)
         self.series = self.spark.read.parquet(series_path)
         self.postings = build_postings(self.series)
-        self.storage.append(build_samples(batch_events, self.series))
+        # rows_in on the samples build, consumed once by the append write
+        # (an action — the count fills immediately here); see
+        # add_series_batch for why the raw batch must not carry it.
+        self.storage.append(
+            self._observed(
+                "ingest_batch", build_samples(batch_events, self.series), "rows_in"
+            )
+        )
         after = self.current_tsid()
         self._new_since_compact += max(0, after - before)
         if (

@@ -842,6 +842,13 @@ def hard_negatives(
     follows the family convention (default ``dedup.MAX_BUCKET``; ``None``
     = uncapped).
 
+    .. note:: changed in r5 — an explicit ``max_bucket=None`` used to
+       mean "apply the default cap" and now means UNCAPPED (the family
+       convention). External callers that passed ``None`` for the old
+       default should pass nothing (or ``MAX_BUCKET``) and audit any
+       remaining explicit ``None`` for skewed-bucket blowup (ADVICE r6
+       low).
+
     A caller-supplied ``wb`` must include the label (built via
     ``bucketed_embeddings(..., label_col=...)`` — the shared
     queries_ext._wb cache does).

@@ -779,10 +779,26 @@ def _bpe_safe_prefix(pairs: DataFrame, top: list) -> list:
       bound; requiring the candidate's count to be STRICTLY above it also
       absorbs the unknown tie-order of the created pair's name.
 
-    One extra bounded aggregation per round (two ≤k-row collects over the
+    - stop right after accepting a merge whose created NAME l·r already
+      exists in the pair table (or equals an earlier accepted name): the
+      created pair (x, l·r) would then share its name with pre-existing
+      pairs and ACCRETE their count (old + created), so the starts-from-0
+      bound above no longer holds for later candidates (ADVICE r6
+      medium). Reachability: an exhaustive search over ARBITRARY merge
+      sequences (not just count-argmax; all <=2-distinct-word {a,b}
+      corpora to length 6, depth 10) plus 100k randomized larger corpora
+      found NO state where a live pair's concatenated name coexists with
+      a same-named symbol — greedy application consumes every (l, r)
+      adjacency and re-creating one needs a second same-named symbol,
+      which is this very state — but the argument is not a proof for
+      unbounded corpora, so the guard (one driver-side set probe per
+      round) removes any reliance on it.
+
+    Extra bounded work per round (three ≤k-row collects over the
     persisted pair table) — independent of corpus size."""
     lefts = [r.sym for r in top]
     rights = [r.nxt for r in top]
+    names = [r.sym + r.nxt for r in top]
     lb = {
         r.nxt: r.b
         for r in pairs.where(F.col("nxt").isin(lefts))
@@ -793,8 +809,24 @@ def _bpe_safe_prefix(pairs: DataFrame, top: list) -> list:
         for r in pairs.where(F.col("sym").isin(rights))
         .groupBy("sym").agg(F.max("cnt").alias("b")).collect()
     }
+    # symbols already spelled like a candidate's merged name: only tokens
+    # with a neighbour can accrete counts, and those all appear in the
+    # pair table (an isolated whole-word token forms no pairs)
+    colliding = {
+        r.s
+        for r in pairs.select(F.col("sym").alias("s"))
+        .where(F.col("sym").isin(names))
+        .unionByName(
+            pairs.select(F.col("nxt").alias("s")).where(F.col("nxt").isin(names))
+        )
+        .distinct()
+        .collect()
+    }
     accepted = [top[0]]
     used = {top[0].sym, top[0].nxt}
+    taken_names = {top[0].sym + top[0].nxt}
+    if top[0].sym + top[0].nxt in colliding:
+        return accepted
     created_bound = max(lb.get(top[0].sym, 0), rb.get(top[0].nxt, 0))
     for cand in top[1:]:
         if cand.sym in used or cand.nxt in used:
@@ -802,6 +834,10 @@ def _bpe_safe_prefix(pairs: DataFrame, top: list) -> list:
         if created_bound >= cand.cnt:
             break
         accepted.append(cand)
+        name = cand.sym + cand.nxt
+        if name in colliding or name in taken_names:
+            break
+        taken_names.add(name)
         used.update((cand.sym, cand.nxt))
         created_bound = max(created_bound, lb.get(cand.sym, 0), rb.get(cand.nxt, 0))
     return accepted

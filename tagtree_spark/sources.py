@@ -175,8 +175,22 @@ class SegmentStreamReader(DataSourceStreamReader):
         return self._delta_partitions(lo, end["batch"])
 
     def latestOffset(self):
+        """Monotone by construction: floored at base_horizon+1 when a base
+        exists. Compaction rmtree's folded deltas, so a momentarily-empty
+        delta log must NOT report 0 — a fresh start_after_base stream (or a
+        caught-up tail whose consumed deltas were all just compacted) would
+        see the offset regress, commit it (Spark only equality-checks
+        offsets), and partitions() would then raise the spurious
+        'compaction overran the stream offset' error on a stream that
+        followed the documented contract (ADVICE r6 medium)."""
         ids = _delta_ids(self.path)
-        return {"batch": (ids[-1] + 1) if ids else 0}
+        hz = _base_horizon(self.path)
+        return {
+            "batch": max(
+                (ids[-1] + 1) if ids else 0,
+                (hz + 1) if hz is not None else 0,
+            )
+        }
 
     def _delta_partitions(self, lo, hi):
         files = []

@@ -187,6 +187,10 @@ def test_ingest_batch_no_compact_accumulates_then_manual(spark, events):
         eng.ingest_batch(events.where(F.col("event_id") % 3 == 2))
         n2 = len(glob.glob(f"{d}/samples/ds=*/*.parquet"))
         assert n2 > n0
+        # store-backed rows_in fills during the append write itself (the
+        # parquet write is an action over the observed samples frame)
+        exp = events.where(F.col("event_id") % 3 != 0).count()
+        assert eng.stats()["ingest_batch"].get("rows_in", 0) == exp
         total = eng.samples.count()
         eng.compact()
         assert eng.samples.count() == total
@@ -294,9 +298,13 @@ def test_engine_stats_row_counters(spark, events):
     # select rows ride the caller's count()
     k = eng.select(m).count()
     assert eng.stats()["select"]["rows_out"] == k > 0
-    # write path records rows_in for the ingested batch
+    # write path records rows_in for the ingested batch; the count rides
+    # the appended samples frame (the one consumed-once plan point —
+    # ADVICE r6 high), so it fills when those samples first flow
     eng.add_series_batch(events.limit(20))
-    eng.current_tsid()  # forces execution over the merged model
+    eng.current_tsid()  # merged model executes; samples not yet read
+    assert eng.stats()["add_series_batch"].get("rows_in", 0) == 0
+    eng.samples.count()  # first action over the appended samples
     assert eng.stats()["add_series_batch"].get("rows_in", 0) >= 20
     assert eng.stats()["current_tsid"]["rows_out"] >= 1
     eng.reset_stats()

@@ -1098,6 +1098,40 @@ def test_bpe_batched_equals_sequential(spark):
             assert bat == seq, f"batch_k={k} diverged on {rows}: {bat} != {seq}"
 
 
+def test_bpe_safe_prefix_rejects_name_collisions(spark):
+    """If an accepted merge's concatenated name already exists as a symbol
+    in the pair table, pairs created by that merge ACCRETE onto the
+    existing same-named pairs, so the created-pair bound (which assumes a
+    fresh count) is unsound for later candidates — the prefix must stop
+    right after the colliding accept (ADVICE r6 medium). No char-trained
+    corpus is known to reach this state (exhaustive merge-sequence search
+    found none), so the guard is pinned at the unit level."""
+    from pyspark.sql import Row
+
+    from tagtree_spark.operators.text import _bpe_safe_prefix
+
+    P = Row("sym", "nxt", "cnt")
+    # 'ab' already exists as a symbol (it has pairs); candidates (a,b) and
+    # (c,d) are symbol-disjoint and the naive created-bound would accept
+    # both — but (a,b) spells 'ab', so stop after it.
+    rows = [P("a", "b", 100), P("c", "d", 90), P("ab", "z", 5), P("q", "ab", 4)]
+    pairs = spark.createDataFrame(rows)
+    top = rows[:2]
+    assert _bpe_safe_prefix(pairs, top) == [rows[0]]
+    # same table minus the colliding symbol: both accepted
+    pairs2 = spark.createDataFrame([P("a", "b", 100), P("c", "d", 90), P("e", "f", 5)])
+    top2 = [P("a", "b", 100), P("c", "d", 90)]
+    assert _bpe_safe_prefix(pairs2, top2) == top2
+    # collision on the SECOND accept: accepted then stops the batch there
+    rows3 = [P("a", "b", 100), P("c", "d", 90), P("e", "f", 80), P("cd", "z", 5)]
+    pairs3 = spark.createDataFrame(rows3)
+    assert _bpe_safe_prefix(pairs3, rows3[:3]) == rows3[:2]
+    # duplicate names WITHIN the batch: second same-named accept ends it
+    rows4 = [P("a", "bc", 100), P("ab", "c", 90), P("e", "f", 80)]
+    pairs4 = spark.createDataFrame(rows4)
+    assert _bpe_safe_prefix(pairs4, rows4) == rows4[:2]
+
+
 def test_bpe_train_merge_cap_contract(spark):
     import pytest
 

@@ -116,6 +116,18 @@ def test_stream_reader_refuses_compacted_store(spark, tmpdir):
     parts = r2.partitions(start, r2.latestOffset())
     assert parts and all("seg-0000000003-delta" in p.path for p in parts)
 
+    # latestOffset is MONOTONE under compaction (ADVICE r6 medium): fold
+    # EVERY delta into the base — the delta log is now empty, but the
+    # offset must stay floored at base_horizon+1, not regress to 0 (a
+    # regressed offset gets committed and partitions() then kills the
+    # stream with a spurious 'overran' error).
+    compact_moments(spark, store, before_batch=4)  # folds delta 3 too
+    assert r2.latestOffset() == {"batch": 4}
+    assert r2.partitions({"batch": 4}, r2.latestOffset()) == []
+    # a fresh opt-in stream on the fully-compacted store agrees end-to-end
+    r3 = SegmentStreamReader({"path": store, "start_after_base": "true"})
+    assert r3.initialOffset() == {"batch": 4} == r3.latestOffset()
+
 
 def test_stream_reader_tails_delta_segments(spark, tmpdir):
     from tagtree_spark import sources
