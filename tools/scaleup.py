@@ -1,0 +1,177 @@
+"""Scale-up smoke for the quadratic-risk dedup/ANN family (VERDICT r5
+item 4): synthesize an ~Nx corpus locally and measure how the bucketed
+pair/ANN queries grow with it.
+
+The caps and prefix/band bounds argue by PLAN SHAPE that candidate
+generation is linear in the corpus; this tool checks it EMPIRICALLY:
+
+  * documents x N — copy i shifts doc_id by i*ID_OFFSET and suffixes every
+    word with "~i", so copies keep the within-copy similarity structure but
+    share no shingles ACROSS copies. True near-dup/candidate counts (and
+    output rows) therefore scale ~N x sf0.1, which is exactly the regime
+    the linearity claim is about (a naive all-pairs join would grow N^2).
+  * embeddings x N — copy i shifts vec_id and ROTATES the vector by i
+    positions (norms and pairwise within-copy geometry preserved, copies
+    decorrelated), labels kept.
+  * every other table is symlinked from the source sf dir.
+
+Usage:
+    python tools/scaleup.py             # N=10 vs sf0.1, the headline table
+    python tools/scaleup.py --n 4       # quicker sanity run
+
+Prints a markdown table (paste into SCALE.md): per query, rows + wall at
+1x and Nx, and the wall ratio. Ratio ~= N (against an Nx candidate set)
+confirms linear growth; ~= N^2 would flag an all-pairs path. Timings are
+single-run local[32] walls — +-30% host variance applies (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tagtree_spark.io import TABLES  # noqa: E402
+from tagtree_spark.session import get_spark  # noqa: E402
+
+ID_OFFSET = 10_000_000
+
+#: The quadratic-risk family named by the verdict: shingle/band dedup
+#: (q25/q32/q126), fingerprint near-dup over decoded media (q139-q141),
+#: simhash (q28). These bucket on CONTENT (band signatures / shingle
+#: hashes), so distinct-content copies create NEW buckets and candidates
+#: scale linearly. The embedding-LSH family (q151 etc.) is measured
+#: separately if asked via --only: at FIXED n_planes its bucket occupancy
+#: grows with the corpus until MAX_BUCKET drops hot buckets (visible as
+#: fewer output rows at Nx) — the documented contract is to raise
+#: n_planes with corpus size, so a fixed-parameter Nx run exercises the
+#: cap telemetry, not linearity.
+QUERIES = (
+    "q25_minhash_neardup",
+    "q28_simhash_neardup",
+    "q32_ngram_jaccard",
+    "q126_prefix_filter",
+    "q139_image_dhash",
+    "q140_audio_neardup",
+    "q141_video_neardup",
+)
+
+
+def build_scaled_dir(spark, src_dir: str, out_dir: str, n: int) -> None:
+    """Materialize the Nx corpus under out_dir (idempotent: rebuilt fresh)."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        os.symlink(
+            os.path.join(src_dir, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet")
+        )
+
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    copies = []
+    for i in range(n):
+        c = docs.select(
+            (F.col("doc_id") + F.lit(i * ID_OFFSET)).alias("doc_id"),
+            (
+                F.col("text")
+                if i == 0
+                # suffix every word with the copy tag (JVM-side regex; a
+                # Python lambda in F.transform would mis-bind the index)
+                else F.regexp_replace("text", r"(\S+)", f"$1~{i}")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.parquet(os.path.join(out_dir, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    ecopies = []
+    for i in range(n):
+        rot = i % dim
+        vec = (
+            F.col("embedding")
+            if rot == 0
+            else F.concat(
+                F.slice("embedding", rot + 1, dim - rot), F.slice("embedding", 1, rot)
+            )
+        )
+        ecopies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * ID_OFFSET)).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    eout = ecopies[0]
+    for c in ecopies[1:]:
+        eout = eout.unionByName(c)
+    eout.repartition(32).write.parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def time_query(fn, spark, sf_dir: str) -> tuple[int, float]:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    n = df.count()
+    return n, time.perf_counter() - t0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10, help="scale multiplier")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--only", default=None, help="comma-separated query subset")
+    args = ap.parse_args()
+
+    spark = get_spark("tagtree-scaleup")
+    out_dir = os.path.abspath(f".tmp/scaleup-x{args.n}")
+    print(f"building x{args.n} corpus under {out_dir} ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    build_scaled_dir(spark, args.src, out_dir, args.n)
+    print(f"built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = args.only.split(",") if args.only else list(QUERIES)
+    print(f"| query | rows 1x | wall 1x | rows {args.n}x | wall {args.n}x | ratio |")
+    print("|---|---|---|---|---|---|")
+    # Per-query warm-up at sf0.01 (a third, tiny sf dir): warms JVM
+    # codegen for the query's exact plan shape and the python worker pool
+    # without touching either timed scale's caches. The timed runs are
+    # then COLD at each scale — several of these queries persist shared
+    # base tables and even their own pair output per (session, sf_dir), so
+    # a repeat run at the same scale would measure a cache read, not the
+    # pipeline. Cold-vs-cold keeps the ratio apples-to-apples (both sides
+    # include their linear map-only base pass).
+    warm_dir = os.path.join(os.path.dirname(args.src.rstrip("/")), "sf0.01")
+
+    for name in names:
+        fn = qs[name]
+        if os.path.isdir(warm_dir):
+            fn(spark, warm_dir).count()
+        r1, w1 = time_query(fn, spark, args.src)
+        rn, wn = time_query(fn, spark, out_dir)
+        print(
+            f"| {name} | {r1} | {w1:.2f}s | {rn} | {wn:.2f}s | "
+            f"{wn / w1:.1f}x |",
+            flush=True,
+        )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
