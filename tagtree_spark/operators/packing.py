@@ -85,3 +85,45 @@ def pack_sequences(
             "end_seq"
         ),
     )
+
+
+def packing_report(
+    docs: DataFrame,
+    budget: int = 256,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Packing-efficiency accounting over :func:`pack_sequences` — the
+    numbers a training job plans capacity with: how many fixed-budget
+    sequences each shard yields, how many documents straddle a sequence
+    boundary (and would be cut or need attention-mask resets), and how
+    much of the final sequence is tail padding.
+
+    → ``(shard, n_docs, total_tokens, n_seqs, n_straddlers,
+    tail_waste)``, one row per shard, all exact bigints:
+
+      * ``n_seqs``      = ceil(total_tokens / budget)
+      * ``n_straddlers``= docs with begin_seq < end_seq
+      * ``tail_waste``  = n_seqs * budget - total_tokens (pad tokens in
+        the shard's final sequence; intermediate sequences are full by
+        construction of the concat-and-chunk layout).
+
+    Scale: reduces the per-doc manifest to one row per shard — a plain
+    partial-aggregating groupBy on the already-sharded frame; the only
+    sort anywhere is pack_sequences' per-shard window.
+    """
+    b = int(budget)
+    m = pack_sequences(docs, b, shard_col, id_col, text_col)
+    return m.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr(f"CAST((sum(n_tokens) + {b} - 1) DIV {b} AS BIGINT)").alias("n_seqs"),
+        F.sum(F.when(F.col("begin_seq") < F.col("end_seq"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_straddlers"),
+        F.expr(
+            f"CAST(((sum(n_tokens) + {b} - 1) DIV {b}) * {b} - sum(n_tokens) "
+            "AS BIGINT)"
+        ).alias("tail_waste"),
+    )

@@ -241,3 +241,103 @@ def split_assign(
         .otherwise("test")
     )
     return df.withColumn("split", split)
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_bands: int = 8,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum manifest: per stratum, documents are split into
+    ``n_bands`` equi-depth difficulty bands (difficulty = token count,
+    the standard short-to-long curriculum proxy), then deterministically
+    shuffled WITHIN each band — training reads bands in order and sees
+    easy-to-hard progression with an unbiased order inside each stage.
+
+    → ``(doc_id, stratum, n_words, band, pos)``: ``band`` is the 1-based
+    ntile over (n_words, doc_id) within the stratum; ``pos`` is the
+    h60-shuffled 1-based rank within (stratum, band). Everything is a
+    pure function of (id, content length) — reruns, repartitions, and
+    engines agree (the DuckDB oracle replays both windows).
+
+    Scale: both windows partition by stratum (and (stratum, band)) — no
+    global sort; stratum count × n_bands is the parallelism, and each
+    per-partition sort is a fraction of the corpus. For a low-cardinality
+    stratum column at 100 TB, pre-split strata like pack_sequences'
+    ``n_subshards`` dial.
+    """
+    if n_bands <= 0:
+        raise ValueError("n_bands must be positive")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).cast("string").alias("stratum"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_words"),
+    )
+    wband = Window.partitionBy("stratum").orderBy("n_words", "doc_id")
+    banded = d.withColumn("band", F.ntile(n_bands).over(wband).cast("bigint"))
+    hkey = h60(F.concat_ws(":", F.lit("cur"), F.col("doc_id").cast("string")))
+    wpos = Window.partitionBy("stratum", "band").orderBy(hkey, "doc_id")
+    return banded.withColumn("pos", F.row_number().over(wpos).cast("bigint"))
+
+
+def token_budget_allocation(
+    docs: DataFrame,
+    budget_pct: int = 50,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Largest-remainder token-budget split: given a global training
+    budget of ``budget_pct``% of the corpus's tokens, allocate each
+    stratum an integer token quota proportional to its share — the
+    "how many tokens of each source does this run get" planning step of
+    a data-mixture pipeline.
+
+    Hamilton's method, all-integer: ``alloc_i = B*t_i DIV T`` plus one
+    extra token to the ``B - Σalloc`` strata with the largest remainder
+    (``B*t_i MOD T``; ties broken on stratum name) — Σalloc == B exactly,
+    every stratum within 1 token of its exact proportional share, and
+    the result is a pure function of the corpus (no floats, so engines
+    agree bit-for-bit). Products run in DECIMAL(38,0): B and T can both
+    be ~1e15 at 100 TB, so B*t_i overflows int64 (CLAUDE.md rule 7).
+
+    → ``(stratum, tokens, alloc)``, one row per stratum. Scale: one
+    partial-aggregating groupBy to stratum granularity; the rank window
+    and the 1-row totals broadcast act on the per-stratum frame, whose
+    size is the stratum cardinality, not the corpus.
+    """
+    if not 0 <= int(budget_pct) <= 100:
+        raise ValueError(f"budget_pct must be 0-100, got {budget_pct}")
+    t = docs.groupBy(F.col(stratum_col).cast("string").alias("stratum")).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("bigint").alias("tokens")
+    )
+    tot = t.agg(
+        F.sum("tokens").cast("decimal(38,0)").alias("t_total"),
+        F.expr(f"CAST(sum(tokens) * {int(budget_pct)} DIV 100 AS DECIMAL(38,0))").alias(
+            "budget"
+        ),
+    )
+    a = t.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "tokens",
+        F.expr("CAST(CAST(budget AS DECIMAL(38,0)) * tokens DIV t_total AS DECIMAL(38,0))").alias("base"),
+        F.expr("CAST(CAST(budget AS DECIMAL(38,0)) * tokens % t_total AS DECIMAL(38,0))").alias("rem"),
+        F.col("budget"),
+    )
+    wrank = Window.orderBy(F.col("rem").desc(), "stratum")
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        a.withColumn("rnk", F.row_number().over(wrank))
+        .withColumn("leftover", F.col("budget") - F.sum("base").over(wall))
+        .select(
+            "stratum",
+            "tokens",
+            (
+                F.col("base")
+                + F.when(F.col("rnk") <= F.col("leftover"), F.lit(1)).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )

@@ -6921,3 +6921,117 @@ def q197_codec_audit(spark, sf_dir):
         )
         .orderBy("modality", "status")
     )
+
+
+@query(
+    "q198_packing_efficiency",
+    """
+WITH t AS (
+  SELECT source AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+), q AS (
+  SELECT shard, n_tokens,
+         (cum - n_tokens) // 128 AS begin_seq,
+         greatest(cum - 1, cum - n_tokens) // 128 AS end_seq
+  FROM c
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((sum(n_tokens) + 127) // 128 AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN begin_seq < end_seq THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddlers,
+       CAST(((sum(n_tokens) + 127) // 128) * 128 - sum(n_tokens) AS BIGINT)
+         AS tail_waste
+FROM q GROUP BY shard ORDER BY shard""",
+)
+def q198_packing_efficiency(spark, sf_dir):
+    """Packing-efficiency accounting (capacity planning for q59's
+    concat-and-chunk layout): per shard, how many 128-token sequences the
+    corpus yields, how many documents straddle a sequence boundary, and
+    the tail padding. All exact bigints; reduces the per-doc manifest to
+    one row per shard with a plain partial-aggregating groupBy."""
+    from tagtree_spark.operators.packing import packing_report
+
+    return packing_report(_docs(spark, sf_dir), budget=128).orderBy("shard")
+
+
+@query(
+    "q199_curriculum_manifest",
+    """
+WITH d AS (
+  SELECT doc_id, source AS stratum,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+), b AS (
+  SELECT doc_id, stratum, n_words,
+         CAST(ntile(8) OVER (PARTITION BY stratum
+                             ORDER BY n_words, doc_id) AS BIGINT) AS band
+  FROM d
+)
+SELECT doc_id, stratum, n_words, band,
+       CAST(row_number() OVER (
+         PARTITION BY stratum, band
+         ORDER BY """
+    + duck_h60("'cur:' || CAST(doc_id AS VARCHAR)")
+    + """, doc_id) AS BIGINT) AS pos
+FROM b ORDER BY stratum, band, pos""",
+)
+def q199_curriculum_manifest(spark, sf_dir):
+    """Curriculum manifest: per source, equi-depth short-to-long
+    difficulty bands (ntile over token count) with a deterministic
+    h60 shuffle inside each band — easy-to-hard progression with an
+    unbiased within-stage order, reproducible across runs and engines.
+    Both windows partition by (stratum[, band]) — no global sort."""
+    from tagtree_spark.operators.sampling import curriculum_order
+
+    return curriculum_order(_docs(spark, sf_dir)).orderBy("stratum", "band", "pos")
+
+
+@query(
+    "q200_source_token_budget",
+    """
+WITH t AS (
+  SELECT source AS stratum,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(tokens) AS HUGEINT) AS t_total,
+         CAST(sum(tokens) AS HUGEINT) * 50 // 100 AS budget
+  FROM t
+), a AS (
+  SELECT stratum, tokens,
+         (tot.budget * tokens) // tot.t_total AS base,
+         (tot.budget * tokens) % tot.t_total AS rem,
+         tot.budget AS budget
+  FROM t, tot
+), r AS (
+  SELECT stratum, tokens, base, budget,
+         row_number() OVER (ORDER BY rem DESC, stratum) AS rnk,
+         budget - sum(base) OVER () AS leftover
+  FROM a
+)
+SELECT stratum, tokens,
+       CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r ORDER BY stratum""",
+)
+def q200_source_token_budget(spark, sf_dir):
+    """Largest-remainder token-budget split (Hamilton's method): each
+    source gets an integer token quota proportional to its share of a
+    50%-of-corpus training budget — Σalloc equals the budget exactly and
+    every source is within one token of its exact share. All-integer
+    (products in DECIMAL(38,0)/HUGEINT — B·t_i overflows int64 at
+    100 TB), so both engines agree bit-for-bit. One groupBy to stratum
+    granularity; windows act on the tiny per-stratum frame."""
+    from tagtree_spark.operators.sampling import token_budget_allocation
+
+    return token_budget_allocation(_docs(spark, sf_dir), budget_pct=50).orderBy(
+        "stratum"
+    )

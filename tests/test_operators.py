@@ -451,6 +451,76 @@ def test_pack_sequences_rejects_bad_budget(spark):
         pack_sequences(_docs(spark, [(1, "a", "en", "s", 1)]), budget=0)
 
 
+def test_packing_report_hand_check(spark):
+    from tagtree_spark.operators.packing import packing_report
+
+    # shard s: 3 + 4 + 2 = 9 tokens, budget 4 → 3 seqs (last holds 1
+    # token → 3 waste); docs 2 and 3 straddle a boundary
+    d = _docs(
+        spark,
+        [
+            (1, "a b c", "s", "s", 5),
+            (2, "d e f g", "s", "s", 7),
+            (3, "h i", "s", "s", 3),
+            (10, "z z z z", "t", "t", 7),  # 4 tokens = exactly 1 seq, 0 waste
+        ],
+    )
+    out = {r.shard: r for r in packing_report(d, budget=4, shard_col="source").collect()}
+    s = out["s"]
+    assert (s.n_docs, s.total_tokens, s.n_seqs, s.n_straddlers, s.tail_waste) == (
+        3, 9, 3, 2, 3,
+    )
+    t = out["t"]
+    assert (t.n_docs, t.total_tokens, t.n_seqs, t.n_straddlers, t.tail_waste) == (
+        1, 4, 1, 0, 0,
+    )
+
+
+def test_curriculum_order_bands_and_determinism(spark):
+    from tagtree_spark.operators.sampling import curriculum_order
+
+    # 12 docs in one source with word counts 1..12 → 3 equi-depth bands
+    # of 4; band respects the (n_words, doc_id) order; positions are a
+    # permutation of 1..4 inside each band and reruns agree exactly
+    rows = [(i, " ".join(["w"] * i), "en", "src", i) for i in range(1, 13)]
+    d = _docs(spark, rows)
+    out = curriculum_order(d, n_bands=3).collect()
+    by_band: dict = {}
+    for r in out:
+        by_band.setdefault(r.band, []).append(r)
+    assert sorted(by_band) == [1, 2, 3]
+    assert all(len(v) == 4 for v in by_band.values())
+    # equi-depth on the sorted difficulty: band 1 = 4 easiest, etc.
+    assert {r.n_words for r in by_band[1]} == {1, 2, 3, 4}
+    assert {r.n_words for r in by_band[3]} == {9, 10, 11, 12}
+    assert all(sorted(r.pos for r in v) == [1, 2, 3, 4] for v in by_band.values())
+    again = curriculum_order(d, n_bands=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_token_budget_allocation_hamilton_exact(spark):
+    from tagtree_spark.operators.sampling import token_budget_allocation
+
+    # skewed sources; Hamilton's method: Σalloc == budget exactly and
+    # every stratum is within 1 token of its exact proportional share
+    rows = []
+    did = 0
+    for src, n_docs, words in (("a", 3, 7), ("b", 1, 13), ("c", 5, 2), ("d", 2, 9)):
+        for _ in range(n_docs):
+            did += 1
+            rows.append((did, " ".join(["w"] * words), "en", src, words))
+    d = _docs(spark, rows)
+    out = {r.stratum: r for r in token_budget_allocation(d, budget_pct=50).collect()}
+    tokens = {"a": 21, "b": 13, "c": 10, "d": 18}
+    assert {k: v.tokens for k, v in out.items()} == tokens
+    total = sum(tokens.values())
+    budget = total * 50 // 100
+    assert sum(v.alloc for v in out.values()) == budget
+    for k, v in out.items():
+        exact = budget * tokens[k] / total
+        assert abs(v.alloc - exact) < 1.0
+
+
 def test_semantic_dedup_drops_higher_id_neighbor(spark):
     from tagtree_spark.operators.similarity import semantic_dedup
 
