@@ -976,3 +976,230 @@ def class_prototypes(
         a.join(b, F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", cosine("ca", "cb").alias("cos"))
     )
+
+
+#: PQ integer grid: embeddings are quantized to round(x * 2^20) before any
+#: distance math, so every sub-distance and ADC total is an EXACT bigint —
+#: order-independent sums, bit-identical across engines (CLAUDE.md rule 8;
+#: |x| < 1 ⇒ scaled < 2^21, squared < 2^42, and a 64-dim total < 2^48 —
+#: far inside int64).
+PQ_SCALE = 1 << 20
+
+
+def _pq_scaled_subvectors(
+    emb: DataFrame, n_sub: int, d_sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, m, sv): each vector cut into ``n_sub`` contiguous
+    sub-vectors of ``d_sub`` dims, every coordinate on the PQ integer
+    grid. One map-only pass; the n_sub-way explode is the PQ fan-out."""
+    iv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(PQ_SCALE))).cast("bigint"),
+    )
+    return (
+        spread(emb)
+        .select(F.col(id_col).alias("vec_id"), iv.alias("iv"))
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+            F.col("iv"),
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.expr(f"slice(iv, m * {d_sub} + 1, {d_sub})").alias("sv"),
+        )
+    )
+
+
+def _pq_sqdist(a: str, b: str) -> Column:
+    """Exact integer squared L2 between two grid sub-vectors."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    n_sub: int = 8,
+    ks: int = 16,
+    n_iters: int = 5,
+    train_sample: int = 1024,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace k-means codebooks for PQ (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search") — driver-side on
+    the same bounded lowest-id sample rule as :func:`kmeans_codebook`
+    (train offline on O(train_sample), encode at scale). Deterministic:
+    first-``ks`` init, fixed iterations, L2 assignment with lowest-code
+    tie-break. → ``codebooks[m][c]`` = centroid c of subspace m."""
+    import numpy as np
+
+    d_sub = dim // n_sub
+    sample = emb.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    x = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    out = []
+    for m in range(n_sub):
+        xs = x[:, m * d_sub : (m + 1) * d_sub]
+        cents = xs[:ks].copy()
+        for _ in range(n_iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # first (lowest) min index
+            for c in range(ks):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        out.append([[float(v) for v in row] for row in cents])
+    return out
+
+
+def _pq_codebook_frame(
+    emb: DataFrame,
+    n_sub: int,
+    ks: int,
+    d_sub: int,
+    codebooks: list[list[list[float]]] | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(m, c, cv) grid-quantized codebook frame: an explicit trained
+    codebook when given, else the deterministic stand-in — sub-vectors of
+    the first ``ks`` vectors (the oracle-checked form, like
+    :func:`_centroids`; centroids land on the SAME integer grid as the
+    data so either path is exact)."""
+    if codebooks is not None:
+        spark = emb.sparkSession
+        rows = [
+            (m, c, [float(v) for v in cb])
+            for m, book in enumerate(codebooks)
+            for c, cb in enumerate(book)
+        ]
+        raw = spark.createDataFrame(rows, "m BIGINT, c BIGINT, cvf ARRAY<DOUBLE>")
+        return raw.select(
+            "m",
+            "c",
+            F.transform(
+                F.col("cvf"),
+                lambda x: F.round(x * F.lit(float(PQ_SCALE))).cast("bigint"),
+            ).alias("cv"),
+        )
+    return _pq_scaled_subvectors(
+        emb.where(F.col(id_col) < ks), n_sub, d_sub, id_col, vec_col
+    ).select("m", F.col("vec_id").alias("c"), F.col("sv").alias("cv"))
+
+
+def pq_codes(
+    emb: DataFrame,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ encoding → ``(vec_id, m, code, qerr)``: each vector's subspace
+    ``m`` mapped to its nearest codebook centroid (exact integer L2,
+    ties → lowest code) with the residual squared error. ``n_sub`` codes
+    of ``log2(ks)`` bits replace ``dim`` floats — 32 B → 8 B per vector
+    at the defaults; the 100 TB corpus stores only codes + one tiny
+    codebook broadcast.
+
+    Shape: n_sub-way explode (map-only), broadcast codebook join
+    (n_sub·ks rows), then ONE partial-aggregating groupBy argmin via
+    min(struct) — no window, no extra shuffle beyond the (vec_id, m)
+    hash agg."""
+    d_sub = dim // n_sub
+    sub = _pq_scaled_subvectors(emb, n_sub, d_sub, id_col, vec_col)
+    cb = _pq_codebook_frame(emb, n_sub, ks, d_sub, codebooks, id_col, vec_col)
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", _pq_sqdist("sv", "cv").alias("dist"), "c"
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min(F.struct("dist", "c")).alias("_b")
+    )
+    return best.select(
+        "vec_id",
+        "m",
+        F.col("_b.c").alias("code"),
+        F.col("_b.dist").alias("qerr"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """E3 PQ asymmetric-distance top-k (ADC): approximate the query→vector
+    squared L2 as the sum over subspaces of the EXACT distance from the
+    query's sub-vector to the vector's assigned centroid, looked up from
+    an ``n_sub × ks`` table computed once per query.
+
+    → ``(vec_id, adist)``, ascending (nearest first), exact bigints.
+    This is the memory-bound ANN regime PQ exists for: the scan side
+    touches only the n_sub-byte codes, never the raw vectors — at 100 TB
+    the codes table is ~1/32 the corpus and the per-row work is n_sub
+    integer adds. Trained ``codebooks`` (:func:`pq_codebooks`) tighten
+    cells; recall vs brute force is pinned by test, the stand-in form by
+    the q201 oracle."""
+    d_sub = dim // n_sub
+    codes = pq_codes(emb, n_sub, ks, dim, id_col, vec_col, codebooks)
+    qsub = _pq_scaled_subvectors(
+        emb.where(F.col(id_col) == query_id), n_sub, d_sub, id_col, vec_col
+    ).select("m", F.col("sv").alias("qv"))
+    cb = _pq_codebook_frame(emb, n_sub, ks, d_sub, codebooks, id_col, vec_col)
+    table = cb.join(F.broadcast(qsub), "m").select(
+        "m", F.col("c").alias("code"), _pq_sqdist("cv", "qv").alias("qd")
+    )
+    return (
+        codes.where(F.col("vec_id") != query_id)
+        .join(F.broadcast(table), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("bigint").alias("adist"))
+        .orderBy("adist", "vec_id")
+        .limit(k)
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 40,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ ADC shortlist + exact rerank — the standard two-stage production
+    shape: the codes-only ADC scan picks ``shortlist`` candidates, then
+    ONLY those rows' full vectors are fetched and scored exactly (cosine).
+    → ``(vec_id, score)`` descending. Quantization error now only costs
+    recall when a true neighbour falls outside the shortlist, so recall
+    climbs with ``shortlist`` at fixed code size; the full-vector reads
+    stay O(shortlist) regardless of corpus size."""
+    short = pq_adc_topk(
+        emb, query_id, shortlist, n_sub, ks, dim, id_col, vec_col, codebooks
+    ).select("vec_id")
+    qv = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    return (
+        spread(emb)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qv))
+        .select("vec_id", cosine("v", "qv").alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+    )

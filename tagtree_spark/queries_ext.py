@@ -7035,3 +7035,118 @@ def q200_source_token_budget(spark, sf_dir):
     return token_budget_allocation(_docs(spark, sf_dir), budget_pct=50).orderBy(
         "stratum"
     )
+
+
+@query(
+    "q201_pq_adc_topk",
+    """
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
+                AS BIGINT)) AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
+  FROM iv, range(0, 8) t(m)
+), cb AS (
+  SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16
+), scored AS (
+  SELECT s.vec_id, s.m, cb.c,
+         list_reduce(list_transform(range(1, 9),
+           i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
+           (a, b) -> a + b) AS dist
+  FROM sub s JOIN cb USING (m)
+), code AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM scored
+  ) r WHERE rn = 1
+), qtab AS (
+  SELECT cb.m, cb.c AS code,
+         list_reduce(list_transform(range(1, 9),
+           i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i])),
+           (a, b) -> a + b) AS qd
+  FROM cb JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) q USING (m)
+)
+SELECT vec_id, CAST(sum(qd) AS BIGINT) AS adist
+FROM code JOIN qtab USING (m, code)
+WHERE vec_id != 0
+GROUP BY vec_id
+ORDER BY adist, vec_id LIMIT 10""",
+)
+def q201_pq_adc_topk(spark, sf_dir):
+    """E3 product quantization (Jegou et al. 2011): 64-dim vectors cut
+    into 8 subspaces, each encoded to its nearest of 16 centroids (8
+    codes replace 64 floats, 32x smaller), then asymmetric-distance
+    top-10 for query 0 from an 8x16 lookup table. All arithmetic on the
+    2^-20 integer grid — exact bigints, bit-identical engines. The
+    deterministic first-16-vectors codebook is the oracle form; the
+    kmeans-trained path is pinned by the PQ recall test."""
+    from tagtree_spark.operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+@query(
+    "q202_pq_rerank",
+    f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
+                AS BIGINT)) AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
+  FROM iv, range(0, 8) t(m)
+), cb AS (
+  SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16
+), scored AS (
+  SELECT s.vec_id, s.m, cb.c,
+         list_reduce(list_transform(range(1, 9),
+           i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
+           (a, b) -> a + b) AS dist
+  FROM sub s JOIN cb USING (m)
+), code AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM scored
+  ) r WHERE rn = 1
+), qtab AS (
+  SELECT cb.m, cb.c AS code,
+         list_reduce(list_transform(range(1, 9),
+           i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i])),
+           (a, b) -> a + b) AS qd
+  FROM cb JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) q USING (m)
+), short AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, sum(qd) AS adist
+    FROM code JOIN qtab USING (m, code)
+    WHERE vec_id != 0
+    GROUP BY vec_id
+  ) a ORDER BY adist, vec_id LIMIT 40
+), qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, dotp / (sqrt(na) * sqrt(nq)) AS score FROM (
+  SELECT e.vec_id,
+         {_DOT.format(a='e.embedding', b='qv')} AS dotp,
+         {_DOT.format(a='e.embedding', b='e.embedding')} AS na,
+         {_DOT.format(a='qv', b='qv')} AS nq
+  FROM embeddings e JOIN short USING (vec_id), qv
+) s
+ORDER BY score DESC, vec_id LIMIT 10""",
+)
+def q202_pq_rerank(spark, sf_dir):
+    """E3 two-stage PQ retrieval (the production ANN shape): the
+    codes-only ADC scan shortlists 40 candidates, then ONLY those rows'
+    full vectors are fetched and scored exactly (sequential-fold cosine,
+    rule 3) — quantization error costs recall only when a true neighbour
+    misses the shortlist, and the full-vector reads stay O(shortlist)
+    regardless of corpus size. Stand-in codebook in the oracle; the
+    kmeans-trained variant is pinned by test_pq_adc_recall (0.7+
+    recall@10 at a 40-row shortlist)."""
+    from tagtree_spark.operators.similarity import pq_rerank_topk
+
+    return pq_rerank_topk(_emb(spark, sf_dir), query_id=0, k=10, shortlist=40)

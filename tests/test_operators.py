@@ -263,6 +263,78 @@ def test_ivf_kmeans_recall(embeddings):
     assert recall >= 0.5, f"recall@10 with nprobe=2/8 fell to {recall}"
 
 
+def test_pq_codes_exact_when_corpus_is_codebook(embeddings):
+    """With the corpus restricted to the 16 codebook vectors, PQ encoding
+    is lossless: every sub-vector IS a centroid (qerr = 0, code = own id)
+    and ADC distances equal the exact grid squared-L2 to the query."""
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.operators.similarity import (
+        PQ_SCALE,
+        pq_adc_topk,
+        pq_codes,
+    )
+
+    sixteen = embeddings.where(F.col("vec_id") < 16)
+    codes = pq_codes(sixteen).collect()
+    assert len(codes) == 16 * 8
+    assert all(r.qerr == 0 and r.code == r.vec_id for r in codes)
+    # ADC against the self-codebook = exact integer squared L2
+    import math
+
+    rows = {r[0]: list(r[1]) for r in sixteen.select("vec_id", "embedding").collect()}
+
+    def grid(v):
+        # round half away from zero, as Spark round() and DuckDB round() do
+        return [
+            int(math.copysign(math.floor(abs(float(x)) * PQ_SCALE + 0.5), x))
+            for x in v
+        ]
+
+    def l2(a, b):
+        return sum((ai - bi) ** 2 for ai, bi in zip(a, b))
+
+    gq = grid(rows[0])
+    exact = {vid: l2(grid(v), gq) for vid, v in rows.items() if vid != 0}
+    got = {r.vec_id: r.adist for r in pq_adc_topk(sixteen, 0, k=15).collect()}
+    assert got == dict(sorted(exact.items(), key=lambda kv: (kv[1], kv[0]))[:15])
+
+
+def test_pq_adc_recall_with_trained_codebooks(embeddings):
+    """PQ ADC with per-subspace kmeans codebooks must retrieve a usable
+    fraction of the true top-10 (PQ is a lossy 32x compression; the
+    recall documents the honesty of the approximation, like
+    test_ivf_kmeans_recall does for IVF)."""
+    from tagtree_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_rerank_topk,
+    )
+
+    # the fixture embeddings are unit-norm, so cosine top-k IS the L2
+    # ground truth the ADC approximates
+    cbs = pq_codebooks(embeddings, ks=64)
+    brute = {r.vec_id for r in cosine_topk(embeddings, 0, k=10).collect()}
+    got = {
+        r.vec_id
+        for r in pq_adc_topk(embeddings, 0, k=10, ks=64, codebooks=cbs).collect()
+    }
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.25, f"PQ ADC recall@10 fell to {recall}"
+    # the production two-stage shape: ADC shortlist + exact rerank —
+    # quantization error only costs recall when a true neighbour misses
+    # the shortlist, so this stage carries the real retrieval contract
+    rr = {
+        r.vec_id
+        for r in pq_rerank_topk(
+            embeddings, 0, k=10, shortlist=80, ks=64, codebooks=cbs
+        ).collect()
+    }
+    rerank_recall = len(rr & brute) / len(brute)
+    assert rerank_recall >= 0.7, f"PQ rerank recall@10 fell to {rerank_recall}"
+    assert rerank_recall > recall  # the rerank stage must actually help
+
+
 def test_near_dup_clusters_components(spark):
     """Min-label propagation must find exact components: a chain (1-2-3),
     a separate pair (10-11), an isolated doc never appears."""
