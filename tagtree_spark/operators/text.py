@@ -1151,3 +1151,44 @@ def bigram_novelty(
         "n_seen",
         F.expr("100 * (n_bg - n_seen) div n_bg").cast("bigint").alias("novelty_pct"),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    syms: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility report: BPE symbols emitted per whitespace word,
+    aggregated by stratum (language, source, ...) — the number a tokenizer
+    team watches per language, since high fertility means a language pays
+    more sequence length (and training cost) per word than another.
+
+    ``syms`` is a trained symbol frame (:func:`_bpe_rounds` second
+    element, shared with :func:`bpe_encode_from_vocab`). Fertility is
+    reported as exact parts-per-million (``Σsyms · 10^6 DIV Σwords``) —
+    integer-only, order-free, bit-identical cross-engine; the product is
+    DECIMAL(38,0) since Σsyms · 10^6 overflows int64 at corpus scale.
+
+    → ``(stratum, n_docs, n_words, n_syms, fertility_ppm)``. Shape: the
+    per-doc encode (vocab-broadcast join) then TWO partial-aggregating
+    groupBys (doc, stratum) — no window, no sort.
+    """
+    enc = bpe_encode_from_vocab(docs, syms, id_col, text_col)
+    lab = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("stratum")
+    )
+    return (
+        enc.join(lab, "doc_id")
+        .groupBy("stratum")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_syms"),
+            F.expr(
+                "CAST((CAST(sum(n_syms) AS DECIMAL(38,0)) * 1000000)"
+                " DIV sum(n_tokens) AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+    )

@@ -7150,3 +7150,47 @@ def q202_pq_rerank(spark, sf_dir):
     from tagtree_spark.operators.similarity import pq_rerank_topk
 
     return pq_rerank_topk(_emb(spark, sf_dir), query_id=0, k=10, shortlist=40)
+
+
+def _fertility_oracle_sql(n_merges: int) -> str:
+    """q203's oracle: the q119 round chain, per-word symbol counts from
+    the encoded vocabulary, then per-language totals and exact ppm."""
+    n = n_merges + 1
+    return (
+        _bpe_rounds_sql(n_merges)
+        + f"""
+, wenc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS w_syms
+  FROM syms{n} GROUP BY word
+), dt AS (
+  SELECT doc_id, string_split(text, ' ')[i] AS word
+  FROM (SELECT doc_id, text,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        FROM documents) t
+  WHERE string_split(text, ' ')[i] <> ''
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(w_syms) AS BIGINT) AS n_syms
+  FROM dt JOIN wenc USING (word) GROUP BY doc_id
+)
+SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_words,
+       CAST(sum(n_syms) AS BIGINT) AS n_syms,
+       CAST(CAST(sum(n_syms) AS HUGEINT) * 1000000 // sum(n_tokens)
+            AS BIGINT) AS fertility_ppm
+FROM per_doc JOIN documents USING (doc_id)
+GROUP BY lang ORDER BY stratum"""
+    )
+
+
+@query("q203_tokenizer_fertility", _fertility_oracle_sql(4))
+def q203_tokenizer_fertility(spark, sf_dir):
+    """E4 tokenizer fertility by language: BPE symbols emitted per
+    whitespace word under the q119-trained rules, as exact ppm — the
+    per-language cost number a tokenizer team tracks (high fertility =
+    more sequence length per word). Reuses the session's trained symbol
+    frame (q119/q125 cache); two partial-aggregating groupBys, no sort."""
+    from tagtree_spark.operators.text import tokenizer_fertility
+
+    _, syms = _bpe(spark, sf_dir)
+    return tokenizer_fertility(_docs(spark, sf_dir), syms).orderBy("stratum")
