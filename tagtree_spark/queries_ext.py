@@ -7194,3 +7194,60 @@ def q203_tokenizer_fertility(spark, sf_dir):
 
     _, syms = _bpe(spark, sf_dir)
     return tokenizer_fertility(_docs(spark, sf_dir), syms).orderBy("stratum")
+
+
+@query(
+    "q204_pq_qerr",
+    """
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
+                AS BIGINT)) AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
+  FROM iv, range(0, 8) t(m)
+), cb AS (
+  SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16
+), scored AS (
+  SELECT s.vec_id, s.m, cb.c,
+         list_reduce(list_transform(range(1, 9),
+           i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
+           (a, b) -> a + b) AS dist
+  FROM sub s JOIN cb USING (m)
+), code AS (
+  SELECT vec_id, m, dist AS qerr FROM (
+    SELECT vec_id, m, dist,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM scored
+  ) r WHERE rn = 1
+)
+SELECT m, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN qerr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CAST(qerr AS HUGEINT)) AS BIGINT) AS sum_qerr,
+       CAST(max(qerr) AS BIGINT) AS max_qerr
+FROM code GROUP BY m ORDER BY m""",
+)
+def q204_pq_qerr(spark, sf_dir):
+    """E3 PQ calibration telemetry (the q148/q195 twin for product
+    quantization): per-subspace residual quantization error of the
+    encoding — sum and max squared grid error plus the exact-hit count.
+    The number that says whether the codebook is big enough BEFORE
+    trusting ADC rankings; exact bigints (HUGEINT/DECIMAL(38,0) sums:
+    per-row error < 2^45 times corpus rows overflows int64)."""
+    from tagtree_spark.operators.similarity import pq_codes
+
+    return (
+        pq_codes(_emb(spark, sf_dir))
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("qerr") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.sum(F.col("qerr").cast("decimal(38,0)")).cast("bigint").alias("sum_qerr"),
+            F.max("qerr").cast("bigint").alias("max_qerr"),
+        )
+        .orderBy("m")
+    )
