@@ -1203,3 +1203,119 @@ def pq_rerank_topk(
         .orderBy(F.col("score").desc(), "vec_id")
         .limit(k)
     )
+
+
+def materialize_ivfpq(
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = 8,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    codebook: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF+PQ index (the faiss IVFPQ layout): ``codes/``
+    holds each vector's n_sub PQ codes PARTITIONED BY its coarse cell id
+    — a probe reads nprobe cell directories of n_sub-byte codes, never a
+    raw vector — plus the two tiny codebooks (``codebook/`` coarse
+    centroids, ``pq_codebook/`` grid-int sub-centroids). One assignment
+    pass + one encode pass over the corpus; the partitioning is the
+    coarse index and the codes are the 32x-compressed payload.
+
+    Codes quantize the RAW vectors (sharing q201's codebook form and
+    oracle); classical residual encoding (PQ on x - centroid) is the
+    accuracy refinement a production build would add — same plan shape,
+    one extra zip_with before encoding."""
+    import os
+
+    assigned = ivf_assignments(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, codebook=codebook
+    ).select("vec_id", "cid")
+    codes = pq_codes(emb, n_sub, ks, dim, id_col, vec_col, codebooks)
+    joined = codes.join(assigned, "vec_id").select("vec_id", "m", "code", "cid")
+    # refuse a zero-row dynamic-partitioned write (CLAUDE.md rule 13)
+    if joined.isEmpty():
+        raise ValueError("materialize_ivfpq: no vectors to index")
+    joined.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(out_dir, "codes")
+    )
+    _centroids(emb, n_cells, codebook, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "codebook"))
+    _pq_codebook_frame(
+        emb, n_sub, ks, dim // n_sub, codebooks, id_col, vec_col
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "pq_codebook"))
+
+
+def ivfpq_store_topk(
+    spark,
+    store_dir: str,
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    n_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over the PERSISTED IVF+PQ layout → ``(vec_id, cid,
+    adist)`` ascending: pick the ``nprobe`` cells nearest the query
+    (tiny codebook scan, same fold as :func:`ivf_store_topk`), read ONLY
+    those cell directories of the codes table (partition pruning via a
+    literal isin — a metadata-sized driver decision), and rank by the
+    exact-integer ADC sum from an n_sub x ks lookup table. The query's
+    raw vector comes from ``emb`` (the store holds no vectors — that is
+    the point of PQ)."""
+    import os
+
+    codes_path = os.path.join(store_dir, "codes")
+    cents = spark.read.parquet(os.path.join(store_dir, "codebook"))
+    pqcb = spark.read.parquet(os.path.join(store_dir, "pq_codebook"))
+    qv_df = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    probe = (
+        cents.join(F.broadcast(qv_df))
+        .select("cid", cosine("cv", "qv").alias("cscore"))
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.nanvl(F.col("cscore"), F.lit(float("inf")))).alias("_n"),
+                            F.col("cid"),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("_top")
+        )
+        .select(F.explode("_top").alias("_t"))
+        .select(F.col("_t.cid").alias("cid"))
+    )
+    cids = [int(r.cid) for r in probe.collect()]
+    pruned = (
+        spark.read.option("basePath", codes_path)
+        .parquet(codes_path)
+        .where(F.col("cid").isin(cids))
+    )
+    qsub = _pq_scaled_subvectors(
+        emb.where(F.col(id_col) == query_id), n_sub, dim // n_sub, id_col, vec_col
+    ).select("m", F.col("sv").alias("qsv"))
+    table = pqcb.join(F.broadcast(qsub), "m").select(
+        "m", F.col("c").alias("code"), _pq_sqdist("cv", "qsv").alias("qd")
+    )
+    return (
+        pruned.where(F.col("vec_id") != query_id)
+        .join(F.broadcast(table), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.max("cid").cast("bigint").alias("cid"),
+            F.sum("qd").cast("bigint").alias("adist"),
+        )
+        .orderBy("adist", "vec_id")
+        .limit(k)
+    )

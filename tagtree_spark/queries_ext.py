@@ -7251,3 +7251,103 @@ def q204_pq_qerr(spark, sf_dir):
         )
         .orderBy("m")
     )
+
+
+# Session-cached persisted IVF+PQ store per (session, sf_dir), like
+# _IVF_CACHE for the uncompressed vector store.
+_IVFPQ_CACHE: dict = {}
+
+
+def _ivfpq_store(spark, sf_dir):
+    import tempfile
+
+    from tagtree_spark.operators.similarity import materialize_ivfpq
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_CACHE:
+        d = tempfile.mkdtemp(prefix="tagtree-ivfpq-store-")
+        materialize_ivfpq(load_table(spark, sf_dir, "embeddings"), d)
+        _IVFPQ_CACHE[key] = d
+    return _IVFPQ_CACHE[key]
+
+
+@query(
+    "q205_ivfpq_store",
+    f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
+                AS BIGINT)) AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
+  FROM iv, range(0, 8) t(m)
+), pcb AS (
+  SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16
+), pscored AS (
+  SELECT s.vec_id, s.m, pcb.c,
+         list_reduce(list_transform(range(1, 9),
+           i -> (s.sv[i] - pcb.cv[i]) * (s.sv[i] - pcb.cv[i])),
+           (a, b) -> a + b) AS dist
+  FROM sub s JOIN pcb USING (m)
+), code AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM pscored
+  ) r WHERE rn = 1
+), cc AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+), ascored AS (
+  SELECT e.vec_id, cc.cid,
+         {_DOT.format(a='e.embedding', b='cc.cv')} /
+         (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) *
+          sqrt({_DOT.format(a='cc.cv', b='cc.cv')})) AS cscore
+  FROM embeddings e, cc
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid) AS rn
+    FROM ascored
+  ) t WHERE rn = 1
+), qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pr AS (
+  SELECT cc.cid,
+         {_DOT.format(a='cc.cv', b='qv')} /
+         (sqrt({_DOT.format(a='cc.cv', b='cc.cv')}) *
+          sqrt({_DOT.format(a='qv', b='qv')})) AS cs
+  FROM cc, qv
+), probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY cs DESC, cid) AS rn FROM pr
+  ) p WHERE rn <= 2
+), qtab AS (
+  SELECT pcb.m, pcb.c AS code,
+         list_reduce(list_transform(range(1, 9),
+           i -> (q.sv[i] - pcb.cv[i]) * (q.sv[i] - pcb.cv[i])),
+           (a, b) -> a + b) AS qd
+  FROM pcb JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) q USING (m)
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+       CAST(sum(qd) AS BIGINT) AS adist
+FROM code JOIN qtab USING (m, code)
+JOIN assigned a ON a.vec_id = code.vec_id
+JOIN probe p ON p.cid = a.cid
+WHERE code.vec_id != 0
+GROUP BY a.vec_id, a.cid
+ORDER BY adist, a.vec_id LIMIT 10""",
+)
+def q205_ivfpq_store(spark, sf_dir):
+    """E3 ANN through the PERSISTED IVF+PQ layout (faiss IVFPQ): PQ codes
+    live in cid=N partition directories; a query probes the 2 cells
+    nearest its vector (PartitionFilters-pruned codes read — plan test),
+    then ranks by the exact-integer ADC sum. The store holds NO raw
+    vectors — nprobe cell dirs of 8-byte codes are the whole read."""
+    from tagtree_spark.operators.similarity import ivfpq_store_topk
+
+    return ivfpq_store_topk(
+        spark, _ivfpq_store(spark, sf_dir), _emb(spark, sf_dir), query_id=0, k=10
+    )

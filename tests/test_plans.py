@@ -209,6 +209,37 @@ def test_ivf_store_probe_prunes_cell_partitions(spark, embeddings):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_ivfpq_store_probe_prunes_and_matches_adc(spark, embeddings):
+    """The persisted IVF+PQ probe must read only the probed cid partition
+    directories (PartitionFilters on cid in the CODES scan — the store
+    holds no vectors), and with every cell probed its ADC totals must
+    equal the in-memory pq_adc_topk bit-for-bit (the store is the same
+    quantization, just partitioned)."""
+    import shutil
+    import tempfile
+
+    from tagtree_spark.operators.similarity import (
+        ivfpq_store_topk,
+        materialize_ivfpq,
+        pq_adc_topk,
+    )
+    from tests.test_store import _tmp_root
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-ivfpq-prune-")
+    try:
+        materialize_ivfpq(embeddings, d, n_cells=8)
+        got = ivfpq_store_topk(spark, d, embeddings, query_id=0, k=10, nprobe=2)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cid" in plan, plan
+        # full probe == pure ADC (no cell is excluded, so the ranking is
+        # exactly the in-memory quantized ranking)
+        full = ivfpq_store_topk(spark, d, embeddings, query_id=0, k=10, nprobe=8)
+        mem = [(r.vec_id, r.adist) for r in pq_adc_topk(embeddings, 0, k=10).collect()]
+        assert [(r.vec_id, r.adist) for r in full.collect()] == mem
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_jl_project_is_map_only(spark):
     from tagtree_spark.operators.similarity import jl_project
 
