@@ -1319,3 +1319,130 @@ def ivfpq_store_topk(
         .orderBy("adist", "vec_id")
         .limit(k)
     )
+
+
+def _grid(col: Column | str) -> Column:
+    """PQ integer grid quantization of a float vector column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * F.lit(float(PQ_SCALE))).cast("bigint")
+    )
+
+
+def ivfpq_residual_adc_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """Classical RESIDUAL IVF+PQ (the faiss IVFPQ encoding proper): PQ
+    quantizes ``x - centroid(cell(x))`` instead of the raw vector, so
+    codes only need to span the within-cell spread — the accuracy
+    refinement over :func:`pq_adc_topk`'s raw-vector codes at identical
+    code size. ADC becomes per-cell: the query gets ONE n_sub x ks lookup
+    table per probed cell (its residual differs per cell), nprobe tables
+    total — still metadata-sized.
+
+    Everything stays on the PQ integer grid (residual = grid(x) -
+    grid(centroid), exact bigints end-to-end) and the stand-in codebook
+    is the residual of the first ``ks`` vectors, so the full chain is
+    oracle-checkable. → ``(vec_id, cid, adist)`` ascending."""
+    d_sub = dim // n_sub
+    # (vec_id, cid) coarse assignment + grid residual sub-vectors
+    assigned = ivf_assignments(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, codebook=codebook
+    )
+    cents = _centroids(emb, n_cells, codebook, id_col, vec_col)
+    resid = assigned.join(F.broadcast(cents), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with(_grid("v"), _grid("cv"), lambda a, b: a - b).alias("rv"),
+    )
+    rsub = resid.select(
+        "vec_id",
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        F.col("rv"),
+    ).select(
+        "vec_id", "cid", "m", F.expr(f"slice(rv, m * {d_sub} + 1, {d_sub})").alias("sv")
+    )
+    rsub = persist_tracked(rsub)
+    # stand-in residual codebook: residual sub-vectors of the first ks ids
+    cb = rsub.where(F.col("vec_id") < ks).select(
+        "m", F.col("vec_id").alias("c"), F.col("sv").alias("cv")
+    )
+    scored = rsub.join(F.broadcast(cb), "m").select(
+        "vec_id", "cid", "m", _pq_sqdist("sv", "cv").alias("dist"), "c"
+    )
+    codes = (
+        scored.groupBy("vec_id", "cid", "m")
+        .agg(F.min(F.struct("dist", "c")).alias("_b"))
+        .select("vec_id", "cid", "m", F.col("_b.c").alias("code"))
+    )
+    # probe cells nearest the query (same fold as ivf_topk)
+    qv_df = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    probe = (
+        cents.join(F.broadcast(qv_df))
+        .select("cid", cosine("cv", "qv").alias("cscore"))
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.nanvl(F.col("cscore"), F.lit(float("inf")))).alias("_n"),
+                            F.col("cid"),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("_top")
+        )
+        .select(F.explode("_top").alias("_t"))
+        .select(F.col("_t.cid").alias("pcid"))
+    )
+    # one ADC table PER PROBED CELL: the query's residual against that cell
+    qres = (
+        cents.join(F.broadcast(probe), F.col("cid") == F.col("pcid"))
+        .join(F.broadcast(qv_df))
+        .select(
+            "pcid",
+            F.zip_with(_grid("qv"), _grid("cv"), lambda a, b: a - b).alias("qrv"),
+        )
+    )
+    qsub = qres.select(
+        "pcid",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        F.col("qrv"),
+    ).select(
+        "pcid", "m", F.expr(f"slice(qrv, m * {d_sub} + 1, {d_sub})").alias("qsv")
+    )
+    table = cb.join(F.broadcast(qsub), "m").select(
+        F.col("pcid"),
+        F.col("m").alias("tm"),
+        F.col("c").alias("tcode"),
+        _pq_sqdist("cv", "qsv").alias("qd"),
+    )
+    return (
+        codes.where(F.col("vec_id") != query_id)
+        .join(
+            F.broadcast(table),
+            (F.col("cid") == F.col("pcid"))
+            & (F.col("m") == F.col("tm"))
+            & (F.col("code") == F.col("tcode")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max("cid").cast("bigint").alias("cid"),
+            F.sum("qd").cast("bigint").alias("adist"),
+        )
+        .orderBy("adist", "vec_id")
+        .limit(k)
+    )

@@ -7351,3 +7351,100 @@ def q205_ivfpq_store(spark, sf_dir):
     return ivfpq_store_topk(
         spark, _ivfpq_store(spark, sf_dir), _emb(spark, sf_dir), query_id=0, k=10
     )
+
+
+@query(
+    "q206_ivfpq_residual",
+    f"""
+WITH cc AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+), ascored AS (
+  SELECT e.vec_id, cc.cid,
+         {_DOT.format(a='e.embedding', b='cc.cv')} /
+         (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) *
+          sqrt({_DOT.format(a='cc.cv', b='cc.cv')})) AS cscore
+  FROM embeddings e, cc
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid) AS rn
+    FROM ascored
+  ) t WHERE rn = 1
+), gv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
+                AS BIGINT)) AS g
+  FROM embeddings
+), gc AS (
+  SELECT cid,
+         list_transform(cv,
+           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
+                AS BIGINT)) AS gcv
+  FROM cc
+), resid AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(range(1, 65), i -> gv.g[i] - gc.gcv[i]) AS rv
+  FROM assigned a JOIN gv ON gv.vec_id = a.vec_id JOIN gc ON gc.cid = a.cid
+), rsub AS (
+  SELECT vec_id, cid, m, rv[m*8+1 : m*8+8] AS sv
+  FROM resid, range(0, 8) t(m)
+), rcb AS (
+  SELECT m, vec_id AS c, sv AS ccv FROM rsub WHERE vec_id < 16
+), pscored AS (
+  SELECT s.vec_id, s.cid, s.m, rcb.c,
+         list_reduce(list_transform(range(1, 9),
+           i -> (s.sv[i] - rcb.ccv[i]) * (s.sv[i] - rcb.ccv[i])),
+           (a, b) -> a + b) AS dist
+  FROM rsub s JOIN rcb USING (m)
+), code AS (
+  SELECT vec_id, cid, m, c AS code FROM (
+    SELECT vec_id, cid, m, c,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM pscored
+  ) r WHERE rn = 1
+), qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pr AS (
+  SELECT cc.cid,
+         {_DOT.format(a='cc.cv', b='qv')} /
+         (sqrt({_DOT.format(a='cc.cv', b='cc.cv')}) *
+          sqrt({_DOT.format(a='qv', b='qv')})) AS cs
+  FROM cc, qv
+), probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY cs DESC, cid) AS rn FROM pr
+  ) p WHERE rn <= 2
+), qres AS (
+  SELECT p.cid AS pcid,
+         list_transform(range(1, 65), i -> qg.g[i] - gc.gcv[i]) AS qrv
+  FROM probe p JOIN gc ON gc.cid = p.cid,
+       (SELECT g FROM gv WHERE vec_id = 0) qg
+), qsub AS (
+  SELECT pcid, m, qrv[m*8+1 : m*8+8] AS qsv
+  FROM qres, range(0, 8) t(m)
+), qtab AS (
+  SELECT qsub.pcid, rcb.m, rcb.c AS code,
+         list_reduce(list_transform(range(1, 9),
+           i -> (rcb.ccv[i] - qsub.qsv[i]) * (rcb.ccv[i] - qsub.qsv[i])),
+           (a, b) -> a + b) AS qd
+  FROM rcb JOIN qsub USING (m)
+)
+SELECT c2.vec_id, CAST(c2.cid AS BIGINT) AS cid,
+       CAST(sum(qd) AS BIGINT) AS adist
+FROM code c2
+JOIN qtab ON qtab.pcid = c2.cid AND qtab.m = c2.m AND qtab.code = c2.code
+WHERE c2.vec_id != 0
+GROUP BY c2.vec_id, c2.cid
+ORDER BY adist, c2.vec_id LIMIT 10""",
+)
+def q206_ivfpq_residual(spark, sf_dir):
+    """E3 classical residual IVF+PQ (faiss IVFPQ proper): PQ codes
+    quantize x - centroid(cell(x)) so they only span the within-cell
+    spread, and ADC builds one lookup table PER PROBED CELL (the query's
+    residual differs per cell — nprobe tables, still metadata-sized).
+    Whole chain on the integer grid: residual = grid(x) - grid(centroid),
+    exact bigint distances, bit-identical engines."""
+    from tagtree_spark.operators.similarity import ivfpq_residual_adc_topk
+
+    return ivfpq_residual_adc_topk(_emb(spark, sf_dir), query_id=0, k=10)

@@ -335,6 +335,43 @@ def test_pq_adc_recall_with_trained_codebooks(embeddings):
     assert rerank_recall > recall  # the rerank stage must actually help
 
 
+def test_ivfpq_residual_probes_only_nearest_cells(embeddings):
+    """Residual IVF+PQ structure: every returned candidate sits in one of
+    the nprobe cells nearest the query, distances are exact non-negative
+    integers, and a rerun reproduces the result bit-for-bit (grid-integer
+    determinism end-to-end)."""
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.operators.similarity import (
+        cosine,
+        ivf_assignments,
+        ivfpq_residual_adc_topk,
+    )
+
+    out = ivfpq_residual_adc_topk(embeddings, 0, k=10, nprobe=2).collect()
+    assert len(out) == 10
+    assert all(r.adist >= 0 for r in out)
+    # the two cells nearest vector 0 under the first-8 stand-in codebook
+    assigned = ivf_assignments(embeddings, n_cells=8)
+    qv = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cents = embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    ranked = (
+        cents.join(F.broadcast(qv))
+        .select("cid", cosine("cv", "qv").alias("cs"))
+        .orderBy(F.col("cs").desc(), "cid")
+        .limit(2)
+        .collect()
+    )
+    probe = {r.cid for r in ranked}
+    assert {r.cid for r in out} <= probe
+    again = ivfpq_residual_adc_topk(embeddings, 0, k=10, nprobe=2).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
 def test_near_dup_clusters_components(spark):
     """Min-label propagation must find exact components: a chain (1-2-3),
     a separate pair (10-11), an isolated doc never appears."""
