@@ -1,0 +1,105 @@
+"""Streaming ANN-index maintenance (streaming/ann.py): micro-batches of
+vectors are PQ-encoded against frozen offline codebooks and appended as
+cid-partitioned code segments; the streamed store must equal the
+batch-built IVF+PQ index bit-for-bit (everything on the integer grid)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _codebooks(embeddings, n_cells=8, ks=16, n_sub=8, dim=64):
+    """The deterministic first-n stand-in codebooks as explicit lists —
+    the same values materialize_ivfpq derives internally, so stream and
+    batch paths share the exact codebooks."""
+    first = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in embeddings.where(F.col("vec_id") < max(n_cells, ks)).collect()
+    }
+    d_sub = dim // n_sub
+    coarse = [first[i] for i in range(n_cells)]
+    pq = [
+        [first[c][m * d_sub : (m + 1) * d_sub] for c in range(ks)]
+        for m in range(n_sub)
+    ]
+    return coarse, pq
+
+
+def _codes_set(df):
+    return {(r.vec_id, r.m, r.code, int(r.cid)) for r in df.collect()}
+
+
+def test_streaming_ann_equals_batch_index(spark, embeddings, tmpdir):
+    from tagtree_spark.operators.similarity import materialize_ivfpq, pq_adc_topk
+    from tagtree_spark.streaming.ann import AnnIndexSink, ann_store_topk, read_codes
+
+    coarse, pq = _codebooks(embeddings)
+    store = f"{tmpdir}/ann-store"
+    sink = AnnIndexSink(store, coarse, pq, compact_every=None)
+    for b in range(3):
+        sink(embeddings.where(F.col("vec_id") % 3 == b), b)
+    # segments are cid-partitioned directories
+    assert glob.glob(f"{store}/seg-*/cid=*")
+
+    # stream == batch: codes equal the batch-built index exactly
+    batch_dir = f"{tmpdir}/ann-batch"
+    materialize_ivfpq(embeddings, batch_dir, codebook=coarse, codebooks=pq)
+    streamed = read_codes(spark, store)
+    batch = spark.read.option("basePath", f"{batch_dir}/codes").parquet(
+        f"{batch_dir}/codes"
+    )
+    assert _codes_set(streamed) == _codes_set(batch)
+
+    # full probe over the streamed store == in-memory ADC ranking
+    got = [
+        (r.vec_id, r.adist)
+        for r in ann_store_topk(spark, store, embeddings, 0, k=10, nprobe=8).collect()
+    ]
+    mem = [
+        (r.vec_id, r.adist)
+        for r in pq_adc_topk(embeddings, 0, k=10, codebooks=pq).collect()
+    ]
+    assert got == mem
+
+    # replay idempotence: re-delivering a batch changes nothing
+    sink(embeddings.where(F.col("vec_id") % 3 == 1), 1)
+    assert _codes_set(read_codes(spark, store)) == _codes_set(batch)
+
+
+def test_streaming_ann_compaction_and_pruning(spark, embeddings, tmpdir):
+    from tagtree_spark.streaming.ann import (
+        AnnIndexSink,
+        compact_codes,
+        read_codes,
+    )
+
+    coarse, pq = _codebooks(embeddings)
+    store = f"{tmpdir}/ann-compact"
+    sink = AnnIndexSink(store, coarse, pq, compact_every=None)
+    for b in range(3):
+        sink(embeddings.where(F.col("vec_id") % 3 == b), b)
+    before = _codes_set(read_codes(spark, store))
+    compact_codes(spark, store, before_batch=3)
+    # one base segment remains, contents unchanged
+    segs = glob.glob(f"{store}/seg-*")
+    assert len(segs) == 1 and segs[0].endswith("-base")
+    assert _codes_set(read_codes(spark, store)) == before
+    # a cids filter prunes partition directories in the scan
+    pruned = read_codes(spark, store, cids=[0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan, plan
+    assert {int(r.cid) for r in pruned.select("cid").distinct().collect()} <= {0}
+
+    # an empty batch leaves no segment (CLAUDE.md rule 13)
+    sink(embeddings.where(F.lit(False)), 9)
+    assert not glob.glob(f"{store}/seg-0000000009-*")
+
+
+def test_streaming_ann_requires_frozen_codebooks(spark, embeddings, tmpdir):
+    from tagtree_spark.streaming.ann import AnnIndexSink
+
+    with pytest.raises(ValueError, match="frozen"):
+        AnnIndexSink(f"{tmpdir}/x", None, None)
