@@ -125,3 +125,51 @@ def pagerank_int(
     return rk.select(
         "doc_id", F.col("deg").alias("degree"), F.col("r").alias("rank_fp")
     )
+
+
+def triangle_stats(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Exact triangle census of an undirected pair graph → one row
+    ``(n_triangles, n_wedges, closure_ppm)``: triangle count, open-wedge
+    count (Σ C(deg, 2) — 2-paths through each node), and the global
+    clustering coefficient 3·triangles/wedges as exact ppm.
+
+    The duplicate-cluster sanity metric: near-dup graphs from transitive
+    similarity should close their wedges (high closure); a low closure
+    with large clusters means chained false positives (A~B~C but A≁C) —
+    read this BEFORE trusting connected components as dedup groups.
+
+    ``pairs`` must carry each undirected edge once with a_col < b_col
+    (the near-dup family's convention) — that ordering IS the standard
+    distributed triangle orientation: each triangle a<b<c is found
+    exactly once as (a,b)+(b,c) closed by (a,c), so the enumeration join
+    is two edge-table equi-joins with no dedup pass and no candidate
+    counted twice. All integers; closure's product runs in DECIMAL(38,0)
+    (3·tri·10^6 overflows int64 on a 100 TB graph)."""
+    e = pairs.select(
+        F.col(a_col).cast("bigint").alias("a"), F.col(b_col).cast("bigint").alias("b")
+    )
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("b2b"))
+    e3 = e.select(F.col("a").alias("b3a"), F.col("b").alias("b3b"))
+    tri = (
+        e.join(e2, F.col("b") == F.col("b2a"))
+        .join(e3, (F.col("b3a") == F.col("a")) & (F.col("b3b") == F.col("b2b")))
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    und = e.select("a").unionAll(e.select(F.col("b").alias("a")))
+    deg = und.groupBy("a").agg(F.count("*").alias("d"))
+    wed = deg.agg(
+        F.coalesce(F.sum(F.expr("d * (d - 1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        "n_triangles",
+        "n_wedges",
+        F.expr(
+            "CAST(CASE WHEN n_wedges > 0 THEN "
+            "(3 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000) DIV n_wedges "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("closure_ppm"),
+    )

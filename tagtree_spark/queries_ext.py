@@ -7448,3 +7448,39 @@ def q206_ivfpq_residual(spark, sf_dir):
     from tagtree_spark.operators.similarity import ivfpq_residual_adc_topk
 
     return ivfpq_residual_adc_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+@query(
+    "q207_triangle_census",
+    _MINHASH_PAIRS_CTES
+    + """, tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM mh_pairs e1
+  JOIN mh_pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN mh_pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+), und AS (
+  SELECT doc_a AS n FROM mh_pairs
+  UNION ALL
+  SELECT doc_b AS n FROM mh_pairs
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY n
+), wed AS (
+  SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_triangles, n_wedges,
+       CAST(CASE WHEN n_wedges > 0
+            THEN (3 * CAST(n_triangles AS HUGEINT) * 1000000) // n_wedges
+            ELSE 0 END AS BIGINT) AS closure_ppm
+FROM tri, wed""",
+)
+def q207_triangle_census(spark, sf_dir):
+    """Exact triangle census of the MinHash near-dup graph: triangles,
+    open wedges (Σ C(deg,2)), and the global clustering coefficient as
+    exact ppm — the metric that says whether dedup components are
+    transitively-closed duplicate groups or chained false positives.
+    The a<b edge orientation makes enumeration two equi-joins with each
+    triangle found exactly once; reuses the session's cached pair set."""
+    from tagtree_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_mh_pairs(spark, sf_dir))

@@ -372,6 +372,22 @@ def test_ivfpq_residual_probes_only_nearest_cells(embeddings):
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
 
 
+def test_triangle_stats_hand_check(spark):
+    """Triangle 1-2-3 plus pendant edge 3-4: one triangle; wedges =
+    C(2,2)+C(2,2)+C(3,2)+C(1,2) = 1+1+3+0 = 5; closure = 3/5 exact ppm."""
+    from tagtree_spark.operators.graph import triangle_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], ["doc_a", "doc_b"]
+    )
+    r = triangle_stats(pairs).collect()[0]
+    assert (r.n_triangles, r.n_wedges, r.closure_ppm) == (1, 5, 600000)
+    # edgeless graph: zeros, no division error
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    r0 = triangle_stats(empty).collect()[0]
+    assert (r0.n_triangles, r0.n_wedges, r0.closure_ppm) == (0, 0, 0)
+
+
 def test_near_dup_clusters_components(spark):
     """Min-label propagation must find exact components: a chain (1-2-3),
     a separate pair (10-11), an isolated doc never appears."""
