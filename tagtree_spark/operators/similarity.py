@@ -1139,6 +1139,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """E3 PQ asymmetric-distance top-k (ADC): approximate the query→vector
     squared L2 as the sum over subspaces of the EXACT distance from the
@@ -1151,9 +1152,12 @@ def pq_adc_topk(
     the codes table is ~1/32 the corpus and the per-row work is n_sub
     integer adds. Trained ``codebooks`` (:func:`pq_codebooks`) tighten
     cells; recall vs brute force is pinned by test, the stand-in form by
-    the q201 oracle."""
+    the q201 oracle. Pass a shared persisted ``codes=`` frame
+    (queries_ext._pqc caches one per session/sf — the _sh/_wb pattern)
+    when several queries read the same encoding."""
     d_sub = dim // n_sub
-    codes = pq_codes(emb, n_sub, ks, dim, id_col, vec_col, codebooks)
+    if codes is None:
+        codes = pq_codes(emb, n_sub, ks, dim, id_col, vec_col, codebooks)
     qsub = _pq_scaled_subvectors(
         emb.where(F.col(id_col) == query_id), n_sub, d_sub, id_col, vec_col
     ).select("m", F.col("sv").alias("qv"))
@@ -1182,6 +1186,7 @@ def pq_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ ADC shortlist + exact rerank — the standard two-stage production
     shape: the codes-only ADC scan picks ``shortlist`` candidates, then
@@ -1191,7 +1196,7 @@ def pq_rerank_topk(
     climbs with ``shortlist`` at fixed code size; the full-vector reads
     stay O(shortlist) regardless of corpus size."""
     short = pq_adc_topk(
-        emb, query_id, shortlist, n_sub, ks, dim, id_col, vec_col, codebooks
+        emb, query_id, shortlist, n_sub, ks, dim, id_col, vec_col, codebooks, codes
     ).select("vec_id")
     qv = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
     return (

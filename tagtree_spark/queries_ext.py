@@ -7037,6 +7037,24 @@ def q200_source_token_budget(spark, sf_dir):
     )
 
 
+# Shared per-(session, sf dir) PQ codes frame (vec_id, m, code, qerr) —
+# q201 (ADC), q202 (rerank shortlist), and q204 (error telemetry) all read
+# the same stand-in encoding; one persisted copy, the _sh()/_wb() pattern.
+_PQC_CACHE: dict = {}
+
+
+def _pqc(spark, sf_dir):
+    from tagtree_spark.operators.similarity import pq_codes
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PQC_CACHE.get(key)
+    if got is None:
+        got = pq_codes(_emb(spark, sf_dir)).persist()
+        got.count()
+        _PQC_CACHE[key] = got
+    return got
+
+
 @query(
     "q201_pq_adc_topk",
     """
@@ -7086,7 +7104,9 @@ def q201_pq_adc_topk(spark, sf_dir):
     kmeans-trained path is pinned by the PQ recall test."""
     from tagtree_spark.operators.similarity import pq_adc_topk
 
-    return pq_adc_topk(_emb(spark, sf_dir), query_id=0, k=10)
+    return pq_adc_topk(
+        _emb(spark, sf_dir), query_id=0, k=10, codes=_pqc(spark, sf_dir)
+    )
 
 
 @query(
@@ -7149,7 +7169,10 @@ def q202_pq_rerank(spark, sf_dir):
     recall@10 at a 40-row shortlist)."""
     from tagtree_spark.operators.similarity import pq_rerank_topk
 
-    return pq_rerank_topk(_emb(spark, sf_dir), query_id=0, k=10, shortlist=40)
+    return pq_rerank_topk(
+        _emb(spark, sf_dir), query_id=0, k=10, shortlist=40,
+        codes=_pqc(spark, sf_dir),
+    )
 
 
 def _fertility_oracle_sql(n_merges: int) -> str:
@@ -7236,10 +7259,8 @@ def q204_pq_qerr(spark, sf_dir):
     The number that says whether the codebook is big enough BEFORE
     trusting ADC rankings; exact bigints (HUGEINT/DECIMAL(38,0) sums:
     per-row error < 2^45 times corpus rows overflows int64)."""
-    from tagtree_spark.operators.similarity import pq_codes
-
     return (
-        pq_codes(_emb(spark, sf_dir))
+        _pqc(spark, sf_dir)
         .groupBy("m")
         .agg(
             F.count("*").cast("bigint").alias("n_vecs"),
