@@ -1451,3 +1451,54 @@ def ivfpq_residual_adc_topk(
         .orderBy("adist", "vec_id")
         .limit(k)
     )
+
+
+def pq_adc_batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """BATCHED PQ ADC — many queries against the codes table in ONE plan
+    (the retrieval-serving / hard-negative-mining shape: per-query jobs
+    would pay a scan each; the batch pays one). ``queries`` is any
+    ``(vec_id, embedding)`` frame; → ``(qid, vec_id, adist, rn)`` with
+    ``rn`` the 1-based rank (ties → lowest vec_id), ``rn <= k`` rows per
+    query, self-matches excluded.
+
+    Shape: the lookup tables for ALL queries form one
+    |Q|·n_sub·ks-row broadcast; the codes scan joins it once and a
+    (qid)-partitioned window ranks — so the corpus-sized side is still
+    touched exactly once regardless of |Q|. At 100 TB batch queries in
+    groups sized so |Q|·n_sub·ks stays broadcastable (a few thousand
+    queries per wave at the defaults)."""
+    d_sub = dim // n_sub
+    if codes is None:
+        codes = pq_codes(emb, n_sub, ks, dim, id_col, vec_col, codebooks)
+    qsub = _pq_scaled_subvectors(queries, n_sub, d_sub, id_col, vec_col).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+    )
+    cb = _pq_codebook_frame(emb, n_sub, ks, d_sub, codebooks, id_col, vec_col)
+    table = cb.join(F.broadcast(qsub), "m").select(
+        "qid", "m", F.col("c").alias("code"), _pq_sqdist("cv", "qsv").alias("qd")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        codes.join(F.broadcast(table), ["m", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").cast("bigint").alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy("adist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "adist", "rn")
+    )

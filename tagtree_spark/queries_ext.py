@@ -7505,3 +7505,62 @@ def q207_triangle_census(spark, sf_dir):
     from tagtree_spark.operators.graph import triangle_stats
 
     return triangle_stats(_mh_pairs(spark, sf_dir))
+
+
+@query(
+    "q208_pq_adc_batch",
+    """
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
+                AS BIGINT)) AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
+  FROM iv, range(0, 8) t(m)
+), cb AS (
+  SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16
+), scored AS (
+  SELECT s.vec_id, s.m, cb.c,
+         list_reduce(list_transform(range(1, 9),
+           i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
+           (a, b) -> a + b) AS dist
+  FROM sub s JOIN cb USING (m)
+), code AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM scored
+  ) r WHERE rn = 1
+), qtab AS (
+  SELECT q.vec_id AS qid, cb.m, cb.c AS code,
+         list_reduce(list_transform(range(1, 9),
+           i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i])),
+           (a, b) -> a + b) AS qd
+  FROM cb JOIN (SELECT vec_id, m, sv FROM sub WHERE vec_id < 5) q USING (m)
+), adc AS (
+  SELECT qtab.qid, code.vec_id, CAST(sum(qd) AS BIGINT) AS adist
+  FROM code JOIN qtab USING (m, code)
+  WHERE code.vec_id != qtab.qid
+  GROUP BY qtab.qid, code.vec_id
+)
+SELECT qid, vec_id, adist, rn FROM (
+  SELECT qid, vec_id, adist,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY adist, vec_id) AS BIGINT) AS rn
+  FROM adc
+) z WHERE rn <= 3
+ORDER BY qid, rn""",
+)
+def q208_pq_adc_batch(spark, sf_dir):
+    """E3 BATCHED multi-query ANN (the retrieval-serving shape): five
+    queries share ONE codes scan — all per-query ADC tables form a single
+    broadcast, one join, one qid-partitioned rank window. Per-query jobs
+    would pay |Q| scans; the batch pays one. Exact bigints throughout."""
+    from tagtree_spark.operators.similarity import pq_adc_batch_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_adc_batch_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=3, codes=_pqc(spark, sf_dir)
+    ).orderBy("qid", "rn")

@@ -335,6 +335,27 @@ def test_pq_adc_recall_with_trained_codebooks(embeddings):
     assert rerank_recall > recall  # the rerank stage must actually help
 
 
+def test_pq_adc_batch_agrees_with_single_query(embeddings):
+    """The batched multi-query ADC must rank exactly like the single-query
+    path for every query in the batch (one scan, same integers)."""
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.operators.similarity import pq_adc_batch_topk, pq_adc_topk
+
+    batch = pq_adc_batch_topk(
+        embeddings, embeddings.where(F.col("vec_id") < 3), k=5
+    ).collect()
+    for qid in range(3):
+        single = [
+            (r.vec_id, r.adist) for r in pq_adc_topk(embeddings, qid, k=5).collect()
+        ]
+        got = [
+            (r.vec_id, r.adist)
+            for r in sorted((x for x in batch if x.qid == qid), key=lambda x: x.rn)
+        ]
+        assert got == single, f"qid={qid}: {got} != {single}"
+
+
 def test_ivfpq_residual_probes_only_nearest_cells(embeddings):
     """Residual IVF+PQ structure: every returned candidate sits in one of
     the nprobe cells nearest the query, distances are exact non-negative
