@@ -117,3 +117,93 @@ def bm25_scores(
         hits.cast("bigint").alias("n_terms_hit"),
         score.alias("score"),
     ).where(F.col("n_terms_hit") > 0)
+
+
+def bm25_batch(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    top_k: int = 5,
+    k1: float = 1.25,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BATCHED BM25 — many literal queries against ONE corpus scan (the
+    lexical twin of similarity.pq_adc_batch_topk): term frequencies for
+    the UNION of all queries' terms come from a single fold per document,
+    corpus stats are one broadcast, and every query's score expression
+    reads the shared counters — |Q| scans become one.
+
+    → ``(qid, doc_id, n_terms_hit, score, rank)`` with ``rank`` 1-based
+    per query (score desc, doc_id ties), ``rank <= top_k``; documents
+    matching none of a query's terms don't rank for it. Same determinism
+    discipline as :func:`bm25_scores`: integer idf surrogate, exact-binary
+    constants, each query's term scores added in sorted-term order with
+    fixed bracketing. At 100 TB batch queries in waves sized so the
+    per-doc counter struct (|union terms| ints) stays narrow — a few
+    hundred distinct terms per wave."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("no queries")
+    ts = sorted({t for terms in queries.values() for t in terms})
+    idx = {t: i for i, t in enumerate(ts)}
+    zeros = F.struct(
+        F.lit(0).cast("bigint").alias("n"),
+        *[F.lit(0).cast("bigint").alias(f"c{i}") for i in range(len(ts))],
+    )
+
+    def step(acc, t):
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            *[
+                (acc[f"c{i}"] + F.when(t == F.lit(term), 1).otherwise(0)).alias(f"c{i}")
+                for i, term in enumerate(ts)
+            ],
+        )
+
+    tc = spread(docs).withColumn(
+        "_tc", F.aggregate(F.split(F.col(text_col), " "), zeros, step)
+    )
+    stats = tc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("_tc.n")).cast("bigint").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"_tc.c{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(ts))
+        ],
+    )
+    joined = tc.join(F.broadcast(stats))
+    dl = F.col("_tc.n").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    rows = []
+    for qid in sorted(queries):
+        score = F.lit(0.0)
+        hits = F.lit(0)
+        for term in sorted(queries[qid]):
+            i = idx[term]
+            tf = F.col(f"_tc.c{i}").cast("double")
+            idf6 = F.expr(f"1000000 * n_docs div df{i}").cast("double")
+            denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
+            s_i = idf6 * (tf * F.lit(k1 + 1.0)) / denom
+            score = score + F.when(F.col(f"_tc.c{i}") > 0, s_i).otherwise(F.lit(0.0))
+            hits = hits + F.when(F.col(f"_tc.c{i}") > 0, 1).otherwise(0)
+        rows.append(
+            F.struct(
+                F.lit(qid).alias("qid"),
+                hits.cast("bigint").alias("n_terms_hit"),
+                score.alias("score"),
+            )
+        )
+    exploded = joined.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(*rows)).alias("_q")
+    ).select("doc_id", "_q.qid", "_q.n_terms_hit", "_q.score")
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        exploded.where(F.col("n_terms_hit") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+        .select("qid", "doc_id", "n_terms_hit", "score", "rank")
+    )

@@ -7564,3 +7564,101 @@ def q208_pq_adc_batch(spark, sf_dir):
     return pq_adc_batch_topk(
         emb, emb.where(F.col("vec_id") < 5), k=3, codes=_pqc(spark, sf_dir)
     ).orderBy("qid", "rn")
+
+
+@query(
+    "q209_bm25_batch",
+    """
+WITH tc AS (
+  SELECT doc_id, len(w) AS dl,
+         len(list_filter(w, x -> x = 'customer')) AS c0,
+         len(list_filter(w, x -> x = 'fast')) AS c1,
+         len(list_filter(w, x -> x = 'query')) AS c2,
+         len(list_filter(w, x -> x = 'value')) AS c3,
+         len(list_filter(w, x -> x = 'vector')) AS c4
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+), gs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         CAST(sum(CASE WHEN c0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         CAST(sum(CASE WHEN c3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3,
+         CAST(sum(CASE WHEN c4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df4
+  FROM tc
+), allq AS (
+  SELECT 'qa' AS qid, doc_id,
+       CAST((CASE WHEN c0 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_hit,
+       ((CAST(0 AS DOUBLE)
+         + (CASE WHEN c0 > 0 THEN
+              CAST((1000000 * n_docs) // df0 AS DOUBLE)
+              * (CAST(c0 AS DOUBLE) * 2.25)
+              / (CAST(c0 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END))
+         + (CASE WHEN c2 > 0 THEN
+              CAST((1000000 * n_docs) // df2 AS DOUBLE)
+              * (CAST(c2 AS DOUBLE) * 2.25)
+              / (CAST(c2 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END)) AS score
+  FROM tc, gs WHERE c0 > 0 OR c2 > 0
+  UNION ALL
+  SELECT 'qb' AS qid, doc_id,
+       CAST((CASE WHEN c2 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN c4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_hit,
+       ((CAST(0 AS DOUBLE)
+         + (CASE WHEN c2 > 0 THEN
+              CAST((1000000 * n_docs) // df2 AS DOUBLE)
+              * (CAST(c2 AS DOUBLE) * 2.25)
+              / (CAST(c2 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END))
+         + (CASE WHEN c4 > 0 THEN
+              CAST((1000000 * n_docs) // df4 AS DOUBLE)
+              * (CAST(c4 AS DOUBLE) * 2.25)
+              / (CAST(c4 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END)) AS score
+  FROM tc, gs WHERE c2 > 0 OR c4 > 0
+  UNION ALL
+  SELECT 'qc' AS qid, doc_id,
+       CAST((CASE WHEN c1 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN c3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_hit,
+       ((CAST(0 AS DOUBLE)
+         + (CASE WHEN c1 > 0 THEN
+              CAST((1000000 * n_docs) // df1 AS DOUBLE)
+              * (CAST(c1 AS DOUBLE) * 2.25)
+              / (CAST(c1 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END))
+         + (CASE WHEN c3 > 0 THEN
+              CAST((1000000 * n_docs) // df3 AS DOUBLE)
+              * (CAST(c3 AS DOUBLE) * 2.25)
+              / (CAST(c3 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END)) AS score
+  FROM tc, gs WHERE c1 > 0 OR c3 > 0
+)
+SELECT qid, doc_id, n_terms_hit, score, rank FROM (
+  SELECT qid, doc_id, n_terms_hit, score,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM allq
+) z WHERE rank <= 5
+ORDER BY qid, rank""",
+)
+def q209_bm25_batch(spark, sf_dir):
+    """BATCHED BM25 (the lexical twin of q208): three queries share ONE
+    corpus scan — term frequencies for the union of all terms from a
+    single per-doc fold, corpus stats broadcast once, per-query scores in
+    fixed sorted-term bracketing (rule 12), qid-partitioned rank window,
+    top-5 each."""
+    from tagtree_spark.operators.retrieval import bm25_batch
+
+    return bm25_batch(
+        _docs(spark, sf_dir),
+        {"qa": ["customer", "query"], "qb": ["query", "vector"],
+         "qc": ["fast", "value"]},
+        top_k=5,
+    ).orderBy("qid", "rank")

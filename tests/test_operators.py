@@ -2037,6 +2037,30 @@ def test_rrf_fuse_combines_and_handles_missing(spark):
     assert max(got, key=got.get) == 2  # present in both wins
 
 
+def test_bm25_batch_agrees_with_single_query(documents):
+    """Batched BM25 must score exactly like the single-query path for
+    every query in the batch (one scan, same fold, same bracketing) —
+    including when the batch's union term set is wider than the query's
+    own (extra counters must not perturb the fold's arithmetic)."""
+    from tagtree_spark.operators.retrieval import bm25_batch, bm25_scores
+
+    qs = {"qa": ["customer", "query"], "qb": ["query", "vector"]}
+    batch = bm25_batch(documents, qs, top_k=5).collect()
+    for qid, terms in qs.items():
+        single = [
+            (r.doc_id, r.n_terms_hit, r.score)
+            for r in bm25_scores(documents, terms)
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(5)
+            .collect()
+        ]
+        got = [
+            (r.doc_id, r.n_terms_hit, r.score)
+            for r in sorted((x for x in batch if x.qid == qid), key=lambda x: x.rank)
+        ]
+        assert got == single, f"{qid}: {got} != {single}"
+
+
 def test_bm25_ranks_tf_and_rarity(spark):
     from tagtree_spark.operators.retrieval import bm25_scores
 
