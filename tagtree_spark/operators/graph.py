@@ -147,8 +147,18 @@ def triangle_stats(
     is two edge-table equi-joins with no dedup pass and no candidate
     counted twice. All integers; closure's product runs in DECIMAL(38,0)
     (3·tri·10^6 overflows int64 on a 100 TB graph)."""
-    e = pairs.select(
-        F.col(a_col).cast("bigint").alias("a"), F.col(b_col).cast("bigint").alias("b")
+    from tagtree_spark.session import persist_tracked
+
+    # the edge frame feeds a 3-way self-join plus the degree union (5
+    # plan references); persist so a caller handing in a raw near-dup
+    # pipeline doesn't recompute it per reference (CLAUDE.md perf trap —
+    # q207 happens to pass a cached pair set, but the operator must not
+    # rely on its call sites for that)
+    e = persist_tracked(
+        pairs.select(
+            F.col(a_col).cast("bigint").alias("a"),
+            F.col(b_col).cast("bigint").alias("b"),
+        )
     )
     e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("b2b"))
     e3 = e.select(F.col("a").alias("b3a"), F.col("b").alias("b3b"))

@@ -314,9 +314,13 @@ def token_budget_allocation(
     )
     tot = t.agg(
         F.sum("tokens").cast("decimal(38,0)").alias("t_total"),
-        F.expr(f"CAST(sum(tokens) * {int(budget_pct)} DIV 100 AS DECIMAL(38,0))").alias(
-            "budget"
-        ),
+        # widen BEFORE the multiply: sum(tokens) * pct in int64 overflows
+        # on a large-enough corpus while the oracle's HUGEINT path does
+        # not — the shape-dependent rule-7 class (review r7)
+        F.expr(
+            f"CAST(CAST(sum(tokens) AS DECIMAL(38,0)) * {int(budget_pct)} "
+            "DIV 100 AS DECIMAL(38,0))"
+        ).alias("budget"),
     )
     a = t.crossJoin(F.broadcast(tot)).select(
         "stratum",

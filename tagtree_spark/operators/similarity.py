@@ -265,6 +265,37 @@ def ivf_assignments(
     )
 
 
+def _probe_cells(cents: DataFrame, qv_df: DataFrame, nprobe: int) -> DataFrame:
+    """The ``nprobe`` cell ids nearest the query → DataFrame['cid'] —
+    the ONE probe-selection fold shared by every IVF read path: top-nprobe
+    by query-centroid cosine, folded to one array row (sort_array over
+    n_cells structs, no unpartitioned window — VERDICT r3 #8). nanvl maps
+    a NaN cosine (degenerate zero centroid) to +inf BEFORE negating so it
+    still sorts first — Spark ranks NaN greatest under DESC, and plain
+    negation would flip a NaN cell from probed-first to never-probed
+    (ADVICE r4 low)."""
+    return (
+        cents.join(F.broadcast(qv_df))
+        .select("cid", cosine("cv", "qv").alias("cscore"))
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.nanvl(F.col("cscore"), F.lit(float("inf")))).alias("_n"),
+                            F.col("cid"),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("_top")
+        )
+        .select(F.explode("_top").alias("_t"))
+        .select(F.col("_t.cid").alias("cid"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_id: int,
@@ -288,36 +319,8 @@ def ivf_topk(
     )
     qv_df = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
     # the nprobe centroids closest to the QUERY VECTOR (not just its own cell)
-    cents = _centroids(emb, n_cells, codebook, id_col, vec_col).select(
-        F.col("cid").alias("qcid"), "cv"
-    )
-    # top-nprobe cells by query-centroid cosine, folded to one array row
-    # (sort_array over n_cells structs) — no unpartitioned window over the
-    # O(n_cells) frame (VERDICT r3 #8). Ascending sort on (-cscore, qcid)
-    # == score desc with qcid tiebreak. nanvl maps a NaN cosine (degenerate
-    # zero centroid) to +inf BEFORE negating so it still sorts first —
-    # Spark ranks NaN greatest under DESC, and plain negation would flip a
-    # NaN cell from probed-first to never-probed (ADVICE r4 low).
-    probe = (
-        cents.join(F.broadcast(qv_df))
-        .select("qcid", cosine("cv", "qv").alias("cscore"))
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.nanvl(F.col("cscore"), F.lit(float("inf")))).alias("_n"),
-                            F.col("qcid"),
-                        )
-                    )
-                ),
-                1,
-                nprobe,
-            ).alias("_top")
-        )
-        .select(F.explode("_top").alias("_t"))
-        .select(F.col("_t.qcid").alias("qcid"))
-    )
+    cents = _centroids(emb, n_cells, codebook, id_col, vec_col)
+    probe = _probe_cells(cents, qv_df, nprobe).select(F.col("cid").alias("qcid"))
     q = qv_df.crossJoin(F.broadcast(probe))
     return (
         assigned.join(F.broadcast(q), F.col("cid") == F.col("qcid"))
@@ -462,26 +465,7 @@ def ivf_store_topk(
         .where(F.col("vec_id") == query_id)
         .select(F.col("v").alias("qv"))
     )
-    probe = (
-        cents.join(F.broadcast(qv_df))
-        .select("cid", cosine("cv", "qv").alias("cscore"))
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.nanvl(F.col("cscore"), F.lit(float("inf")))).alias("_n"),
-                            F.col("cid"),
-                        )
-                    )
-                ),
-                1,
-                nprobe,
-            ).alias("_top")
-        )
-        .select(F.explode("_top").alias("_t"))
-        .select(F.col("_t.cid").alias("cid"))
-    )
+    probe = _probe_cells(cents, qv_df, nprobe)
     cids = [int(r.cid) for r in probe.collect()]
     pruned = (
         spark.read.option("basePath", vec_path)
@@ -986,19 +970,32 @@ def class_prototypes(
 PQ_SCALE = 1 << 20
 
 
+def _pq_dims(dim: int, n_sub: int) -> int:
+    """Validate the subspace split — a non-dividing dim would SILENTLY
+    drop the trailing ``dim % n_sub`` coordinates from every distance
+    (review r7); loud beats truncated."""
+    if n_sub <= 0 or dim % n_sub != 0:
+        raise ValueError(
+            f"pq: dim={dim} must split evenly into n_sub={n_sub} subspaces "
+            f"({0 if n_sub <= 0 else dim % n_sub} trailing dimensions would "
+            "be silently dropped from every distance)"
+        )
+    return dim // n_sub
+
+
 def _pq_scaled_subvectors(
     emb: DataFrame, n_sub: int, d_sub: int, id_col: str, vec_col: str
 ) -> DataFrame:
     """(vec_id, m, sv): each vector cut into ``n_sub`` contiguous
     sub-vectors of ``d_sub`` dims, every coordinate on the PQ integer
-    grid. One map-only pass; the n_sub-way explode is the PQ fan-out."""
-    iv = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * F.lit(float(PQ_SCALE))).cast("bigint"),
-    )
+    grid. One map-only pass; the n_sub-way explode is the PQ fan-out.
+    A vector whose ACTUAL length differs from n_sub*d_sub raises at scan
+    time — a silent mismatch would either drop trailing coordinates or
+    yield NULL distances with nondeterministic argmins (review r7)."""
+    total = n_sub * d_sub
     return (
         spread(emb)
-        .select(F.col(id_col).alias("vec_id"), iv.alias("iv"))
+        .select(F.col(id_col).alias("vec_id"), _grid(vec_col).alias("iv"))
         .select(
             "vec_id",
             F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
@@ -1007,7 +1004,12 @@ def _pq_scaled_subvectors(
         .select(
             "vec_id",
             "m",
-            F.expr(f"slice(iv, m * {d_sub} + 1, {d_sub})").alias("sv"),
+            F.expr(
+                f"CASE WHEN size(iv) = {total} "
+                f"THEN slice(iv, m * {d_sub} + 1, {d_sub}) "
+                f"ELSE raise_error('pq: vector length ' || size(iv) || "
+                f"' != expected dim {total}') END"
+            ).alias("sv"),
         )
     )
 
@@ -1039,7 +1041,7 @@ def pq_codebooks(
     tie-break. → ``codebooks[m][c]`` = centroid c of subspace m."""
     import numpy as np
 
-    d_sub = dim // n_sub
+    d_sub = _pq_dims(dim, n_sub)
     sample = emb.orderBy(id_col).limit(train_sample).select(vec_col).collect()
     x = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
     out = []
@@ -1079,14 +1081,7 @@ def _pq_codebook_frame(
             for c, cb in enumerate(book)
         ]
         raw = spark.createDataFrame(rows, "m BIGINT, c BIGINT, cvf ARRAY<DOUBLE>")
-        return raw.select(
-            "m",
-            "c",
-            F.transform(
-                F.col("cvf"),
-                lambda x: F.round(x * F.lit(float(PQ_SCALE))).cast("bigint"),
-            ).alias("cv"),
-        )
+        return raw.select("m", "c", _grid("cvf").alias("cv"))
     return _pq_scaled_subvectors(
         emb.where(F.col(id_col) < ks), n_sub, d_sub, id_col, vec_col
     ).select("m", F.col("vec_id").alias("c"), F.col("sv").alias("cv"))
@@ -1112,7 +1107,7 @@ def pq_codes(
     (n_sub·ks rows), then ONE partial-aggregating groupBy argmin via
     min(struct) — no window, no extra shuffle beyond the (vec_id, m)
     hash agg."""
-    d_sub = dim // n_sub
+    d_sub = _pq_dims(dim, n_sub)
     sub = _pq_scaled_subvectors(emb, n_sub, d_sub, id_col, vec_col)
     cb = _pq_codebook_frame(emb, n_sub, ks, d_sub, codebooks, id_col, vec_col)
     scored = sub.join(F.broadcast(cb), "m").select(
@@ -1155,7 +1150,7 @@ def pq_adc_topk(
     the q201 oracle. Pass a shared persisted ``codes=`` frame
     (queries_ext._pqc caches one per session/sf — the _sh/_wb pattern)
     when several queries read the same encoding."""
-    d_sub = dim // n_sub
+    d_sub = _pq_dims(dim, n_sub)
     if codes is None:
         codes = pq_codes(emb, n_sub, ks, dim, id_col, vec_col, codebooks)
     qsub = _pq_scaled_subvectors(
@@ -1251,7 +1246,7 @@ def materialize_ivfpq(
         "overwrite"
     ).parquet(os.path.join(out_dir, "codebook"))
     _pq_codebook_frame(
-        emb, n_sub, ks, dim // n_sub, codebooks, id_col, vec_col
+        emb, n_sub, ks, _pq_dims(dim, n_sub), codebooks, id_col, vec_col
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "pq_codebook"))
 
 
@@ -1281,26 +1276,7 @@ def ivfpq_store_topk(
     cents = spark.read.parquet(os.path.join(store_dir, "codebook"))
     pqcb = spark.read.parquet(os.path.join(store_dir, "pq_codebook"))
     qv_df = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
-    probe = (
-        cents.join(F.broadcast(qv_df))
-        .select("cid", cosine("cv", "qv").alias("cscore"))
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.nanvl(F.col("cscore"), F.lit(float("inf")))).alias("_n"),
-                            F.col("cid"),
-                        )
-                    )
-                ),
-                1,
-                nprobe,
-            ).alias("_top")
-        )
-        .select(F.explode("_top").alias("_t"))
-        .select(F.col("_t.cid").alias("cid"))
-    )
+    probe = _probe_cells(cents, qv_df, nprobe)
     cids = [int(r.cid) for r in probe.collect()]
     pruned = (
         spark.read.option("basePath", codes_path)
@@ -1308,7 +1284,7 @@ def ivfpq_store_topk(
         .where(F.col("cid").isin(cids))
     )
     qsub = _pq_scaled_subvectors(
-        emb.where(F.col(id_col) == query_id), n_sub, dim // n_sub, id_col, vec_col
+        emb.where(F.col(id_col) == query_id), n_sub, _pq_dims(dim, n_sub), id_col, vec_col
     ).select("m", F.col("sv").alias("qsv"))
     table = pqcb.join(F.broadcast(qsub), "m").select(
         "m", F.col("c").alias("code"), _pq_sqdist("cv", "qsv").alias("qd")
@@ -1359,7 +1335,7 @@ def ivfpq_residual_adc_topk(
     grid(centroid), exact bigints end-to-end) and the stand-in codebook
     is the residual of the first ``ks`` vectors, so the full chain is
     oracle-checkable. → ``(vec_id, cid, adist)`` ascending."""
-    d_sub = dim // n_sub
+    d_sub = _pq_dims(dim, n_sub)
     # (vec_id, cid) coarse assignment + grid residual sub-vectors
     assigned = ivf_assignments(
         emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, codebook=codebook
@@ -1393,25 +1369,8 @@ def ivfpq_residual_adc_topk(
     )
     # probe cells nearest the query (same fold as ivf_topk)
     qv_df = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
-    probe = (
-        cents.join(F.broadcast(qv_df))
-        .select("cid", cosine("cv", "qv").alias("cscore"))
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.nanvl(F.col("cscore"), F.lit(float("inf")))).alias("_n"),
-                            F.col("cid"),
-                        )
-                    )
-                ),
-                1,
-                nprobe,
-            ).alias("_top")
-        )
-        .select(F.explode("_top").alias("_t"))
-        .select(F.col("_t.cid").alias("pcid"))
+    probe = _probe_cells(cents, qv_df, nprobe).select(
+        F.col("cid").alias("pcid")
     )
     # one ADC table PER PROBED CELL: the query's residual against that cell
     qres = (
@@ -1478,7 +1437,7 @@ def pq_adc_batch_topk(
     touched exactly once regardless of |Q|. At 100 TB batch queries in
     groups sized so |Q|·n_sub·ks stays broadcastable (a few thousand
     queries per wave at the defaults)."""
-    d_sub = dim // n_sub
+    d_sub = _pq_dims(dim, n_sub)
     if codes is None:
         codes = pq_codes(emb, n_sub, ks, dim, id_col, vec_col, codebooks)
     qsub = _pq_scaled_subvectors(queries, n_sub, d_sub, id_col, vec_col).select(

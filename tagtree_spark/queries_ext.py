@@ -7037,6 +7037,39 @@ def q200_source_token_budget(spark, sf_dir):
     )
 
 
+# Shared oracle CTE chains for the PQ family (the _MINHASH_PAIRS_CTES
+# convention): grid quantization -> subspace slices -> stand-in codebook ->
+# scored -> argmin codes. q201/q202/q205/q208 compose tails onto
+# _PQ_CODES_CTES; q204 stops at _PQ_BASE_CTES (its code CTE keeps qerr).
+_PQ_BASE_CTES = """
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
+                AS BIGINT)) AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
+  FROM iv, range(0, 8) t(m)
+), cb AS (
+  SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16
+), scored AS (
+  SELECT s.vec_id, s.m, cb.c,
+         list_reduce(list_transform(range(1, 9),
+           i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
+           (a, b) -> a + b) AS dist
+  FROM sub s JOIN cb USING (m)
+)"""
+
+_PQ_CODES_CTES = _PQ_BASE_CTES + """, code AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM scored
+  ) r WHERE rn = 1
+)"""
+
+
 # Shared per-(session, sf dir) PQ codes frame (vec_id, m, code, qerr) —
 # q201 (ADC), q202 (rerank shortlist), and q204 (error telemetry) all read
 # the same stand-in encoding; one persisted copy, the _sh()/_wb() pattern.
@@ -7057,31 +7090,8 @@ def _pqc(spark, sf_dir):
 
 @query(
     "q201_pq_adc_topk",
-    """
-WITH iv AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
-                AS BIGINT)) AS v
-  FROM embeddings
-), sub AS (
-  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
-  FROM iv, range(0, 8) t(m)
-), cb AS (
-  SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16
-), scored AS (
-  SELECT s.vec_id, s.m, cb.c,
-         list_reduce(list_transform(range(1, 9),
-           i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
-           (a, b) -> a + b) AS dist
-  FROM sub s JOIN cb USING (m)
-), code AS (
-  SELECT vec_id, m, c AS code FROM (
-    SELECT vec_id, m, c,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
-    FROM scored
-  ) r WHERE rn = 1
-), qtab AS (
+    _PQ_CODES_CTES
+    + """, qtab AS (
   SELECT cb.m, cb.c AS code,
          list_reduce(list_transform(range(1, 9),
            i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i])),
@@ -7111,31 +7121,8 @@ def q201_pq_adc_topk(spark, sf_dir):
 
 @query(
     "q202_pq_rerank",
-    f"""
-WITH iv AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
-                AS BIGINT)) AS v
-  FROM embeddings
-), sub AS (
-  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
-  FROM iv, range(0, 8) t(m)
-), cb AS (
-  SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16
-), scored AS (
-  SELECT s.vec_id, s.m, cb.c,
-         list_reduce(list_transform(range(1, 9),
-           i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
-           (a, b) -> a + b) AS dist
-  FROM sub s JOIN cb USING (m)
-), code AS (
-  SELECT vec_id, m, c AS code FROM (
-    SELECT vec_id, m, c,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
-    FROM scored
-  ) r WHERE rn = 1
-), qtab AS (
+    _PQ_CODES_CTES
+    + f""", qtab AS (
   SELECT cb.m, cb.c AS code,
          list_reduce(list_transform(range(1, 9),
            i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i])),
@@ -7221,25 +7208,8 @@ def q203_tokenizer_fertility(spark, sf_dir):
 
 @query(
     "q204_pq_qerr",
-    """
-WITH iv AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
-                AS BIGINT)) AS v
-  FROM embeddings
-), sub AS (
-  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
-  FROM iv, range(0, 8) t(m)
-), cb AS (
-  SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16
-), scored AS (
-  SELECT s.vec_id, s.m, cb.c,
-         list_reduce(list_transform(range(1, 9),
-           i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
-           (a, b) -> a + b) AS dist
-  FROM sub s JOIN cb USING (m)
-), code AS (
+    _PQ_BASE_CTES
+    + """, code AS (
   SELECT vec_id, m, dist AS qerr FROM (
     SELECT vec_id, m, dist,
            row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
@@ -7295,31 +7265,8 @@ def _ivfpq_store(spark, sf_dir):
 
 @query(
     "q205_ivfpq_store",
-    f"""
-WITH iv AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
-                AS BIGINT)) AS v
-  FROM embeddings
-), sub AS (
-  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
-  FROM iv, range(0, 8) t(m)
-), pcb AS (
-  SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16
-), pscored AS (
-  SELECT s.vec_id, s.m, pcb.c,
-         list_reduce(list_transform(range(1, 9),
-           i -> (s.sv[i] - pcb.cv[i]) * (s.sv[i] - pcb.cv[i])),
-           (a, b) -> a + b) AS dist
-  FROM sub s JOIN pcb USING (m)
-), code AS (
-  SELECT vec_id, m, c AS code FROM (
-    SELECT vec_id, m, c,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
-    FROM pscored
-  ) r WHERE rn = 1
-), cc AS (
+    _PQ_CODES_CTES
+    + f""", cc AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
 ), ascored AS (
   SELECT e.vec_id, cc.cid,
@@ -7346,11 +7293,11 @@ pr AS (
     SELECT cid, row_number() OVER (ORDER BY cs DESC, cid) AS rn FROM pr
   ) p WHERE rn <= 2
 ), qtab AS (
-  SELECT pcb.m, pcb.c AS code,
+  SELECT cb.m, cb.c AS code,
          list_reduce(list_transform(range(1, 9),
-           i -> (q.sv[i] - pcb.cv[i]) * (q.sv[i] - pcb.cv[i])),
+           i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i])),
            (a, b) -> a + b) AS qd
-  FROM pcb JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) q USING (m)
+  FROM cb JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) q USING (m)
 )
 SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
        CAST(sum(qd) AS BIGINT) AS adist
@@ -7509,31 +7456,8 @@ def q207_triangle_census(spark, sf_dir):
 
 @query(
     "q208_pq_adc_batch",
-    """
-WITH iv AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
-                AS BIGINT)) AS v
-  FROM embeddings
-), sub AS (
-  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
-  FROM iv, range(0, 8) t(m)
-), cb AS (
-  SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16
-), scored AS (
-  SELECT s.vec_id, s.m, cb.c,
-         list_reduce(list_transform(range(1, 9),
-           i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
-           (a, b) -> a + b) AS dist
-  FROM sub s JOIN cb USING (m)
-), code AS (
-  SELECT vec_id, m, c AS code FROM (
-    SELECT vec_id, m, c,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
-    FROM scored
-  ) r WHERE rn = 1
-), qtab AS (
+    _PQ_CODES_CTES
+    + """, qtab AS (
   SELECT q.vec_id AS qid, cb.m, cb.c AS code,
          list_reduce(list_transform(range(1, 9),
            i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i])),

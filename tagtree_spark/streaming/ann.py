@@ -30,9 +30,10 @@ from pyspark.sql import functions as F
 from tagtree_spark.operators.similarity import (
     _centroids,
     _pq_codebook_frame,
+    _pq_dims,
     _pq_scaled_subvectors,
     _pq_sqdist,
-    cosine,
+    _probe_cells,
     ivf_assignments,
     pq_codes,
 )
@@ -88,7 +89,7 @@ class AnnIndexSink:
                 like,
                 self.n_sub,
                 self.ks,
-                self.dim // self.n_sub,
+                _pq_dims(self.dim, self.n_sub),
                 self.codebooks,
                 self.id_col,
                 self.vec_col,
@@ -106,15 +107,25 @@ class AnnIndexSink:
             vec_col=self.vec_col,
             codebook=self.codebook,
         ).select("vec_id", "cid")
-        codes = pq_codes(
-            batch_df,
-            self.n_sub,
-            self.ks,
-            self.dim,
-            self.id_col,
-            self.vec_col,
-            self.codebooks,
-        ).join(assigned, "vec_id").select("vec_id", "m", "code", "cid")
+        codes = (
+            pq_codes(
+                batch_df,
+                self.n_sub,
+                self.ks,
+                self.dim,
+                self.id_col,
+                self.vec_col,
+                self.codebooks,
+            )
+            .join(assigned, "vec_id")
+            .select(
+                "vec_id",
+                "m",
+                "code",
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+                "cid",
+            )
+        )
         codes = codes.persist()
         # a zero-row cid-partitioned delta would leave a dataless segment
         # that poisons later reads (CLAUDE.md rule 13); an absent segment
@@ -142,19 +153,31 @@ def read_codes(
     parts = [
         spark.read.option("basePath", seg)
         .parquet(seg)
-        .select("vec_id", "m", "code", "cid")
+        .select("vec_id", "m", "code", "batch_id", "cid")
         for seg in segs
     ]
     out = reduce(lambda a, b: a.unionByName(b), parts)
+    # UPSERT semantics: a vector re-ingested in a later batch (re-embedded,
+    # duplicate delivery) must contribute only its LATEST encoding — a
+    # plain union would hand ADC both code sets and the per-vector sum
+    # would silently double (review r7). Latest-wins per vec_id, computed
+    # over ALL cells BEFORE any cid pruning: a re-embedded vector can move
+    # cells, and deduping only the probed subset would resurrect its stale
+    # encoding. The global pass reads just two slim columns (column
+    # pruning); the probed cells' full code rows are the only wide read,
+    # and compaction collapses history so the lookup stays segment-sized.
+    latest = out.groupBy("vec_id").agg(F.max("batch_id").alias("batch_id"))
     if cids is not None:
         out = out.where(F.col("cid").isin([int(c) for c in cids]))
-    return out
+    return out.join(latest, ["vec_id", "batch_id"])
 
 
 def compact_codes(spark: SparkSession, store_path: str, before_batch: int) -> None:
-    """Fold code segments < before_batch into one cid-partitioned base
-    (codes are immutable facts — compaction is a pure re-layout; same
-    crash-safe base-then-delete order as the sibling sinks)."""
+    """Fold code segments < before_batch into one cid-partitioned base.
+    The merge reads through read_codes, so superseded encodings of
+    re-ingested vectors are DROPPED here — compaction is re-layout plus
+    history collapse (latest-wins), with the same crash-safe
+    base-then-delete order as the sibling sinks."""
     import glob as _glob
     import shutil as _shutil
 
@@ -199,32 +222,13 @@ def ann_store_topk(
     cents = spark.read.parquet(os.path.join(store_path, "codebook"))
     pqcb = spark.read.parquet(os.path.join(store_path, "pq_codebook"))
     qv_df = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
-    probe = (
-        cents.join(F.broadcast(qv_df))
-        .select("cid", cosine("cv", "qv").alias("cscore"))
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.nanvl(F.col("cscore"), F.lit(float("inf")))).alias("_n"),
-                            F.col("cid"),
-                        )
-                    )
-                ),
-                1,
-                nprobe,
-            ).alias("_top")
-        )
-        .select(F.explode("_top").alias("_t"))
-        .select(F.col("_t.cid").alias("cid"))
-    )
+    probe = _probe_cells(cents, qv_df, nprobe)
     cids = [int(r.cid) for r in probe.collect()]
     pruned = read_codes(spark, store_path, cids=cids)
     if pruned is None:
         raise ValueError(f"ann_store_topk: no code segments under {store_path!r}")
     qsub = _pq_scaled_subvectors(
-        emb.where(F.col(id_col) == query_id), n_sub, dim // n_sub, id_col, vec_col
+        emb.where(F.col(id_col) == query_id), n_sub, _pq_dims(dim, n_sub), id_col, vec_col
     ).select("m", F.col("sv").alias("qsv"))
     table = pqcb.join(F.broadcast(qsub), "m").select(
         "m", F.col("c").alias("code"), _pq_sqdist("cv", "qsv").alias("qd")

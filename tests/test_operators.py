@@ -300,6 +300,23 @@ def test_pq_codes_exact_when_corpus_is_codebook(embeddings):
     assert got == dict(sorted(exact.items(), key=lambda kv: (kv[1], kv[0]))[:15])
 
 
+def test_pq_rejects_bad_dims(embeddings):
+    """A dim that doesn't split into n_sub must raise (silently dropping
+    trailing dimensions from every distance was the review-r7 hazard),
+    and a declared dim differing from the ACTUAL vector length must fail
+    at scan time, not encode half the vector."""
+    import pytest
+
+    from tagtree_spark.operators.similarity import pq_codes
+
+    with pytest.raises(ValueError, match="split evenly"):
+        pq_codes(embeddings, n_sub=8, dim=100)
+    # 64-dim vectors declared as 32: divides evenly, but the scan guard
+    # must refuse rather than quantize only the first half
+    with pytest.raises(Exception, match="vector length"):
+        pq_codes(embeddings, n_sub=4, dim=32).collect()
+
+
 def test_pq_adc_recall_with_trained_codebooks(embeddings):
     """PQ ADC with per-subspace kmeans codebooks must retrieve a usable
     fraction of the true top-10 (PQ is a lossy 32x compression; the

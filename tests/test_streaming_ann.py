@@ -98,6 +98,36 @@ def test_streaming_ann_compaction_and_pruning(spark, embeddings, tmpdir):
     assert not glob.glob(f"{store}/seg-0000000009-*")
 
 
+def test_streaming_ann_reingest_is_latest_wins(spark, embeddings, tmpdir):
+    """A vector re-delivered in a later batch — possibly re-embedded into
+    a DIFFERENT cell — must contribute only its latest encoding: a plain
+    segment union would hand ADC both code sets and double the per-vector
+    sum (review r7), and deduping only the probed cells would resurrect a
+    stale encoding after a cell move."""
+    from tagtree_spark.streaming.ann import AnnIndexSink, read_codes
+
+    coarse, pq = _codebooks(embeddings)
+    store = f"{tmpdir}/ann-upsert"
+    sink = AnnIndexSink(store, coarse, pq, compact_every=None)
+    first = embeddings.where(F.col("vec_id") < 100)
+    sink(first, 0)
+    before = {r.vec_id: (r.code, int(r.cid)) for r in read_codes(spark, store).collect() if r.m == 0}
+    # re-embed vector 50 as vector 60's embedding (moves code and maybe cell)
+    v60 = embeddings.where(F.col("vec_id") == 60).select("embedding").first()[0]
+    reemb = spark.createDataFrame(
+        [(50, [float(x) for x in v60])], "vec_id bigint, embedding array<float>"
+    )
+    sink(reemb, 1)
+    codes = read_codes(spark, store)
+    after = {r.vec_id: (r.code, int(r.cid)) for r in codes.collect() if r.m == 0}
+    # exactly one encoding per vector survives, and 50's is 60's encoding
+    assert codes.groupBy("vec_id", "m").count().where("count > 1").count() == 0
+    assert after[50] == before[60]
+    assert {k: v for k, v in after.items() if k != 50} == {
+        k: v for k, v in before.items() if k != 50
+    }
+
+
 def test_streaming_ann_requires_frozen_codebooks(spark, embeddings, tmpdir):
     from tagtree_spark.streaming.ann import AnnIndexSink
 

@@ -134,6 +134,9 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--only", default=None, help="comma-separated query subset")
     args = ap.parse_args()
+    # symlink targets resolve relative to the LINK's directory, not the
+    # CWD — a relative --src would create dangling links (review r7)
+    args.src = os.path.abspath(args.src)
 
     spark = get_spark("tagtree-scaleup")
     out_dir = os.path.abspath(f".tmp/scaleup-x{args.n}")
