@@ -72,7 +72,7 @@ def bm25_scores(
     in sorted-term order with fixed bracketing — deterministic doubles.
     At 100 TB the persisted form reads the q160 postings partitions for
     df/tf instead of re-scanning bodies — same math."""
-    ts = sorted(terms)
+    ts = sorted(set(terms))  # dup terms would silently double their score
     zeros = F.struct(
         F.lit(0).cast("bigint").alias("n"),
         *[F.lit(0).cast("bigint").alias(f"c{i}") for i in range(len(ts))],
@@ -182,7 +182,7 @@ def bm25_batch(
     for qid in sorted(queries):
         score = F.lit(0.0)
         hits = F.lit(0)
-        for term in sorted(queries[qid]):
+        for term in sorted(set(queries[qid])):  # dedupe: match bm25_scores
             i = idx[term]
             tf = F.col(f"_tc.c{i}").cast("double")
             idf6 = F.expr(f"1000000 * n_docs div df{i}").cast("double")

@@ -1044,6 +1044,12 @@ def pq_codebooks(
     d_sub = _pq_dims(dim, n_sub)
     sample = emb.orderBy(id_col).limit(train_sample).select(vec_col).collect()
     x = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    if len(x) < ks:
+        # loud beats silently training a truncated codebook (matches _pq_dims)
+        raise ValueError(
+            f"pq_codebooks: training sample has {len(x)} vectors but ks={ks} "
+            f"centroids per subspace were requested; provide >= ks vectors"
+        )
     out = []
     for m in range(n_sub):
         xs = x[:, m * d_sub : (m + 1) * d_sub]

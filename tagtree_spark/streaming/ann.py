@@ -97,6 +97,20 @@ class AnnIndexSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # One row per vector per batch: a duplicate vec_id inside a single
+        # micro-batch would otherwise BLEND — pq_codes' groupBy(vec_id, m)
+        # argmin picks per-subspace codes across both embeddings, encoding
+        # neither (review r7). Deterministic winner: the embedding whose
+        # 60-bit content hash is greatest (no intra-batch ordering exists).
+        batch_df = (
+            batch_df.select(self.id_col, self.vec_col)
+            .withColumn(
+                "_embkey",
+                F.xxhash64(F.concat_ws(",", F.transform(self.vec_col, lambda x: x.cast("string")))),
+            )
+            .groupBy(self.id_col)
+            .agg(F.max_by(F.col(self.vec_col), F.col("_embkey")).alias(self.vec_col))
+        )
         self._ensure_codebooks(spark, batch_df)
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
             compact_codes(spark, self.store_path, batch_id)
@@ -146,7 +160,15 @@ def read_codes(
     cids: list[int] | None = None,
 ) -> DataFrame | None:
     """Union of completed code segments (each a cid-partitioned parquet
-    root); a ``cids`` filter prunes partition directories per segment."""
+    root); a ``cids`` filter prunes partition directories per segment.
+
+    Cost note: with >1 segment every call pays a latest-wins groupBy over
+    the (vec_id, batch_id) columns of the FULL segment union — probe cost
+    grows with store history between compactions (review r7). Compaction
+    collapses history so the common post-compaction case is ONE segment,
+    where the dedup is skipped entirely and a probe is a pure pruned scan:
+    a single delta holds one deduped batch (sink dedupes per batch) and a
+    single base is already latest-wins-merged."""
     segs = _list_segments(store_path, before_batch)
     if not segs:
         return None
@@ -157,6 +179,10 @@ def read_codes(
         for seg in segs
     ]
     out = reduce(lambda a, b: a.unionByName(b), parts)
+    if len(segs) == 1:
+        if cids is not None:
+            out = out.where(F.col("cid").isin([int(c) for c in cids]))
+        return out
     # UPSERT semantics: a vector re-ingested in a later batch (re-embedded,
     # duplicate delivery) must contribute only its LATEST encoding — a
     # plain union would hand ADC both code sets and the per-vector sum

@@ -2078,6 +2078,45 @@ def test_bm25_batch_agrees_with_single_query(documents):
         assert got == single, f"{qid}: {got} != {single}"
 
 
+def test_bm25_duplicate_terms_score_once(spark):
+    """A query listing the same term twice must score it ONCE — before
+    the r7 advice fix both paths silently doubled the duplicated term's
+    contribution (and agreed with each other, so only a dedup test
+    catches it)."""
+    from tagtree_spark.operators.retrieval import bm25_batch, bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie crust"), (2, "banana bread")], ["doc_id", "text"]
+    )
+    dup = [(r.doc_id, r.n_terms_hit, r.score) for r in bm25_scores(docs, ["apple", "apple"]).collect()]
+    one = [(r.doc_id, r.n_terms_hit, r.score) for r in bm25_scores(docs, ["apple"]).collect()]
+    assert dup == one
+    b_dup = sorted(
+        (r.doc_id, r.n_terms_hit, r.score)
+        for r in bm25_batch(docs, {"q": ["apple", "apple"]}).collect()
+    )
+    b_one = sorted(
+        (r.doc_id, r.n_terms_hit, r.score)
+        for r in bm25_batch(docs, {"q": ["apple"]}).collect()
+    )
+    assert b_dup == b_one
+
+
+def test_pq_codebooks_rejects_undersized_sample(spark):
+    """Fewer training vectors than ks must raise loudly, not silently
+    train a truncated codebook (advice r7; matches _pq_dims' stance)."""
+    import pytest as _pytest
+
+    from tagtree_spark.operators.similarity import pq_codebooks
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(4)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="training sample has 4"):
+        pq_codebooks(tiny, ks=16)
+
+
 def test_bm25_ranks_tf_and_rarity(spark):
     from tagtree_spark.operators.retrieval import bm25_scores
 

@@ -133,3 +133,66 @@ def test_streaming_ann_requires_frozen_codebooks(spark, embeddings, tmpdir):
 
     with pytest.raises(ValueError, match="frozen"):
         AnnIndexSink(f"{tmpdir}/x", None, None)
+
+
+def test_streaming_ann_intra_batch_duplicate_is_deduped(spark, embeddings, tmpdir):
+    """One micro-batch carrying the same vec_id twice with DIFFERENT
+    embeddings must encode exactly one of them (deterministically) — a
+    plain pass-through would blend per-subspace codes across the two
+    vectors via pq_codes' argmin, encoding neither (advice r7)."""
+    from tagtree_spark.streaming.ann import AnnIndexSink, read_codes
+
+    coarse, pq = _codebooks(embeddings)
+    v60 = embeddings.where(F.col("vec_id") == 60).select("embedding").first()[0]
+    v61 = embeddings.where(F.col("vec_id") == 61).select("embedding").first()[0]
+    dup = spark.createDataFrame(
+        [(50, [float(x) for x in v60]), (50, [float(x) for x in v61])],
+        "vec_id bigint, embedding array<float>",
+    )
+    store_a = f"{tmpdir}/ann-dup-a"
+    AnnIndexSink(store_a, coarse, pq, compact_every=None)(dup, 0)
+    codes = read_codes(spark, store_a)
+    # exactly one full encoding (8 subspaces, one code each)
+    assert codes.groupBy("vec_id", "m").count().where("count > 1").count() == 0
+    assert codes.count() == 8
+    # deterministic: reversed delivery order yields the identical encoding
+    store_b = f"{tmpdir}/ann-dup-b"
+    rev = spark.createDataFrame(
+        [(50, [float(x) for x in v61]), (50, [float(x) for x in v60])],
+        "vec_id bigint, embedding array<float>",
+    )
+    AnnIndexSink(store_b, coarse, pq, compact_every=None)(rev, 0)
+    assert _codes_set(codes) == _codes_set(read_codes(spark, store_b))
+    # and the winner is one of the two inputs' true encodings, not a blend
+    single_a = f"{tmpdir}/ann-single-60"
+    single_b = f"{tmpdir}/ann-single-61"
+    AnnIndexSink(single_a, coarse, pq, compact_every=None)(
+        dup.where(F.col("embedding")[0] == float(v60[0])).limit(1), 0
+    )
+    AnnIndexSink(single_b, coarse, pq, compact_every=None)(
+        spark.createDataFrame(
+            [(50, [float(x) for x in v61])], "vec_id bigint, embedding array<float>"
+        ),
+        0,
+    )
+    assert _codes_set(codes) in (
+        _codes_set(read_codes(spark, single_a)),
+        _codes_set(read_codes(spark, single_b)),
+    )
+
+
+def test_read_codes_single_segment_skips_dedup_join(spark, embeddings, tmpdir):
+    """Post-compaction (or single-batch) stores are the common case: the
+    latest-wins groupBy+join is skipped so a probe is a pure pruned scan
+    (advice r7)."""
+    from tagtree_spark.streaming.ann import AnnIndexSink, read_codes
+
+    coarse, pq = _codebooks(embeddings)
+    store = f"{tmpdir}/ann-one-seg"
+    AnnIndexSink(store, coarse, pq, compact_every=None)(
+        embeddings.where(F.col("vec_id") < 100), 0
+    )
+    df = read_codes(spark, store, cids=[0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "PartitionFilters" in plan and "cid" in plan, plan
