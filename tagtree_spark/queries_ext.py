@@ -7586,3 +7586,403 @@ def q209_bm25_batch(spark, sf_dir):
          "qc": ["fast", "value"]},
         top_k=5,
     ).orderBy("qid", "rank")
+
+
+# --------------------------------------------------------------------------
+# r8 batch: remaining TPC-H join shapes expressible on this schema (no
+# partsupp table exists): Q7 volume shipping, Q8 market share, Q14 promo
+# share, Q15 top supplier, Q17 small-quantity revenue, Q19 disjunctive
+# predicate pushdown. All monetary math decimal-exact with ONE final
+# IEEE division/cast (CLAUDE.md rules 1/2); the l_extendedprice →
+# DECIMAL(18,4) cast is the q79/q80-proven pattern on these columns.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q210_volume_shipping",
+    """
+WITH v AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+           (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM v GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year""",
+)
+def q210_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape — volume shipping between two nations, both
+    directions: lineitem joins its supplier's nation AND (via orders →
+    customer) its buyer's nation, the nation-pair disjunction filters,
+    grouped by (supp_nation, cust_nation, ship year). Both nation dims +
+    supplier broadcast; the only real shuffle is lineitem ⋈ orders.
+    Reference analogue: multi-way matcher conjunction over two label
+    paths (/root/reference/src/index/index_server.cpp:93-136)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(vol).cast("double").alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q211_market_share",
+    """
+WITH v AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+           (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+       CAST(sum(volume) AS DOUBLE) AS total_volume
+FROM v GROUP BY 1 ORDER BY o_year""",
+)
+def q211_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — national market share: NATION_3's share of ASIA's
+    ECONOMY-part purchase volume per order year. An 8-way join where every
+    dimension (part-filtered, supplier, both nations, region) broadcasts
+    and only lineitem ⋈ orders shuffles; the share is ONE IEEE division of
+    two exact decimal sums (rule 2)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    zero
+                )
+            ).alias("_nat"),
+            F.sum("volume").alias("_tot"),
+        )
+        .select(
+            "o_year",
+            "n_lines",
+            (F.col("_nat").cast("double") / F.col("_tot").cast("double")).alias(
+                "mkt_share"
+            ),
+            F.col("_tot").cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q212_promo_share",
+    """
+SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS l_month,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(100 AS DOUBLE) *
+         CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                            (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2 ORDER BY l_year, l_month""",
+)
+def q212_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape — promotion revenue share per ship month: part dim
+    broadcasts into the date-pruned lineitem scan, conditional + total
+    decimal sums in one pass, percentage = 100 * one IEEE division (the
+    100* multiplier is exact in binary fp, same in both engines)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            F.month("l_shipdate").cast("bigint").alias("l_month"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).alias(
+                "_promo"
+            ),
+            F.sum(vol).alias("_tot"),
+        )
+        .select(
+            "l_year",
+            "l_month",
+            "n_lines",
+            (
+                F.lit(100.0)
+                * F.col("_promo").cast("double")
+                / F.col("_tot").cast("double")
+            ).alias("promo_pct"),
+        )
+        .orderBy("l_year", "l_month")
+    )
+
+
+@query(
+    "q213_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+             (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT rnk, s.s_suppkey AS s_suppkey, s.s_name AS s_name, n_lines,
+       CAST(total_rev AS DOUBLE) AS revenue
+FROM (
+  SELECT l_suppkey, n_lines, total_rev,
+         CAST(row_number() OVER (ORDER BY total_rev DESC, l_suppkey)
+              AS BIGINT) AS rnk
+  FROM rev
+) t JOIN supplier s ON s.s_suppkey = t.l_suppkey
+WHERE rnk <= 5 ORDER BY rnk""",
+)
+def q213_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape — top suppliers by quarterly revenue: date-pruned
+    lineitem → per-supplier decimal revenue, ranked IN DECIMAL (ties
+    broken by suppkey, so the rank is deterministic before any fp cast),
+    then the 5 winners join the supplier dim (broadcast of 5 rows)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(vol).alias("total_rev"),
+    )
+    w = Window.orderBy(F.col("total_rev").desc(), F.col("l_suppkey"))
+    top = rev.withColumn("rnk", F.row_number().over(w).cast("bigint")).where(
+        F.col("rnk") <= 5
+    )
+    return (
+        F.broadcast(top)
+        .join(s, top.l_suppkey == s.s_suppkey)
+        .select(
+            "rnk",
+            "s_suppkey",
+            "s_name",
+            "n_lines",
+            F.col("total_rev").cast("double").alias("revenue"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "q214_small_qty_revenue",
+    """
+WITH pl AS (
+  SELECT p.p_brand AS p_brand, l.l_partkey AS pk,
+         CAST(l.l_quantity AS DECIMAL(18,4)) AS qty,
+         CAST(l.l_extendedprice AS DECIMAL(18,4)) AS price
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+), stats AS (
+  SELECT pk, sum(qty) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt
+  FROM pl GROUP BY 1
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_small_lines,
+       CAST(sum(price) AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly
+FROM pl JOIN stats ON pl.pk = stats.pk
+WHERE 5 * qty * cnt < sum_qty
+GROUP BY 1 ORDER BY p_brand""",
+)
+def q214_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — small-quantity-order revenue: lines whose
+    quantity is below 20%% of the part's average. The fractional-average
+    comparison is kept EXACT by clearing denominators: qty < 0.2 *
+    sum/cnt  ⇔  5*qty*cnt < sum (all positive decimals/ints — no fp until
+    the single final division by 7). The per-part stats join is a
+    broadcast (filtered brands only)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#2")
+    )
+    pl = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.col("l_partkey").alias("pk"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
+    )
+    stats = pl.groupBy("pk").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").cast("bigint").alias("cnt")
+    )
+    return (
+        pl.join(F.broadcast(stats), "pk")
+        .where(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_small_lines"),
+            (F.sum("price").cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q215_disjunctive_revenue",
+    """
+SELECT p.p_brand AS p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+GROUP BY 1 ORDER BY p_brand""",
+)
+def q215_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape — disjunctive multi-attribute predicate: three
+    (brand, size range, quantity range) alternatives OR-ed across the
+    lineitem ⋈ part join. Catalyst extracts the common-attribute
+    disjunction so the part scan is pruned to the three brands BEFORE the
+    join (broadcast), and the per-branch conjunctions evaluate post-join;
+    revenue stays decimal until the final cast."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & sz.between(1, 15)
+        & (q >= 1)
+        & (q <= 20)
+        | (F.col("p_brand") == "Brand#2") & sz.between(10, 30) & (q >= 10) & (q <= 30)
+        | (F.col("p_brand") == "Brand#3") & sz.between(20, 50) & (q >= 20) & (q <= 50)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
