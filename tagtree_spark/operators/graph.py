@@ -183,3 +183,62 @@ def triangle_stats(
             "ELSE 0 END AS BIGINT)"
         ).alias("closure_ppm"),
     )
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int = 2,
+    iters: int = 4,
+    seed: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-round k-core peel of the undirected pair graph: round i
+    keeps the nodes with ≥ ``k`` neighbors INSIDE round i-1's survivor
+    set (round 0 = all nodes, or ``seed``'s ``doc_id`` set — pass a
+    (k-1)-core to skip re-peeling what a stricter core can never keep,
+    since the k-core is a subset of the (k-1)-core). After convergence
+    this is exactly the k-core restricted to the seed (the maximal
+    subgraph of minimum degree k — the "dense duplicate nucleus" vs
+    chain periphery signal for E2b cluster triage); an unconverged run
+    is a well-defined superset, so the round count is part of the
+    operator's contract, NOT a tolerance. Rounds are deliberately FIXED
+    (no per-round count() action): each round is one self-join +
+    groupBy on the pair graph — which is orders of magnitude smaller
+    than the corpus — with the lineage cut per round like
+    ``pagerank_int``. Peeling removes whole frontier LAYERS at once, so
+    ``iters`` bounds the peel DEPTH (longest chain of dependent
+    removals), not the node count. All-integer counts → order-free,
+    bit-identical cross-engine.
+
+    → ``(doc_id, core_deg)``: survivors of round ``iters`` with their
+    within-core degree from that round.
+    """
+    from tagtree_spark.session import persist_tracked
+
+    # every round references nb twice (u-side and v-side join) — without
+    # a persist the symmetrize+distinct shuffle re-runs 2·iters times
+    nb = persist_tracked(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+    )
+    alive = (
+        seed.select("doc_id")
+        if seed is not None
+        else nb.select(F.col("u").alias("doc_id")).distinct()
+    )
+    out = None
+    for _ in range(iters):
+        out = (
+            nb.join(alive.select(F.col("doc_id").alias("u")), "u")
+            .join(alive.select(F.col("doc_id").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count("*").cast("bigint").alias("core_deg"))
+            .where(F.col("core_deg") >= k)
+            .localCheckpoint(eager=False)
+        )
+        alive = out.select(F.col("u").alias("doc_id"))
+    if out is None:  # iters == 0: every node, raw degree
+        out = nb.groupBy("u").agg(F.count("*").cast("bigint").alias("core_deg"))
+    return out.select(F.col("u").alias("doc_id"), "core_deg")

@@ -7986,3 +7986,76 @@ def q215_disjunctive_revenue(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+def _kcore_oracle_sql(iters: int = 4) -> str:
+    """q216's oracle: the mh_pairs chain, then a fixed-round k=2 peel
+    from all nodes and a k=3 peel SEEDED by the k=2 survivors (the
+    3-core is a subset of the 2-core, so seeding skips re-peeling) —
+    round i keeps nodes with >= k neighbors inside round i-1's
+    survivors. All-integer, engine-exact; mirrors
+    operators.graph.kcore round for round. MATERIALIZED is load-bearing:
+    each round references the previous round's CTE twice — inlining
+    would re-evaluate the whole upstream chain 2^rounds times."""
+    sql = (
+        _MINHASH_PAIRS_CTES
+        + """
+, ed AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  UNION ALL SELECT doc_b, doc_a FROM mh_pairs
+), nb AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM ed
+), k2a0 AS MATERIALIZED (
+  SELECT DISTINCT u AS doc_id FROM nb
+)"""
+    )
+    for i in range(1, iters + 1):
+        sql += f"""
+, k2a{i} AS MATERIALIZED (
+  SELECT n.u AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+  FROM nb n
+  JOIN k2a{i - 1} x ON x.doc_id = n.u
+  JOIN k2a{i - 1} y ON y.doc_id = n.v
+  GROUP BY 1 HAVING count(*) >= 2
+)"""
+    sql += f"""
+, k3a0 AS MATERIALIZED (
+  SELECT doc_id FROM k2a{iters}
+)"""
+    for i in range(1, iters + 1):
+        sql += f"""
+, k3a{i} AS MATERIALIZED (
+  SELECT n.u AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+  FROM nb n
+  JOIN k3a{i - 1} x ON x.doc_id = n.u
+  JOIN k3a{i - 1} y ON y.doc_id = n.v
+  GROUP BY 1 HAVING count(*) >= 3
+)"""
+    sql += f"""
+SELECT CAST(2 AS BIGINT) AS k, doc_id, core_deg FROM k2a{iters}
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS k, doc_id, core_deg FROM k3a{iters}
+ORDER BY k, doc_id"""
+    return sql
+
+
+@query("q216_kcore", _kcore_oracle_sql(4))
+def q216_kcore(spark, sf_dir):
+    """E2b graph triage: fixed-round k-core peel (k=2, then k=3 seeded
+    from the k=2 survivors — the 3-core is a subset of the 2-core) of
+    the verified near-dup pair graph: dense duplicate nuclei survive
+    k=3; chain-shaped transitive false positives peel away at k=2.
+    4 peel rounds per k bound the peel DEPTH, not node count (each
+    round drops a whole frontier layer; measured convergence depth at
+    sf0.01/sf0.1 is 1-2); all-integer survivor degrees, one self-join +
+    groupBy per round on the pair graph (<< corpus), lineage cut per
+    round — the same Pregel-as-DataFrame shape as q129's PageRank."""
+    from tagtree_spark.operators.graph import kcore
+
+    pairs = _mh_pairs(spark, sf_dir)
+    k2 = kcore(pairs, k=2, iters=4)
+    k3 = kcore(pairs, k=3, iters=4, seed=k2)
+    out = k2.select(F.lit(2).cast("bigint").alias("k"), "doc_id", "core_deg").unionByName(
+        k3.select(F.lit(3).cast("bigint").alias("k"), "doc_id", "core_deg")
+    )
+    return out.orderBy("k", "doc_id")

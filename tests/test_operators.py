@@ -2248,3 +2248,46 @@ def test_containment_drop_list_drops_contained_side(spark):
     )
     got = {r.dropped_id: r.n_containers for r in containment_drop_list(docs).collect()}
     assert got == {2: 1}  # the excerpt drops, the source survives
+
+
+def test_kcore_clique_survives_chain_peels(spark):
+    from tagtree_spark.operators.graph import kcore
+
+    # 4-clique (0-3) + a chain 3-4-5-6 dangling off it
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 4), (4, 5), (5, 6)]
+    pairs = spark.createDataFrame(clique + chain, "doc_a bigint, doc_b bigint")
+    k2 = {r.doc_id: r.core_deg for r in kcore(pairs, k=2, iters=4).collect()}
+    # chain tail peels (6 then 5 then 4); the clique is the entire 2-core
+    assert set(k2) == {0, 1, 2, 3}
+    assert all(d == 3 for d in k2.values())
+    k3 = {r.doc_id: r.core_deg for r in kcore(pairs, k=3, iters=4).collect()}
+    assert set(k3) == {0, 1, 2, 3}
+
+
+def test_kcore_seeded_equals_unseeded_at_fixpoint(spark):
+    from tagtree_spark.operators.graph import kcore
+
+    # two triangles joined by a bridge + pendant vertices
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5), (5, 6), (1, 7)],
+        "doc_a bigint, doc_b bigint",
+    )
+    k2 = kcore(pairs, k=2, iters=4)
+    seeded = {(r.doc_id, r.core_deg) for r in kcore(pairs, k=3, iters=4, seed=k2).collect()}
+    plain = {(r.doc_id, r.core_deg) for r in kcore(pairs, k=3, iters=4).collect()}
+    assert seeded == plain
+    # depth headroom: one extra round changes nothing (converged)
+    more = {(r.doc_id, r.core_deg) for r in kcore(pairs, k=2, iters=5).collect()}
+    assert more == {(r.doc_id, r.core_deg) for r in k2.collect()}
+
+
+def test_kcore_deep_chain_needs_depth(spark):
+    from tagtree_spark.operators.graph import kcore
+
+    # a pure path of 9 nodes: 2-core is empty, but each peel round only
+    # removes the two endpoints — 4 rounds strip 8 of 9; the 5th empties it
+    path = [(i, i + 1) for i in range(8)]
+    pairs = spark.createDataFrame(path, "doc_a bigint, doc_b bigint")
+    assert kcore(pairs, k=2, iters=4).count() == 1
+    assert kcore(pairs, k=2, iters=5).count() == 0
