@@ -8059,3 +8059,64 @@ def q216_kcore(spark, sf_dir):
         k3.select(F.lit(3).cast("bigint").alias("k"), "doc_id", "core_deg")
     )
     return out.orderBy("k", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# r8 batch: streaming-built postings store (incremental search index)
+# --------------------------------------------------------------------------
+
+# Session-cached STREAMED postings store per (session, sf_dir): the corpus
+# ingested through PostingsSink in three micro-batches — the store the
+# incremental-index queries read. Like _POSTINGS_CACHE but exercising the
+# streaming write path (segments + version manifest) end-to-end.
+_STREAM_POSTINGS_CACHE: dict = {}
+
+
+def _stream_postings_store(spark, sf_dir):
+    import tempfile
+
+    from tagtree_spark.streaming.postings import PostingsSink
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAM_POSTINGS_CACHE:
+        d = tempfile.mkdtemp(prefix="tagtree-stream-postings-")
+        sink = PostingsSink(d, compact_every=None)
+        docs = _docs(spark, sf_dir)
+        for b in range(3):
+            sink(docs.where(F.col("doc_id") % 3 == b), b)
+        _STREAM_POSTINGS_CACHE[key] = d
+    return _STREAM_POSTINGS_CACHE[key]
+
+
+@query("q217_stream_postings_bm25", _ORACLE_REG["q172_bm25"])
+def q217_stream_postings_bm25(spark, sf_dir):
+    """BM25 answered from the STREAMING-built postings store (three
+    micro-batch appends through PostingsSink): tf/df from the query
+    terms' tp partitions, N and Σdl from the slim version manifest —
+    corpus bodies never re-scanned. Same oracle as q172: the streamed
+    index must reproduce the batch scorer bit-for-bit."""
+    from tagtree_spark.streaming.postings import store_bm25
+
+    return (
+        store_bm25(
+            spark,
+            _stream_postings_store(spark, sf_dir),
+            ["customer", "query", "vector"],
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query("q218_stream_postings_phrase", _ORACLE_REG["q156_phrase_search"])
+def q218_stream_postings_phrase(spark, sf_dir):
+    """Positional phrase search from the STREAMING-built postings store —
+    the incremental-index twin of q160 (which reads the batch-built
+    store): k−1 adjacency equi-joins over k pruned tp partitions per
+    segment. Same oracle as q156."""
+    from tagtree_spark.streaming.postings import store_phrase
+
+    return store_phrase(
+        spark, _stream_postings_store(spark, sf_dir), "customer query"
+    ).orderBy("doc_id")

@@ -1,0 +1,158 @@
+"""Streaming positional-postings index (streaming/postings.py): document
+micro-batches append term-hash-partitioned postings segments plus a slim
+per-doc version manifest; the streamed store must answer BM25 and phrase
+queries identically (bit-for-bit) to the batch operators on the live
+document set, including after re-ingestion (latest-wins) and compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from tagtree_spark.streaming.postings import (
+    PostingsSink,
+    compact_postings,
+    read_doc_versions,
+    read_postings,
+    store_bm25,
+    store_phrase,
+)
+
+TERMS = ["customer", "query", "vector"]
+
+
+def _bm25_set(df):
+    return {(r.doc_id, r.n_terms_hit, r.score) for r in df.collect()}
+
+
+def _phrase_set(df):
+    return {(r.doc_id, r.n_occ, r.first_pos) for r in df.collect()}
+
+
+def _fill(sink, documents, n_batches=3):
+    for b in range(n_batches):
+        sink(documents.where(F.col("doc_id") % n_batches == b), b)
+
+
+def test_streaming_postings_equals_batch(spark, documents, tmpdir):
+    from tagtree_spark.operators.retrieval import bm25_scores
+    from tagtree_spark.operators.text import phrase_search
+
+    store = f"{tmpdir}/post-store"
+    _fill(PostingsSink(store, compact_every=None), documents)
+    # segments are tp-partitioned directories
+    assert glob.glob(f"{store}/post/seg-*/tp=*")
+    assert _bm25_set(store_bm25(spark, store, TERMS)) == _bm25_set(
+        bm25_scores(documents, TERMS)
+    )
+    assert _phrase_set(store_phrase(spark, store, "customer query")) == _phrase_set(
+        phrase_search(documents, "customer query")
+    )
+
+
+def test_streaming_postings_reingest_latest_wins(spark, documents, tmpdir):
+    from tagtree_spark.operators.retrieval import bm25_scores
+
+    store = f"{tmpdir}/post-reingest"
+    _fill(PostingsSink(store, compact_every=None), documents)
+    old_first2 = documents.where("doc_id = 0").select("text").first()[0].split()[:2]
+    new = spark.createDataFrame(
+        [(0, "totally novel replacement text")], "doc_id bigint, text string"
+    )
+    PostingsSink(store, compact_every=None)(new, 3)
+    # the re-ingested doc's OLD postings are dead even though the queried
+    # terms' partitions still physically hold them
+    assert (0,) not in {
+        (r.doc_id,)
+        for r in store_phrase(spark, store, " ".join(old_first2)).collect()
+    }
+    # and its new terms are live, with corpus stats from current versions
+    live = documents.select("doc_id", "text").where("doc_id <> 0").unionByName(new)
+    assert _bm25_set(store_bm25(spark, store, TERMS)) == _bm25_set(
+        bm25_scores(live, TERMS)
+    )
+    vers = {r.doc_id: r.dl for r in read_doc_versions(spark, store).collect()}
+    assert vers[0] == 4  # new text's length, not the old one
+
+
+def test_streaming_postings_compaction_and_replay(spark, documents, tmpdir):
+    from tagtree_spark.operators.retrieval import bm25_scores
+
+    store = f"{tmpdir}/post-compact"
+    sink = PostingsSink(store, compact_every=None)
+    _fill(sink, documents)
+    new = spark.createDataFrame(
+        [(0, "totally novel replacement text")], "doc_id bigint, text string"
+    )
+    sink(new, 3)
+    compact_postings(spark, store, 4)
+    assert len(glob.glob(f"{store}/post/seg-*")) == 1
+    assert len(glob.glob(f"{store}/docs/seg-*")) == 1
+    live = documents.select("doc_id", "text").where("doc_id <> 0").unionByName(new)
+    expect = _bm25_set(bm25_scores(live, TERMS))
+    assert _bm25_set(store_bm25(spark, store, TERMS)) == expect
+    # replaying a batch after compaction appends a fresh delta; latest-wins
+    # still holds because the base carries each doc's max batch_id
+    sink(new, 3)
+    assert _bm25_set(store_bm25(spark, store, TERMS)) == expect
+
+
+def test_single_segment_read_is_pure_pruned_scan(spark, documents, tmpdir):
+    store = f"{tmpdir}/post-pruned"
+    sink = PostingsSink(store, compact_every=None)
+    _fill(sink, documents)
+    compact_postings(spark, store, 3)
+    df = read_postings(spark, store, terms=["customer"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "PartitionFilters" in plan and "tp" in plan, plan
+    # multi-segment reads DO pay the version join (upsert correctness)
+    sink(documents.where("doc_id = 1"), 3)
+    df2 = read_postings(spark, store, terms=["customer"])
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan2, plan2
+
+
+def test_streaming_postings_real_stream_and_edge_cases(spark, documents, tmpdir):
+    from tagtree_spark.operators.retrieval import bm25_scores
+
+    sub = documents.where("doc_id < 40").select("doc_id", "text")
+    files = f"{tmpdir}/files"
+    os.makedirs(files)
+    sub.where("doc_id % 2 = 0").coalesce(1).write.parquet(f"{files}/b0")
+    sub.where("doc_id % 2 = 1").coalesce(1).write.parquet(f"{files}/b1")
+    schema = spark.read.parquet(f"{files}/b0").schema
+    store = f"{tmpdir}/post-streamed"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{files}/*")
+        .writeStream.foreachBatch(PostingsSink(store, compact_every=None))
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _bm25_set(store_bm25(spark, store, TERMS)) == _bm25_set(
+        bm25_scores(sub, TERMS)
+    )
+
+    # empty batch writes no segment (rule-13 poisoning guard)
+    empty_store = f"{tmpdir}/post-empty"
+    PostingsSink(empty_store)(sub.where("doc_id < 0"), 0)
+    assert read_postings(spark, empty_store) is None
+    assert read_doc_versions(spark, empty_store) is None
+
+    # intra-batch duplicate doc ids: exactly one deterministic winner
+    dup_store = f"{tmpdir}/post-dup"
+    dup = spark.createDataFrame(
+        [(7, "alpha beta"), (7, "gamma delta epsilon")],
+        "doc_id bigint, text string",
+    )
+    PostingsSink(dup_store, compact_every=None)(dup, 0)
+    vers = read_doc_versions(spark, dup_store).collect()
+    assert len(vers) == 1 and vers[0].dl in (2, 3)
+    n_post = read_postings(spark, dup_store).count()
+    assert n_post == vers[0].dl
