@@ -1467,3 +1467,148 @@ def pq_adc_batch_topk(
         .where(F.col("rn") <= k)
         .select("qid", "vec_id", "adist", "rn")
     )
+
+
+def cell_distortion(
+    emb: DataFrame,
+    n_cells: int = 8,
+    codebook: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-cell quantization distortion of the IVF coarse codebook →
+    ``(cid, n_vecs, avg_sse, max_sse_fp)`` — the codebook-retrain
+    trigger: a cell whose average squared reconstruction error creeps up
+    (data drifted away from its centroid) or whose population skews is
+    where recall degrades first; production ANN deployments watch exactly
+    this before re-running kmeans.
+
+    Exactness (CLAUDE.md rule 8 pattern): each vector's SSE to its
+    centroid is a sequential fp fold (deterministic, rule 3), then scaled
+    by 2^scale_bits with round() — an exact exponent-shift multiply with
+    identical half-away-from-zero rounding in both engines — and summed
+    as DECIMAL(38,0) (order-free). The average divides back by the same
+    power of two (exact) and by n (one IEEE division).
+
+    Shape: broadcast codebook, one narrow assignment pass (argmax
+    window per vector), one n_cells-row groupBy — at 100 TB this is a
+    map-side-partial aggregation keyed by the table's own partition key.
+    """
+    cents = _centroids(emb, n_cells, codebook, id_col, vec_col)
+    assigned = ivf_assignments(
+        emb, n_cells, id_col=id_col, vec_col=vec_col, codebook=codebook
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            "v",
+            "cv",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    scale = float(1 << scale_bits)
+    return (
+        assigned.join(F.broadcast(cents), "cid")
+        .withColumn("_sse_fp", F.round(sq * F.lit(scale)).cast("decimal(38,0)"))
+        .groupBy(F.col("cid").cast("bigint").alias("cid"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("_sse_fp").alias("_sum"),
+            F.max("_sse_fp").cast("bigint").alias("max_sse_fp"),
+        )
+        .select(
+            "cid",
+            "n_vecs",
+            (
+                F.col("_sum").cast("double")
+                / F.lit(scale)
+                / F.col("n_vecs").cast("double")
+            ).alias("avg_sse"),
+            "max_sse_fp",
+        )
+    )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    shortlist_n: int = 16,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k → ``(rank, vec_id,
+    rel, max_sim, mmr)``: greedily pick ``k`` results from the cosine
+    top-``shortlist_n`` shortlist, each round maximizing ``lam·rel −
+    (1−lam)·max_sim_to_already_picked`` (ties → lowest id). The
+    diversified-retrieval primitive: a near-dup-heavy corpus floods a
+    plain top-k with one duplicate family; MMR's redundancy penalty
+    surfaces distinct items — the same selection rule used to pick
+    DIVERSE training examples from a candidate pool.
+
+    Shape: relevance scan is the only corpus-sized pass (broadcast query
+    → narrow cosine → TakeOrdered shortlist); the greedy rounds run on
+    the persisted shortlist_n-row frame (bounded, broadcast-joined), one
+    tiny round per pick — the standard rerank-after-retrieve split, so
+    corpus scale never touches the quadratic part. First pick = highest
+    relevance (its max_sim is 0 by convention). All doubles come from
+    sequential folds and fixed-bracket arithmetic (lam exactly binary) —
+    deterministic cross-engine."""
+    from tagtree_spark.session import persist_tracked
+
+    q = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    sl = persist_tracked(
+        spread(emb)
+        .where(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            cosine(vec_col, "qv").alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(shortlist_n)
+    )
+    picked = sl.orderBy(F.col("rel").desc(), "vec_id").limit(1).select(
+        F.lit(1).cast("bigint").alias("rank"),
+        "vec_id",
+        "v",
+        "rel",
+        F.lit(0.0).alias("max_sim"),
+        (F.lit(lam) * F.col("rel")).alias("mmr"),
+    )
+    out = picked
+    for r in range(2, k + 1):
+        sel = out.select("vec_id", F.col("v").alias("sv"))
+        cand = sl.join(sel.select("vec_id"), "vec_id", "left_anti")
+        nxt = (
+            cand.join(F.broadcast(sel.select(F.col("sv"))))
+            .select("vec_id", "v", "rel", cosine("v", "sv").alias("_s"))
+            .groupBy("vec_id")
+            .agg(
+                F.first("v", ignorenulls=True).alias("v"),
+                F.first("rel", ignorenulls=True).alias("rel"),
+                F.max("_s").alias("max_sim"),
+            )
+            .select(
+                F.lit(r).cast("bigint").alias("rank"),
+                "vec_id",
+                "v",
+                "rel",
+                "max_sim",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("max_sim")
+                ).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+        )
+        # lineage cut per round (kcore/pagerank pattern): without it each
+        # round re-executes every previous round's one-row pick subtree
+        out = out.unionByName(nxt).localCheckpoint(eager=False)
+    return out.select("rank", "vec_id", "rel", "max_sim", "mmr")

@@ -8120,3 +8120,117 @@ def q218_stream_postings_phrase(spark, sf_dir):
     return store_phrase(
         spark, _stream_postings_store(spark, sf_dir), "customer query"
     ).orderBy("doc_id")
+
+
+_SSQ = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+@query(
+    "q219_cell_distortion",
+    f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, e.embedding AS v, c.cid,
+         {_DOT.format(a='e.embedding', b='c.cv')} /
+         (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) *
+          sqrt({_DOT.format(a='c.cv', b='c.cv')})) AS cscore
+  FROM embeddings e, c
+), assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+), d AS (
+  SELECT a.cid,
+         CAST(round({_SSQ.format(a='a.v', b='c.cv')} *
+                    CAST(1048576 AS DOUBLE)) AS DECIMAL(38,0)) AS sse_fp
+  FROM assigned a JOIN c ON c.cid = a.cid
+)
+SELECT CAST(cid AS BIGINT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(sse_fp) AS DOUBLE) / CAST(1048576 AS DOUBLE) / count(*) AS avg_sse,
+       CAST(max(sse_fp) AS BIGINT) AS max_sse_fp
+FROM d GROUP BY cid ORDER BY cid""",
+)
+def q219_cell_distortion(spark, sf_dir):
+    """E3 codebook-health telemetry: per-IVF-cell exact quantization
+    distortion (average + worst squared reconstruction error on the
+    2^20 fixed-point grid) — the retrain trigger production ANN watches:
+    a drifting cell degrades recall before anything else does. One
+    broadcast-codebook assignment pass + one 8-row map-side-partial
+    groupBy; SSE folds sequential (rule 3), sums exact (rule 8
+    power-of-two scaling)."""
+    from tagtree_spark.operators.similarity import cell_distortion
+
+    return cell_distortion(_emb(spark, sf_dir), n_cells=8).orderBy("cid")
+
+
+def _mmr_oracle_sql(k: int = 5, shortlist_n: int = 16, lam: str = "CAST(0.5 AS DOUBLE)") -> str:
+    """q220's oracle: cosine shortlist, then k−1 unrolled greedy MMR
+    rounds (each: max-sim-to-selected per remaining candidate, argmax of
+    lam·rel − (1−lam)·max_sim, ties → lowest id) — mirrors
+    operators.similarity.mmr_topk round for round. MATERIALIZED for the
+    multiply-referenced CTEs (kcore lesson: inlining re-evaluates the
+    upstream chain per reference)."""
+    cos = (
+        "{d} / (sqrt({aa}) * sqrt({bb}))"
+    )
+
+    def _cos(a, b):
+        return cos.format(
+            d=_DOT.format(a=a, b=b),
+            aa=_DOT.format(a=a, b=a),
+            bb=_DOT.format(a=b, b=b),
+        )
+
+    sql = f"""
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), sl AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding AS v, {_cos('e.embedding', 'q.qv')} AS rel
+  FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY rel DESC, e.vec_id LIMIT {shortlist_n}
+), p1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS rank, vec_id, v, rel,
+         CAST(0 AS DOUBLE) AS max_sim, {lam} * rel AS mmr
+  FROM sl ORDER BY rel DESC, vec_id LIMIT 1
+), selu1 AS MATERIALIZED (SELECT * FROM p1)"""
+    for r in range(2, k + 1):
+        sql += f"""
+, p{r} AS MATERIALIZED (
+  SELECT CAST({r} AS BIGINT) AS rank, c.vec_id, c.v, c.rel, ms.max_sim,
+         {lam} * c.rel - (CAST(1 AS DOUBLE) - {lam}) * ms.max_sim AS mmr
+  FROM sl c JOIN (
+    SELECT c2.vec_id, max({_cos('c2.v', 's.v')}) AS max_sim
+    FROM sl c2, (SELECT v FROM selu{r - 1}) s
+    WHERE c2.vec_id NOT IN (SELECT vec_id FROM selu{r - 1})
+    GROUP BY c2.vec_id
+  ) ms ON ms.vec_id = c.vec_id
+  ORDER BY mmr DESC, c.vec_id LIMIT 1
+), selu{r} AS MATERIALIZED (
+  SELECT * FROM selu{r - 1} UNION ALL SELECT * FROM p{r}
+)"""
+    sql += f"""
+SELECT rank, vec_id, rel, max_sim, mmr FROM selu{k} ORDER BY rank"""
+    return sql
+
+
+@query("q220_mmr_topk", _mmr_oracle_sql(5, 16))
+def q220_mmr_topk(spark, sf_dir):
+    """E3 diversified retrieval: greedy Maximal Marginal Relevance top-5
+    from the cosine top-16 shortlist (λ=0.5 — exactly binary) — the
+    redundancy-penalized selection that keeps one member per duplicate
+    family in the results, i.e. the diverse-training-example picker.
+    The corpus-sized work is ONE narrow relevance scan + TakeOrdered;
+    the quadratic greedy part runs on the bounded persisted shortlist."""
+    from tagtree_spark.operators.similarity import mmr_topk
+
+    return mmr_topk(_emb(spark, sf_dir), query_id=0, k=5, shortlist_n=16).orderBy(
+        "rank"
+    )

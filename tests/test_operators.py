@@ -2291,3 +2291,46 @@ def test_kcore_deep_chain_needs_depth(spark):
     pairs = spark.createDataFrame(path, "doc_a bigint, doc_b bigint")
     assert kcore(pairs, k=2, iters=4).count() == 1
     assert kcore(pairs, k=2, iters=5).count() == 0
+
+
+def test_mmr_penalizes_redundancy(spark):
+    """A near-duplicate of the top hit must lose its rank-2 spot to a
+    diverse item even though its raw relevance is higher."""
+    from tagtree_spark.operators.similarity import mmr_topk
+
+    # query 0 along e0; cluster {1, 2}: rel .95 (2 a near-clone of 1,
+    # mutual sim ~1); candidate 3: rel .90 but only ~.855 similar to the
+    # cluster. mmr(2) = .5(.95 - ~1) < 0 < mmr(3) = .5(.90 - .855) — the
+    # diverse item must take rank 2 despite lower raw relevance.
+    dim = 64
+
+    def vec(*pairs):
+        v = [0.0] * dim
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    emb = spark.createDataFrame(
+        [
+            (0, vec((0, 1.0))),
+            (1, vec((0, 0.95), (1, 0.312))),
+            (2, vec((0, 0.95), (1, 0.313))),
+            (3, vec((0, 0.90), (2, 0.436))),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r.rank: r for r in mmr_topk(emb, 0, k=3, shortlist_n=3).collect()}
+    assert out[1].vec_id in (1, 2)            # pure relevance first
+    assert out[2].vec_id == 3                 # diverse beats the clone
+    assert out[3].vec_id in (1, 2)            # clone last
+    assert out[1].max_sim == 0.0 and out[3].max_sim > 0.99
+
+
+def test_mmr_rank1_is_plain_top_and_deterministic(spark, embeddings):
+    from tagtree_spark.operators.similarity import cosine_topk, mmr_topk
+
+    top = cosine_topk(embeddings, 0, k=1).collect()[0]
+    a = [(r.rank, r.vec_id) for r in mmr_topk(embeddings, 0, k=4).collect()]
+    b = [(r.rank, r.vec_id) for r in mmr_topk(embeddings, 0, k=4).collect()]
+    assert a == b and a[0][1] == top.vec_id
+    assert len({v for _, v in a}) == 4  # no repeats
