@@ -8234,3 +8234,243 @@ def q220_mmr_topk(spark, sf_dir):
     return mmr_topk(_emb(spark, sf_dir), query_id=0, k=5, shortlist_n=16).orderBy(
         "rank"
     )
+
+
+@query(
+    "q221_funnel",
+    """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+), v AS (
+  SELECT user_id, min(us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.us) AS c_us
+  FROM ev e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.us) AS p_us
+  FROM ev e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY 1
+), counts AS (
+  SELECT 1 AS step_no, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
+), base AS (
+  SELECT n_users AS n0 FROM counts WHERE step_no = 1
+)
+SELECT CAST(step_no AS BIGINT) AS step_no, step, n_users,
+       CAST(CASE WHEN n0 > 0 THEN (1000000 * n_users) // n0
+                 ELSE 0 END AS BIGINT) AS conv_ppm
+FROM counts, base ORDER BY step_no""",
+)
+def q221_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: step 2 counts
+    users whose first click happens STRICTLY AFTER their first view,
+    step 3 first purchase after that click (ordered-sequence semantics,
+    not mere co-occurrence — the thing bag-of-events analytics gets
+    wrong). Exact integer ppm conversion. Three per-user min-timestamp
+    aggs, each a (user) shuffle on an already-shrunken frame; the funnel
+    base broadcasts back."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("v_us")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    counts = (
+        v.agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(F.lit(1).alias("step_no"), F.lit("view").alias("step"), "n_users")
+        .unionByName(
+            c.agg(F.count("*").cast("bigint").alias("n_users")).select(
+                F.lit(2).alias("step_no"), F.lit("click").alias("step"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").cast("bigint").alias("n_users")).select(
+                F.lit(3).alias("step_no"), F.lit("purchase").alias("step"), "n_users"
+            )
+        )
+    )
+    base = v.agg(F.count("*").cast("bigint").alias("n0"))
+    return (
+        counts.join(F.broadcast(base))
+        .select(
+            F.col("step_no").cast("bigint").alias("step_no"),
+            "step",
+            "n_users",
+            F.when(
+                F.col("n0") > 0, F.expr("(1000000 * n_users) div n0")
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("conv_ppm"),
+        )
+        .orderBy("step_no")
+    )
+
+
+def _ann_mrr_oracle_sql(qids=(0, 1, 2)) -> str:
+    """q222's oracle: per probe query, the exact cosine top-1 ground
+    truth vs its rank in the nprobe=1 IVF candidate ranking (q42's
+    assignment CTEs, first-8 codebook), rr = 1/rank (0 if the cell
+    misses it), plus a summary MRR row folded in fixed qid order
+    (rule 12)."""
+    sql = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, e.embedding AS v, c.cid,
+         {_DOT.format(a='e.embedding', b='c.cv')} /
+         (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) *
+          sqrt({_DOT.format(a='c.cv', b='c.cv')})) AS cscore
+  FROM embeddings e, c
+), assigned AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+)"""
+    rows = []
+    for qid in qids:
+        sql += f"""
+, q{qid} AS (
+  SELECT v AS qv, cid AS qcid FROM assigned WHERE vec_id = {qid}
+), rank{qid} AS MATERIALIZED (
+  SELECT a.vec_id,
+         CAST(row_number() OVER (
+           ORDER BY {_DOT.format(a='a.v', b='q.qv')} /
+                    (sqrt({_DOT.format(a='a.v', b='a.v')}) *
+                     sqrt({_DOT.format(a='q.qv', b='q.qv')})) DESC, a.vec_id
+         ) AS BIGINT) AS rnk
+  FROM assigned a, q{qid} q WHERE a.cid = q.qcid AND a.vec_id <> {qid}
+), gt{qid} AS MATERIALIZED (
+  SELECT a.vec_id FROM assigned a, q{qid} q WHERE a.vec_id <> {qid}
+  ORDER BY {_DOT.format(a='a.v', b='q.qv')} /
+           (sqrt({_DOT.format(a='a.v', b='a.v')}) *
+            sqrt({_DOT.format(a='q.qv', b='q.qv')})) DESC, a.vec_id
+  LIMIT 1
+)"""
+        rows.append(
+            f"""SELECT CAST({qid} AS BIGINT) AS qid, g.vec_id AS gt_vec_id,
+       CAST(coalesce(r.rnk, 0) AS BIGINT) AS ann_rank,
+       CASE WHEN r.rnk IS NOT NULL
+            THEN CAST(1 AS DOUBLE) / CAST(r.rnk AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS rr,
+       CAST(CASE WHEN coalesce(r.rnk, 0) BETWEEN 1 AND 10
+                 THEN 1 ELSE 0 END AS BIGINT) AS hit10
+FROM gt{qid} g LEFT JOIN rank{qid} r ON r.vec_id = g.vec_id"""
+        )
+    per_q = "\nUNION ALL\n".join(rows)
+    sql += f"""
+, per_q AS MATERIALIZED (
+{per_q}
+)
+SELECT qid, gt_vec_id, ann_rank, rr, hit10 FROM per_q
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+       list_reduce(list_prepend(CAST(0 AS DOUBLE), list(rr ORDER BY qid)),
+                   (x, y) -> x + y) / CAST({len(qids)} AS DOUBLE),
+       CAST(sum(hit10) AS BIGINT)
+FROM per_q
+ORDER BY qid"""
+    return sql
+
+
+@query("q222_ann_mrr", _ann_mrr_oracle_sql((0, 1, 2)))
+def q222_ann_mrr(spark, sf_dir):
+    """E3 retrieval-quality evaluation: MRR of the nprobe=1 IVF index
+    against exact brute-force ground truth for three probe queries —
+    the reciprocal rank of each query's TRUE nearest neighbor inside the
+    probed cell's ranking (0 when the cell misses it: exactly the
+    quantization-loss event q148's recall audit counts), plus a fixed-
+    bracket MRR summary row (qid=-1). The eval harness every ANN
+    deployment runs before trusting an index config."""
+    from tagtree_spark.operators.similarity import cosine, ivf_assignments
+    from tagtree_spark.session import persist_tracked
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    assigned = persist_tracked(ivf_assignments(emb, 8).select("vec_id", "v", "cid"))
+    per_q = None
+    for qid in (0, 1, 2):
+        q = assigned.where(F.col("vec_id") == qid).select(
+            F.col("v").alias("qv"), F.col("cid").alias("qcid")
+        )
+        cand = (
+            assigned.join(F.broadcast(q), assigned.cid == F.col("qcid"))
+            .where(F.col("vec_id") != qid)
+            .select("vec_id", cosine("v", "qv").alias("s"))
+        )
+        rnk = cand.select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("s").desc(), "vec_id"))
+            .cast("bigint")
+            .alias("rnk"),
+        )
+        gt = (
+            assigned.join(F.broadcast(q.select("qv")))
+            .where(F.col("vec_id") != qid)
+            .select("vec_id", cosine("v", "qv").alias("s"))
+            .orderBy(F.col("s").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id")
+        )
+        row = (
+            gt.join(rnk, "vec_id", "left")
+            .select(
+                F.lit(qid).cast("bigint").alias("qid"),
+                F.col("vec_id").alias("gt_vec_id"),
+                F.coalesce("rnk", F.lit(0)).cast("bigint").alias("ann_rank"),
+                F.when(
+                    F.col("rnk").isNotNull(),
+                    F.lit(1.0) / F.col("rnk").cast("double"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("rr"),
+                F.when(
+                    F.coalesce("rnk", F.lit(0)).between(1, 10), F.lit(1)
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("hit10"),
+            )
+        )
+        per_q = row if per_q is None else per_q.unionByName(row)
+    per_q = persist_tracked(per_q)
+    summary = per_q.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("qid", "rr"))),
+                lambda x: x["rr"],
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        ).alias("_s"),
+        F.sum("hit10").cast("bigint").alias("hit10"),
+    ).select(
+        F.lit(-1).cast("bigint").alias("qid"),
+        F.lit(-1).cast("bigint").alias("gt_vec_id"),
+        F.lit(0).cast("bigint").alias("ann_rank"),
+        (F.col("_s") / F.lit(3.0)).alias("rr"),
+        "hit10",
+    )
+    return per_q.unionByName(summary).orderBy("qid")
