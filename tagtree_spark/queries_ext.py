@@ -7866,9 +7866,14 @@ def q213_top_supplier(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_lines"),
         F.sum(vol).alias("total_rev"),
     )
+    # TakeOrdered the 5 winners FIRST, then rank the 5-row frame — an
+    # unpartitioned row_number over all suppliers would single-partition
+    # the per-supplier frame at scale
     w = Window.orderBy(F.col("total_rev").desc(), F.col("l_suppkey"))
-    top = rev.withColumn("rnk", F.row_number().over(w).cast("bigint")).where(
-        F.col("rnk") <= 5
+    top = (
+        rev.orderBy(F.col("total_rev").desc(), "l_suppkey")
+        .limit(5)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
     )
     return (
         F.broadcast(top)
@@ -8405,7 +8410,6 @@ def q222_ann_mrr(spark, sf_dir):
     deployment runs before trusting an index config."""
     from tagtree_spark.operators.similarity import cosine, ivf_assignments
     from tagtree_spark.session import persist_tracked
-    from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
     assigned = persist_tracked(ivf_assignments(emb, 8).select("vec_id", "v", "cid"))
@@ -8419,35 +8423,53 @@ def q222_ann_mrr(spark, sf_dir):
             .where(F.col("vec_id") != qid)
             .select("vec_id", cosine("v", "qv").alias("s"))
         )
-        rnk = cand.select(
-            "vec_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("s").desc(), "vec_id"))
-            .cast("bigint")
-            .alias("rnk"),
-        )
         gt = (
             assigned.join(F.broadcast(q.select("qv")))
             .where(F.col("vec_id") != qid)
             .select("vec_id", cosine("v", "qv").alias("s"))
             .orderBy(F.col("s").desc(), "vec_id")
             .limit(1)
-            .select("vec_id")
+            .select(F.col("vec_id").alias("gt_id"), F.col("s").alias("gt_s"))
         )
+        # the gt's rank inside the cell = 1 + members ordered before it —
+        # a broadcast-gt aggregate, NOT an unpartitioned row_number over
+        # the whole cell (a cell is corpus/n_cells at scale). present=0
+        # means the probed cell misses the true neighbor (quantization
+        # loss); the count-based rank equals the oracle's row_number by
+        # the shared (score desc, vec_id) total order.
         row = (
-            gt.join(rnk, "vec_id", "left")
+            cand.join(F.broadcast(gt))
+            .agg(
+                F.first("gt_id", ignorenulls=True).alias("gt_vec_id"),
+                F.max(F.when(F.col("vec_id") == F.col("gt_id"), 1).otherwise(0)).alias(
+                    "_present"
+                ),
+                F.sum(
+                    F.when(
+                        (F.col("s") > F.col("gt_s"))
+                        | (
+                            (F.col("s") == F.col("gt_s"))
+                            & (F.col("vec_id") < F.col("gt_id"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("_before"),
+            )
             .select(
                 F.lit(qid).cast("bigint").alias("qid"),
-                F.col("vec_id").alias("gt_vec_id"),
-                F.coalesce("rnk", F.lit(0)).cast("bigint").alias("ann_rank"),
+                "gt_vec_id",
+                (F.col("_present") * (F.col("_before") + 1))
+                .cast("bigint")
+                .alias("ann_rank"),
                 F.when(
-                    F.col("rnk").isNotNull(),
-                    F.lit(1.0) / F.col("rnk").cast("double"),
+                    F.col("_present") == 1,
+                    F.lit(1.0) / (F.col("_before") + 1).cast("double"),
                 )
                 .otherwise(F.lit(0.0))
                 .alias("rr"),
                 F.when(
-                    F.coalesce("rnk", F.lit(0)).between(1, 10), F.lit(1)
+                    (F.col("_present") * (F.col("_before") + 1)).between(1, 10),
+                    F.lit(1),
                 )
                 .otherwise(F.lit(0))
                 .cast("bigint")
