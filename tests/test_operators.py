@@ -2334,3 +2334,98 @@ def test_mmr_rank1_is_plain_top_and_deterministic(spark, embeddings):
     b = [(r.rank, r.vec_id) for r in mmr_topk(embeddings, 0, k=4).collect()]
     assert a == b and a[0][1] == top.vec_id
     assert len({v for _, v in a}) == 4  # no repeats
+
+
+def _py_kcore(edges, k):
+    """Reference fixpoint peel: repeatedly drop nodes with degree < k."""
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    alive = set(nbrs)
+    while True:
+        deg = {u: sum(1 for v in nbrs[u] if v in alive) for u in alive}
+        drop = {u for u in alive if deg[u] < k}
+        if not drop:
+            return {u: deg[u] for u in alive}
+        alive -= drop
+
+
+def test_kcore_matches_python_reference_on_random_graphs(spark):
+    import random
+
+    from tagtree_spark.operators.graph import kcore
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = 12
+        edges = sorted(
+            {
+                (a, b)
+                for _ in range(24)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        for k in (2, 3):
+            got = {
+                (r.doc_id, r.core_deg)
+                for r in kcore(pairs, k=k, iters=10).collect()
+            }
+            assert got == set(_py_kcore(edges, k).items()), (seed, k)
+
+
+def test_mmr_matches_python_reference(spark):
+    import random
+
+    from tagtree_spark.operators.similarity import mmr_topk
+
+    rng = random.Random(5)
+    dim, n = 64, 12
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id bigint, embedding array<float>"
+    )
+    # float32 storage: the reference must fold over the SAME float32-rounded
+    # values the engine reads back
+    import struct as _struct
+
+    f32 = {
+        i: [_struct.unpack("f", _struct.pack("f", x))[0] for x in v]
+        for i, v in vecs.items()
+    }
+
+    def cos(a, b):
+        d = dd = bb = 0.0
+        for x, y in zip(a, b):
+            d = d + x * y
+        for x in a:
+            dd = dd + x * x
+        for y in b:
+            bb = bb + y * y
+        import math
+
+        return d / (math.sqrt(dd) * math.sqrt(bb))
+
+    lam, k, sl_n = 0.5, 4, 8
+    rel = {i: cos(f32[i], f32[0]) for i in f32 if i != 0}
+    shortlist = sorted(rel, key=lambda i: (-rel[i], i))[:sl_n]
+    picked = [min(shortlist, key=lambda i: (-rel[i], i))]
+    expect = [(1, picked[0], rel[picked[0]], 0.0, lam * rel[picked[0]])]
+    for r in range(2, k + 1):
+        best = None
+        for i in shortlist:
+            if i in picked:
+                continue
+            ms = max(cos(f32[i], f32[j]) for j in picked)
+            mmr = lam * rel[i] - (1.0 - lam) * ms
+            key = (-mmr, i)
+            if best is None or key < best[0]:
+                best = (key, i, ms, mmr)
+        picked.append(best[1])
+        expect.append((r, best[1], rel[best[1]], best[2], best[3]))
+    got = [
+        (r.rank, r.vec_id, r.rel, r.max_sim, r.mmr)
+        for r in mmr_topk(emb, 0, k=k, shortlist_n=sl_n).orderBy("rank").collect()
+    ]
+    assert got == expect
