@@ -156,3 +156,26 @@ def test_streaming_postings_real_stream_and_edge_cases(spark, documents, tmpdir)
     assert len(vers) == 1 and vers[0].dl in (2, 3)
     n_post = read_postings(spark, dup_store).count()
     assert n_post == vers[0].dl
+
+
+def test_docs_manifest_readable_via_segment_data_source(spark, documents, tmpdir):
+    """The postings store's version manifest is a plain segment tree, so
+    the generic tagtree_segments data source composes with it unchanged —
+    raw rows = the pre-latest-wins manifest union."""
+    from tagtree_spark import sources
+
+    store = f"{tmpdir}/post-ds"
+    _fill(PostingsSink(store, compact_every=None), documents)
+    sources.register(spark)
+    raw = (
+        spark.read.format("tagtree_segments")
+        .option("path", f"{store}/docs")
+        .load()
+    )
+    got = {(r.doc_id, r.batch_id, r.dl) for r in raw.collect()}
+    want = {
+        (r.doc_id, r.batch_id, r.dl)
+        for r in read_doc_versions(spark, store).collect()
+    }
+    # one batch per doc here, so raw union == latest-wins view
+    assert got == want and len(got) == documents.count()
