@@ -8496,3 +8496,72 @@ def q222_ann_mrr(spark, sf_dir):
         "hit10",
     )
     return per_q.unionByName(summary).orderBy("qid")
+
+
+@query(
+    "q223_dedup_bm25",
+    _CLUSTERS_CTES
+    + """
+, live AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+), tc AS (
+  SELECT doc_id, len(w) AS dl,
+         len(list_filter(w, x -> x = 'customer')) AS c0,
+         len(list_filter(w, x -> x = 'query')) AS c1,
+         len(list_filter(w, x -> x = 'vector')) AS c2
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM live) t
+), gs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         CAST(sum(CASE WHEN c0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM tc
+)
+SELECT doc_id,
+       CAST((CASE WHEN c0 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN c1 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_hit,
+       ((CAST(0 AS DOUBLE)
+         + (CASE WHEN c0 > 0 THEN
+              CAST((1000000 * n_docs) // df0 AS DOUBLE)
+              * (CAST(c0 AS DOUBLE) * 2.25)
+              / (CAST(c0 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END))
+         + (CASE WHEN c1 > 0 THEN
+              CAST((1000000 * n_docs) // df1 AS DOUBLE)
+              * (CAST(c1 AS DOUBLE) * 2.25)
+              / (CAST(c1 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END))
+         + (CASE WHEN c2 > 0 THEN
+              CAST((1000000 * n_docs) // df2 AS DOUBLE)
+              * (CAST(c2 AS DOUBLE) * 2.25)
+              / (CAST(c2 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END) AS score
+FROM tc, gs
+WHERE c0 > 0 OR c1 > 0 OR c2 > 0
+ORDER BY score DESC, doc_id LIMIT 20""",
+)
+def q223_dedup_bm25(spark, sf_dir):
+    """Pipeline composition — retrieval over the CLEANED corpus: BM25
+    (q172's query and math) on the dedup-survivor document set (q45's
+    clusters collapsed to their min-id survivor; singletons untouched).
+    Duplicate families stop flooding rankings AND stop deflating idf —
+    the df/N statistics shift with the dropped members, which is exactly
+    why dedup must run BEFORE index statistics at scale. One anti-join
+    against the (tiny, cached) dropped-member list prunes the corpus
+    before the BM25 fold."""
+    from tagtree_spark.operators.dedup import near_dup_clusters
+    from tagtree_spark.operators.retrieval import bm25_scores
+
+    clusters = near_dup_clusters(_mh_pairs(spark, sf_dir))
+    dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    live = _docs(spark, sf_dir).join(F.broadcast(dropped), "doc_id", "left_anti")
+    return (
+        bm25_scores(live, ["customer", "query", "vector"])
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
