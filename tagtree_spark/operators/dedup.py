@@ -306,7 +306,11 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
 
 def dedup_survivors(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iters: int = 20
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Keep-one materialization of near-dup clustering → ``(keep_id,
     n_members)``: one row per dedup group, keeping the minimum doc id
@@ -317,9 +321,12 @@ def dedup_survivors(
     surviving corpus. Shape: the cluster side is one groupBy over the
     (small) clustered-node set; the singleton side is a left-anti join of
     the corpus against that set (AQE broadcasts it when small). Join keys
-    are ids only — document bodies never shuffle.
+    are ids only — document bodies never shuffle. Pass a precomputed
+    ``clusters`` labelling to skip the CC loop (callers sharing one
+    cluster table across several survivor policies).
     """
-    clusters = near_dup_clusters(pairs, max_iters=max_iters)
+    if clusters is None:
+        clusters = near_dup_clusters(pairs, max_iters=max_iters)
     members = (
         clusters.groupBy("cluster_id")
         .agg(F.count("*").cast("bigint").alias("n_members"))
@@ -938,6 +945,7 @@ def keep_longest_survivors(
     id_col: str = "doc_id",
     len_col: str = "n_chars",
     max_iters: int = 20,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Survivor POLICY variant of :func:`dedup_survivors`: per near-dup
     cluster keep the LONGEST member (ties → smallest id) →
@@ -948,10 +956,12 @@ def keep_longest_survivors(
     apply.
 
     One window argmax over the (small) clustered-node set joined to the
-    corpus lengths; ids and lengths shuffle, bodies never."""
+    corpus lengths; ids and lengths shuffle, bodies never. Pass a
+    precomputed ``clusters`` labelling to skip the CC loop."""
     from pyspark.sql import Window
 
-    clusters = near_dup_clusters(pairs, max_iters=max_iters)
+    if clusters is None:
+        clusters = near_dup_clusters(pairs, max_iters=max_iters)
     lens = docs.select(F.col(id_col).alias("doc_id"), F.col(len_col).alias("_len"))
     j = clusters.join(lens, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.col("_len").desc(), "doc_id")

@@ -63,6 +63,25 @@ def _mh_pairs(spark, sf_dir):
     return got
 
 
+# Session-cached connected components of the verified pair graph: the CC
+# label-propagation loop runs eager localCheckpoints + a convergence count
+# per round, so the six cluster-consuming queries (q45/q49/q183/q193/q223
+# + survivors) must share ONE materialized labelling, not re-run the loop.
+_CLUSTERS_CACHE: dict = {}
+
+
+def _clusters(spark, sf_dir):
+    from tagtree_spark.operators.dedup import near_dup_clusters
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CLUSTERS_CACHE.get(key)
+    if got is None:
+        got = near_dup_clusters(_mh_pairs(spark, sf_dir)).persist()
+        got.count()
+        _CLUSTERS_CACHE[key] = got
+    return got
+
+
 # Shared per-(session, sf dir) distinct-shingle-hash table (doc_id, hs):
 # the md5 base pass of the exact set-overlap family (q32 Jaccard, q99
 # containment, q126 prefix filter) and of the MinHash signatures (via a
@@ -877,9 +896,8 @@ def q45_neardup_clusters(spark, sf_dir):
     The oracle reproduces the unique fixpoint with a recursive closure —
     exact CC is iteration-order independent, so the iterative Spark loop
     and the recursive SQL agree bit-for-bit."""
-    from tagtree_spark.operators.dedup import near_dup_clusters
 
-    return near_dup_clusters(_mh_pairs(spark, sf_dir)).orderBy("doc_id")
+    return _clusters(spark, sf_dir).orderBy("doc_id")
 
 
 @query(
@@ -1003,7 +1021,11 @@ def q49_dedup_survivors(spark, sf_dir):
     actually emits."""
     from tagtree_spark.operators.dedup import dedup_survivors
 
-    return dedup_survivors(_docs(spark, sf_dir), _mh_pairs(spark, sf_dir)).orderBy("keep_id")
+    return dedup_survivors(
+        _docs(spark, sf_dir),
+        _mh_pairs(spark, sf_dir),
+        clusters=_clusters(spark, sf_dir),
+    ).orderBy("keep_id")
 
 
 _CHUNK_SIZE = 100
@@ -6186,9 +6208,8 @@ def q183_cluster_size_histogram(spark, sf_dir):
     cluster-SIZE histogram — the one-line answer to "is my duplication a
     few huge families or many pairs?" that decides survivor policy and
     LSH re-tuning. Tiny re-agg over the cached pair machinery."""
-    from tagtree_spark.operators.dedup import near_dup_clusters
 
-    clusters = near_dup_clusters(_mh_pairs(spark, sf_dir))
+    clusters = _clusters(spark, sf_dir)
     return (
         clusters.groupBy("cluster_id")
         .agg(F.count("*").cast("bigint").alias("sz"))
@@ -6766,7 +6787,9 @@ def q193_keep_longest(spark, sf_dir):
     from tagtree_spark.operators.dedup import keep_longest_survivors
 
     docs = _docs(spark, sf_dir)
-    return keep_longest_survivors(docs, _mh_pairs(spark, sf_dir)).orderBy(
+    return keep_longest_survivors(
+        docs, _mh_pairs(spark, sf_dir), clusters=_clusters(spark, sf_dir)
+    ).orderBy(
         "cluster_id"
     )
 
@@ -8554,10 +8577,9 @@ def q223_dedup_bm25(spark, sf_dir):
     why dedup must run BEFORE index statistics at scale. One anti-join
     against the (tiny, cached) dropped-member list prunes the corpus
     before the BM25 fold."""
-    from tagtree_spark.operators.dedup import near_dup_clusters
     from tagtree_spark.operators.retrieval import bm25_scores
 
-    clusters = near_dup_clusters(_mh_pairs(spark, sf_dir))
+    clusters = _clusters(spark, sf_dir)
     dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     live = _docs(spark, sf_dir).join(F.broadcast(dropped), "doc_id", "left_anti")
     return (
