@@ -1061,3 +1061,72 @@ def lsh_band_histogram(
             (F.col("bucket_size") > cap).cast("bigint").alias("is_dropped"),
         )
     )
+
+
+def medoid_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    sh: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Survivor POLICY #3 (after min-id and keep-longest): per near-dup
+    cluster keep the MEDOID — the member with the highest total exact
+    Jaccard similarity (integer ppm) to its fellow members, ties →
+    smallest id → ``(cluster_id, keep_id, sim_sum_ppm, n_members)``.
+    The most-central member is the best single representative of a
+    template family (min-id is arbitrary, longest biases toward
+    concatenations); this is the canonical exemplar-selection rule.
+
+    Exactness: per ordered member pair, jppm = (10^6·|A∩B|) div |A∪B| —
+    all-integer, so the per-member sum is order-free and engine-exact.
+    Shape: the pairwise step is quadratic ONLY within a cluster, and
+    cluster sizes are bounded by the upstream LSH band caps (the same
+    bound every cluster consumer relies on); shingle-hash sets come from
+    the shared ``sh`` base pass — one self-join on cluster_id over the
+    clustered members (≪ corpus), one partitioned argmax window.
+    """
+    from pyspark.sql import Window
+
+    if clusters is None:
+        clusters = near_dup_clusters(pairs, max_iters=max_iters)
+    if sh is None:
+        sh = doc_shingle_hashes(docs, id_col=id_col)
+    mem = clusters.join(sh, "doc_id").select("cluster_id", "doc_id", "hs")
+    a = mem.select(
+        "cluster_id", F.col("doc_id").alias("a_id"), F.col("hs").alias("a_hs")
+    )
+    b = mem.select(
+        "cluster_id", F.col("doc_id").alias("b_id"), F.col("hs").alias("b_hs")
+    )
+    sim = (
+        a.join(b, "cluster_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .withColumn("_i", F.size(F.array_intersect("a_hs", "b_hs")).cast("bigint"))
+        .select(
+            "cluster_id",
+            "a_id",
+            F.expr(
+                "(1000000 * _i) div "
+                "(CAST(size(a_hs) AS BIGINT) + CAST(size(b_hs) AS BIGINT) - _i)"
+            ).alias("jppm"),
+        )
+    )
+    per = sim.groupBy("cluster_id", "a_id").agg(
+        F.sum("jppm").cast("bigint").alias("sim_sum_ppm"),
+        (F.count("*") + 1).cast("bigint").alias("n_members"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("sim_sum_ppm").desc(), F.col("a_id")
+    )
+    return (
+        per.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("a_id").cast("bigint").alias("keep_id"),
+            "sim_sum_ppm",
+            "n_members",
+        )
+    )

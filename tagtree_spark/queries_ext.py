@@ -8587,3 +8587,53 @@ def q223_dedup_bm25(spark, sf_dir):
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q224_medoid_survivors",
+    _CLUSTERS_CTES
+    + f"""
+, hs60 AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, s -> {duck_h60('s')})) AS hs
+  FROM sh WHERE len(shingles) > 0
+), mem AS MATERIALIZED (
+  SELECT c.cluster_id, c.doc_id, h.hs
+  FROM clusters c JOIN hs60 h ON h.doc_id = c.doc_id
+), pairsim AS (
+  SELECT cluster_id, a_id,
+         CAST((1000000 * i) // (la + lb - i) AS BIGINT) AS jppm
+  FROM (
+    SELECT a.cluster_id, a.doc_id AS a_id,
+           CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS i,
+           CAST(len(a.hs) AS BIGINT) AS la, CAST(len(b.hs) AS BIGINT) AS lb
+    FROM mem a JOIN mem b
+      ON a.cluster_id = b.cluster_id AND a.doc_id <> b.doc_id
+  )
+), per AS (
+  SELECT cluster_id, a_id, CAST(sum(jppm) AS BIGINT) AS sim_sum_ppm,
+         CAST(count(*) + 1 AS BIGINT) AS n_members
+  FROM pairsim GROUP BY 1, 2
+)
+SELECT cluster_id, CAST(a_id AS BIGINT) AS keep_id, sim_sum_ppm, n_members
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY sim_sum_ppm DESC, a_id) AS rn
+  FROM per
+) WHERE rn = 1 ORDER BY cluster_id""",
+)
+def q224_medoid_survivors(spark, sf_dir):
+    """E2b survivor policy #3 — keep the MEDOID of each near-dup cluster
+    (highest total exact-Jaccard ppm to fellow members, ties → lowest
+    id): the best single representative of a template family, vs q49's
+    arbitrary min-id and q193's longest-member policies. All-integer
+    similarity sums; pairwise only WITHIN clusters (bounded by the LSH
+    band caps); shares the cached shingle base pass and cluster
+    labelling."""
+    from tagtree_spark.operators.dedup import medoid_survivors
+
+    return medoid_survivors(
+        _docs(spark, sf_dir),
+        _mh_pairs(spark, sf_dir),
+        sh=_sh(spark, sf_dir),
+        clusters=_clusters(spark, sf_dir),
+    ).orderBy("cluster_id")

@@ -2429,3 +2429,28 @@ def test_mmr_matches_python_reference(spark):
         for r in mmr_topk(emb, 0, k=k, shortlist_n=sl_n).orderBy("rank").collect()
     ]
     assert got == expect
+
+
+def test_medoid_survivor_picks_central_member(spark):
+    """In a cluster {A, B, C} where B shares shingles with both A and C
+    but A and C share nothing, B is the medoid regardless of ids."""
+    from tagtree_spark.operators.dedup import medoid_survivors
+
+    docs = spark.createDataFrame(
+        [
+            # 3-gram shingles: A∩B = {'x y z'}, B∩C = {'p q r'}, A∩C = ∅
+            (1, "x y z a b c"),
+            (2, "x y z p q r"),
+            (3, "p q r d e f"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a bigint, doc_b bigint"
+    )
+    out = medoid_survivors(docs, pairs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cluster_id == 1 and r.keep_id == 2 and r.n_members == 3
+    # B's sum = j(B,A) + j(B,C) > either leaf's single-edge sum
+    assert r.sim_sum_ppm > 0
