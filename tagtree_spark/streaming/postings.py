@@ -66,7 +66,9 @@ class PostingsSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
-            compact_postings(spark, self.store_path, batch_id)
+            compact_postings(
+                spark, self.store_path, batch_id, n_term_parts=self.n_term_parts
+            )
         # one row per doc per batch (duplicate delivery inside a batch):
         # deterministic winner by content hash, same stance as AnnIndexSink
         docs = (
@@ -172,13 +174,18 @@ def read_postings(
 
 
 def compact_postings(
-    spark: SparkSession, store_path: str, before_batch: int
+    spark: SparkSession,
+    store_path: str,
+    before_batch: int,
+    n_term_parts: int = 64,
 ) -> None:
     """Fold segments < before_batch into one base per tree (postings
     re-partitioned by tp, manifest latest-wins) — superseded doc versions
     are DROPPED here, so reads after compaction are single-segment pure
     pruned scans. Same crash-safe base-then-delete order as the sibling
-    sinks."""
+    sinks. ``n_term_parts`` MUST match the sink's (tp is recomputed
+    during the re-layout; a mismatch would silently re-home terms away
+    from where pruned reads look for them — the sink passes its own)."""
     import glob as _glob
     import shutil as _shutil
 
@@ -190,9 +197,11 @@ def compact_postings(
         merged = read_postings(spark, store_path, before_batch=before_batch)
         if merged is None or merged.isEmpty():
             return
-        merged.withColumn("tp", (h60("term") % 64).cast("int")).repartition(
-            "tp"
-        ).write.mode("overwrite").partitionBy("tp").parquet(post_base)
+        merged.withColumn(
+            "tp", (h60("term") % n_term_parts).cast("int")
+        ).repartition("tp").write.mode("overwrite").partitionBy("tp").parquet(
+            post_base
+        )
         if not _complete(post_base):
             return
     if not _complete(docs_base):

@@ -179,3 +179,25 @@ def test_docs_manifest_readable_via_segment_data_source(spark, documents, tmpdir
     }
     # one batch per doc here, so raw union == latest-wins view
     assert got == want and len(got) == documents.count()
+
+
+def test_non_default_n_term_parts_survives_compaction(spark, documents, tmpdir):
+    """A store built with n_term_parts=8 must stay consistent through
+    compaction (tp is recomputed during re-layout — the hardcoded-64
+    regression this test pins) and keep answering pruned reads."""
+    from tagtree_spark.operators.retrieval import bm25_scores
+
+    store = f"{tmpdir}/post-ntp8"
+    sub = documents.where("doc_id < 60").select("doc_id", "text")
+    sink = PostingsSink(store, n_term_parts=8, compact_every=None)
+    for b in range(2):
+        sink(sub.where(F.col("doc_id") % 2 == b), b)
+    expect = _bm25_set(bm25_scores(sub, TERMS))
+    assert _bm25_set(store_bm25(spark, store, TERMS, n_term_parts=8)) == expect
+    compact_postings(spark, store, 2, n_term_parts=8)
+    assert len(glob.glob(f"{store}/post/seg-*")) == 1
+    assert _bm25_set(store_bm25(spark, store, TERMS, n_term_parts=8)) == expect
+    ph = store_phrase(spark, store, "customer query", n_term_parts=8)
+    from tagtree_spark.operators.text import phrase_search
+
+    assert _phrase_set(ph) == _phrase_set(phrase_search(sub, "customer query"))
