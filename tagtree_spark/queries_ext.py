@@ -8637,3 +8637,90 @@ def q224_medoid_survivors(spark, sf_dir):
         sh=_sh(spark, sf_dir),
         clusters=_clusters(spark, sf_dir),
     ).orderBy("cluster_id")
+
+
+@query(
+    "q225_subquery_max_rate",
+    TSDB_CTE
+    + """
+, b AS (
+  SELECT tsid, epoch_us(ts) // 86400000000 AS day_idx, ts,
+         CAST(value AS DECIMAL(18,4)) AS v,
+         lag(CAST(value AS DECIMAL(18,4))) OVER (
+           PARTITION BY tsid, epoch_us(ts) // 86400000000
+           ORDER BY ts, value) AS prev
+  FROM samples
+), br AS (
+  SELECT tsid, day_idx,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND v > prev THEN v - prev
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS inc,
+         CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+  FROM b GROUP BY 1, 2
+), rates AS (
+  SELECT tsid, day_idx, inc / (span_us / 1e6) AS r
+  FROM br WHERE span_us > 0
+)
+SELECT tsid, CAST(nb AS BIGINT) AS n_buckets,
+       CAST(day_idx AS BIGINT) AS best_day_idx, r AS max_rate
+FROM (
+  SELECT tsid, day_idx, r,
+         row_number() OVER (PARTITION BY tsid ORDER BY r DESC, day_idx) AS rn,
+         count(*) OVER (PARTITION BY tsid) AS nb
+  FROM rates
+) t WHERE rn = 1
+ORDER BY tsid""",
+)
+def q225_subquery_max_rate(spark, sf_dir):
+    """PromQL SUBQUERY semantics — max_over_time(rate(m[1d])[:1d]): the
+    inner range function evaluates per day bucket (counter-reset-aware
+    positive-delta sum in decimal, ONE IEEE division by the bucket's
+    sample span), the outer max_over_time picks each series' hottest
+    day (ties → earliest). Day-bucketed lag windows partition by
+    (tsid, day) — the subquery grid adds no extra shuffle beyond the
+    per-series one; max over doubles is order-free."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.queries import _model
+
+    _, _, samples = _model(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,4)")
+    base = samples.select(
+        "tsid",
+        "ts",
+        v.alias("v"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+    )
+    w = Window.partitionBy("tsid", "day_idx").orderBy("ts", "v")
+    b = base.withColumn("prev", F.lag("v").over(w))
+    br = b.groupBy("tsid", "day_idx").agg(
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("v") > F.col("prev")),
+                F.col("v") - F.col("prev"),
+            ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("inc"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint")
+        .alias("span_us"),
+    )
+    rates = br.where(F.col("span_us") > 0).select(
+        "tsid",
+        "day_idx",
+        (F.col("inc") / (F.col("span_us") / F.lit(1e6))).alias("r"),
+    )
+    wr = Window.partitionBy("tsid").orderBy(F.col("r").desc(), "day_idx")
+    wn = Window.partitionBy("tsid")
+    return (
+        rates.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_buckets", F.count("*").over(wn).cast("bigint"))
+        .where(F.col("rn") == 1)
+        .select(
+            "tsid",
+            "n_buckets",
+            F.col("day_idx").cast("bigint").alias("best_day_idx"),
+            F.col("r").alias("max_rate"),
+        )
+        .orderBy("tsid")
+    )
