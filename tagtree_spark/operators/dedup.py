@@ -1093,7 +1093,18 @@ def medoid_survivors(
         clusters = near_dup_clusters(pairs, max_iters=max_iters)
     if sh is None:
         sh = doc_shingle_hashes(docs, id_col=id_col)
-    mem = clusters.join(sh, "doc_id").select("cluster_id", "doc_id", "hs")
+    # LEFT join + empty-set default: a clustered member too short to have
+    # shingles (< n words, or pairs from a non-shingle source) must still
+    # count toward n_members and remain medoid-eligible (its similarities
+    # are 0) — an inner join would silently drop it, and a cluster of all
+    # short members would vanish with no survivor at all (review r8)
+    mem = (
+        clusters.join(sh, "doc_id", "left")
+        .withColumn(
+            "hs", F.coalesce("hs", F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        )
+        .select("cluster_id", "doc_id", "hs")
+    )
     a = mem.select(
         "cluster_id", F.col("doc_id").alias("a_id"), F.col("hs").alias("a_hs")
     )
@@ -1108,8 +1119,10 @@ def medoid_survivors(
             "cluster_id",
             "a_id",
             F.expr(
-                "(1000000 * _i) div "
-                "(CAST(size(a_hs) AS BIGINT) + CAST(size(b_hs) AS BIGINT) - _i)"
+                "CASE WHEN CAST(size(a_hs) AS BIGINT) + CAST(size(b_hs) AS BIGINT)"
+                " - _i > 0 THEN (1000000 * _i) div "
+                "(CAST(size(a_hs) AS BIGINT) + CAST(size(b_hs) AS BIGINT) - _i) "
+                "ELSE CAST(0 AS BIGINT) END"
             ).alias("jppm"),
         )
     )

@@ -214,6 +214,11 @@ def kcore(
     """
     from tagtree_spark.session import persist_tracked
 
+    if iters < 1:
+        # iters=0 has no well-defined output (no round computed a
+        # within-core degree, and silently returning raw degrees would
+        # ignore both k and seed — review r8)
+        raise ValueError("kcore: iters must be >= 1")
     # every round references nb twice (u-side and v-side join) — without
     # a persist the symmetrize+distinct shuffle re-runs 2·iters times
     nb = persist_tracked(
@@ -239,6 +244,4 @@ def kcore(
             .localCheckpoint(eager=False)
         )
         alive = out.select(F.col("u").alias("doc_id"))
-    if out is None:  # iters == 0: every node, raw degree
-        out = nb.groupBy("u").agg(F.count("*").cast("bigint").alias("core_deg"))
     return out.select(F.col("u").alias("doc_id"), "core_deg")

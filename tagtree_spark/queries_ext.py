@@ -8301,14 +8301,21 @@ def q221_funnel(spark, sf_dir):
     wrong). Exact integer ppm conversion. Three per-user min-timestamp
     aggs, each a (user) shuffle on an already-shrunken frame; the funnel
     base broadcasts back."""
+    from tagtree_spark.session import persist_tracked
+
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("us").alias("v_us")
+    # each step frame feeds the next step AND its own count AND (for v)
+    # the funnel base — persist the tiny one-row-per-user frames so the
+    # events scan runs once per step, not once per reference
+    v = persist_tracked(
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
     )
-    c = (
+    c = persist_tracked(
         ev.where(F.col("event_type") == "click")
         .join(v, "user_id")
         .where(F.col("us") > F.col("v_us"))
@@ -8459,28 +8466,35 @@ def q222_ann_mrr(spark, sf_dir):
         # the whole cell (a cell is corpus/n_cells at scale). present=0
         # means the probed cell misses the true neighbor (quantization
         # loss); the count-based rank equals the oracle's row_number by
-        # the shared (score desc, vec_id) total order.
+        # the shared (score desc, vec_id) total order. The row is BUILT
+        # FROM the gt side (1 row always) so an empty cell — the probe
+        # query is its cell's only member — still reports the true gt id
+        # with rank 0, matching the oracle's LEFT JOIN (review r8).
+        stats = cand.join(F.broadcast(gt)).agg(
+            F.max(F.when(F.col("vec_id") == F.col("gt_id"), 1).otherwise(0)).alias(
+                "_p"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("s") > F.col("gt_s"))
+                    | (
+                        (F.col("s") == F.col("gt_s"))
+                        & (F.col("vec_id") < F.col("gt_id"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("_b"),
+        )
         row = (
-            cand.join(F.broadcast(gt))
-            .agg(
-                F.first("gt_id", ignorenulls=True).alias("gt_vec_id"),
-                F.max(F.when(F.col("vec_id") == F.col("gt_id"), 1).otherwise(0)).alias(
-                    "_present"
-                ),
-                F.sum(
-                    F.when(
-                        (F.col("s") > F.col("gt_s"))
-                        | (
-                            (F.col("s") == F.col("gt_s"))
-                            & (F.col("vec_id") < F.col("gt_id"))
-                        ),
-                        1,
-                    ).otherwise(0)
-                ).alias("_before"),
+            gt.join(F.broadcast(stats))
+            .select(
+                F.col("gt_id"),
+                F.coalesce("_p", F.lit(0)).alias("_present"),
+                F.coalesce("_b", F.lit(0)).alias("_before"),
             )
             .select(
                 F.lit(qid).cast("bigint").alias("qid"),
-                "gt_vec_id",
+                F.col("gt_id").alias("gt_vec_id"),
                 (F.col("_present") * (F.col("_before") + 1))
                 .cast("bigint")
                 .alias("ann_rank"),
@@ -8597,11 +8611,14 @@ def q223_dedup_bm25(spark, sf_dir):
   SELECT doc_id, list_distinct(list_transform(shingles, s -> {duck_h60('s')})) AS hs
   FROM sh WHERE len(shingles) > 0
 ), mem AS MATERIALIZED (
-  SELECT c.cluster_id, c.doc_id, h.hs
-  FROM clusters c JOIN hs60 h ON h.doc_id = c.doc_id
+  SELECT c.cluster_id, c.doc_id,
+         COALESCE(h.hs, CAST([] AS BIGINT[])) AS hs
+  FROM clusters c LEFT JOIN hs60 h ON h.doc_id = c.doc_id
 ), pairsim AS (
   SELECT cluster_id, a_id,
-         CAST((1000000 * i) // (la + lb - i) AS BIGINT) AS jppm
+         CAST(CASE WHEN la + lb - i > 0
+                   THEN (1000000 * i) // (la + lb - i)
+                   ELSE 0 END AS BIGINT) AS jppm
   FROM (
     SELECT a.cluster_id, a.doc_id AS a_id,
            CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS i,

@@ -165,7 +165,19 @@ def read_postings(
         out = out.where(F.col("tp").isin(tps) & F.col("term").isin(list(terms)))
     out = out.select("doc_id", "pos", "term", "batch_id")
     doc_segs = _list_segments(os.path.join(store_path, "docs"), before_batch)
-    if len(segs) == 1 and len(doc_segs) <= 1:
+    if not doc_segs:
+        # postings with no committed manifest = a crash between the two
+        # writes of the first batch; no document version was ever
+        # committed, so the store is empty — orphan postings must never
+        # surface (review r8)
+        return None
+    if (
+        len(segs) == 1
+        and len(doc_segs) == 1
+        and _parse_segment(segs[0]) == _parse_segment(doc_segs[0])
+    ):
+        # matching lone segments (post-compaction or single-batch): both
+        # already latest-wins, the version join would be a no-op
         return out
     latest = read_doc_versions(spark, store_path, before_batch).select(
         "doc_id", "batch_id"

@@ -2454,3 +2454,29 @@ def test_medoid_survivor_picks_central_member(spark):
     assert r.cluster_id == 1 and r.keep_id == 2 and r.n_members == 3
     # B's sum = j(B,A) + j(B,C) > either leaf's single-edge sum
     assert r.sim_sum_ppm > 0
+
+
+def test_medoid_counts_short_members_and_survives_all_short_cluster(spark):
+    """A clustered member too short to shingle still counts toward
+    n_members, and a cluster made entirely of short docs still emits a
+    survivor (min id on all-zero similarity) — review r8."""
+    from tagtree_spark.operators.dedup import medoid_survivors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z a b c"),
+            (2, "x y z p q r"),
+            (3, "hi"),            # clustered but < 3 words: no shingles
+            (10, "one two"),      # all-short cluster {10, 11}
+            (11, "one"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r.cluster_id: r for r in medoid_survivors(docs, pairs).collect()}
+    assert out[1].n_members == 3          # short member counted
+    assert out[1].keep_id in (1, 2)       # a shingled member wins
+    assert out[10].keep_id == 10          # all-short cluster survives, min id
+    assert out[10].n_members == 2 and out[10].sim_sum_ppm == 0

@@ -201,3 +201,22 @@ def test_non_default_n_term_parts_survives_compaction(spark, documents, tmpdir):
     from tagtree_spark.operators.text import phrase_search
 
     assert _phrase_set(ph) == _phrase_set(phrase_search(sub, "customer query"))
+
+
+def test_orphan_postings_without_manifest_never_surface(spark, documents, tmpdir):
+    """Crash between the postings write and the manifest write of the
+    FIRST batch: postings exist, no doc version was committed — reads
+    must treat the store as empty, not serve uncommitted matches
+    (review r8)."""
+    import shutil
+
+    store = f"{tmpdir}/post-orphan"
+    PostingsSink(store, compact_every=None)(
+        documents.where("doc_id < 20"), 0
+    )
+    shutil.rmtree(f"{store}/docs")  # simulate the crash window
+    assert read_postings(spark, store, terms=["customer"]) is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no segments"):
+        store_bm25(spark, store, TERMS)
