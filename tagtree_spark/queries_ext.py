@@ -8741,3 +8741,71 @@ def q225_subquery_max_rate(spark, sf_dir):
         )
         .orderBy("tsid")
     )
+
+
+@query(
+    "q226_knn_graph",
+    f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, e.embedding AS v, c.cid,
+         {_DOT.format(a='e.embedding', b='c.cv')} /
+         (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) *
+          sqrt({_DOT.format(a='c.cv', b='c.cv')})) AS cscore
+  FROM embeddings e, c
+), assigned AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+)
+SELECT src, CAST(rnk AS BIGINT) AS rank, dst, score FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_DOT.format(a='a.v', b='b.v')} /
+         (sqrt({_DOT.format(a='a.v', b='a.v')}) * sqrt({_DOT.format(a='b.v', b='b.v')})) AS score,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {_DOT.format(a='a.v', b='b.v')} /
+                    (sqrt({_DOT.format(a='a.v', b='a.v')}) *
+                     sqrt({_DOT.format(a='b.v', b='b.v')})) DESC, b.vec_id
+         ) AS rnk
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+) t WHERE rnk <= 3
+ORDER BY src, rank""",
+)
+def q226_knn_graph(spark, sf_dir):
+    """E3 kNN-graph construction — each vector's top-3 cosine neighbors
+    WITHIN its IVF cell: the building block of graph-based ANN indexes
+    and the neighbor lists SemDeDup-style semantic dedup consumes. The
+    pairwise step is quadratic only within a cell (cells partition the
+    corpus, so candidate count is Σ|cell|² ≪ N² — at 100 TB the cell is
+    the partition key and each cell's block computes independently); the
+    per-source rank window partitions by src. Sequential-fold cosines,
+    ties → lowest dst id."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.operators.similarity import cosine, ivf_assignments
+    from tagtree_spark.session import persist_tracked
+
+    assigned = persist_tracked(
+        ivf_assignments(_emb(spark, sf_dir), 8).select("vec_id", "v", "cid")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("av"), "cid"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("bv"), "cid"
+    )
+    w = Window.partitionBy("src").orderBy(F.col("score").desc(), "dst")
+    return (
+        a.join(b, "cid")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine("av", "bv").alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("src", "rank", "dst", "score")
+        .orderBy("src", "rank")
+    )

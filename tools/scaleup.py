@@ -60,6 +60,12 @@ QUERIES = (
     "q139_image_dhash",
     "q140_audio_neardup",
     "q141_video_neardup",
+    # r8 additions: the cluster-graph consumers — candidate pairs scale
+    # ~N (per the family above), so the CC labelling, the fixed-round
+    # k-core peel, and the within-cluster medoid pairwise step must too
+    # (cluster SIZES stay constant across copies; only their COUNT grows)
+    "q216_kcore",
+    "q224_medoid_survivors",
 )
 
 
