@@ -8809,3 +8809,98 @@ def q226_knn_graph(spark, sf_dir):
         .select("src", "rank", "dst", "score")
         .orderBy("src", "rank")
     )
+
+
+def _pq_recall_oracle_sql(qids=(0, 1, 2), k: int = 10) -> str:
+    """q227's oracle: per probe query, the PQ ADC top-k (codes chain,
+    query excluded) intersected with the EXACT fp squared-L2 top-k —
+    recall@k of the 32x-compressed index vs brute force, as integer
+    overlap counts. MATERIALIZED per-query top-k CTEs (rule 14)."""
+    sql = _PQ_CODES_CTES
+    rows = []
+    for q in qids:
+        sql += f"""
+, qtab{q} AS MATERIALIZED (
+  SELECT cb.m, cb.c AS code,
+         list_reduce(list_transform(range(1, 9),
+           i -> (qs.sv[i] - cb.cv[i]) * (qs.sv[i] - cb.cv[i])),
+           (a, b) -> a + b) AS qd
+  FROM cb JOIN (SELECT m, sv FROM sub WHERE vec_id = {q}) qs USING (m)
+), adc{q} AS MATERIALIZED (
+  SELECT vec_id FROM (
+    SELECT vec_id, CAST(sum(qd) AS BIGINT) AS adist
+    FROM code JOIN qtab{q} USING (m, code)
+    WHERE vec_id <> {q} GROUP BY 1
+  ) ORDER BY adist, vec_id LIMIT {k}
+), exact{q} AS MATERIALIZED (
+  SELECT e.vec_id
+  FROM embeddings e, (SELECT embedding AS qv FROM embeddings
+                      WHERE vec_id = {q}) qq
+  WHERE e.vec_id <> {q}
+  ORDER BY {_SSQ.format(a='e.embedding', b='qq.qv')} ASC, e.vec_id
+  LIMIT {k}
+)"""
+        rows.append(
+            f"""SELECT CAST({q} AS BIGINT) AS qid,
+       CAST((SELECT count(*) FROM adc{q} JOIN exact{q} USING (vec_id))
+            AS BIGINT) AS n_overlap"""
+        )
+    body = "\nUNION ALL\n".join(rows)
+    sql += f"""
+SELECT qid, n_overlap,
+       CAST((1000000 * n_overlap) // {k} AS BIGINT) AS recall_ppm
+FROM ({body}) ORDER BY qid"""
+    return sql
+
+
+@query("q227_pq_recall", _pq_recall_oracle_sql((0, 1, 2), 10))
+def q227_pq_recall(spark, sf_dir):
+    """E3 PQ index-quality eval: recall@10 of the 32x-compressed ADC
+    ranking vs exact fp squared-L2 brute force for three probe queries
+    (integer overlap + ppm) — the acceptance metric that decides a PQ
+    configuration ships. Shares the session-cached codes frame; exact
+    side is one narrow broadcast-query scan + TakeOrdered per probe."""
+    from tagtree_spark.operators.similarity import pq_adc_topk
+    from tagtree_spark.session import spread
+
+    emb = _emb(spark, sf_dir)
+    out = None
+    for qid in (0, 1, 2):
+        approx = pq_adc_topk(
+            emb, query_id=qid, k=10, codes=_pqc(spark, sf_dir)
+        ).select("vec_id")
+        qv = emb.where(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qv")
+        )
+        ssq = F.aggregate(
+            F.zip_with(
+                "embedding",
+                "qv",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        exact = (
+            spread(emb)
+            .where(F.col("vec_id") != qid)
+            .join(F.broadcast(qv))
+            .select("vec_id", ssq.alias("_d"))
+            .orderBy("_d", "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+        row = (
+            approx.join(exact, "vec_id")
+            .agg(F.count("*").cast("bigint").alias("n_overlap"))
+            .select(
+                F.lit(qid).cast("bigint").alias("qid"),
+                "n_overlap",
+                F.expr("CAST((1000000 * n_overlap) div 10 AS BIGINT)").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("qid")
