@@ -220,3 +220,35 @@ def test_orphan_postings_without_manifest_never_surface(spark, documents, tmpdir
 
     with _pytest.raises(ValueError, match="no segments"):
         store_bm25(spark, store, TERMS)
+
+
+def test_streaming_postings_nasty_texts_match_batch(spark):
+    """Adversarial tokenization shapes — empty text, consecutive spaces
+    (split emits empty-string tokens that count toward dl), unicode,
+    single-word, duplicate-token docs — must roundtrip the store with
+    bit-identical BM25 vs the batch scorer."""
+    from tagtree_spark.operators.retrieval import bm25_scores
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "  leading  double  spaces"),
+            (3, "word"),
+            (4, "query query query query"),
+            (5, "naïve café 日本語 query"),
+            (6, "customer query vector"),
+        ],
+        "doc_id bigint, text string",
+    )
+    store = tempfile.mkdtemp(prefix="tagtree-postings-nasty-")
+    sink = PostingsSink(store, compact_every=None)
+    sink(docs.where("doc_id <= 3"), 0)
+    sink(docs.where("doc_id > 3"), 1)
+    for terms in (TERMS, ["query"], ["café", "日本語"]):
+        got = _bm25_set(store_bm25(spark, store, terms))
+        want = _bm25_set(bm25_scores(docs, terms))
+        assert got == want, terms
+    vers = {r.doc_id: r.dl for r in read_doc_versions(spark, store).collect()}
+    assert vers[1] == 1   # "" splits to [""] — one (empty) token
+    assert vers[2] == 7   # consecutive spaces emit empty tokens
