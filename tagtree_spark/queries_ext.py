@@ -8904,3 +8904,56 @@ def q227_pq_recall(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("qid")
+
+
+@query(
+    "q228_cluster_split",
+    _CLUSTERS_CTES
+    + f"""
+, grp AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+), tagged AS (
+  SELECT doc_id, group_key,
+         CASE WHEN {duck_h60('CAST(group_key AS VARCHAR)')} % 10 = 0
+              THEN 'valid' ELSE 'train' END AS split
+  FROM grp
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT group_key) AS BIGINT) AS n_groups,
+       CAST(bit_xor({duck_h60('CAST(doc_id AS VARCHAR)')}) AS BIGINT) AS docs_xor
+FROM tagged GROUP BY split ORDER BY split""",
+)
+def q228_cluster_split(spark, sf_dir):
+    """Leakage-free train/valid split — CLUSTER-aware: every near-dup
+    cluster is assigned WHOLE to one side (group key = cluster label,
+    singletons = own id; membership by h60(group) % 10, so the split is
+    deterministic, reproducible, and no duplicate family ever straddles
+    the boundary — the eval-integrity property a naive per-doc split
+    silently violates). The membership XOR fingerprint makes the oracle
+    verify the exact assignment, not just the counts; bit_xor is
+    order-free and exact in both engines."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    clusters = _clusters(spark, sf_dir)
+    grp = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_key"),
+    )
+    tagged = grp.select(
+        "group_key",
+        F.when(h60(F.col("group_key").cast("string")) % 10 == 0, "valid")
+        .otherwise("train")
+        .alias("split"),
+        h60(F.col("doc_id").cast("string")).alias("dh"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("group_key").cast("bigint").alias("n_groups"),
+            F.expr("bit_xor(dh)").cast("bigint").alias("docs_xor"),
+        )
+        .orderBy("split")
+    )
