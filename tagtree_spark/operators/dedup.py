@@ -241,7 +241,9 @@ def _bucket_pairs(df: DataFrame, key: str, max_bucket: int | None = None) -> Dat
     return buckets.where(F.size("ds") >= 2).select(pairs.alias("p")).select("p.doc_a", "p.doc_b")
 
 
-def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def near_dup_clusters(
+    pairs: DataFrame, max_iters: int = 20, compress: bool = False
+) -> DataFrame:
     """Connected components over a near-dup pair graph → ``(doc_id,
     cluster_id)`` with cluster_id = min doc id in the component — the step
     that turns pairwise near-dup hits into dedup GROUPS (keep one doc per
@@ -256,11 +258,16 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     Scale stance: rounds are O(component diameter), and near-dup
     components are quasi-cliques (diameter ~2-3), so the loop is a handful
     of shuffle-joins regardless of corpus size; each round is one
-    broadcast-able join + groupBy. For adversarial long-chain graphs use
-    the large-star/small-star variant (O(log n) rounds); raising
-    ``max_iters`` is enough for every near-dup workload. Raises if not
-    converged — an unconverged labelling would silently disagree with the
-    oracle's closure.
+    broadcast-able join + groupBy. For long-chain graphs (e.g. mutual-kNN
+    graphs, whose components are chain-shaped) pass ``compress=True``:
+    each round then also applies one pointer-jumping step L(v) <- L(L(v))
+    (a self-join on the label table), halving remaining chain depth —
+    convergence in O(log diameter) rounds instead of O(diameter). The
+    fixpoint is the same component minimum either way (compression only
+    replaces a node's label by its label's label — already a component
+    member — and propagation is monotone decreasing), so the recursive-
+    SQL oracle needs no change. Raises if not converged — an unconverged
+    labelling would silently disagree with the oracle's closure.
 
     Each round's labels are eagerly ``localCheckpoint``-ed: without lineage
     truncation the plan nests every prior round's joins and the DRIVER
@@ -279,19 +286,51 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for _i in range(max_iters):
         nbr = edges.join(
             labels.select(F.col("node").alias("d"), "label"), on="d"
         ).select(F.col("s").alias("node"), "label")
-        new_labels = (
-            nbr.union(labels).groupBy("node").agg(F.min("label").alias("label")).localCheckpoint()
+        new_labels = nbr.union(labels).groupBy("node").agg(
+            F.min("label").alias("label")
         )
+        if compress:
+            # pointer jumping: L(v) <- L(L(v)). Labels are always node
+            # ids (init = self, propagation takes mins of node ids), so
+            # the lookup join hits; coalesce covers a label whose own
+            # row was pruned from this frame (cannot happen today, but
+            # the fallback is the identity either way). ONE jump per
+            # round measured fastest: each extra jump is another shuffle
+            # join, which costs more than the rounds it saves.
+            lk = new_labels.select(
+                F.col("node").alias("_ln"), F.col("label").alias("_ll")
+            )
+            new_labels = (
+                new_labels.join(lk, new_labels["label"] == lk["_ln"], "left")
+                .select(
+                    "node",
+                    F.coalesce("_ll", "label").alias("label"),
+                )
+            )
+        # lazy checkpoint: the lineage is truncated at materialization,
+        # which happens at the next convergence probe (every 2nd round
+        # under compress) — one job then covers both rounds' work. The
+        # eager form paid one job per round; the nesting depth between
+        # probes stays bounded (2 rounds), far from the driver-OOM
+        # regime the truncation exists to prevent.
+        new_labels = new_labels.localCheckpoint(eager=False)
+        # with compression the convergence probe runs every 2nd round:
+        # the count() is a separate job, and compressed rounds converge
+        # fast enough that halving the probes saves real wall time while
+        # at most ONE redundant (idempotent) extra round runs
+        probe = (not compress) or (_i % 2 == 1) or (_i == max_iters - 1)
         changed = (
             new_labels.join(
                 labels.select("node", F.col("label").alias("old")), on="node"
             )
             .where(F.col("label") != F.col("old"))
             .count()
+            if probe
+            else -1
         )
         labels = new_labels
         if changed == 0:

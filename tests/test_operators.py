@@ -2480,3 +2480,25 @@ def test_medoid_counts_short_members_and_survives_all_short_cluster(spark):
     assert out[1].keep_id in (1, 2)       # a shingled member wins
     assert out[10].keep_id == 10          # all-short cluster survives, min id
     assert out[10].n_members == 2 and out[10].sim_sum_ppm == 0
+
+
+def test_cc_compress_converges_on_long_chain(spark):
+    """compress=True (pointer jumping) labels a 200-node path in far
+    fewer than diameter rounds; plain propagation would need ~200."""
+    from tagtree_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc_a bigint, doc_b bigint"
+    )
+    out = near_dup_clusters(pairs, max_iters=30, compress=True).collect()
+    assert len(out) == 200 and all(r.cluster_id == 0 for r in out)
+    # and the two modes agree on a branchy graph
+    tree = spark.createDataFrame(
+        [(0, 1), (1, 2), (1, 3), (3, 4), (5, 6)], "doc_a bigint, doc_b bigint"
+    )
+    a = {(r.doc_id, r.cluster_id) for r in near_dup_clusters(tree).collect()}
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in near_dup_clusters(tree, compress=True).collect()
+    }
+    assert a == b
