@@ -9052,3 +9052,41 @@ def q229_semantic_clusters(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# Session-cached STREAMED cluster-label store: the verified near-dup pairs
+# ingested through ClusterSink in two micro-batches (split by doc_a % 2,
+# so the second batch BRIDGES components discovered in the first — the
+# hard incremental case), then read back as the current labelling.
+_STREAM_CLUSTERS_CACHE: dict = {}
+
+
+def _stream_clusters_store(spark, sf_dir):
+    import tempfile
+
+    from tagtree_spark.streaming.clusters import ClusterSink
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAM_CLUSTERS_CACHE:
+        d = tempfile.mkdtemp(prefix="tagtree-stream-clusters-")
+        sink = ClusterSink(d)
+        pairs = _mh_pairs(spark, sf_dir)
+        for b in range(2):
+            sink(pairs.where(F.col("doc_a") % 2 == b), b)
+        _STREAM_CLUSTERS_CACHE[key] = d
+    return _STREAM_CLUSTERS_CACHE[key]
+
+
+@query("q230_stream_clusters", _Q45_ORACLE)
+def q230_stream_clusters(spark, sf_dir):
+    """Incremental connected components — the STREAMING path to q45's
+    labelling: near-dup pairs arrive in two micro-batches (split so
+    the second bridges components found by the first), ClusterSink merges each
+    with the previous snapshot's label-edges and relabels; the final
+    store must equal batch CC over all pairs — same oracle as q45."""
+    from tagtree_spark.streaming.clusters import read_labels
+
+    return read_labels(
+        spark, _stream_clusters_store(spark, sf_dir)
+    ).orderBy("doc_id")
