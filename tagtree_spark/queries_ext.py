@@ -8977,6 +8977,30 @@ def q228_cluster_split(spark, sf_dir):
     )
 
 
+# Session-cached semantic CC labelling (vec_id, cluster_id) over the
+# mutual-2NN graph — q229 (cluster census) and q231 (label purity) share
+# one pointer-jumped components run.
+_SEMCL_CACHE: dict = {}
+
+
+def _semantic_labels(spark, sf_dir):
+    from tagtree_spark.operators.dedup import near_dup_clusters
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SEMCL_CACHE.get(key)
+    if got is None:
+        knn = _knn3(spark, sf_dir).where(F.col("rnk") <= 2).select("src", "dst")
+        k2 = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+        mutual = knn.join(k2, ["src", "dst"]).where(F.col("src") < F.col("dst"))
+        edges = mutual.select(
+            F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+        )
+        got = near_dup_clusters(edges, max_iters=30, compress=True).persist()
+        got.count()
+        _SEMCL_CACHE[key] = got
+    return got
+
+
 @query(
     "q229_semantic_clusters",
     f"""
@@ -9034,15 +9058,7 @@ def q229_semantic_clusters(spark, sf_dir):
     kNN all feed one CC/survivor/k-core toolchain. Mutual join is
     id-keyed on the bounded kNN lists; components via the oracle-mirrored
     iterative fixpoint."""
-    from tagtree_spark.operators.dedup import near_dup_clusters
-
-    knn = _knn3(spark, sf_dir).where(F.col("rnk") <= 2).select("src", "dst")
-    k2 = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
-    mutual = knn.join(k2, ["src", "dst"]).where(F.col("src") < F.col("dst"))
-    edges = mutual.select(
-        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
-    )
-    clusters = near_dup_clusters(edges, max_iters=30, compress=True)
+    clusters = _semantic_labels(spark, sf_dir)
     return (
         clusters.groupBy("cluster_id")
         .agg(
@@ -9090,3 +9106,87 @@ def q230_stream_clusters(spark, sf_dir):
     return read_labels(
         spark, _stream_clusters_store(spark, sf_dir)
     ).orderBy("doc_id")
+
+
+def _q231_oracle() -> str:
+    """q231's oracle: q229's full mutual-kNN + recursive-closure chain
+    (sliced at its final SELECT so the two stay in lockstep), then label
+    purity per cluster — majority embedding label (ties → smallest
+    label), integer ppm."""
+    base = _ORACLE_REG["q229_semantic_clusters"]
+    marker = "\nSELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,"
+    i = base.find(marker)
+    assert i > 0, "q229 oracle shape changed; update _q231_oracle"
+    return (
+        base[:i]
+        + """
+, mem AS (
+  SELECT c.cluster_id, c.vec_id, e.label
+  FROM clusters c JOIN embeddings e ON e.vec_id = c.vec_id
+), lc AS (
+  SELECT cluster_id, label, CAST(count(*) AS BIGINT) AS cnt
+  FROM mem GROUP BY 1, 2
+), maj AS (
+  SELECT cluster_id, label AS top_label, cnt AS top_cnt FROM (
+    SELECT cluster_id, label, cnt,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY cnt DESC, label) AS rn
+    FROM lc
+  ) t WHERE rn = 1
+), sz AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM mem GROUP BY 1
+)
+SELECT s.cluster_id, s.n_members,
+       CAST(m.top_label AS BIGINT) AS top_label,
+       m.top_cnt,
+       CAST((1000000 * m.top_cnt) // s.n_members AS BIGINT) AS purity_ppm
+FROM sz s JOIN maj m ON m.cluster_id = s.cluster_id
+ORDER BY s.cluster_id"""
+    )
+
+
+@query("q231_cluster_purity", _q231_oracle())
+def q231_cluster_purity(spark, sf_dir):
+    """Semantic-cluster QUALITY eval: per mutual-kNN component, the
+    majority ground-truth embedding label and its integer-ppm purity —
+    the external-validation metric (label homogeneity) that decides
+    whether unsupervised neighbor clusters track real classes. Rides the
+    cached labelling (one CC run shared with q229) + a broadcast label
+    join; majority by per-cluster count argmax (ties → smallest label,
+    partitioned window)."""
+    from pyspark.sql import Window
+
+    labels = _semantic_labels(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select("vec_id", F.col("label"))
+    mem = labels.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    ).join(emb, "vec_id")
+    lc = mem.groupBy("cluster_id", "label").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("cnt").desc(), "label")
+    maj = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").cast("bigint").alias("top_label"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+    sz = mem.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return (
+        sz.join(maj, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "top_label",
+            "top_cnt",
+            F.expr("CAST((1000000 * top_cnt) div n_members AS BIGINT)").alias(
+                "purity_ppm"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
