@@ -9190,3 +9190,373 @@ def q231_cluster_purity(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H shape completion (r8): Q2/Q9/Q11/Q13/Q16/Q20 analogues. The test
+# corpus has no partsupp table, so the part↔supplier relation is derived
+# from lineitem (distinct (l_partkey, l_suppkey), unit cost = min observed
+# extendedprice/quantity) — same join/subquery shapes, same optimizer
+# stress (correlated min, scalar-subquery HAVING, left-join distribution,
+# NOT IN, nested semi-joins), re-keyed to the available tables.
+# Reference analogue: multi-matcher conjunction + aggregation pipelines
+# (/root/reference/src/index/index_server.cpp:93-136).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q232_mincost_supplier",
+    """
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2
+), asia AS (
+  SELECT sp.partkey, sp.suppkey, sp.cost,
+         s.s_acctbal, s.s_name, n.n_name
+  FROM supply sp
+  JOIN supplier s ON s.s_suppkey = sp.suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+), minc AS (
+  SELECT partkey, min(cost) AS min_cost FROM asia GROUP BY 1
+)
+SELECT CAST(a.s_acctbal AS DOUBLE) AS s_acctbal, a.s_name, a.n_name,
+       p.p_partkey, p.p_name, CAST(a.cost AS DOUBLE) AS cost
+FROM asia a
+JOIN minc m ON m.partkey = a.partkey AND a.cost = m.min_cost
+JOIN part p ON p.p_partkey = a.partkey
+WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+ORDER BY p.p_partkey, a.s_name""",
+)
+def q232_mincost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — minimum-cost supplier per part: the correlated-min
+    subquery (region-scoped supplier cost per part) decorrelated into a
+    groupBy-min + equality join-back. The supply relation derives from
+    lineitem (min unit price per distinct (part, supplier)); supplier /
+    nation / region / filtered part all broadcast, so the only shuffle is
+    the supply groupBy. cost is one IEEE double division per row — MIN
+    over doubles is order-independent and the min value's bits match
+    across engines (CLAUDE rule 3)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    asia = (
+        supply.join(F.broadcast(s), supply.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("partkey", "suppkey", "cost", "s_acctbal", "s_name", "n_name")
+    )
+    minc = asia.groupBy("partkey").agg(F.min("cost").alias("min_cost"))
+    return (
+        asia.join(minc, "partkey")
+        .where(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@query(
+    "q233_nation_profit",
+    """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       CAST(sum(CAST(CAST(l.l_quantity AS BIGINT) *
+                     CAST(round(p.p_retailprice * 100) AS BIGINT) * 6
+                     AS HUGEINT)) AS DOUBLE) / CAST(1000 AS DOUBLE) AS supply_cost,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) -
+       CAST(sum(CAST(CAST(l.l_quantity AS BIGINT) *
+                     CAST(round(p.p_retailprice * 100) AS BIGINT) * 6
+                     AS HUGEINT)) AS DOUBLE) / CAST(1000 AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY nation, o_year""",
+)
+def q233_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape — product-type profit by supplier nation and order
+    year: revenue (exact decimal sum of extprice*(1-disc)) minus a supply
+    cost proxy of 0.6 * p_retailprice per unit. retailprice is cents-exact,
+    so the cost term is the exact integer qty * cents * 6 (milli-units)
+    summed as DECIMAL(38,0)/HUGEINT (rules 7/11) — profit is then ONE IEEE
+    subtraction of two exact-sum casts plus one division by 1000, both
+    bit-identical across engines (rule 2 avoided: no fp accumulation)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    cost_milli = (
+        F.col("l_quantity").cast("bigint")
+        * F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.lit(6)
+    ).cast("decimal(38,0)")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(rev).alias("_rev"),
+            F.sum(cost_milli).alias("_cost"),
+        )
+    )
+    rev_d = F.col("_rev").cast("double")
+    cost_d = F.col("_cost").cast("double") / F.lit(1000).cast("double")
+    return agg.select(
+        "nation",
+        "o_year",
+        "n_lines",
+        rev_d.alias("revenue"),
+        cost_d.alias("supply_cost"),
+        (rev_d - cost_d).alias("profit"),
+    ).orderBy("nation", "o_year")
+
+
+@query(
+    "q234_important_parts",
+    """
+WITH pv AS (
+  SELECT l.l_partkey AS p_partkey,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(qty_value) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM pv
+)
+SELECT p.p_partkey, p.qty_value, t.total,
+       CAST((1000000 * p.qty_value) // t.total AS BIGINT) AS share_ppm
+FROM pv p CROSS JOIN tot t
+WHERE CAST(10 AS HUGEINT) * CAST(p.qty_value AS HUGEINT) * CAST(t.n_parts AS HUGEINT)
+      > CAST(13 AS HUGEINT) * CAST(t.total AS HUGEINT)
+ORDER BY p.qty_value DESC, p.p_partkey""",
+)
+def q234_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape — important-stock scan: per-part inventory value
+    (held quantity via NATION_3's lineitems) filtered by a GLOBAL scalar
+    subquery threshold — parts whose share exceeds 1.3x the average part's
+    share (scale-invariant: the per-part line count is constant across SFs,
+    so the selectivity holds at every scale). The 1-row total broadcasts;
+    products are DECIMAL(38,0) Spark-side / HUGEINT oracle-side (rule 11);
+    share_ppm is exact integer division."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty_value"))
+    )
+    tot = pv.agg(
+        F.sum("qty_value").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(
+            big(F.lit(10)) * big(F.col("qty_value")) * big(F.col("n_parts"))
+            > big(F.lit(13)) * big(F.col("total"))
+        )
+        .select(
+            "p_partkey",
+            "qty_value",
+            "total",
+            F.expr("CAST((1000000 * qty_value) div total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.col("qty_value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "q235_order_count_distribution",
+    """
+WITH co AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+)
+def q235_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — customer order-count distribution: LEFT join with
+    the filter INSIDE the join condition (so zero-order customers survive
+    with count 0), per-customer count, then the distribution histogram.
+    Pure integer counts; c_count is unique per output row so the ORDER BY
+    is total. At scale the join shuffles on custkey once; the second
+    groupBy is over at most max(c_count) rows."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    co = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey)
+            & (o.o_orderpriority != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q236_parts_supplier_counts",
+    """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.partkey
+WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps.suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""",
+)
+def q236_parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape — supplier count per part attribute group with a
+    NOT IN exclusion list: the part↔supplier relation is the distinct
+    (partkey, suppkey) projection of lineitem; negative-balance suppliers
+    (the 'customer complaints' analogue) are removed by a broadcast
+    anti-join (= NOT IN over a never-NULL key), then count(DISTINCT
+    suppkey) per (brand, type, size). Both the distinct and the count-
+    distinct shuffle on narrow key tuples only."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("suppkey")
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    return (
+        ps.join(F.broadcast(bad), "suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q237_potential_promotion",
+    """
+WITH sq AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                        AND l_shipdate < TIMESTAMP '1998-01-01'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS qty_1997,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+  FROM lineitem GROUP BY 1, 2
+), hot AS (
+  SELECT DISTINCT sq.suppkey
+  FROM sq JOIN part p ON p.p_partkey = sq.partkey
+  WHERE p.p_name LIKE '%widget%' AND 2 * sq.qty_1997 > sq.qty_total
+)
+SELECT s.s_name, n.n_name AS nation, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+  AND s.s_suppkey IN (SELECT suppkey FROM hot)
+ORDER BY s.s_name""",
+)
+def q237_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape — potential part promotion: suppliers who shipped
+    the MAJORITY of their own volume of a 'widget' part inside 1997 (the
+    availqty > 0.5*shipped correlated predicate re-keyed to the derived
+    per-(supplier, part) quantity profile), restricted to two regions.
+    Nested semi-join chain: conditional + total integer sums in one
+    groupBy pass, broadcast part filter, DISTINCT suppkey, then a
+    broadcast left-semi into the supplier dim. Integer-only predicate
+    (2*q > total) — no fp anywhere."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    in97 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    sq = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.sum(F.when(in97, qty).otherwise(F.lit(0))).cast("bigint").alias("qty_1997"),
+        F.sum(qty).cast("bigint").alias("qty_total"),
+    )
+    hot = (
+        sq.join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .where(F.lit(2) * F.col("qty_1997") > F.col("qty_total"))
+        .select("suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(hot), s.s_suppkey == F.col("suppkey"), "left_semi")
+        .select("s_name", F.col("n_name").alias("nation"),
+                F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )

@@ -291,3 +291,32 @@ def test_postings_store_phrase_scan_prunes_term_partitions(spark, tmpdir):
     # and the search itself is correct through the store
     rows = store_phrase_search(spark, path, "alpha beta").collect()
     assert len(rows) == 20 and all(r.n_occ == 1 and r.first_pos == 0 for r in rows)
+
+
+def test_q232_mincost_supplier_plan(spark):
+    """Q2-shape decorrelation must keep every dimension join broadcast
+    (supplier/nation/region/part) and reuse the ONE supply aggregation
+    exchange for both the min branch and the join-back — lineitem is
+    scanned once, not once per branch."""
+    from __spark_entry__ import queries
+
+    q = queries()["q232_mincost_supplier"](spark, SF)
+    plan = physical_plan(q)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert not has_cartesian(q)
+    q.collect()  # exchange reuse only materializes in the executed plan
+    executed = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
+
+def test_q236_not_in_is_broadcast_anti_join(spark):
+    """Q16-shape NOT IN must plan as a broadcast anti-join off the
+    distinct (part, supplier) projection, never a shuffled join."""
+    from __spark_entry__ import queries
+
+    q = queries()["q236_parts_supplier_counts"](spark, SF)
+    plan = physical_plan(q)
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    ), plan
+    assert not has_cartesian(q)
