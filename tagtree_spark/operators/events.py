@@ -245,3 +245,81 @@ def last_touch_attribution(
         .cast("bigint")
         .alias("gap_us"),
     )
+
+
+def sequence_match(
+    events: DataFrame,
+    pattern: str,
+    symbols: dict[str, str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    max_events: int | None = None,
+) -> DataFrame:
+    """CEP sequence-pattern matching (the MATCH_RECOGNIZE analogue):
+    per key, order events by (ts, id), map each event type to a single
+    ASCII symbol, and run ``pattern`` (a regex over the symbol alphabet,
+    RE2∩Java common subset — no backrefs/lookaround) over the resulting
+    symbol string. Flink CEP / MATCH_RECOGNIZE express exactly this
+    NFA-over-ordered-rows semantics; here the per-key sequence is one
+    collect + one JVM regex pass, no Python in the loop.
+
+    Returns one row per key with >=1 match:
+    ``(user_col, n_matches, first_pos, first_len, first_event_id,
+    first_ts_us, first_span_us)`` — n_matches counts NON-OVERLAPPING
+    leftmost matches (identical in Java and RE2 for the common subset),
+    first_pos is the 1-based event index of the first match, first_span_us
+    the elapsed time the first matched subsequence covers.
+
+    Scale shape: ONE shuffle (groupBy on the key); per-group state is the
+    symbol string + id/ts arrays, bounded by events-per-key — pass
+    ``max_events`` to hard-slice pathological hot keys (the first
+    max_events events in order are kept; a real deployment would also
+    day-bucket the key, as streaming/sessions.py does). Events with a
+    type absent from ``symbols`` are dropped before collection, so the
+    pattern alphabet prunes the scan first.
+    """
+    for t, c in symbols.items():
+        if len(c) != 1 or ord(c) > 127:
+            raise ValueError(f"symbol for {t!r} must be one ASCII char, got {c!r}")
+    if len(set(symbols.values())) != len(symbols):
+        raise ValueError("symbol characters must be distinct")
+    sym = F.create_map(
+        *[F.lit(x) for kv in symbols.items() for x in kv]
+    )[F.col(type_col)]
+    base = events.select(
+        F.col(user_col),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        sym.alias("_sym"),
+    ).where(F.col("_sym").isNotNull())
+    seq = base.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(F.struct("_ts", "_id", "_sym"))).alias("seq")
+    )
+    if max_events is not None:
+        seq = seq.withColumn("seq", F.slice("seq", 1, max_events))
+    seq = seq.withColumn(
+        "s", F.array_join(F.transform("seq", lambda x: x["_sym"]), "")
+    )
+    first = F.regexp_extract(F.col("s"), pattern, 0)
+    matched = (
+        seq.withColumn("n_matches", F.regexp_count(F.col("s"), F.lit(pattern)).cast("bigint"))
+        .where(F.col("n_matches") >= 1)
+        .withColumn("first", first)
+        .withColumn("first_pos", F.instr(F.col("s"), F.col("first")).cast("bigint"))
+        .withColumn("first_len", F.length("first").cast("bigint"))
+    )
+    at = lambda p: F.element_at(F.col("seq"), p.cast("int"))  # noqa: E731
+    return matched.select(
+        user_col,
+        "n_matches",
+        "first_pos",
+        "first_len",
+        at(F.col("first_pos"))["_id"].alias("first_event_id"),
+        F.unix_micros(at(F.col("first_pos"))["_ts"]).alias("first_ts_us"),
+        (
+            F.unix_micros(at(F.col("first_pos") + F.col("first_len") - 1)["_ts"])
+            - F.unix_micros(at(F.col("first_pos"))["_ts"])
+        ).alias("first_span_us"),
+    )

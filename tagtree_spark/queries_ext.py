@@ -9560,3 +9560,54 @@ def q237_potential_promotion(spark, sf_dir):
                 F.col("s_acctbal").cast("double").alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+@query(
+    "q238_sequence_match",
+    """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+              WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' END AS sym
+  FROM events WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+), g AS (
+  SELECT user_id,
+         string_agg(sym, '' ORDER BY ts, event_id) AS s,
+         list(event_id ORDER BY ts, event_id) AS ids,
+         list(CAST(epoch_us(ts) AS BIGINT) ORDER BY ts, event_id) AS tss
+  FROM e GROUP BY 1
+), m AS (
+  SELECT user_id, s, ids, tss,
+         CAST(len(regexp_extract_all(s, 's[vc]*p')) AS BIGINT) AS n_matches,
+         regexp_extract(s, 's[vc]*p') AS first
+  FROM g
+)
+SELECT user_id, n_matches,
+       CAST(strpos(s, first) AS BIGINT) AS first_pos,
+       CAST(length(first) AS BIGINT) AS first_len,
+       ids[strpos(s, first)] AS first_event_id,
+       tss[strpos(s, first)] AS first_ts_us,
+       tss[strpos(s, first) + length(first) - 1] - tss[strpos(s, first)]
+         AS first_span_us
+FROM m WHERE n_matches >= 1
+ORDER BY user_id""",
+)
+def q238_sequence_match(spark, sf_dir):
+    """CEP sequence-pattern query (MATCH_RECOGNIZE / Flink-CEP analogue):
+    per user, count non-overlapping occurrences of signup → (view|click)*
+    → purchase in strict (ts, event_id) order, and locate the first
+    match (anchor event, elapsed span). One shuffle: the per-user
+    collect; the regex runs JVM-side over a bounded per-user symbol
+    string (operators/events.py sequence_match). Reference analogue: the
+    ordered-sample scans PromQL cannot express
+    (/root/reference/src/index/index_server.cpp:138-149 is point lookup
+    only)."""
+    from tagtree_spark.operators.events import sequence_match
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_match(
+        ev,
+        pattern="s[vc]*p",
+        symbols={"signup": "s", "view": "v", "click": "c", "purchase": "p"},
+    ).orderBy("user_id")

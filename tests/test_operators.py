@@ -2502,3 +2502,58 @@ def test_cc_compress_converges_on_long_chain(spark):
         for r in near_dup_clusters(tree, compress=True).collect()
     }
     assert a == b
+
+
+def test_sequence_match_counts_and_anchors(spark):
+    import datetime as dt
+
+    import pytest
+
+    from tagtree_spark.operators.events import sequence_match
+
+    T = dt.datetime
+    rows = [
+        # user 1: s v v p s p → two non-overlapping matches; first spans 4 events
+        (1, 10, "signup", T(2024, 1, 1)), (1, 11, "view", T(2024, 1, 2)),
+        (1, 12, "view", T(2024, 1, 3)), (1, 13, "purchase", T(2024, 1, 4)),
+        (1, 14, "signup", T(2024, 1, 5)), (1, 15, "purchase", T(2024, 1, 6)),
+        # user 2: purchase precedes signup → no match
+        (2, 20, "purchase", T(2024, 1, 1)), (2, 21, "signup", T(2024, 1, 2)),
+        # user 3: error events must not break the (view|click)* run
+        (3, 30, "signup", T(2024, 1, 1)), (3, 31, "error", T(2024, 1, 2)),
+        (3, 32, "click", T(2024, 1, 3)), (3, 33, "purchase", T(2024, 1, 4)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r.user_id: r
+        for r in sequence_match(
+            ev, "s[vc]*p",
+            {"signup": "s", "view": "v", "click": "c", "purchase": "p"},
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1].n_matches == 2
+    assert out[1].first_pos == 1 and out[1].first_len == 4
+    assert out[1].first_event_id == 10
+    assert out[1].first_span_us == 3 * 86400 * 10**6
+    # user 3: 'error' is outside the symbol alphabet, so the sequence is s c p
+    assert out[3].n_matches == 1 and out[3].first_len == 3
+    assert out[3].first_event_id == 30
+
+    # max_events hard-slices hot keys: user 1 truncated to 4 events → 1 match
+    out4 = {
+        r.user_id: r
+        for r in sequence_match(
+            ev, "s[vc]*p",
+            {"signup": "s", "view": "v", "click": "c", "purchase": "p"},
+            max_events=4,
+        ).collect()
+    }
+    assert out4[1].n_matches == 1
+
+    with pytest.raises(ValueError):
+        sequence_match(ev, "sp", {"signup": "sv", "purchase": "p"})
+    with pytest.raises(ValueError):
+        sequence_match(ev, "sp", {"signup": "s", "purchase": "s"})
