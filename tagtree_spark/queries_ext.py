@@ -9611,3 +9611,196 @@ def q238_sequence_match(spark, sf_dir):
         pattern="s[vc]*p",
         symbols={"signup": "s", "view": "v", "click": "c", "purchase": "p"},
     ).orderBy("user_id")
+
+
+@query(
+    "q239_cuped",
+    """
+WITH e AS (
+  SELECT user_id,
+         CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+              THEN 0 ELSE 1 END AS period,
+         CAST(round(value * 1024) AS BIGINT) AS v
+  FROM events
+), u AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+         CAST(sum(CASE WHEN period = 0 THEN v ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN period = 1 THEN v ELSE 0 END) AS BIGINT) AS y
+  FROM e GROUP BY 1
+), pool AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx
+  FROM u
+), th AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE) /
+         CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+         CAST(sx AS DOUBLE) / CAST(n * 1024 AS DOUBLE) AS gx
+  FROM pool
+), pv AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) /
+           CAST(CAST(count(*) AS HUGEINT) * 1024 AS DOUBLE) AS mean_post,
+         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) /
+           CAST(CAST(count(*) AS HUGEINT) * 1024 AS DOUBLE) AS mean_pre
+  FROM u GROUP BY 1
+)
+SELECT p.variant, p.n_users, p.mean_post, p.mean_pre,
+       p.mean_post - t.theta * (p.mean_pre - t.gx) AS adjusted_mean,
+       t.theta
+FROM pv p CROSS JOIN th t
+ORDER BY p.variant""",
+)
+def q239_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment readout: per-user pre-period
+    (Jan 1-15) and post-period (Jan 16+) metric sums, variant =
+    user_id % 2, theta = pooled cov(pre, post)/var(pre), adjusted mean =
+    mean_post − theta·(mean_pre − grand_mean_pre). ALL moments are exact
+    integers (value scaled by 2^10 — exact exponent shift + identical
+    half-away rounding, rule 8; products as DECIMAL(38,0)/HUGEINT, rule
+    11 — the >2^53 int→double cast was verified bit-identical across
+    engines), so theta and every mean are single IEEE divisions and the
+    adjustment is one fixed-shape fp expression (rule 12). Scale shape:
+    one user-keyed shuffle, a 1-row pooled-stats broadcast, a 2-row
+    variant agg."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    v = F.round(F.col("value") * 1024).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, v).otherwise(zero)).cast("bigint").alias("x"),
+            F.sum(F.when(~pre, v).otherwise(zero)).cast("bigint").alias("y"),
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("bigint"))
+    )
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pool = u.agg(
+        big(F.count("*")).alias("n"),
+        F.sum(big(F.col("x"))).alias("sx"),
+        F.sum(big(F.col("y"))).alias("sy"),
+        F.sum(big(F.col("x")) * big(F.col("y"))).alias("sxy"),
+        F.sum(big(F.col("x")) * big(F.col("x"))).alias("sxx"),
+    )
+    th = pool.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("theta"),
+        (
+            F.col("sx").cast("double")
+            / (F.col("n") * F.lit(1024)).cast("double")
+        ).alias("gx"),
+    )
+    pv = u.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        (
+            F.sum(big(F.col("y"))).cast("double")
+            / (big(F.count("*")) * F.lit(1024)).cast("double")
+        ).alias("mean_post"),
+        (
+            F.sum(big(F.col("x"))).cast("double")
+            / (big(F.count("*")) * F.lit(1024)).cast("double")
+        ).alias("mean_pre"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(th))
+        .select(
+            "variant",
+            "n_users",
+            "mean_post",
+            "mean_pre",
+            (
+                F.col("mean_post")
+                - F.col("theta") * (F.col("mean_pre") - F.col("gx"))
+            ).alias("adjusted_mean"),
+            "theta",
+        )
+        .orderBy("variant")
+    )
+
+
+# Streamed CEP store, one per (session, sf dir): events split into two
+# interleaved micro-batches (event_id parity — every user's sequence
+# straddles both, timestamps interleaved), drained through
+# sequence_match_stream into a batch_id-stamped parquet log.
+_STREAM_CEP_CACHE: dict = {}
+
+
+def _stream_cep_store(spark, sf_dir):
+    import tempfile
+
+    from tagtree_spark.streaming.cep import sequence_match_stream
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAM_CEP_CACHE:
+        d = tempfile.mkdtemp(prefix="tagtree-stream-cep-")
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        for b in (0, 1):
+            ev.where(F.col("event_id") % 2 == b).coalesce(1).write.parquet(
+                f"{d}/in/b{b}"
+            )
+        schema = spark.read.parquet(f"{d}/in/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in/*")
+        )
+        out = sequence_match_stream(
+            stream,
+            pattern="s[vc]*p",
+            symbols={"signup": "s", "view": "v", "click": "c", "purchase": "p"},
+        )
+        outdir = f"{d}/out"
+
+        def _sink(df, bid):
+            df.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(
+                outdir
+            )
+
+        q = (
+            out.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        _STREAM_CEP_CACHE[key] = outdir
+    return _STREAM_CEP_CACHE[key]
+
+
+@query("q240_stream_cep", _ORACLE_REG["q238_sequence_match"])
+def q240_stream_cep(spark, sf_dir):
+    """STREAMING path to q238's CEP result: events drained in two
+    interleaved micro-batches through sequence_match_stream
+    (applyInPandasWithState keeps each user's ordered symbol sequence as
+    keyed state, so the parity split's out-of-order arrivals merge into
+    place); latest-wins per user over the batch_id-stamped update log
+    must equal the batch regex pass — same oracle as q238."""
+    from pyspark.sql import Window
+
+    outdir = _stream_cep_store(spark, sf_dir)
+    log = spark.read.parquet(outdir)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("n_matches") >= 1))
+        .select(
+            "user_id",
+            "n_matches",
+            "first_pos",
+            "first_len",
+            "first_event_id",
+            "first_ts_us",
+            "first_span_us",
+        )
+        .orderBy("user_id")
+    )
