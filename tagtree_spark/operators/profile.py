@@ -109,6 +109,36 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
     )
 
 
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """Privacy risk audit beyond k-anonymity → ONE row ``(n_rows,
+    n_groups, n_low_diversity_groups, n_rows_at_risk, min_diversity)``:
+    a quasi-identifier group whose members share fewer than ``l``
+    DISTINCT sensitive values leaks the sensitive attribute even when
+    the group itself is large (the homogeneity attack k-anonymity
+    misses — Machanavajjhala et al., ICDE'06).
+
+    One hash agg on the quasi-identifiers carrying count +
+    count_distinct(sensitive), then a tiny re-agg — a single shuffle of
+    group keys regardless of table size."""
+    g = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.count_distinct(F.col(sensitive_col)).cast("bigint").alias("_d"),
+    )
+    return g.agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("_d") < l, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_diversity_groups"),
+        F.sum(F.when(F.col("_d") < l, F.col("_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("_d").cast("bigint").alias("min_diversity"),
+    )
+
+
 def fd_check(df: DataFrame, name: str, lhs: str, rhs: str) -> DataFrame:
     """Functional-dependency audit ``lhs → rhs`` → ONE row ``(fd,
     n_groups, n_violating, n_rows_in_violating, max_rhs_variants)``: a

@@ -9804,3 +9804,168 @@ def q240_stream_cep(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q241_l_diversity",
+    """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT c_acctbal) AS BIGINT) AS d
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity_groups,
+       CAST(sum(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(min(d) AS BIGINT) AS min_diversity
+FROM g""",
+)
+def q241_l_diversity(spark, sf_dir):
+    """l-diversity privacy audit (the homogeneity-attack check
+    k-anonymity misses): per (nation, market segment) quasi-identifier
+    group, how many distinct account balances exist — groups below l=3
+    distinct sensitive values leak the attribute even when large. One
+    quasi-key shuffle + a 1-row re-agg (operators/profile.py
+    l_diversity), integer-only output."""
+    from tagtree_spark.operators.profile import l_diversity
+
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    return l_diversity(c, ["c_nationkey", "c_mktsegment"], "c_acctbal", l=3)
+
+
+@query(
+    "q242_diff_in_diff",
+    """
+WITH e AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+         CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+              THEN 0 ELSE 1 END AS period,
+         CAST(round(value * 1024) AS BIGINT) AS v
+  FROM events
+), cell AS (
+  SELECT variant, period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s
+  FROM e GROUP BY 1, 2
+), m AS (
+  SELECT variant, period, n,
+         CAST(s AS DOUBLE) / CAST(n * 1024 AS DOUBLE) AS mean_v
+  FROM cell
+)
+SELECT t1.mean_v - t0.mean_v AS treat_delta,
+       c1.mean_v - c0.mean_v AS control_delta,
+       (t1.mean_v - t0.mean_v) - (c1.mean_v - c0.mean_v) AS did,
+       t0.n AS n_treat_pre, t1.n AS n_treat_post,
+       c0.n AS n_control_pre, c1.n AS n_control_post
+FROM m t0, m t1, m c0, m c1
+WHERE t0.variant = 1 AND t0.period = 0 AND t1.variant = 1 AND t1.period = 1
+  AND c0.variant = 0 AND c0.period = 0 AND c1.variant = 0 AND c1.period = 1""",
+)
+def q242_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences readout: mean outcome per (variant,
+    period) cell from exact integer sums (2^10 scaling, HUGEINT /
+    DECIMAL(38,0) accumulation), then DiD = (treat post−pre) − (control
+    post−pre) as one fixed-shape fp expression over four identical
+    single-division means (rules 8/11/12). One narrow shuffle to 4
+    cells; the pivot is a driverless 4-way self-join of a 4-row frame."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            (F.col("user_id") % 2).cast("bigint").alias("variant"),
+            F.when(
+                F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit(0)
+            )
+            .otherwise(F.lit(1))
+            .alias("period"),
+            F.round(F.col("value") * 1024).cast("bigint").alias("v"),
+        )
+        .groupBy("variant", "period")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        )
+        .select(
+            "variant",
+            "period",
+            "n",
+            (
+                F.col("s").cast("double")
+                / (F.col("n").cast("decimal(38,0)") * F.lit(1024)).cast("double")
+            ).alias("mean_v"),
+        )
+    )
+    def pick(v, p, pre):
+        return F.broadcast(
+            cell.where((F.col("variant") == v) & (F.col("period") == p)).select(
+                F.col("mean_v").alias(f"m_{pre}"), F.col("n").alias(f"n_{pre}")
+            )
+        )
+    t0, t1 = pick(1, 0, "t0"), pick(1, 1, "t1")
+    c0, c1 = pick(0, 0, "c0"), pick(0, 1, "c1")
+    return (
+        t0.crossJoin(t1)
+        .crossJoin(c0)
+        .crossJoin(c1)
+        .select(
+            (F.col("m_t1") - F.col("m_t0")).alias("treat_delta"),
+            (F.col("m_c1") - F.col("m_c0")).alias("control_delta"),
+            (
+                (F.col("m_t1") - F.col("m_t0"))
+                - (F.col("m_c1") - F.col("m_c0"))
+            ).alias("did"),
+            F.col("n_t0").alias("n_treat_pre"),
+            F.col("n_t1").alias("n_treat_post"),
+            F.col("n_c0").alias("n_control_pre"),
+            F.col("n_c1").alias("n_control_post"),
+        )
+    )
+
+
+@query(
+    "q243_token_freq_spectrum",
+    """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), tc AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+)
+SELECT CAST(length(bin(cnt)) AS BIGINT) AS freq_bucket,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(cnt) AS BIGINT) AS total_occurrences,
+       CAST(min(cnt) AS BIGINT) AS min_freq,
+       CAST(max(cnt) AS BIGINT) AS max_freq
+FROM tc GROUP BY 1 ORDER BY freq_bucket""",
+)
+def q243_token_freq_spectrum(spark, sf_dir):
+    """Token frequency-of-frequencies spectrum (the Good-Turing /
+    Zipf-tail diagnostic a corpus card reports): distinct-token counts
+    bucketed by integer log2 of their frequency — length(bin(cnt)) =
+    floor(log2)+1 is EXACT integer arithmetic in both engines, so the
+    whole spectrum is integer-only (no fp log). Two narrow shuffles
+    (token count, then ≤64 buckets); the token explode never carries
+    doc bodies."""
+    tune(spark)
+    d = spread(_docs(spark, sf_dir))
+    tc = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return (
+        tc.groupBy(
+            F.length(F.bin(F.col("cnt"))).cast("bigint").alias("freq_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("total_occurrences"),
+            F.min("cnt").cast("bigint").alias("min_freq"),
+            F.max("cnt").cast("bigint").alias("max_freq"),
+        )
+        .orderBy("freq_bucket")
+    )

@@ -2557,3 +2557,22 @@ def test_sequence_match_counts_and_anchors(spark):
         sequence_match(ev, "sp", {"signup": "sv", "purchase": "p"})
     with pytest.raises(ValueError):
         sequence_match(ev, "sp", {"signup": "s", "purchase": "s"})
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    from tagtree_spark.operators.profile import l_diversity
+
+    rows = [
+        # group (a,1): 3 rows but only ONE sensitive value → at risk
+        ("a", 1, 100), ("a", 1, 100), ("a", 1, 100),
+        # group (b,2): 3 rows, 3 distinct values → diverse
+        ("b", 2, 1), ("b", 2, 2), ("b", 2, 3),
+        # group (c,3): 2 rows, 2 distinct → below l=3 → at risk
+        ("c", 3, 7), ("c", 3, 8),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, sens int")
+    out = l_diversity(df, ["q1", "q2"], "sens", l=3).collect()[0]
+    assert out.n_rows == 8 and out.n_groups == 3
+    assert out.n_low_diversity_groups == 2
+    assert out.n_rows_at_risk == 5
+    assert out.min_diversity == 1
