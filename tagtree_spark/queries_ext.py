@@ -9969,3 +9969,271 @@ def q243_token_freq_spectrum(spark, sf_dir):
         )
         .orderBy("freq_bucket")
     )
+
+
+@query(
+    "q244_session_cep",
+    """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+              WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' END AS sym
+  FROM events WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+), gapped AS (
+  SELECT user_id, ts, event_id, sym,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > 14400000000 THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sess AS (
+  SELECT user_id, ts, event_id, sym,
+         CAST(sum(new_session)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM gapped
+), g AS (
+  SELECT user_id, session_id,
+         string_agg(sym, '' ORDER BY ts, event_id) AS s,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+), per_sess AS (
+  SELECT user_id, session_id, n_events,
+         CAST(len(regexp_extract_all(s, 's[vc]*p')) AS BIGINT) AS n_matches
+  FROM g
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_matches >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converting_sessions,
+       CAST(sum(n_matches) AS BIGINT) AS total_matches,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM per_sess GROUP BY 1
+HAVING sum(n_matches) >= 1
+ORDER BY user_id""",
+)
+def q244_session_cep(spark, sf_dir):
+    """Session-windowed CEP — the composition a funnel tool actually
+    ships: gap sessionization (4h inactivity splits, lag + running sum)
+    then the q238 pattern evaluated PER SESSION, so a match can never
+    straddle an inactivity gap. Per user: sessions, converting sessions,
+    total non-overlapping matches. The window and the regex both key on
+    user — one shuffle feeds both; session strings are gap-bounded, so
+    per-group state is even smaller than q238's."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    sym = F.create_map(
+        *[
+            F.lit(x)
+            for kv in {
+                "signup": "s",
+                "view": "v",
+                "click": "c",
+                "purchase": "p",
+            }.items()
+            for x in kv
+        ]
+    )[F.col("event_type")]
+    e = ev.select(
+        "user_id", "ts", "event_id", sym.alias("sym")
+    ).where(F.col("sym").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > 14_400_000_000,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = gapped.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    g = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "sym"))),
+                lambda x: x["sym"],
+            ),
+            "",
+        ).alias("s"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    per_sess = g.select(
+        "user_id",
+        "n_events",
+        F.regexp_count(F.col("s"), F.lit("s[vc]*p")).cast("bigint").alias("n_matches"),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_matches") >= 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_converting_sessions"),
+            F.sum("n_matches").cast("bigint").alias("total_matches"),
+            F.max("n_events").cast("bigint").alias("max_session_events"),
+        )
+        .where(F.col("total_matches") >= 1)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q245_pmi_collocations",
+    """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS w, unnest(range(1, len(l) + 1)) AS pos FROM ws
+), bg AS (
+  SELECT w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+), pc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2
+), uc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM tok GROUP BY 1
+), n AS (
+  SELECT CAST(sum(c_w) AS BIGINT) AS n_tokens FROM uc
+)
+SELECT p.w1, p.w2, p.c_xy,
+       CAST(CAST(n.n_tokens AS HUGEINT) * CAST(p.c_xy AS HUGEINT) AS DOUBLE) /
+       CAST(CAST(u1.c_w AS HUGEINT) * CAST(u2.c_w AS HUGEINT) AS DOUBLE)
+         AS lift
+FROM pc p
+JOIN uc u1 ON u1.w = p.w1
+JOIN uc u2 ON u2.w = p.w2
+CROSS JOIN n
+WHERE p.c_xy >= 5
+ORDER BY lift DESC, p.w1, p.w2 LIMIT 50""",
+)
+def q245_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (top adjacent-bigram lift): lift =
+    N·c(x,y) / (c(x)·c(y)) — the PMI argument WITHOUT the log, so the
+    ranking is ONE IEEE division of exact integer products per pair
+    (same order; log is monotone) and no cross-engine transcendental
+    ever runs. Bigrams come from one zip of the materialized token
+    array (no window over the corpus Spark-side); unigram counts
+    broadcast into the pair frame; top-50 is TakeOrdered."""
+    tune(spark)
+    d = spread(_docs(spark, sf_dir))
+    toks = d.select(F.split(F.col("text"), " ").alias("ws"))
+    bg = (
+        toks.select(
+            F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("a"),
+            F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("b"),
+        )
+        .select(F.explode(F.arrays_zip("a", "b")).alias("p"))
+        .select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+    )
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_xy"))
+    uc = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").cast("bigint").alias("c_w")
+    )
+    n = uc.agg(F.sum("c_w").cast("bigint").alias("n_tokens"))
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    return (
+        pc.where(F.col("c_xy") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                (big(F.col("n_tokens")) * big(F.col("c_xy"))).cast("double")
+                / (big(F.col("c_w1")) * big(F.col("c_w2"))).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+@query(
+    "q246_rfm_segments",
+    """
+WITH cm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                        DATE '2001-09-01') AS BIGINT) AS r_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS mon
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT o_custkey,
+         CASE WHEN r_days <= 100 THEN 4 WHEN r_days <= 200 THEN 3
+              WHEN r_days <= 365 THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN freq >= 12 THEN 4 WHEN freq >= 10 THEN 3
+              WHEN freq >= 8 THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN mon >= 3000000 THEN 4 WHEN mon >= 2400000 THEN 3
+              WHEN mon >= 1800000 THEN 2 ELSE 1 END AS m_score,
+         mon
+  FROM cm
+)
+SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(mon) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_monetary
+FROM scored GROUP BY 1 ORDER BY segment""",
+)
+def q246_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation with FIXED domain bands (recency /
+    frequency / monetary each scored 1-4): fixed bands instead of
+    ntile quartiles because an unpartitioned ntile is a single-reducer
+    sort at scale, while fixed bands are map-only after the one
+    per-customer groupBy — and per-customer order volume is constant
+    across SFs, so the bands stay meaningful at any scale. Monetary
+    band compares an EXACT decimal sum (a double sum could flip a
+    boundary ulp, rule 2); avg is one final IEEE division."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("r_days"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("mon"),
+    )
+    r_score = (
+        F.when(F.col("r_days") <= 100, 4)
+        .when(F.col("r_days") <= 200, 3)
+        .when(F.col("r_days") <= 365, 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("freq") >= 12, 4)
+        .when(F.col("freq") >= 10, 3)
+        .when(F.col("freq") >= 8, 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("mon") >= 3000000, 4)
+        .when(F.col("mon") >= 2400000, 3)
+        .when(F.col("mon") >= 1800000, 2)
+        .otherwise(1)
+    )
+    return (
+        cm.select(
+            (r_score * 100 + f_score * 10 + m_score)
+            .cast("bigint")
+            .alias("segment"),
+            "mon",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            (
+                F.sum("mon").cast("double") / F.count("*").cast("double")
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
