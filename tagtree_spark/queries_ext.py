@@ -10237,3 +10237,147 @@ def q246_rfm_segments(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q247_basket_rules",
+    """
+WITH ip AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+), n AS (
+  SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ip
+), pc AS (
+  SELECT pkey, CAST(count(*) AS BIGINT) AS c FROM ip GROUP BY 1
+), pairs AS (
+  SELECT a.pkey AS p1, b.pkey AS p2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM ip a JOIN ip b ON a.okey = b.okey AND a.pkey < b.pkey
+  GROUP BY 1, 2
+)
+SELECT p.p1, p.p2, p.c_xy,
+       CAST((1000000 * p.c_xy) // c1.c AS BIGINT) AS confidence_ppm,
+       CAST(CAST(n.n_orders AS HUGEINT) * CAST(p.c_xy AS HUGEINT) AS DOUBLE) /
+       CAST(CAST(c1.c AS HUGEINT) * CAST(c2.c AS HUGEINT) AS DOUBLE) AS lift
+FROM pairs p
+JOIN pc c1 ON c1.pkey = p.p1
+JOIN pc c2 ON c2.pkey = p.p2
+CROSS JOIN n
+WHERE p.c_xy >= 3
+ORDER BY lift DESC, p.p1, p.p2 LIMIT 100""",
+)
+def q247_basket_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets: distinct
+    (order, part) pairs self-joined WITHIN an order (p1 < p2 orients
+    each pair once, same as the triangle census q207), support counts,
+    confidence as exact integer ppm, lift = N·c(x,y)/(c(x)·c(y)) as one
+    IEEE division of exact products. Baskets are small (≈4 lines), so
+    the within-order join is quadratic only in basket size; the shuffle
+    keys on orderkey. Top-100 is TakeOrdered."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ip = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    n = ip.agg(F.count_distinct("okey").cast("bigint").alias("n_orders"))
+    pc = ip.groupBy("pkey").agg(F.count("*").cast("bigint").alias("c"))
+    a = ip.select(F.col("okey"), F.col("pkey").alias("p1"))
+    b = ip.select(F.col("okey"), F.col("pkey").alias("p2"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("c_xy"))
+        .where(F.col("c_xy") >= 3)
+    )
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    c1 = pc.select(F.col("pkey").alias("p1"), F.col("c").alias("c1"))
+    c2 = pc.select(F.col("pkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "c_xy",
+            F.expr("CAST((1000000 * c_xy) div c1 AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            (
+                (big(F.col("n_orders")) * big(F.col("c_xy"))).cast("double")
+                / (big(F.col("c1")) * big(F.col("c2"))).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "p1", "p2")
+        .limit(100)
+    )
+
+
+@query(
+    "q248_behavior_motifs",
+    """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+              WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+              WHEN 'error' THEN 'e' END AS sym
+  FROM events
+), g AS (
+  SELECT user_id, string_agg(sym, '' ORDER BY ts, event_id) AS s
+  FROM e GROUP BY 1
+), tri AS (
+  SELECT DISTINCT user_id, substring(s, CAST(i AS INTEGER), 3) AS motif
+  FROM g, unnest(range(1, length(s) - 1)) AS t(i)
+  WHERE length(s) >= 3
+)
+SELECT motif, CAST(count(*) AS BIGINT) AS n_users
+FROM tri GROUP BY 1
+ORDER BY n_users DESC, motif LIMIT 25""",
+)
+def q248_behavior_motifs(spark, sf_dir):
+    """Behavioral motif mining: top contiguous length-3 event-type
+    sequences by USER SUPPORT (distinct users exhibiting the motif at
+    least once) — the sequential-pattern-mining readout product teams
+    use to find common journeys. Rides the same per-user ordered symbol
+    string as q238; trigram explode is index-generated (no self-join),
+    support is one distinct + count. Alphabet^3 bounds the output."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    sym = F.create_map(
+        *[
+            F.lit(x)
+            for kv in {
+                "signup": "s",
+                "view": "v",
+                "click": "c",
+                "purchase": "p",
+                "error": "e",
+            }.items()
+            for x in kv
+        ]
+    )[F.col("event_type")]
+    e = ev.select("user_id", "ts", "event_id", sym.alias("sym"))
+    g = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "sym"))),
+                lambda x: x["sym"],
+            ),
+            "",
+        ).alias("s")
+    )
+    tri = (
+        g.where(F.length("s") >= 3)
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(1), F.length("s") - 2)).alias("i"),
+            "s",
+        )
+        .select("user_id", F.expr("substring(s, i, 3)").alias("motif"))
+        .distinct()
+    )
+    return (
+        tri.groupBy("motif")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "motif")
+        .limit(25)
+    )
