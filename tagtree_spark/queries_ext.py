@@ -10381,3 +10381,140 @@ def q248_behavior_motifs(spark, sf_dir):
         .orderBy(F.col("n_users").desc(), "motif")
         .limit(25)
     )
+
+
+@query(
+    "q249_decayed_engagement",
+    """
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31')
+              AS BIGINT) AS age_days,
+         CAST(round(value * 1024) AS BIGINT) AS v
+  FROM events
+), w AS (
+  SELECT user_id,
+         CAST(v AS HUGEINT) *
+           (CAST(1 AS HUGEINT) << CAST(40 - least(age_days, 40) AS INTEGER))
+           AS term
+  FROM e
+)
+SELECT user_id,
+       CAST(sum(term) AS DOUBLE) /
+       CAST(1152921504606846976 AS DOUBLE) AS decayed_score
+FROM w GROUP BY 1
+ORDER BY decayed_score DESC, user_id LIMIT 100""",
+)
+def q249_decayed_engagement(spark, sf_dir):
+    """Exponentially time-decayed engagement score (half-life = 1 day,
+    anchored at the corpus end): weight 2^-age_days is an EXACT power
+    of two, so each term is the exact integer v·2^(40-age) (ages ≥40
+    days clamp to the 2^-40 ≈ 1e-12 floor), the per-user sum is exact
+    DECIMAL(38,0)/HUGEINT, and the score is ONE division by the exact
+    power-of-two constant 2^60 (2^40 weight scale · 2^10 value scale ·
+    2^10 normalization so scores print small). Map-only weighting + one
+    user-keyed shuffle; rank is TakeOrdered."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    age = F.datediff(
+        F.lit("2024-01-31").cast("date"), F.col("ts").cast("date")
+    ).cast("bigint")
+    v = F.round(F.col("value") * 1024).cast("bigint")
+    term = F.expr(
+        "CAST(v * shiftleft(CAST(1 AS BIGINT),"
+        " CAST(40 - least(age_days, 40) AS INT)) AS DECIMAL(38,0))"
+    )
+    return (
+        ev.select("user_id", age.alias("age_days"), v.alias("v"))
+        .select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum("term").cast("double")
+                / F.lit(1152921504606846976).cast("double")
+            ).alias("decayed_score")
+        )
+        .orderBy(F.col("decayed_score").desc(), "user_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q250_cohort_ltv",
+    """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(round(value * 1024) AS BIGINT) AS v
+  FROM events
+), first AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) // 7
+              AS BIGINT) AS cohort_week
+  FROM e GROUP BY 1
+), wk AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7
+              AS BIGINT) - f.cohort_week AS age_week,
+         e.user_id, e.v
+  FROM e JOIN first f ON f.user_id = e.user_id
+), cell AS (
+  SELECT cohort_week, age_week,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users,
+         CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sv
+  FROM wk GROUP BY 1, 2
+)
+SELECT cohort_week, age_week, n_active_users,
+       CAST(sv AS DOUBLE) / CAST(1024 AS DOUBLE) AS week_value,
+       CAST(sum(sv) OVER (PARTITION BY cohort_week ORDER BY age_week
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / CAST(1024 AS DOUBLE) AS cum_value
+FROM cell
+ORDER BY cohort_week, age_week""",
+)
+def q250_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curve: users cohorted by first-event week, value
+    accumulated per (cohort_week, age_week) cell and cumulatively along
+    each cohort's age axis — the money-weighted complement of the
+    retention matrix. All sums are exact scaled integers; the running
+    total is a prefix sum of exact ints (order-independent) inside a
+    GROWING window frame (never the O(n²) shrinking form), and each
+    output value is one IEEE division by 2^10. Two user-keyed shuffles
+    (first-event, cell agg) + a tiny window over cohort cells."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01").cast("date")
+    v = F.round(F.col("value") * 1024).cast("bigint")
+    e = ev.select("user_id", "ts", v.alias("v"))
+    first = e.groupBy("user_id").agg(
+        (F.datediff(F.min("ts").cast("date"), anchor) / 7)
+        .cast("bigint")
+        .alias("cohort_week")
+    )
+    wk = e.join(first, "user_id").select(
+        "cohort_week",
+        (
+            (F.datediff(F.col("ts").cast("date"), anchor) / 7).cast("bigint")
+            - F.col("cohort_week")
+        ).alias("age_week"),
+        "user_id",
+        "v",
+    )
+    cell = wk.groupBy("cohort_week", "age_week").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_active_users"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    k = F.lit(1024).cast("double")
+    return cell.select(
+        "cohort_week",
+        "age_week",
+        "n_active_users",
+        (F.col("sv").cast("double") / k).alias("week_value"),
+        (F.sum("sv").over(w).cast("double") / k).alias("cum_value"),
+    ).orderBy("cohort_week", "age_week")
