@@ -10265,25 +10265,41 @@ WHERE p.c_xy >= 3
 ORDER BY lift DESC, p.p1, p.p2 LIMIT 100""",
 )
 def q247_basket_rules(spark, sf_dir):
-    """Market-basket association rules over order baskets: distinct
-    (order, part) pairs self-joined WITHIN an order (p1 < p2 orients
-    each pair once, same as the triangle census q207), support counts,
-    confidence as exact integer ppm, lift = N·c(x,y)/(c(x)·c(y)) as one
-    IEEE division of exact products. Baskets are small (≈4 lines), so
-    the within-order join is quadratic only in basket size; the shuffle
-    keys on orderkey. Top-100 is TakeOrdered."""
+    """Market-basket association rules over order baskets: ONE
+    groupBy(order) collects each basket's sorted distinct part set
+    (collect_set — no pre-distinct pass, no self-join shuffle, the
+    dedup._bucket_pairs pattern), pairs explode from the sorted array
+    (i<j orients each once, quadratic only in ≈4-part basket size),
+    support counts, confidence as exact integer ppm, lift =
+    N·c(x,y)/(c(x)·c(y)) as one IEEE division of exact products.
+    Top-100 is TakeOrdered."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    ip = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-    ).distinct()
-    n = ip.agg(F.count_distinct("okey").cast("bigint").alias("n_orders"))
-    pc = ip.groupBy("pkey").agg(F.count("*").cast("bigint").alias("c"))
-    a = ip.select(F.col("okey"), F.col("pkey").alias("p1"))
-    b = ip.select(F.col("okey"), F.col("pkey").alias("p2"))
+    from tagtree_spark.session import persist_tracked
+
+    baskets = persist_tracked(
+        li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
+    )
+    n = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
+    pc = (
+        baskets.select(F.explode("ps").alias("pkey"))
+        .groupBy("pkey")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "okey")
-        .where(F.col("p1") < F.col("p2"))
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .groupBy("p1", "p2")
         .agg(F.count("*").cast("bigint").alias("c_xy"))
         .where(F.col("c_xy") >= 3)
