@@ -66,6 +66,13 @@ QUERIES = (
     # (cluster SIZES stay constant across copies; only their COUNT grows)
     "q216_kcore",
     "q224_medoid_survivors",
+    # r8-continuation additions: the CEP/behavior family — events scale by
+    # user-copy (user_id/event_id shifted per copy, timestamps kept), so
+    # per-user sequences are IDENTICAL across copies and match counts /
+    # motif supports must scale exactly N x (per-key state is constant)
+    "q238_sequence_match",
+    "q244_session_cep",
+    "q248_behavior_motifs",
 )
 
 
@@ -74,7 +81,7 @@ def build_scaled_dir(spark, src_dir: str, out_dir: str, n: int) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     for t in TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events"):
             continue
         os.symlink(
             os.path.join(src_dir, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet")
@@ -101,6 +108,26 @@ def build_scaled_dir(spark, src_dir: str, out_dir: str, n: int) -> None:
     for c in copies[1:]:
         out = out.unionByName(c)
     out.repartition(32).write.parquet(os.path.join(out_dir, "documents.parquet"))
+
+    from tagtree_spark.io import load_table as _lt
+
+    ev = _lt(spark, src_dir, "events")
+    ecopies_ev = []
+    for i in range(n):
+        ecopies_ev.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * ID_OFFSET)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * ID_OFFSET)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    evall = ecopies_ev[0]
+    for c in ecopies_ev[1:]:
+        evall = evall.unionByName(c)
+    evall.repartition(32).write.parquet(os.path.join(out_dir, "events.parquet"))
 
     emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
     dim = len(emb.select("embedding").first()[0])
