@@ -86,3 +86,62 @@ def test_stream_cep_matches_batch_across_interleaved_batches(events, tmpdir, spa
         for r in sequence_match(ev, PATTERN, SYMBOLS).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_stream_cep_state_survives_checkpoint_restart(events, tmpdir, spark):
+    """Two SEPARATE availableNow runs over the same checkpoint: the second
+    run must restore per-key state from the state store (not reprocess
+    batch 0) and still converge to the batch result."""
+    import shutil as _sh
+
+    ev = events.select("user_id", "ts", "event_id", "event_type")
+    indir = f"{tmpdir}/in"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{indir}/b0")
+    schema = spark.read.parquet(f"{indir}/b0").schema
+    outdir = f"{tmpdir}/out"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{indir}/*")
+        )
+        out = sequence_match_stream(stream, PATTERN, SYMBOLS)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+                .write.mode("append")
+                .parquet(outdir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()  # drains b0, checkpoints state
+    # second half arrives AFTER the first run finished
+    tmp_b1 = f"{tmpdir}/staging-b1"
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(tmp_b1)
+    _sh.move(tmp_b1, f"{indir}/b1")
+    run()  # restart from checkpoint picks up ONLY b1
+
+    got_df = spark.read.parquet(outdir)
+    from pyspark.sql.window import Window
+
+    latest = (
+        got_df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+            ),
+        )
+        .where((F.col("rn") == 1) & (F.col("n_matches") >= 1))
+    )
+    got = {r.user_id: tuple(r[c] for c in COLS) for r in latest.collect()}
+    expect = {
+        r.user_id: tuple(r[c] for c in COLS)
+        for r in sequence_match(ev, PATTERN, SYMBOLS).collect()
+    }
+    assert got == expect and len(expect) > 0
