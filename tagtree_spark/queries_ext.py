@@ -10534,3 +10534,106 @@ def q250_cohort_ltv(spark, sf_dir):
         (F.col("sv").cast("double") / k).alias("week_value"),
         (F.sum("sv").over(w).cast("double") / k).alias("cum_value"),
     ).orderBy("cohort_week", "age_week")
+
+
+@query(
+    "q251_vocab_growth",
+    """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS token FROM ws
+), nd AS (
+  SELECT CAST(max(doc_id) AS BIGINT) AS max_id FROM tok
+), fs AS (
+  SELECT token,
+         CAST(min((doc_id * 10) // (n.max_id + 1)) AS BIGINT) AS first_decile
+  FROM tok CROSS JOIN nd n GROUP BY 1
+), per AS (
+  SELECT first_decile, CAST(count(*) AS BIGINT) AS new_tokens
+  FROM fs GROUP BY 1
+)
+SELECT first_decile AS decile, new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY first_decile
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS vocab_size
+FROM per ORDER BY decile""",
+)
+def q251_vocab_growth(spark, sf_dir):
+    """Vocabulary growth (Heaps-law) curve: corpus split into ten
+    doc_id deciles, each token attributed to the FIRST decile it
+    appears in (min over an exact integer bucket), then new-token
+    counts and the cumulative vocabulary size per decile — the curve
+    that says whether a corpus is still yielding new vocabulary or has
+    saturated (keep-crawling signal). Integer-only: the decile is
+    (doc_id·10) div (max_id+1); the running total is a prefix sum over
+    ten rows. One token shuffle + a 10-row window."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = spread(_docs(spark, sf_dir))
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    nd = tok.agg(F.max("doc_id").cast("bigint").alias("max_id"))
+    fs = (
+        tok.crossJoin(F.broadcast(nd))
+        .groupBy("token")
+        .agg(
+            F.min(
+                F.expr("CAST((doc_id * 10) div (max_id + 1) AS BIGINT)")
+            ).alias("first_decile")
+        )
+    )
+    per = fs.groupBy("first_decile").agg(
+        F.count("*").cast("bigint").alias("new_tokens")
+    )
+    w = Window.orderBy("first_decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        F.col("first_decile").alias("decile"),
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
+    ).orderBy("decile")
+
+
+@query(
+    "q252_ship_lag_profile",
+    """
+WITH lag AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST((lag_days // 7) AS BIGINT) AS lag_week,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(min(lag_days) AS BIGINT) AS min_days,
+       CAST(max(lag_days) AS BIGINT) AS max_days
+FROM lag GROUP BY 1, 2 ORDER BY o_orderpriority, lag_week""",
+)
+def q252_ship_lag_profile(spark, sf_dir):
+    """Order-to-ship latency profile per priority class: exact integer
+    day lags bucketed into weeks — the SLA histogram (does 1-URGENT
+    actually ship faster?). One lineitem⋈orders shuffle (the only
+    corpus-sized join), integer-only output; the histogram is bounded
+    by priorities × lag weeks."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("lag_days"),
+    )
+    return (
+        lag.groupBy(
+            "o_orderpriority",
+            F.expr("CAST((lag_days div 7) AS BIGINT)").alias("lag_week"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.min("lag_days").cast("bigint").alias("min_days"),
+            F.max("lag_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority", "lag_week")
+    )
