@@ -247,6 +247,49 @@ def last_touch_attribution(
     )
 
 
+def symbol_column(symbols: dict[str, str], type_col: str = "event_type"):
+    """Column mapping an event-type column to its single-char CEP symbol
+    (NULL for types outside the alphabet) — the one shared definition the
+    batch matcher, the session-windowed variant, and the motif miner all
+    build their symbol strings from."""
+    if len(set(symbols.values())) != len(symbols):
+        raise ValueError("symbol characters must be distinct")
+    return F.create_map(*[F.lit(x) for kv in symbols.items() for x in kv])[
+        F.col(type_col)
+    ]
+
+
+def validate_cep_args(pattern: str, symbols: dict[str, str]) -> None:
+    """Shared validation for the CEP operators (batch + streaming):
+    symbols must be distinct single ASCII chars, and the pattern must be
+    position-innocent — no anchors/boundaries (``^ $ \\A \\Z \\b \\B``)
+    and no empty match. Both restrictions protect the first-match
+    anchoring: the batch operator locates the first match by substring
+    position of the matched text, which equals the regex match position
+    exactly when matches are context-free (any occurrence of the matched
+    text IS a match) and non-empty; anchored or empty-matchable patterns
+    would silently break that equivalence (and ``element_at(seq, 0)``
+    throws on an empty match)."""
+    import re as _re
+
+    for t, c in symbols.items():
+        if len(c) != 1 or ord(c) > 127:
+            raise ValueError(f"symbol for {t!r} must be one ASCII char, got {c!r}")
+    if len(set(symbols.values())) != len(symbols):
+        raise ValueError("symbol characters must be distinct")
+    if _re.search(r"(?<!\\)[\^$]|\\[AZbB]", pattern):
+        raise ValueError(
+            f"pattern {pattern!r} uses anchors/boundaries; sequence_match "
+            "anchors the first match by matched-text position, which is "
+            "only position-true for context-free patterns"
+        )
+    if _re.compile(pattern).match(""):
+        raise ValueError(
+            f"pattern {pattern!r} can match the empty string; require at "
+            "least one symbol (e.g. 'v+' not 'v*')"
+        )
+
+
 def sequence_match(
     events: DataFrame,
     pattern: str,
@@ -279,15 +322,16 @@ def sequence_match(
     day-bucket the key, as streaming/sessions.py does). Events with a
     type absent from ``symbols`` are dropped before collection, so the
     pattern alphabet prunes the scan first.
+
+    The pattern must be anchor-free and unable to match the empty string
+    (``validate_cep_args``): first_pos is located via the first substring
+    occurrence of the matched text, which provably equals the regex match
+    position for context-free patterns (an earlier occurrence of the
+    matched text would itself start a match, contradicting leftmostness)
+    but NOT for ``^ $ \\b``-anchored ones.
     """
-    for t, c in symbols.items():
-        if len(c) != 1 or ord(c) > 127:
-            raise ValueError(f"symbol for {t!r} must be one ASCII char, got {c!r}")
-    if len(set(symbols.values())) != len(symbols):
-        raise ValueError("symbol characters must be distinct")
-    sym = F.create_map(
-        *[F.lit(x) for kv in symbols.items() for x in kv]
-    )[F.col(type_col)]
+    validate_cep_args(pattern, symbols)
+    sym = symbol_column(symbols, type_col)
     base = events.select(
         F.col(user_col),
         F.col(ts_col).alias("_ts"),

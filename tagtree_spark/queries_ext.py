@@ -9772,7 +9772,12 @@ def _stream_cep_store(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "q240 stream drain did not finish in 600s; refusing to "
+                "cache a partial output store"
+            )
         _STREAM_CEP_CACHE[key] = outdir
     return _STREAM_CEP_CACHE[key]
 
@@ -9873,9 +9878,11 @@ def q242_diff_in_diff(spark, sf_dir):
     post−pre) as one fixed-shape fp expression over four identical
     single-division means (rules 8/11/12). One narrow shuffle to 4
     cells; the pivot is a driverless 4-way self-join of a 4-row frame."""
+    from tagtree_spark.session import persist_tracked
+
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    cell = (
+    cell = persist_tracked(
         ev.select(
             (F.col("user_id") % 2).cast("bigint").alias("variant"),
             F.when(
@@ -9899,7 +9906,7 @@ def q242_diff_in_diff(spark, sf_dir):
                 / (F.col("n").cast("decimal(38,0)") * F.lit(1024)).cast("double")
             ).alias("mean_v"),
         )
-    )
+    )  # persisted: four pick() subtrees below each reuse this 4-row frame
     def pick(v, p, pre):
         return F.broadcast(
             cell.where((F.col("variant") == v) & (F.col("period") == p)).select(
@@ -10021,20 +10028,13 @@ def q244_session_cep(spark, sf_dir):
     per-group state is even smaller than q238's."""
     from pyspark.sql import Window
 
+    from tagtree_spark.operators.events import symbol_column
+
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    sym = F.create_map(
-        *[
-            F.lit(x)
-            for kv in {
-                "signup": "s",
-                "view": "v",
-                "click": "c",
-                "purchase": "p",
-            }.items()
-            for x in kv
-        ]
-    )[F.col("event_type")]
+    sym = symbol_column(
+        {"signup": "s", "view": "v", "click": "c", "purchase": "p"}
+    )
     e = ev.select(
         "user_id", "ts", "event_id", sym.alias("sym")
     ).where(F.col("sym").isNotNull())
@@ -10119,9 +10119,11 @@ def q245_pmi_collocations(spark, sf_dir):
     ever runs. Bigrams come from one zip of the materialized token
     array (no window over the corpus Spark-side); unigram counts
     broadcast into the pair frame; top-50 is TakeOrdered."""
+    from tagtree_spark.session import persist_tracked
+
     tune(spark)
     d = spread(_docs(spark, sf_dir))
-    toks = d.select(F.split(F.col("text"), " ").alias("ws"))
+    toks = persist_tracked(d.select(F.split(F.col("text"), " ").alias("ws")))
     bg = (
         toks.select(
             F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("a"),
@@ -10131,8 +10133,10 @@ def q245_pmi_collocations(spark, sf_dir):
         .select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
     )
     pc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_xy"))
-    uc = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
-        F.count("*").cast("bigint").alias("c_w")
+    uc = persist_tracked(
+        toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
+            F.count("*").cast("bigint").alias("c_w")
+        )
     )
     n = uc.agg(F.sum("c_w").cast("bigint").alias("n_tokens"))
     big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
@@ -10356,21 +10360,13 @@ def q248_behavior_motifs(spark, sf_dir):
     use to find common journeys. Rides the same per-user ordered symbol
     string as q238; trigram explode is index-generated (no self-join),
     support is one distinct + count. Alphabet^3 bounds the output."""
+    from tagtree_spark.operators.events import symbol_column
+
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    sym = F.create_map(
-        *[
-            F.lit(x)
-            for kv in {
-                "signup": "s",
-                "view": "v",
-                "click": "c",
-                "purchase": "p",
-                "error": "e",
-            }.items()
-            for x in kv
-        ]
-    )[F.col("event_type")]
+    sym = symbol_column(
+        {"signup": "s", "view": "v", "click": "c", "purchase": "p", "error": "e"}
+    )
     e = ev.select("user_id", "ts", "event_id", sym.alias("sym"))
     g = e.groupBy("user_id").agg(
         F.array_join(
@@ -10411,7 +10407,8 @@ WITH e AS (
 ), w AS (
   SELECT user_id,
          CAST(v AS HUGEINT) *
-           (CAST(1 AS HUGEINT) << CAST(40 - least(age_days, 40) AS INTEGER))
+           (CAST(1 AS HUGEINT) <<
+            CAST(40 - greatest(0, least(age_days, 40)) AS INTEGER))
            AS term
   FROM e
 )
@@ -10436,9 +10433,12 @@ def q249_decayed_engagement(spark, sf_dir):
         F.lit("2024-01-31").cast("date"), F.col("ts").cast("date")
     ).cast("bigint")
     v = F.round(F.col("value") * 1024).cast("bigint")
+    # clamp age to [0, 40] (a post-anchor event must not shift by >40 —
+    # bigint shiftleft wraps at 64 while the oracle's HUGEINT stays exact)
+    # and multiply in DECIMAL(38,0) so v*2^40 can never ANSI-overflow int64
     term = F.expr(
-        "CAST(v * shiftleft(CAST(1 AS BIGINT),"
-        " CAST(40 - least(age_days, 40) AS INT)) AS DECIMAL(38,0))"
+        "CAST(v AS DECIMAL(38,0)) * CAST(shiftleft(CAST(1 AS BIGINT),"
+        " CAST(40 - greatest(0, least(age_days, 40)) AS INT)) AS DECIMAL(38,0))"
     )
     return (
         ev.select("user_id", age.alias("age_days"), v.alias("v"))
@@ -10570,9 +10570,13 @@ def q251_vocab_growth(spark, sf_dir):
     ten rows. One token shuffle + a 10-row window."""
     from pyspark.sql import Window
 
+    from tagtree_spark.session import persist_tracked
+
     tune(spark)
     d = spread(_docs(spark, sf_dir))
-    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tok = persist_tracked(
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    )
     nd = tok.agg(F.max("doc_id").cast("bigint").alias("max_id"))
     fs = (
         tok.crossJoin(F.broadcast(nd))

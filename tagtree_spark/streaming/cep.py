@@ -76,11 +76,9 @@ def sequence_match_stream(
     ``n_matches = 0`` rows (filter on read — a stateful update-mode sink
     cannot retract, so the no-match row is the explicit 'nothing yet').
     """
-    for t, c in symbols.items():
-        if len(c) != 1 or ord(c) > 127:
-            raise ValueError(f"symbol for {t!r} must be one ASCII char, got {c!r}")
-    if len(set(symbols.values())) != len(symbols):
-        raise ValueError("symbol characters must be distinct")
+    from tagtree_spark.operators.events import validate_cep_args
+
+    validate_cep_args(pattern, symbols)
     sym_map = dict(symbols)
     rex = re.compile(pattern)
 

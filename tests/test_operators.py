@@ -2576,3 +2576,22 @@ def test_l_diversity_flags_homogeneous_groups(spark):
     assert out.n_low_diversity_groups == 2
     assert out.n_rows_at_risk == 5
     assert out.min_diversity == 1
+
+
+def test_sequence_match_rejects_anchored_and_empty_patterns(spark):
+    import datetime as dt
+
+    import pytest
+
+    from tagtree_spark.operators.events import sequence_match
+
+    ev = spark.createDataFrame(
+        [(1, 1, "signup", dt.datetime(2024, 1, 1))],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    syms = {"signup": "s", "purchase": "p"}
+    for bad in ("^sp", "sp$", r"\bsp", "s*", "(sp)?"):
+        with pytest.raises(ValueError):
+            sequence_match(ev, bad, syms)
+    # escaped literals are NOT anchors — must be accepted
+    sequence_match(ev, r"s\$?p", syms)
