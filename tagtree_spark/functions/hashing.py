@@ -30,6 +30,19 @@ def h60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def h60_py(s: str) -> int:
+    """Driver-side Python h60 — MUST stay bit-identical to :func:`h60`
+    and :func:`duck_h60` (all three definitions live in this file so a
+    change to one is a change to all). Used wherever the driver computes
+    partition pruning keys (e.g. ``tp = h60(term) % n_term_parts``) for
+    stores whose layout was written with the Spark-side h60: any drift
+    would silently prune reads to the WRONG partitions and return empty
+    results rather than erroring (ADVICE r8)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def h60_seeded(col: Column | str, seed: int) -> Column:
     """Seeded variant: h60(seed || '#' || s) — one per MinHash permutation."""
     c = F.col(col) if isinstance(col, str) else col
@@ -65,13 +78,8 @@ def minhash_params(n_perm: int) -> list[tuple[int, int]]:
     and driver-side Python regenerate them identically. One md5 per
     shingle + n_perm integer ops replaces n_perm md5s per shingle (~12x
     less hashing in the hot path)."""
-    import hashlib
-
-    def py_h60(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
     return [
-        (py_h60(f"a#{j}") % (MINHASH_P - 1) + 1, py_h60(f"b#{j}") % MINHASH_P)
+        (h60_py(f"a#{j}") % (MINHASH_P - 1) + 1, h60_py(f"b#{j}") % MINHASH_P)
         for j in range(n_perm)
     ]
 

@@ -283,6 +283,70 @@ def validate_cep_args(pattern: str, symbols: dict[str, str]) -> None:
             "anchors the first match by matched-text position, which is "
             "only position-true for context-free patterns"
         )
+    # Enforce the RE2∩Java∩Python common subset structurally (ADVICE r8):
+    # the batch operator evaluates patterns with JVM regexp_* while the
+    # streaming twin uses Python re — engine-divergent syntax (inline
+    # flags `(?i)`, lookaround, `\b\d\w` classes, backrefs, unicode class
+    # semantics) would make the two silently diverge instead of erroring.
+    # Allowed tokens: alphabet symbols, escaped non-alphanumeric literals,
+    # plain groups `(...)`, alternation `|`, quantifiers `* + ? {n,m}`,
+    # and character classes `[...]` over the same token set.
+    alphabet = set(symbols.values())
+
+    def _bad(i: int, why: str) -> ValueError:
+        return ValueError(
+            f"pattern {pattern!r} at index {i}: {why} — outside the "
+            "Java/Python/RE2 common subset the CEP operators guarantee "
+            "identical batch/stream semantics for"
+        )
+
+    i, in_class = 0, False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            nxt = pattern[i + 1] if i + 1 < len(pattern) else ""
+            if not nxt or nxt.isalnum():
+                raise _bad(i, f"escape '\\{nxt}' (class/anchor/backref)")
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            elif c == "[" and pattern[i + 1 : i + 2] == ":":
+                raise _bad(i, "POSIX class inside [...]")
+            elif c == "-" or c in alphabet:
+                pass
+            else:
+                raise _bad(i, f"char {c!r} inside [...] not in the symbol alphabet")
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            if pattern[i + 1 : i + 2] == "^":
+                i += 1  # negation over the alphabet is well-defined
+            i += 1
+            continue
+        if c == "(":
+            if pattern[i + 1 : i + 2] == "?":
+                raise _bad(i, "'(?' construct (inline flag/lookaround/named group)")
+            i += 1
+            continue
+        if c in ")|*+?":
+            i += 1
+            continue
+        if c == "{":
+            j = pattern.find("}", i)
+            body = pattern[i + 1 : j] if j != -1 else ""
+            if j == -1 or not _re.fullmatch(r"\d+(,\d*)?", body):
+                raise _bad(i, "malformed {n,m} quantifier")
+            i = j + 1
+            continue
+        if c in alphabet:
+            i += 1
+            continue
+        raise _bad(i, f"char {c!r} not in the symbol alphabet")
+    if in_class:
+        raise _bad(len(pattern) - 1, "unterminated [...] class")
     if _re.compile(pattern).match(""):
         raise ValueError(
             f"pattern {pattern!r} can match the empty string; require at "

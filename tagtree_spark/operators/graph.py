@@ -188,39 +188,38 @@ def triangle_stats(
 def kcore(
     pairs: DataFrame,
     k: int = 2,
-    iters: int = 4,
+    max_iters: int = 30,
     seed: DataFrame | None = None,
 ) -> DataFrame:
-    """Fixed-round k-core peel of the undirected pair graph: round i
-    keeps the nodes with ≥ ``k`` neighbors INSIDE round i-1's survivor
-    set (round 0 = all nodes, or ``seed``'s ``doc_id`` set — pass a
-    (k-1)-core to skip re-peeling what a stricter core can never keep,
-    since the k-core is a subset of the (k-1)-core). After convergence
-    this is exactly the k-core restricted to the seed (the maximal
-    subgraph of minimum degree k — the "dense duplicate nucleus" vs
-    chain periphery signal for E2b cluster triage); an unconverged run
-    is a well-defined superset, so the round count is part of the
-    operator's contract, NOT a tolerance. Rounds are deliberately FIXED
-    (no per-round count() action): each round is one self-join +
-    groupBy on the pair graph — which is orders of magnitude smaller
-    than the corpus — with the lineage cut per round like
-    ``pagerank_int``. Peeling removes whole frontier LAYERS at once, so
-    ``iters`` bounds the peel DEPTH (longest chain of dependent
-    removals), not the node count. All-integer counts → order-free,
-    bit-identical cross-engine.
+    """k-core peel of the undirected pair graph, run to CONVERGENCE:
+    round i keeps the nodes with ≥ ``k`` neighbors INSIDE round i-1's
+    survivor set (round 0 = all nodes, or ``seed``'s ``doc_id`` set —
+    pass a (k-1)-core to skip re-peeling what a stricter core can never
+    keep, since the k-core is a subset of the (k-1)-core). Survivor sets
+    shrink monotonically, so an unchanged survivor COUNT between rounds
+    proves the set is a fixed point — exactly the k-core restricted to
+    the seed (the maximal subgraph of minimum degree k — the "dense
+    duplicate nucleus" vs chain periphery signal for E2b cluster
+    triage). ``max_iters`` caps the peel DEPTH (longest chain of
+    dependent removals — an adversarial path graph peels one layer per
+    round); exhausting it RAISES, like ``near_dup_clusters`` — a
+    silently returned superset would poison downstream triage (VERDICT
+    r8: the earlier fixed-round form assumed depth ≤ 4 by measurement,
+    not by check). Each round is one self-join + groupBy on the pair
+    graph — orders of magnitude smaller than the corpus — with an eager
+    lineage cut per round; the convergence probe is one count() per
+    round on the just-checkpointed survivors. All-integer counts →
+    order-free, bit-identical cross-engine.
 
-    → ``(doc_id, core_deg)``: survivors of round ``iters`` with their
-    within-core degree from that round.
+    → ``(doc_id, core_deg)``: converged survivors with their
+    within-core degree.
     """
     from tagtree_spark.session import persist_tracked
 
-    if iters < 1:
-        # iters=0 has no well-defined output (no round computed a
-        # within-core degree, and silently returning raw degrees would
-        # ignore both k and seed — review r8)
-        raise ValueError("kcore: iters must be >= 1")
+    if max_iters < 1:
+        raise ValueError("kcore: max_iters must be >= 1")
     # every round references nb twice (u-side and v-side join) — without
-    # a persist the symmetrize+distinct shuffle re-runs 2·iters times
+    # a persist the symmetrize+distinct shuffle re-runs 2·rounds times
     nb = persist_tracked(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
@@ -233,15 +232,24 @@ def kcore(
         if seed is not None
         else nb.select(F.col("u").alias("doc_id")).distinct()
     )
-    out = None
-    for _ in range(iters):
+    prev = None
+    for _ in range(max_iters):
         out = (
             nb.join(alive.select(F.col("doc_id").alias("u")), "u")
             .join(alive.select(F.col("doc_id").alias("v")), "v")
             .groupBy("u")
             .agg(F.count("*").cast("bigint").alias("core_deg"))
             .where(F.col("core_deg") >= k)
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
+        n = out.count()
+        # monotone shrink ⇒ equal count ⇔ equal set ⇔ fixed point; the
+        # empty set is trivially fixed (every later round is also empty)
+        if n == 0 or (prev is not None and n == prev):
+            return out.select(F.col("u").alias("doc_id"), "core_deg")
+        prev = n
         alive = out.select(F.col("u").alias("doc_id"))
-    return out.select(F.col("u").alias("doc_id"), "core_deg")
+    raise ValueError(
+        f"kcore did not converge in {max_iters} rounds — raise max_iters "
+        "(peel depth exceeds it; a path graph peels one layer per round)"
+    )

@@ -88,7 +88,11 @@ def bm25_scores(
         )
 
     tc = spread(docs).withColumn(
-        "_tc", F.aggregate(F.split(F.col(text_col), " "), zeros, step)
+        # NULL text counts as one empty token (dl=1, zero hits) — same
+        # stance as PostingsSink's coalesce so the streamed-store BM25
+        # stays bit-equal on null-text corpora (ADVICE r8)
+        "_tc",
+        F.aggregate(F.split(F.coalesce(F.col(text_col), F.lit("")), " "), zeros, step),
     )
     stats = tc.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -163,7 +167,11 @@ def bm25_batch(
         )
 
     tc = spread(docs).withColumn(
-        "_tc", F.aggregate(F.split(F.col(text_col), " "), zeros, step)
+        # NULL text counts as one empty token (dl=1, zero hits) — same
+        # stance as PostingsSink's coalesce so the streamed-store BM25
+        # stays bit-equal on null-text corpora (ADVICE r8)
+        "_tc",
+        F.aggregate(F.split(F.coalesce(F.col(text_col), F.lit("")), " "), zeros, step),
     )
     stats = tc.agg(
         F.count("*").cast("bigint").alias("n_docs"),

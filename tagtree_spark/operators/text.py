@@ -1028,7 +1028,12 @@ def materialize_postings(
     (tsdb/store.py)."""
     toks = spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+        # NULL text → '' (one empty token): posexplode(split(NULL)) would
+        # silently drop the doc, diverging from the streamed sink's
+        # dl=1 stance (ADVICE r8)
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias(
+            "pos", "term"
+        ),
     )
     # refuse a zero-row dynamic-partitioned write: it would emit only
     # _SUCCESS and poison every later read with UNABLE_TO_INFER_SCHEMA
@@ -1048,14 +1053,12 @@ def store_phrase_search(
     terms' tp partitions (computed driver-side from the same h60) and
     filters to the terms inside them — a k-term phrase touches k of
     ``n_term_parts`` partitions no matter how large the corpus."""
-    import hashlib
+    from tagtree_spark.functions.hashing import h60_py
 
     terms = phrase.split(" ")
     if len(terms) < 2:
         raise ValueError("phrase needs >= 2 tokens")
-    tps = sorted(
-        {int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_term_parts for t in terms}
-    )
+    tps = sorted({h60_py(t) % n_term_parts for t in terms})
     toks = (
         spark.read.parquet(path)
         .where(F.col("tp").isin(tps) & F.col("term").isin(terms))

@@ -8067,22 +8067,25 @@ ORDER BY k, doc_id"""
     return sql
 
 
-@query("q216_kcore", _kcore_oracle_sql(4))
+@query("q216_kcore", _kcore_oracle_sql(12))
 def q216_kcore(spark, sf_dir):
-    """E2b graph triage: fixed-round k-core peel (k=2, then k=3 seeded
-    from the k=2 survivors — the 3-core is a subset of the 2-core) of
-    the verified near-dup pair graph: dense duplicate nuclei survive
-    k=3; chain-shaped transitive false positives peel away at k=2.
-    4 peel rounds per k bound the peel DEPTH, not node count (each
-    round drops a whole frontier layer; measured convergence depth at
-    sf0.01/sf0.1 is 1-2); all-integer survivor degrees, one self-join +
-    groupBy per round on the pair graph (<< corpus), lineage cut per
-    round — the same Pregel-as-DataFrame shape as q129's PageRank."""
+    """E2b graph triage: convergence-checked k-core peel (k=2, then k=3
+    seeded from the k=2 survivors — the 3-core is a subset of the
+    2-core) of the verified near-dup pair graph: dense duplicate nuclei
+    survive k=3; chain-shaped transitive false positives peel away at
+    k=2. The peel runs until the survivor set is a fixed point (count
+    delta 0 — VERDICT r8 replaced the measured depth-4 assumption) under
+    a cap of 12 rounds, RAISING beyond it; the oracle unrolls exactly
+    the cap's 12 rounds, so either both engines reach the identical
+    fixed point (rounds past convergence are no-ops) or the Spark side
+    errors loudly. All-integer survivor degrees, one self-join + groupBy
+    per round on the pair graph (<< corpus), eager lineage cut per round
+    — the same Pregel-as-DataFrame shape as q129's PageRank."""
     from tagtree_spark.operators.graph import kcore
 
     pairs = _mh_pairs(spark, sf_dir)
-    k2 = kcore(pairs, k=2, iters=4)
-    k3 = kcore(pairs, k=3, iters=4, seed=k2)
+    k2 = kcore(pairs, k=2, max_iters=12)
+    k3 = kcore(pairs, k=3, max_iters=12, seed=k2)
     out = k2.select(F.lit(2).cast("bigint").alias("k"), "doc_id", "core_deg").unionByName(
         k3.select(F.lit(3).cast("bigint").alias("k"), "doc_id", "core_deg")
     )

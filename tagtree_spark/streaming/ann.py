@@ -40,6 +40,16 @@ from tagtree_spark.operators.similarity import (
 from tagtree_spark.streaming.ingest import _complete, _list_segments, _parse_segment
 
 
+def _emb_key(vec_col: str) -> F.Column:
+    """Content hash of an embedding used as the deterministic intra-batch
+    dedup tiebreak. to_json renders null array elements EXPLICITLY, so two
+    embeddings differing only in a null element's position hash
+    differently — a concat_ws encoding silently dropped nulls, collided
+    such vectors, and made the max_by winner nondeterministic across
+    replays, breaking segment-overwrite idempotence (ADVICE r8)."""
+    return F.xxhash64(F.to_json(F.struct(F.col(vec_col).alias("v"))))
+
+
 class AnnIndexSink:
     """foreachBatch sink appending PQ codes segments to an IVF+PQ store.
 
@@ -104,10 +114,7 @@ class AnnIndexSink:
         # 60-bit content hash is greatest (no intra-batch ordering exists).
         batch_df = (
             batch_df.select(self.id_col, self.vec_col)
-            .withColumn(
-                "_embkey",
-                F.xxhash64(F.concat_ws(",", F.transform(self.vec_col, lambda x: x.cast("string")))),
-            )
+            .withColumn("_embkey", _emb_key(self.vec_col))
             .groupBy(self.id_col)
             .agg(F.max_by(F.col(self.vec_col), F.col("_embkey")).alias(self.vec_col))
         )

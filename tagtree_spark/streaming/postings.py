@@ -31,7 +31,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tagtree_spark.functions.hashing import h60
+from tagtree_spark.functions.hashing import h60, h60_py
 from tagtree_spark.streaming.ingest import _complete, _list_segments, _parse_segment
 
 
@@ -71,8 +71,16 @@ class PostingsSink:
             )
         # one row per doc per batch (duplicate delivery inside a batch):
         # deterministic winner by content hash, same stance as AnnIndexSink
+        # NULL text → '' (one empty token, dl=1) BEFORE aggregation: a raw
+        # NULL would write a manifest row with dl=NULL and no postings,
+        # skewing store_bm25's corpus stats for every doc (ADVICE r8).
+        # bm25_scores/materialize_postings apply the same coalesce so the
+        # stream==batch equality holds on null-text corpora too.
         docs = (
-            batch_df.select(self.id_col, self.text_col)
+            batch_df.select(
+                self.id_col,
+                F.coalesce(F.col(self.text_col), F.lit("")).alias(self.text_col),
+            )
             .groupBy(F.col(self.id_col).alias("doc_id"))
             .agg(
                 F.max_by(
@@ -143,8 +151,6 @@ def read_postings(
     longer contains the queried terms; the single-segment case (post-
     compaction, or a single batch — both already latest-wins) skips the
     join and is a pure pruned scan."""
-    import hashlib
-
     segs = _list_segments(os.path.join(store_path, "post"), before_batch)
     if not segs:
         return None
@@ -156,12 +162,11 @@ def read_postings(
     ]
     out = reduce(lambda a, b: a.unionByName(b), parts)
     if terms is not None:
-        tps = sorted(
-            {
-                int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_term_parts
-                for t in terms
-            }
-        )
+        # h60_py is the ONE driver-side definition bit-identical to the
+        # sink's h60 layout hash — never re-derive it inline (ADVICE r8:
+        # drift would silently prune to the wrong partitions and return
+        # empty, because the term.isin filter masks the mismatch)
+        tps = sorted({h60_py(t) % n_term_parts for t in terms})
         out = out.where(F.col("tp").isin(tps) & F.col("term").isin(list(terms)))
     out = out.select("doc_id", "pos", "term", "batch_id")
     doc_segs = _list_segments(os.path.join(store_path, "docs"), before_batch)

@@ -85,3 +85,15 @@ def test_minhash_params_valid():
     assert len(set(params)) == 64  # distinct permutations
     for a, b in params:
         assert 1 <= a < MINHASH_P and 0 <= b < MINHASH_P
+
+
+def test_h60_py_is_the_single_driver_side_definition(spark):
+    """h60_py (functions/hashing.py) is the ONE driver-side h60 used for
+    partition pruning against store layouts written with the Spark-side
+    h60 — it must equal h60 bit-for-bit (ADVICE r8: drift would silently
+    prune reads to the wrong tp partitions and return empty)."""
+    from tagtree_spark.functions.hashing import h60_py
+
+    df = spark.createDataFrame([(s,) for s in SAMPLES], ["s"])
+    got = {r.s: r.h for r in df.select("s", h60("s").alias("h")).collect()}
+    assert got == {s: h60_py(s) for s in SAMPLES}

@@ -2257,11 +2257,11 @@ def test_kcore_clique_survives_chain_peels(spark):
     clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
     chain = [(3, 4), (4, 5), (5, 6)]
     pairs = spark.createDataFrame(clique + chain, "doc_a bigint, doc_b bigint")
-    k2 = {r.doc_id: r.core_deg for r in kcore(pairs, k=2, iters=4).collect()}
+    k2 = {r.doc_id: r.core_deg for r in kcore(pairs, k=2).collect()}
     # chain tail peels (6 then 5 then 4); the clique is the entire 2-core
     assert set(k2) == {0, 1, 2, 3}
     assert all(d == 3 for d in k2.values())
-    k3 = {r.doc_id: r.core_deg for r in kcore(pairs, k=3, iters=4).collect()}
+    k3 = {r.doc_id: r.core_deg for r in kcore(pairs, k=3).collect()}
     assert set(k3) == {0, 1, 2, 3}
 
 
@@ -2273,24 +2273,36 @@ def test_kcore_seeded_equals_unseeded_at_fixpoint(spark):
         [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5), (5, 6), (1, 7)],
         "doc_a bigint, doc_b bigint",
     )
-    k2 = kcore(pairs, k=2, iters=4)
-    seeded = {(r.doc_id, r.core_deg) for r in kcore(pairs, k=3, iters=4, seed=k2).collect()}
-    plain = {(r.doc_id, r.core_deg) for r in kcore(pairs, k=3, iters=4).collect()}
+    k2 = kcore(pairs, k=2)
+    seeded = {(r.doc_id, r.core_deg) for r in kcore(pairs, k=3, seed=k2).collect()}
+    plain = {(r.doc_id, r.core_deg) for r in kcore(pairs, k=3).collect()}
     assert seeded == plain
-    # depth headroom: one extra round changes nothing (converged)
-    more = {(r.doc_id, r.core_deg) for r in kcore(pairs, k=2, iters=5).collect()}
+    # cap headroom: a larger cap changes nothing (converged)
+    more = {(r.doc_id, r.core_deg) for r in kcore(pairs, k=2, max_iters=25).collect()}
     assert more == {(r.doc_id, r.core_deg) for r in k2.collect()}
 
 
-def test_kcore_deep_chain_needs_depth(spark):
+def test_kcore_deep_chain_converges_or_raises(spark):
+    """Adversarial peel depth (VERDICT r8): a pure path peels only its
+    two endpoints per round, so depth grows with chain length. The
+    convergence loop must empty the 2-core regardless of depth, and an
+    insufficient max_iters must RAISE, never return a silent superset."""
+    import pytest
+
     from tagtree_spark.operators.graph import kcore
 
-    # a pure path of 9 nodes: 2-core is empty, but each peel round only
-    # removes the two endpoints — 4 rounds strip 8 of 9; the 5th empties it
+    # a pure path of 9 nodes: 2-core is empty; peel depth is 5 layers
     path = [(i, i + 1) for i in range(8)]
     pairs = spark.createDataFrame(path, "doc_a bigint, doc_b bigint")
-    assert kcore(pairs, k=2, iters=4).count() == 1
-    assert kcore(pairs, k=2, iters=5).count() == 0
+    assert kcore(pairs, k=2).count() == 0
+    with pytest.raises(ValueError, match="did not converge"):
+        kcore(pairs, k=2, max_iters=4)
+    # star + deep chain: the star center has high degree but the 2-core
+    # is still empty (a star is all leaves); depth comes from the chain
+    star = [(100, 100 + i) for i in range(1, 8)]
+    chain = [(200 + i, 200 + i + 1) for i in range(20)] + [(100, 200)]
+    g2 = spark.createDataFrame(star + chain, "doc_a bigint, doc_b bigint")
+    assert kcore(g2, k=2).count() == 0
 
 
 def test_mmr_penalizes_redundancy(spark):
@@ -2370,7 +2382,7 @@ def test_kcore_matches_python_reference_on_random_graphs(spark):
         for k in (2, 3):
             got = {
                 (r.doc_id, r.core_deg)
-                for r in kcore(pairs, k=k, iters=10).collect()
+                for r in kcore(pairs, k=k).collect()
             }
             assert got == set(_py_kcore(edges, k).items()), (seed, k)
 
@@ -2593,5 +2605,27 @@ def test_sequence_match_rejects_anchored_and_empty_patterns(spark):
     for bad in ("^sp", "sp$", r"\bsp", "s*", "(sp)?"):
         with pytest.raises(ValueError):
             sequence_match(ev, bad, syms)
+    # engine-divergent syntax outside the Java/Python/RE2 common subset
+    # must be rejected structurally (ADVICE r8): the streamed twin runs
+    # Python re while batch runs JVM regexp_* — inline flags, perl
+    # classes, backrefs, lookaround, '.' and out-of-alphabet literals
+    # could silently diverge instead of erroring
+    for bad in (
+        "(?i)sp",
+        "(?:sp)",
+        r"s\dp",
+        r"(s)\1p",
+        "s(?=p)",
+        "s.p",
+        "sxp",
+        "[sx]p",
+        "s{1,p",
+        "[sp",
+    ):
+        with pytest.raises(ValueError):
+            sequence_match(ev, bad, syms)
     # escaped literals are NOT anchors — must be accepted
     sequence_match(ev, r"s\$?p", syms)
+    # the full safe subset in one pattern: classes over the alphabet,
+    # groups, alternation, all quantifier forms
+    sequence_match(ev, "(s|p)[sp]{1,2}p?s*p+", syms)

@@ -196,3 +196,18 @@ def test_read_codes_single_segment_skips_dedup_join(spark, embeddings, tmpdir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert "PartitionFilters" in plan and "cid" in plan, plan
+
+
+def test_emb_key_is_null_position_safe(spark):
+    """The intra-batch dedup tiebreak hash must distinguish embeddings
+    that differ only by a null element's position — the concat_ws
+    encoding dropped nulls and collided them, making the max_by winner
+    replay-nondeterministic (ADVICE r8)."""
+    from tagtree_spark.streaming.ann import _emb_key
+
+    df = spark.createDataFrame(
+        [(1, [1.0, None]), (2, [None, 1.0]), (3, [1.0]), (4, [1.0, 2.0])],
+        "id long, v array<double>",
+    )
+    keys = [r.k for r in df.select(_emb_key("v").alias("k")).collect()]
+    assert len(set(keys)) == 4

@@ -252,3 +252,28 @@ def test_streaming_postings_nasty_texts_match_batch(spark):
     vers = {r.doc_id: r.dl for r in read_doc_versions(spark, store).collect()}
     assert vers[1] == 1   # "" splits to [""] — one (empty) token
     assert vers[2] == 7   # consecutive spaces emit empty tokens
+
+
+def test_null_text_doc_matches_batch_and_keeps_stats_sane(spark):
+    """A NULL-text document must not poison the corpus stats: the sink
+    coalesces NULL→'' (dl=1, one empty token) and the batch scorer takes
+    the same stance, so store and batch BM25 stay bit-identical and Σdl
+    stays non-NULL (ADVICE r8)."""
+    import tempfile
+
+    from tagtree_spark.operators.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "customer query vector"), (3, "query only")],
+        "doc_id bigint, text string",
+    )
+    store = tempfile.mkdtemp(prefix="tagtree-postings-null-")
+    sink = PostingsSink(store, compact_every=None)
+    sink(docs.where("doc_id <= 1"), 0)
+    sink(docs.where("doc_id > 1"), 1)
+    vers = {r.doc_id: r.dl for r in read_doc_versions(spark, store).collect()}
+    assert vers[1] == 1  # NULL → '' → one empty token, not NULL dl
+    got = _bm25_set(store_bm25(spark, store, TERMS))
+    want = _bm25_set(bm25_scores(docs, TERMS))
+    assert got == want
+    assert len(got) == 2  # doc 1 matches nothing but skews nothing
