@@ -258,7 +258,11 @@ class TagTreeEngine:
         if self.store_dir is None:
             raise ValueError("ingest_batch() requires an engine built from store_dir=")
         from tagtree_spark.tsdb.model import build_postings, build_samples
-        from tagtree_spark.tsdb.store import atomic_overwrite, compact_table
+        from tagtree_spark.tsdb.store import (
+            versioned_compact,
+            versioned_overwrite,
+            versioned_read,
+        )
 
         series_path = os.path.join(self.store_dir, "series")
         postings_path = os.path.join(self.store_dir, "postings")
@@ -266,9 +270,10 @@ class TagTreeEngine:
         before = self.current_tsid()
         merged = _ingest.add_series_batch(self.series, batch_events)
         _ingest.commit(merged, series_path)
-        # re-anchor on the committed table (the pre-commit plan would
-        # re-read the renamed path and re-apply the merge on recompute)
-        self.series = self.spark.read.parquet(series_path)
+        # re-anchor on the committed version (the pre-commit plan would
+        # re-read the store and re-apply the merge on recompute; the
+        # versioned read pins the just-committed immutable dir)
+        self.series = versioned_read(self.spark, series_path)
         self.postings = build_postings(self.series)
         # rows_in on the samples build, consumed once by the append write
         # (an action — the count fills immediately here); see
@@ -284,13 +289,13 @@ class TagTreeEngine:
             self.auto_compact_series is not None
             and self._new_since_compact >= self.auto_compact_series
         ):
-            atomic_overwrite(
+            versioned_overwrite(
                 build_postings(self.series).repartition("name"),
                 postings_path,
                 ["name"],
             )
             self.storage.compact()
-            compact_table(self.spark, series_path)
+            versioned_compact(self.spark, series_path)
             self.series, self.postings, _ = load_model(self.spark, self.store_dir)
             self._new_since_compact = 0
         return self
@@ -306,10 +311,12 @@ class TagTreeEngine:
         compact."""
         if self.store_dir is None:
             raise ValueError("compact() requires an engine built from store_dir=")
-        from tagtree_spark.tsdb.store import compact_table
+        from tagtree_spark.tsdb.store import versioned_compact
 
-        compact_table(self.spark, os.path.join(self.store_dir, "series"))
-        compact_table(self.spark, os.path.join(self.store_dir, "postings"), ["name"])
+        versioned_compact(self.spark, os.path.join(self.store_dir, "series"))
+        versioned_compact(
+            self.spark, os.path.join(self.store_dir, "postings"), ["name"]
+        )
         self.storage.compact()
         self.series, self.postings, _ = load_model(self.spark, self.store_dir)
 

@@ -200,12 +200,13 @@ def series_delta(series: DataFrame | None, batch_events: DataFrame) -> DataFrame
 
 
 def commit(series: DataFrame, path: str) -> None:
-    """L6: persist the series table crash-consistently via the staged
-    atomic-rename protocol (tsdb.store.atomic_overwrite), mirroring the
-    reference's checkpoint commit (write tmp + atomic rename + CRC,
-    /root/reference/src/wal/wal.cpp:278-305). A plain overwrite had a
-    window where a crash left no readable table (a Delta MERGE replaces
-    this in a real deployment — SURVEY.md §3.2)."""
-    from tagtree_spark.tsdb.store import atomic_overwrite
+    """L6: persist the series table through the COW versioned protocol
+    (tsdb.store.versioned_overwrite) — crash-consistent like the
+    reference's checkpoint commit (write tmp + atomic pointer swap + CRC,
+    /root/reference/src/wal/wal.cpp:278-305) AND reader-isolated like its
+    COW tree (queries keep scanning the previous committed version,
+    include/tagtree/tree/cow_tree.h:436-449; a Delta MERGE replaces this
+    in a real deployment — SURVEY.md §3.2)."""
+    from tagtree_spark.tsdb.store import versioned_overwrite
 
-    atomic_overwrite(series, path)
+    versioned_overwrite(series, path)

@@ -103,6 +103,169 @@ def recover_table(path: str) -> bool:
     return os.path.exists(path)
 
 
+# --------------------------------------------------------------------------
+# COW versioned tables — reader isolation during compaction (VERDICT r8 #1).
+#
+# The reference's COW B+-tree keeps queries running against the previous
+# committed tree version while compaction writes a new one
+# (/root/reference/include/tagtree/tree/cow_tree.h:436-449;
+# src/index/index_server.cpp:205-232). atomic_overwrite above is crash-safe
+# but NOT reader-safe: the promote renames the directory a concurrent
+# reader's next scan re-lists, so a query that started before the swap can
+# observe a half-version (FileNotFound on the renamed files). The streaming
+# sinks already solved this with immutable segments + a tiny committed
+# pointer (streaming/postings.py manifest); this is the same protocol for
+# the batch index tables:
+#
+#   <path>/v-0000000001/...   immutable complete table versions (_SUCCESS)
+#   <path>/CURRENT            the committed pointer ("v-0000000001")
+#
+# Writers stage the full next version into a NEW v-dir, then commit with
+# one atomic pointer swap (os.replace). Readers resolve CURRENT once and
+# pin that immutable directory — compaction never touches it. GC keeps the
+# just-superseded version so in-flight readers finish (at cluster scale
+# this becomes time-based retention, i.e. Delta/Iceberg vacuum). The
+# commit point is strictly the pointer swap: recovery DISCARDS complete-
+# but-uncommitted versions (the writer redoes them — idempotent), exactly
+# the reference's "compaction output not yet linked into the COW root".
+# --------------------------------------------------------------------------
+
+_V_PREFIX = "v-"
+
+
+def _version_dirs(path: str) -> list[tuple[int, str]]:
+    """(version, dir) for every v-* entry under ``path``, sorted."""
+    import glob as _glob
+
+    out = []
+    for d in _glob.glob(os.path.join(path, _V_PREFIX + "*")):
+        tail = os.path.basename(d)[len(_V_PREFIX) :]
+        if tail.isdigit():
+            out.append((int(tail), d))
+    return sorted(out)
+
+
+def _vdir(path: str, n: int) -> str:
+    return os.path.join(path, f"{_V_PREFIX}{n:010d}")
+
+
+def committed_version(path: str) -> int | None:
+    """The committed version number, or None — validated: the pointer
+    must name a COMPLETE version dir (a torn pointer write cannot happen
+    thanks to os.replace, but a hand-edited store should fail safe)."""
+    cur = os.path.join(path, "CURRENT")
+    try:
+        with open(cur) as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    if not name.startswith(_V_PREFIX) or not name[len(_V_PREFIX) :].isdigit():
+        return None
+    n = int(name[len(_V_PREFIX) :])
+    return n if _complete(_vdir(path, n)) else None
+
+
+def recover_versioned(path: str) -> bool:
+    """Repair a versioned table after a crash at any point of
+    :func:`versioned_overwrite`; True iff a committed version (or a
+    migratable legacy plain table) is present afterwards. Idempotent.
+
+    Uncommitted version dirs — incomplete ones, and complete ones whose
+    pointer swap never happened — are discarded: the commit point is the
+    pointer swap alone, so the old version stays fully readable and the
+    writer simply redoes its overwrite."""
+    cur = committed_version(path)
+    if cur is not None:
+        for n, d in _version_dirs(path):
+            if n > cur:
+                shutil.rmtree(d, ignore_errors=True)
+        return True
+    # no committed pointer: discard any v-* debris from a first-ever
+    # overwrite that crashed pre-commit, keeping a legacy plain table
+    # readable (it migrates on the next versioned_overwrite)
+    for _n, d in _version_dirs(path):
+        shutil.rmtree(d, ignore_errors=True)
+    return _complete(path)
+
+
+def versioned_overwrite(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None
+) -> int:
+    """Commit ``df`` as the next version of the table at ``path``;
+    returns the committed version number.
+
+    Reader-safe AND crash-safe: the new version is staged into a fresh
+    immutable dir, the commit is one atomic pointer swap, and the
+    just-superseded version survives until the NEXT commit so readers
+    that resolved it keep scanning untorn. ``df`` may derive from the
+    current version (read-modify-write): the stage reads the old dir,
+    which is never touched. A legacy plain table at ``path`` (top-level
+    parquet files) is migrated: its files are removed only after v-1
+    commits."""
+    recover_versioned(path)
+    cur = committed_version(path)
+    legacy = cur is None and _complete(path)
+    nxt = max([n for n, _ in _version_dirs(path)] + [cur or 0]) + 1
+    target = _vdir(path, nxt)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(target)
+    if not _complete(target):
+        raise OSError(f"versioned write of {path} v{nxt} left no _SUCCESS marker")
+    tmp = os.path.join(path, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(os.path.basename(target))
+    os.replace(tmp, os.path.join(path, "CURRENT"))  # the commit point
+    # GC: keep the new version and its immediate predecessor (in-flight
+    # readers); drop everything older, plus migrated legacy files
+    for n, d in _version_dirs(path):
+        if n != nxt and (cur is None or n != cur):
+            shutil.rmtree(d, ignore_errors=True)
+    if legacy:
+        for entry in os.listdir(path):
+            if entry in ("CURRENT",) or entry.startswith(_V_PREFIX):
+                continue
+            full = os.path.join(path, entry)
+            (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+    return nxt
+
+
+def versioned_read(spark: SparkSession, path: str) -> DataFrame:
+    """Pin and read the committed version of the table at ``path`` —
+    the returned DataFrame scans an immutable directory, so a concurrent
+    :func:`versioned_overwrite`/:func:`versioned_compact` can never tear
+    it (the reference's queries-run-on-the-previous-tree guarantee).
+    Falls back to a legacy plain table not yet migrated."""
+    recover_versioned(path)
+    cur = committed_version(path)
+    if cur is not None:
+        return spark.read.parquet(_vdir(path, cur))
+    recover_table(path)
+    return spark.read.parquet(path)
+
+
+def versioned_compact(
+    spark: SparkSession, path: str, partition_cols: list[str] | None = None
+) -> None:
+    """X1 over the versioned protocol: rewrite the committed version into
+    right-sized files as the NEXT version. Readers of the old version are
+    never blocked or torn — they hold the superseded immutable dir, which
+    GC retains until the commit after this one."""
+    recover_versioned(path)
+    cur = committed_version(path)
+    src = _vdir(path, cur) if cur is not None else path
+    if cur is None:
+        recover_table(path)
+    df = spark.read.parquet(src)
+    if partition_cols:
+        versioned_overwrite(df.repartition(*partition_cols), path, partition_cols)
+    else:
+        versioned_overwrite(
+            df.coalesce(spark.sparkContext.defaultParallelism), path
+        )
+
+
 def materialize_model(
     spark: SparkSession,
     events: DataFrame,
@@ -137,13 +300,16 @@ def materialize_model(
     from tagtree_spark.operators.layout import zorder_key
 
     series, postings, samples = build_model(events)
-    series.write.mode("overwrite").parquet(os.path.join(out_dir, "series"))
-    (
-        postings.repartition("name")
-        .sortWithinPartitions("name", "value", "tsid")
-        .write.mode("overwrite")
-        .partitionBy("name")
-        .parquet(os.path.join(out_dir, "postings"))
+    # the INDEX tables (series/postings — what the reference's COW tree
+    # holds) commit through the versioned protocol so later compactions
+    # never tear a concurrent reader; samples stay a plain partitioned
+    # table (the reference delegates sample storage to an external
+    # Storage, include/tagtree/storage.h:49-53 — outside the COW scope)
+    versioned_overwrite(series, os.path.join(out_dir, "series"))
+    versioned_overwrite(
+        postings.repartition("name").sortWithinPartitions("name", "value", "tsid"),
+        os.path.join(out_dir, "postings"),
+        ["name"],
     )
     # Range-normalize both dims to 8 bits before interleaving (real
     # Z-ordering range-buckets unequal domains first — otherwise the wider
@@ -168,13 +334,14 @@ def materialize_model(
 
 def load_model(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(series, postings, samples) from a materialized model dir, repairing
-    any interrupted overwrite/compaction first."""
-    paths = [os.path.join(out_dir, t) for t in ("series", "postings", "samples")]
-    for p in paths:
-        recover_table(p)
-    series = spark.read.parquet(paths[0])
-    postings = spark.read.parquet(paths[1])
-    samples = spark.read.parquet(paths[2]).drop("ds")
+    any interrupted overwrite/compaction first. The index tables resolve
+    the committed version and PIN its immutable dir — a compaction that
+    commits afterwards can never tear these frames' scans."""
+    series = versioned_read(spark, os.path.join(out_dir, "series"))
+    postings = versioned_read(spark, os.path.join(out_dir, "postings"))
+    sp = os.path.join(out_dir, "samples")
+    recover_table(sp)
+    samples = spark.read.parquet(sp).drop("ds")
     return series, postings, samples
 
 

@@ -45,7 +45,7 @@ def test_roundtrip_matches_derived(spark, events, store_dir):
 
 def test_postings_partitioned_by_name(spark, store_dir):
     """A single-label matcher scan must prune to that label's partition."""
-    dirs = glob.glob(f"{store_dir}/postings/name=*")
+    dirs = glob.glob(f"{store_dir}/postings/v-*/name=*")
     assert len(dirs) == 3  # event_type, user_bucket, k_bucket
     _, postings, _ = load_model(spark, store_dir)
     q = postings.where(F.col("name") == "event_type")
@@ -163,23 +163,27 @@ def test_atomic_overwrite_crash_recovery(spark, events):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def test_commit_goes_through_atomic_protocol(spark, events, tmp_path=None):
-    """tsdb.ingest.commit must leave no .staging/.old residue and survive a
-    second commit over the same path (read-modify-write safety)."""
+def test_commit_goes_through_versioned_protocol(spark, events, tmp_path=None):
+    """tsdb.ingest.commit rides the COW versioned protocol: a committed
+    pointer + immutable version dirs, read-modify-write safe, and the
+    superseded version is retained for in-flight readers."""
     from tagtree_spark.tsdb.ingest import add_series_batch, commit
+    from tagtree_spark.tsdb.store import committed_version, versioned_read
 
     d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-commit-")
     try:
         p = f"{d}/series"
         s1 = add_series_batch(None, events.where(F.col("event_id") % 2 == 0))
         commit(s1, p)
-        n1 = spark.read.parquet(p).count()
+        n1 = versioned_read(spark, p).count()
+        v1 = committed_version(p)
         # read-modify-write: derive the next table FROM the committed one
-        s2 = add_series_batch(spark.read.parquet(p), events)
+        s2 = add_series_batch(versioned_read(spark, p), events)
         commit(s2, p)
-        assert spark.read.parquet(p).count() >= n1
-        assert not os.path.exists(p + ".staging")
-        assert not os.path.exists(p + ".old")
+        assert versioned_read(spark, p).count() >= n1
+        assert committed_version(p) == v1 + 1
+        # the superseded version survives one commit (reader isolation)
+        assert os.path.exists(f"{p}/v-{v1:010d}/_SUCCESS")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -259,7 +263,7 @@ def test_materialized_postings_value_sorted(spark, store_dir):
     matcher over the store gets row-group min/max skipping on value."""
     import pyarrow.parquet as pq
 
-    files = glob.glob(f"{store_dir}/postings/name=event_type/*.parquet")
+    files = glob.glob(f"{store_dir}/postings/v-*/name=event_type/*.parquet")
     assert files
     vals = []
     for f in files:
@@ -312,3 +316,97 @@ def test_retention_sweep_drops_old_partitions_only(spark, events, tmpdir):
     # series/postings untouched: matchers still resolve
     series, postings, _ = load_model(spark, d)
     assert postings.count() > 0 and series.count() > 0
+
+
+def test_versioned_store_crash_injection_and_reader_isolation(spark, events):
+    """The COW protocol's two guarantees (VERDICT r8 #1), crash-injected:
+
+    1. a crash at ANY point between staging the next version and the
+       pointer swap leaves the OLD version fully readable, and recovery
+       is idempotent (discard-uncommitted — the commit point is the
+       pointer swap alone, like the reference's COW root link,
+       /root/reference/include/tagtree/tree/cow_tree.h:436-449);
+    2. a reader that resolved the committed version before a compaction
+       keeps scanning its immutable dir untorn AFTER the compaction
+       commits (queries-run-on-previous-tree).
+    """
+    import glob as _glob
+
+    from tagtree_spark.tsdb.store import (
+        committed_version,
+        recover_versioned,
+        versioned_compact,
+        versioned_overwrite,
+        versioned_read,
+    )
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-cow-")
+    try:
+        t = f"{d}/postings"
+        old_df = events.select("event_id", "event_type").where("event_id % 2 = 0")
+        new_df = events.select("event_id", "event_type")
+        v1 = versioned_overwrite(old_df, t)
+        n_old = versioned_read(spark, t).count()
+
+        # -- crash 1: next version dir staged INCOMPLETE (no _SUCCESS)
+        new_df.write.mode("overwrite").parquet(f"{t}/v-{v1 + 1:010d}")
+        os.remove(f"{t}/v-{v1 + 1:010d}/_SUCCESS")
+        assert committed_version(t) == v1
+        assert versioned_read(spark, t).count() == n_old
+        assert recover_versioned(t) and recover_versioned(t)  # idempotent
+        assert not os.path.exists(f"{t}/v-{v1 + 1:010d}")
+
+        # -- crash 2: staged COMPLETE but pointer swap never happened
+        new_df.write.mode("overwrite").parquet(f"{t}/v-{v1 + 1:010d}")
+        assert committed_version(t) == v1  # commit point not reached
+        assert versioned_read(spark, t).count() == n_old
+        recover_versioned(t)
+        assert not os.path.exists(f"{t}/v-{v1 + 1:010d}")  # discarded, redo-able
+
+        # -- crash 3: tmp pointer written, not swapped
+        with open(f"{t}/CURRENT.tmp", "w") as f:
+            f.write(f"v-{v1 + 9:010d}")
+        assert committed_version(t) == v1
+        assert versioned_read(spark, t).count() == n_old
+
+        # redo after every crash: the overwrite simply runs again
+        v2 = versioned_overwrite(new_df, t)
+        assert v2 > v1 and versioned_read(spark, t).count() == new_df.count()
+
+        # -- reader isolation: pin the committed version, then compact
+        pinned = versioned_read(spark, t)
+        assert pinned.count() == new_df.count()  # resolve before the swap
+        versioned_compact(spark, t)
+        assert committed_version(t) == v2 + 1
+        # the pinned frame re-scans its immutable v-dir — untorn
+        assert pinned.count() == new_df.count()
+        assert os.path.exists(f"{t}/v-{v2:010d}/_SUCCESS")  # retained for readers
+        # one more commit GCs the 2-generations-old version
+        versioned_compact(spark, t)
+        assert not os.path.exists(f"{t}/v-{v2:010d}")
+        assert len(_glob.glob(f"{t}/v-*")) == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_versioned_store_migrates_legacy_plain_table(spark, events):
+    """A pre-COW plain parquet table keeps reading via the fallback and
+    migrates in place on its first versioned commit."""
+    from tagtree_spark.tsdb.store import (
+        committed_version,
+        versioned_overwrite,
+        versioned_read,
+    )
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-legacy-")
+    try:
+        t = f"{d}/series"
+        legacy = events.select("event_id", "event_type").where("event_id % 3 = 0")
+        legacy.write.mode("overwrite").parquet(t)
+        assert versioned_read(spark, t).count() == legacy.count()  # fallback
+        versioned_overwrite(events.select("event_id", "event_type"), t)
+        assert committed_version(t) == 1
+        assert not glob.glob(f"{t}/part-*")  # legacy files gone post-commit
+        assert versioned_read(spark, t).count() == events.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
