@@ -6908,11 +6908,11 @@ def q196_incremental_exact_dedup(spark, sf_dir):
     """
 WITH c AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 8 IN (0, 3, 7) THEN 'audio'
-              WHEN doc_id % 8 IN (1, 4, 6) THEN 'image'
+         CASE WHEN doc_id % 10 IN (0, 3, 7) THEN 'audio'
+              WHEN doc_id % 10 IN (1, 4, 6, 8, 9) THEN 'image'
               ELSE 'video' END AS modality,
-         CASE WHEN doc_id % 8 IN (0, 1, 2) THEN 'decoded'
-              WHEN doc_id % 8 IN (3, 4, 5) THEN 'unsupported_codec'
+         CASE WHEN doc_id % 10 IN (0, 1, 2, 8) THEN 'decoded'
+              WHEN doc_id % 10 IN (3, 4, 5) THEN 'unsupported_codec'
               ELSE 'corrupt' END AS status
   FROM documents
 )
@@ -6922,13 +6922,14 @@ SELECT modality, status,
 FROM c GROUP BY modality, status ORDER BY modality, status""",
 )
 def q197_codec_audit(spark, sf_dir):
-    """E5 decode triage over an 8-class payload mixture (real WAV/PPM/Y4M,
-    compressed-codec magic, corrupt-but-well-magicked): every payload is
-    actually PARSED and the verdict — decoded / unsupported_codec (the
-    principled PNG/JPEG/MP4 refusal, VERDICT r5 #5) / corrupt — is
-    aggregated per modality. The oracle recomputes the expected verdict
-    from the deterministic doc_id%8 class map, so the refusal branch
-    itself is driver-hash-verified behavior."""
+    """E5 decode triage over a 10-class payload mixture (real WAV/PPM/
+    Y4M/compressed-PNG, compressed-codec magic, corrupt-but-well-
+    magicked incl. a CRC-flipped PNG): every payload is actually PARSED
+    and the verdict — decoded / unsupported_codec (the principled JPEG/
+    MP4/MP3 refusal, VERDICT r5 #5) / corrupt — is aggregated per
+    modality. The oracle recomputes the expected verdict from the
+    deterministic doc_id%10 class map, so both the PNG decode path and
+    the refusal branch are driver-hash-verified behavior."""
     from tagtree_spark.operators.multimodal import (
         media_mixture_from_documents,
         try_decode_status,
@@ -10644,3 +10645,43 @@ def q252_ship_lag_profile(spark, sf_dir):
         )
         .orderBy("o_orderpriority", "lag_week")
     )
+
+
+# --------------------------------------------------------------------------
+# r9 batch: real compressed-image decode (PNG), store probes, matcher
+# string front-end
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q253_png_decode",
+    f"""
+WITH px AS (
+  SELECT doc_id, sum(ord(substr(text, CAST(i AS INT), 1))) AS sum_text_bytes
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) t
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(greatest(1, (length(d.text) + 23) // 24) AS BIGINT) AS height,
+       CAST(24 * greatest(1, (length(d.text) + 23) // 24) AS BIGINT) AS n_pixel_bytes,
+       CAST(px.sum_text_bytes AS BIGINT) AS sum_pixels
+FROM documents d JOIN px ON d.doc_id = px.doc_id
+ORDER BY media_id""",
+)
+def q253_png_decode(spark, sf_dir):
+    """E5 real COMPRESSED image decode (VERDICT r8 #2 — the PNG refusal
+    retired): text bytes → genuine PNGs (same 8-wide RGB raster as q107,
+    zlib-deflated scanlines cycling all five PNG filter types) → full
+    decode (per-chunk CRC verify, inflate, five-predictor unfiltering)
+    → geometry + exact pixel sum. Same oracle as q107: the compression
+    round-trip must be lossless, so the features recompute from the raw
+    text bytes; padding contributes 0. Map-only Arrow passes, payloads
+    never leave executors."""
+    from tagtree_spark.operators.multimodal import (
+        decoded_image_features,
+        png_from_documents,
+    )
+
+    media = png_from_documents(_docs(spark, sf_dir))
+    return decoded_image_features(media).orderBy("media_id")

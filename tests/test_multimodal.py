@@ -17,12 +17,15 @@ from tagtree_spark.operators.multimodal import (
 
 
 def test_decode_unsupported_formats_raise():
-    """Formats with no pure-Python decoder must still raise — PNG and MP4
-    are compressed; only WAV/PPM/Y4M have a stdlib parse path."""
+    """Formats with no pure-Python decoder must still raise (JPEG/MP4);
+    a bare PNG signature now reaches the REAL decoder and fails its own
+    validation (ValueError — corrupt, not unsupported)."""
     with pytest.raises(NotImplementedError):
-        decode_media("image", b"\x89PNG\r\n\x1a\n")
+        decode_media("image", b"\xff\xd8\xff\xe0\x00\x10JFIF")
     with pytest.raises(NotImplementedError):
         decode_media("video", b"\x00\x00\x00\x18ftypmp42")
+    with pytest.raises(ValueError):
+        decode_media("image", b"\x89PNG\r\n\x1a\n")  # signature, no chunks
 
 
 def test_wav_roundtrip_matches_stdlib_wave():
@@ -415,17 +418,117 @@ def test_codec_triage_mixture(spark):
     )
 
     docs = spark.createDataFrame(
-        [(i, f"payload text {i} " * 3) for i in range(16)],
+        [(i, f"payload text {i} " * 3) for i in range(20)],
         "doc_id long, text string",
     )
     media = media_mixture_from_documents(docs)
     got = {r.media_id: (r.modality, r.status) for r in try_decode_status(media).collect()}
     expect_mod = {0: "audio", 1: "image", 2: "video", 3: "audio",
-                  4: "image", 5: "video", 6: "image", 7: "audio"}
+                  4: "image", 5: "video", 6: "image", 7: "audio",
+                  8: "image", 9: "image"}
     expect_st = {0: "decoded", 1: "decoded", 2: "decoded",
                  3: "unsupported_codec", 4: "unsupported_codec",
-                 5: "unsupported_codec", 6: "corrupt", 7: "corrupt"}
-    assert len(got) == 16
+                 5: "unsupported_codec", 6: "corrupt", 7: "corrupt",
+                 8: "decoded", 9: "corrupt"}
+    assert len(got) == 20
     for mid, (mod, st) in got.items():
-        assert mod == expect_mod[mid % 8], mid
-        assert st == expect_st[mid % 8], mid
+        assert mod == expect_mod[mid % 10], mid
+        assert st == expect_st[mid % 10], mid
+
+
+def test_png_roundtrip_all_filters_and_rgba():
+    """encode∘decode inverts for RGB and RGBA across all five scanline
+    filter types, individually and cycled — the decoder genuinely
+    unfilters (a stored-only decoder would fail every non-zero type)."""
+    import random
+
+    from tagtree_spark.operators.multimodal import decode_png, encode_png
+
+    rng = random.Random(53)
+    for w, h, ch in [(1, 1, 3), (8, 5, 3), (3, 7, 4), (16, 9, 4), (5, 1, 3)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 2]):
+            payload = encode_png(w, h, px, ch, filters)
+            assert decode_png(payload) == (w, h, ch, px), (w, h, ch, filters)
+
+
+def test_png_validation_and_refusal_boundaries():
+    """Corruption → ValueError (CRC flip, truncation, inflate garbage);
+    valid-but-out-of-scope shapes (interlaced, 16-bit, palette) →
+    NotImplementedError — the triage statuses depend on this split."""
+    import struct
+    import zlib
+
+    from tagtree_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(4, 3, bytes(range(36)), 3, [1, 3])
+    # flip one CRC byte anywhere → chunk walk must catch it
+    bad = bytearray(good)
+    bad[-5] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_png(good[:-8])  # truncated
+    # interlaced / 16-bit / palette IHDRs: well-formed, out of scope
+    for depth, color, interlace in ((8, 2, 1), (16, 2, 0), (8, 3, 0)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        p = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_png(p)
+    # wrong inflated size
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    p = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflated size"):
+        decode_png(p)
+
+
+def test_png_resize_and_media_dispatch():
+    from tagtree_spark.operators.multimodal import (
+        decode_media,
+        decode_png,
+        encode_png,
+        resize_media,
+    )
+
+    px = bytes((x * 7 + y * 3) % 256 for y in range(6) for x in range(6 * 3))
+    payload = encode_png(6, 6, px, 3, [2, 4])
+    assert decode_media("image", payload) == (6, 6, 3, px)
+    small = resize_media("image", payload, 3, 3)
+    w, h, ch, out = decode_png(small)
+    assert (w, h, ch) == (3, 3, 3)
+    # nearest-neighbour: pixel (0,0) survives
+    assert out[:3] == px[:3]
+
+
+def test_png_features_match_ppm_features(spark):
+    """The PNG pipeline recovers the SAME features as the PPM pipeline on
+    the same documents — compression is lossless end-to-end through the
+    Spark plumbing."""
+    from tagtree_spark.operators.multimodal import (
+        decoded_image_features,
+        png_from_documents,
+        ppm_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"döcument {i} payload " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    a = {tuple(r) for r in decoded_image_features(png_from_documents(docs)).collect()}
+    b = {tuple(r) for r in decoded_image_features(ppm_from_documents(docs)).collect()}
+    assert a == b and len(a) == 6
