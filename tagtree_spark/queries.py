@@ -221,7 +221,20 @@ def q06b_gte(spark, sf_dir):
     return _resolve(spark, sf_dir, [LabelMatcher(MatchOp.GTE, "event_type", "login")])
 
 
-_Q7_MATCHERS = [
+# Built from the TEXT front-end (tsdb/selector.py — the
+# tagtreego/helper.go:38-67 boundary brought in-engine): the parser lowers
+# the selector string to the same LabelMatcher structs, so q07's driver row
+# hash-verifies the parse itself.
+def _q7_matchers():
+    from tagtree_spark.tsdb.selector import parse_selector
+
+    return parse_selector(
+        '{user_bucket="u1", k_bucket=~"^k[12]$", event_type!="error"}'
+    )
+
+
+_Q7_MATCHERS = _q7_matchers()
+assert _Q7_MATCHERS == [
     LabelMatcher(MatchOp.EQL, "user_bucket", "u1"),
     LabelMatcher(MatchOp.EQL_REGEX, "k_bucket", "^k[12]$"),
     LabelMatcher(MatchOp.NEQ, "event_type", "error"),
