@@ -10721,4 +10721,71 @@ def one_time_builders():
         "stream_postings_store": lambda s, d: _stream_postings_store(s, d),
         "stream_clusters_store": lambda s, d: _stream_clusters_store(s, d),
         "stream_cep_store": lambda s, d: _stream_cep_store(s, d),
+        "shingle_store": lambda s, d: _sh_store(s, d),
     }
+
+
+# Persisted SHINGLE STORE per (session, sf_dir) — the materialized-table
+# form of the _sh() session cache (VERDICT r8 #8): the exploded inverted
+# index (doc_id, s) saved as a table BUCKETED BY the shingle hash. At
+# cluster scale the session-persisted shared frames become exactly this —
+# a table next to the corpus — and the bucket layout is what lets every
+# consumer's hot operations (df-cap aggregate, pair self-join, both keyed
+# on s) run with ZERO Exchange (plan-pinned in test_plans).
+_SH_STORE_CACHE: dict = {}
+
+
+def _sh_store(spark, sf_dir):
+    import re as _re
+    import tempfile
+
+    from tagtree_spark.tsdb.store import write_bucketed
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SH_STORE_CACHE:
+        tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+        tbl = f"shingle_inv_{tag}"
+        d = tempfile.mkdtemp(prefix="tagtree-shingle-store-")
+        inv = _sh(spark, sf_dir).select("doc_id", F.explode("hs").alias("s"))
+        write_bucketed(inv, tbl, f"{d}/inv", ["s"], 16, sort_cols=["s"])
+        _SH_STORE_CACHE[key] = tbl
+    return _SH_STORE_CACHE[key]
+
+
+@query("q254_shingle_store_jaccard", _ORACLE_REG["q32_ngram_jaccard"])
+def q254_shingle_store_jaccard(spark, sf_dir):
+    """q32's exact n-gram Jaccard answered FROM the persisted shingle
+    store — the session cache re-read as a TABLE (the 100 TB stance for
+    every shared derived artifact, SCALE.md "Shared derived artifacts").
+    The store is bucketed by the 60-bit shingle hash, so the two
+    s-keyed hot operations — the stop-shingle df cap and the candidate
+    SELF-JOIN — run with no Exchange on the corpus-sized side; only the
+    bounded post-cap aggregates shuffle. Same oracle as q32: the store
+    round-trip must be semantics-preserving."""
+    inv = spark.table(_sh_store(spark, sf_dir))
+    # df cap: bucket-local aggregate (no Exchange — layout satisfies the
+    # hash requirement), broadcast the tiny drop set back
+    keep = inv.groupBy("s").agg(F.count("*").alias("_df")).where(F.col("_df") <= 50)
+    kept = inv.join(keep.select("s"), "s")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "s")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.col("n_common") * 100
+            >= F.lit(50) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+        .orderBy("doc_a", "doc_b")
+    )

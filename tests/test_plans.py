@@ -320,3 +320,30 @@ def test_q236_not_in_is_broadcast_anti_join(spark):
         "LeftAnti" in plan and "BroadcastHashJoin" in plan
     ), plan
     assert not has_cartesian(q)
+
+
+def test_shingle_store_self_join_has_no_exchange(spark):
+    """The persisted shingle store (q254) is bucketed by the shingle hash,
+    so both s-keyed hot operations — the df-cap aggregate and the
+    candidate self-join — must plan with NO Exchange on the store scans
+    (the 100 TB rationale for materializing the session caches as tables,
+    SCALE.md 'Shared derived artifacts')."""
+    from tagtree_spark.queries_ext import _sh_store
+
+    inv = spark.table(_sh_store(spark, "/root/testdata/sf0.001"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at the test's tiny scale the planner would broadcast (also fine,
+        # but not the property under test); force the sort-merge path so
+        # the BUCKET layout is what eliminates the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        agg = inv.groupBy("s").agg(F.count("*").alias("c"))
+        assert "Exchange" not in agg._jdf.queryExecution().executedPlan().toString()
+        a = inv.select(F.col("doc_id").alias("doc_a"), "s")
+        b = inv.select(F.col("doc_id").alias("doc_b"), "s")
+        j = a.join(b, "s").where(F.col("doc_a") < F.col("doc_b"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

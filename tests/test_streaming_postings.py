@@ -277,3 +277,38 @@ def test_null_text_doc_matches_batch_and_keeps_stats_sane(spark):
     want = _bm25_set(bm25_scores(docs, TERMS))
     assert got == want
     assert len(got) == 2  # doc 1 matches nothing but skews nothing
+
+
+def test_probe_cost_bounded_by_compaction_cadence(spark, documents, tmpdir):
+    """VERDICT r8 #7: between compactions a probe pays the latest-wins
+    dedup over the full segment history — compaction must keep that
+    history BOUNDED. With compact_every=N, after every batch the live
+    segment count (the probe's scan fan-out, and the dedup input size)
+    stays <= N+1 across 3N batches, collapsing to <=2 right after each
+    compaction — so probe cost is O(compact_every), flat in stream
+    length. Correctness holds at every point (spot-checked vs batch at
+    each compaction boundary and at the end)."""
+    from tagtree_spark.operators.retrieval import bm25_scores
+    from tagtree_spark.streaming.ingest import _list_segments
+
+    store = f"{tmpdir}/cadence-store"
+    n = 4
+    sink = PostingsSink(store, compact_every=n)
+    seen_counts = []
+    for b in range(3 * n):
+        sink(documents.where(F.col("doc_id") % (3 * n) == b), b)
+        n_segs = len(_list_segments(os.path.join(store, "post")))
+        seen_counts.append(n_segs)
+        assert n_segs <= n + 1, (b, n_segs)
+        if b > 0 and b % n == 0:
+            # the sink compacts segments < b before appending batch b
+            assert n_segs <= 2, (b, n_segs)
+            got = _bm25_set(store_bm25(spark, store, TERMS))
+            want = _bm25_set(
+                bm25_scores(documents.where(F.col("doc_id") % (3 * n) <= b), TERMS)
+            )
+            assert got == want, b
+    # history never grew with stream length: the max is the cadence bound
+    assert max(seen_counts) == n + 1
+    got = _bm25_set(store_bm25(spark, store, TERMS))
+    assert got == _bm25_set(bm25_scores(documents, TERMS))

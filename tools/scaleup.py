@@ -75,6 +75,27 @@ QUERIES = (
     "q248_behavior_motifs",
 )
 
+#: VERDICT r8 #4: the overflow-prone exact-integer families + the
+#: iterative families, for DEEP scale-ups (--n 100). The r5 HLL bug class
+#: — ANSI ARITHMETIC_OVERFLOW that only fires on data shapes reaching
+#: int64 limits — is found by scale DIVERSITY, not by more queries: sums
+#: of shifted/scaled integer terms grow linearly with row count, so a
+#: 100x corpus probes two more decimal orders of magnitude of headroom.
+#: A failure here is an exception (ANSI throws), not a wrong number.
+OVERFLOW_QUERIES = (
+    "q101_hll_distinct",      # HLL register sums (the r5 bug's family)
+    "q102_hll_by_group",
+    "q109_cms_heavy_hitters",  # CMS counter sums
+    "q123_kmv_distinct",       # KMV h60 aggregates
+    "q239_cuped",              # n·Σxy − Σx·Σy exact-integer moments
+    "q245_pmi_collocations",   # scaled log2 fixed-point + pair counts
+    "q249_decayed_engagement", # 1<<k exact power-of-two weights
+    # iterative families: convergence depth / state growth vs corpus
+    "q45_neardup_clusters",    # CC label propagation rounds
+    "q216_kcore",              # convergence-checked peel (r9)
+    "q238_sequence_match",     # CEP per-key sequence state
+)
+
 
 def build_scaled_dir(spark, src_dir: str, out_dir: str, n: int) -> None:
     """Materialize the Nx corpus under out_dir (idempotent: rebuilt fresh)."""
@@ -166,6 +187,13 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=10, help="scale multiplier")
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--only", default=None, help="comma-separated query subset")
+    ap.add_argument(
+        "--family",
+        choices=("dedup", "overflow"),
+        default="dedup",
+        help="query family: dedup (the quadratic-risk list) or overflow "
+        "(exact-integer + iterative families for deep --n runs)",
+    )
     args = ap.parse_args()
     # symlink targets resolve relative to the LINK's directory, not the
     # CWD — a relative --src would create dangling links (review r7)
@@ -181,7 +209,8 @@ def main() -> int:
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    names = args.only.split(",") if args.only else list(QUERIES)
+    fam = QUERIES if args.family == "dedup" else OVERFLOW_QUERIES
+    names = args.only.split(",") if args.only else list(fam)
     print(f"| query | rows 1x | wall 1x | rows {args.n}x | wall {args.n}x | ratio |")
     print("|---|---|---|---|---|---|")
     # Per-query warm-up at sf0.01 (a third, tiny sf dir): warms JVM
