@@ -10789,3 +10789,365 @@ def q254_shingle_store_jaccard(spark, sf_dir):
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q255_benford_audit",
+    """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM c)
+SELECT digit,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) AS DOUBLE) / CAST((SELECT n_total FROM tot) AS DOUBLE) AS share
+FROM c GROUP BY digit ORDER BY digit""",
+)
+def q255_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit over lineitem prices — the
+    classic fraud/quality screen a data platform runs on monetary
+    columns. Digit extraction is STRING-based on exact integer cents
+    (round(price·100) — values have 2 decimals, so the rounded product
+    is exact and a positive bigint's string form has no sign/leading
+    zeros in either engine) — no log10, no float digit math. Exact
+    integer counts; ONE final IEEE division per digit for the share.
+    Map-only + one 9-row groupBy — scan-bound at any scale."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    d = li.select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    tot = d.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_lines"))
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_lines",
+            (F.col("n_lines").cast("double") / F.col("n_total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "q256_discounted_gain_eval",
+    """
+WITH tc AS (
+  SELECT doc_id, len(w) AS dl,
+         len(list_filter(w, x -> x = 'customer')) AS c0,
+         len(list_filter(w, x -> x = 'query')) AS c1
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+), gs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         CAST(sum(CASE WHEN c0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1
+  FROM tc
+), scored AS (
+  SELECT doc_id,
+       CAST((CASE WHEN c0 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS gain,
+       ((CAST(0 AS DOUBLE)
+         + (CASE WHEN c0 > 0 THEN
+              CAST((1000000 * n_docs) // df0 AS DOUBLE)
+              * (CAST(c0 AS DOUBLE) * 2.25)
+              / (CAST(c0 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END))
+         + (CASE WHEN c1 > 0 THEN
+              CAST((1000000 * n_docs) // df1 AS DOUBLE)
+              * (CAST(c1 AS DOUBLE) * 2.25)
+              / (CAST(c1 AS DOUBLE) + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            ELSE CAST(0 AS DOUBLE) END)) AS score
+  FROM tc, gs WHERE c0 > 0 OR c1 > 0
+), ranked AS (
+  SELECT gain, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM scored
+), ideal AS (
+  SELECT gain, row_number() OVER (ORDER BY gain DESC, doc_id) AS irank FROM scored
+), dg AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(gain AS DOUBLE) / CAST(rank AS DOUBLE) ORDER BY rank)),
+           (x, y) -> x + y) AS dg
+  FROM ranked WHERE rank <= 10
+), ig AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(gain AS DOUBLE) / CAST(irank AS DOUBLE) ORDER BY irank)),
+           (x, y) -> x + y) AS ig
+  FROM ideal WHERE irank <= 10
+)
+SELECT CAST((SELECT count(*) FROM scored) AS BIGINT) AS n_matched,
+       dg.dg AS dcg, ig.ig AS idcg, dg.dg / ig.ig AS ndcg
+FROM dg, ig""",
+)
+def q256_discounted_gain_eval(spark, sf_dir):
+    """Retrieval-quality eval: rank-discounted gain of the BM25 top-10
+    against the IDEAL ordering (gain = per-doc matched-term count, the
+    graded relevance; discount = 1/rank — rational, so no cross-engine
+    log2). ndcg = dcg/idcg in [0,1] quantifies how much the length/tf
+    normalization reorders docs away from pure term coverage. Scale
+    shape: both top-10s are TakeOrdered (no global sort/window over the
+    corpus-sized match set — the oracle's row_number is the semantic
+    spec, not the plan); each discounted sum folds over its 10-row array
+    in fixed rank order (rule 12: Spark sequential aggregate ≡ DuckDB
+    list_reduce(list_prepend(0.0, ...))), then ONE final division."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.operators.retrieval import bm25_scores
+    from tagtree_spark.session import persist_tracked
+
+    scored = persist_tracked(
+        bm25_scores(_docs(spark, sf_dir), ["customer", "query"]).select(
+            "doc_id", F.col("n_terms_hit").alias("gain"), "score"
+        )
+    )
+    n_matched = scored.agg(F.count("*").cast("bigint").alias("n_matched"))
+
+    def _disc_sum(top, key_col, alias):
+        # rank within the already-TakeOrdered 10 rows (window over <=10
+        # rows post-limit, not over the corpus), then one ordered fold
+        w = Window.orderBy(*key_col)
+        ranked = top.withColumn("rank", F.row_number().over(w))
+        return ranked.agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("rank", "gain"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc
+                + s["gain"].cast("double") / s["rank"].cast("double"),
+            ).alias(alias)
+        )
+
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(10)
+    ideal = scored.orderBy(F.desc("gain"), "doc_id").limit(10)
+    dg = _disc_sum(top, (F.desc("score"), F.col("doc_id")), "dcg")
+    ig = _disc_sum(ideal, (F.desc("gain"), F.col("doc_id")), "idcg")
+    return (
+        n_matched.join(F.broadcast(dg))
+        .join(F.broadcast(ig))
+        .select(
+            "n_matched", "dcg", "idcg", (F.col("dcg") / F.col("idcg")).alias("ndcg")
+        )
+    )
+
+
+@query(
+    "q257_triplet_mining",
+    _CLUSTERS_CTES
+    + """
+, sized AS (
+  SELECT cluster_id,
+         CAST(count(*) AS BIGINT) AS cluster_size,
+         CAST(min(doc_id) AS BIGINT) AS anchor_id,
+         CAST(min(CASE WHEN doc_id > (SELECT min(doc_id) FROM clusters c2
+                                      WHERE c2.cluster_id = clusters.cluster_id)
+                       THEN doc_id END) AS BIGINT) AS positive_id
+  FROM clusters GROUP BY cluster_id HAVING count(*) >= 2
+), nxt AS (
+  SELECT cluster_id, cluster_size, anchor_id, positive_id,
+         lead(anchor_id) OVER (ORDER BY cluster_id) AS negative_id
+  FROM sized
+), wrapped AS (
+  SELECT cluster_id, cluster_size, anchor_id, positive_id,
+         coalesce(negative_id,
+                  (SELECT min(anchor_id) FROM sized)) AS negative_id
+  FROM nxt
+)
+SELECT cluster_id, cluster_size, anchor_id, positive_id, negative_id
+FROM wrapped WHERE negative_id <> anchor_id
+ORDER BY cluster_id""",
+)
+def q257_triplet_mining(spark, sf_dir):
+    """Contrastive TRIPLET mining from the dedup clusters — the
+    (anchor, positive, negative) training examples an embedding-model
+    pipeline exports: per multi-member cluster, anchor = min doc id,
+    positive = next member (a verified near-duplicate — a TRUE positive
+    pair, not a heuristic one), negative = the NEXT cluster's anchor
+    (deterministic, guaranteed non-duplicate by CC: different components
+    share no verified pair path; wraps to the first anchor for the last
+    cluster, dropping the degenerate self case when only one cluster
+    exists). Rides the shared CC labelling (one groupBy on the cluster
+    frame ≪ corpus + a lead over the cluster LIST — bounded by cluster
+    count, not corpus size)."""
+    from pyspark.sql import Window
+
+    cl = _clusters(spark, sf_dir)
+    sized = (
+        cl.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.min("doc_id").cast("bigint").alias("anchor_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("_members"),
+        )
+        .where(F.col("cluster_size") >= 2)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "anchor_id",
+            F.element_at("_members", 2).cast("bigint").alias("positive_id"),
+        )
+    )
+    first = sized.agg(F.min("anchor_id").alias("_first_anchor"))
+    w = Window.orderBy("cluster_id")
+    out = (
+        sized.withColumn("_next", F.lead("anchor_id").over(w))
+        .join(F.broadcast(first))
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "anchor_id",
+            "positive_id",
+            F.coalesce("_next", "_first_anchor").cast("bigint").alias("negative_id"),
+        )
+        .where(F.col("negative_id") != F.col("anchor_id"))
+    )
+    return out.orderBy("cluster_id")
+
+
+@query(
+    "q258_centroid_drift",
+    """
+WITH s AS (
+  SELECT label,
+         CAST(i AS BIGINT) AS dim,
+         CAST(round(e * CAST(1073741824 AS DOUBLE)) AS BIGINT) AS sv
+  FROM (SELECT label, unnest(embedding) AS e,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings) t
+), per AS (
+  SELECT label, dim, CAST(sum(sv) AS BIGINT) AS sl,
+         CAST(count(*) AS BIGINT) AS nl
+  FROM s GROUP BY label, dim
+), gl AS (
+  SELECT dim, CAST(sum(sv) AS BIGINT) AS sg, CAST(count(*) AS BIGINT) AS n
+  FROM s GROUP BY dim
+), terms AS (
+  SELECT p.label, p.nl, g.n,
+         (CAST(g.n AS HUGEINT) * CAST(p.sl AS HUGEINT)
+          - CAST(p.nl AS HUGEINT) * CAST(g.sg AS HUGEINT)) AS d
+  FROM per p JOIN gl g ON g.dim = p.dim
+), agg AS (
+  SELECT label, nl, n, sum(d * d) AS num FROM terms GROUP BY label, nl, n
+)
+SELECT label, CAST(nl AS BIGINT) AS n_vecs,
+       CAST(num AS DOUBLE)
+         / CAST(CAST(nl AS HUGEINT) * CAST(n AS HUGEINT)
+                * CAST(nl AS HUGEINT) * CAST(n AS HUGEINT)
+                * (CAST(1 AS HUGEINT) << 60) AS DOUBLE) AS drift2
+FROM agg ORDER BY label""",
+)
+def q258_centroid_drift(spark, sf_dir):
+    """Per-label embedding centroid drift: squared L2 distance between
+    each label's mean vector and the GLOBAL mean — the slice-vs-corpus
+    distribution-shift monitor an embedding pipeline alarms on. All
+    arithmetic EXACT until one final cast+division: elements scale to
+    integers by 2^30 (rule 8 power-of-two), and the mean difference is
+    kept in cleared-denominator form — Σ_dim (N·Σ_l − n_l·Σ_g)², summed
+    as DECIMAL(38,0) (≈10^33 peak, inside the rule-16 exact-cast regime;
+    HUGEINT oracle-side per rule 11), divided once by (n_l·N)²·2^60.
+    Shape: one narrow explode (vecs × dims), two integer groupBys, a
+    broadcast-sized dim join — no fp sums anywhere (rule 2)."""
+    tune(spark)
+    emb = spread(_emb(spark, sf_dir))
+    s = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x * F.lit(2.0**30)).cast("bigint"),
+            )
+        ).alias("dim0", "sv"),
+    ).select("label", (F.col("dim0") + 1).cast("bigint").alias("dim"), "sv")
+    per = s.groupBy("label", "dim").agg(
+        F.sum("sv").cast("bigint").alias("sl"),
+        F.count("*").cast("bigint").alias("nl"),
+    )
+    glob = s.groupBy("dim").agg(
+        F.sum("sv").cast("bigint").alias("sg"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    terms = per.join(F.broadcast(glob), "dim").select(
+        "label",
+        "nl",
+        "n",
+        (big(F.col("n") * F.col("sl")) - big(F.col("nl") * F.col("sg"))).alias("d"),
+    )
+    agg = terms.groupBy("label", "nl", "n").agg(
+        F.sum(F.col("d") * F.col("d")).alias("num")
+    )
+    den = (
+        big(F.col("nl") * F.col("n")) * big(F.col("nl") * F.col("n")) * F.lit(2**60).cast("decimal(38,0)")
+    )
+    return agg.select(
+        "label",
+        F.col("nl").cast("bigint").alias("n_vecs"),
+        (F.col("num").cast("double") / den.cast("double")).alias("drift2"),
+    ).orderBy("label")
+
+
+@query(
+    "q259_mixture_plan",
+    """
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST((total_tokens // 2) // n_sources AS BIGINT) AS target_tokens,
+       CAST(((total_tokens // 2) // n_sources) // n_tokens AS BIGINT) AS repeat_factor,
+       CAST(((total_tokens // 2) // n_sources) % n_tokens AS BIGINT) AS residual_tokens,
+       CAST(((total_tokens // 2) // n_sources) % n_tokens AS DOUBLE)
+         / CAST(n_tokens AS DOUBLE) AS residual_rate
+FROM per, tot ORDER BY source""",
+)
+def q259_mixture_plan(spark, sf_dir):
+    """Training-mixture REBALANCING PLAN: given a token budget (half the
+    corpus) split equally across sources, emit per source the integer
+    number of FULL passes (repeat_factor — epochs over that source) plus
+    the residual token count and keep-rate for one final partial pass —
+    the up/down-sampling recipe a pretraining pipeline feeds its data
+    loader. Everything is integer division/modulo on exact token counts
+    (identical // and % semantics on non-negative operands in both
+    engines); ONE final IEEE division for the residual rate. One
+    groupBy(source) + a broadcast 1-row total — scan-bound."""
+    tune(spark)
+    d = spread(_docs(spark, sf_dir))
+    per = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    target = F.expr("(total_tokens div 2) div n_sources")
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            target.cast("bigint").alias("target_tokens"),
+            F.expr("((total_tokens div 2) div n_sources) div n_tokens")
+            .cast("bigint")
+            .alias("repeat_factor"),
+            F.expr("((total_tokens div 2) div n_sources) % n_tokens")
+            .cast("bigint")
+            .alias("residual_tokens"),
+            (
+                F.expr("((total_tokens div 2) div n_sources) % n_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("residual_rate"),
+        )
+        .orderBy("source")
+    )
