@@ -11151,3 +11151,107 @@ def q259_mixture_plan(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def _q260_oracle() -> str:
+    from tagtree_spark.functions.hashing import duck_h60
+
+    h = duck_h60("array_to_string(array_slice(ws, p + 1, p + 8), ' ')")
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), tt AS (
+  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM t WHERE len(ws) >= 8
+), w AS (
+  SELECT doc_id, n, p, {h} AS h
+  FROM (SELECT doc_id, n, ws, unnest(range(0, n - 8 + 1)) AS p FROM tt) z
+), df AS (
+  SELECT h FROM w GROUP BY h HAVING count(*) >= 2
+), dup AS (
+  SELECT w.doc_id, w.n, w.p FROM w JOIN df USING (h)
+), cov AS (
+  SELECT doc_id, CAST(count(DISTINCT idx) AS BIGINT) AS covered_tokens
+  FROM (SELECT doc_id, p + unnest(range(0, 8)) AS idx FROM dup) c
+  GROUP BY doc_id
+), per AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+         CAST(max(n) - 8 + 1 AS BIGINT) AS n_windows,
+         CAST(count(*) AS BIGINT) AS n_dup_windows
+  FROM dup GROUP BY doc_id
+)
+SELECT per.doc_id AS doc_id, n_tokens, n_windows, n_dup_windows, covered_tokens,
+       CAST(covered_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
+FROM per JOIN cov ON cov.doc_id = per.doc_id
+ORDER BY per.doc_id"""
+
+
+@query("q260_dup_span_coverage", _q260_oracle())
+def q260_dup_span_coverage(spark, sf_dir):
+    """Exact-substring duplication coverage (the ExactSubstr dedup signal
+    of Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): every 8-token window is keyed by
+    its h60; a window occurring ≥2 times ANYWHERE in the corpus (cross-
+    or within-doc) is a duplicated span, and each affected doc reports
+    how many of its token positions fall under some duplicated span —
+    the trim/drop signal (dup_frac) a pretraining pipeline thresholds
+    on. Only docs containing ≥1 duplicated window emit a row.
+
+    Scale shape: the window pass is a narrow in-row transform (one slice
+    + one md5 per window — O(tokens) rows keyed by a fixed-width
+    bigint); the df≥2 filter is ONE groupBy on the hash; coverage
+    explodes W=8 index rows per DUPLICATED window only (bounded by dup
+    density, not corpus size). No string ever shuffles — only 60-bit
+    hashes and integer positions."""
+    from tagtree_spark.functions.hashing import h60
+
+    tune(spark)
+    W = 8
+    t = (
+        spread(_docs(spark, sf_dir))
+        .select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .withColumn("n", F.size("ws").cast("bigint"))
+        .where(F.col("n") >= W)
+    )
+    wins = t.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n") - W).cast("int")),
+                lambda p: h60(F.concat_ws(" ", F.slice("ws", p + 1, W))),
+            )
+        ).alias("p", "h"),
+    ).select("doc_id", "n", F.col("p").cast("bigint").alias("p"), "h")
+    dup_h = wins.groupBy("h").agg(F.count("*").alias("_c")).where(F.col("_c") >= 2)
+    dup = wins.join(dup_h.select("h"), "h").select("doc_id", "n", "p")
+    from tagtree_spark.session import persist_tracked
+
+    dup = persist_tracked(dup)
+    cov = (
+        dup.select(
+            "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + W - 1)).alias("idx")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("covered_tokens"))
+    )
+    per = dup.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        (F.max("n") - W + 1).cast("bigint").alias("n_windows"),
+        F.count("*").cast("bigint").alias("n_dup_windows"),
+    )
+    return (
+        per.join(cov, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            "n_dup_windows",
+            "covered_tokens",
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
