@@ -161,18 +161,39 @@ class TagTreeEngine:
 
     # -- read path (reference §3.1) ---------------------------------------
 
+    @staticmethod
+    def _matchers(m) -> list[_m.LabelMatcher]:
+        """Accept both boundary forms: LabelMatcher structs (the reference's
+        in-repo surface) or a selector STRING like '{a=~"v.*", b!="x"}'
+        (tsdb/selector.py — the tagtreego/helper.go:38-67 text boundary
+        brought in-engine, VERDICT r8 #6)."""
+        if isinstance(m, str):
+            from tagtree_spark.tsdb.selector import parse_selector
+
+            return parse_selector(m)
+        return m
+
     @_tracked
-    def resolve(self, matchers: list[_m.LabelMatcher], start=None, end=None) -> DataFrame:
+    def resolve(
+        self, matchers: list[_m.LabelMatcher] | str, start=None, end=None
+    ) -> DataFrame:
         """resolve_label_matchers → distributed DataFrame[tsid]."""
         return self._observed(
-            "resolve", _m.resolve_label_matchers(self.postings, matchers, start, end)
+            "resolve",
+            _m.resolve_label_matchers(
+                self.postings, self._matchers(matchers), start, end
+            ),
         )
 
     @_tracked
-    def select(self, matchers: list[_m.LabelMatcher], start=None, end=None) -> DataFrame:
+    def select(
+        self, matchers: list[_m.LabelMatcher] | str, start=None, end=None
+    ) -> DataFrame:
         """PromQuerier::select — samples of the matching series in range,
         through the storage seam (Queryable::querier → Querier::select)."""
-        tsids = _m.resolve_label_matchers(self.postings, matchers, start, end)
+        tsids = _m.resolve_label_matchers(
+            self.postings, self._matchers(matchers), start, end
+        )
         return self._observed("select", self.storage.select(tsids, start, end))
 
     @_tracked

@@ -68,3 +68,24 @@ def test_wav_truncation_always_detected_or_shorter(samples):
         _r, _c, got = decode_wav_pcm16(payload[:-cut])
         assert len(got) <= len(samples)
         assert got == samples[: len(got)]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    channels=st.sampled_from([3, 4]),
+    filters=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=6),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, channels, filters, data):
+    """encode∘decode identity for every geometry × channel count × filter
+    schedule — the five unfilter predictors are each hit by random
+    schedules, and the inflated-size check must reject any truncation."""
+    from tagtree_spark.operators.multimodal import decode_png, encode_png
+
+    px = data.draw(
+        st.binary(min_size=w * h * channels, max_size=w * h * channels), label="px"
+    )
+    payload = encode_png(w, h, px, channels, filters)
+    assert decode_png(payload) == (w, h, channels, px)

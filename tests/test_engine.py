@@ -334,3 +334,25 @@ def test_engine_retention_drops_old_samples_keeps_index(spark, events, tmpdir):
     # the index still answers matchers (possibly resolving to expired range)
     assert eng.series.count() > 0 and eng.postings.count() > 0
     assert eng.stats()["retention"]["calls"] == 1
+
+
+def test_resolve_accepts_selector_strings(spark, events):
+    """The text front-end is wired through the engine: resolve/select
+    accept '{...}' selector strings and lower them to the same matcher
+    structs (VERDICT r8 #6)."""
+    eng = _engine(spark, events)
+    structs = [
+        LabelMatcher(MatchOp.EQL, "event_type", "click"),
+        LabelMatcher(MatchOp.NEQ, "user_bucket", "u1"),
+    ]
+    text = '{event_type="click", user_bucket!="u1"}'
+    a = {r.tsid for r in eng.resolve(structs).collect()}
+    b = {r.tsid for r in eng.resolve(text).collect()}
+    assert a == b and a
+    assert eng.select(text).count() == eng.select(structs).count()
+    import pytest
+
+    from tagtree_spark.tsdb.selector import SelectorParseError
+
+    with pytest.raises(SelectorParseError):
+        eng.resolve('{event_type=click}')  # unquoted value
