@@ -89,9 +89,12 @@ def test_current_tsid_watermark(events):
 
 
 def test_commit_roundtrip(events, tmpdir, spark):
+    from tagtree_spark.tsdb.store import versioned_read
+
     s = add_series_batch(None, events)
     commit(s, f"{tmpdir}/series")
-    back = spark.read.parquet(f"{tmpdir}/series")
+    # commit rides the COW versioned protocol (r9): read via the pointer
+    back = versioned_read(spark, f"{tmpdir}/series")
     assert back.count() == s.count()
     assert set(back.columns) == set(s.columns)
 
