@@ -10722,6 +10722,7 @@ def one_time_builders():
         "stream_clusters_store": lambda s, d: _stream_clusters_store(s, d),
         "stream_cep_store": lambda s, d: _stream_cep_store(s, d),
         "shingle_store": lambda s, d: _sh_store(s, d),
+        "wal_store": lambda s, d: _wal_store(s, d),
     }
 
 
@@ -11255,3 +11256,87 @@ def q260_dup_span_coverage(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# One WAL fixture per (session, sf_dir): the derived series model written
+# through the BYTE-COMPATIBLE reference WAL format (tsdb/walfmt.py — the
+# reference's single-writer ingest log, so the write is deliberately
+# sequential; the READ is the distributed path under test).
+_WAL_CACHE: dict = {}
+
+
+def _wal_store(spark, sf_dir):
+    import tempfile
+
+    from tagtree_spark.tsdb.walfmt import WalWriter, serialize_series
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WAL_CACHE:
+        from tagtree_spark.queries import _model
+
+        series, _, _ = _model(spark, sf_dir)
+        rows = series.select(
+            "tsid", "event_type", "user_bucket", "k_bucket", "first_seen"
+        ).orderBy("tsid").collect()
+        d = tempfile.mkdtemp(prefix="tagtree-walstore-")
+        w = WalWriter(d, max_segment_size=64 * 4096)
+        batch = []
+        for r in rows:
+            batch.append(
+                (
+                    int(r.tsid),
+                    int(r.first_seen.timestamp() * 1000),
+                    [
+                        ("event_type", r.event_type),
+                        ("user_bucket", r.user_bucket),
+                        ("k_bucket", r.k_bucket),
+                    ],
+                )
+            )
+            if len(batch) == 100:
+                w.log_record(serialize_series(batch))
+                batch = []
+        if batch:
+            w.log_record(serialize_series(batch))
+        w.write_checkpoint(
+            watermark=len(rows), segment=w.last_segment, max_timestamp=0
+        )
+        w.close()
+        _WAL_CACHE[key] = d
+    return _WAL_CACHE[key]
+
+
+@query(
+    "q261_wal_roundtrip",
+    TSDB_CTE
+    + """
+SELECT tsid,
+       CAST(epoch_ms(first_seen) AS BIGINT) AS ts_ms,
+       event_type, user_bucket, k_bucket
+FROM series ORDER BY tsid""",
+)
+def q261_wal_roundtrip(spark, sf_dir):
+    """S1/S2 at the BYTE level: the series model is logged through the
+    reference's exact WAL on-disk format (4 KiB pages, 7-byte chunk
+    headers with big-endian lengths + CRC-32, FULL/FIRST/MIDDLE/LAST
+    fragmentation, %08d segments, CRC'd checkpoint.meta —
+    /root/reference/src/wal/wal.cpp:174-226,278-305 and
+    src/wal/record_serializer.cpp:19-58), then read back DISTRIBUTED
+    (one binaryFile task per segment, pages parsed executor-side) and
+    compared against the model the oracle re-derives from events — so a
+    driver-green row certifies the byte framing, the serializer, AND the
+    distributed read end-to-end. The write is sequential by design (the
+    reference's WAL is a single-writer log); at scale the one-task-per-
+    128 MiB-segment read is the parallel side."""
+    d = _wal_store(spark, sf_dir)
+    from tagtree_spark.tsdb.walfmt import read_wal_series
+
+    got = read_wal_series(spark, d)
+    return got.select(
+        "tsid",
+        F.col("ts").alias("ts_ms"),
+        F.col("labels")["event_type"].alias("event_type"),
+        F.col("labels")["user_bucket"].alias("user_bucket"),
+        F.col("labels")["k_bucket"].alias("k_bucket"),
+    ).orderBy("tsid")

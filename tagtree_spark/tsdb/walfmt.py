@@ -1,0 +1,327 @@
+"""Byte-level implementation of the reference's WAL on-disk format — a
+faithful reader/writer for the exact segment/page/chunk framing the
+reference engine writes, plus a DISTRIBUTED Spark read of a WAL directory.
+
+This complements the streaming-checkpoint analogue (streaming/ingest.py is
+the Spark-idiomatic durability path): here the FORMAT itself is the
+deliverable, so a corpus of reference-written WAL segments could be
+ingested by this engine directly (and vice versa). Layout, all specified
+by /root/reference/src/wal/wal.cpp and include/tagtree/wal/wal.h:
+
+  * segments: files ``%08d`` (1-based) under the log dir, hard cap
+    MAX_SEGMENT_SIZE = 128 MiB (wal.h:47);
+  * pages: 4096-byte units (wal.h:48); a record chunk never crosses a
+    page — when fewer than RECORD_HEADER_SIZE+1 bytes remain the page is
+    zero-padded and the reader skips to the next page on a type-0 byte
+    (wal.cpp:188-190, reader.cpp:63-66);
+  * chunks: 7-byte header — type u8 (1 FULL / 2 FIRST / 3 MIDDLE /
+    4 LAST), length u16 BIG-endian (wal.cpp:210 htobe16), CRC-32 u32
+    LITTLE-endian (CRCpp CRC_32 = IEEE/zlib polynomial, memcpy'd native
+    on x86) over the chunk payload — then the payload (wal.cpp:207-218);
+  * records larger than a page fragment across FIRST/MIDDLE/LAST chunks
+    (wal.cpp:199-206); a record that cannot fit in the remaining segment
+    capacity rolls to a fresh segment first (wal.cpp:178-184);
+  * checkpoint: ``checkpoint.meta`` = five u32 LITTLE-endian slots —
+    [segment, low_watermark, max_timestamp(u64 in slots 2-3), CRC-32 of
+    the first 16 bytes] — written to .tmp then atomically renamed
+    (wal.cpp:278-305);
+  * series record payload (src/wal/record_serializer.cpp:19-58): u32 LE
+    record type (LRT_SERIES = 1, include/tagtree/wal/records.h:10-11),
+    then per series u64 LE tsid, u64 LE timestamp, u16 LE label count,
+    then per label u16 LE length-prefixed name and value bytes.
+
+Scale note: segments are independent 128 MiB files, so the Spark read
+maps one task per segment via the binaryFile source — parsing happens
+executor-side (read_wal_series); nothing is assembled on the driver.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+PAGE_SIZE = 4096
+RECORD_HEADER_SIZE = 7
+MAX_SEGMENT_SIZE = 128 * 1024 * 1024
+
+LR_NONE, LR_FULL, LR_FIRST, LR_MIDDLE, LR_LAST = 0, 1, 2, 3, 4
+LRT_SERIES = 1
+
+
+def _crc32(b: bytes) -> int:
+    return zlib.crc32(b) & 0xFFFFFFFF
+
+
+def _seg_path(log_dir: str, seg: int) -> str:
+    return os.path.join(log_dir, f"{seg:08d}")
+
+
+class WalWriter:
+    """Page-buffered WAL writer, chunk-for-chunk compatible with the
+    reference's ``WAL::log_record`` (/root/reference/src/wal/wal.cpp:
+    174-226). ``max_segment_size`` is parameterized for tests; the
+    reference's constant is the default."""
+
+    def __init__(self, log_dir: str, max_segment_size: int = MAX_SEGMENT_SIZE):
+        if max_segment_size % PAGE_SIZE:
+            raise ValueError("max_segment_size must be page-aligned")
+        self.log_dir = log_dir
+        self.max_segment_size = max_segment_size
+        self.checkpoint_path = os.path.join(log_dir, "checkpoint.meta")
+        os.makedirs(log_dir, exist_ok=True)
+        self._page = bytearray(PAGE_SIZE)
+        self._page_start = 0
+        self._page_end = 0
+        segs = sorted(self.segments(log_dir))
+        self.last_segment = segs[-1] if segs else 1
+        if not segs:
+            open(_seg_path(log_dir, 1), "xb").close()
+        self._open_write_segment(self.last_segment)
+
+    @staticmethod
+    def segments(log_dir: str) -> list[int]:
+        out = []
+        for p in glob.glob(os.path.join(log_dir, "[0-9]" * 8)):
+            tail = os.path.basename(p)
+            if tail.isdigit():
+                out.append(int(tail))
+        return sorted(out)
+
+    def _open_write_segment(self, seg: int) -> None:
+        self._fd = open(_seg_path(self.log_dir, seg), "r+b")
+        self._fd.seek(0, os.SEEK_END)
+        off = self._fd.tell()
+        if off % PAGE_SIZE:
+            # zero-pad a torn tail page so appends start page-aligned
+            # (wal.cpp open_write_segment)
+            pad = PAGE_SIZE - (off % PAGE_SIZE)
+            self._fd.write(b"\x00" * pad)
+            off += pad
+        self._segment_start = off
+
+    def _flush_page(self, reset: bool) -> None:
+        if PAGE_SIZE <= self._page_end + RECORD_HEADER_SIZE:
+            reset = True
+        if reset:
+            self._page_end = PAGE_SIZE
+        self._fd.write(bytes(self._page[self._page_start : self._page_end]))
+        self._page_start = self._page_end
+        if reset:
+            self._page = bytearray(PAGE_SIZE)
+            self._page_end = self._page_start = 0
+            self._segment_start += PAGE_SIZE
+
+    def _next_segment(self) -> int:
+        if self._page_end > 0:
+            self._flush_page(True)
+        self._fd.close()
+        self.last_segment += 1
+        open(_seg_path(self.log_dir, self.last_segment), "xb").close()
+        self._open_write_segment(self.last_segment)
+        return self.last_segment
+
+    def log_record(self, rec: bytes, flush: bool = True) -> None:
+        """Append one record, fragmenting across pages/chunks exactly as
+        the reference does."""
+        length = len(rec)
+        remaining = PAGE_SIZE - self._page_end
+        # signed arithmetic on purpose: at an exactly-full segment the
+        # reference's size_t expression wraps to SIZE_MAX and skips the
+        # rollover (wal.cpp:180-181); here -1 forces the roll, which is
+        # the evident intent — format-compatible either way (the reader
+        # walks segments independently)
+        remaining += (PAGE_SIZE - RECORD_HEADER_SIZE) * (
+            (self.max_segment_size - self._segment_start) // PAGE_SIZE - 1
+        )
+        if remaining < length:
+            self._next_segment()
+        pos = 0
+        rtype = LR_NONE
+        while length:
+            if PAGE_SIZE - self._page_end <= RECORD_HEADER_SIZE:
+                self._flush_page(True)
+            chunk = min(length, PAGE_SIZE - self._page_end - RECORD_HEADER_SIZE)
+            if rtype == LR_NONE:
+                rtype = LR_FULL if chunk == length else LR_FIRST
+            elif rtype in (LR_FIRST, LR_MIDDLE):
+                rtype = LR_LAST if chunk == length else LR_MIDDLE
+            payload = rec[pos : pos + chunk]
+            hdr = (
+                struct.pack("B", rtype)
+                + struct.pack(">H", chunk)  # length is BIG-endian
+                + struct.pack("<I", _crc32(payload))  # CRC is native LE
+            )
+            e = self._page_end
+            self._page[e : e + RECORD_HEADER_SIZE] = hdr
+            self._page[e + RECORD_HEADER_SIZE : e + RECORD_HEADER_SIZE + chunk] = payload
+            self._page_end += RECORD_HEADER_SIZE + chunk
+            pos += chunk
+            length -= chunk
+            if flush or PAGE_SIZE <= self._page_end + RECORD_HEADER_SIZE:
+                self._flush_page(False)
+
+    def close_segment(self) -> int:
+        return self._next_segment()
+
+    def close(self) -> None:
+        if self._page_end > self._page_start:
+            self._flush_page(False)
+        self._fd.close()
+
+    def write_checkpoint(self, watermark: int, segment: int, max_timestamp: int) -> None:
+        body = struct.pack("<IIQ", segment, watermark, max_timestamp)
+        buf = body + struct.pack("<I", _crc32(body))
+        tmp = self.checkpoint_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, self.checkpoint_path)
+
+
+@dataclass
+class CheckpointStats:
+    last_segment: int = 1
+    low_watermark: int = 0
+    max_timestamp: int = 0
+    valid: bool = field(default=False)
+
+
+def last_checkpoint(log_dir: str) -> CheckpointStats:
+    """Read checkpoint.meta, validating its CRC (a torn write rolls back
+    to the empty stats, like the reference's defaulting)."""
+    path = os.path.join(log_dir, "checkpoint.meta")
+    try:
+        with open(path, "rb") as f:
+            buf = f.read()
+    except OSError:
+        return CheckpointStats()
+    if len(buf) != 20:
+        return CheckpointStats()
+    seg, wm, max_ts = struct.unpack("<IIQ", buf[:16])
+    (crc,) = struct.unpack("<I", buf[16:])
+    if crc != _crc32(buf[:16]):
+        return CheckpointStats()
+    return CheckpointStats(seg, wm, max_ts, True)
+
+
+def read_segment_records(payload: bytes, verify_crc: bool = True):
+    """Yield reassembled records from one segment's raw bytes —
+    the reference reader's page walk (reader.cpp:49-85): type-0 skips to
+    the next page, FULL/LAST terminate a record. Raises ValueError on a
+    CRC mismatch (torn/corrupt chunk)."""
+    n_pages = (len(payload) + PAGE_SIZE - 1) // PAGE_SIZE
+    record = bytearray()
+    for pg in range(n_pages):
+        page = payload[pg * PAGE_SIZE : (pg + 1) * PAGE_SIZE]
+        off = 0
+        while off + RECORD_HEADER_SIZE < PAGE_SIZE and off + RECORD_HEADER_SIZE <= len(page):
+            rtype = page[off]
+            if rtype == LR_NONE:
+                break  # zero padding — rest of page is empty
+            (length,) = struct.unpack(">H", page[off + 1 : off + 3])
+            (crc,) = struct.unpack("<I", page[off + 3 : off + 7])
+            chunk = page[off + 7 : off + 7 + length]
+            if len(chunk) != length:
+                raise ValueError(f"torn chunk at page {pg} offset {off}")
+            if verify_crc and _crc32(chunk) != crc:
+                raise ValueError(f"chunk CRC mismatch at page {pg} offset {off}")
+            record += chunk
+            off += RECORD_HEADER_SIZE + length
+            if rtype in (LR_FULL, LR_LAST):
+                yield bytes(record)
+                record = bytearray()
+
+
+def read_wal_records(log_dir: str, start_segment: int = 1):
+    """Driver-side record iterator over every segment >= start_segment."""
+    for seg in WalWriter.segments(log_dir):
+        if seg < start_segment:
+            continue
+        with open(_seg_path(log_dir, seg), "rb") as f:
+            yield from read_segment_records(f.read())
+
+
+# -- series record payloads (src/wal/record_serializer.cpp) ----------------
+
+
+def serialize_series(series: list[tuple[int, int, list[tuple[str, str]]]]) -> bytes:
+    """[(tsid, timestamp, [(name, value), ...]), ...] → LRT_SERIES record
+    bytes, field-for-field the reference's layout."""
+    out = bytearray(struct.pack("<I", LRT_SERIES))
+    for tsid, ts, labels in series:
+        out += struct.pack("<QQH", tsid, ts, len(labels))
+        for name, value in labels:
+            nb, vb = name.encode("utf-8"), value.encode("utf-8")
+            out += struct.pack("<H", len(nb)) + nb
+            out += struct.pack("<H", len(vb)) + vb
+    return bytes(out)
+
+
+def deserialize_series(buf: bytes) -> list[tuple[int, int, list[tuple[str, str]]]]:
+    (rtype,) = struct.unpack_from("<I", buf, 0)
+    if rtype != LRT_SERIES:
+        raise ValueError(f"not a series record (type {rtype})")
+    pos, lim, out = 4, len(buf), []
+    while pos < lim:
+        tsid, ts, n = struct.unpack_from("<QQH", buf, pos)
+        pos += 18
+        labels = []
+        for _ in range(n):
+            (slen,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            name = buf[pos : pos + slen].decode("utf-8")
+            pos += slen
+            (slen,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            value = buf[pos : pos + slen].decode("utf-8")
+            pos += slen
+            labels.append((name, value))
+        out.append((tsid, ts, labels))
+    return out
+
+
+def read_wal_series(spark, log_dir: str):
+    """DISTRIBUTED read of a WAL directory → DataFrame ``(tsid BIGINT,
+    ts BIGINT, labels MAP<STRING,STRING>)``: the binaryFile source maps
+    one task per segment file (segments are independent by construction)
+    and each executor parses its segment's pages locally — the driver
+    never sees record bytes."""
+    from pyspark.sql.types import (
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("tsid", LongType()),
+            StructField("ts", LongType()),
+            StructField("labels", MapType(StringType(), StringType())),
+        ]
+    )
+
+    def parse(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = {"tsid": [], "ts": [], "labels": []}
+            for content in pdf["content"]:
+                for rec in read_segment_records(bytes(content)):
+                    if struct.unpack_from("<I", rec, 0)[0] != LRT_SERIES:
+                        continue
+                    for tsid, ts, labels in deserialize_series(rec):
+                        rows["tsid"].append(tsid)
+                        rows["ts"].append(ts)
+                        rows["labels"].append(dict(labels))
+            yield pd.DataFrame(rows)
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(log_dir, "[0-9]" * 8))
+        .select("content")
+    )
+    return files.mapInPandas(parse, schema=schema)

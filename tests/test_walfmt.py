@@ -1,0 +1,183 @@
+"""Byte-level WAL format (tsdb/walfmt.py): golden-byte framing pins,
+fragmentation across pages and segments, CRC/torn-write rejection,
+checkpoint round-trip, record serializer round-trip (incl. unicode), a
+hypothesis property over random record streams, and the distributed
+Spark read."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import tempfile
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tagtree_spark.tsdb.walfmt import (
+    PAGE_SIZE,
+    RECORD_HEADER_SIZE,
+    CheckpointStats,
+    WalWriter,
+    deserialize_series,
+    last_checkpoint,
+    read_segment_records,
+    read_wal_records,
+    read_wal_series,
+    serialize_series,
+)
+
+
+@pytest.fixture()
+def wal_dir():
+    d = tempfile.mkdtemp(prefix="tagtree-walfmt-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_golden_bytes_single_full_chunk(wal_dir):
+    """Pin the exact on-disk framing of one small record: type=FULL(1),
+    u16 BIG-endian length, u32 LITTLE-endian zlib CRC, payload — the
+    reference's chunk layout (wal.cpp:207-218)."""
+    w = WalWriter(wal_dir)
+    rec = b"hello wal"
+    w.log_record(rec)
+    w.close()
+    raw = open(os.path.join(wal_dir, "00000001"), "rb").read()
+    expect = b"\x01" + struct.pack(">H", len(rec)) + struct.pack(
+        "<I", zlib.crc32(rec)
+    ) + rec
+    assert raw[: len(expect)] == expect
+    assert list(read_segment_records(raw)) == [rec]
+
+
+def test_fragmentation_first_middle_last(wal_dir):
+    """A record spanning 3 pages fragments FIRST/MIDDLE/LAST with per-chunk
+    CRCs; page boundaries carry fresh 7-byte headers."""
+    w = WalWriter(wal_dir)
+    rec = bytes(range(256)) * 40  # 10240 bytes > 2 pages
+    w.log_record(rec)
+    w.close()
+    raw = open(os.path.join(wal_dir, "00000001"), "rb").read()
+    types = [raw[p * PAGE_SIZE] for p in range(3)]
+    assert types == [2, 3, 4]  # FIRST, MIDDLE, LAST
+    assert list(read_segment_records(raw)) == [rec]
+
+
+def test_page_tail_padding_and_many_records(wal_dir):
+    """Records sized to leave < header-size tail bytes force type-0 zero
+    padding; the reader skips to the next page (reader.cpp:63-66)."""
+    w = WalWriter(wal_dir)
+    recs = [bytes([i]) * (PAGE_SIZE - RECORD_HEADER_SIZE - 3) for i in range(5)]
+    for r in recs:
+        w.log_record(r)
+    w.close()
+    raw = open(os.path.join(wal_dir, "00000001"), "rb").read()
+    assert list(read_segment_records(raw)) == recs
+
+
+def test_segment_rollover(wal_dir):
+    """With a tiny max_segment_size, records roll into new %08d segments
+    and the multi-segment read returns everything in order."""
+    w = WalWriter(wal_dir, max_segment_size=4 * PAGE_SIZE)
+    recs = [bytes([i]) * 3000 for i in range(12)]
+    for r in recs:
+        w.log_record(r)
+    w.close()
+    assert len(WalWriter.segments(wal_dir)) > 1
+    assert list(read_wal_records(wal_dir)) == recs
+
+
+def test_crc_and_torn_chunk_rejected(wal_dir):
+    w = WalWriter(wal_dir)
+    w.log_record(b"x" * 100)
+    w.close()
+    raw = bytearray(open(os.path.join(wal_dir, "00000001"), "rb").read())
+    raw[10] ^= 0xFF  # flip a payload byte → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        list(read_segment_records(bytes(raw)))
+    with pytest.raises(ValueError, match="torn"):
+        list(read_segment_records(bytes(raw[:50])))
+
+
+def test_checkpoint_roundtrip_and_torn_rejection(wal_dir):
+    w = WalWriter(wal_dir)
+    w.write_checkpoint(watermark=12345, segment=7, max_timestamp=2**40 + 17)
+    got = last_checkpoint(wal_dir)
+    assert (got.last_segment, got.low_watermark, got.max_timestamp, got.valid) == (
+        7,
+        12345,
+        2**40 + 17,
+        True,
+    )
+    # torn/corrupt checkpoint rolls back to empty stats
+    with open(os.path.join(wal_dir, "checkpoint.meta"), "r+b") as f:
+        f.seek(3)
+        f.write(b"\xff")
+    assert last_checkpoint(wal_dir) == CheckpointStats()
+    w.close()
+
+
+def test_series_record_serializer_roundtrip():
+    series = [
+        (1, 1700000000000, [("__name__", "métrique"), ("job", "node")]),
+        (2**40, 0, []),
+        (7, 42, [("k", "v" * 300)]),
+    ]
+    buf = serialize_series(series)
+    assert struct.unpack_from("<I", buf, 0)[0] == 1  # LRT_SERIES
+    assert deserialize_series(buf) == series
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    recs=st.lists(st.binary(min_size=1, max_size=3 * PAGE_SIZE), min_size=1, max_size=20),
+    seg_pages=st.integers(min_value=2, max_value=8),
+)
+def test_wal_roundtrip_property(recs, seg_pages):
+    d = tempfile.mkdtemp(prefix="tagtree-walprop-")
+    try:
+        w = WalWriter(d, max_segment_size=seg_pages * PAGE_SIZE)
+        for r in recs:
+            w.log_record(r)
+        w.close()
+        assert list(read_wal_records(d)) == recs
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_reopen_appends_after_existing_records(wal_dir):
+    """A writer reopened over an existing log pads any torn tail page and
+    appends; earlier records stay readable (wal.cpp open_write_segment)."""
+    w1 = WalWriter(wal_dir)
+    w1.log_record(b"first")
+    w1.close()
+    w2 = WalWriter(wal_dir)
+    w2.log_record(b"second")
+    w2.close()
+    assert list(read_wal_records(wal_dir)) == [b"first", b"second"]
+
+
+def test_distributed_spark_read(spark, wal_dir):
+    """read_wal_series parses segments executor-side (one task per file)
+    and returns the exact series rows written, across a rollover."""
+    w = WalWriter(wal_dir, max_segment_size=4 * PAGE_SIZE)
+    expect = []
+    for batch in range(6):
+        series = [
+            (batch * 10 + i, 1000 + batch, [("job", f"j{batch}"), ("i", str(i))])
+            for i in range(8)
+        ]
+        expect.extend(series)
+        w.log_record(serialize_series(series))
+    w.write_checkpoint(watermark=59, segment=w.last_segment, max_timestamp=1005)
+    w.close()
+    df = read_wal_series(spark, wal_dir)
+    got = sorted(
+        (r.tsid, r.ts, tuple(sorted(r.labels.items()))) for r in df.collect()
+    )
+    want = sorted((t, ts, tuple(sorted(ls))) for t, ts, ls in expect)
+    assert got == want
+    assert last_checkpoint(wal_dir).low_watermark == 59
