@@ -325,3 +325,112 @@ def read_wal_series(spark, log_dir: str):
         .select("content")
     )
     return files.mapInPandas(parse, schema=schema)
+
+
+# -- PySpark 4 Python data source over a WAL directory ----------------------
+#
+# Batch: one input partition per segment file (segments are independent by
+# construction — records never cross a segment, wal.cpp:178-184). Stream:
+# tail the log at SEGMENT granularity, serving only CLOSED segments (a
+# segment is closed once a later one exists) — the live segment's tail
+# page is still mutable (flush_page appends into the same page region,
+# wal.cpp:242-269), so page-level offsets into it would serve bytes that
+# later gain a continuation; the one-segment lag is the price of an
+# immutable offset, and the batch reader covers the live head.
+
+_WAL_SCHEMA_DDL = "tsid bigint, ts bigint, labels map<string,string>"
+
+
+def _series_rows(seg_path: str):
+    with open(seg_path, "rb") as f:
+        payload = f.read()
+    for rec in read_segment_records(payload):
+        if struct.unpack_from("<I", rec, 0)[0] != LRT_SERIES:
+            continue
+        for tsid, ts, labels in deserialize_series(rec):
+            yield (tsid, ts, dict(labels))
+
+
+try:  # pyspark>=4 only; the module's core codec has no Spark dependency
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _WalSeg(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class WalBatchReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("tagtree_wal requires .option('path', ...)")
+
+        def partitions(self):
+            return [
+                _WalSeg(_seg_path(self.path, s)) for s in WalWriter.segments(self.path)
+            ]
+
+        def read(self, partition):
+            yield from _series_rows(partition.path)
+
+    class WalStreamReader(DataSourceStreamReader):
+        """Offsets are ``{"segment": <next unserved segment id>}``; only
+        closed segments (id < max id) are ever served, so every served
+        byte range is immutable and replay-stable."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("tagtree_wal requires .option('path', ...)")
+
+        def initialOffset(self):
+            segs = WalWriter.segments(self.path)
+            return {"segment": segs[0] if segs else 1}
+
+        def latestOffset(self):
+            segs = WalWriter.segments(self.path)
+            return {"segment": segs[-1] if segs else 1}  # max is live — excluded
+
+        def partitions(self, start, end):
+            return [
+                _WalSeg(_seg_path(self.path, s))
+                for s in WalWriter.segments(self.path)
+                if start["segment"] <= s < end["segment"]
+            ]
+
+        def read(self, partition):
+            yield from _series_rows(partition.path)
+
+        def commit(self, end):
+            pass
+
+    class WalDataSource(DataSource):
+        """``spark.read.format("tagtree_wal").option("path", d).load()`` —
+        series records from a reference-format WAL directory, batch or
+        streaming tail."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "tagtree_wal"
+
+        def schema(self):
+            return _WAL_SCHEMA_DDL
+
+        def reader(self, schema):
+            return WalBatchReader(self.options)
+
+        def streamReader(self, schema):
+            return WalStreamReader(self.options)
+
+    def register_wal_source(spark) -> None:
+        spark.dataSource.register(WalDataSource)
+
+except ImportError:  # pragma: no cover - pyspark<4 fallback
+    WalDataSource = None
+
+    def register_wal_source(spark) -> None:
+        raise NotImplementedError("tagtree_wal data source needs pyspark>=4")

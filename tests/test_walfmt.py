@@ -181,3 +181,46 @@ def test_distributed_spark_read(spark, wal_dir):
     want = sorted((t, ts, tuple(sorted(ls))) for t, ts, ls in expect)
     assert got == want
     assert last_checkpoint(wal_dir).low_watermark == 59
+
+
+def test_wal_data_source_batch_and_stream(spark, wal_dir):
+    """The tagtree_wal Python data source: batch read covers every
+    segment; the streaming tail serves CLOSED segments only (the live
+    head's tail page is still mutable), so after a close_segment() the
+    drained stream equals the batch read of the closed prefix."""
+    from tagtree_spark.tsdb.walfmt import register_wal_source
+
+    w = WalWriter(wal_dir, max_segment_size=4 * PAGE_SIZE)
+    expect = []
+    for batch in range(5):
+        series = [
+            (batch * 10 + i, 77, [("b", str(batch))]) for i in range(6)
+        ]
+        expect.extend(series)
+        w.log_record(serialize_series(series))
+    w.close_segment()  # close the head so every record is tail-visible
+    w.close()
+
+    register_wal_source(spark)
+    got = sorted(
+        (r.tsid, r.ts, tuple(sorted(r.labels.items())))
+        for r in spark.read.format("tagtree_wal").option("path", wal_dir).load().collect()
+    )
+    want = sorted((t, ts, tuple(sorted(ls))) for t, ts, ls in expect)
+    assert got == want
+
+    q = (
+        spark.readStream.format("tagtree_wal")
+        .option("path", wal_dir)
+        .load()
+        .writeStream.format("memory")
+        .queryName("wal_tail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    tailed = sorted(
+        (r.tsid, r.ts, tuple(sorted(r.labels.items())))
+        for r in spark.sql("SELECT * FROM wal_tail").collect()
+    )
+    assert tailed == want  # the freshly-created empty head segment is excluded
