@@ -11340,3 +11340,42 @@ def q261_wal_roundtrip(spark, sf_dir):
         F.col("labels")["user_bucket"].alias("user_bucket"),
         F.col("labels")["k_bucket"].alias("k_bucket"),
     ).orderBy("tsid")
+
+
+@query(
+    "q262_forecast_revenue",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.05
+  AND l_quantity < 24""",
+)
+def q262_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — forecasting revenue change: a pure
+    filter-and-aggregate with every predicate PUSHED to the parquet scan
+    (date range, discount band, quantity cap → row-group min/max
+    skipping), completing the engine's TPC-H sweep (Q1-Q22 now all
+    covered in their schema-expressible form). Decimal-exact product
+    sum, ONE final double cast (rules 1/2)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.where(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
