@@ -11379,3 +11379,91 @@ def q262_forecast_revenue(spark, sf_dir):
             F.count("*").cast("bigint").alias("n_lines"),
         )
     )
+
+
+@query(
+    "q263_cusum_changepoint",
+    """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS total
+  FROM d GROUP BY 1
+), c AS (
+  SELECT d.event_type, d.day, t.n_days, t.total,
+         CAST(t.n_days AS BIGINT)
+           * sum(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day
+                            ROWS UNBOUNDED PRECEDING)
+           - CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                  AS BIGINT) * t.total AS s
+  FROM d JOIN t ON t.event_type = d.event_type
+), r AS (
+  SELECT event_type, day, n_days, total, abs(s) AS abs_s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(s) DESC, day) AS rn
+  FROM c
+)
+SELECT event_type, n_days, total, day AS cp_day, CAST(abs_s AS BIGINT) AS max_abs_s,
+       CAST(abs_s AS DOUBLE) / CAST(n_days * total AS DOUBLE) AS score
+FROM r WHERE rn = 1 ORDER BY event_type""",
+)
+def q263_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection per event type over the daily count
+    series — the drift alarm a data-quality monitor runs on ingest
+    volumes. The statistic is kept EXACT by clearing the mean's
+    denominator: S_k = n·Σ_{i≤k}x_i − k·Σx (all bigint; |S| peaks at
+    n·total ≪ int64), the changepoint is argmax|S_k| (day ties → the
+    earliest day), and the normalized score pays ONE final IEEE
+    division. Shape: the corpus-sized work is one (type, day) count
+    groupBy; the CUSUM windows run over the bounded daily series
+    (days × types rows), partitioned by type — no global window."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.expr("unix_millis(ts) div 86400000").cast("bigint").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    t = d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("total"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wr = Window.partitionBy("event_type").orderBy("day")
+    c = (
+        d.join(F.broadcast(t), "event_type")
+        .withColumn(
+            "s",
+            F.col("n_days") * F.sum("x").over(w)
+            - F.row_number().over(wr).cast("bigint") * F.col("total"),
+        )
+        .withColumn("abs_s", F.abs("s"))
+    )
+    pick = Window.partitionBy("event_type").orderBy(F.desc("abs_s"), "day")
+    return (
+        c.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            "total",
+            F.col("day").alias("cp_day"),
+            F.col("abs_s").cast("bigint").alias("max_abs_s"),
+            (
+                F.col("abs_s").cast("double")
+                / (F.col("n_days") * F.col("total")).cast("double")
+            ).alias("score"),
+        )
+        .orderBy("event_type")
+    )
