@@ -538,13 +538,20 @@ def simhash_near_dup_pairs(
     )
 
 
+#: q32/q254's shared thresholds — the store-backed q254 reuses q32's
+#: oracle, so BOTH must read one definition (review r9: hardcoded copies
+#: would silently diverge if the defaults are ever retuned).
+JACCARD_MIN_PCT = 50
+JACCARD_MAX_DF = 50
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    min_jaccard_pct: int = 50,
-    max_df: int = 50,
+    min_jaccard_pct: int = JACCARD_MIN_PCT,
+    max_df: int = JACCARD_MAX_DF,
     sh: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via a shingle inverted index →

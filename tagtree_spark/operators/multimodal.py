@@ -1159,7 +1159,7 @@ def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
     6       image     P6 with truncated pixel data           corrupt
     7       audio     RIFF/WAVE declaring MPEG (fmt=85)      corrupt
     8       image     real COMPRESSED PNG (zlib+filters)     decoded
-    9       image     PNG with a flipped IDAT CRC byte       corrupt
+    9       image     PNG with a flipped chunk-CRC byte      corrupt
     ======  ========  =====================================  ============
 
     Decodable payloads reuse the exact builders of
@@ -1210,7 +1210,11 @@ def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
 
         def bad_crc_png(raw: bytes) -> bytes:
             p = bytearray(png(raw))
-            p[-5] ^= 0xFF  # last IEND CRC byte — chunk walk must catch it
+            # the file's last 4 bytes ARE the IEND chunk's CRC — flip one
+            # so the chunk walk's verification fails (review r9: the
+            # earlier -5 hit the type field, which also errors but made
+            # this fixture's label a lie)
+            p[-1] ^= 0xFF
             return bytes(p)
 
         build = {

@@ -10764,10 +10764,16 @@ def q254_shingle_store_jaccard(spark, sf_dir):
     SELF-JOIN — run with no Exchange on the corpus-sized side; only the
     bounded post-cap aggregates shuffle. Same oracle as q32: the store
     round-trip must be semantics-preserving."""
+    from tagtree_spark.operators.dedup import JACCARD_MAX_DF, JACCARD_MIN_PCT
+
     inv = spark.table(_sh_store(spark, sf_dir))
     # df cap: bucket-local aggregate (no Exchange — layout satisfies the
     # hash requirement), broadcast the tiny drop set back
-    keep = inv.groupBy("s").agg(F.count("*").alias("_df")).where(F.col("_df") <= 50)
+    keep = (
+        inv.groupBy("s")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= JACCARD_MAX_DF)
+    )
     kept = inv.join(keep.select("s"), "s")
     sizes = kept.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
     a = kept.select(F.col("doc_id").alias("doc_a"), "s")
@@ -10785,7 +10791,8 @@ def q254_shingle_store_jaccard(spark, sf_dir):
         .join(sb, "doc_b")
         .where(
             F.col("n_common") * 100
-            >= F.lit(50) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            >= F.lit(JACCARD_MIN_PCT)
+            * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
         )
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
         .orderBy("doc_a", "doc_b")
@@ -11071,17 +11078,24 @@ def q258_centroid_drift(spark, sf_dir):
         F.count("*").cast("bigint").alias("n"),
     )
     big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # cast each FACTOR before multiplying (rule 7 / the r5 HLL class):
+    # n·sl as a raw bigint product overflows int64 at ~3e5 vectors and
+    # ANSI throws only on the data shapes that hit it — the oracle's
+    # HUGEINT casts are per-factor too (review r9)
     terms = per.join(F.broadcast(glob), "dim").select(
         "label",
         "nl",
         "n",
-        (big(F.col("n") * F.col("sl")) - big(F.col("nl") * F.col("sg"))).alias("d"),
+        (big(F.col("n")) * big(F.col("sl")) - big(F.col("nl")) * big(F.col("sg"))).alias(
+            "d"
+        ),
     )
     agg = terms.groupBy("label", "nl", "n").agg(
         F.sum(F.col("d") * F.col("d")).alias("num")
     )
     den = (
-        big(F.col("nl") * F.col("n")) * big(F.col("nl") * F.col("n")) * F.lit(2**60).cast("decimal(38,0)")
+        big(F.col("nl")) * big(F.col("n")) * big(F.col("nl")) * big(F.col("n"))
+        * F.lit(2**60).cast("decimal(38,0)")
     )
     return agg.select(
         "label",

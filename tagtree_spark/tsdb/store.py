@@ -209,6 +209,16 @@ def versioned_overwrite(
     target = _vdir(path, nxt)
     writer = df.write.mode("overwrite")
     if partition_cols:
+        # CLAUDE.md rule 13: a zero-row dynamic-partitioned write emits
+        # only _SUCCESS — _complete() would pass and COMMIT a version
+        # every later read fails on (UNABLE_TO_INFER_SCHEMA). Refuse
+        # loudly instead of poisoning the store (review r9).
+        if df.isEmpty():
+            raise ValueError(
+                f"versioned_overwrite({path!r}): refusing to commit a "
+                "zero-row partitioned version (it would have no data "
+                "files and break every later read)"
+            )
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(target)
     if not _complete(target):
@@ -236,11 +246,23 @@ def versioned_read(spark: SparkSession, path: str) -> DataFrame:
     the returned DataFrame scans an immutable directory, so a concurrent
     :func:`versioned_overwrite`/:func:`versioned_compact` can never tear
     it (the reference's queries-run-on-the-previous-tree guarantee).
-    Falls back to a legacy plain table not yet migrated."""
-    recover_versioned(path)
+    Falls back to a legacy plain table not yet migrated.
+
+    Deliberately PURE-READ — no recovery here: a reader that ran
+    recover_versioned would rmtree a CONCURRENT writer's in-progress
+    staging dir (it looks exactly like crash debris), losing that
+    writer's committed part-files while _SUCCESS still lands (review
+    r9). Crash debris never affects readers (they resolve only the
+    committed pointer) and is swept by the NEXT writer, whose
+    recover_versioned runs when no other writer can be active
+    (single-writer protocol, like the reference's compaction)."""
     cur = committed_version(path)
     if cur is not None:
         return spark.read.parquet(_vdir(path, cur))
+    if _complete(path):
+        return spark.read.parquet(path)
+    # no committed version and no complete plain table: explicit repair
+    # (we are the only actor that can make progress here)
     recover_table(path)
     return spark.read.parquet(path)
 

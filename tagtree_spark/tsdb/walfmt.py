@@ -209,10 +209,28 @@ def last_checkpoint(log_dir: str) -> CheckpointStats:
 def read_segment_records(payload: bytes, verify_crc: bool = True):
     """Yield reassembled records from one segment's raw bytes —
     the reference reader's page walk (reader.cpp:49-85): type-0 skips to
-    the next page, FULL/LAST terminate a record. Raises ValueError on a
-    CRC mismatch (torn/corrupt chunk)."""
+    the next page, FULL/LAST terminate a record.
+
+    Crash-recovery semantics (review r9 — stricter than the reference's
+    reader, format-identical on clean logs):
+
+      * a torn/CRC-bad chunk followed only by ZEROS to the page end is a
+        writer crash tail — the reopened writer zero-pads exactly that
+        page and resumes on the next (wal.cpp open_write_segment), so
+        the tear is confined: the torn record is discarded and reading
+        continues with the next page (or stops, on the final page);
+      * the same damage followed by NON-zero bytes cannot be a crash
+        artifact (the writer never rewrites interior page bytes) and
+        raises ValueError — real corruption stays loud;
+      * an orphan fragment left by a crash mid-record (FIRST/MIDDLE
+        chunks whose record never completed — the reopened writer
+        continues with a fresh record) is DISCARDED when a new record
+        starts, and orphan continuations (MIDDLE/LAST with no open
+        record) are skipped rather than mis-joined.
+    """
     n_pages = (len(payload) + PAGE_SIZE - 1) // PAGE_SIZE
     record = bytearray()
+    open_record = False
     for pg in range(n_pages):
         page = payload[pg * PAGE_SIZE : (pg + 1) * PAGE_SIZE]
         off = 0
@@ -223,15 +241,29 @@ def read_segment_records(payload: bytes, verify_crc: bool = True):
             (length,) = struct.unpack(">H", page[off + 1 : off + 3])
             (crc,) = struct.unpack("<I", page[off + 3 : off + 7])
             chunk = page[off + 7 : off + 7 + length]
-            if len(chunk) != length:
-                raise ValueError(f"torn chunk at page {pg} offset {off}")
-            if verify_crc and _crc32(chunk) != crc:
-                raise ValueError(f"chunk CRC mismatch at page {pg} offset {off}")
+            if len(chunk) != length or (verify_crc and _crc32(chunk) != crc):
+                why = "torn chunk" if len(chunk) != length else "chunk CRC mismatch"
+                tail = page[min(off + RECORD_HEADER_SIZE + length, len(page)) :]
+                if len(chunk) != length or not any(tail):
+                    # crash tail of THIS page: drop the torn record,
+                    # resume at the next page boundary
+                    record = bytearray()
+                    open_record = False
+                    break
+                raise ValueError(f"{why} at page {pg} offset {off}")
+            if rtype in (LR_FULL, LR_FIRST):
+                record = bytearray()  # discard any orphan open fragment
+                open_record = True
+            elif not open_record:
+                # orphan MIDDLE/LAST continuation of a discarded record
+                off += RECORD_HEADER_SIZE + length
+                continue
             record += chunk
             off += RECORD_HEADER_SIZE + length
             if rtype in (LR_FULL, LR_LAST):
                 yield bytes(record)
                 record = bytearray()
+                open_record = False
 
 
 def read_wal_records(log_dir: str, start_segment: int = 1):

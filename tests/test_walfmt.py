@@ -90,16 +90,47 @@ def test_segment_rollover(wal_dir):
     assert list(read_wal_records(wal_dir)) == recs
 
 
-def test_crc_and_torn_chunk_rejected(wal_dir):
+def test_crc_damage_interior_raises_tail_recovers(wal_dir):
+    """Recovery semantics (review r9): a CRC-bad chunk followed by more
+    (non-zero) chunks is real interior corruption and raises; the same
+    damage followed only by zero padding is a writer crash tail — the
+    torn record drops and the valid prefix is served; a truncated file
+    tail likewise stops cleanly."""
     w = WalWriter(wal_dir)
     w.log_record(b"x" * 100)
+    w.log_record(b"y" * 100)  # second chunk = non-zero tail after the first
     w.close()
     raw = bytearray(open(os.path.join(wal_dir, "00000001"), "rb").read())
-    raw[10] ^= 0xFF  # flip a payload byte → CRC mismatch
+    flipped = bytearray(raw)
+    flipped[10] ^= 0xFF  # payload byte of record 1 → interior CRC mismatch
     with pytest.raises(ValueError, match="CRC"):
-        list(read_segment_records(bytes(raw)))
-    with pytest.raises(ValueError, match="torn"):
-        list(read_segment_records(bytes(raw[:50])))
+        list(read_segment_records(bytes(flipped)))
+    # damage the SECOND record (zero tail after it): crash-tail recovery
+    flipped2 = bytearray(raw)
+    flipped2[RECORD_HEADER_SIZE + 100 + 10] ^= 0xFF
+    assert list(read_segment_records(bytes(flipped2))) == [b"x" * 100]
+    # truncated mid-chunk: clean stop after the valid prefix
+    assert list(read_segment_records(bytes(raw[: RECORD_HEADER_SIZE + 100 + 50]))) == [
+        b"x" * 100
+    ]
+
+
+def test_crash_reopen_recovers_and_resumes(wal_dir):
+    """Crash mid-record, writer reopens (zero-pads the torn page, resumes
+    next page): the torn record drops, every record before and AFTER the
+    crash is served — the tear never poisons the segment (review r9)."""
+    w1 = WalWriter(wal_dir)
+    w1.log_record(b"a" * 50)
+    w1.log_record(b"b" * 80)
+    w1.close()
+    seg = os.path.join(wal_dir, "00000001")
+    # crash: the second record's payload is cut short on disk
+    with open(seg, "r+b") as f:
+        f.truncate(RECORD_HEADER_SIZE + 50 + RECORD_HEADER_SIZE + 30)
+    w2 = WalWriter(wal_dir)  # pads the torn page, resumes page-aligned
+    w2.log_record(b"c" * 60)
+    w2.close()
+    assert list(read_wal_records(wal_dir)) == [b"a" * 50, b"c" * 60]
 
 
 def test_checkpoint_roundtrip_and_torn_rejection(wal_dir):

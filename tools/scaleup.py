@@ -90,6 +90,8 @@ OVERFLOW_QUERIES = (
     "q239_cuped",              # n·Σxy − Σx·Σy exact-integer moments
     "q245_pmi_collocations",   # scaled log2 fixed-point + pair counts
     "q249_decayed_engagement", # 1<<k exact power-of-two weights
+    "q258_centroid_drift",     # bigint element-sums, cleared-denominator squares
+    "q260_dup_span_coverage",  # window-hash df counts + coverage explode
     # iterative families: convergence depth / state growth vs corpus
     "q45_neardup_clusters",    # CC label propagation rounds
     "q216_kcore",              # convergence-checked peel (r9)
