@@ -410,3 +410,54 @@ def test_versioned_store_migrates_legacy_plain_table(spark, events):
         assert versioned_read(spark, t).count() == events.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_versioned_store_concurrent_reader_never_torn(spark, events):
+    """LIVE concurrency proof of the COW contract: a reader thread
+    repeatedly resolves + collects while a writer runs several
+    compactions/overwrites. Every read must succeed (no FileNotFound /
+    torn listing) and observe exactly one committed version's count —
+    never a mix. Also pins that readers are PURE (review r9): they must
+    not sweep the writer's staging dirs."""
+    import threading
+
+    from tagtree_spark.tsdb.store import (
+        committed_version,
+        versioned_compact,
+        versioned_overwrite,
+        versioned_read,
+    )
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-cow-race-")
+    try:
+        t = f"{d}/postings"
+        small = events.select("event_id", "event_type").where("event_id % 2 = 0")
+        big = events.select("event_id", "event_type")
+        n_small, n_big = small.count(), big.count()
+        versioned_overwrite(small, t)
+
+        errors: list[BaseException] = []
+        counts: list[int] = []
+        stop = threading.Event()
+
+        def reader():
+            try:
+                while not stop.is_set():
+                    counts.append(versioned_read(spark, t).count())
+            except BaseException as e:  # noqa: BLE001 - recorded for the assert
+                errors.append(e)
+
+        th = threading.Thread(target=reader)
+        th.start()
+        try:
+            for i in range(4):
+                versioned_overwrite(big if i % 2 == 0 else small, t)
+                versioned_compact(spark, t)
+        finally:
+            stop.set()
+            th.join(120)
+        assert not errors, errors
+        assert counts and set(counts) <= {n_small, n_big}
+        assert committed_version(t) is not None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
