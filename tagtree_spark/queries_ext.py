@@ -11481,3 +11481,26 @@ def q263_cusum_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q264_wal_import_matchers",
+    _ORACLE_REG["q07_conjunction"],
+)
+def q264_wal_import_matchers(spark, sf_dir):
+    """Migration path, driver-verified: the matcher algebra runs DIRECTLY
+    over postings imported from a reference-format WAL (tsdb/walfmt.py —
+    byte-level pages/chunks/CRC), with the matchers built by the TEXT
+    front-end (tsdb/selector.py). Same 3-matcher conjunction and oracle
+    as q07, so the hash row certifies WAL bytes → distributed parse →
+    map-explode postings → selector parse → flag-agg resolution, the
+    full cross-engine import pipeline in one query."""
+    from tagtree_spark.tsdb.matchers import resolve_label_matchers
+    from tagtree_spark.tsdb.selector import parse_selector
+    from tagtree_spark.tsdb.walfmt import postings_from_wal
+
+    post = postings_from_wal(spark, _wal_store(spark, sf_dir))
+    ms = parse_selector(
+        '{user_bucket="u1", k_bucket=~"^k[12]$", event_type!="error"}'
+    )
+    return resolve_label_matchers(post, ms).orderBy("tsid")

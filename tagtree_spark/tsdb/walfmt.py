@@ -466,3 +466,17 @@ except ImportError:  # pragma: no cover - pyspark<4 fallback
 
     def register_wal_source(spark) -> None:
         raise NotImplementedError("tagtree_wal data source needs pyspark>=4")
+
+
+def postings_from_wal(spark, log_dir: str):
+    """Long-format postings ``(tsid, name, value)`` imported straight from
+    a reference-format WAL directory — the map-explode of
+    :func:`read_wal_series`. Feeds ``tsdb.matchers.resolve_label_matchers``
+    unchanged, so a corpus whose index was written by the REFERENCE engine
+    is queryable here without any intermediate conversion (the import
+    path a migration would use; q264 driver-verifies it end-to-end)."""
+    from pyspark.sql import functions as F
+
+    return read_wal_series(spark, log_dir).select(
+        "tsid", F.explode("labels").alias("name", "value")
+    )
