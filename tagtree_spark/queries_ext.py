@@ -11504,3 +11504,30 @@ def q264_wal_import_matchers(spark, sf_dir):
         '{user_bucket="u1", k_bucket=~"^k[12]$", event_type!="error"}'
     )
     return resolve_label_matchers(post, ms).orderBy("tsid")
+
+
+@query("q265_hll_day_merge", duck_hll_distinct_sql("events", "user_id"))
+def q265_hll_day_merge(spark, sf_dir):
+    """HLL MERGEABILITY proven cross-engine: Spark builds one register
+    set PER DAY and merges them (groupBy(bucket).max(rank) — the
+    associative/commutative/idempotent sketch union that makes 100 TB
+    distinct-counting a map-side partial), while the ORACLE computes the
+    direct un-partitioned sketch — the driver's hash equality IS the
+    proof that union-of-day-sketches ≡ sketch-of-union, register for
+    register. Same output shape as q101 (n_exact rides along)."""
+    from tagtree_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_day", F.expr("unix_millis(ts) div 86400000")
+    )
+    day_regs = hll_registers(ev, "user_id", group_cols=["_day"])
+    merged = day_regs.groupBy("_b").agg(F.max("_m").alias("_m"))
+    est = hll_estimate_from_registers(merged)
+    exact = ev.agg(
+        F.countDistinct(F.col("user_id").cast("string")).alias("n_exact")
+    )
+    return exact.join(F.broadcast(est))
