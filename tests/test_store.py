@@ -461,3 +461,54 @@ def test_versioned_store_concurrent_reader_never_torn(spark, events):
         assert committed_version(t) is not None
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_versioned_store_random_ops_property(spark):
+    """Stateful property: under a random interleaving of overwrites,
+    compactions, crash injections (orphan complete/incomplete version
+    dirs, torn tmp pointers), and recoveries, the committed version
+    always reads back EXACTLY the last successfully committed contents —
+    crash debris can only ever be invisible, never observed."""
+    import random
+
+    from tagtree_spark.tsdb.store import (
+        committed_version,
+        recover_versioned,
+        versioned_compact,
+        versioned_overwrite,
+        versioned_read,
+    )
+
+    rng = random.Random(17)
+    for trial in range(4):
+        d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-cow-prop-")
+        try:
+            t = f"{d}/t"
+            committed_n = None
+            for step in range(8):
+                op = rng.choice(["write", "write", "compact", "crash", "recover"])
+                if op == "write":
+                    n = rng.randrange(1, 200)
+                    versioned_overwrite(spark.range(n).toDF("id"), t)
+                    committed_n = n
+                elif op == "compact" and committed_n is not None:
+                    versioned_compact(spark, t)
+                elif op == "crash" and committed_n is not None:
+                    kind = rng.choice(["complete", "incomplete", "tmp"])
+                    cur = committed_version(t)
+                    orphan = f"{t}/v-{cur + 1 + rng.randrange(3):010d}"
+                    if kind == "complete":
+                        spark.range(999).toDF("id").write.mode("overwrite").parquet(orphan)
+                    elif kind == "incomplete":
+                        spark.range(999).toDF("id").write.mode("overwrite").parquet(orphan)
+                        os.remove(f"{orphan}/_SUCCESS")
+                    else:
+                        with open(f"{t}/CURRENT.tmp", "w") as f:
+                            f.write(f"v-{cur + 7:010d}")
+                else:
+                    recover_versioned(t)
+                if committed_n is not None:
+                    got = versioned_read(spark, t).count()
+                    assert got == committed_n, (trial, step, op, got, committed_n)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
