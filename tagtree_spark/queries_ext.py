@@ -11531,3 +11531,69 @@ def q265_hll_day_merge(spark, sf_dir):
         F.countDistinct(F.col("user_id").cast("string")).alias("n_exact")
     )
     return exact.join(F.broadcast(est))
+
+
+@query(
+    "q266_order_backlog",
+    """
+WITH iv AS (
+  SELECT CAST(date_diff('day', DATE '1990-01-01', CAST(o.o_orderdate AS DATE)) AS BIGINT) AS sd,
+         CAST(date_diff('day', DATE '1990-01-01', CAST(l.ed AS DATE)) AS BIGINT) AS ed
+  FROM orders o
+  JOIN (SELECT l_orderkey, max(l_shipdate) AS ed FROM lineitem GROUP BY 1) l
+    ON l.l_orderkey = o.o_orderkey
+), delta AS (
+  SELECT sd AS day, CAST(count(*) AS BIGINT) AS opened, CAST(0 AS BIGINT) AS closed
+  FROM iv GROUP BY sd
+  UNION ALL
+  SELECT ed AS day, CAST(0 AS BIGINT), CAST(count(*) AS BIGINT) FROM iv GROUP BY ed
+), byday AS (
+  SELECT day, CAST(sum(opened) AS BIGINT) AS n_opened,
+         CAST(sum(closed) AS BIGINT) AS n_closed
+  FROM delta GROUP BY day
+)
+SELECT day, n_opened, n_closed,
+       CAST(sum(n_opened - n_closed) OVER (ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+FROM byday ORDER BY day""",
+)
+def q266_order_backlog(spark, sf_dir):
+    """Daily open-order BACKLOG — the classic concurrent-intervals sweep
+    (how many orders are placed but not yet fully shipped on each day),
+    the ops-dashboard series behind SLA staffing. Scale shape: each
+    order reduces to ONE (start_day, end_day) interval (a groupBy-max
+    over lineitem and an orders join — the only corpus-sized work),
+    intervals become ±1 deltas aggregated per day, and the running sum
+    walks the BOUNDED day domain (a few thousand rows) in one
+    post-aggregation window — never a per-order window or a day×order
+    join. Exact integers throughout; an order whose last line ships the
+    same day it was placed contributes zero open days ([start, end))."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1990-01-01").cast("date")
+    ed = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("ed"))
+    iv = o.join(ed, o.o_orderkey == ed.l_orderkey).select(
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("bigint").alias("sd"),
+        F.datediff(F.col("ed").cast("date"), epoch).cast("bigint").alias("ed"),
+    )
+    delta = iv.select(F.col("sd").alias("day")).groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_opened")
+    ).join(
+        iv.select(F.col("ed").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("n_closed")),
+        "day",
+        "full_outer",
+    ).select(
+        "day",
+        F.coalesce("n_opened", F.lit(0)).cast("bigint").alias("n_opened"),
+        F.coalesce("n_closed", F.lit(0)).cast("bigint").alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return delta.withColumn(
+        "backlog",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint"),
+    ).orderBy("day")
