@@ -253,3 +253,63 @@ def kcore(
         f"kcore did not converge in {max_iters} rounds — raise max_iters "
         "(peel depth exceeds it; a path graph peels one layer per round)"
     )
+
+
+def bfs_layers(
+    pairs: DataFrame,
+    seed_doc: int | None = None,
+    max_iters: int = 30,
+) -> DataFrame:
+    """Breadth-first distance layers from ``seed_doc`` (default: the
+    graph's min doc id) over the undirected pair graph, run to
+    convergence — the reachability-depth primitive (how far does a dedup
+    decision propagate from a given document?) and the measured
+    eccentricity of the seed. Each round expands the frontier through
+    one join and keeps only UNSEEN nodes (left_anti against the settled
+    set), so a node's first discovery round IS its BFS distance; an
+    empty frontier is the fixed point. ``max_iters`` caps the depth and
+    RAISES past it, like :func:`kcore` — a silent truncation would
+    understate reach. One join + anti-join per round on the pair graph
+    (≪ corpus), eager lineage cut per round; all-integer output.
+
+    → ``(dist, n_nodes)`` — one row per BFS layer, layer 0 = the seed.
+    """
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.session import persist_tracked
+
+    nb = persist_tracked(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+    )
+    if seed_doc is None:
+        seed_doc = nb.agg(F.min("u")).first()[0]
+        if seed_doc is None:
+            raise ValueError("bfs_layers: empty graph")
+    spark = pairs.sparkSession
+    settled = spark.createDataFrame(
+        [(int(seed_doc), 0)], "doc_id bigint, dist bigint"
+    ).localCheckpoint()
+    frontier = settled.select("doc_id")
+    for d in range(1, max_iters + 1):
+        nxt = (
+            nb.join(frontier.select(F.col("doc_id").alias("u")), "u")
+            .select(F.col("v").alias("doc_id"))
+            .distinct()
+            .join(settled.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("dist", F.lit(d).cast("bigint"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return settled.groupBy("dist").agg(
+                F.count("*").cast("bigint").alias("n_nodes")
+            )
+        settled = settled.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("doc_id")
+    raise ValueError(
+        f"bfs_layers did not converge in {max_iters} rounds — raise "
+        "max_iters (the seed's eccentricity exceeds it)"
+    )

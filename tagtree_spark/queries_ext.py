@@ -11597,3 +11597,45 @@ def q266_order_backlog(spark, sf_dir):
         "backlog",
         F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint"),
     ).orderBy("day")
+
+
+def _bfs_oracle_sql() -> str:
+    """q267's oracle: recursive min-distance closure from the pair
+    graph's min doc id. The recursive UNION dedupes (n, d) PAIRS, so a
+    cyclic graph terminates at the diameter bound; min(d) per node is
+    then the BFS distance (every (n, d) with d above the shortest path
+    is dominated and dropped by the GROUP BY)."""
+    return (
+        _MINHASH_PAIRS_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """, edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM mh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM mh_pairs
+), seed AS MATERIALIZED (
+  SELECT min(s) AS s0 FROM edges
+), walk(n, d) AS (
+  SELECT s0, 0 FROM seed
+  UNION
+  SELECT e.t, walk.d + 1 FROM walk JOIN edges e ON e.s = walk.n
+  WHERE walk.d < 30
+), dist AS (
+  SELECT n, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY n
+)
+SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+FROM dist GROUP BY dist ORDER BY dist"""
+    )
+
+
+@query("q267_bfs_layers", _bfs_oracle_sql())
+def q267_bfs_layers(spark, sf_dir):
+    """Graph family: convergence-checked BFS distance layers from the
+    dup graph's min doc id — reachability depth / seed eccentricity
+    (how far a dedup decision propagates). Frontier-expansion rounds
+    (join + anti-join on the settled set, lineage cut per round) with an
+    empty frontier as the verified fixed point and a RAISING cap, the
+    q216 discipline; the oracle's recursive closure computes min
+    distance per node with the same 30-round bound. Rides the shared
+    MinHash pair cache."""
+    from tagtree_spark.operators.graph import bfs_layers
+
+    return bfs_layers(_mh_pairs(spark, sf_dir), max_iters=30).orderBy("dist")

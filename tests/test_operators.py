@@ -2629,3 +2629,46 @@ def test_sequence_match_rejects_anchored_and_empty_patterns(spark):
     # the full safe subset in one pattern: classes over the alphabet,
     # groups, alternation, all quantifier forms
     sequence_match(ev, "(s|p)[sp]{1,2}p?s*p+", syms)
+
+
+def test_bfs_layers_matches_python_reference(spark):
+    import collections
+    import random
+
+    import pytest
+
+    from tagtree_spark.operators.graph import bfs_layers
+
+    def py_layers(edges, seed):
+        nbrs = collections.defaultdict(set)
+        for a, b in edges:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+        dist = {seed: 0}
+        frontier = [seed]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in nbrs[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+            frontier = nxt
+        return collections.Counter(dist.values())
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(14), 2))) for _ in range(20)}
+        )
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        s0 = min(min(e) for e in edges)
+        got = {r.dist: r.n_nodes for r in bfs_layers(pairs).collect()}
+        assert got == dict(py_layers(edges, s0)), seed
+    # disconnected far component never appears; raising cap on deep chains
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, "doc_a bigint, doc_b bigint")
+    got = {r.dist: r.n_nodes for r in bfs_layers(pairs).collect()}
+    assert got == {d: 1 for d in range(13)}
+    with pytest.raises(ValueError, match="did not converge"):
+        bfs_layers(pairs, max_iters=5)
