@@ -10723,6 +10723,7 @@ def one_time_builders():
         "stream_cep_store": lambda s, d: _stream_cep_store(s, d),
         "shingle_store": lambda s, d: _sh_store(s, d),
         "wal_store": lambda s, d: _wal_store(s, d),
+        "wal_tail_log": lambda s, d: _wal_tail_log(s, d),
     }
 
 
@@ -11316,6 +11317,11 @@ def _wal_store(spark, sf_dir):
         w.write_checkpoint(
             watermark=len(rows), segment=w.last_segment, max_timestamp=0
         )
+        # close the head segment so the tagtree_wal STREAM tail (which
+        # serves only closed segments) sees every record (q268); the
+        # batch readers are unaffected (the fresh empty head yields
+        # nothing)
+        w.close_segment()
         w.close()
         _WAL_CACHE[key] = d
     return _WAL_CACHE[key]
@@ -11639,3 +11645,56 @@ def q267_bfs_layers(spark, sf_dir):
     from tagtree_spark.operators.graph import bfs_layers
 
     return bfs_layers(_mh_pairs(spark, sf_dir), max_iters=30).orderBy("dist")
+
+
+# Drained tagtree_wal STREAM per (session, sf_dir): the WAL tailed through
+# the Python data source's streaming reader into a parquet log — q268
+# reads the drained result, so its driver row certifies the STREAMING
+# read path of the byte-level WAL source (offsets, closed-segment
+# visibility) against the same oracle as the batch round-trip.
+_WAL_TAIL_CACHE: dict = {}
+
+
+def _wal_tail_log(spark, sf_dir):
+    import tempfile
+
+    from tagtree_spark.tsdb.walfmt import register_wal_source
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WAL_TAIL_CACHE:
+        wal_dir = _wal_store(spark, sf_dir)
+        register_wal_source(spark)
+        out = tempfile.mkdtemp(prefix="tagtree-waltail-")
+        q = (
+            spark.readStream.format("tagtree_wal")
+            .option("path", wal_dir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{out}/log")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        _WAL_TAIL_CACHE[key] = f"{out}/log"
+    return _WAL_TAIL_CACHE[key]
+
+
+@query("q268_wal_stream_tail", _ORACLE_REG["q261_wal_roundtrip"])
+def q268_wal_stream_tail(spark, sf_dir):
+    """S2 STREAMING at the byte level: the reference-format WAL tailed
+    through the tagtree_wal Python data source's STREAM reader
+    (segment-granular offsets, closed-segments-only visibility) into a
+    checkpointed parquet log, then verified against the same
+    model-derivation oracle as the batch round-trip q261 — so stream
+    and batch reads of the same WAL bytes are both driver-hash-green."""
+    log = _wal_tail_log(spark, sf_dir)
+    got = spark.read.parquet(log)
+    return got.select(
+        "tsid",
+        F.col("ts").alias("ts_ms"),
+        F.col("labels")["event_type"].alias("event_type"),
+        F.col("labels")["user_bucket"].alias("user_bucket"),
+        F.col("labels")["k_bucket"].alias("k_bucket"),
+    ).orderBy("tsid")
