@@ -11698,3 +11698,59 @@ def q268_wal_stream_tail(spark, sf_dir):
         F.col("labels")["user_bucket"].alias("user_bucket"),
         F.col("labels")["k_bucket"].alias("k_bucket"),
     ).orderBy("tsid")
+
+
+@query(
+    "q269_jaccard_histogram",
+    SHINGLE_CTE
+    + f""", hsd AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, s -> {duck_h60('s')})) AS hs
+  FROM sh WHERE len(shingles) > 0
+), inv_all AS (
+  SELECT doc_id, unnest(hs) AS s FROM hsd
+), keep AS (
+  SELECT s FROM inv_all GROUP BY s HAVING count(*) <= 50
+), inv AS (
+  SELECT inv_all.* FROM inv_all JOIN keep USING (s)
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM inv GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT (100 * n_common) // (sa.n_sh + sb.n_sh - n_common) AS j_pct
+  FROM common JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+)
+SELECT CAST(CASE WHEN j_pct >= 100 THEN 9 ELSE j_pct // 10 END AS BIGINT) AS j_decile,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1 ORDER BY j_decile""",
+)
+def q269_jaccard_histogram(spark, sf_dir):
+    """Dedup THRESHOLD-CALIBRATION telemetry: the exact-Jaccard
+    distribution of every candidate pair sharing ≥1 kept shingle,
+    bucketed into deciles — the histogram an operator reads to place the
+    near-dup cutoff (where does the true pair mass separate from
+    the long tail?). Integer floor-division J percent (identical semantics
+    both engines on non-negative operands), J=100 folded into the top
+    decile; rides the shared shingle cache, one inverted-index pass +
+    one 10-row groupBy beyond it."""
+    from tagtree_spark.operators.dedup import _shingle_pair_counts
+
+    pairs = _shingle_pair_counts(
+        _docs(spark, sf_dir), sh=_sh(spark, sf_dir)
+    )
+    jp = pairs.select(
+        F.expr("(100 * n_common) div (n_a + n_b - n_common)").alias("j_pct")
+    )
+    return (
+        jp.select(
+            F.when(F.col("j_pct") >= 100, F.lit(9))
+            .otherwise(F.expr("j_pct div 10"))
+            .cast("bigint")
+            .alias("j_decile")
+        )
+        .groupBy("j_decile")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("j_decile")
+    )
