@@ -11754,3 +11754,46 @@ def q269_jaccard_histogram(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
         .orderBy("j_decile")
     )
+
+
+@query(
+    "q270_source_dup_rate",
+    _CLUSTERS_CTES
+    + """
+, dups AS (
+  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(dups.doc_id) AS BIGINT) AS n_dup_members,
+       CAST((1000000 * count(dups.doc_id)) // count(*) AS BIGINT) AS dup_ppm
+FROM documents d LEFT JOIN dups ON dups.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source""",
+)
+def q270_source_dup_rate(spark, sf_dir):
+    """Per-SOURCE duplication rate — the crawl-quality report a corpus
+    owner reads before re-weighting sources: for each source, how many
+    docs are non-surviving near-dup cluster members (doc != its
+    cluster's min-id survivor), as an exact integer ppm. Rides the
+    shared CC labelling; one broadcast-sized left join against the dup
+    set + one groupBy(source)."""
+    cl = _clusters(spark, sf_dir)
+    dups = cl.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        d.join(dups.withColumn("_dup", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("_dup", F.lit(0))).cast("bigint").alias("n_dup_members"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_members",
+            F.expr("(1000000 * n_dup_members) div n_docs").cast("bigint").alias(
+                "dup_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
