@@ -82,6 +82,10 @@ def main() -> int:
             print(f"bench: one-time build {bname} failed: {exc!r}", file=sys.stderr)
             one_time[bname] = -1.0
     one_time_total = round(sum(v for v in one_time.values() if v > 0), 3)
+    # a failed build means its first consumer query silently re-pays the
+    # build inside its timed run — surface that in the JSON so a polluted
+    # per-query round is distinguishable from a clean one (ADVICE r9)
+    one_time_failed = sorted(n for n, v in one_time.items() if v < 0)
 
     # Best-of-2 per query: this host shows ±30% run-to-run noise; the min
     # is a far stabler round-over-round signal than a single cold sample.
@@ -121,6 +125,7 @@ def main() -> int:
                 "spread": spreads,
                 "one_time": one_time,
                 "one_time_sec": one_time_total,
+                "one_time_failed": one_time_failed,
                 "wall_sec": wall,
                 "sf": _sf_of(sf_dir),
             }
@@ -137,6 +142,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "one_time_sec": one_time_total,
+                "one_time_failed": one_time_failed,
                 "wall_sec": wall,
                 "sf": _sf_of(sf_dir),
                 "n_queries": len(timings),

@@ -202,7 +202,10 @@ def kcore(
     duplicate nucleus" vs chain periphery signal for E2b cluster
     triage). ``max_iters`` caps the peel DEPTH (longest chain of
     dependent removals — an adversarial path graph peels one layer per
-    round); exhausting it RAISES, like ``near_dup_clusters`` — a
+    round); one EXTRA confirmation round runs beyond the cap so a peel
+    whose depth equals ``max_iters`` exactly still converges (the final
+    peel round reaches the fixed point; proving it takes one more equal
+    count — ADVICE r9); exhausting it RAISES, like ``near_dup_clusters`` — a
     silently returned superset would poison downstream triage (VERDICT
     r8: the earlier fixed-round form assumed depth ≤ 4 by measurement,
     not by check). Each round is one self-join + groupBy on the pair
@@ -233,7 +236,11 @@ def kcore(
         else nb.select(F.col("u").alias("doc_id")).distinct()
     )
     prev = None
-    for _ in range(max_iters):
+    # max_iters bounds the peel DEPTH (rounds that CHANGE the set); one
+    # extra round may run beyond it, but only as a pure CONFIRMATION --
+    # if that round still shrinks the set the depth genuinely exceeds
+    # the cap and the raise below fires
+    for i in range(max_iters + 1):
         out = (
             nb.join(alive.select(F.col("doc_id").alias("u")), "u")
             .join(alive.select(F.col("doc_id").alias("v")), "v")
@@ -243,10 +250,15 @@ def kcore(
             .localCheckpoint()
         )
         n = out.count()
-        # monotone shrink ⇒ equal count ⇔ equal set ⇔ fixed point; the
-        # empty set is trivially fixed (every later round is also empty)
-        if n == 0 or (prev is not None and n == prev):
+        # monotone shrink ⇒ equal count ⇔ equal set ⇔ fixed point
+        if prev is not None and n == prev:
             return out.select(F.col("u").alias("doc_id"), "core_deg")
+        # the empty set is trivially fixed (every later round is also
+        # empty) -- but reaching it IS a peel, so it must land within cap
+        if n == 0 and i < max_iters:
+            return out.select(F.col("u").alias("doc_id"), "core_deg")
+        if i == max_iters:
+            break  # the confirmation round still changed the set
         prev = n
         alive = out.select(F.col("u").alias("doc_id"))
     raise ValueError(
@@ -269,7 +281,10 @@ def bfs_layers(
     set), so a node's first discovery round IS its BFS distance; an
     empty frontier is the fixed point. ``max_iters`` caps the depth and
     RAISES past it, like :func:`kcore` — a silent truncation would
-    understate reach. One join + anti-join per round on the pair graph
+    understate reach. One extra round runs beyond the cap purely to
+    CONFIRM emptiness, so a seed whose eccentricity equals ``max_iters``
+    exactly still converges (ADVICE r9) — that round never settles new
+    nodes; a non-empty frontier there raises. One join + anti-join per round on the pair graph
     (≪ corpus), eager lineage cut per round; all-integer output.
 
     → ``(dist, n_nodes)`` — one row per BFS layer, layer 0 = the seed.
@@ -294,7 +309,7 @@ def bfs_layers(
         [(int(seed_doc), 0)], "doc_id bigint, dist bigint"
     ).localCheckpoint()
     frontier = settled.select("doc_id")
-    for d in range(1, max_iters + 1):
+    for d in range(1, max_iters + 2):
         nxt = (
             nb.join(frontier.select(F.col("doc_id").alias("u")), "u")
             .select(F.col("v").alias("doc_id"))
@@ -307,6 +322,8 @@ def bfs_layers(
             return settled.groupBy("dist").agg(
                 F.count("*").cast("bigint").alias("n_nodes")
             )
+        if d > max_iters:
+            break  # the confirmation round found MORE nodes — genuine overrun
         settled = settled.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("doc_id")
     raise ValueError(

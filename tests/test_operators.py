@@ -2282,6 +2282,33 @@ def test_kcore_seeded_equals_unseeded_at_fixpoint(spark):
     assert more == {(r.doc_id, r.core_deg) for r in k2.collect()}
 
 
+def test_kcore_bfs_exact_depth_cap_converges(spark):
+    """ADVICE r9: a peel/BFS whose depth equals max_iters EXACTLY must
+    converge (the final round reaches the fixed point; proving it takes
+    one extra confirmation round) — the cap still raises one deeper."""
+    import pytest
+
+    from tagtree_spark.operators.graph import bfs_layers, kcore
+
+    # path 0-8 (peels to empty in 5 changing rounds) + triangle 100-102
+    # (the nonempty 2-core fixed point): exactly 5 changing rounds, then
+    # one confirmation — max_iters=5 used to raise spuriously
+    path = [(i, i + 1) for i in range(8)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(path + tri, "doc_a bigint, doc_b bigint")
+    got = {r.doc_id for r in kcore(pairs, k=2, max_iters=5).collect()}
+    assert got == {100, 101, 102}
+    with pytest.raises(ValueError, match="did not converge"):
+        kcore(pairs, k=2, max_iters=4)
+    # chain 0-5: seed eccentricity is exactly 5 — confirmation round only
+    chain = [(i, i + 1) for i in range(5)]
+    cp = spark.createDataFrame(chain, "doc_a bigint, doc_b bigint")
+    got = {r.dist: r.n_nodes for r in bfs_layers(cp, max_iters=5).collect()}
+    assert got == {d: 1 for d in range(6)}
+    with pytest.raises(ValueError, match="did not converge"):
+        bfs_layers(cp, max_iters=4)
+
+
 def test_kcore_deep_chain_converges_or_raises(spark):
     """Adversarial peel depth (VERDICT r8): a pure path peels only its
     two endpoints per round, so depth grows with chain length. The
