@@ -10724,6 +10724,7 @@ def one_time_builders():
         "shingle_store": lambda s, d: _sh_store(s, d),
         "wal_store": lambda s, d: _wal_store(s, d),
         "wal_tail_log": lambda s, d: _wal_tail_log(s, d),
+        "compacted_store": lambda s, d: _compacted_store(s, d),
     }
 
 
@@ -11291,17 +11292,34 @@ def _wal_store(spark, sf_dir):
         from tagtree_spark.queries import _model
 
         series, _, _ = _model(spark, sf_dir)
-        rows = series.select(
-            "tsid", "event_type", "user_bucket", "k_bucket", "first_seen"
-        ).orderBy("tsid").collect()
+        # epoch ms computed SPARK-SIDE as an exact bigint (unix_millis) —
+        # the earlier float round-trip (.timestamp() * 1000 then int())
+        # is the double-rounding hazard class (ADVICE r9); the WAL writer
+        # is single-writer by design (the reference's log is
+        # mutex-serialized, wal.cpp:176), so the driver streams rows
+        # ITERATOR-wise (toLocalIterator) instead of materializing the
+        # full series list — O(partition) not O(series) driver memory.
+        rows = (
+            series.select(
+                "tsid",
+                F.unix_millis("first_seen").cast("bigint").alias("ts_ms"),
+                "event_type",
+                "user_bucket",
+                "k_bucket",
+            )
+            .orderBy("tsid")
+            .toLocalIterator()
+        )
         d = tempfile.mkdtemp(prefix="tagtree-walstore-")
         w = WalWriter(d, max_segment_size=64 * 4096)
         batch = []
+        n_rows = 0
         for r in rows:
+            n_rows += 1
             batch.append(
                 (
                     int(r.tsid),
-                    int(r.first_seen.timestamp() * 1000),
+                    int(r.ts_ms),
                     [
                         ("event_type", r.event_type),
                         ("user_bucket", r.user_bucket),
@@ -11315,7 +11333,7 @@ def _wal_store(spark, sf_dir):
         if batch:
             w.log_record(serialize_series(batch))
         w.write_checkpoint(
-            watermark=len(rows), segment=w.last_segment, max_timestamp=0
+            watermark=n_rows, segment=w.last_segment, max_timestamp=0
         )
         # close the head segment so the tagtree_wal STREAM tail (which
         # serves only closed segments) sees every record (q268); the
@@ -11676,7 +11694,13 @@ def _wal_tail_log(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # a timed-out drain must not be cached — a partially-drained log
+        # would make q268 fail with an unexplained hash mismatch for the
+        # rest of the session (ADVICE r9; same pattern as the other
+        # streaming fixtures)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("wal tail stream did not drain in 300s")
         _WAL_TAIL_CACHE[key] = f"{out}/log"
     return _WAL_TAIL_CACHE[key]
 
@@ -11796,4 +11820,144 @@ def q270_source_dup_rate(spark, sf_dir):
             ),
         )
         .orderBy("source")
+    )
+
+
+# Reference-format COMPACTED deployment fixture per (session, sf_dir):
+# pre-checkpoint series live ONLY in series files + symbol.tab (the
+# reference GC's them from the mem index after checkpoint,
+# /root/reference/src/index/index_server.cpp:222-224), post-checkpoint
+# series live in the WAL, and checkpoint.meta marks the replay segment —
+# the exact on-disk state a compacted reference store hands a migration.
+_COMPACTED_CACHE: dict = {}
+_COMPACTED_SEG_SIZE = 128
+
+
+def _compacted_store(spark, sf_dir):
+    import os as _os
+    import tempfile
+
+    from tagtree_spark.tsdb.seriesfmt import SeriesStoreWriter
+    from tagtree_spark.tsdb.walfmt import WalWriter, serialize_series
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COMPACTED_CACHE:
+        from tagtree_spark.queries import _model
+
+        series, _, _ = _model(spark, sf_dir)
+        n = series.count()
+        wm = (3 * n) // 5  # 60% of series are pre-checkpoint (compacted)
+        rows = (
+            series.select(
+                "tsid",
+                F.unix_millis("first_seen").cast("bigint").alias("ts_ms"),
+                "event_type",
+                "user_bucket",
+                "k_bucket",
+            )
+            .orderBy("tsid")
+            .toLocalIterator()
+        )
+        d = tempfile.mkdtemp(prefix="tagtree-compacted-")
+        wal_dir = _os.path.join(d, "wal")
+        sw = SeriesStoreWriter(d, segment_size=_COMPACTED_SEG_SIZE)
+        w = WalWriter(wal_dir, max_segment_size=16 * 4096)
+        batch = []
+        checkpointed = False
+        for r in rows:
+            labels = [
+                ("event_type", r.event_type),
+                ("user_bucket", r.user_bucket),
+                ("k_bucket", r.k_bucket),
+            ]
+            if int(r.tsid) <= wm:
+                # pre-checkpoint: compacted into the series files; its WAL
+                # record ALSO exists (the log was written live) but lies
+                # below the checkpoint segment and is skipped on replay
+                sw.add(int(r.tsid), labels)
+            elif not checkpointed:
+                if batch:
+                    w.log_record(serialize_series(batch))
+                    batch = []
+                seg = w.close_segment()
+                w.write_checkpoint(watermark=wm, segment=seg, max_timestamp=0)
+                checkpointed = True
+            batch.append((int(r.tsid), int(r.ts_ms), labels))
+            if len(batch) == 100:
+                w.log_record(serialize_series(batch))
+                batch = []
+        if batch:
+            w.log_record(serialize_series(batch))
+        if not checkpointed:  # degenerate: every series pre-checkpoint
+            seg = w.close_segment()
+            w.write_checkpoint(watermark=wm, segment=seg, max_timestamp=0)
+        sw.flush()
+        w.close()
+        _COMPACTED_CACHE[key] = d
+    return _COMPACTED_CACHE[key]
+
+
+def _compacted_postings(spark, sf_dir):
+    """Postings of a compacted reference store = series files (the
+    compacted bulk, read via the byte-level offset-table walk) UNION the
+    WAL replayed FROM the checkpoint segment — the reference's own
+    restart recipe, run distributed."""
+    import os as _os
+
+    from tagtree_spark.tsdb.seriesfmt import postings_from_series_files
+    from tagtree_spark.tsdb.walfmt import last_checkpoint, postings_from_wal
+
+    d = _compacted_store(spark, sf_dir)
+    wal_dir = _os.path.join(d, "wal")
+    ck = last_checkpoint(wal_dir)
+    if not ck.valid:
+        raise ValueError("compacted store fixture has no valid checkpoint")
+    return postings_from_series_files(
+        spark, d, segment_size=_COMPACTED_SEG_SIZE
+    ).unionByName(
+        postings_from_wal(spark, wal_dir, start_segment=ck.last_segment)
+    )
+
+
+@query("q271_compacted_import_matchers", _ORACLE_REG["q07_conjunction"])
+def q271_compacted_import_matchers(spark, sf_dir):
+    """The FULL compacted-store migration path (VERDICT r9 #1), driver-
+    verified: 60% of the series exist ONLY as byte-level series-file
+    entries (offset table → 4K page → CRC'd [n,(name_ref,value_ref)*]
+    records, refs through symbol.tab — series_file.cpp:43-123,
+    symbol_table.cpp:89-151), the rest only above checkpoint.meta's
+    replay segment in the WAL; the matcher conjunction (same selector
+    text and oracle as q07/q264) resolves over their union. A green row
+    therefore certifies both byte formats, the checkpoint-driven replay
+    split, AND the distributed reads end-to-end — a reader of WAL bytes
+    alone would silently miss every compacted series and hash-mismatch."""
+    from tagtree_spark.tsdb.matchers import resolve_label_matchers
+    from tagtree_spark.tsdb.selector import parse_selector
+
+    ms = parse_selector(
+        '{user_bucket="u1", k_bucket=~"^k[12]$", event_type!="error"}'
+    )
+    return resolve_label_matchers(
+        _compacted_postings(spark, sf_dir), ms
+    ).orderBy("tsid")
+
+
+@query("q272_compacted_get_labels", _ORACLE_REG["q10_get_labels"])
+def q272_compacted_get_labels(spark, sf_dir):
+    """L4 (tsid → label set) answered from the imported compacted store:
+    the probed tsids are all pre-checkpoint, so every value here is
+    decoded from series-file pages + the symbol dictionary — the byte
+    path q10's in-memory model never touches. Long postings pivot to the
+    oracle's flat columns via max(when) (3 labels per series, exact)."""
+    post = _compacted_postings(spark, sf_dir).where(F.col("tsid") <= 10)
+    return (
+        post.groupBy("tsid")
+        .agg(
+            *[
+                F.max(F.when(F.col("name") == n, F.col("value"))).alias(n)
+                for n in ("event_type", "user_bucket", "k_bucket")
+            ]
+        )
+        .orderBy("tsid")
     )

@@ -314,12 +314,15 @@ def deserialize_series(buf: bytes) -> list[tuple[int, int, list[tuple[str, str]]
     return out
 
 
-def read_wal_series(spark, log_dir: str):
+def read_wal_series(spark, log_dir: str, start_segment: int = 1):
     """DISTRIBUTED read of a WAL directory → DataFrame ``(tsid BIGINT,
     ts BIGINT, labels MAP<STRING,STRING>)``: the binaryFile source maps
     one task per segment file (segments are independent by construction)
     and each executor parses its segment's pages locally — the driver
-    never sees record bytes."""
+    never sees record bytes. ``start_segment`` is the checkpoint replay
+    point: segments below it are already compacted into the series
+    files and are skipped, exactly the reference's restart replay
+    (checkpoint.meta's segment slot)."""
     from pyspark.sql.types import (
         LongType,
         MapType,
@@ -351,11 +354,14 @@ def read_wal_series(spark, log_dir: str):
                         rows["labels"].append(dict(labels))
             yield pd.DataFrame(rows)
 
-    files = (
-        spark.read.format("binaryFile")
-        .load(os.path.join(log_dir, "[0-9]" * 8))
-        .select("content")
-    )
+    paths = [
+        _seg_path(log_dir, s)
+        for s in WalWriter.segments(log_dir)
+        if s >= start_segment
+    ]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    files = spark.read.format("binaryFile").load(paths).select("content")
     return files.mapInPandas(parse, schema=schema)
 
 
@@ -468,7 +474,7 @@ except ImportError:  # pragma: no cover - pyspark<4 fallback
         raise NotImplementedError("tagtree_wal data source needs pyspark>=4")
 
 
-def postings_from_wal(spark, log_dir: str):
+def postings_from_wal(spark, log_dir: str, start_segment: int = 1):
     """Long-format postings ``(tsid, name, value)`` imported straight from
     a reference-format WAL directory — the map-explode of
     :func:`read_wal_series`. Feeds ``tsdb.matchers.resolve_label_matchers``
@@ -477,6 +483,6 @@ def postings_from_wal(spark, log_dir: str):
     path a migration would use; q264 driver-verifies it end-to-end)."""
     from pyspark.sql import functions as F
 
-    return read_wal_series(spark, log_dir).select(
+    return read_wal_series(spark, log_dir, start_segment).select(
         "tsid", F.explode("labels").alias("name", "value")
     )
