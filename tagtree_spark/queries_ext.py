@@ -11335,10 +11335,9 @@ def _wal_store(spark, sf_dir):
         w.write_checkpoint(
             watermark=n_rows, segment=w.last_segment, max_timestamp=0
         )
-        # close the head segment so the tagtree_wal STREAM tail (which
-        # serves only closed segments) sees every record (q268); the
-        # batch readers are unaffected (the fresh empty head yields
-        # nothing)
+        # close the head segment so the log ends page-aligned with an
+        # empty live head: batch readers and the page-granular stream
+        # tail (q268) then see exactly the same records
         w.close_segment()
         w.close()
         _WAL_CACHE[key] = d
@@ -11709,7 +11708,8 @@ def _wal_tail_log(spark, sf_dir):
 def q268_wal_stream_tail(spark, sf_dir):
     """S2 STREAMING at the byte level: the reference-format WAL tailed
     through the tagtree_wal Python data source's STREAM reader
-    (segment-granular offsets, closed-segments-only visibility) into a
+    (page-granular (segment, page) offsets, flushed-page visibility
+    including the live segment's tail) into a
     checkpointed parquet log, then verified against the same
     model-derivation oracle as the batch round-trip q261 — so stream
     and batch reads of the same WAL bytes are both driver-hash-green."""

@@ -216,9 +216,9 @@ def test_distributed_spark_read(spark, wal_dir):
 
 def test_wal_data_source_batch_and_stream(spark, wal_dir):
     """The tagtree_wal Python data source: batch read covers every
-    segment; the streaming tail serves CLOSED segments only (the live
-    head's tail page is still mutable), so after a close_segment() the
-    drained stream equals the batch read of the closed prefix."""
+    segment; the streaming tail serves flushed pages (here all pages —
+    close_segment() padded and rolled over), so the drained stream
+    equals the batch read."""
     from tagtree_spark.tsdb.walfmt import register_wal_source
 
     w = WalWriter(wal_dir, max_segment_size=4 * PAGE_SIZE)
@@ -255,3 +255,82 @@ def test_wal_data_source_batch_and_stream(spark, wal_dir):
         for r in spark.sql("SELECT * FROM wal_tail").collect()
     )
     assert tailed == want  # the freshly-created empty head segment is excluded
+
+
+def test_page_range_reader_attributes_records_to_final_chunk_page(wal_dir):
+    """read_page_range_records: a record belongs to the page of its
+    FULL/LAST chunk; a head fragment before the range is reassembled via
+    backtrack; a record ending past the range is left for the next one."""
+    from tagtree_spark.tsdb.walfmt import read_page_range_records
+
+    w = WalWriter(wal_dir)
+    small = b"s" * 100                       # FULL in page 0
+    big = bytes(range(256)) * 24             # 6144 B: FIRST page 0 → LAST page 1
+    tail = b"t" * 200                        # FULL in page 1
+    w.log_record(small)
+    w.log_record(big)
+    w.log_record(tail)
+    w.close()
+    p = os.path.join(wal_dir, "00000001")
+    n_pages = (os.path.getsize(p) + PAGE_SIZE - 1) // PAGE_SIZE  # close() leaves a partial tail page
+    assert list(read_page_range_records(p, 0, 1)) == [small]
+    # page 1 holds big's LAST chunk (backtrack reassembles its FIRST) + tail
+    assert list(read_page_range_records(p, 1, n_pages)) == [big, tail]
+    # union over any split == whole-segment read
+    whole = list(read_segment_records(open(p, "rb").read()))
+    for cut in range(n_pages + 1):
+        parts = list(read_page_range_records(p, 0, cut)) + list(
+            read_page_range_records(p, cut, n_pages)
+        )
+        assert parts == whole, cut
+
+
+def test_stream_tails_live_segment_without_rollover(spark, wal_dir):
+    """VERDICT r9 #2: records appended to the LIVE segment (no rollover
+    ever happens) arrive through the streaming tail at flushed-page
+    granularity, and a restart on the same checkpoint is idempotent."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from tagtree_spark.tsdb.walfmt import register_wal_source
+
+    register_wal_source(spark)
+    out = _tf.mkdtemp(prefix="tagtree-livetail-")
+
+    def drain():
+        q = (
+            spark.readStream.format("tagtree_wal")
+            .option("path", wal_dir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{out}/log")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return sorted(
+            (r.tsid, r.ts, tuple(sorted(r.labels.items())))
+            for r in spark.read.parquet(f"{out}/log").collect()
+        )
+
+    try:
+        w = WalWriter(wal_dir)  # 128 MiB cap — nothing ever rolls over
+        first = [(i, 5, [("a", str(i))]) for i in range(40)]
+        w.log_record(serialize_series(first))
+        # flush-pad the tail page so the record is page-visible, as a
+        # checkpoint/rollover would; the writer stays on the SAME segment
+        w._flush_page(True)
+        want = sorted((t, ts, (("a", str(t)),)) for t, ts, _ in first)
+        assert drain() == want
+
+        second = [(100 + i, 6, [("b", str(i))]) for i in range(40)]
+        w.log_record(serialize_series(second))
+        w._flush_page(True)
+        w.close()
+        want += sorted((100 + i, 6, (("b", str(i)),)) for i in range(40))
+        assert drain() == sorted(want)
+        # replay idempotence: a third drain with no new data adds nothing
+        assert drain() == sorted(want)
+    finally:
+        _sh.rmtree(out, ignore_errors=True)
