@@ -347,3 +347,20 @@ def test_shingle_store_self_join_has_no_exchange(spark):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cc_clusters_read_from_versioned_store(spark):
+    """VERDICT r9 #3: every cluster consumer reads the CC labelling from
+    the VERSIONED STORE TABLE — the consumer-side frame is a bare
+    parquet scan of the committed version (zero Exchange, zero joins:
+    the label-propagation loop is NOT re-run per consumer)."""
+    from tagtree_spark.queries_ext import _cc_store_dir, _clusters
+    from tagtree_spark.tsdb.store import committed_version
+
+    sf = "/root/testdata/sf0.001"
+    df = _clusters(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower(), plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+    assert committed_version(_cc_store_dir(spark, sf)) is not None
