@@ -1189,3 +1189,112 @@ def medoid_survivors(
             "n_members",
         )
     )
+
+
+def dup_window_positions(
+    docs: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positions of every DUPLICATED ``window``-token span: each window
+    is keyed by the h60 of its space-joined tokens; a window occurring
+    ≥2 times anywhere in the corpus (cross- or within-doc) is
+    duplicated — the ExactSubstr signal of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (arXiv:2107.06499),
+    re-expressed relationally (the suffix-array byte machinery becomes
+    a window-hash groupBy; at W tokens the semantics match their
+    length-threshold spans at window granularity).
+
+    Scale shape: the window pass is a narrow in-row transform (one
+    slice + one md5 per window, O(tokens) rows of fixed-width bigints);
+    the df≥2 filter is ONE groupBy on the hash; no string ever shuffles.
+
+    → ``(doc_id, n, p)``: 0-based start position ``p`` of each
+    duplicated window in a doc of ``n`` tokens.
+    """
+    from tagtree_spark.functions.hashing import h60
+    from tagtree_spark.session import spread
+
+    t = (
+        spread(docs)
+        .select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws"))
+        .withColumn("n", F.size("ws").cast("bigint"))
+        .where(F.col("n") >= window)
+    )
+    wins = t.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n") - window).cast("int")),
+                lambda p: h60(F.concat_ws(" ", F.slice("ws", p + 1, window))),
+            )
+        ).alias("p", "h"),
+    ).select("doc_id", "n", F.col("p").cast("bigint").alias("p"), "h")
+    dup_h = wins.groupBy("h").agg(F.count("*").alias("_c")).where(F.col("_c") >= 2)
+    return wins.join(dup_h.select("h"), "h").select("doc_id", "n", "p")
+
+
+def exactsubstr_trim(
+    docs: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. semantics at window
+    granularity): excise every token position covered by some duplicated
+    ``window``-token span and emit the TRIMMED corpus — the removal step
+    on top of the q260 coverage signal (VERDICT r9 #4). ALL occurrences
+    of a duplicated span are removed (the paper's ExactSubstr policy —
+    surviving text contains each long span at most 0 times; re-running
+    the coverage scan on the output finds none of the original
+    duplicated windows, though excision can create new token
+    ADJACENCIES across seams, which is the paper's known artifact).
+
+    Relational shape: token positions (posexplode) LEFT-ANTI-join the
+    covered-position set (duplicated windows exploded to their
+    ``window`` indices, deduped) — both sides keyed (doc_id, idx); the
+    surviving tokens reassemble per doc via an order-preserving
+    array_sort over (idx, token) structs. Docs with no duplicated spans
+    (or fewer than ``window`` tokens) pass through unchanged; a fully-
+    duplicated doc emits an empty string.
+
+    → ``(doc_id, n_tokens_before, n_tokens_after, trimmed_text)``.
+    """
+    from tagtree_spark.session import persist_tracked, spread
+
+    dup = persist_tracked(dup_window_positions(docs, window, text_col, id_col))
+    cov = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + window - 1)).alias("idx"),
+    ).distinct()
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
+    )
+    tok = base.select(
+        "doc_id", F.posexplode("ws").alias("idx", "w")
+    ).select("doc_id", F.col("idx").cast("bigint").alias("idx"), "w")
+    keep = tok.join(cov, ["doc_id", "idx"], "left_anti")
+    trimmed = keep.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("trimmed_text"),
+    )
+    return (
+        base.select("doc_id", F.size("ws").cast("bigint").alias("n_tokens_before"))
+        .join(trimmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            F.coalesce("n_tokens_after", F.lit(0)).cast("bigint").alias(
+                "n_tokens_after"
+            ),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+    )

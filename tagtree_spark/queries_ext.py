@@ -11239,31 +11239,12 @@ def q260_dup_span_coverage(spark, sf_dir):
     explodes W=8 index rows per DUPLICATED window only (bounded by dup
     density, not corpus size). No string ever shuffles — only 60-bit
     hashes and integer positions."""
-    from tagtree_spark.functions.hashing import h60
+    from tagtree_spark.operators.dedup import dup_window_positions
+    from tagtree_spark.session import persist_tracked
 
     tune(spark)
     W = 8
-    t = (
-        spread(_docs(spark, sf_dir))
-        .select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-        .withColumn("n", F.size("ws").cast("bigint"))
-        .where(F.col("n") >= W)
-    )
-    wins = t.select(
-        "doc_id",
-        "n",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), (F.col("n") - W).cast("int")),
-                lambda p: h60(F.concat_ws(" ", F.slice("ws", p + 1, W))),
-            )
-        ).alias("p", "h"),
-    ).select("doc_id", "n", F.col("p").cast("bigint").alias("p"), "h")
-    dup_h = wins.groupBy("h").agg(F.count("*").alias("_c")).where(F.col("_c") >= 2)
-    dup = wins.join(dup_h.select("h"), "h").select("doc_id", "n", "p")
-    from tagtree_spark.session import persist_tracked
-
-    dup = persist_tracked(dup)
+    dup = persist_tracked(dup_window_positions(_docs(spark, sf_dir), window=W))
     cov = (
         dup.select(
             "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + W - 1)).alias("idx")
@@ -12011,3 +11992,68 @@ def q273_cc_store_compacted(spark, sf_dir):
         versioned_compact(spark, d)
         _CC_COMPACTED.add(key)
     return versioned_read(spark, d).orderBy("doc_id")
+
+
+def _q274_oracle() -> str:
+    h = duck_h60("array_to_string(array_slice(ws, p + 1, p + 8), ' ')")
+    th = duck_h60("coalesce(txt, '')")
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), w AS MATERIALIZED (
+  SELECT doc_id, p, {h} AS h
+  FROM (SELECT doc_id, ws, unnest(range(0, CAST(len(ws) AS BIGINT) - 8 + 1)) AS p
+        FROM t WHERE len(ws) >= 8) z
+), df AS (
+  SELECT h FROM w GROUP BY h HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, idx FROM (
+    SELECT w.doc_id, w.p + unnest(range(0, 8)) AS idx
+    FROM w JOIN df USING (h)
+  ) c
+), tok AS (
+  SELECT doc_id, unnest(ws) AS wtok,
+         unnest(range(0, CAST(len(ws) AS BIGINT))) AS idx
+  FROM t
+), keep AS (
+  SELECT tok.doc_id, tok.idx, tok.wtok FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov WHERE cov.doc_id = tok.doc_id AND cov.idx = tok.idx
+  )
+), trimmed AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+         array_to_string(list(wtok ORDER BY idx), ' ') AS txt
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens_before,
+       CAST(coalesce(n_after, 0) AS BIGINT) AS n_tokens_after,
+       {th} AS trimmed_h
+FROM t LEFT JOIN trimmed USING (doc_id)
+ORDER BY doc_id"""
+
+
+@query("q274_exactsubstr_trim", _q274_oracle())
+def q274_exactsubstr_trim(spark, sf_dir):
+    """ExactSubstr span REMOVAL on top of q260's coverage signal
+    (VERDICT r9 #4): every token position covered by a duplicated
+    8-token window is excised from EVERY occurrence (Lee et al.
+    ExactSubstr policy at window granularity) and the TRIMMED corpus is
+    emitted — verified end-to-end by hashing each doc's surviving token
+    sequence (h60 of the rejoined text) against the oracle's
+    reconstruction, so a green row certifies position bookkeeping,
+    order-preserving reassembly, and pass-through of untouched docs.
+    Scale shape: windows and token positions are narrow in-row
+    transforms; the covered-set anti-join keys on (doc_id, idx) ints;
+    the only corpus-sized shuffle is the per-doc reassembly groupBy."""
+    from tagtree_spark.functions.hashing import h60
+    from tagtree_spark.operators.dedup import exactsubstr_trim
+
+    tune(spark)
+    tr = exactsubstr_trim(_docs(spark, sf_dir), window=8)
+    return tr.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        h60(F.col("trimmed_text")).alias("trimmed_h"),
+    ).orderBy("doc_id")

@@ -2699,3 +2699,42 @@ def test_bfs_layers_matches_python_reference(spark):
     assert got == {d: 1 for d in range(13)}
     with pytest.raises(ValueError, match="did not converge"):
         bfs_layers(pairs, max_iters=5)
+
+
+def test_exactsubstr_trim_removes_all_duplicated_spans(spark):
+    """Lee et al. ExactSubstr removal: after trimming, NONE of the
+    original duplicated windows survive anywhere in the corpus —
+    re-running the duplicated-window scan on the trimmed text finds
+    zero spans (the synthetic corpus has no seam collisions)."""
+    from tagtree_spark.operators.dedup import (
+        dup_window_positions,
+        exactsubstr_trim,
+    )
+
+    span = " ".join(f"dup{i}" for i in range(10))  # 10-token repeated span
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {span} gamma delta"),
+            (2, f"eps zeta {span} eta theta iota"),
+            (3, "unique words only here nothing repeats at all ok"),
+            (4, f"{span}"),  # fully duplicated → trims to empty
+            (5, "short doc"),  # < window tokens → untouched
+        ],
+        "doc_id bigint, text string",
+    )
+    tr = exactsubstr_trim(docs, window=8)
+    got = {r.doc_id: r for r in tr.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # untouched docs pass through byte-identical
+    assert got[3].trimmed_text == "unique words only here nothing repeats at all ok"
+    assert got[5].trimmed_text == "short doc"
+    assert got[5].n_tokens_before == got[5].n_tokens_after == 2
+    # the fully-duplicated doc empties; partial docs keep only the
+    # positions outside every duplicated window
+    assert got[4].n_tokens_after == 0 and got[4].trimmed_text == ""
+    assert got[1].n_tokens_after < got[1].n_tokens_before
+    for d in (1, 2):
+        assert "dup0" not in got[d].trimmed_text
+    # re-scan: the trimmed corpus contains ZERO duplicated windows
+    trimmed_docs = tr.select("doc_id", F.col("trimmed_text").alias("text"))
+    assert dup_window_positions(trimmed_docs, window=8).count() == 0
