@@ -356,3 +356,48 @@ def test_resolve_accepts_selector_strings(spark, events):
 
     with pytest.raises(SelectorParseError):
         eng.resolve('{event_type=click}')  # unquoted value
+
+
+def test_readme_quickstart_selector_roundtrip(spark, events):
+    """The README 'Quick start' flow, verbatim shape (VERDICT r9 #7):
+    materialize the store, open the engine on it, and drive every entry
+    point with SELECTOR STRINGS — string-in → DataFrame-out against the
+    persisted store, no matcher objects in caller code."""
+    import shutil
+    import tempfile
+
+    from tagtree_spark.tsdb.store import materialize_model
+
+    d = tempfile.mkdtemp(prefix="tagtree-quickstart-")
+    try:
+        materialize_model(spark, events, d)
+        eng = TagTreeEngine(spark, store_dir=d)
+
+        sel = '{event_type="click", user_bucket=~"u[0-4]", k_bucket!="k9"}'
+        tsids = eng.resolve(sel)
+        got = {r.tsid for r in tsids.collect()}
+        # string parse ≡ explicit matcher list
+        want = {
+            r.tsid
+            for r in eng.resolve(
+                [
+                    LabelMatcher(MatchOp.EQL, "event_type", "click"),
+                    LabelMatcher(MatchOp.EQL_REGEX, "user_bucket", "u[0-4]"),
+                    LabelMatcher(MatchOp.NEQ, "k_bucket", "k9"),
+                ]
+            ).collect()
+        }
+        assert got == want and got
+
+        samples = eng.select(sel)
+        assert set(samples.columns) >= {"tsid", "ts", "value"}
+        assert {r.tsid for r in samples.select("tsid").distinct().collect()} <= got
+
+        assert "click" in {r.value for r in eng.label_values("event_type").collect()}
+        assert {r.tsid for r in eng.get_labels([1, 2]).collect()} == {1, 2}
+        # returned frames are plain lazy DataFrames — compose with Spark
+        assert samples.groupBy("tsid").count().count() == len(got)
+        stats = eng.stats()
+        assert stats  # telemetry populated by the calls above
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

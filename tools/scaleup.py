@@ -177,6 +177,60 @@ def build_scaled_dir(spark, src_dir: str, out_dir: str, n: int) -> None:
     eout.repartition(32).write.parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
+def run_skew_case(spark, n_edges: int) -> None:
+    """Adversarial SKEW stress for the iterative CC/k-core family
+    (VERDICT r9 #6): the 100x sweep grew data uniformly; here ONE giant
+    component holds ~50% of all edges — a hub node alone carries half
+    the edge rows (the hot-key regime for the per-round label join +
+    min-groupBy) plus a 16-deep chain for multi-round propagation — vs
+    a same-edge-count uniform graph of disjoint single-edge components.
+    Prints walls for plain and pointer-jumping (compress=True) CC and
+    the k-core peel; the pass criterion is the skew/uniform ratio
+    staying within the sweep's per-round bounds (no blow-up from the
+    hot key — AQE skew-join splitting plus the min-aggregation's
+    map-side partial combine absorb it)."""
+    from tagtree_spark.operators.dedup import near_dup_clusters
+    from tagtree_spark.operators.graph import kcore
+
+    half = n_edges // 2
+    depth = 16
+    off = 1_000_000_000
+
+    uni = spark.range(n_edges).select(
+        (F.col("id") * 2).alias("doc_a"), (F.col("id") * 2 + 1).alias("doc_b")
+    )
+    # giant component: hub 0 → half-depth leaves, chain 0-1-...-depth
+    hub = spark.range(half - depth).select(
+        F.lit(0).cast("long").alias("doc_a"),
+        (F.col("id") + 100 + depth).alias("doc_b"),
+    )
+    chain = spark.range(depth).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    rest = spark.range(n_edges - half).select(
+        (F.col("id") * 2 + off).alias("doc_a"),
+        (F.col("id") * 2 + 1 + off).alias("doc_b"),
+    )
+    skew = hub.unionByName(chain).unionByName(rest)
+
+    def cc_wall(pairs, compress):
+        t0 = time.perf_counter()
+        n = near_dup_clusters(pairs, max_iters=40, compress=compress).count()
+        return n, time.perf_counter() - t0
+
+    print("| case | edges | labelled nodes | wall | vs uniform |")
+    print("|---|---|---|---|---|")
+    n_u, w_u = cc_wall(uni, False)
+    print(f"| CC uniform | {n_edges} | {n_u} | {w_u:.2f}s | 1.0x |", flush=True)
+    n_s, w_s = cc_wall(skew, False)
+    print(f"| CC skew (50% one comp) | {n_edges} | {n_s} | {w_s:.2f}s | {w_s / w_u:.1f}x |", flush=True)
+    n_sc, w_sc = cc_wall(skew, True)
+    print(f"| CC skew, pointer-jump | {n_edges} | {n_sc} | {w_sc:.2f}s | {w_sc / w_u:.1f}x |", flush=True)
+    t0 = time.perf_counter()
+    k_n = kcore(skew, k=2).count()
+    print(f"| k-core(2) skew | {n_edges} | {k_n} | {time.perf_counter() - t0:.2f}s | — |", flush=True)
+
+
 def time_query(fn, spark, sf_dir: str) -> tuple[int, float]:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -191,10 +245,12 @@ def main() -> int:
     ap.add_argument("--only", default=None, help="comma-separated query subset")
     ap.add_argument(
         "--family",
-        choices=("dedup", "overflow"),
+        choices=("dedup", "overflow", "skew"),
         default="dedup",
-        help="query family: dedup (the quadratic-risk list) or overflow "
-        "(exact-integer + iterative families for deep --n runs)",
+        help="query family: dedup (the quadratic-risk list), overflow "
+        "(exact-integer + iterative families for deep --n runs), or skew "
+        "(synthetic hot-component CC/k-core stress; --n scales edge count "
+        "in millions)",
     )
     args = ap.parse_args()
     # symlink targets resolve relative to the LINK's directory, not the
@@ -202,6 +258,9 @@ def main() -> int:
     args.src = os.path.abspath(args.src)
 
     spark = get_spark("tagtree-scaleup")
+    if args.family == "skew":
+        run_skew_case(spark, n_edges=args.n * 1_000_000)
+        return 0
     out_dir = os.path.abspath(f".tmp/scaleup-x{args.n}")
     print(f"building x{args.n} corpus under {out_dir} ...", file=sys.stderr)
     t0 = time.perf_counter()
