@@ -1210,8 +1210,9 @@ def dup_window_positions(
     slice + one md5 per window, O(tokens) rows of fixed-width bigints);
     the df≥2 filter is ONE groupBy on the hash; no string ever shuffles.
 
-    → ``(doc_id, n, p)``: 0-based start position ``p`` of each
-    duplicated window in a doc of ``n`` tokens.
+    → ``(doc_id, n, p, h)``: 0-based start position ``p`` of each
+    duplicated window in a doc of ``n`` tokens, plus the window's h60
+    (kept so cross-doc/source overlap reports need no re-hash).
     """
     from tagtree_spark.functions.hashing import h60
     from tagtree_spark.session import spread
@@ -1233,7 +1234,7 @@ def dup_window_positions(
         ).alias("p", "h"),
     ).select("doc_id", "n", F.col("p").cast("bigint").alias("p"), "h")
     dup_h = wins.groupBy("h").agg(F.count("*").alias("_c")).where(F.col("_c") >= 2)
-    return wins.join(dup_h.select("h"), "h").select("doc_id", "n", "p")
+    return wins.join(dup_h.select("h"), "h").select("doc_id", "n", "p", "h")
 
 
 def exactsubstr_trim(
@@ -1241,6 +1242,7 @@ def exactsubstr_trim(
     window: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    dup: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr span REMOVAL (Lee et al. semantics at window
     granularity): excise every token position covered by some duplicated
@@ -1264,7 +1266,12 @@ def exactsubstr_trim(
     """
     from tagtree_spark.session import persist_tracked, spread
 
-    dup = persist_tracked(dup_window_positions(docs, window, text_col, id_col))
+    # dup= lets call sites share one duplicated-window pass (the
+    # queries_ext._dupwin() session cache) instead of re-scanning
+    if dup is None:
+        dup = persist_tracked(
+            dup_window_positions(docs, window, text_col, id_col)
+        )
     cov = dup.select(
         "doc_id",
         F.explode(F.sequence(F.col("p"), F.col("p") + window - 1)).alias("idx"),

@@ -10745,6 +10745,7 @@ def one_time_builders():
         "wal_store": lambda s, d: _wal_store(s, d),
         "wal_tail_log": lambda s, d: _wal_tail_log(s, d),
         "compacted_store": lambda s, d: _compacted_store(s, d),
+        "dup_windows": lambda s, d: _force(_dupwin(s, d)),
     }
 
 
@@ -11190,6 +11191,25 @@ def q259_mixture_plan(spark, sf_dir):
     )
 
 
+# Shared per-(session, sf dir) duplicated-window positions (doc_id, n, p)
+# — the ExactSubstr base pass (one window-hash scan + one df>=2 groupBy):
+# q260 (coverage), q274 (trim), and the trim-report/spectrum family all
+# read the same frame; without the cache each would re-hash every window.
+_DUPWIN_CACHE: dict = {}
+
+
+def _dupwin(spark, sf_dir):
+    from tagtree_spark.operators.dedup import dup_window_positions
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _DUPWIN_CACHE.get(key)
+    if got is None:
+        got = dup_window_positions(_docs(spark, sf_dir), window=8).persist()
+        got.count()
+        _DUPWIN_CACHE[key] = got
+    return got
+
+
 def _q260_oracle() -> str:
     from tagtree_spark.functions.hashing import duck_h60
 
@@ -11239,12 +11259,9 @@ def q260_dup_span_coverage(spark, sf_dir):
     explodes W=8 index rows per DUPLICATED window only (bounded by dup
     density, not corpus size). No string ever shuffles — only 60-bit
     hashes and integer positions."""
-    from tagtree_spark.operators.dedup import dup_window_positions
-    from tagtree_spark.session import persist_tracked
-
     tune(spark)
     W = 8
-    dup = persist_tracked(dup_window_positions(_docs(spark, sf_dir), window=W))
+    dup = _dupwin(spark, sf_dir)
     cov = (
         dup.select(
             "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + W - 1)).alias("idx")
@@ -12050,10 +12067,447 @@ def q274_exactsubstr_trim(spark, sf_dir):
     from tagtree_spark.operators.dedup import exactsubstr_trim
 
     tune(spark)
-    tr = exactsubstr_trim(_docs(spark, sf_dir), window=8)
+    tr = exactsubstr_trim(
+        _docs(spark, sf_dir), window=8, dup=_dupwin(spark, sf_dir)
+    )
     return tr.select(
         "doc_id",
         "n_tokens_before",
         "n_tokens_after",
         h60(F.col("trimmed_text")).alias("trimmed_h"),
     ).orderBy("doc_id")
+
+
+_TRIM_CTES = None  # q275 shares q274's CTE text via _q275_oracle below
+
+
+def _q275_oracle() -> str:
+    h = duck_h60("array_to_string(array_slice(ws, p + 1, p + 8), ' ')")
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), w AS MATERIALIZED (
+  SELECT doc_id, p, {h} AS h
+  FROM (SELECT doc_id, ws, unnest(range(0, CAST(len(ws) AS BIGINT) - 8 + 1)) AS p
+        FROM t WHERE len(ws) >= 8) z
+), df AS (
+  SELECT h FROM w GROUP BY h HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, idx FROM (
+    SELECT w.doc_id, w.p + unnest(range(0, 8)) AS idx
+    FROM w JOIN df USING (h)
+  ) c
+), cut AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut FROM cov GROUP BY doc_id
+), per AS (
+  SELECT d.source, CAST(len(t.ws) AS BIGINT) AS n_before,
+         CAST(len(t.ws) AS BIGINT) - CAST(coalesce(cut.n_cut, 0) AS BIGINT) AS n_after
+  FROM t JOIN documents d USING (doc_id) LEFT JOIN cut USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_after = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_emptied,
+       CAST(sum(n_before) AS BIGINT) AS tok_before,
+       CAST(sum(n_after) AS BIGINT) AS tok_after,
+       CAST((1000000 * (sum(n_before) - sum(n_after))) // sum(n_before) AS BIGINT) AS cut_ppm
+FROM per GROUP BY source ORDER BY source"""
+
+
+@query("q275_source_trim_report", _q275_oracle())
+def q275_source_trim_report(spark, sf_dir):
+    """Per-SOURCE ExactSubstr trim report — what a corpus owner reads
+    after q274's removal pass: tokens before/after excision, docs
+    emptied entirely, and the cut rate as exact ppm. Token deltas come
+    straight from the shared duplicated-window cache (covered positions
+    per doc — no text reassembly needed for the counts); one bounded
+    groupBy(source). The oracle recomputes coverage independently, so a
+    green row re-proves the position bookkeeping through a second
+    aggregate shape."""
+    tune(spark)
+    dup = _dupwin(spark, sf_dir)
+    cov = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 7)).alias("idx")
+    ).distinct()
+    cut = cov.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_cut"))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_before"),
+    )
+    per = d.join(cut, "doc_id", "left").select(
+        "source",
+        "n_before",
+        (F.col("n_before") - F.coalesce("n_cut", F.lit(0))).alias("n_after"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_after") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_emptied"),
+            F.sum("n_before").cast("bigint").alias("tok_before"),
+            F.sum("n_after").cast("bigint").alias("tok_after"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_emptied",
+            "tok_before",
+            "tok_after",
+            F.expr("(1000000 * (tok_before - tok_after)) div tok_before")
+            .cast("bigint")
+            .alias("cut_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q276_seriesfile_segment_stats",
+    TSDB_CTE
+    + """
+, tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series)
+SELECT CAST(tsid // 128 AS BIGINT) AS seg,
+       CAST(count(*) AS BIGINT) AS n_series,
+       CAST(3 * count(*) AS BIGINT) AS n_postings
+FROM series WHERE tsid <= (SELECT (3 * n) // 5 FROM tot)
+GROUP BY 1 ORDER BY seg""",
+)
+def q276_seriesfile_segment_stats(spark, sf_dir):
+    """Per-SEGMENT occupancy of the imported series-file store — the
+    byte walk (offset table → pages → CRC'd entries) aggregated by
+    segment file, against the oracle's re-derivation of the checkpoint
+    split (60% of series compacted, 128 tsids per segment =
+    series_file_manager.cpp:33-37's tsid/segment_size mapping). A green
+    row certifies that every offset-table slot the writer populated is
+    walked exactly once per label by the distributed read."""
+    from tagtree_spark.tsdb.seriesfmt import postings_from_series_files
+
+    post = postings_from_series_files(
+        spark, _compacted_store(spark, sf_dir), segment_size=_COMPACTED_SEG_SIZE
+    )
+    return (
+        post.groupBy(
+            F.expr(f"tsid div {_COMPACTED_SEG_SIZE}").cast("bigint").alias("seg")
+        )
+        .agg(
+            F.countDistinct("tsid").cast("bigint").alias("n_series"),
+            F.count("*").cast("bigint").alias("n_postings"),
+        )
+        .orderBy("seg")
+    )
+
+
+@query(
+    "q277_label_cardinality",
+    TSDB_CTE
+    + """
+SELECT name,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_values,
+       CAST(count(*) AS BIGINT) AS n_series
+FROM postings GROUP BY name ORDER BY name""",
+)
+def q277_label_cardinality(spark, sf_dir):
+    """Index CARDINALITY audit — the first thing an operator checks when
+    a TSDB slows down (a runaway label turns the inverted index into one
+    posting list per series): per label name, distinct values and series
+    touched. One groupBy over the postings frame; the reference exposes
+    this walk as its label_values/postings iteration
+    (/root/reference/src/index/index_server.cpp:151-158)."""
+    from tagtree_spark.queries import _model
+
+    _, postings, _ = _model(spark, sf_dir)
+    return (
+        postings.groupBy("name")
+        .agg(
+            F.countDistinct("value").cast("bigint").alias("n_values"),
+            F.count("*").cast("bigint").alias("n_series"),
+        )
+        .orderBy("name")
+    )
+
+
+def _q278_oracle() -> str:
+    h = duck_h60("array_to_string(array_slice(ws, p + 1, p + 8), ' ')")
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), w AS (
+  SELECT {h} AS h
+  FROM (SELECT doc_id, ws, unnest(range(0, CAST(len(ws) AS BIGINT) - 8 + 1)) AS p
+        FROM t WHERE len(ws) >= 8) z
+), df AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS occ FROM w GROUP BY h
+)
+SELECT CAST(least(occ, 10) AS BIGINT) AS occ_bucket,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(occ) AS BIGINT) AS n_occurrences
+FROM df GROUP BY 1 ORDER BY occ_bucket"""
+
+
+@query("q278_window_df_spectrum", _q278_oracle())
+def q278_window_df_spectrum(spark, sf_dir):
+    """ExactSubstr CALIBRATION telemetry (the q269 analogue for span
+    dedup): the occurrence-count spectrum of every distinct 8-token
+    window — how much of the corpus's window mass sits at df=1 (unique)
+    vs the duplicated tail (df capped into a >=10 bucket). An operator
+    reads this before choosing the window length / df threshold. One
+    window-hash scan + two bounded groupBys; only 60-bit hashes
+    shuffle."""
+    from tagtree_spark.functions.hashing import h60
+
+    tune(spark)
+    W = 8
+    t = (
+        spread(_docs(spark, sf_dir))
+        .select(F.split(F.col("text"), " ").alias("ws"))
+        .withColumn("n", F.size("ws"))
+        .where(F.col("n") >= W)
+    )
+    wins = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n") - W).cast("int")),
+                lambda p: h60(F.concat_ws(" ", F.slice("ws", p + 1, W))),
+            )
+        ).alias("h")
+    )
+    df = wins.groupBy("h").agg(F.count("*").cast("bigint").alias("occ"))
+    return (
+        df.groupBy(F.least("occ", F.lit(10)).cast("bigint").alias("occ_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum("occ").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("occ_bucket")
+    )
+
+
+def _q279_oracle() -> str:
+    h = duck_h60("array_to_string(array_slice(ws, p + 1, p + 8), ' ')")
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), w AS MATERIALIZED (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, ws, unnest(range(0, CAST(len(ws) AS BIGINT) - 8 + 1)) AS p
+        FROM t WHERE len(ws) >= 8) z
+), df AS (
+  SELECT h FROM w GROUP BY h HAVING count(*) >= 2
+), hs AS (
+  SELECT DISTINCT w.h, d.source
+  FROM w JOIN df USING (h) JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_windows
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2 ORDER BY source_a, source_b"""
+
+
+@query("q279_cross_source_dup_matrix", _q279_oracle())
+def q279_cross_source_dup_matrix(spark, sf_dir):
+    """Cross-SOURCE contamination matrix: for every source pair, the
+    number of distinct duplicated 8-token windows appearing in BOTH —
+    the report that distinguishes 'mirror crawled twice' (one pair
+    dominates) from within-source boilerplate (diagonal-only mass).
+    Rides the shared duplicated-window cache; the join side is the
+    DISTINCT (window, source) set (bounded by dup density), and the
+    output is at most sources² rows."""
+    dup = _dupwin(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    hs = dup.join(d, "doc_id").select("h", "source").distinct()
+    a = hs.select("h", F.col("source").alias("source_a"))
+    b = hs.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_windows"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
+    "q280_dedup_weighted_sampling",
+    _CLUSTERS_CTES
+    + f"""
+, sz AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+  FROM clusters GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, sz.csize
+FROM clusters c JOIN sz USING (cluster_id)
+WHERE {duck_h60("'dw:' || CAST(c.doc_id AS VARCHAR)")} % sz.csize = 0
+ORDER BY c.doc_id""",
+)
+def q280_dedup_weighted_sampling(spark, sf_dir):
+    """Duplicate-AWARE downsampling: within the near-dup clusters, each
+    doc survives with probability 1/cluster_size via the deterministic
+    h60 coin (h60('dw:'||doc_id) % csize == 0) — every cluster
+    contributes ~1 expected doc WITHOUT coordinating a choice (the
+    reservoir-free, reproducible alternative to min-id survivors when
+    the pipeline wants an unbiased representative rather than the
+    smallest id). Exact integers; rides the CC store table + one
+    broadcast-sized size join."""
+    from tagtree_spark.functions.hashing import h60
+
+    cl = _clusters(spark, sf_dir)
+    sz = cl.groupBy("cluster_id").agg(F.count("*").cast("bigint").alias("csize"))
+    return (
+        cl.join(sz, "cluster_id")
+        .where(
+            h60(F.concat(F.lit("dw:"), F.col("doc_id").cast("string")))
+            % F.col("csize")
+            == 0
+        )
+        .select("doc_id", "cluster_id", "csize")
+        .orderBy("doc_id")
+    )
+
+
+# LIVE-tail WAL fixture per (session, sf_dir): the same series rows as
+# _wal_store but the head segment is NEVER closed — records are made
+# page-visible with flush_page() (the reference's WAL::flush durability
+# point) and the stream must serve them from the LIVE segment's flushed
+# pages (r10's page-granular offsets; the r9 reader would see nothing).
+_WAL_LIVE_CACHE: dict = {}
+
+
+def _wal_live_store(spark, sf_dir):
+    import tempfile
+
+    from tagtree_spark.tsdb.walfmt import WalWriter, serialize_series
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WAL_LIVE_CACHE:
+        from tagtree_spark.queries import _model
+
+        series, _, _ = _model(spark, sf_dir)
+        rows = (
+            series.select(
+                "tsid",
+                F.unix_millis("first_seen").cast("bigint").alias("ts_ms"),
+                "event_type",
+                "user_bucket",
+                "k_bucket",
+            )
+            .orderBy("tsid")
+            .toLocalIterator()
+        )
+        d = tempfile.mkdtemp(prefix="tagtree-wallive-")
+        w = WalWriter(d)  # default 128 MiB cap: nothing ever rolls over
+        batch = []
+        for r in rows:
+            batch.append(
+                (
+                    int(r.tsid),
+                    int(r.ts_ms),
+                    [
+                        ("event_type", r.event_type),
+                        ("user_bucket", r.user_bucket),
+                        ("k_bucket", r.k_bucket),
+                    ],
+                )
+            )
+            if len(batch) == 100:
+                w.log_record(serialize_series(batch))
+                batch = []
+        if batch:
+            w.log_record(serialize_series(batch))
+        w.flush_page()  # durability point — segment stays LIVE
+        w.close()
+        _WAL_LIVE_CACHE[key] = d
+    return _WAL_LIVE_CACHE[key]
+
+
+_WAL_LIVE_TAIL_CACHE: dict = {}
+
+
+def _wal_live_tail_log(spark, sf_dir):
+    import tempfile
+
+    from tagtree_spark.tsdb.walfmt import register_wal_source
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WAL_LIVE_TAIL_CACHE:
+        wal_dir = _wal_live_store(spark, sf_dir)
+        register_wal_source(spark)
+        out = tempfile.mkdtemp(prefix="tagtree-wallivetail-")
+        q = (
+            spark.readStream.format("tagtree_wal")
+            .option("path", wal_dir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{out}/log")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("live wal tail stream did not drain in 300s")
+        _WAL_LIVE_TAIL_CACHE[key] = f"{out}/log"
+    return _WAL_LIVE_TAIL_CACHE[key]
+
+
+@query("q281_wal_live_tail", _ORACLE_REG["q261_wal_roundtrip"])
+def q281_wal_live_tail(spark, sf_dir):
+    """S2 streaming from the LIVE segment (VERDICT r9 #2, driver-
+    verified): the whole series model is logged into ONE never-closed
+    WAL segment, made durable only by page flushes (WAL::flush,
+    wal.cpp:242-269), and the tagtree_wal stream tail — page-granular
+    (segment, page) offsets, flushed-page visibility — must drain every
+    record from the live head. The r9 segment-granular reader served
+    closed segments only and would return ZERO rows here; the oracle is
+    the same model re-derivation as the batch round-trip q261."""
+    log = _wal_live_tail_log(spark, sf_dir)
+    got = spark.read.parquet(log)
+    return got.select(
+        "tsid",
+        F.col("ts").alias("ts_ms"),
+        F.col("labels")["event_type"].alias("event_type"),
+        F.col("labels")["user_bucket"].alias("user_bucket"),
+        F.col("labels")["k_bucket"].alias("k_bucket"),
+    ).orderBy("tsid")
+
+
+@query(
+    "q282_symtab_dictionary",
+    TSDB_CTE
+    + """
+, tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series)
+, pre AS (SELECT * FROM series WHERE tsid <= (SELECT (3 * n) // 5 FROM tot))
+, seq AS (
+  SELECT tsid, 1 AS pos, 'event_type' AS sym FROM pre
+  UNION ALL SELECT tsid, 2, event_type FROM pre
+  UNION ALL SELECT tsid, 3, 'user_bucket' FROM pre
+  UNION ALL SELECT tsid, 4, user_bucket FROM pre
+  UNION ALL SELECT tsid, 5, 'k_bucket' FROM pre
+  UNION ALL SELECT tsid, 6, k_bucket FROM pre
+), firsts AS (
+  SELECT sym, min(tsid * 10 + pos) AS fo FROM seq GROUP BY sym
+)
+SELECT CAST(row_number() OVER (ORDER BY fo) - 1 AS BIGINT) AS ref, sym
+FROM firsts ORDER BY ref""",
+)
+def q282_symtab_dictionary(spark, sf_dir):
+    """The symbol.tab DICTIONARY certified entry-by-entry: refs are
+    0-based insertion indices (symbol_table.cpp:34 — first add wins), so
+    the oracle re-derives the exact insertion order from the write
+    sequence (series ascending by tsid, per series name,value ×
+    event_type/user_bucket/k_bucket) and the Spark side reads the refs
+    straight from the store's symbol.tab bytes. A green row pins both
+    the [len,bytes]* framing AND the ref-assignment semantics the
+    series-file entries point into. The dictionary is bounded by
+    distinct label strings (not series count) — a driver-side read is
+    its real cost model, same as the broadcast in the distributed
+    postings read."""
+    from tagtree_spark.tsdb.seriesfmt import load_symbols
+
+    syms = load_symbols(_compacted_store(spark, sf_dir))
+    return spark.createDataFrame(
+        list(enumerate(syms)), "ref bigint, sym string"
+    ).orderBy("ref")

@@ -167,6 +167,14 @@ class WalWriter:
             if flush or PAGE_SIZE <= self._page_end + RECORD_HEADER_SIZE:
                 self._flush_page(False)
 
+    def flush_page(self) -> None:
+        """Pad + write the CURRENT page without a segment rollover — the
+        durability point (the reference's WAL::flush, wal.cpp:242-269):
+        everything logged so far becomes visible to the page-granular
+        stream tail while the segment stays LIVE."""
+        if self._page_end > 0:
+            self._flush_page(True)
+
     def close_segment(self) -> int:
         return self._next_segment()
 

@@ -318,15 +318,15 @@ def test_stream_tails_live_segment_without_rollover(spark, wal_dir):
         w = WalWriter(wal_dir)  # 128 MiB cap — nothing ever rolls over
         first = [(i, 5, [("a", str(i))]) for i in range(40)]
         w.log_record(serialize_series(first))
-        # flush-pad the tail page so the record is page-visible, as a
-        # checkpoint/rollover would; the writer stays on the SAME segment
-        w._flush_page(True)
+        # flush-pad the tail page so the record is page-visible (the
+        # durability point); the writer stays on the SAME segment
+        w.flush_page()
         want = sorted((t, ts, (("a", str(t)),)) for t, ts, _ in first)
         assert drain() == want
 
         second = [(100 + i, 6, [("b", str(i))]) for i in range(40)]
         w.log_record(serialize_series(second))
-        w._flush_page(True)
+        w.flush_page()
         w.close()
         want += sorted((100 + i, 6, (("b", str(i)),)) for i in range(40))
         assert drain() == sorted(want)
