@@ -10746,6 +10746,8 @@ def one_time_builders():
         "wal_tail_log": lambda s, d: _wal_tail_log(s, d),
         "compacted_store": lambda s, d: _compacted_store(s, d),
         "dup_windows": lambda s, d: _force(_dupwin(s, d)),
+        "wal_live_tail_log": lambda s, d: _wal_live_tail_log(s, d),
+        "ckpt_compacted_store": lambda s, d: _ckpt_compacted_store(s, d),
     }
 
 
@@ -12078,9 +12080,6 @@ def q274_exactsubstr_trim(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-_TRIM_CTES = None  # q275 shares q274's CTE text via _q275_oracle below
-
-
 def _q275_oracle() -> str:
     h = duck_h60("array_to_string(array_slice(ws, p + 1, p + 8), ' ')")
     return f"""
@@ -12511,3 +12510,80 @@ def q282_symtab_dictionary(spark, sf_dir):
     return spark.createDataFrame(
         list(enumerate(syms)), "ref bigint, sym string"
     ).orderBy("ref")
+
+
+# CHECKPOINT-COMPACTION fixture per (session, sf_dir) — the REVERSE
+# migration: q271 proved this engine can READ a compacted reference
+# store; here the engine WRITES one. The byte-level WAL is replayed
+# (distributed parse) and every series is persisted into
+# reference-format series files + symbol.tab — the reference's own
+# checkpoint step (replay → persist series → GC the mem index,
+# /root/reference/src/index/index_server.cpp:205-232), after which the
+# compacted WAL prefix is dead weight. The file writes are single-writer
+# (faithful: the reference's series manager serializes behind a mutex);
+# rows stream through toLocalIterator.
+_CKPT_COMPACT_CACHE: dict = {}
+
+
+def _ckpt_compacted_store(spark, sf_dir):
+    import tempfile
+
+    from tagtree_spark.tsdb.seriesfmt import SeriesStoreWriter
+    from tagtree_spark.tsdb.walfmt import read_wal_series
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CKPT_COMPACT_CACHE:
+        wal_dir = _wal_store(spark, sf_dir)
+        rows = (
+            read_wal_series(spark, wal_dir)
+            .select("tsid", "labels")
+            .orderBy("tsid")
+            .toLocalIterator()
+        )
+        d = tempfile.mkdtemp(prefix="tagtree-ckptcompact-")
+        sw = SeriesStoreWriter(d, segment_size=_COMPACTED_SEG_SIZE)
+        for r in rows:
+            # fixed label order (the model's three labels): ref
+            # assignment stays deterministic regardless of map iteration
+            sw.add(
+                int(r.tsid),
+                [(n, r.labels[n]) for n in ("event_type", "user_bucket", "k_bucket")],
+            )
+        sw.flush()
+        _CKPT_COMPACT_CACHE[key] = d
+    return _CKPT_COMPACT_CACHE[key]
+
+
+@query(
+    "q283_checkpoint_compaction",
+    TSDB_CTE
+    + "SELECT tsid, event_type, user_bucket, k_bucket FROM series ORDER BY tsid",
+)
+def q283_checkpoint_compaction(spark, sf_dir):
+    """Checkpoint compaction run BY THIS ENGINE in the reference's own
+    on-disk dialect (the reverse of q271's import): the byte-level WAL
+    is replayed and every series is persisted into reference-format
+    series files + symbol.tab (offset-table pages, CRC'd ref entries,
+    [len,bytes]* dictionary) — a store the REFERENCE engine could open;
+    the distributed read then reconstructs every label set and the
+    oracle re-derives the model from events. Green = WAL bytes →
+    replay → series-file WRITE → byte read-back → pivot, the full
+    round-trip in the migration's other direction."""
+    from tagtree_spark.tsdb.seriesfmt import postings_from_series_files
+
+    post = postings_from_series_files(
+        spark,
+        _ckpt_compacted_store(spark, sf_dir),
+        segment_size=_COMPACTED_SEG_SIZE,
+    )
+    return (
+        post.groupBy("tsid")
+        .agg(
+            *[
+                F.max(F.when(F.col("name") == n, F.col("value"))).alias(n)
+                for n in ("event_type", "user_bucket", "k_bucket")
+            ]
+        )
+        .orderBy("tsid")
+    )
