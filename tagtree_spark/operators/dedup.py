@@ -1254,13 +1254,16 @@ def exactsubstr_trim(
     duplicated windows, though excision can create new token
     ADJACENCIES across seams, which is the paper's known artifact).
 
-    Relational shape: token positions (posexplode) LEFT-ANTI-join the
-    covered-position set (duplicated windows exploded to their
-    ``window`` indices, deduped) — both sides keyed (doc_id, idx); the
-    surviving tokens reassemble per doc via an order-preserving
-    array_sort over (idx, token) structs. Docs with no duplicated spans
-    (or fewer than ``window`` tokens) pass through unchanged; a fully-
-    duplicated doc emits an empty string.
+    Relational shape: only AFFECTED docs (those with >=1 duplicated
+    window — bounded by dup density, not corpus size) are exploded to
+    token positions, LEFT-ANTI-joined against the covered-position set
+    (duplicated windows exploded to their ``window`` indices, deduped;
+    both sides keyed (doc_id, idx)) and reassembled order-preservingly
+    via array_sort over (idx, token) structs; every UNAFFECTED doc
+    passes through as a narrow map-only projection of its original
+    text — at 100 TB the reassembly shuffle is proportional to the
+    duplicated subset, never the corpus. A fully-duplicated doc emits
+    an empty string.
 
     → ``(doc_id, n_tokens_before, n_tokens_after, trimmed_text)``.
     """
@@ -1272,16 +1275,23 @@ def exactsubstr_trim(
         dup = persist_tracked(
             dup_window_positions(docs, window, text_col, id_col)
         )
-    cov = dup.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("p"), F.col("p") + window - 1)).alias("idx"),
-    ).distinct()
-    base = spread(docs).select(
-        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
+    cov = persist_tracked(
+        dup.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + window - 1)).alias("idx"),
+        ).distinct()
     )
-    tok = base.select(
-        "doc_id", F.posexplode("ws").alias("idx", "w")
-    ).select("doc_id", F.col("idx").cast("bigint").alias("idx"), "w")
+    affected = cov.select("doc_id").distinct()
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    )
+    tok = (
+        base.join(affected, "doc_id", "left_semi")
+        .select("doc_id", F.posexplode("ws").alias("idx", "w"))
+        .select("doc_id", F.col("idx").cast("bigint").alias("idx"), "w")
+    )
     keep = tok.join(cov, ["doc_id", "idx"], "left_anti")
     trimmed = keep.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tokens_after"),
@@ -1293,8 +1303,15 @@ def exactsubstr_trim(
             " ",
         ).alias("trimmed_text"),
     )
-    return (
-        base.select("doc_id", F.size("ws").cast("bigint").alias("n_tokens_before"))
+    untouched = base.join(affected, "doc_id", "left_anti").select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens_before"),
+        F.size("ws").cast("bigint").alias("n_tokens_after"),
+        F.col("_text").alias("trimmed_text"),
+    )
+    hit = (
+        base.join(affected, "doc_id", "left_semi")
+        .select("doc_id", F.size("ws").cast("bigint").alias("n_tokens_before"))
         .join(trimmed, "doc_id", "left")
         .select(
             "doc_id",
@@ -1305,3 +1322,4 @@ def exactsubstr_trim(
             F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
         )
     )
+    return untouched.unionByName(hit)

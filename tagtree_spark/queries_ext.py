@@ -12587,3 +12587,219 @@ def q283_checkpoint_compaction(spark, sf_dir):
         )
         .orderBy("tsid")
     )
+
+
+def _q284_oracle() -> str:
+    return (
+        _MINHASH_PAIRS_CTES
+        + f""", hsd AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, s -> {duck_h60('s')})) AS hs
+  FROM sh WHERE len(shingles) > 0
+), inv_all AS (
+  SELECT doc_id, unnest(hs) AS s FROM hsd
+), keep AS (
+  SELECT s FROM inv_all GROUP BY s HAVING count(*) <= 50
+), inv AS (
+  SELECT inv_all.* FROM inv_all JOIN keep USING (s)
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM inv GROUP BY doc_id
+), commonx AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), ex_pairs AS (
+  SELECT doc_a, doc_b, 1 AS in_ex
+  FROM commonx JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE 100 * n_common >= 50 * (sa.n_sh + sb.n_sh - n_common)
+), mh AS (
+  SELECT doc_a, doc_b, 1 AS in_mh FROM mh_pairs
+), venn AS (
+  SELECT CASE WHEN in_mh IS NOT NULL AND in_ex IS NOT NULL THEN 'both'
+              WHEN in_mh IS NOT NULL THEN 'mh_only'
+              ELSE 'exact_only' END AS cat
+  FROM mh FULL JOIN ex_pairs USING (doc_a, doc_b)
+)
+SELECT cat, CAST(count(*) AS BIGINT) AS n_pairs
+FROM venn GROUP BY cat ORDER BY cat"""
+    )
+
+
+@query("q284_dedup_family_venn", _q284_oracle())
+def q284_dedup_family_venn(spark, sf_dir):
+    """Cross-ESTIMATOR agreement Venn: the signature-verified MinHash
+    pair set vs the exact-Jaccard-threshold pair set (J >= 50% over the
+    df-capped shingle space) — 'both' is the working overlap,
+    'exact_only' counts true pairs the 4x3 banding MISSED (LSH recall
+    gap), 'mh_only' counts signature coincidences below the exact
+    threshold (verification burden). The one-table summary an operator
+    reads before trusting LSH output as ground truth; q84/q269 calibrate
+    each estimator alone, this closes the loop BETWEEN them. Both pair
+    sets are LSH/df-cap bounded; the Venn is one full-outer join on
+    (doc_a, doc_b)."""
+    from tagtree_spark.operators.dedup import ngram_jaccard_pairs
+
+    mh = (
+        _mh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_mh", F.lit(1))
+    )
+    ex = (
+        ngram_jaccard_pairs(_docs(spark, sf_dir), sh=_sh(spark, sf_dir))
+        .select("doc_a", "doc_b")
+        .withColumn("in_ex", F.lit(1))
+    )
+    venn = mh.join(ex, ["doc_a", "doc_b"], "full_outer").select(
+        F.when(F.col("in_mh").isNotNull() & F.col("in_ex").isNotNull(), "both")
+        .when(F.col("in_mh").isNotNull(), "mh_only")
+        .otherwise("exact_only")
+        .alias("cat")
+    )
+    return (
+        venn.groupBy("cat")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("cat")
+    )
+
+
+@query(
+    "q285_survivor_token_coverage",
+    _CLUSTERS_CTES
+    + """
+, dropped AS (
+  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+), toks AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+  FROM documents d
+)
+SELECT t.source,
+       CAST(sum(t.n_tok) AS BIGINT) AS tok_total,
+       CAST(sum(CASE WHEN dr.doc_id IS NULL THEN t.n_tok ELSE 0 END) AS BIGINT)
+         AS tok_retained,
+       CAST((1000000 * sum(CASE WHEN dr.doc_id IS NULL THEN t.n_tok ELSE 0 END))
+            // sum(t.n_tok) AS BIGINT) AS retained_ppm
+FROM toks t LEFT JOIN dropped dr ON dr.doc_id = t.doc_id
+GROUP BY t.source ORDER BY t.source""",
+)
+def q285_survivor_token_coverage(spark, sf_dir):
+    """TOKEN-weighted dedup rate per source (q270 counts DOCS; training
+    budgets count TOKENS): under the min-id survivor policy, the share
+    of each source's token mass that survives near-dup collapse — the
+    number that actually moves a mixture plan when duplicates are long.
+    Rides the CC store table; one narrow token count + broadcast-sized
+    dropped-set join."""
+    cl = _clusters(spark, sf_dir)
+    dropped = cl.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.lit(1).alias("_d")
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    return (
+        toks.join(dropped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("tok_total"),
+            F.sum(F.when(F.col("_d").isNull(), F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tok_retained"),
+        )
+        .select(
+            "source",
+            "tok_total",
+            "tok_retained",
+            F.expr("(1000000 * tok_retained) div tok_total")
+            .cast("bigint")
+            .alias("retained_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q286_oracle() -> str:
+    h = duck_h60("array_to_string(array_slice(ws, p + 1, p + 8), ' ')")
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), w AS MATERIALIZED (
+  SELECT doc_id, p, {h} AS h
+  FROM (SELECT doc_id, ws, unnest(range(0, CAST(len(ws) AS BIGINT) - 8 + 1)) AS p
+        FROM t WHERE len(ws) >= 8) z
+), df AS (
+  SELECT h FROM w GROUP BY h HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, idx FROM (
+    SELECT w.doc_id, w.p + unnest(range(0, 8)) AS idx
+    FROM w JOIN df USING (h)
+  ) c
+), cut AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut FROM cov GROUP BY doc_id
+), per AS (
+  SELECT d.source, CAST(len(t.ws) AS BIGINT) AS n_before,
+         CAST(len(t.ws) AS BIGINT) - CAST(coalesce(cut.n_cut, 0) AS BIGINT) AS n_after
+  FROM t JOIN documents d USING (doc_id) LEFT JOIN cut USING (doc_id)
+), bysrc AS (
+  SELECT source, CAST(sum(n_before) AS BIGINT) AS tb, CAST(sum(n_after) AS BIGINT) AS ta
+  FROM per GROUP BY source
+), tot AS (
+  SELECT CAST(sum(tb) AS BIGINT) AS gb, CAST(sum(ta) AS BIGINT) AS ga FROM bysrc
+)
+SELECT source,
+       CAST((1000000 * tb) // (SELECT gb FROM tot) AS BIGINT) AS share_before_ppm,
+       CAST((1000000 * ta) // (SELECT ga FROM tot) AS BIGINT) AS share_after_ppm,
+       CAST((1000000 * ta) // (SELECT ga FROM tot)
+            - (1000000 * tb) // (SELECT gb FROM tot) AS BIGINT) AS drift_ppm
+FROM bysrc ORDER BY source"""
+
+
+@query("q286_trim_mixture_drift", _q286_oracle())
+def q286_trim_mixture_drift(spark, sf_dir):
+    """Mixture DRIFT caused by ExactSubstr removal: each source's share
+    of total token mass before vs after span excision, in exact ppm —
+    boilerplate-heavy sources shrink, so a mixture plan tuned on raw
+    counts silently re-weights after dedup; this is the correction
+    table. Shares are floor-ppm of exact bigint sums (non-negative, so
+    // and div agree); drift is the difference of the two already-
+    floored shares (exact integer subtraction)."""
+    tune(spark)
+    dup = _dupwin(spark, sf_dir)
+    cov = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 7)).alias("idx")
+    ).distinct()
+    cut = cov.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_cut"))
+    per = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_before"),
+        )
+        .join(cut, "doc_id", "left")
+        .select(
+            "source",
+            "n_before",
+            (F.col("n_before") - F.coalesce("n_cut", F.lit(0))).alias("n_after"),
+        )
+    )
+    bysrc = per.groupBy("source").agg(
+        F.sum("n_before").cast("bigint").alias("tb"),
+        F.sum("n_after").cast("bigint").alias("ta"),
+    )
+    tot = bysrc.agg(
+        F.sum("tb").cast("bigint").alias("gb"),
+        F.sum("ta").cast("bigint").alias("ga"),
+    )
+    return (
+        bysrc.join(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr("(1000000 * tb) div gb").cast("bigint").alias("share_before_ppm"),
+            F.expr("(1000000 * ta) div ga").cast("bigint").alias("share_after_ppm"),
+            F.expr("(1000000 * ta) div ga - (1000000 * tb) div gb")
+            .cast("bigint")
+            .alias("drift_ppm"),
+        )
+        .orderBy("source")
+    )
