@@ -12803,3 +12803,86 @@ def q286_trim_mixture_drift(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query("q287_compacted_select_samples", _ORACLE_REG["q12_select_samples"])
+def q287_compacted_select_samples(spark, sf_dir):
+    """Querier::select driven by the MIGRATED index: the q07 matcher
+    conjunction resolves over the compacted-store import (series-file
+    bytes ∪ WAL replay above the checkpoint — q271's postings), and the
+    resolved tsid set semi-joins the sample store with q12's exact time
+    range and aggregates. Same oracle as q12, so a green row proves the
+    imported index is QUERY-equivalent to the natively-derived one all
+    the way through the sample path — the end state a migration has to
+    reach, not just matcher parity."""
+    from tagtree_spark.queries import T_05, T_25, _Q7_MATCHERS, _model
+    from tagtree_spark.tsdb.matchers import resolve_label_matchers, select_series
+
+    _, _, samples = _model(spark, sf_dir)
+    tsids = resolve_label_matchers(_compacted_postings(spark, sf_dir), _Q7_MATCHERS)
+    sel = select_series(samples, tsids, start=T_05, end=T_25)
+    return sel.agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        F.unix_micros(F.min("ts")).cast("bigint").alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).cast("bigint").alias("max_ts_us"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "q288_checkpoint_watermark_split",
+    TSDB_CTE
+    + """
+, tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series)
+SELECT CAST((3 * n) // 5 AS BIGINT) AS wm,
+       CAST((3 * n) // 5 AS BIGINT) AS n_compacted,
+       CAST(n - (3 * n) // 5 AS BIGINT) AS n_replayed,
+       CAST(n AS BIGINT) AS n_total
+FROM tot""",
+)
+def q288_checkpoint_watermark_split(spark, sf_dir):
+    """The checkpoint WATERMARK proven against the store bytes: the
+    fixture's checkpoint.meta watermark (read back through the CRC'd
+    last_checkpoint path) must equal both the series-file population
+    (every compacted tsid <= wm, exactly wm of them — tsids are dense
+    from 1) and the replay population (every WAL tsid above the
+    checkpoint segment > wm). Exact integer counts from the byte walks;
+    the oracle re-derives the 60/40 split arithmetic from the model."""
+    import os as _os
+
+    from tagtree_spark.tsdb.seriesfmt import postings_from_series_files
+    from tagtree_spark.tsdb.walfmt import last_checkpoint, postings_from_wal
+
+    d = _compacted_store(spark, sf_dir)
+    ck = last_checkpoint(_os.path.join(d, "wal"))
+    if not ck.valid:
+        raise ValueError("no valid checkpoint in compacted store")
+    wm = int(ck.low_watermark)
+    pre = postings_from_series_files(
+        spark, d, segment_size=_COMPACTED_SEG_SIZE
+    ).select("tsid").distinct()
+    post = postings_from_wal(
+        spark, _os.path.join(d, "wal"), start_segment=ck.last_segment
+    ).select("tsid").distinct()
+    counts = pre.agg(
+        F.count("*").cast("bigint").alias("n_compacted"),
+        F.min(F.when(F.col("tsid") <= wm, 1).otherwise(0)).alias("_pre_ok"),
+    ).join(
+        post.agg(
+            F.count("*").cast("bigint").alias("n_replayed"),
+            F.min(F.when(F.col("tsid") > wm, 1).otherwise(0)).alias("_post_ok"),
+        )
+    )
+    # the _ok flags make a violated invariant LOUD (zero rows -> driver
+    # row-count mismatch) rather than silently reporting counts
+    return (
+        counts.where((F.col("_pre_ok") == 1) & (F.col("_post_ok") == 1))
+        .select(
+            F.lit(wm).cast("bigint").alias("wm"),
+            "n_compacted",
+            "n_replayed",
+            (F.col("n_compacted") + F.col("n_replayed"))
+            .cast("bigint")
+            .alias("n_total"),
+        )
+    )
