@@ -205,6 +205,8 @@ class SeriesFile:
     def _read_header(self) -> None:
         with open(self.path, "rb") as f:
             head = f.read(4 + 4 * self.segment_size + 4)
+        if len(head) < 4 + 4 * self.segment_size + 4:
+            raise ValueError("series file corrupted (short header)")
         if struct.unpack_from("<I", head, 0)[0] != SERIES_MAGIC:
             raise ValueError("series file corrupted (bad magic)")
         raw = head[4 : 4 + 4 * self.segment_size]

@@ -232,3 +232,19 @@ def test_distributed_spark_read(spark, sdir):
         for r in postings_from_series_files(spark, sdir, seg_size).collect()
     }
     assert got == expect
+
+
+def test_truncated_header_raises_cleanly(sdir):
+    """A file cut inside the header (or an empty page-aligned file) must
+    raise the corruption ValueError, not a raw struct error."""
+    seg_size = 8
+    path = series_seg_path(sdir, 0)
+    sf = SeriesFile(path, create=True, segment_size=seg_size)
+    sf.write_entry(0, [(1, 2)])
+    sf.flush()
+    with open(path, "r+b") as f:
+        f.truncate(10)  # mid-offset-table
+    with pytest.raises(ValueError, match="short header|bad header|bad checksum"):
+        SeriesFile(path, create=False, segment_size=seg_size)
+    with pytest.raises(ValueError, match="short header|bad magic"):
+        iter_segment_postings(open(path, "rb").read().ljust(4, b"\x00"), 0, seg_size).__next__()

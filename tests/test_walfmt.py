@@ -334,3 +334,37 @@ def test_stream_tails_live_segment_without_rollover(spark, wal_dir):
         assert drain() == sorted(want)
     finally:
         _sh.rmtree(out, ignore_errors=True)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    recs=st.lists(
+        st.binary(min_size=1, max_size=2 * PAGE_SIZE), min_size=1, max_size=12
+    ),
+    cut_seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_page_range_union_property(recs, cut_seed):
+    """For ANY record stream and ANY page split point, the two range
+    reads concatenate to exactly the whole-segment read — the invariant
+    that makes the streaming tail's batch boundaries safe wherever they
+    land (records attributed to their FULL/LAST chunk's page, head
+    fragments reassembled via backtrack)."""
+    import tempfile
+
+    from tagtree_spark.tsdb.walfmt import read_page_range_records
+
+    d = tempfile.mkdtemp(prefix="tagtree-rangeprop-")
+    try:
+        w = WalWriter(d)
+        for r in recs:
+            w.log_record(r)
+        w.close()
+        p = os.path.join(d, "00000001")
+        n_pages = (os.path.getsize(p) + PAGE_SIZE - 1) // PAGE_SIZE
+        cut = cut_seed % (n_pages + 1)
+        parts = list(read_page_range_records(p, 0, cut)) + list(
+            read_page_range_records(p, cut, n_pages)
+        )
+        assert parts == recs, (cut, n_pages)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -92,6 +92,8 @@ OVERFLOW_QUERIES = (
     "q249_decayed_engagement", # 1<<k exact power-of-two weights
     "q258_centroid_drift",     # bigint element-sums, cleared-denominator squares
     "q260_dup_span_coverage",  # window-hash df counts + coverage explode
+    "q274_exactsubstr_trim",   # r10: affected-doc reassembly + anti-join
+    "q278_window_df_spectrum", # r10: occurrence-count sums
     # iterative families: convergence depth / state growth vs corpus
     "q45_neardup_clusters",    # CC label propagation rounds
     "q216_kcore",              # convergence-checked peel (r9)
