@@ -7,20 +7,23 @@ row-at-a-time Python; each task streams pandas batches).
 
 Two decode tiers:
 
-  * REAL byte-level decode for formats the stdlib can parse: WAV/PCM16
-    audio (RIFF chunk walk), binary PPM (P6) images, COMPRESSED PNG
-    (full zlib inflate + five-filter scanline reconstruction + per-chunk
-    CRC verification), and Y4M (YUV4MPEG2) uncompressed video —
-    ``decode_media`` returns actual samples/pixels/frames,
-    ``resize_media`` does a real nearest-neighbour resize of P6/PNG
-    payloads, and the q106/q107/q108/q253 pipelines encode documents
-    into genuine WAV/PPM/Y4M/PNG bytes, decode them back inside
-    mapInPandas, and feature-ize the decoded data (oracle-checked).
-  * STUB for the remaining compressed codecs (JPEG/MP4/MP3...), which
-    have no pure-Python decode path in this container: ``decode_media``
-    raises NotImplementedError rather than let fake features pass as
-    decodes; ``extract_features`` exercises the same plumbing with a
-    deterministic md5-derived feature.
+  * REAL byte-level decode for formats parseable without codec libs:
+    WAV/PCM16 audio (RIFF chunk walk), binary PPM (P6) images,
+    COMPRESSED PNG (full zlib inflate + five-filter scanline
+    reconstruction + per-chunk CRC verification), baseline-sequential
+    grayscale JPEG (marker walk, canonical Huffman entropy decode,
+    dequant + IDCT — operators/jpeg.py), and Y4M (YUV4MPEG2)
+    uncompressed video — ``decode_media`` returns actual
+    samples/pixels/frames, ``resize_media`` does a real
+    nearest-neighbour resize of P6/PNG/JPEG payloads, and the
+    q106/q107/q108/q253/q289 pipelines encode documents into genuine
+    WAV/PPM/Y4M/PNG/JPEG bytes, decode them back inside mapInPandas,
+    and feature-ize the decoded data (oracle-checked).
+  * STUB for the remaining compressed codecs (MP4/MP3, progressive or
+    color JPEG...), which have no pure-Python decode path in this
+    container: ``decode_media`` raises NotImplementedError rather than
+    let fake features pass as decodes; ``extract_features`` exercises
+    the same plumbing with a deterministic md5-derived feature.
 """
 
 from __future__ import annotations
@@ -379,13 +382,16 @@ def decode_media(modality: str, payload: bytes):
       * ``image`` / PNG signature → ``(width, height, channels,
         pixel_bytes)`` (:func:`decode_png` — real zlib inflate + five-filter
         unfiltering; 8-bit RGB/RGBA non-interlaced);
+      * ``image`` / SOI (0xFFD8) → ``(width, height, 1, gray_bytes)``
+        (:func:`tagtree_spark.operators.jpeg.decode_jpeg` — real baseline
+        sequential Huffman decode + IDCT; grayscale; progressive/color
+        raise NotImplementedError);
       * ``video`` / YUV4MPEG2 → ``(width, height, [gray frames])``
         (:func:`decode_y4m`).
 
-    Remaining compressed codecs (JPEG/MP4/MP3...) have no pure-Python
-    decode path in this environment and still raise — callers must not
-    treat fake features as real decodes for formats we cannot actually
-    parse.
+    Remaining compressed codecs (MP4/MP3...) have no pure-Python decode
+    path in this environment and still raise — callers must not treat
+    fake features as real decodes for formats we cannot actually parse.
     """
     if modality == "audio" and payload[:4] == b"RIFF":
         return decode_wav_pcm16(payload)
@@ -393,13 +399,17 @@ def decode_media(modality: str, payload: bytes):
         return decode_ppm(payload)
     if modality == "image" and payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if modality == "image" and payload[:2] == b"\xff\xd8":
+        from tagtree_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if modality == "video" and payload[:9] == b"YUV4MPEG2":
         return decode_y4m(payload)
     raise NotImplementedError(
         f"decode_media({modality!r}): no pure-Python decoder for this "
         "payload (remaining compressed codecs are out of scope in this "
-        "environment); WAV/PCM16 audio, P6 PPM + PNG images, and Y4M "
-        "video decode for real."
+        "environment); WAV/PCM16 audio, P6 PPM + PNG + baseline JPEG "
+        "images, and Y4M video decode for real."
     )
 
 
@@ -411,6 +421,18 @@ def resize_media(modality: str, payload: bytes, width: int, height: int) -> byte
     if modality == "image":
         if payload[:8] == _PNG_SIG:
             w0, h0, ch, px = decode_png(payload)
+        elif payload[:2] == b"\xff\xd8":
+            from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+            w0, h0, ch, px = decode_jpeg(payload)
+            out = bytearray()
+            for y in range(height):
+                sy = y * h0 // height
+                for x in range(width):
+                    sx = x * w0 // width
+                    out.append(px[sy * w0 + sx])
+            # re-encode is a real (lossy) baseline pass, like any JPEG resize
+            return encode_jpeg_gray(width, height, bytes(out))
         else:
             w0, h0, px = decode_ppm(payload)
             ch = 3
@@ -766,6 +788,100 @@ def png_from_documents(docs: DataFrame) -> DataFrame:
             )
 
     return spread(docs).select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real baseline JPEG (grayscale) — the codec itself lives in
+# operators/jpeg.py; here is the Spark-facing fixture + feature pair.
+# JPEG is lossy in general, so the fixture drives the codec's provably
+# LOSSLESS regime (see the jpeg.py module docstring): one 8x8 block per
+# text byte b, pixels b + a*s(x)*s(y) with the (4,4)-checkerboard sign
+# pattern and amplitude a = b%4 (zeroed near the clamp edges) — exactly
+# two integer DCT coefficients per block, so an all-ones quant table
+# round-trips bit-exactly while the full DC *and* AC Huffman paths run.
+# --------------------------------------------------------------------------
+
+#: s(x) = sign(cos((2x+1)*pi/4)) — the (4,4) DCT basis sign pattern.
+_JPEG_CHECKER = [1, -1, -1, 1, 1, -1, -1, 1]
+
+JPEG_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixel_bytes", LongType()),
+        StructField("sum_pixels", LongType()),
+        StructField("sum_abs_dev", LongType()),
+    ]
+)
+
+
+def jpeg_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL baseline JPEGs: one 8x8 gray
+    block per utf-8 text byte b (stacked vertically: width 8, height
+    8*n), pixel(x,y) = b + a*s(x)*s(y) with a = b%4 for 4 <= b <= 251
+    else 0 (keeps b±a inside [0,255] so the decoder's clamp is inert and
+    the round-trip stays exact). Arrow-batched; payloads never leave
+    executors."""
+    from tagtree_spark.operators.jpeg import encode_jpeg_gray
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        s = np.array(_JPEG_CHECKER, np.int64)
+        checker = np.outer(s, s)  # (8, 8) of ±1
+
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8") or b"\x00"
+                b = np.frombuffer(raw, np.uint8).astype(np.int64)
+                a = np.where((b >= 4) & (b <= 251), b % 4, 0)
+                blocks = b[:, None, None] + a[:, None, None] * checker
+                px = blocks.reshape(-1, 8).astype(np.uint8).tobytes()
+                payloads.append(encode_jpeg_gray(8, 8 * len(b), px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "modality": "image",
+                    "payload": payloads,
+                    "meta": [{"format": "jpeg"}] * len(payloads),
+                }
+            )
+
+    return spread(docs).select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decoded_jpeg_features(media: DataFrame) -> DataFrame:
+    """Per-image features from DECODED JPEG pixels: geometry, exact
+    integer pixel sum, and the summed per-block absolute deviation from
+    the block mean — nonzero iff the AC (checkerboard) coefficients
+    actually survived the Huffman+IDCT path, so the oracle catches a
+    decoder that only gets DC right. Integer math throughout (the block
+    mean enters as sum/64 via |64*p - s| // 64)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tagtree_spark.operators.jpeg import decode_jpeg
+
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in JPEG_DECODED_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _ch, gray = decode_jpeg(bytes(payload))
+                px = np.frombuffer(gray, np.uint8).astype(np.int64)
+                blocks = px.reshape(-1, 64)  # width is 8: one block per 8 rows
+                bsum = blocks.sum(axis=1, keepdims=True)
+                dev = np.abs(64 * blocks - bsum).sum() // 64
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixel_bytes"].append(len(gray))
+                out["sum_pixels"].append(int(px.sum()))
+                out["sum_abs_dev"].append(int(dev))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=JPEG_DECODED_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -1140,11 +1256,11 @@ def video_near_dup_pairs(media: DataFrame, max_hamming: int = 12) -> DataFrame:
 # data a pipeline routes on (decode vs quarantine vs transcode queue).
 # --------------------------------------------------------------------------
 
-CODEC_MIX_CLASSES = 10  # doc_id % 10 → (modality, payload family), see below
+CODEC_MIX_CLASSES = 12  # doc_id % 12 → (modality, payload family), see below
 
 
 def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
-    """Deterministic 10-class payload mixture keyed on ``doc_id % 10`` —
+    """Deterministic 12-class payload mixture keyed on ``doc_id % 12`` —
     the triage fixture for :func:`try_decode_status`:
 
     ======  ========  =====================================  ============
@@ -1154,17 +1270,22 @@ def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
     1       image     real binary PPM (P6)                   decoded
     2       video     real YUV4MPEG2 stream                  decoded
     3       audio     ID3/MPEG audio magic + raw bytes       unsupported
-    4       image     JPEG SOI/JFIF magic + raw bytes        unsupported
+    4       image     PROGRESSIVE JPEG (real SOF2 header)    unsupported
     5       video     MP4 ftyp box + raw bytes               unsupported
     6       image     P6 with truncated pixel data           corrupt
     7       audio     RIFF/WAVE declaring MPEG (fmt=85)      corrupt
     8       image     real COMPRESSED PNG (zlib+filters)     decoded
     9       image     PNG with a flipped chunk-CRC byte      corrupt
+    10      image     real baseline grayscale JPEG           decoded
+    11      image     baseline JPEG, entropy data truncated  corrupt
     ======  ========  =====================================  ============
 
     Decodable payloads reuse the exact builders of
-    wav/ppm/y4m/png_from_documents; 'unsupported' carries a real
-    compressed container's magic so decode_media's refusal branch fires;
+    wav/ppm/y4m/png/jpeg_from_documents; 'unsupported' carries a real
+    out-of-scope stream (a compressed container's magic, or a
+    well-formed progressive SOF2 frame header — r10: baseline JPEG now
+    DECODES, so the refusal class had to move to the JPEG process the
+    decoder honestly cannot run) so decode_media's refusal branch fires;
     'corrupt' payloads match a supported magic but fail the format's own
     validation (truncation, impossible fmt tag, CRC mismatch).
     """
@@ -1208,6 +1329,37 @@ def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
                 [0, 1, 2, 3, 4],
             )
 
+        from tagtree_spark.operators.jpeg import encode_jpeg_gray
+
+        checker = np.outer(
+            np.array(_JPEG_CHECKER, np.int64), np.array(_JPEG_CHECKER, np.int64)
+        )
+
+        def jpeg(raw: bytes) -> bytes:
+            b = np.frombuffer(raw or b"\x00", np.uint8).astype(np.int64)
+            a = np.where((b >= 4) & (b <= 251), b % 4, 0)
+            px = (b[:, None, None] + a[:, None, None] * checker).reshape(-1, 8)
+            return encode_jpeg_gray(8, 8 * len(b), px.astype(np.uint8).tobytes())
+
+        def progressive_jpeg(raw: bytes) -> bytes:
+            # real SOI + SOF2 frame header (8-bit, 1 component, 1x1): a
+            # VALID progressive opening the decoder must refuse, not a
+            # garbage stream it would flag corrupt
+            sof2 = struct.pack(">BHHB", 8, max(1, len(raw)), 8, 1) + bytes([1, 0x11, 0])
+            return (
+                b"\xff\xd8"
+                + b"\xff\xc2"
+                + struct.pack(">H", len(sof2) + 2)
+                + sof2
+                + raw
+            )
+
+        def truncated_jpeg(raw: bytes) -> bytes:
+            j = jpeg(raw)
+            # chop the tail of the entropy-coded data (keep < half): the
+            # block loop runs out of bits mid-scan -> ValueError
+            return j[: len(j) // 2]
+
         def bad_crc_png(raw: bytes) -> bytes:
             p = bytearray(png(raw))
             # the file's last 4 bytes ARE the IEND chunk's CRC — flip one
@@ -1222,12 +1374,14 @@ def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
             1: ("image", "ppm", ppm),
             2: ("video", "y4m", y4m),
             3: ("audio", "mp3", lambda raw: b"ID3\x03\x00" + raw),
-            4: ("image", "jpeg", lambda raw: b"\xff\xd8\xff\xe0\x00\x10JFIF" + raw),
+            4: ("image", "jpeg-progressive", progressive_jpeg),
             5: ("video", "mp4", lambda raw: b"\x00\x00\x00\x18ftypisom" + raw),
             6: ("image", "ppm", lambda raw: ppm(raw)[:-3]),  # truncated pixels
             7: ("audio", "wav", mpeg_wav),
             8: ("image", "png", png),
             9: ("image", "png", bad_crc_png),
+            10: ("image", "jpeg", jpeg),
+            11: ("image", "jpeg", truncated_jpeg),
         }
         for pdf in it:
             out: dict[str, list] = {"media_id": [], "modality": [], "payload": [], "meta": []}

@@ -89,3 +89,72 @@ def test_png_roundtrip_property(w, h, channels, filters, data):
     )
     payload = encode_png(w, h, px, channels, filters)
     assert decode_png(payload) == (w, h, channels, px)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ri=st.integers(min_value=0, max_value=4),
+    data=st.data(),
+)
+def test_jpeg_roundtrip_error_bound_property(w, h, ri, data):
+    """Baseline JPEG with the all-ones quant table: the only loss is
+    FDCT coefficient rounding, so |decode(encode(p)) - p| <= 1 per pixel
+    for EVERY input, any dimensions (MCU pad+crop), any restart
+    interval."""
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    px = data.draw(st.binary(min_size=w * h, max_size=w * h), label="px")
+    w2, h2, ch, out = decode_jpeg(encode_jpeg_gray(w, h, px, restart_interval=ri))
+    assert (w2, h2, ch) == (w, h, 1)
+    assert max((abs(a - b) for a, b in zip(out, px)), default=0) <= 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_jpeg_lossless_regime_property(blocks):
+    """The q289 fixture regime is exactly lossless for every (b, a) with
+    b±a inside [0,255]: DC level b plus (4,4)-checkerboard amplitude a."""
+    import math
+
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    s = [1 if math.cos((2 * x + 1) * math.pi / 4) > 0 else -1 for x in range(8)]
+    px = b"".join(
+        bytes(
+            b + (a if a <= b <= 255 - a else 0) * s[y] * s[x]
+            for y in range(8)
+            for x in range(8)
+        )
+        for b, a in blocks
+    )
+    w, h, ch, out = decode_jpeg(encode_jpeg_gray(8, 8 * len(blocks), px))
+    assert out == px
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.data())
+def test_jpeg_truncation_always_detected(data):
+    """Any prefix of a valid JPEG must raise ValueError or
+    NotImplementedError — never return pixels from a truncated stream."""
+    import random
+
+    import pytest
+
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    px = bytes(random.Random(3).randrange(256) for _ in range(16 * 16))
+    j = encode_jpeg_gray(16, 16, px)
+    cut = data.draw(st.integers(min_value=0, max_value=len(j) - 1), label="cut")
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(j[:cut])

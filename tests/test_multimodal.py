@@ -17,11 +17,19 @@ from tagtree_spark.operators.multimodal import (
 
 
 def test_decode_unsupported_formats_raise():
-    """Formats with no pure-Python decoder must still raise (JPEG/MP4);
-    a bare PNG signature now reaches the REAL decoder and fails its own
-    validation (ValueError — corrupt, not unsupported)."""
+    """Formats with no pure-Python decoder must still raise (MP4,
+    progressive JPEG); bare PNG/JPEG magic now reaches the REAL decoders
+    and fails their own validation (ValueError — corrupt, not
+    unsupported: the r10 JPEG decoder parses the truncated APP0)."""
+    import struct
+
+    with pytest.raises(ValueError):
+        decode_media("image", b"\xff\xd8\xff\xe0\x00\x10JFIF")  # truncated APP0
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     with pytest.raises(NotImplementedError):
-        decode_media("image", b"\xff\xd8\xff\xe0\x00\x10JFIF")
+        decode_media(
+            "image", b"\xff\xd8\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+        )
     with pytest.raises(NotImplementedError):
         decode_media("video", b"\x00\x00\x00\x18ftypmp42")
     with pytest.raises(ValueError):
@@ -410,30 +418,31 @@ def test_video_fingerprint_identity_and_difference(spark):
 
 
 def test_codec_triage_mixture(spark):
-    """All 8 mixture classes produce the right triage verdict, including
-    the compressed-codec refusal branch exercised as data."""
+    """All 12 mixture classes produce the right triage verdict, including
+    the out-of-scope refusal branch (MP3/MP4/progressive-JPEG) and both
+    r10 JPEG classes (real baseline decode, truncated-scan corrupt)."""
     from tagtree_spark.operators.multimodal import (
         media_mixture_from_documents,
         try_decode_status,
     )
 
     docs = spark.createDataFrame(
-        [(i, f"payload text {i} " * 3) for i in range(20)],
+        [(i, f"payload text {i} " * 3) for i in range(24)],
         "doc_id long, text string",
     )
     media = media_mixture_from_documents(docs)
     got = {r.media_id: (r.modality, r.status) for r in try_decode_status(media).collect()}
     expect_mod = {0: "audio", 1: "image", 2: "video", 3: "audio",
                   4: "image", 5: "video", 6: "image", 7: "audio",
-                  8: "image", 9: "image"}
+                  8: "image", 9: "image", 10: "image", 11: "image"}
     expect_st = {0: "decoded", 1: "decoded", 2: "decoded",
                  3: "unsupported_codec", 4: "unsupported_codec",
                  5: "unsupported_codec", 6: "corrupt", 7: "corrupt",
-                 8: "decoded", 9: "corrupt"}
-    assert len(got) == 20
+                 8: "decoded", 9: "corrupt", 10: "decoded", 11: "corrupt"}
+    assert len(got) == 24
     for mid, (mod, st) in got.items():
-        assert mod == expect_mod[mid % 10], mid
-        assert st == expect_st[mid % 10], mid
+        assert mod == expect_mod[mid % 12], mid
+        assert st == expect_st[mid % 12], mid
 
 
 def test_png_roundtrip_all_filters_and_rgba():
@@ -532,3 +541,174 @@ def test_png_features_match_ppm_features(spark):
     a = {tuple(r) for r in decoded_image_features(png_from_documents(docs)).collect()}
     b = {tuple(r) for r in decoded_image_features(ppm_from_documents(docs)).collect()}
     assert a == b and len(a) == 6
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (r10): the last compressed-codec refusal retired.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_golden_bytes_pin():
+    """Byte-level pin of the writer: a constant 8x8 block must produce
+    the exact framing (SOI, APP0/JFIF, DQT, SOF0, DHT, SOS, EOI) and the
+    exact entropy bits — any change to tables, marker order, or bit
+    packing shows up here first."""
+    from tagtree_spark.operators.jpeg import encode_jpeg_gray
+
+    j = encode_jpeg_gray(8, 8, bytes([128] * 64))
+    assert j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9"
+    assert j[2:4] == b"\xff\xe0" and j[6:11] == b"JFIF\x00"
+    assert hashlib.md5(j).hexdigest() == "633279f10bb244ad74db8b5d4ff9a7f2"
+
+
+def test_jpeg_lossless_regime_exact():
+    """Constant blocks and DC+checkerboard blocks (the q289 fixture
+    shape) round-trip BIT-EXACTLY with the all-ones quant table — both
+    DCT coefficients are integers, so nothing rounds."""
+    import math
+
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    s = [1 if math.cos((2 * x + 1) * math.pi / 4) > 0 else -1 for x in range(8)]
+    for b, a in [(0, 0), (255, 0), (128, 0), (100, 3), (7, 3), (251, 0), (4, 0)]:
+        blk = bytes(b + a * s[y] * s[x] for y in range(8) for x in range(8))
+        w, h, ch, out = decode_jpeg(encode_jpeg_gray(8, 8, blk))
+        assert (w, h, ch) == (8, 8, 1) and out == blk, (b, a)
+    # many stacked blocks (DC differential coding across blocks)
+    blocks = b"".join(
+        bytes(b + (b % 4 if 4 <= b <= 251 else 0) * s[y] * s[x] for y in range(8) for x in range(8))
+        for b in range(0, 256, 7)
+    )
+    n = len(blocks) // 64
+    w, h, ch, out = decode_jpeg(encode_jpeg_gray(8, 8 * n, blocks))
+    assert out == blocks
+
+
+def test_jpeg_general_roundtrip_bounded_error():
+    """Arbitrary pixels with quant=1: the only loss is FDCT coefficient
+    rounding, so the round-trip error is bounded by 1 gray level — across
+    odd dimensions (MCU padding+crop) and restart intervals."""
+    import random
+
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    rng = random.Random(53)
+    for w0, h0 in [(1, 1), (8, 8), (19, 13), (5, 24), (64, 48)]:
+        px = bytes(rng.randrange(256) for _ in range(w0 * h0))
+        for ri in (0, 1, 3):
+            w, h, ch, out = decode_jpeg(encode_jpeg_gray(w0, h0, px, restart_interval=ri))
+            assert (w, h, ch) == (w0, h0, 1)
+            assert max(abs(a - b) for a, b in zip(out, px)) <= 1, (w0, h0, ri)
+
+
+def test_jpeg_lossy_quant_decodes():
+    """A real quality quant table (lossy) still decodes to the right
+    geometry, deterministically."""
+    import random
+
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    q = [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+         49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
+    rng = random.Random(7)
+    px = bytes(rng.randrange(256) for _ in range(24 * 16))
+    j = encode_jpeg_gray(24, 16, px, quant=q)
+    one = decode_jpeg(j)
+    assert one == decode_jpeg(j)
+    assert one[:3] == (24, 16, 1) and len(one[3]) == 24 * 16
+
+
+def test_jpeg_corruption_raises():
+    """Truncation anywhere (header, tables, entropy data, lost EOI) and
+    out-of-sequence restart markers are ValueError — corrupt, never a
+    silent partial decode."""
+    import random
+
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    rng = random.Random(11)
+    px = bytes(rng.randrange(256) for _ in range(48 * 40))
+    j = encode_jpeg_gray(48, 40, px)
+    for cut in (2, 6, 25, 120, len(j) // 2, len(j) - 20, len(j) - 3, len(j) - 1):
+        with pytest.raises(ValueError):
+            decode_jpeg(j[:cut])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"notajpeg")
+    # swap two restart markers -> sequence check fires
+    jr = bytearray(encode_jpeg_gray(48, 40, px, restart_interval=3))
+    idx = [i for i in range(len(jr) - 1) if jr[i] == 0xFF and 0xD0 <= jr[i + 1] <= 0xD7]
+    assert len(idx) >= 2
+    jr[idx[0] + 1], jr[idx[1] + 1] = jr[idx[1] + 1], jr[idx[0] + 1]
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(jr))
+
+
+def test_jpeg_out_of_scope_raises_not_implemented():
+    """Valid-but-out-of-scope processes refuse with NotImplementedError
+    (the triage 'unsupported_codec' class): progressive SOF2, 16-bit
+    quant tables, multi-component color, subsampled components."""
+    import struct
+
+    from tagtree_spark.operators.jpeg import decode_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC2, sof2))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_jpeg(b"\xff\xd8" + seg(0xDB, bytes([0x10]) + bytes(128)))
+    sof_color = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    with pytest.raises(NotImplementedError, match="multi-component"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC0, sof_color))
+    sof_sub = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x22, 0])
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC0, sof_sub))
+
+
+def test_jpeg_resize_and_media_dispatch():
+    """decode_media dispatches SOI-magic payloads to the real decoder;
+    resize_media does decode -> nearest-neighbour -> re-encode."""
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+    from tagtree_spark.operators.multimodal import decode_media, resize_media
+
+    px = bytes((x * 31 + y * 7) % 256 for y in range(16) for x in range(16))
+    payload = encode_jpeg_gray(16, 16, px)
+    w, h, ch, out = decode_media("image", payload)
+    assert (w, h, ch) == (16, 16, 1)
+    small = resize_media("image", payload, 8, 8)
+    w2, h2, ch2, out2 = decode_jpeg(small)
+    assert (w2, h2, ch2) == (8, 8, 1) and len(out2) == 64
+
+
+def test_jpeg_fixture_features(spark):
+    """jpeg_from_documents -> decoded_jpeg_features computes the exact
+    per-doc sums the q289 oracle derives from the raw text bytes —
+    including sum_abs_dev, which is zero unless the AC path decoded."""
+    from tagtree_spark.operators.multimodal import (
+        decoded_jpeg_features,
+        jpeg_from_documents,
+    )
+
+    texts = ["abc", "", "z" * 100, "Hello, World!"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    feats = {
+        r.media_id: r
+        for r in decoded_jpeg_features(jpeg_from_documents(docs)).collect()
+    }
+    for i, t in enumerate(texts):
+        raw = t.encode() or b"\x00"
+        r = feats[i]
+        assert r.width == 8 and r.height == 8 * len(raw)
+        assert r.sum_pixels == 64 * sum(raw)
+        assert r.sum_abs_dev == 64 * sum(
+            (b % 4 if 4 <= b <= 251 else 0) for b in raw
+        )
+        assert ("z" not in t) or r.sum_abs_dev > 0  # 'z'=122 -> a=2: AC proven
