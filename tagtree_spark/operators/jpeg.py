@@ -9,12 +9,18 @@ unstuffing and restart-marker handling, dequantization, dezigzag, real
 quantize, zigzag, DC-difference + AC run-length Huffman with the public
 Annex K.3 tables, 0xFF byte stuffing, JFIF/DQT/SOF0/DHT/SOS framing).
 
-Scope is the single-component (grayscale) baseline process; everything
-else raises loudly with the same triage taxonomy the other codecs use:
+Scope is the baseline sequential process for grayscale and 3-component
+color at 4:4:4 or 4:2:0 sampling (interleaved MCUs, per-component quant
+and Huffman tables, nearest-neighbour chroma upsample; color samples
+are returned as the CODED components — YCbCr under the JFIF convention
+— with no color transform, so the exactness guarantees below survive).
+Everything else raises loudly with the same triage taxonomy the other
+codecs use:
 
   * ``NotImplementedError`` — valid JPEG outside this scope: progressive
     (SOF2), extended 12-bit, lossless/hierarchical, arithmetic coding
-    (SOF9+), 16-bit quant tables, multi-component/subsampled color.
+    (SOF9+), 16-bit quant tables, component counts other than 1/3,
+    samplings other than 4:4:4 / 4:2:0.
   * ``ValueError`` — corruption: bad magic, truncated segments or
     entropy data, a marker inside a scan, invalid Huffman symbols,
     out-of-sequence restart markers.
@@ -204,6 +210,165 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+def _comp_zigzag(
+    plane: np.ndarray, hi: int, vi: int, mcus_x: int, mcus_y: int, q: np.ndarray
+) -> np.ndarray:
+    """One component plane → quantized zigzag coefficients (nblocks, 64)
+    in MCU raster order (mcu_y, mcu_x, vy, vx). Pads with edge
+    replication to the MCU grid."""
+    ph, pw = mcus_y * vi * 8, mcus_x * hi * 8
+    plane = np.pad(
+        plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge"
+    )
+    blocks = (
+        plane.reshape(mcus_y, vi, 8, mcus_x, hi, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    # batched FDCT F = M @ B @ M.T (broadcast matmul: ~20x einsum here)
+    coef = np.matmul(np.matmul(_M, blocks), _M.T)
+    return np.rint(coef.reshape(-1, 64)[:, _ZIGZAG] / q[_ZIGZAG]).astype(np.int64)
+
+
+def _encode_frame(
+    width: int,
+    height: int,
+    planes: list[np.ndarray],
+    samplings: list[tuple[int, int]],
+    q: np.ndarray,
+    restart_interval: int,
+) -> bytes:
+    """Shared baseline-sequential writer: FDCT/quantize each component
+    plane, interleave blocks per MCU, Huffman-encode with the Annex K
+    luminance tables (table ids 0 for every component), frame with
+    JFIF/DQT/SOF0/DHT/SOS markers."""
+    ncomp = len(planes)
+    hmax = max(hi for hi, _ in samplings)
+    vmax = max(vi for _, vi in samplings)
+    mcus_x, mcus_y = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    nmcus = mcus_x * mcus_y
+
+    # per-comp coefficient streams + flat per-MCU schedule
+    streams = []
+    for plane, (hi, vi) in zip(planes, samplings):
+        zz = _comp_zigzag(plane, hi, vi, mcus_x, mcus_y, q)
+        zzl = zz.tolist()  # python ints: element access ~10x numpy scalars
+        bi_arr, ki_arr = np.nonzero(zz[:, 1:])
+        offs = np.concatenate(
+            ([0], np.cumsum(np.bincount(bi_arr, minlength=len(zz))))
+        ).tolist()
+        streams.append((zzl, (ki_arr + 1).tolist(), offs))
+    schedule = [
+        ci for ci, (hi, vi) in enumerate(samplings) for _ in range(hi * vi)
+    ]
+
+    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+    zrl_c, zrl_l = ac_codes[0xF0]
+    eob_c, eob_l = ac_codes[0x00]
+
+    # Entropy encode with a big-int bit accumulator flushed in byte-sized
+    # slabs; 0xFF stuffing is one C-speed bytes.replace at the end — the
+    # per-bit Python writer this replaced dominated the whole encode.
+    out = bytearray()
+    intervals: list[bytes] = []  # stuffed entropy bytes per restart interval
+    acc, nacc = 0, 0
+
+    def _flush_byte_aligned() -> None:
+        nonlocal acc, nacc
+        if nacc & 7:
+            pad = 8 - (nacc & 7)
+            acc = (acc << pad) | ((1 << pad) - 1)  # pad with 1-bits
+            nacc += pad
+        if nacc:
+            out.extend(acc.to_bytes(nacc >> 3, "big"))
+            acc, nacc = 0, 0
+
+    preds = [0] * ncomp
+    idx = [0] * ncomp  # next block per component stream
+    for mi in range(nmcus):
+        if restart_interval and mi and mi % restart_interval == 0:
+            _flush_byte_aligned()
+            intervals.append(bytes(out).replace(b"\xff", b"\xff\x00"))
+            out.clear()
+            preds = [0] * ncomp
+        for ci in schedule:
+            zzl, acs, offs = streams[ci]
+            bi = idx[ci]
+            idx[ci] = bi + 1
+            row = zzl[bi]
+            dc = row[0]
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+            c, ln = dc_codes[s]
+            acc = (acc << ln) | c
+            nacc += ln
+            if s:
+                acc = (acc << s) | (
+                    (diff if diff >= 0 else diff + (1 << s) - 1) & ((1 << s) - 1)
+                )
+                nacc += s
+            prev = 0
+            last = 0
+            for k in acs[offs[bi] : offs[bi + 1]]:
+                run = k - prev - 1
+                while run >= 16:
+                    acc = (acc << zrl_l) | zrl_c
+                    nacc += zrl_l
+                    run -= 16
+                v = row[k]
+                s = v.bit_length() if v >= 0 else (-v).bit_length()
+                c, ln = ac_codes[(run << 4) | s]
+                acc = (acc << (ln + s)) | (
+                    (c << s) | ((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1))
+                )
+                nacc += ln + s
+                prev = k
+                last = k
+            if last < 63:
+                acc = (acc << eob_l) | eob_c
+                nacc += eob_l
+            if nacc >= 2048:
+                take = nacc & ~7
+                out.extend((acc >> (nacc - take)).to_bytes(take >> 3, "big"))
+                nacc -= take
+                acc &= (1 << nacc) - 1
+    _flush_byte_aligned()
+    intervals.append(bytes(out).replace(b"\xff", b"\xff\x00"))
+    entropy = intervals[0] if len(intervals) == 1 else b"".join(
+        seg + (bytes([0xFF, 0xD0 + (i % 8)]) if i < len(intervals) - 1 else b"")
+        for i, seg in enumerate(intervals)
+    )
+
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = bytes([0x00]) + bytes(int(q[_ZIGZAG[i]]) for i in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp) + b"".join(
+        bytes([ci + 1, (hi << 4) | vi, 0])
+        for ci, (hi, vi) in enumerate(samplings)
+    )
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = bytes([ncomp]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp)) + bytes(
+        [0, 63, 0]
+    )
+    head = b"\xff\xd8" + _seg(0xE0, jfif) + _seg(0xDB, dqt) + _seg(0xC0, sof)
+    if restart_interval:
+        head += _seg(0xDD, struct.pack(">H", restart_interval))
+    return head + _seg(0xC4, dht) + _seg(0xDA, sos) + entropy + b"\xff\xd9"
+
+
+def _check_quant(quant: list[int] | None, who: str) -> np.ndarray:
+    q = np.ones(64, np.int64) if quant is None else np.asarray(quant, np.int64)
+    if q.shape != (64,) or q.min() < 1 or q.max() > 255:
+        raise ValueError(f"{who}: quant must be 64 values in 1..255")
+    return q
+
+
 def encode_jpeg_gray(
     width: int,
     height: int,
@@ -226,113 +391,65 @@ def encode_jpeg_gray(
         raise ValueError(
             f"encode_jpeg_gray: need {width * height} pixel bytes, got {len(pixels)}"
         )
-    q = np.ones(64, np.int64) if quant is None else np.asarray(quant, np.int64)
-    if q.shape != (64,) or q.min() < 1 or q.max() > 255:
-        raise ValueError("encode_jpeg_gray: quant must be 64 values in 1..255")
-
+    q = _check_quant(quant, "encode_jpeg_gray")
     img = np.frombuffer(pixels, np.uint8).reshape(height, width)
-    bh, bw = -(-height // 8), -(-width // 8)
-    img = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
-    # (bh, bw, 8, 8) blocks in MCU order (left-to-right, top-to-bottom)
-    blocks = (
-        img.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8).astype(np.float64)
-        - 128.0
+    return _encode_frame(width, height, [img], [(1, 1)], q, restart_interval)
+
+
+def encode_jpeg_color(
+    width: int,
+    height: int,
+    pixels: bytes,
+    subsample: bool = False,
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential 3-component JPEG writer.
+
+    ``pixels`` is ``width*height*3`` row-major interleaved component
+    bytes, taken as the CODED components (YCbCr under the JFIF
+    convention — no color transform happens here, mirroring the
+    decoder's contract). ``subsample=False`` writes 4:4:4 (every
+    component full resolution); ``subsample=True`` writes 4:2:0 (chroma
+    box-averaged 2x2 — lossy for non-constant chroma by construction)."""
+    if width <= 0 or height <= 0 or width > 0xFFFF or height > 0xFFFF:
+        raise ValueError(f"encode_jpeg_color: bad dimensions {width}x{height}")
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"encode_jpeg_color: need {width * height * 3} bytes, got {len(pixels)}"
+        )
+    q = _check_quant(quant, "encode_jpeg_color")
+    img = np.frombuffer(pixels, np.uint8).reshape(height, width, 3)
+    if not subsample:
+        return _encode_frame(
+            width,
+            height,
+            [img[:, :, c] for c in range(3)],
+            [(1, 1)] * 3,
+            q,
+            restart_interval,
+        )
+    # 4:2:0 — chroma planes box-averaged to half resolution (pad to even
+    # dims by edge replication first so every 2x2 box is full)
+    ph, pw = height + (height & 1), width + (width & 1)
+    full = np.pad(img, ((0, ph - height), (0, pw - width), (0, 0)), mode="edge")
+    chroma = [
+        np.rint(
+            full[:, :, c]
+            .reshape(ph // 2, 2, pw // 2, 2)
+            .astype(np.float64)
+            .mean(axis=(1, 3))
+        ).astype(np.uint8)
+        for c in (1, 2)
+    ]
+    return _encode_frame(
+        width,
+        height,
+        [img[:, :, 0], chroma[0], chroma[1]],
+        [(2, 2), (1, 1), (1, 1)],
+        q,
+        restart_interval,
     )
-    # batched FDCT F = M @ B @ M.T (broadcast matmul: ~20x einsum here)
-    coef = np.matmul(np.matmul(_M, blocks), _M.T)
-    zz = np.rint(coef.reshape(-1, 64)[:, _ZIGZAG] / q[_ZIGZAG]).astype(np.int64)
-
-    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
-    zrl_c, zrl_l = ac_codes[0xF0]
-    eob_c, eob_l = ac_codes[0x00]
-
-    # Entropy encode with a big-int bit accumulator flushed in byte-sized
-    # slabs; 0xFF stuffing is one C-speed bytes.replace at the end — the
-    # per-bit Python writer this replaced dominated the whole encode.
-    nblk = len(zz)
-    zzl = zz.tolist()  # python ints: element access is ~10x numpy scalars
-    bi_arr, ki_arr = np.nonzero(zz[:, 1:])
-    counts = np.bincount(bi_arr, minlength=nblk)
-    offs = np.concatenate(([0], np.cumsum(counts))).tolist()
-    acs = (ki_arr + 1).tolist()
-
-    out = bytearray()
-    intervals: list[bytes] = []  # stuffed entropy bytes per restart interval
-    acc, nacc = 0, 0
-
-    def _flush_byte_aligned() -> None:
-        nonlocal acc, nacc
-        if nacc & 7:
-            pad = 8 - (nacc & 7)
-            acc = (acc << pad) | ((1 << pad) - 1)  # pad with 1-bits
-            nacc += pad
-        if nacc:
-            out.extend(acc.to_bytes(nacc >> 3, "big"))
-            acc, nacc = 0, 0
-
-    pred = 0
-    for bi in range(nblk):
-        if restart_interval and bi and bi % restart_interval == 0:
-            _flush_byte_aligned()
-            intervals.append(bytes(out).replace(b"\xff", b"\xff\x00"))
-            out.clear()
-            pred = 0
-        row = zzl[bi]
-        dc = row[0]
-        diff = dc - pred
-        pred = dc
-        s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
-        c, ln = dc_codes[s]
-        acc = (acc << ln) | c
-        nacc += ln
-        if s:
-            acc = (acc << s) | ((diff if diff >= 0 else diff + (1 << s) - 1) & ((1 << s) - 1))
-            nacc += s
-        prev = 0
-        last = 0
-        for k in acs[offs[bi] : offs[bi + 1]]:
-            run = k - prev - 1
-            while run >= 16:
-                acc = (acc << zrl_l) | zrl_c
-                nacc += zrl_l
-                run -= 16
-            v = row[k]
-            s = v.bit_length() if v >= 0 else (-v).bit_length()
-            c, ln = ac_codes[(run << 4) | s]
-            acc = (acc << (ln + s)) | (
-                (c << s) | ((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1))
-            )
-            nacc += ln + s
-            prev = k
-            last = k
-        if last < 63:
-            acc = (acc << eob_l) | eob_c
-            nacc += eob_l
-        if nacc >= 2048:
-            take = nacc & ~7
-            out.extend((acc >> (nacc - take)).to_bytes(take >> 3, "big"))
-            nacc -= take
-            acc &= (1 << nacc) - 1
-    _flush_byte_aligned()
-    intervals.append(bytes(out).replace(b"\xff", b"\xff\x00"))
-    entropy = intervals[0] if len(intervals) == 1 else b"".join(
-        seg + (bytes([0xFF, 0xD0 + (i % 8)]) if i < len(intervals) - 1 else b"")
-        for i, seg in enumerate(intervals)
-    )
-
-    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    dqt = bytes([0x00]) + bytes(int(q[_ZIGZAG[i]]) for i in range(64))
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
-    dht = (
-        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
-    )
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
-    head = b"\xff\xd8" + _seg(0xE0, jfif) + _seg(0xDB, dqt) + _seg(0xC0, sof)
-    if restart_interval:
-        head += _seg(0xDD, struct.pack(">H", restart_interval))
-    return head + _seg(0xC4, dht) + _seg(0xDA, sos) + entropy + b"\xff\xd9"
 
 
 def _split_entropy(payload: bytes, pos: int) -> tuple[list[bytes], list[int], int]:
@@ -443,18 +560,32 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG: {prec}-bit precision")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "JPEG: multi-component (color) decode out of scope — "
-                    "grayscale baseline only"
+                    f"JPEG: {ncomp}-component frames out of scope (grayscale "
+                    "and 3-component color decode here)"
                 )
             if len(body) != 6 + 3 * ncomp:
                 raise ValueError("JPEG: SOF component list truncated")
             if h == 0 or w == 0:
                 raise ValueError("JPEG: zero dimension in SOF")
-            if body[7] != 0x11:
-                raise NotImplementedError("JPEG: subsampled single component")
-            frame = (h, w, body[8])  # quant table id
+            comps = []  # (comp_id, h_i, v_i, quant table id)
+            for c in range(ncomp):
+                cid, samp, ctq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 15, ctq))
+            samplings = [(hi, vi) for _, hi, vi, _ in comps]
+            if ncomp == 1:
+                if samplings != [(1, 1)]:
+                    raise NotImplementedError("JPEG: subsampled single component")
+            elif samplings not in (
+                [(1, 1), (1, 1), (1, 1)],  # 4:4:4
+                [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+            ):
+                raise NotImplementedError(
+                    f"JPEG: sampling {samplings} out of scope (4:4:4 and "
+                    "4:2:0 decode here)"
+                )
+            frame = (h, w, comps)
         elif marker == 0xC2:
             raise NotImplementedError("JPEG: progressive (SOF2) decode out of scope")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -469,19 +600,30 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
-            if len(body) < 1 or body[0] != 1 or len(body) != 1 + 2 * body[0] + 3:
+            nsc = body[0] if body else 0
+            if nsc != len(frame[2]) or len(body) != 1 + 2 * nsc + 3:
                 raise ValueError("JPEG: malformed SOS header")
-            scan_tables = (body[2] >> 4, body[2] & 15)
+            scan_tables = [
+                (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15) for c in range(nsc)
+            ]
             break
         # APPn / COM / anything else with a length: skipped
 
-    h, w, tq = frame
-    if tq not in qt:
-        raise ValueError(f"JPEG: scan references missing quant table {tq}")
-    dc_id, ac_id = scan_tables
-    if (0, dc_id) not in huff or (1, ac_id) not in huff:
-        raise ValueError("JPEG: scan references missing Huffman table")
-    dc, ac = huff[(0, dc_id)], huff[(1, ac_id)]
+    h, w, comps = frame
+    ncomp = len(comps)
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    per_comp = []  # (dc lut, ac lut, h_i, v_i, quant table)
+    for (cid, hi, vi, ctq), (dc_id, ac_id) in zip(comps, scan_tables):
+        if ctq not in qt:
+            raise ValueError(f"JPEG: scan references missing quant table {ctq}")
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("JPEG: scan references missing Huffman table")
+        per_comp.append((huff[(0, dc_id)], huff[(1, ac_id)], hi, vi, qt[ctq]))
+    # flat per-MCU decode schedule: component index once per block
+    schedule = [
+        ci for ci, (_, _, hi, vi, _) in enumerate(per_comp) for _ in range(hi * vi)
+    ]
 
     chunks, rsts, end = _split_entropy(payload, pos)
     if payload[end : end + 2] != b"\xff\xd9":
@@ -489,66 +631,81 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     for i, r in enumerate(rsts):
         if r != i % 8:
             raise ValueError(f"JPEG: restart marker out of sequence (RST{r})")
-    bh, bw = -(-h // 8), -(-w // 8)
-    nblocks = bh * bw
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    nmcus = mcus_x * mcus_y
     if dri == 0 and len(chunks) != 1:
         raise ValueError("JPEG: restart markers present without DRI")
     if dri:
-        want = -(-nblocks // dri)
+        want = -(-nmcus // dri)
         if len(chunks) != want:
             raise ValueError(
                 f"JPEG: {len(chunks)} restart intervals, expected {want}"
             )
 
-    rows: list[list[int]] = []
+    rows: list[list[list[int]]] = [[] for _ in range(ncomp)]
     done = 0
     for chunk in chunks:
         rd = _FastReader(chunk)
-        pred = 0
-        todo = min(dri, nblocks - done) if dri else nblocks
+        preds = [0] * ncomp
+        todo = min(dri, nmcus - done) if dri else nmcus
         for _ in range(todo):
-            blk = [0] * 64
-            s = rd.sym(dc)
-            if s > 11:
-                raise ValueError("JPEG: DC category out of range")
-            if s:
-                pred += _extend(rd.bits(s), s)
-            blk[0] = pred
-            k = 1
-            while k < 64:
-                symb = rd.sym(ac)
-                r, s = symb >> 4, symb & 15
-                if s == 0:
-                    if symb == 0x00:  # EOB
-                        break
-                    if symb == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    raise ValueError(f"JPEG: invalid AC symbol {symb:#x}")
-                k += r
-                if k > 63:
-                    raise ValueError("JPEG: AC run past end of block")
-                blk[k] = _extend(rd.bits(s), s)
-                k += 1
-            if rd.borrowed():
-                raise ValueError("JPEG entropy data: truncated mid-block")
-            rows.append(blk)
+            for ci in schedule:
+                dc, ac = per_comp[ci][0], per_comp[ci][1]
+                blk = [0] * 64
+                s = rd.sym(dc)
+                if s > 11:
+                    raise ValueError("JPEG: DC category out of range")
+                if s:
+                    preds[ci] += _extend(rd.bits(s), s)
+                blk[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    symb = rd.sym(ac)
+                    r, s = symb >> 4, symb & 15
+                    if s == 0:
+                        if symb == 0x00:  # EOB
+                            break
+                        if symb == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        raise ValueError(f"JPEG: invalid AC symbol {symb:#x}")
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG: AC run past end of block")
+                    blk[k] = _extend(rd.bits(s), s)
+                    k += 1
+                if rd.borrowed():
+                    raise ValueError("JPEG entropy data: truncated mid-block")
+                rows[ci].append(blk)
             done += 1
         # trailing pad bits in the chunk are 1s by spec; tolerate any pad
         if rd.real_bits_left() >= 8:
             raise ValueError("JPEG: extra bytes after last block in interval")
-    if done != nblocks:
-        raise ValueError(f"JPEG: decoded {done}/{nblocks} blocks")
-    zz = np.array(rows, np.int64)
+    if done != nmcus:
+        raise ValueError(f"JPEG: decoded {done}/{nmcus} MCUs")
 
-    deq = np.empty((nblocks, 64), np.float64)
-    q = qt[tq].astype(np.float64)
-    deq[:, _ZIGZAG] = zz * q[_ZIGZAG]
-    # batched IDCT p = M.T @ F @ M (broadcast matmul: ~20x einsum here)
-    spatial = np.matmul(np.matmul(_M.T, deq.reshape(-1, 8, 8)), _M)
-    img = (
-        spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        + 128.0
-    )
-    img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
-    return w, h, 1, img[:h, :w].tobytes()
+    planes = []
+    for ci, (_, _, hi, vi, qtab) in enumerate(per_comp):
+        zz = np.array(rows[ci], np.int64)
+        deq = np.empty((len(zz), 64), np.float64)
+        q = qtab.astype(np.float64)
+        deq[:, _ZIGZAG] = zz * q[_ZIGZAG]
+        # batched IDCT p = M.T @ F @ M (broadcast matmul: ~20x einsum here)
+        spatial = np.matmul(np.matmul(_M.T, deq.reshape(-1, 8, 8)), _M)
+        # blocks arrive in (mcu_y, mcu_x, v_i, h_i) raster order
+        plane = (
+            spatial.reshape(mcus_y, mcus_x, vi, hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * vi * 8, mcus_x * hi * 8)
+            + 128.0
+        )
+        plane = np.clip(np.rint(plane), 0, 255).astype(np.uint8)
+        if hi < hmax or vi < vmax:  # nearest-neighbour chroma upsample
+            plane = np.repeat(np.repeat(plane, vmax // vi, 0), hmax // hi, 1)
+        planes.append(plane[:h, :w])
+    if ncomp == 1:
+        return w, h, 1, planes[0].tobytes()
+    # interleaved coded components (YCbCr under the JFIF convention) —
+    # no color transform: T.81 decode ends at the component samples, and
+    # staying in the coded space keeps the exactness guarantees intact
+    return w, h, 3, np.stack(planes, axis=-1).tobytes()

@@ -382,10 +382,11 @@ def decode_media(modality: str, payload: bytes):
       * ``image`` / PNG signature → ``(width, height, channels,
         pixel_bytes)`` (:func:`decode_png` — real zlib inflate + five-filter
         unfiltering; 8-bit RGB/RGBA non-interlaced);
-      * ``image`` / SOI (0xFFD8) → ``(width, height, 1, gray_bytes)``
-        (:func:`tagtree_spark.operators.jpeg.decode_jpeg` — real baseline
-        sequential Huffman decode + IDCT; grayscale; progressive/color
-        raise NotImplementedError);
+      * ``image`` / SOI (0xFFD8) → ``(width, height, channels,
+        component_bytes)`` (:func:`tagtree_spark.operators.jpeg.
+        decode_jpeg` — real baseline sequential Huffman decode + IDCT;
+        grayscale and 4:4:4 / 4:2:0 color; progressive/arithmetic/other
+        samplings raise NotImplementedError);
       * ``video`` / YUV4MPEG2 → ``(width, height, [gray frames])``
         (:func:`decode_y4m`).
 
@@ -422,7 +423,11 @@ def resize_media(modality: str, payload: bytes, width: int, height: int) -> byte
         if payload[:8] == _PNG_SIG:
             w0, h0, ch, px = decode_png(payload)
         elif payload[:2] == b"\xff\xd8":
-            from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+            from tagtree_spark.operators.jpeg import (
+                decode_jpeg,
+                encode_jpeg_color,
+                encode_jpeg_gray,
+            )
 
             w0, h0, ch, px = decode_jpeg(payload)
             out = bytearray()
@@ -430,9 +435,12 @@ def resize_media(modality: str, payload: bytes, width: int, height: int) -> byte
                 sy = y * h0 // height
                 for x in range(width):
                     sx = x * w0 // width
-                    out.append(px[sy * w0 + sx])
+                    o = (sy * w0 + sx) * ch
+                    out += px[o : o + ch]
             # re-encode is a real (lossy) baseline pass, like any JPEG resize
-            return encode_jpeg_gray(width, height, bytes(out))
+            if ch == 1:
+                return encode_jpeg_gray(width, height, bytes(out))
+            return encode_jpeg_color(width, height, bytes(out))
         else:
             w0, h0, px = decode_ppm(payload)
             ch = 3
@@ -882,6 +890,129 @@ def decoded_jpeg_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out).astype("int64")
 
     return spread(media).mapInPandas(batches, schema=JPEG_DECODED_SCHEMA)
+
+
+THUMBNAIL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("sum_pixels", LongType()),
+    ]
+)
+
+
+def png_thumbnail_features(media: DataFrame, out_w: int = 4) -> DataFrame:
+    """End-to-end THUMBNAIL pipeline over PNG payloads: real decode →
+    :func:`resize_media` (nearest-neighbour to ``out_w`` wide, half the
+    source height) → real re-encode → decode the thumbnail → exact
+    integer pixel sum. Because nearest-neighbour sampling is a
+    deterministic index map (sy = y*h0//h1, sx = x*w0//out_w) and PNG is
+    lossless, the q292 oracle reproduces the sum straight from the
+    source bytes. One Arrow pass; payloads never leave executors."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in THUMBNAIL_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                _w0, h0, _ch, _px = decode_png(b)
+                h1 = (h0 + 1) // 2
+                thumb = resize_media("image", b, out_w, h1)
+                w, h, _ch2, px = decode_png(thumb)
+                out["media_id"].append(int(mid))
+                out["out_w"].append(w)
+                out["out_h"].append(h)
+                out["sum_pixels"].append(int(np.frombuffer(px, np.uint8).sum()))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=THUMBNAIL_SCHEMA)
+
+
+JPEG_COLOR_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixel_bytes", LongType()),
+        StructField("sum_y", LongType()),
+        StructField("sum_cb", LongType()),
+        StructField("sum_cr", LongType()),
+        StructField("sum_abs_dev_y", LongType()),
+    ]
+)
+
+
+def jpeg_color_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL 3-component 4:4:4 baseline
+    JPEGs: per text byte b, the Y block is b + (b%4)·checkerboard (the
+    q289 regime), Cb the constant 255-b, Cr the constant (3b)%256 — all
+    three per-block coefficient sets integral, so the interleaved-MCU
+    color round-trip is exact too."""
+    from tagtree_spark.operators.jpeg import encode_jpeg_color
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        s = np.array(_JPEG_CHECKER, np.int64)
+        checker = np.outer(s, s)
+
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8") or b"\x00"
+                b = np.frombuffer(raw, np.uint8).astype(np.int64)
+                a = np.where((b >= 4) & (b <= 251), b % 4, 0)
+                yb = (b[:, None, None] + a[:, None, None] * checker).reshape(-1, 8)
+                cb = np.repeat(255 - b, 64).reshape(-1, 8)
+                cr = np.repeat((3 * b) % 256, 64).reshape(-1, 8)
+                px = np.stack([yb, cb, cr], axis=-1).astype(np.uint8).tobytes()
+                payloads.append(encode_jpeg_color(8, 8 * len(b), px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "modality": "image",
+                    "payload": payloads,
+                    "meta": [{"format": "jpeg", "sampling": "4:4:4"}] * len(payloads),
+                }
+            )
+
+    return spread(docs).select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decoded_jpeg_color_features(media: DataFrame) -> DataFrame:
+    """Per-image features from DECODED color JPEG components: geometry,
+    exact per-channel sums, and the Y-plane per-block absolute deviation
+    (AC-path proof, as in :func:`decoded_jpeg_features`)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tagtree_spark.operators.jpeg import decode_jpeg
+
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in JPEG_COLOR_DECODED_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, comps = decode_jpeg(bytes(payload))
+                if ch != 3:
+                    raise ValueError(f"media {mid}: expected 3 channels, got {ch}")
+                px = np.frombuffer(comps, np.uint8).reshape(-1, 3).astype(np.int64)
+                yb = px[:, 0].reshape(-1, 64)  # width 8: one block per 8 rows
+                bsum = yb.sum(axis=1, keepdims=True)
+                dev = np.abs(64 * yb - bsum).sum() // 64
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixel_bytes"].append(len(comps))
+                out["sum_y"].append(int(px[:, 0].sum()))
+                out["sum_cb"].append(int(px[:, 1].sum()))
+                out["sum_cr"].append(int(px[:, 2].sum()))
+                out["sum_abs_dev_y"].append(int(dev))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=JPEG_COLOR_DECODED_SCHEMA)
 
 
 # --------------------------------------------------------------------------

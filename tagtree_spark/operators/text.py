@@ -1195,3 +1195,69 @@ def tokenizer_fertility(
             ).alias("fertility_ppm"),
         )
     )
+
+
+def code_switching(
+    docs: DataFrame,
+    chunk_chars: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E4 chunk-level language-mixture (code-switching) detector — the
+    per-WINDOW twin of :func:`lang_id`, used by corpus filters that drop
+    or route documents whose language flips mid-text (a doc-level
+    argmax hides a 50/50 mix entirely).
+
+    Slices each document into fixed CHARACTER windows, scores each
+    window against the lexicons with the same deterministic argmax, and
+    reports per document: ``n_chunks`` (total windows), ``n_identified``
+    (windows with a nonzero best score), ``n_langs`` (distinct predicted
+    languages over identified windows), ``dom_chunks`` (the dominant
+    language's window count — n_identified == dom_chunks iff the doc is
+    monolingual as far as the lexicons can see).
+
+    Shape: explode to ~len/chunk_chars rows per doc (bounded fan-out),
+    map-side lexicon scoring, two shrinking groupBys on (doc, lang) then
+    doc — no joins against the corpus body."""
+    d = spread(docs).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    n_chunks = F.expr(f"greatest(1, (length(text) + {chunk_chars - 1}) div {chunk_chars})")
+    chunks = d.select(
+        "doc_id",
+        n_chunks.cast("bigint").alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("ci"),
+        "text",
+    ).select(
+        "doc_id",
+        "n_chunks",
+        F.expr(f"substring(text, ci * {chunk_chars} + 1, {chunk_chars})").alias("chunk"),
+    )
+    words = F.split(F.col("chunk"), " ")
+    scored = chunks.select(
+        "doc_id",
+        "n_chunks",
+        *[
+            _lexicon_score(words, lex).alias(f"score_{lang}")
+            for lang, lex in LANG_LEXICONS.items()
+        ],
+    )
+    langs = list(LANG_LEXICONS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties — lang_id's rule
+        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)).otherwise(pred)
+    per_lang = (
+        scored.select("doc_id", "n_chunks", pred.alias("pred"), best.alias("best"))
+        .where(F.col("best") > 0)
+        .groupBy("doc_id", "n_chunks", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+    agg = per_lang.groupBy("doc_id", "n_chunks").agg(
+        F.sum("n").cast("bigint").alias("n_identified"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.max("n").cast("bigint").alias("dom_chunks"),
+    )
+    return (
+        d.select("doc_id", n_chunks.cast("bigint").alias("n_chunks"))
+        .join(agg, ["doc_id", "n_chunks"], "left")
+        .na.fill(0, ["n_identified", "n_langs", "dom_chunks"])
+    )

@@ -12991,3 +12991,300 @@ def q290_codec_cross_check(spark, sf_dir):
             F.sum("jpeg_sum").cast("bigint").alias("sum_jpeg_pixels"),
         )
     )
+
+
+@query(
+    "q291_jpeg_color_decode",
+    """
+WITH b AS (
+  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) t
+), agg AS (
+  SELECT doc_id,
+         sum(64 * byte) AS sy,
+         sum(64 * (255 - byte)) AS scb,
+         sum(64 * ((3 * byte) % 256)) AS scr,
+         sum(64 * (CASE WHEN byte BETWEEN 4 AND 251 THEN byte % 4 ELSE 0 END)) AS sad
+  FROM b GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 * greatest(length(d.text), 1) AS BIGINT) AS height,
+       CAST(192 * greatest(length(d.text), 1) AS BIGINT) AS n_pixel_bytes,
+       CAST(coalesce(agg.sy, 0) AS BIGINT) AS sum_y,
+       CAST(coalesce(agg.scb, 255 * 64) AS BIGINT) AS sum_cb,
+       CAST(coalesce(agg.scr, 0) AS BIGINT) AS sum_cr,
+       CAST(coalesce(agg.sad, 0) AS BIGINT) AS sum_abs_dev_y
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY media_id""",
+)
+def q291_jpeg_color_decode(spark, sf_dir):
+    """E5 real COLOR baseline JPEG decode: 3-component 4:4:4 interleaved
+    MCUs, per-component DC predictors, nearest exactness regime per
+    channel (Y = q289's DC+checkerboard blocks, Cb/Cr constant planes
+    derived from the same byte) — so the oracle hash-verifies exact
+    per-channel sums from the raw text bytes. Empty docs encode the
+    single pad byte 0 (Y=0, Cb=255, Cr=0 — the oracle's coalesce
+    defaults). Proves the multi-component entropy interleave, the
+    per-component table/predictor routing, and the channel reassembly
+    end-to-end; q289 already pins the grayscale path."""
+    from tagtree_spark.operators.multimodal import (
+        decoded_jpeg_color_features,
+        jpeg_color_from_documents,
+    )
+
+    media = jpeg_color_from_documents(_docs(spark, sf_dir))
+    # repartition(1) + in-partition sort (see q289): keeps the codec work
+    # parallel and avoids the orderBy sampling double-execution
+    return (
+        decoded_jpeg_color_features(media)
+        .repartition(1)
+        .sortWithinPartitions("media_id")
+    )
+
+
+@query(
+    "q292_thumbnail_pipeline",
+    """
+WITH g AS (
+  SELECT doc_id, text,
+         greatest(1, (length(text) + 23) // 24) AS h0,
+         (greatest(1, (length(text) + 23) // 24) + 1) // 2 AS h2
+  FROM documents
+), e AS (
+  SELECT doc_id, text, h0, h2, unnest(range(0, h2 * 12)) AS k FROM g
+), px AS (
+  SELECT doc_id,
+         sum(CASE WHEN ((k // 12) * h0) // h2 * 24 + ((k % 12) // 3) * 6 + (k % 3) + 1
+                       <= length(text)
+                  THEN ord(substr(text,
+                       CAST(((k // 12) * h0) // h2 * 24 + ((k % 12) // 3) * 6
+                            + (k % 3) + 1 AS INT), 1))
+                  ELSE 0 END) AS sp
+  FROM e GROUP BY doc_id
+)
+SELECT g.doc_id AS media_id,
+       CAST(4 AS BIGINT) AS out_w,
+       CAST(g.h2 AS BIGINT) AS out_h,
+       CAST(coalesce(px.sp, 0) AS BIGINT) AS sum_pixels
+FROM g LEFT JOIN px ON g.doc_id = px.doc_id
+ORDER BY media_id""",
+)
+def q292_thumbnail_pipeline(spark, sf_dir):
+    """E5 THUMBNAIL pipeline — the remaining resize_media surface made
+    driver-verifiable end-to-end: q253's real PNGs (8-wide RGB raster of
+    the text bytes) → full decode → nearest-neighbour resize to 4 wide x
+    half height → real PNG re-encode → decode the thumbnail → exact
+    pixel sum. Nearest sampling is the index map sy=y*h0//h1, sx=2x, so
+    the oracle reproduces the exact sum from the raw bytes (sampled
+    indices past the text are the raster's zero padding). One Arrow
+    pass per doc; both encodes and both decodes are the real codecs."""
+    from tagtree_spark.operators.multimodal import (
+        png_from_documents,
+        png_thumbnail_features,
+    )
+
+    media = png_from_documents(_docs(spark, sf_dir))
+    return (
+        png_thumbnail_features(media).repartition(1).sortWithinPartitions("media_id")
+    )
+
+
+def _q293_oracle() -> str:
+    scores = []
+    for lang, lex in LANG_LEXICONS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in lex) + "]"
+        scores.append(
+            f"CAST(len(list_filter(w, t -> list_contains({arr}, t))) AS BIGINT) AS score_{lang}"
+        )
+    langs = list(LANG_LEXICONS)
+    g = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{lang} = {g} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH c AS (
+  SELECT doc_id, text, unnest(range(0, greatest(1, (length(text) + 99) // 100))) AS ci
+  FROM documents
+), w AS (
+  SELECT doc_id, ci, string_split(substr(text, CAST(ci * 100 + 1 AS INT), 100), ' ') AS w
+  FROM c
+), sc AS (SELECT doc_id, ci, {', '.join(scores)} FROM w),
+p AS (SELECT doc_id, {case} AS pred, {g} AS best FROM sc),
+pl AS (SELECT doc_id, pred, count(*) AS n FROM p WHERE best > 0 GROUP BY doc_id, pred),
+ag AS (
+  SELECT doc_id,
+         CAST(sum(n) AS BIGINT) AS n_identified,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(max(n) AS BIGINT) AS dom_chunks
+  FROM pl GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(greatest(1, (length(d.text) + 99) // 100) AS BIGINT) AS n_chunks,
+       CAST(coalesce(ag.n_identified, 0) AS BIGINT) AS n_identified,
+       CAST(coalesce(ag.n_langs, 0) AS BIGINT) AS n_langs,
+       CAST(coalesce(ag.dom_chunks, 0) AS BIGINT) AS dom_chunks
+FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+ORDER BY doc_id"""
+
+
+@query("q293_code_switching", _q293_oracle())
+def q293_code_switching(spark, sf_dir):
+    """E4 chunk-level language-mixture (code-switching) report — the
+    per-window twin of q29's doc-level lang-id: 100-char windows, the
+    same lexicon argmax per window, per-doc counts of identified
+    windows, distinct predicted languages, and the dominant language's
+    window share. A corpus filter routes on n_langs >= 2 (mixed) vs
+    n_identified == dom_chunks (monolingual); the doc-level argmax q29
+    applies cannot see the mix at all. Bounded fan-out explode + two
+    shrinking groupBys; bodies never join."""
+    from tagtree_spark.operators.text import code_switching
+
+    return code_switching(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q294_mann_whitney",
+    """
+WITH r AS (
+  SELECT event_type, user_id % 2 AS grp,
+         rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         count(*) OVER (PARTITION BY event_type, value) AS c
+  FROM events
+), s AS (
+  SELECT event_type,
+         sum(CASE WHEN grp = 0 THEN 2 * rk + c - 1 ELSE 0 END) AS r2a,
+         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN grp = 1 THEN 2 * rk + c - 1 ELSE 0 END) AS r2b,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS nb
+  FROM r GROUP BY event_type
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS two_u_a,
+       CAST(r2b - nb * (nb + 1) AS BIGINT) AS two_u_b
+FROM s
+WHERE r2a - na * (na + 1) + r2b - nb * (nb + 1) = 2 * na * nb
+ORDER BY event_type""",
+)
+def q294_mann_whitney(spark, sf_dir):
+    """Experimentation-stats family: EXACT Mann-Whitney rank-sum U per
+    event_type between the user_id-parity A/B split — the nonparametric
+    twin of the CUPED/DiD/z-score screens (no normality assumption, no
+    floating aggregation at all). Midranks for ties stay rational with
+    denominator 2, so the DOUBLED statistics 2U are exact integers:
+    2·avg_rank = 2·min_rank + tie_count − 1, 2U = Σ(2r+c−1) − n(n+1).
+    The U_a + U_b = n_a·n_b identity is enforced as a WHERE in BOTH
+    engines — a ranking bug drops rows and fails the driver row count
+    loudly instead of shipping a wrong statistic.
+
+    Scale shape: the Spark plan never ranks raw rows (a per-type window
+    over 100 TB of events would sort a handful of hot partitions) — it
+    first collapses to the DISTINCT-VALUE summary (type, value, c, c_a,
+    c_b) with one map-side-combining groupBy, then runs the rank window
+    over that bounded frame: Σ_v c_a(v)·(2·cum_before(v)+c(v)+1) gives
+    the same Σ(2r+c−1) because every tied row shares its value's
+    midrank. The oracle ranks rows directly (same math, small data);
+    value doubles are only COMPARED and COUNTED (rule-2-safe)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    g = ev.groupBy("event_type", "value").agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("cum_before", F.coalesce(F.sum("c").over(wb), F.lit(0)))
+    mid2 = 2 * F.col("cum_before") + F.col("c") + 1  # = 2·midrank per value
+    s = g.groupBy("event_type").agg(
+        F.sum(F.col("ca") * mid2).alias("r2a"),
+        F.sum("ca").alias("na"),
+        F.sum(F.col("cb") * mid2).alias("r2b"),
+        F.sum("cb").alias("nb"),
+    )
+    two_u_a = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    two_u_b = F.col("r2b") - F.col("nb") * (F.col("nb") + 1)
+    return (
+        s.where(two_u_a + two_u_b == 2 * F.col("na") * F.col("nb"))
+        .select(
+            "event_type",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            two_u_a.cast("bigint").alias("two_u_a"),
+            two_u_b.cast("bigint").alias("two_u_b"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q295_ks_distance",
+    """
+WITH g AS (
+  SELECT event_type, value,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+  FROM events GROUP BY event_type, value
+), c AS (
+  SELECT event_type,
+         sum(ca) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(cb) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cum_b,
+         sum(ca) OVER (PARTITION BY event_type) AS na,
+         sum(cb) OVER (PARTITION BY event_type) AS nb
+  FROM g
+)
+SELECT event_type,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS ks_num
+FROM c GROUP BY event_type ORDER BY event_type""",
+)
+def q295_ks_distance(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov distance per event_type
+    between the user_id-parity A/B split — the distribution-SHAPE shift
+    screen beside q294's location test (a corpus/metric drift monitor
+    keys rollbacks on it). D = max_x |F_a(x) − F_b(x)| is emitted as the
+    exact integer numerator max|cum_a·n_b − cum_b·n_a| over the common
+    denominator n_a·n_b — no floats anywhere. Same scale shape as q294:
+    one map-side-combining groupBy to the distinct-value summary, then
+    GROWING cumulative frames over that bounded frame (never raw rows),
+    then one shrinking max."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    g = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.max(F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")))
+            .cast("bigint")
+            .alias("ks_num"),
+        )
+        .orderBy("event_type")
+    )

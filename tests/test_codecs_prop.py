@@ -158,3 +158,22 @@ def test_jpeg_truncation_always_detected(data):
     cut = data.draw(st.integers(min_value=0, max_value=len(j) - 1), label="cut")
     with pytest.raises((ValueError, NotImplementedError)):
         decode_jpeg(j[:cut])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    ri=st.integers(min_value=0, max_value=3),
+    data=st.data(),
+)
+def test_jpeg_color_444_roundtrip_property(w, h, ri, data):
+    """4:4:4 color with the all-ones quant table: every component of
+    every pixel round-trips within 1 — the interleaved-MCU twin of the
+    grayscale property."""
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+    px = data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3), label="px")
+    w2, h2, ch, out = decode_jpeg(encode_jpeg_color(w, h, px, restart_interval=ri))
+    assert (w2, h2, ch) == (w, h, 3)
+    assert max((abs(a - b) for a, b in zip(out, px)), default=0) <= 1

@@ -661,11 +661,16 @@ def test_jpeg_out_of_scope_raises_not_implemented():
         decode_jpeg(b"\xff\xd8" + seg(0xC2, sof2))
     with pytest.raises(NotImplementedError, match="16-bit"):
         decode_jpeg(b"\xff\xd8" + seg(0xDB, bytes([0x10]) + bytes(128)))
-    sof_color = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
-        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    sof_cmyk = struct.pack(">BHHB", 8, 8, 8, 4) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
     )
-    with pytest.raises(NotImplementedError, match="multi-component"):
-        decode_jpeg(b"\xff\xd8" + seg(0xC0, sof_color))
+    with pytest.raises(NotImplementedError, match="4-component"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC0, sof_cmyk))
+    sof_422 = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]  # 4:2:2 — not 4:4:4 / 4:2:0
+    )
+    with pytest.raises(NotImplementedError, match="sampling"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC0, sof_422))
     sof_sub = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x22, 0])
     with pytest.raises(NotImplementedError, match="subsampled"):
         decode_jpeg(b"\xff\xd8" + seg(0xC0, sof_sub))
@@ -712,3 +717,83 @@ def test_jpeg_fixture_features(spark):
             (b % 4 if 4 <= b <= 251 else 0) for b in raw
         )
         assert ("z" not in t) or r.sum_abs_dev > 0  # 'z'=122 -> a=2: AC proven
+
+
+def test_jpeg_color_roundtrips():
+    """4:4:4: any input round-trips within 1 gray level per component;
+    4:2:0: Y within 1 everywhere, chroma exact when constant per 2x2
+    (the box average is then the identity)."""
+    import random
+
+    import numpy as np
+
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+    rng = random.Random(31)
+    for w0, h0 in [(8, 8), (19, 13), (32, 24)]:
+        px = bytes(rng.randrange(256) for _ in range(w0 * h0 * 3))
+        for ri in (0, 2):
+            w, h, ch, out = decode_jpeg(encode_jpeg_color(w0, h0, px, restart_interval=ri))
+            assert (w, h, ch) == (w0, h0, 3)
+            assert max(abs(a - b) for a, b in zip(out, px)) <= 1, (w0, h0, ri)
+    nprng = np.random.default_rng(5)
+    for w0, h0 in [(16, 16), (19, 13)]:
+        y = nprng.integers(0, 256, (h0, w0), dtype=np.uint8)
+        cb = np.repeat(np.repeat(
+            nprng.integers(0, 256, ((h0 + 1) // 2, (w0 + 1) // 2), dtype=np.uint8), 2, 0), 2, 1)[:h0, :w0]
+        cr = np.repeat(np.repeat(
+            nprng.integers(0, 256, ((h0 + 1) // 2, (w0 + 1) // 2), dtype=np.uint8), 2, 0), 2, 1)[:h0, :w0]
+        src = np.stack([y, cb, cr], axis=-1)
+        w, h, ch, out = decode_jpeg(encode_jpeg_color(w0, h0, src.tobytes(), subsample=True))
+        got = np.frombuffer(out, np.uint8).reshape(h0, w0, 3).astype(int)
+        assert np.abs(got - src.astype(int)).max() <= 1
+
+
+def test_jpeg_color_lossless_regime_exact():
+    """The q291 fixture regime (Y checkerboard + constant chroma) is
+    bit-exact through the interleaved 4:4:4 path."""
+    import math
+
+    import numpy as np
+
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+    s = np.array(
+        [1 if math.cos((2 * x + 1) * math.pi / 4) > 0 else -1 for x in range(8)],
+        np.int64,
+    )
+    checker = np.outer(s, s)
+    b = np.array(list(range(0, 256, 5)), np.int64)
+    a = np.where((b >= 4) & (b <= 251), b % 4, 0)
+    yb = (b[:, None, None] + a[:, None, None] * checker).reshape(-1, 8)
+    cb = np.repeat(255 - b, 64).reshape(-1, 8)
+    cr = np.repeat((3 * b) % 256, 64).reshape(-1, 8)
+    px = np.stack([yb, cb, cr], axis=-1).astype(np.uint8).tobytes()
+    w, h, ch, out = decode_jpeg(encode_jpeg_color(8, 8 * len(b), px))
+    assert (w, h, ch) == (8, 8 * len(b), 3) and out == px
+
+
+def test_jpeg_color_fixture_features(spark):
+    """jpeg_color_from_documents -> decoded_jpeg_color_features computes
+    the exact per-channel sums the q291 oracle derives from text bytes."""
+    from tagtree_spark.operators.multimodal import (
+        decoded_jpeg_color_features,
+        jpeg_color_from_documents,
+    )
+
+    texts = ["abc", "", "Mixed Case 123!"]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    feats = {
+        r.media_id: r
+        for r in decoded_jpeg_color_features(jpeg_color_from_documents(docs)).collect()
+    }
+    for i, t in enumerate(texts):
+        raw = t.encode() or b"\x00"
+        r = feats[i]
+        assert (r.width, r.height, r.n_pixel_bytes) == (8, 8 * len(raw), 192 * len(raw))
+        assert r.sum_y == 64 * sum(raw)
+        assert r.sum_cb == 64 * sum(255 - b for b in raw)
+        assert r.sum_cr == 64 * sum((3 * b) % 256 for b in raw)
+        assert r.sum_abs_dev_y == 64 * sum(
+            (b % 4 if 4 <= b <= 251 else 0) for b in raw
+        )

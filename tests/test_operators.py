@@ -2738,3 +2738,30 @@ def test_exactsubstr_trim_removes_all_duplicated_spans(spark):
     # re-scan: the trimmed corpus contains ZERO duplicated windows
     trimmed_docs = tr.select("doc_id", F.col("trimmed_text").alias("text"))
     assert dup_window_positions(trimmed_docs, window=8).count() == 0
+
+
+def test_code_switching_detects_mixture(spark):
+    """A doc whose first 100-char window is English lexicon words and
+    whose second window is German must report n_langs=2 with one
+    dominant-language window each; monolingual and unidentifiable docs
+    report their degenerate shapes."""
+    from tagtree_spark.operators.text import code_switching
+
+    en = ("the value and query " * 5).strip()         # fills one window
+    de = ("der die das und nicht " * 5).strip()
+    mixed = (en + " ").ljust(100, "x") + de            # window 2 = German
+    docs = spark.createDataFrame(
+        [
+            (1, mixed),
+            (2, en),                                    # monolingual, 1 window
+            (3, "zzz qqq " * 3),                        # unidentifiable
+            (4, ""),                                    # empty -> 1 empty window
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in code_switching(docs).collect()}
+    assert got[1].n_langs == 2 and got[1].n_chunks >= 2
+    assert got[1].dom_chunks < got[1].n_identified     # no language dominates fully
+    assert got[2].n_langs == 1 and got[2].n_identified == got[2].dom_chunks
+    assert got[3].n_langs == 0 and got[3].n_identified == 0
+    assert got[4].n_chunks == 1 and got[4].n_langs == 0
