@@ -13288,3 +13288,119 @@ def q295_ks_distance(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_Q296_PERMS = 32
+_Q296_SCALE = 1_099_511_627_776  # 2^40 (rule 8: exact exponent-shift scaling)
+
+
+def _q296_oracle() -> str:
+    gh = duck_h60("CAST(user_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT event_type, user_id,
+         CAST(round(value * CAST({_Q296_SCALE} AS DOUBLE)) AS HUGEINT) AS iv
+  FROM events
+), perm AS (
+  SELECT event_type, user_id, iv, unnest(range(0, {_Q296_PERMS + 1})) AS p FROM base
+), g AS (
+  SELECT event_type, p, iv,
+         CASE WHEN p = 0 THEN user_id % 2 ELSE {gh} % 2 END AS grp
+  FROM perm
+), s AS (
+  SELECT event_type, p,
+         sum(CASE WHEN grp = 0 THEN iv ELSE 0 END) AS sa,
+         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN grp = 1 THEN iv ELSE 0 END) AS sb,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS nb
+  FROM g GROUP BY event_type, p
+), o AS (
+  SELECT event_type, abs(sa * nb - sb * na) AS stat0, na * nb AS den0,
+         na AS na0, nb AS nb0
+  FROM s WHERE p = 0
+)
+SELECT s.event_type AS event_type,
+       CAST(max(o.na0) AS BIGINT) AS n_a,
+       CAST(max(o.nb0) AS BIGINT) AS n_b,
+       CAST(sum(CASE WHEN s.p > 0
+                      AND abs(s.sa * s.nb - s.sb * s.na) * o.den0
+                          >= o.stat0 * (s.na * s.nb)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS k_extreme,
+       CAST({_Q296_PERMS} AS BIGINT) AS n_perms
+FROM s JOIN o ON s.event_type = o.event_type
+GROUP BY s.event_type ORDER BY event_type"""
+
+
+@query("q296_permutation_test", _q296_oracle())
+def q296_permutation_test(spark, sf_dir):
+    """Deterministic PERMUTATION test for the A/B mean-difference per
+    event_type — the resampling member of the experimentation family
+    (q239 CUPED / q294 rank-sum / q295 KS): 32 h60-seeded relabelings of
+    user_id, k_extreme = how many produce a |mean_a − mean_b| at least
+    as large as the observed split's (p ≈ (k+1)/(K+1)). EVERYTHING is
+    exact integers: values enter through the rule-8 2^40 exponent-shift
+    scaling, and the mean comparison |sa/na − sb/nb| vs the observed
+    statistic cross-multiplies to |sa·nb − sb·na|·den0 ≥ stat0·(na·nb)
+    (DECIMAL(38,0) Spark-side, HUGEINT in the oracle — rule 11) so no
+    division ever happens. Scale shape: the K-way explode fans out
+    BEFORE a map-side-combining groupBy on (type, perm) — the shuffle
+    carries 33 partial-agg rows per type per task, never event rows; K
+    is the cost dial."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.expr(
+            f"CAST(round(value * CAST({_Q296_SCALE} AS DOUBLE)) AS DECIMAL(38,0))"
+        ).alias("iv"),
+    )
+    perm = ev.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(_Q296_PERMS + 1)])).alias("p")
+    )
+    grp = F.when(F.col("p") == 0, F.col("user_id") % 2).otherwise(
+        h60(
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"), F.col("p").cast("string")
+            )
+        )
+        % 2
+    )
+    s = (
+        perm.withColumn("grp", grp)
+        .groupBy("event_type", "p")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, F.col("iv")).otherwise(F.lit(0))).alias("sa"),
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("grp") == 1, F.col("iv")).otherwise(F.lit(0))).alias("sb"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("nb"),
+        )
+    )
+    stat = F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+    o = (
+        s.where(F.col("p") == 0)
+        .select(
+            "event_type",
+            stat.alias("stat0"),
+            (F.col("na") * F.col("nb")).alias("den0"),
+            F.col("na").alias("na0"),
+            F.col("nb").alias("nb0"),
+        )
+    )
+    return (
+        s.join(F.broadcast(o), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("na0").cast("bigint").alias("n_a"),
+            F.max("nb0").cast("bigint").alias("n_b"),
+            F.sum(
+                F.when(
+                    (F.col("p") > 0)
+                    & (stat * F.col("den0") >= F.col("stat0") * (F.col("na") * F.col("nb"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k_extreme"),
+            F.lit(_Q296_PERMS).cast("bigint").alias("n_perms"),
+        )
+        .orderBy("event_type")
+    )
