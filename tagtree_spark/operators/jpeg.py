@@ -709,3 +709,26 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     # no color transform: T.81 decode ends at the component samples, and
     # staying in the coded space keeps the exactness guarantees intact
     return w, h, 3, np.stack(planes, axis=-1).tobytes()
+
+
+def ycc_to_rgb_fixed(y, cb, cr):
+    """Fixed-point JFIF/BT.601 YCbCr→RGB — the deterministic integer
+    form of the float conversion the JPEG decoder deliberately does NOT
+    apply (see module docstring): 8-bit-fraction coefficients
+    (1.402→359/256, 0.344136→88/256, 0.714136→183/256, 1.772→454/256),
+    round-half-up via the +128 bias, clamp to [0,255]. Division is
+    written as a floor of a non-negative numerator (the +65536 offset)
+    so numpy, Spark `div` and DuckDB `//` all agree bit-for-bit —
+    cross-engine oracles can replay the exact arithmetic in SQL.
+
+    Takes and returns int64 numpy arrays (any shape, elementwise)."""
+    import numpy as np
+
+    cb1 = cb.astype(np.int64) - 128
+    cr1 = cr.astype(np.int64) - 128
+    y64 = y.astype(np.int64)
+    r = y64 + (359 * cr1 + 128 + 65536) // 256 - 256
+    g = y64 - ((88 * cb1 + 183 * cr1 + 128 + 65536) // 256 - 256)
+    b = y64 + (454 * cb1 + 128 + 65536) // 256 - 256
+    clip = lambda a: np.clip(a, 0, 255)  # noqa: E731
+    return clip(r), clip(g), clip(b)

@@ -1015,6 +1015,122 @@ def decoded_jpeg_color_features(media: DataFrame) -> DataFrame:
     return spread(media).mapInPandas(batches, schema=JPEG_COLOR_DECODED_SCHEMA)
 
 
+def jpeg420_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL 4:2:0 SUBSAMPLED baseline
+    JPEGs: per text byte b, one 16x16 MCU — the Y plane a 2x2 tile of
+    the q289 block (b + (b%4)·checkerboard), Cb/Cr constant over the
+    MCU (255-b, (3b)%256). Constant chroma is the 4:2:0 EXACTNESS
+    regime: the encoder's 2x2 box mean and the decoder's nearest
+    upsample are both identities on constants, so the subsampled
+    round-trip is bit-exact while the interleaved 4-Y+Cb+Cr MCU entropy
+    layout is fully exercised."""
+    from tagtree_spark.operators.jpeg import encode_jpeg_color
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        s = np.array(_JPEG_CHECKER, np.int64)
+        checker = np.outer(s, s)
+
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8") or b"\x00"
+                b = np.frombuffer(raw, np.uint8).astype(np.int64)
+                a = np.where((b >= 4) & (b <= 251), b % 4, 0)
+                blk = b[:, None, None] + a[:, None, None] * checker  # (n,8,8)
+                yb = np.tile(blk, (1, 2, 2)).reshape(-1, 16)  # 2x2 tile per MCU
+                cb = np.repeat(255 - b, 256).reshape(-1, 16)
+                cr = np.repeat((3 * b) % 256, 256).reshape(-1, 16)
+                px = np.stack([yb, cb, cr], axis=-1).astype(np.uint8).tobytes()
+                payloads.append(
+                    encode_jpeg_color(16, 16 * len(b), px, subsample=True)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "modality": "image",
+                    "payload": payloads,
+                    "meta": [{"format": "jpeg", "sampling": "4:2:0"}] * len(payloads),
+                }
+            )
+
+    return spread(docs).select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decoded_jpeg420_features(media: DataFrame) -> DataFrame:
+    """q297's feature pass over :func:`jpeg420_from_documents` payloads:
+    per-channel exact sums plus the per-MCU Y absolute deviation (16x16
+    MCUs — width 16, so one MCU per 16 rows of the Y plane)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tagtree_spark.operators.jpeg import decode_jpeg
+
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in JPEG_COLOR_DECODED_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, comps = decode_jpeg(bytes(payload))
+                if (w, ch) != (16, 3):
+                    raise ValueError(f"media {mid}: expected 16-wide 3-channel")
+                px = np.frombuffer(comps, np.uint8).reshape(-1, 3).astype(np.int64)
+                yb = px[:, 0].reshape(-1, 256)  # one 16x16 MCU per row
+                bsum = yb.sum(axis=1, keepdims=True)
+                dev = np.abs(256 * yb - bsum).sum() // 256
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixel_bytes"].append(len(comps))
+                out["sum_y"].append(int(px[:, 0].sum()))
+                out["sum_cb"].append(int(px[:, 1].sum()))
+                out["sum_cr"].append(int(px[:, 2].sum()))
+                out["sum_abs_dev_y"].append(int(dev))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=JPEG_COLOR_DECODED_SCHEMA)
+
+
+RGB_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def decoded_jpeg_rgb_features(media: DataFrame) -> DataFrame:
+    """Decode a color JPEG and apply the FIXED-POINT YCbCr→RGB transform
+    (:func:`tagtree_spark.operators.jpeg.ycc_to_rgb_fixed`) — the step
+    that turns the decoder's coded components into display pixels, in
+    the deterministic integer form a SQL oracle can replay exactly."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tagtree_spark.operators.jpeg import decode_jpeg, ycc_to_rgb_fixed
+
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in RGB_DECODED_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, ch, comps = decode_jpeg(bytes(payload))
+                if ch != 3:
+                    raise ValueError(f"media {mid}: expected 3 channels, got {ch}")
+                px = np.frombuffer(comps, np.uint8).reshape(-1, 3).astype(np.int64)
+                r, g, b = ycc_to_rgb_fixed(px[:, 0], px[:, 1], px[:, 2])
+                out["media_id"].append(int(mid))
+                out["n_pixels"].append(len(px))
+                out["sum_r"].append(int(r.sum()))
+                out["sum_g"].append(int(g.sum()))
+                out["sum_b"].append(int(b.sum()))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=RGB_DECODED_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # Real video decode: YUV4MPEG2 (Y4M) is the public UNCOMPRESSED video
 # interchange format (plain-text stream header, raw planar frames behind

@@ -13404,3 +13404,126 @@ def q296_permutation_test(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q297_jpeg420_decode",
+    """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+b AS (
+  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM d) t
+), agg AS (
+  SELECT doc_id,
+         sum(256 * byte) AS sy,
+         sum(256 * (255 - byte)) AS scb,
+         sum(256 * ((3 * byte) % 256)) AS scr,
+         sum(256 * (CASE WHEN byte BETWEEN 4 AND 251 THEN byte % 4 ELSE 0 END)) AS sad
+  FROM b GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 * greatest(length(d.text), 1) AS BIGINT) AS height,
+       CAST(768 * greatest(length(d.text), 1) AS BIGINT) AS n_pixel_bytes,
+       CAST(coalesce(agg.sy, 0) AS BIGINT) AS sum_y,
+       CAST(coalesce(agg.scb, 255 * 256) AS BIGINT) AS sum_cb,
+       CAST(coalesce(agg.scr, 0) AS BIGINT) AS sum_cr,
+       CAST(coalesce(agg.sad, 0) AS BIGINT) AS sum_abs_dev_y
+FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY media_id""",
+)
+def q297_jpeg420_decode(spark, sf_dir):
+    """E5 real SUBSAMPLED (4:2:0) color JPEG decode over a deterministic
+    5% document sample (doc_id % 20 — the 16x16-MCU fixture carries 768
+    decoded bytes per text byte, so the sample keeps the bench footprint
+    proportionate; the oracle applies the identical predicate). Per text
+    byte one 16x16 MCU: four interleaved Y blocks (q289's checkerboard
+    regime, tiled 2x2) + box-mean-subsampled then nearest-upsampled
+    constant chroma — both identities on constants, so the lossy
+    sampling path is driven in its exact regime and the per-channel
+    sums hash-verify end-to-end. Proves the 4-Y+Cb+Cr MCU interleave,
+    per-component predictors across the 2x2 Y tile, and the chroma
+    up/down-sampling pair."""
+    from tagtree_spark.operators.multimodal import (
+        decoded_jpeg420_features,
+        jpeg420_from_documents,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 20 == 0)
+    return (
+        decoded_jpeg420_features(jpeg420_from_documents(docs))
+        .repartition(1)
+        .sortWithinPartitions("media_id")
+    )
+
+
+def _q298_rgb_sql(y: str, cb: str, cr: str) -> tuple[str, str, str]:
+    """SQL fragments replaying ycc_to_rgb_fixed exactly (floor division
+    of non-negative numerators — identical in DuckDB/numpy)."""
+    r = f"least(255, greatest(0, {y} + (359 * ({cr} - 128) + 128 + 65536) // 256 - 256))"
+    g = (
+        f"least(255, greatest(0, {y} - ((88 * ({cb} - 128) + 183 * ({cr} - 128)"
+        " + 128 + 65536) // 256 - 256)))"
+    )
+    b = f"least(255, greatest(0, {y} + (454 * ({cb} - 128) + 128 + 65536) // 256 - 256))"
+    return r, g, b
+
+
+def _q298_oracle() -> str:
+    # per text byte: y in {byte+amp, byte-amp} (32 pixels each inside the
+    # 8x8 checkerboard block), cb/cr constant per block
+    rp, gp, bp = _q298_rgb_sql("(byte + amp)", "cb", "cr")
+    rm, gm, bm = _q298_rgb_sql("(byte - amp)", "cb", "cr")
+    # empty docs encode the single pad byte 0 (amp 0): precomputed defaults
+    import numpy as np
+
+    from tagtree_spark.operators.jpeg import ycc_to_rgb_fixed
+
+    r0, g0, b0 = (
+        int(v[0]) * 64
+        for v in ycc_to_rgb_fixed(np.array([0]), np.array([255]), np.array([0]))
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) t
+), e AS (
+  SELECT doc_id, byte,
+         CASE WHEN byte BETWEEN 4 AND 251 THEN byte % 4 ELSE 0 END AS amp,
+         255 - byte AS cb, (3 * byte) % 256 AS cr
+  FROM b
+), agg AS (
+  SELECT doc_id,
+         sum(32 * ({rp}) + 32 * ({rm})) AS sr,
+         sum(32 * ({gp}) + 32 * ({gm})) AS sg,
+         sum(32 * ({bp}) + 32 * ({bm})) AS sb
+  FROM e GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       CAST(64 * greatest(length(d.text), 1) AS BIGINT) AS n_pixels,
+       CAST(coalesce(agg.sr, {r0}) AS BIGINT) AS sum_r,
+       CAST(coalesce(agg.sg, {g0}) AS BIGINT) AS sum_g,
+       CAST(coalesce(agg.sb, {b0}) AS BIGINT) AS sum_b
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY media_id"""
+
+
+@query("q298_jpeg_rgb", _q298_oracle())
+def q298_jpeg_rgb(spark, sf_dir):
+    """E5 color JPEG → DISPLAY PIXELS: decode q291's 4:4:4 fixture and
+    apply the fixed-point JFIF YCbCr→RGB transform (jpeg.py
+    ycc_to_rgb_fixed — 8-bit-fraction coefficients, round-half-up,
+    clamp), summing each RGB channel exactly. The oracle replays the
+    identical integer arithmetic per text byte (32 pixels at y=b+a and
+    32 at y=b−a per block, constant chroma), so the conversion — the
+    last step between coded components and what a user sees — is
+    driver-hash-verified including its clamps."""
+    from tagtree_spark.operators.multimodal import (
+        decoded_jpeg_rgb_features,
+        jpeg_color_from_documents,
+    )
+
+    media = jpeg_color_from_documents(_docs(spark, sf_dir))
+    return (
+        decoded_jpeg_rgb_features(media).repartition(1).sortWithinPartitions("media_id")
+    )

@@ -797,3 +797,50 @@ def test_jpeg_color_fixture_features(spark):
         assert r.sum_abs_dev_y == 64 * sum(
             (b % 4 if 4 <= b <= 251 else 0) for b in raw
         )
+
+
+def test_jpeg420_fixture_exact_and_rgb_transform(spark):
+    """The 4:2:0 fixture (2x2-tiled Y checkerboard + constant chroma)
+    decodes to exact per-channel sums through the subsampling pair, and
+    the fixed-point RGB transform matches a per-pixel Python replay."""
+    import numpy as np
+
+    from tagtree_spark.operators.jpeg import ycc_to_rgb_fixed
+    from tagtree_spark.operators.multimodal import (
+        decoded_jpeg420_features,
+        decoded_jpeg_rgb_features,
+        jpeg420_from_documents,
+        jpeg_color_from_documents,
+    )
+
+    texts = ["abz", "Q" * 40]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    f420 = {
+        r.media_id: r
+        for r in decoded_jpeg420_features(jpeg420_from_documents(docs)).collect()
+    }
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        r = f420[i]
+        assert (r.width, r.height) == (16, 16 * len(raw))
+        assert r.sum_y == 256 * sum(raw)
+        assert r.sum_cb == 256 * sum(255 - b for b in raw)
+        assert r.sum_cr == 256 * sum((3 * b) % 256 for b in raw)
+        assert r.sum_abs_dev_y == 256 * sum(
+            (b % 4 if 4 <= b <= 251 else 0) for b in raw
+        )
+    rgb = {
+        r.media_id: r
+        for r in decoded_jpeg_rgb_features(jpeg_color_from_documents(docs)).collect()
+    }
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        b = np.frombuffer(raw, np.uint8).astype(np.int64)
+        a = np.where((b >= 4) & (b <= 251), b % 4, 0)
+        sr = sg = sb = 0
+        for yv, w in [(b + a, 32), (b - a, 32)]:
+            rr, gg, bb = ycc_to_rgb_fixed(yv, 255 - b, (3 * b) % 256)
+            sr += w * rr.sum(); sg += w * gg.sum(); sb += w * bb.sum()
+        got = rgb[i]
+        assert got.n_pixels == 64 * len(raw)
+        assert (got.sum_r, got.sum_g, got.sum_b) == (int(sr), int(sg), int(sb))
