@@ -497,7 +497,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], _Decoder] = {}
+    huff: dict[tuple[int, int], list] = {}  # (class, id) -> 16-bit decode LUT
     frame = None  # (height, width)
     dri = 0
     scan_tables = None  # (dc table id, ac table id)
