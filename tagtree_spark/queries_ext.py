@@ -122,6 +122,37 @@ def _sh(spark, sf_dir):
     return got
 
 
+# Shared per-(session, sf dir) ENCODED JPEG media tables: the gray
+# fixture feeds q289+q290 and the color fixture q291+q298 — the encode
+# pass is ~40% of each query's cost and the compressed payloads are tiny
+# (~3 KB/doc), so one persisted copy per family is the _sh() stance.
+_JPEG_MEDIA_CACHE: dict = {}
+
+
+def _jpeg_media(spark, sf_dir):
+    from tagtree_spark.operators.multimodal import jpeg_from_documents
+
+    key = (spark.sparkContext.applicationId, sf_dir, "gray")
+    got = _JPEG_MEDIA_CACHE.get(key)
+    if got is None:
+        got = jpeg_from_documents(_docs(spark, sf_dir)).persist()
+        got.count()
+        _JPEG_MEDIA_CACHE[key] = got
+    return got
+
+
+def _jpeg_color_media(spark, sf_dir):
+    from tagtree_spark.operators.multimodal import jpeg_color_from_documents
+
+    key = (spark.sparkContext.applicationId, sf_dir, "color")
+    got = _JPEG_MEDIA_CACHE.get(key)
+    if got is None:
+        got = jpeg_color_from_documents(_docs(spark, sf_dir)).persist()
+        got.count()
+        _JPEG_MEDIA_CACHE[key] = got
+    return got
+
+
 def _emb(spark, sf_dir):
     tune(spark)
     return load_table(spark, sf_dir, "embeddings")
@@ -10750,6 +10781,8 @@ def one_time_builders():
         "wal_tail_log": lambda s, d: _wal_tail_log(s, d),
         "compacted_store": lambda s, d: _compacted_store(s, d),
         "dup_windows": lambda s, d: _force(_dupwin(s, d)),
+        "jpeg_media": lambda s, d: _force(_jpeg_media(s, d)),
+        "jpeg_color_media": lambda s, d: _force(_jpeg_color_media(s, d)),
         "wal_live_tail_log": lambda s, d: _wal_live_tail_log(s, d),
         "ckpt_compacted_store": lambda s, d: _ckpt_compacted_store(s, d),
     }
@@ -12924,12 +12957,9 @@ def q289_jpeg_decode(spark, sf_dir):
     absolute deviation. sum_abs_dev is nonzero iff the AC coefficients
     survived the Huffman+IDCT path, so a DC-only decoder cannot pass.
     Map-only Arrow passes; payloads never leave executors."""
-    from tagtree_spark.operators.multimodal import (
-        decoded_jpeg_features,
-        jpeg_from_documents,
-    )
+    from tagtree_spark.operators.multimodal import decoded_jpeg_features
 
-    media = jpeg_from_documents(_docs(spark, sf_dir))
+    media = _jpeg_media(spark, sf_dir)
     # repartition(1) + in-partition sort: a range-partitioned orderBy
     # would SAMPLE the plan and run the whole encode+decode chain TWICE
     # (and coalesce(1) would collapse the decode itself to one task);
@@ -12967,7 +12997,6 @@ def q290_codec_cross_check(spark, sf_dir):
     from tagtree_spark.operators.multimodal import (
         decoded_image_features,
         decoded_jpeg_features,
-        jpeg_from_documents,
         png_from_documents,
     )
 
@@ -12975,7 +13004,7 @@ def q290_codec_cross_check(spark, sf_dir):
     png = decoded_image_features(png_from_documents(docs)).select(
         "media_id", F.col("sum_pixels").alias("png_sum")
     )
-    jpg = decoded_jpeg_features(jpeg_from_documents(docs)).select(
+    jpg = decoded_jpeg_features(_jpeg_media(spark, sf_dir)).select(
         "media_id", F.col("sum_pixels").alias("jpeg_sum")
     )
     return (
@@ -13028,12 +13057,9 @@ def q291_jpeg_color_decode(spark, sf_dir):
     defaults). Proves the multi-component entropy interleave, the
     per-component table/predictor routing, and the channel reassembly
     end-to-end; q289 already pins the grayscale path."""
-    from tagtree_spark.operators.multimodal import (
-        decoded_jpeg_color_features,
-        jpeg_color_from_documents,
-    )
+    from tagtree_spark.operators.multimodal import decoded_jpeg_color_features
 
-    media = jpeg_color_from_documents(_docs(spark, sf_dir))
+    media = _jpeg_color_media(spark, sf_dir)
     # repartition(1) + in-partition sort (see q289): keeps the codec work
     # parallel and avoids the orderBy sampling double-execution
     return (
@@ -13295,17 +13321,19 @@ _Q296_SCALE = 1_099_511_627_776  # 2^40 (rule 8: exact exponent-shift scaling)
 
 
 def _q296_oracle() -> str:
-    gh = duck_h60("CAST(user_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")
+    uh = duck_h60("CAST(user_id AS VARCHAR)")
     return f"""
 WITH base AS (
-  SELECT event_type, user_id,
+  SELECT event_type, user_id, {uh} AS uh,
          CAST(round(value * CAST({_Q296_SCALE} AS DOUBLE)) AS HUGEINT) AS iv
   FROM events
 ), perm AS (
-  SELECT event_type, user_id, iv, unnest(range(0, {_Q296_PERMS + 1})) AS p FROM base
+  SELECT event_type, user_id, uh, iv, unnest(range(0, {_Q296_PERMS + 1})) AS p
+  FROM base
 ), g AS (
   SELECT event_type, p, iv,
-         CASE WHEN p = 0 THEN user_id % 2 ELSE {gh} % 2 END AS grp
+         CASE WHEN p = 0 THEN user_id % 2
+              ELSE (uh // (CAST(1 AS BIGINT) << CAST(p - 1 AS INT))) % 2 END AS grp
   FROM perm
 ), s AS (
   SELECT event_type, p,
@@ -13342,13 +13370,16 @@ def q296_permutation_test(spark, sf_dir):
     scaling, and the mean comparison |sa/na − sb/nb| vs the observed
     statistic cross-multiplies to |sa·nb − sb·na|·den0 ≥ stat0·(na·nb)
     (DECIMAL(38,0) Spark-side, HUGEINT in the oracle — rule 11) so no
-    division ever happens. Scale shape: the K-way explode fans out
-    BEFORE a map-side-combining groupBy on (type, perm) — the shuffle
-    carries 33 partial-agg rows per type per task, never event rows; K
-    is the cost dial."""
+    division ever happens. Relabeling p takes BIT p−1 of ONE h60 per
+    row — 33x less md5 than a per-(row,perm) seed with the same
+    per-permutation independence (5.4s → 2.3s at sf0.1). Scale shape:
+    the K-way explode fans out BEFORE a map-side-combining groupBy on
+    (type, perm) — the shuffle carries 33 partial-agg rows per type per
+    task, never event rows; K is the cost dial."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "user_id",
+        h60(F.col("user_id").cast("string")).alias("uh"),
         F.expr(
             f"CAST(round(value * CAST({_Q296_SCALE} AS DOUBLE)) AS DECIMAL(38,0))"
         ).alias("iv"),
@@ -13357,12 +13388,7 @@ def q296_permutation_test(spark, sf_dir):
         "*", F.explode(F.array(*[F.lit(i) for i in range(_Q296_PERMS + 1)])).alias("p")
     )
     grp = F.when(F.col("p") == 0, F.col("user_id") % 2).otherwise(
-        h60(
-            F.concat(
-                F.col("user_id").cast("string"), F.lit(":"), F.col("p").cast("string")
-            )
-        )
-        % 2
+        F.expr("(uh div (CAST(1 AS BIGINT) << (p - 1))) % 2")
     )
     s = (
         perm.withColumn("grp", grp)
@@ -13518,12 +13544,9 @@ def q298_jpeg_rgb(spark, sf_dir):
     32 at y=b−a per block, constant chroma), so the conversion — the
     last step between coded components and what a user sees — is
     driver-hash-verified including its clamps."""
-    from tagtree_spark.operators.multimodal import (
-        decoded_jpeg_rgb_features,
-        jpeg_color_from_documents,
-    )
+    from tagtree_spark.operators.multimodal import decoded_jpeg_rgb_features
 
-    media = jpeg_color_from_documents(_docs(spark, sf_dir))
+    media = _jpeg_color_media(spark, sf_dir)
     return (
         decoded_jpeg_rgb_features(media).repartition(1).sortWithinPartitions("media_id")
     )
