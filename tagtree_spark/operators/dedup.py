@@ -1214,6 +1214,22 @@ def dup_window_positions(
     duplicated window in a doc of ``n`` tokens, plus the window's h60
     (kept so cross-doc/source overlap reports need no re-hash).
     """
+    wins = all_window_positions(docs, window, text_col=text_col, id_col=id_col)
+    dup_h = wins.groupBy("h").agg(F.count("*").alias("_c")).where(F.col("_c") >= 2)
+    return wins.join(dup_h.select("h"), "h").select("doc_id", "n", "p", "h")
+
+
+def all_window_positions(
+    docs: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EVERY ``window``-token span position ``(doc_id, n, p, h)`` — the
+    pre-df-filter stage of :func:`dup_window_positions`, exposed so the
+    df=1 consumers (the q278 occurrence spectrum) share the same scan
+    definition instead of re-implementing it (review r10; the sh=
+    shared-base-pass stance from CLAUDE.md)."""
     from tagtree_spark.functions.hashing import h60
     from tagtree_spark.session import spread
 
@@ -1223,7 +1239,7 @@ def dup_window_positions(
         .withColumn("n", F.size("ws").cast("bigint"))
         .where(F.col("n") >= window)
     )
-    wins = t.select(
+    return t.select(
         "doc_id",
         "n",
         F.posexplode(
@@ -1233,8 +1249,6 @@ def dup_window_positions(
             )
         ).alias("p", "h"),
     ).select("doc_id", "n", F.col("p").cast("bigint").alias("p"), "h")
-    dup_h = wins.groupBy("h").agg(F.count("*").alias("_c")).where(F.col("_c") >= 2)
-    return wins.join(dup_h.select("h"), "h").select("doc_id", "n", "p", "h")
 
 
 def exactsubstr_trim(

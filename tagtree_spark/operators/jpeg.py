@@ -603,6 +603,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             nsc = body[0] if body else 0
             if nsc != len(frame[2]) or len(body) != 1 + 2 * nsc + 3:
                 raise ValueError("JPEG: malformed SOS header")
+            for c in range(nsc):
+                # the scan's component selector must name the SOF
+                # components in frame order — a mismatched Cs would
+                # silently route tables/planes to the wrong component
+                # (review r10), so it is corruption, not a quiet remap
+                if body[1 + 2 * c] != frame[2][c][0]:
+                    raise ValueError(
+                        "JPEG: SOS component selector does not match SOF order"
+                    )
             scan_tables = [
                 (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15) for c in range(nsc)
             ]

@@ -812,6 +812,29 @@ def png_from_documents(docs: DataFrame) -> DataFrame:
 #: s(x) = sign(cos((2x+1)*pi/4)) — the (4,4) DCT basis sign pattern.
 _JPEG_CHECKER = [1, -1, -1, 1, 1, -1, -1, 1]
 
+#: SOF dimensions are 16-bit, so one-block-per-byte fixtures cap the
+#: encoded byte count (8*n <= 65535 -> 8191; 16*n -> 4095). The builders
+#: TRUNCATE to the cap and every oracle applies the same least() — a
+#: longer document must degrade deterministically, not crash the encode
+#: inside mapInPandas (review r10; the r5 "passed one scale" class).
+JPEG_MAX_BYTES = 8191
+JPEG420_MAX_BYTES = 4095
+
+
+def _checker_blocks(raw: bytes, cap: int = JPEG_MAX_BYTES):
+    """The shared lossless-regime block fixture: text bytes (truncated to
+    the SOF dimension cap) → per-byte DC level b, AC amplitude a = b%4
+    gated to [4, 251] (keeps b±a inside [0,255]), and the (n,8,8) pixel
+    blocks b + a·checkerboard. ONE definition — four builders and five
+    SQL oracles depend on this exact window (review r10)."""
+    import numpy as np
+
+    b = np.frombuffer((raw or b"\x00")[:cap], np.uint8).astype(np.int64)
+    a = np.where((b >= 4) & (b <= 251), b % 4, 0)
+    sv = np.array(_JPEG_CHECKER, np.int64)
+    blocks = b[:, None, None] + a[:, None, None] * np.outer(sv, sv)
+    return b, a, blocks
+
 JPEG_DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -836,16 +859,10 @@ def jpeg_from_documents(docs: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        s = np.array(_JPEG_CHECKER, np.int64)
-        checker = np.outer(s, s)  # (8, 8) of ±1
-
         for pdf in it:
             payloads = []
             for t in pdf["text"]:
-                raw = t.encode("utf-8") or b"\x00"
-                b = np.frombuffer(raw, np.uint8).astype(np.int64)
-                a = np.where((b >= 4) & (b <= 251), b % 4, 0)
-                blocks = b[:, None, None] + a[:, None, None] * checker
+                b, _a, blocks = _checker_blocks(t.encode("utf-8"))
                 px = blocks.reshape(-1, 8).astype(np.uint8).tobytes()
                 payloads.append(encode_jpeg_gray(8, 8 * len(b), px))
             yield pd.DataFrame(
@@ -956,16 +973,11 @@ def jpeg_color_from_documents(docs: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        s = np.array(_JPEG_CHECKER, np.int64)
-        checker = np.outer(s, s)
-
         for pdf in it:
             payloads = []
             for t in pdf["text"]:
-                raw = t.encode("utf-8") or b"\x00"
-                b = np.frombuffer(raw, np.uint8).astype(np.int64)
-                a = np.where((b >= 4) & (b <= 251), b % 4, 0)
-                yb = (b[:, None, None] + a[:, None, None] * checker).reshape(-1, 8)
+                b, _a, blocks = _checker_blocks(t.encode("utf-8"))
+                yb = blocks.reshape(-1, 8)
                 cb = np.repeat(255 - b, 64).reshape(-1, 8)
                 cr = np.repeat((3 * b) % 256, 64).reshape(-1, 8)
                 px = np.stack([yb, cb, cr], axis=-1).astype(np.uint8).tobytes()
@@ -1029,16 +1041,10 @@ def jpeg420_from_documents(docs: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        s = np.array(_JPEG_CHECKER, np.int64)
-        checker = np.outer(s, s)
-
         for pdf in it:
             payloads = []
             for t in pdf["text"]:
-                raw = t.encode("utf-8") or b"\x00"
-                b = np.frombuffer(raw, np.uint8).astype(np.int64)
-                a = np.where((b >= 4) & (b <= 251), b % 4, 0)
-                blk = b[:, None, None] + a[:, None, None] * checker  # (n,8,8)
+                b, _a, blk = _checker_blocks(t.encode("utf-8"), JPEG420_MAX_BYTES)
                 yb = np.tile(blk, (1, 2, 2)).reshape(-1, 16)  # 2x2 tile per MCU
                 cb = np.repeat(255 - b, 256).reshape(-1, 16)
                 cr = np.repeat((3 * b) % 256, 256).reshape(-1, 16)
@@ -1578,21 +1584,18 @@ def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
 
         from tagtree_spark.operators.jpeg import encode_jpeg_gray
 
-        checker = np.outer(
-            np.array(_JPEG_CHECKER, np.int64), np.array(_JPEG_CHECKER, np.int64)
-        )
-
         def jpeg(raw: bytes) -> bytes:
-            b = np.frombuffer(raw or b"\x00", np.uint8).astype(np.int64)
-            a = np.where((b >= 4) & (b <= 251), b % 4, 0)
-            px = (b[:, None, None] + a[:, None, None] * checker).reshape(-1, 8)
+            b, _a, blocks = _checker_blocks(raw)
+            px = blocks.reshape(-1, 8)
             return encode_jpeg_gray(8, 8 * len(b), px.astype(np.uint8).tobytes())
 
         def progressive_jpeg(raw: bytes) -> bytes:
             # real SOI + SOF2 frame header (8-bit, 1 component, 1x1): a
             # VALID progressive opening the decoder must refuse, not a
             # garbage stream it would flag corrupt
-            sof2 = struct.pack(">BHHB", 8, max(1, len(raw)), 8, 1) + bytes([1, 0x11, 0])
+            sof2 = struct.pack(
+                ">BHHB", 8, max(1, min(len(raw), 0xFFFF)), 8, 1
+            ) + bytes([1, 0x11, 0])
             return (
                 b"\xff\xd8"
                 + b"\xff\xc2"

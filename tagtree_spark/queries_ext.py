@@ -122,11 +122,25 @@ def _sh(spark, sf_dir):
     return got
 
 
-# Shared per-(session, sf dir) ENCODED JPEG media tables: the gray
-# fixture feeds q289+q290 and the color fixture q291+q298 — the encode
-# pass is ~40% of each query's cost and the compressed payloads are tiny
-# (~3 KB/doc), so one persisted copy per family is the _sh() stance.
+# Shared per-(session, sf dir) ENCODED media tables: the PNG fixture
+# feeds q253+q290+q292, the gray JPEG fixture q289+q290 and the color
+# JPEG fixture q291+q298 — the encode pass is ~40% of each consumer's
+# cost and the compressed payloads are tiny (~3 KB/doc), so one
+# persisted copy per family is the _sh() stance (review r10 extended it
+# to PNG).
 _JPEG_MEDIA_CACHE: dict = {}
+
+
+def _png_media(spark, sf_dir):
+    from tagtree_spark.operators.multimodal import png_from_documents
+
+    key = (spark.sparkContext.applicationId, sf_dir, "png")
+    got = _JPEG_MEDIA_CACHE.get(key)
+    if got is None:
+        got = png_from_documents(_docs(spark, sf_dir)).persist()
+        got.count()
+        _JPEG_MEDIA_CACHE[key] = got
+    return got
 
 
 def _jpeg_media(spark, sf_dir):
@@ -10733,12 +10747,9 @@ def q253_png_decode(spark, sf_dir):
     round-trip must be lossless, so the features recompute from the raw
     text bytes; padding contributes 0. Map-only Arrow passes, payloads
     never leave executors."""
-    from tagtree_spark.operators.multimodal import (
-        decoded_image_features,
-        png_from_documents,
-    )
+    from tagtree_spark.operators.multimodal import decoded_image_features
 
-    media = png_from_documents(_docs(spark, sf_dir))
+    media = _png_media(spark, sf_dir)
     return decoded_image_features(media).orderBy("media_id")
 
 
@@ -10781,6 +10792,7 @@ def one_time_builders():
         "wal_tail_log": lambda s, d: _wal_tail_log(s, d),
         "compacted_store": lambda s, d: _compacted_store(s, d),
         "dup_windows": lambda s, d: _force(_dupwin(s, d)),
+        "png_media": lambda s, d: _force(_png_media(s, d)),
         "jpeg_media": lambda s, d: _force(_jpeg_media(s, d)),
         "jpeg_color_media": lambda s, d: _force(_jpeg_color_media(s, d)),
         "wal_live_tail_log": lambda s, d: _wal_live_tail_log(s, d),
@@ -12149,6 +12161,34 @@ SELECT source,
 FROM per GROUP BY source ORDER BY source"""
 
 
+def _trim_token_deltas(spark, sf_dir):
+    """Shared per-doc ExactSubstr trim arithmetic (review r10: q275 and
+    q286 had byte-identical copies): covered positions from the
+    duplicated-window cache, exploded to p..p+7, deduped, counted per
+    doc → (doc_id, source, n_before, n_after). Both report queries ride
+    this one derivation so the coverage definition cannot drift."""
+    dup = _dupwin(spark, sf_dir)
+    cov = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 7)).alias("idx")
+    ).distinct()
+    cut = cov.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_cut"))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_before"),
+        )
+        .join(cut, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_before",
+            (F.col("n_before") - F.coalesce("n_cut", F.lit(0))).alias("n_after"),
+        )
+    )
+
+
 @query("q275_source_trim_report", _q275_oracle())
 def q275_source_trim_report(spark, sf_dir):
     """Per-SOURCE ExactSubstr trim report — what a corpus owner reads
@@ -12160,21 +12200,7 @@ def q275_source_trim_report(spark, sf_dir):
     green row re-proves the position bookkeeping through a second
     aggregate shape."""
     tune(spark)
-    dup = _dupwin(spark, sf_dir)
-    cov = dup.select(
-        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 7)).alias("idx")
-    ).distinct()
-    cut = cov.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_cut"))
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_before"),
-    )
-    per = d.join(cut, "doc_id", "left").select(
-        "source",
-        "n_before",
-        (F.col("n_before") - F.coalesce("n_cut", F.lit(0))).alias("n_after"),
-    )
+    per = _trim_token_deltas(spark, sf_dir)
     return (
         per.groupBy("source")
         .agg(
@@ -12291,24 +12317,10 @@ def q278_window_df_spectrum(spark, sf_dir):
     reads this before choosing the window length / df threshold. One
     window-hash scan + two bounded groupBys; only 60-bit hashes
     shuffle."""
-    from tagtree_spark.functions.hashing import h60
+    from tagtree_spark.operators.dedup import all_window_positions
 
     tune(spark)
-    W = 8
-    t = (
-        spread(_docs(spark, sf_dir))
-        .select(F.split(F.col("text"), " ").alias("ws"))
-        .withColumn("n", F.size("ws"))
-        .where(F.col("n") >= W)
-    )
-    wins = t.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), (F.col("n") - W).cast("int")),
-                lambda p: h60(F.concat_ws(" ", F.slice("ws", p + 1, W))),
-            )
-        ).alias("h")
-    )
+    wins = all_window_positions(_docs(spark, sf_dir), window=8).select("h")
     df = wins.groupBy("h").agg(F.count("*").cast("bigint").alias("occ"))
     return (
         df.groupBy(F.least("occ", F.lit(10)).cast("bigint").alias("occ_bucket"))
@@ -12801,25 +12813,7 @@ def q286_trim_mixture_drift(spark, sf_dir):
     // and div agree); drift is the difference of the two already-
     floored shares (exact integer subtraction)."""
     tune(spark)
-    dup = _dupwin(spark, sf_dir)
-    cov = dup.select(
-        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 7)).alias("idx")
-    ).distinct()
-    cut = cov.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_cut"))
-    per = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            "source",
-            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_before"),
-        )
-        .join(cut, "doc_id", "left")
-        .select(
-            "source",
-            "n_before",
-            (F.col("n_before") - F.coalesce("n_cut", F.lit(0))).alias("n_after"),
-        )
-    )
+    per = _trim_token_deltas(spark, sf_dir)
     bysrc = per.groupBy("source").agg(
         F.sum("n_before").cast("bigint").alias("tb"),
         F.sum("n_after").cast("bigint").alias("ta"),
@@ -12930,7 +12924,9 @@ def q288_checkpoint_watermark_split(spark, sf_dir):
     """
 WITH b AS (
   SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
-  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) t
+  FROM (SELECT doc_id, text,
+               unnest(range(1, least(length(text), 8191) + 1)) AS i
+        FROM documents) t
 ), agg AS (
   SELECT doc_id,
          sum(64 * byte) AS sp,
@@ -12939,8 +12935,8 @@ WITH b AS (
 )
 SELECT d.doc_id AS media_id,
        CAST(8 AS BIGINT) AS width,
-       CAST(8 * greatest(length(d.text), 1) AS BIGINT) AS height,
-       CAST(64 * greatest(length(d.text), 1) AS BIGINT) AS n_pixel_bytes,
+       CAST(8 * greatest(least(length(d.text), 8191), 1) AS BIGINT) AS height,
+       CAST(64 * greatest(least(length(d.text), 8191), 1) AS BIGINT) AS n_pixel_bytes,
        CAST(coalesce(agg.sp, 0) AS BIGINT) AS sum_pixels,
        CAST(coalesce(agg.sad, 0) AS BIGINT) AS sum_abs_dev
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
@@ -12973,16 +12969,17 @@ def q289_jpeg_decode(spark, sf_dir):
 @query(
     "q290_codec_cross_check",
     """
-WITH s AS (
+WITH el AS (SELECT doc_id, text FROM documents WHERE length(text) <= 8191),
+s AS (
   SELECT doc_id, sum(ord(substr(text, CAST(i AS INT), 1))) AS sb
-  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) t
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM el) t
   GROUP BY doc_id
 )
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_consistent,
        CAST(sum(coalesce(s.sb, 0)) AS BIGINT) AS sum_png_pixels,
        CAST(64 * sum(coalesce(s.sb, 0)) AS BIGINT) AS sum_jpeg_pixels
-FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+FROM el d LEFT JOIN s ON d.doc_id = s.doc_id""",
 )
 def q290_codec_cross_check(spark, sf_dir):
     """Cross-CODEC consistency proof: the same source bytes encoded
@@ -12997,11 +12994,16 @@ def q290_codec_cross_check(spark, sf_dir):
     from tagtree_spark.operators.multimodal import (
         decoded_image_features,
         decoded_jpeg_features,
-        png_from_documents,
     )
 
     docs = _docs(spark, sf_dir)
-    png = decoded_image_features(png_from_documents(docs)).select(
+    # cross-codec consistency is only claimed where the JPEG fixture is
+    # untruncated (docs above JPEG_MAX_BYTES degrade by design — the PNG
+    # raster has no such cap); both engines apply the same predicate
+    eligible = docs.where(F.length("text") <= 8191).select(
+        F.col("doc_id").alias("media_id")
+    )
+    png = decoded_image_features(_png_media(spark, sf_dir)).select(
         "media_id", F.col("sum_pixels").alias("png_sum")
     )
     jpg = decoded_jpeg_features(_jpeg_media(spark, sf_dir)).select(
@@ -13009,6 +13011,7 @@ def q290_codec_cross_check(spark, sf_dir):
     )
     return (
         png.join(jpg, "media_id")
+        .join(F.broadcast(eligible), "media_id")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum(
@@ -13027,7 +13030,9 @@ def q290_codec_cross_check(spark, sf_dir):
     """
 WITH b AS (
   SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
-  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) t
+  FROM (SELECT doc_id, text,
+               unnest(range(1, least(length(text), 8191) + 1)) AS i
+        FROM documents) t
 ), agg AS (
   SELECT doc_id,
          sum(64 * byte) AS sy,
@@ -13038,8 +13043,8 @@ WITH b AS (
 )
 SELECT d.doc_id AS media_id,
        CAST(8 AS BIGINT) AS width,
-       CAST(8 * greatest(length(d.text), 1) AS BIGINT) AS height,
-       CAST(192 * greatest(length(d.text), 1) AS BIGINT) AS n_pixel_bytes,
+       CAST(8 * greatest(least(length(d.text), 8191), 1) AS BIGINT) AS height,
+       CAST(192 * greatest(least(length(d.text), 8191), 1) AS BIGINT) AS n_pixel_bytes,
        CAST(coalesce(agg.sy, 0) AS BIGINT) AS sum_y,
        CAST(coalesce(agg.scb, 255 * 64) AS BIGINT) AS sum_cb,
        CAST(coalesce(agg.scr, 0) AS BIGINT) AS sum_cr,
@@ -13105,12 +13110,9 @@ def q292_thumbnail_pipeline(spark, sf_dir):
     the oracle reproduces the exact sum from the raw bytes (sampled
     indices past the text are the raster's zero padding). One Arrow
     pass per doc; both encodes and both decodes are the real codecs."""
-    from tagtree_spark.operators.multimodal import (
-        png_from_documents,
-        png_thumbnail_features,
-    )
+    from tagtree_spark.operators.multimodal import png_thumbnail_features
 
-    media = png_from_documents(_docs(spark, sf_dir))
+    media = _png_media(spark, sf_dir)
     return (
         png_thumbnail_features(media).repartition(1).sortWithinPartitions("media_id")
     )
@@ -13351,8 +13353,10 @@ SELECT s.event_type AS event_type,
        CAST(max(o.na0) AS BIGINT) AS n_a,
        CAST(max(o.nb0) AS BIGINT) AS n_b,
        CAST(sum(CASE WHEN s.p > 0
-                      AND abs(s.sa * s.nb - s.sb * s.na) * o.den0
-                          >= o.stat0 * (s.na * s.nb)
+                      AND CAST(abs(s.sa * s.nb - s.sb * s.na) AS DOUBLE)
+                          * CAST(o.den0 AS DOUBLE)
+                          >= CAST(o.stat0 AS DOUBLE)
+                             * CAST(s.na * s.nb AS DOUBLE)
                  THEN 1 ELSE 0 END) AS BIGINT) AS k_extreme,
        CAST({_Q296_PERMS} AS BIGINT) AS n_perms
 FROM s JOIN o ON s.event_type = o.event_type
@@ -13368,9 +13372,13 @@ def q296_permutation_test(spark, sf_dir):
     as large as the observed split's (p ≈ (k+1)/(K+1)). EVERYTHING is
     exact integers: values enter through the rule-8 2^40 exponent-shift
     scaling, and the mean comparison |sa/na − sb/nb| vs the observed
-    statistic cross-multiplies to |sa·nb − sb·na|·den0 ≥ stat0·(na·nb)
+    statistic cross-multiplies to |sa·nb − sb·na| and na·nb
     (DECIMAL(38,0) Spark-side, HUGEINT in the oracle — rule 11) so no
-    division ever happens. Relabeling p takes BIT p−1 of ONE h60 per
+    division ever happens; the FINAL 4-way comparison multiplies those
+    exact integers in DOUBLE (one correctly-rounded IEEE multiply per
+    side from identical operands — the rule-16 class), because the exact
+    product grows ~N^4 and would blow DECIMAL(38,0) near 100x corpus
+    (the r5 overflow lesson, pre-empted). Relabeling p takes BIT p−1 of ONE h60 per
     row — 33x less md5 than a per-(row,perm) seed with the same
     per-permutation independence (5.4s → 2.3s at sf0.1). Scale shape:
     the K-way explode fans out BEFORE a map-side-combining groupBy on
@@ -13420,7 +13428,11 @@ def q296_permutation_test(spark, sf_dir):
             F.sum(
                 F.when(
                     (F.col("p") > 0)
-                    & (stat * F.col("den0") >= F.col("stat0") * (F.col("na") * F.col("nb"))),
+                    & (
+                        stat.cast("double") * F.col("den0").cast("double")
+                        >= F.col("stat0").cast("double")
+                        * (F.col("na") * F.col("nb")).cast("double")
+                    ),
                     1,
                 ).otherwise(0)
             )
@@ -13438,7 +13450,9 @@ def q296_permutation_test(spark, sf_dir):
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
 b AS (
   SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
-  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM d) t
+  FROM (SELECT doc_id, text,
+               unnest(range(1, least(length(text), 4095) + 1)) AS i
+        FROM d) t
 ), agg AS (
   SELECT doc_id,
          sum(256 * byte) AS sy,
@@ -13449,8 +13463,8 @@ b AS (
 )
 SELECT d.doc_id AS media_id,
        CAST(16 AS BIGINT) AS width,
-       CAST(16 * greatest(length(d.text), 1) AS BIGINT) AS height,
-       CAST(768 * greatest(length(d.text), 1) AS BIGINT) AS n_pixel_bytes,
+       CAST(16 * greatest(least(length(d.text), 4095), 1) AS BIGINT) AS height,
+       CAST(768 * greatest(least(length(d.text), 4095), 1) AS BIGINT) AS n_pixel_bytes,
        CAST(coalesce(agg.sy, 0) AS BIGINT) AS sum_y,
        CAST(coalesce(agg.scb, 255 * 256) AS BIGINT) AS sum_cb,
        CAST(coalesce(agg.scr, 0) AS BIGINT) AS sum_cr,
@@ -13512,7 +13526,9 @@ def _q298_oracle() -> str:
     return f"""
 WITH b AS (
   SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
-  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) t
+  FROM (SELECT doc_id, text,
+               unnest(range(1, least(length(text), 8191) + 1)) AS i
+        FROM documents) t
 ), e AS (
   SELECT doc_id, byte,
          CASE WHEN byte BETWEEN 4 AND 251 THEN byte % 4 ELSE 0 END AS amp,
@@ -13526,7 +13542,7 @@ WITH b AS (
   FROM e GROUP BY doc_id
 )
 SELECT d.doc_id AS media_id,
-       CAST(64 * greatest(length(d.text), 1) AS BIGINT) AS n_pixels,
+       CAST(64 * greatest(least(length(d.text), 8191), 1) AS BIGINT) AS n_pixels,
        CAST(coalesce(agg.sr, {r0}) AS BIGINT) AS sum_r,
        CAST(coalesce(agg.sg, {g0}) AS BIGINT) AS sum_g,
        CAST(coalesce(agg.sb, {b0}) AS BIGINT) AS sum_b

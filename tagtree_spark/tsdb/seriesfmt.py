@@ -289,7 +289,13 @@ class SeriesFile:
 
 def decode_entry(page: bytes, off: int) -> list[tuple[int, int]]:
     """Decode one ``[n][(name_ref,value_ref)*][crc]`` entry at ``off``
-    inside a page buffer, verifying its CRC (series_file.cpp:69-87)."""
+    inside a page buffer, verifying its CRC (series_file.cpp:69-87).
+    Every truncation shape is ValueError (the corruption taxonomy) —
+    including a page buffer shorter than the 2-byte count, which a file
+    truncated right after its CRC-valid header produces (review r10:
+    struct.unpack_from would otherwise surface a raw struct.error)."""
+    if off + 2 > len(page):
+        raise ValueError("series entry corrupted (truncated page)")
     (n,) = struct.unpack_from("<H", page, off)
     body_end = off + 2 + 8 * n
     if body_end + 4 > len(page):
@@ -359,6 +365,10 @@ def iter_segment_postings(content: bytes, seg: int, segment_size: int):
         if not off:
             continue
         pg = off - (off % PAGE_SIZE)
+        if pg + PAGE_SIZE > len(content):
+            # an offset pointing past the file = data pages lost after a
+            # CRC-valid header (review r10) — same taxonomy as a torn page
+            raise ValueError("series file corrupted (offset past end of file)")
         for name_ref, value_ref in decode_entry(
             content[pg : pg + PAGE_SIZE], off % PAGE_SIZE
         ):

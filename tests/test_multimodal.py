@@ -844,3 +844,38 @@ def test_jpeg420_fixture_exact_and_rgb_transform(spark):
         got = rgb[i]
         assert got.n_pixels == 64 * len(raw)
         assert (got.sum_r, got.sum_g, got.sum_b) == (int(sr), int(sg), int(sb))
+
+
+def test_jpeg_sos_component_mismatch_raises():
+    """A scan whose SOS component selectors don't match the SOF order
+    must fail loudly, not silently swap planes/tables (review r10)."""
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+    j = bytearray(encode_jpeg_color(8, 8, bytes(range(192))))
+    # SOS layout: FF DA len Ns (Cs Td/Ta)*3 ... — swap Cs1 and Cs2
+    i = j.find(b"\xff\xda")
+    assert i > 0
+    cs1, cs2 = i + 5, i + 7
+    assert j[cs1] == 1 and j[cs2] == 2
+    j[cs1], j[cs2] = j[cs2], j[cs1]
+    import pytest
+
+    with pytest.raises(ValueError, match="component selector"):
+        decode_jpeg(bytes(j))
+
+
+def test_jpeg_fixture_truncates_long_docs(spark):
+    """Documents beyond the 16-bit SOF dimension cap must DEGRADE
+    deterministically (truncate to JPEG_MAX_BYTES) instead of crashing
+    the encode inside mapInPandas (review r10)."""
+    from tagtree_spark.operators.multimodal import (
+        JPEG_MAX_BYTES,
+        decoded_jpeg_features,
+        jpeg_from_documents,
+    )
+
+    long_text = "a" * (JPEG_MAX_BYTES + 500)
+    docs = spark.createDataFrame([(1, long_text)], "doc_id long, text string")
+    r = decoded_jpeg_features(jpeg_from_documents(docs)).collect()[0]
+    assert r.height == 8 * JPEG_MAX_BYTES
+    assert r.sum_pixels == 64 * ord("a") * JPEG_MAX_BYTES

@@ -248,3 +248,32 @@ def test_truncated_header_raises_cleanly(sdir):
         SeriesFile(path, create=False, segment_size=seg_size)
     with pytest.raises(ValueError, match="short header|bad magic"):
         iter_segment_postings(open(path, "rb").read().ljust(4, b"\x00"), 0, seg_size).__next__()
+
+
+def test_truncated_after_header_is_valueerror(tmp_path):
+    """A segment file cut right after its CRC-valid header (offset table
+    intact, data pages gone) must fail with the corruption taxonomy's
+    ValueError, not a raw struct.error (review r10)."""
+    import glob
+    import os
+
+    import pytest
+
+    from tagtree_spark.tsdb import seriesfmt as sf
+
+    d = str(tmp_path / "series")
+    w = sf.SeriesStoreWriter(d, segment_size=64)
+    for t in range(1, 9):
+        w.add(t, [("job", f"j{t % 3}"), ("inst", f"i{t}")])
+    w.flush()
+    segf = [
+        p
+        for p in sorted(glob.glob(os.path.join(d, "*")))
+        if "sym" not in os.path.basename(p)
+    ][0]
+    content = open(segf, "rb").read()
+    assert len(list(sf.iter_segment_postings(content, 0, 64))) == 16
+    with pytest.raises(ValueError, match="offset past end"):
+        list(sf.iter_segment_postings(content[:4096], 0, 64))
+    with pytest.raises(ValueError, match="truncated page"):
+        sf.decode_entry(b"", 0)

@@ -94,6 +94,14 @@ OVERFLOW_QUERIES = (
     "q260_dup_span_coverage",  # window-hash df counts + coverage explode
     "q274_exactsubstr_trim",   # r10: affected-doc reassembly + anti-join
     "q278_window_df_spectrum", # r10: occurrence-count sums
+    # r10 exact-integer stats family over Nx events: rank/cdf sums grow
+    # ~N^2 in magnitude and q296's cross-products ~N^3 per side (its
+    # final comparison deliberately multiplies in double — the exact
+    # 4-way product is the one thing that WOULD overflow DECIMAL(38,0)
+    # near 100x, so this probes that the fix holds)
+    "q294_mann_whitney",
+    "q295_ks_distance",
+    "q296_permutation_test",
     # iterative families: convergence depth / state growth vs corpus
     "q45_neardup_clusters",    # CC label propagation rounds
     "q216_kcore",              # convergence-checked peel (r9)
