@@ -10796,6 +10796,7 @@ def one_time_builders():
         "jpeg_media": lambda s, d: _force(_jpeg_media(s, d)),
         "jpeg_color_media": lambda s, d: _force(_jpeg_color_media(s, d)),
         "wal_live_tail_log": lambda s, d: _wal_live_tail_log(s, d),
+        "stream_drift_store": lambda s, d: _stream_drift_store(s, d),
         "ckpt_compacted_store": lambda s, d: _ckpt_compacted_store(s, d),
     }
 
@@ -13566,3 +13567,74 @@ def q298_jpeg_rgb(spark, sf_dir):
     return (
         decoded_jpeg_rgb_features(media).repartition(1).sortWithinPartitions("media_id")
     )
+
+
+_STREAM_DRIFT_CACHE: dict = {}
+
+
+def _stream_drift_store(spark, sf_dir):
+    """Drain the events table through the streaming DistributionSink
+    (3 file-batches, availableNow) and cache the segment store path —
+    the stream-fed twin of q295's value summary."""
+    import tempfile
+
+    from tagtree_spark.streaming.drift import DistributionSink
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAM_DRIFT_CACHE:
+        d = tempfile.mkdtemp(prefix="tagtree-stream-drift-")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        for b in (0, 1, 2):
+            ev.where(F.col("event_id") % 3 == b).coalesce(1).write.parquet(
+                f"{d}/in/b{b}"
+            )
+        schema = spark.read.parquet(f"{d}/in/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in/*")
+            .withColumn("grp", F.col("user_id") % 2)
+        )
+        store = f"{d}/store"
+        q = (
+            stream.writeStream.foreachBatch(
+                DistributionSink(store, compact_every=2)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "q299 stream drain did not finish in 600s; refusing to "
+                "cache a partial distribution store"
+            )
+        _STREAM_DRIFT_CACHE[key] = store
+    return _STREAM_DRIFT_CACHE[key]
+
+
+@query("q299_stream_ks", _ORACLE_REG["q295_ks_distance"])
+def q299_stream_ks(spark, sf_dir):
+    """STREAMING drift monitor ≡ batch KS (the stream≡batch proof
+    pattern of q217/q230/q240/q268, extended to the r10 stats family):
+    events drain through the DistributionSink in 3 micro-batches with a
+    mid-stream re-aggregating compaction, and the merged per-value count
+    state answers q295's EXACT Kolmogorov-Smirnov oracle bit-for-bit —
+    counts are the mergeable sufficient statistic, so micro-batch
+    boundaries and compaction cannot change the statistic. State is
+    O(distinct (type, grp, value)) regardless of stream volume."""
+    from tagtree_spark.streaming.drift import (
+        ks_from_distribution,
+        read_distribution,
+    )
+
+    store = _stream_drift_store(spark, sf_dir)
+    dist = read_distribution(spark, store)
+    if dist is None:
+        raise ValueError("empty drift store")
+    return ks_from_distribution(dist).orderBy("event_type")

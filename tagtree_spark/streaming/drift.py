@@ -1,0 +1,140 @@
+"""Streaming distribution-drift monitor — continuous EXACT two-sample
+statistics over a micro-batch stream.
+
+Each batch contributes its per-``(key, grp, value)`` COUNT partial as a
+tiny segment; the live distribution is a merge-on-read SUM over segments.
+Counts are the mergeable sufficient statistic of every cdf-shaped test,
+so the accumulated state reproduces the batch-computed statistic
+BIT-FOR-BIT regardless of micro-batch boundaries: q299 reads this store
+and answers q295's Kolmogorov-Smirnov oracle exactly (the stream≡batch
+proof pattern of the postings/clusters/CEP sinks). Mann-Whitney's
+doubled-U (q294) is computable from the same state — both tests only
+need the per-value group counts.
+
+State is O(distinct (key, grp, value)) regardless of stream volume — at
+100 TB the value summary IS the compressed form the batch plans already
+aggregate to first (see q294/q295's scale-shape notes). The per-batch
+write is O(|batch distinct|); replay is idempotent by segment naming;
+compaction re-aggregates losslessly (sums compose) with the same
+crash-safe base-then-delete order as the sibling sinks.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tagtree_spark.streaming.ingest import _complete, _list_segments, _parse_segment
+
+
+class DistributionSink:
+    """foreachBatch sink maintaining per-(key, grp, value) count segments."""
+
+    def __init__(
+        self,
+        store_path: str,
+        key_col: str = "event_type",
+        grp_col: str = "grp",
+        val_col: str = "value",
+        compact_every: int | None = 8,
+    ):
+        self.store_path = store_path
+        self.key_col = key_col
+        self.grp_col = grp_col
+        self.val_col = val_col
+        self.compact_every = compact_every
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
+            compact_distribution(spark, self.store_path, batch_id)
+        part = batch_df.groupBy(
+            F.col(self.key_col).alias("key"),
+            F.col(self.grp_col).alias("grp"),
+            F.col(self.val_col).alias("value"),
+        ).agg(F.count("*").cast("bigint").alias("n"))
+        # non-partitioned write: a zero-row batch still emits a schema-only
+        # part file, so later reads never hit UNABLE_TO_INFER_SCHEMA
+        part.write.mode("overwrite").parquet(
+            os.path.join(self.store_path, f"seg-{batch_id:010d}-delta")
+        )
+
+
+def read_distribution(
+    spark: SparkSession, store_path: str, before_batch: int | None = None
+) -> DataFrame | None:
+    """Merge-on-read: SUM counts over all completed segments →
+    ``(key, grp, value, n)`` — the exact accumulated distribution."""
+    segs = _list_segments(store_path, before_batch)
+    if not segs:
+        return None
+    raw = reduce(lambda a, b: a.unionByName(b), (spark.read.parquet(s) for s in segs))
+    return raw.groupBy("key", "grp", "value").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+
+
+def ks_from_distribution(dist: DataFrame) -> DataFrame:
+    """Exact two-sample KS per key from the accumulated summary —
+    identical integer algebra to q295 (numerator max|cum_a·n_b −
+    cum_b·n_a| over the value-ordered growing cumulative frames), so a
+    stream-fed store answers the same oracle bit-for-bit. Output columns
+    match q295's: (event_type, n_a, n_b, ks_num)."""
+    from pyspark.sql import Window
+
+    g = dist.groupBy("key", "value").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("n")).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n")).otherwise(0)).alias("cb"),
+    )
+    wcum = (
+        Window.partitionBy("key")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("key")
+    c = g.select(
+        "key",
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    return (
+        c.groupBy(F.col("key").alias("event_type"))
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.max(F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")))
+            .cast("bigint")
+            .alias("ks_num"),
+        )
+    )
+
+
+def compact_distribution(
+    spark: SparkSession, store_path: str, before_batch: int
+) -> None:
+    """Fold count segments < before_batch into one base via sum-merge —
+    re-aggregating compaction (counts compose losslessly)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    base = os.path.join(store_path, f"seg-{before_batch - 1:010d}-base")
+    if not _complete(base):
+        if len(_list_segments(store_path, before_batch)) <= 1:
+            return
+        merged = read_distribution(spark, store_path, before_batch=before_batch)
+        if merged is None:
+            return
+        merged.write.mode("overwrite").parquet(base)
+        if not _complete(base):
+            return
+    for d in _glob.glob(os.path.join(store_path, "seg-*")):
+        if d == base:
+            continue
+        meta = _parse_segment(d)
+        if meta is not None and meta[0] < before_batch:
+            _shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,94 @@
+"""Streaming distribution-drift monitor (streaming/drift.py): per-batch
+count partials, merge-on-read distribution, replay idempotence,
+re-aggregating compaction — the merged stream state must answer the
+EXACT two-sample KS (q295's algebra) identically to a batch computation
+over all data, no matter how the stream was chopped into batches."""
+
+from __future__ import annotations
+
+import glob
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS event_id",
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS key",
+        "CAST(id % 2 AS BIGINT) AS grp",
+        "CAST(10 + (id % 13) AS DOUBLE) AS value",
+    )
+
+
+def _ks_set(df):
+    return {(r.event_type, r.n_a, r.n_b, r.ks_num) for r in df.collect()}
+
+
+def _batch_ks(spark, df):
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.streaming.drift import ks_from_distribution
+
+    dist = df.groupBy("key", "grp", "value").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return ks_from_distribution(dist)
+
+
+def test_stream_ks_equals_batch_and_replay(spark, tmpdir):
+    from tagtree_spark.streaming.drift import (
+        DistributionSink,
+        ks_from_distribution,
+        read_distribution,
+    )
+
+    sink = DistributionSink(f"{tmpdir}/drift", key_col="key")
+    for b, (lo, hi) in enumerate([(0, 250), (250, 600), (600, 900)]):
+        sink(_df(spark, lo, hi), b)
+    merged = read_distribution(spark, f"{tmpdir}/drift")
+    want = _ks_set(_batch_ks(spark, _df(spark, 0, 900)))
+    assert _ks_set(ks_from_distribution(merged)) == want
+    # replay batch 1 → overwrite by segment name, still equal
+    sink(_df(spark, 250, 600), 1)
+    got = ks_from_distribution(read_distribution(spark, f"{tmpdir}/drift"))
+    assert _ks_set(got) == want
+
+
+def test_stream_ks_compaction_lossless(spark, tmpdir):
+    from tagtree_spark.streaming.drift import (
+        DistributionSink,
+        compact_distribution,
+        ks_from_distribution,
+        read_distribution,
+    )
+
+    store = f"{tmpdir}/drift2"
+    sink = DistributionSink(store, key_col="key", compact_every=None)
+    bounds = [(0, 200), (200, 500), (500, 700), (700, 900)]
+    for b, (lo, hi) in enumerate(bounds):
+        sink(_df(spark, lo, hi), b)
+    compact_distribution(spark, store, before_batch=3)
+    # only the base + the last delta remain
+    segs = sorted(glob.glob(f"{store}/seg-*"))
+    assert any(s.endswith("-base") for s in segs) and len(segs) == 2
+    want = _ks_set(_batch_ks(spark, _df(spark, 0, 900)))
+    got = ks_from_distribution(read_distribution(spark, store))
+    assert _ks_set(got) == want
+
+
+def test_live_monitor_prefix_reads(spark, tmpdir):
+    """A mid-stream read (before_batch) must equal the batch statistic
+    over exactly the data seen so far — the live-dashboard contract."""
+    from tagtree_spark.streaming.drift import (
+        DistributionSink,
+        ks_from_distribution,
+        read_distribution,
+    )
+
+    store = f"{tmpdir}/drift3"
+    sink = DistributionSink(store, key_col="key", compact_every=None)
+    for b, (lo, hi) in enumerate([(0, 300), (300, 650), (650, 900)]):
+        sink(_df(spark, lo, hi), b)
+    for cut, hi in [(1, 300), (2, 650), (None, 900)]:
+        got = ks_from_distribution(
+            read_distribution(spark, store, before_batch=cut)
+        )
+        assert _ks_set(got) == _ks_set(_batch_ks(spark, _df(spark, 0, hi))), cut
