@@ -13638,3 +13638,25 @@ def q299_stream_ks(spark, sf_dir):
     if dist is None:
         raise ValueError("empty drift store")
     return ks_from_distribution(dist).orderBy("event_type")
+
+
+@query("q300_stream_mann_whitney", _ORACLE_REG["q294_mann_whitney"])
+def q300_stream_mann_whitney(spark, sf_dir):
+    """The SECOND test answered from the SAME streamed state: q299's
+    DistributionSink store also carries everything Mann-Whitney needs
+    (per-value group counts are the shared sufficient statistic of the
+    cdf-test family), so this query re-answers q294's exact doubled-U
+    oracle from the stream-fed segments — one sink, a whole family of
+    monitors, which is the state-sizing argument for running it at
+    100 TB. Reuses q299's cached drain; the rank identity WHERE stays
+    loud in both engines."""
+    from tagtree_spark.streaming.drift import (
+        mann_whitney_from_distribution,
+        read_distribution,
+    )
+
+    store = _stream_drift_store(spark, sf_dir)
+    dist = read_distribution(spark, store)
+    if dist is None:
+        raise ValueError("empty drift store")
+    return mann_whitney_from_distribution(dist).orderBy("event_type")

@@ -138,3 +138,40 @@ def compact_distribution(
         meta = _parse_segment(d)
         if meta is not None and meta[0] < before_batch:
             _shutil.rmtree(d, ignore_errors=True)
+
+
+def mann_whitney_from_distribution(dist: DataFrame) -> DataFrame:
+    """Exact Mann-Whitney doubled-U per key from the accumulated summary
+    — identical integer algebra to q294 (value-level midranks: 2U =
+    Σc_grp(v)·(2·cum_before(v)+c(v)+1) − n(n+1)), proving the sink's
+    state is the shared sufficient statistic of the whole cdf-test
+    family, not just KS. Output columns match q294's."""
+    from pyspark.sql import Window
+
+    g = dist.groupBy("key", "value").agg(
+        F.sum("n").alias("c"),
+        F.sum(F.when(F.col("grp") == 0, F.col("n")).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n")).otherwise(0)).alias("cb"),
+    )
+    wb = (
+        Window.partitionBy("key")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("cum_before", F.coalesce(F.sum("c").over(wb), F.lit(0)))
+    mid2 = 2 * F.col("cum_before") + F.col("c") + 1
+    s = g.groupBy(F.col("key").alias("event_type")).agg(
+        F.sum(F.col("ca") * mid2).alias("r2a"),
+        F.sum("ca").alias("na"),
+        F.sum(F.col("cb") * mid2).alias("r2b"),
+        F.sum("cb").alias("nb"),
+    )
+    two_u_a = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    two_u_b = F.col("r2b") - F.col("nb") * (F.col("nb") + 1)
+    return s.where(two_u_a + two_u_b == 2 * F.col("na") * F.col("nb")).select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        two_u_a.cast("bigint").alias("two_u_a"),
+        two_u_b.cast("bigint").alias("two_u_b"),
+    )

@@ -92,3 +92,34 @@ def test_live_monitor_prefix_reads(spark, tmpdir):
             read_distribution(spark, store, before_batch=cut)
         )
         assert _ks_set(got) == _ks_set(_batch_ks(spark, _df(spark, 0, hi))), cut
+
+
+def test_stream_mann_whitney_equals_batch(spark, tmpdir):
+    """The same streamed count state answers Mann-Whitney exactly — the
+    sink really is the family's shared sufficient statistic."""
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.streaming.drift import (
+        DistributionSink,
+        mann_whitney_from_distribution,
+        read_distribution,
+    )
+
+    store = f"{tmpdir}/drift4"
+    sink = DistributionSink(store, key_col="key")
+    for b, (lo, hi) in enumerate([(0, 400), (400, 900)]):
+        sink(_df(spark, lo, hi), b)
+    dist_batch = _df(spark, 0, 900).groupBy("key", "grp", "value").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    want = {
+        (r.event_type, r.n_a, r.n_b, r.two_u_a, r.two_u_b)
+        for r in mann_whitney_from_distribution(dist_batch).collect()
+    }
+    got = {
+        (r.event_type, r.n_a, r.n_b, r.two_u_a, r.two_u_b)
+        for r in mann_whitney_from_distribution(
+            read_distribution(spark, store)
+        ).collect()
+    }
+    assert got == want and len(got) == 3
