@@ -123,3 +123,39 @@ def test_stream_mann_whitney_equals_batch(spark, tmpdir):
         ).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_stream_ks_chop_invariance_property(spark, tmpdir):
+    """PROPERTY: the statistic is invariant to HOW the stream was
+    chopped into micro-batches — any random partition of the rows into
+    batches yields the identical KS and Mann-Whitney results (counts
+    compose; hypothesis drives the chop points)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tagtree_spark.streaming.drift import (
+        DistributionSink,
+        ks_from_distribution,
+        mann_whitney_from_distribution,
+        read_distribution,
+    )
+
+    want_ks = _ks_set(_batch_ks(spark, _df(spark, 0, 500)))
+    case = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(cuts=st.lists(st.integers(min_value=1, max_value=499), min_size=0, max_size=4))
+    def run(cuts):
+        case[0] += 1
+        store = f"{tmpdir}/prop{case[0]}"
+        sink = DistributionSink(store, key_col="key", compact_every=2)
+        bounds = sorted(set(cuts)) + [500]
+        lo = 0
+        for b, hi in enumerate(bounds):
+            sink(_df(spark, lo, hi), b)
+            lo = hi
+        dist = read_distribution(spark, store)
+        assert _ks_set(ks_from_distribution(dist)) == want_ks
+        assert mann_whitney_from_distribution(dist).count() == 3
+
+    run()
