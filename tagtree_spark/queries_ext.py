@@ -13592,11 +13592,15 @@ def _stream_drift_store(spark, sf_dir):
                 f"{d}/in/b{b}"
             )
         schema = spark.read.parquet(f"{d}/in/b0").schema
+        # grp is stored at the LCM granularity (user_id % 6): counts
+        # merge losslessly, so ONE accumulated state serves both the %2
+        # tests (MW/KS — regroup_distribution(dist, 2)) and the %3
+        # Kruskal-Wallis split (regroup mod 3) — see streaming/drift.py.
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{d}/in/*")
-            .withColumn("grp", F.col("user_id") % 2)
+            .withColumn("grp", F.col("user_id") % 6)
         )
         store = f"{d}/store"
         q = (
@@ -13631,13 +13635,14 @@ def q299_stream_ks(spark, sf_dir):
     from tagtree_spark.streaming.drift import (
         ks_from_distribution,
         read_distribution,
+        regroup_distribution,
     )
 
     store = _stream_drift_store(spark, sf_dir)
     dist = read_distribution(spark, store)
     if dist is None:
         raise ValueError("empty drift store")
-    return ks_from_distribution(dist).orderBy("event_type")
+    return ks_from_distribution(regroup_distribution(dist, 2)).orderBy("event_type")
 
 
 @query("q300_stream_mann_whitney", _ORACLE_REG["q294_mann_whitney"])
@@ -13653,10 +13658,110 @@ def q300_stream_mann_whitney(spark, sf_dir):
     from tagtree_spark.streaming.drift import (
         mann_whitney_from_distribution,
         read_distribution,
+        regroup_distribution,
     )
 
     store = _stream_drift_store(spark, sf_dir)
     dist = read_distribution(spark, store)
     if dist is None:
         raise ValueError("empty drift store")
-    return mann_whitney_from_distribution(dist).orderBy("event_type")
+    return mann_whitney_from_distribution(regroup_distribution(dist, 2)).orderBy(
+        "event_type"
+    )
+
+
+def _q301_oracle() -> str:
+    from tagtree_spark.streaming.drift import kw_h_expr
+
+    return f"""
+WITH r AS (
+  SELECT event_type, user_id % 3 AS grp,
+         rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         count(*) OVER (PARTITION BY event_type, value) AS c
+  FROM events
+), s AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN grp = 0 THEN 2 * rk + c - 1 ELSE 0 END) AS r0,
+         sum(CASE WHEN grp = 1 THEN 2 * rk + c - 1 ELSE 0 END) AS r1,
+         sum(CASE WHEN grp = 2 THEN 2 * rk + c - 1 ELSE 0 END) AS r2
+  FROM r GROUP BY event_type
+), t AS (
+  SELECT event_type,
+         CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS tie_cubed
+  FROM (SELECT event_type, value, count(*) AS c
+        FROM events GROUP BY event_type, value)
+  GROUP BY event_type
+), b AS (
+  SELECT s.event_type AS event_type,
+         CAST(s.n AS BIGINT) AS n,
+         CAST(n0 AS BIGINT) AS n_0,
+         CAST(n1 AS BIGINT) AS n_1,
+         CAST(n2 AS BIGINT) AS n_2,
+         CAST(r0 AS BIGINT) AS two_r_0,
+         CAST(r1 AS BIGINT) AS two_r_1,
+         CAST(r2 AS BIGINT) AS two_r_2,
+         t.tie_cubed AS tie_cubed
+  FROM s JOIN t ON s.event_type = t.event_type
+  WHERE r0 + r1 + r2 = s.n * (s.n + 1)
+)
+SELECT event_type, n, n_0, n_1, n_2, two_r_0, two_r_1, two_r_2, tie_cubed,
+       {kw_h_expr("HUGEINT")} AS h_adj
+FROM b ORDER BY event_type"""
+
+
+@query("q301_kruskal_wallis", _q301_oracle())
+def q301_kruskal_wallis(spark, sf_dir):
+    """Exact Kruskal-Wallis per event_type over the user_id%3 THREE-way
+    split — the K-group extension of q294's Mann-Whitney algebra (the
+    A/B/C test a two-sample screen cannot run). Doubled rank sums stay
+    exact integers via value-level midranks; the tie term Σ(c³−c) and
+    the squares (2R_g)² exceed int64 so they ride DECIMAL(38,0)/HUGEINT
+    (rules 7/11), and the tie-corrected H is ONE bracket-pinned IEEE
+    expression over rule-16 exact-integer→double casts, generated from
+    the SAME string for both engines (streaming/drift.py kw_h_expr —
+    the q298 shared-expression pattern). Σ_g 2R_g = n(n+1) is a loud
+    WHERE in both engines.
+
+    Scale shape: identical to q294 — one map-side-combining groupBy to
+    the distinct-value summary, rank window over that bounded frame,
+    one shrinking groupBy. Never ranks raw rows."""
+    from tagtree_spark.streaming.drift import kruskal_wallis_from_distribution
+
+    ev = load_table(spark, sf_dir, "events")
+    dist = ev.groupBy(
+        F.col("event_type").alias("key"),
+        (F.col("user_id") % 3).alias("grp"),
+        "value",
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return kruskal_wallis_from_distribution(dist).orderBy("event_type")
+
+
+@query("q302_stream_kruskal_wallis", _ORACLE_REG["q301_kruskal_wallis"])
+def q302_stream_kruskal_wallis(spark, sf_dir):
+    """The THIRD test answered from q299's ONE streamed state: the
+    DistributionSink store carries grp = user_id % 6, and counts merge
+    losslessly, so regrouping mod 3 (CRT: %6 determines %3) yields the
+    exact Kruskal-Wallis distribution while the SAME segments keep
+    answering the %2 MW/KS oracles (q299/q300). This is the state-
+    sizing argument made sharp: one O(distinct-value) accumulator, a
+    whole family of monitors at any coarsening of the group key —
+    adding a test costs zero new stream state. Answers q301's batch
+    oracle bit-for-bit through micro-batch chops and mid-stream
+    compaction."""
+    from tagtree_spark.streaming.drift import (
+        kruskal_wallis_from_distribution,
+        read_distribution,
+        regroup_distribution,
+    )
+
+    store = _stream_drift_store(spark, sf_dir)
+    dist = read_distribution(spark, store)
+    if dist is None:
+        raise ValueError("empty drift store")
+    return kruskal_wallis_from_distribution(regroup_distribution(dist, 3)).orderBy(
+        "event_type"
+    )

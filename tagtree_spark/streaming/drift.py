@@ -140,6 +140,104 @@ def compact_distribution(
             _shutil.rmtree(d, ignore_errors=True)
 
 
+def regroup_distribution(dist: DataFrame, mod: int) -> DataFrame:
+    """Collapse a fine-grained group key to ``grp % mod`` (counts merge
+    losslessly). The store can therefore carry ONE group column at the
+    lcm granularity (e.g. ``user_id % 6``) and serve every coarser test
+    family — the %2 Mann-Whitney/KS split and the %3 Kruskal-Wallis
+    split — from the same accumulated state (CRT: ``u % 6`` determines
+    both ``u % 2`` and ``u % 3``)."""
+    return dist.groupBy("key", (F.col("grp") % mod).alias("grp"), "value").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+
+
+def kw_h_expr(big: str, groups: int = 3) -> str:
+    """Tie-corrected Kruskal-Wallis H as ONE SQL expression over the
+    integer building blocks (columns ``two_r_g``, ``n_g``, ``n``,
+    ``tie_cubed``), with every bracket explicit so Spark and DuckDB
+    evaluate the identical IEEE operation sequence (CLAUDE.md rule 12).
+    ``big`` is the engine's wide-exact-integer type — ``DECIMAL(38,0)``
+    for Spark, ``HUGEINT`` for DuckDB (rule 11): the doubled rank sums
+    2R_g reach n(n+1) so their squares exceed int64, and the
+    exact-integer → DOUBLE casts are correctly rounded and bit-identical
+    in both engines (rule 16). H = 12/(n(n+1))·ΣR_g²/n_g − 3(n+1) with
+    R = 2R/2 becomes 3·Σ(2R_g)²/n_g/(n(n+1)) − 3(n+1); the tie
+    correction divides by 1 − Σ(c³−c)/(n³−n)."""
+
+    def sq(g: int) -> str:
+        return (
+            f"CAST(CAST(two_r_{g} AS {big}) * two_r_{g} AS DOUBLE)"
+            f" / CAST(n_{g} AS DOUBLE)"
+        )
+
+    s = sq(0)
+    for g in range(1, groups):
+        s = f"({s} + {sq(g)})"
+    nd = "CAST(n AS DOUBLE)"
+    h_raw = f"((3.0 * {s}) / ({nd} * ({nd} + 1.0)) - 3.0 * ({nd} + 1.0))"
+    nnn = f"CAST(CAST(n AS {big}) * n * n - n AS DOUBLE)"
+    # Guard the degenerate shapes (an empty group, or every value tied →
+    # tie_cubed = n³−n) with NULL: ANSI Spark THROWS on double division
+    # by zero, so the guard must live inside the shared expression.
+    ok = " AND ".join([f"n_{g} > 0" for g in range(groups)])
+    ok = f"({ok} AND tie_cubed < {nnn})"
+    return f"(CASE WHEN {ok} THEN ({h_raw} / (1.0 - tie_cubed / {nnn})) ELSE NULL END)"
+
+
+def kruskal_wallis_from_distribution(dist: DataFrame, groups: int = 3) -> DataFrame:
+    """Exact Kruskal-Wallis per key from the accumulated summary — the
+    K-group extension of the Mann-Whitney doubled-U algebra (same
+    value-level midranks: 2R_g = Σ_v c_g(v)·(2·cum_before(v)+c(v)+1)),
+    proving the sink's per-(key, grp, value) counts serve the whole
+    rank-test family, not just two-sample splits. Emits the exact
+    integer building blocks (n, n_g, two_r_g, tie term Σc³−c) plus the
+    tie-corrected H as a rule-12/16 deterministic double; the
+    Σ_g 2R_g = n(n+1) rank identity is a loud WHERE (a ranking bug
+    drops rows and fails the driver row count instead of shipping a
+    wrong statistic). Every group must be non-empty per key (guaranteed
+    for modulus splits of dense user ids)."""
+    from pyspark.sql import Window
+
+    aggs = [F.sum("n").alias("c")]
+    for g in range(groups):
+        aggs.append(
+            F.sum(F.when(F.col("grp") == g, F.col("n")).otherwise(0)).alias(f"c{g}")
+        )
+    per_v = dist.groupBy("key", "value").agg(*aggs)
+    wb = (
+        Window.partitionBy("key")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_v = per_v.withColumn("cum_before", F.coalesce(F.sum("c").over(wb), F.lit(0)))
+    mid2 = 2 * F.col("cum_before") + F.col("c") + 1
+    c_dec = F.col("c").cast("decimal(38,0)")
+    out_aggs = [
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(c_dec * c_dec * c_dec - c_dec).alias("tie_dec"),
+    ]
+    for g in range(groups):
+        out_aggs.append(F.sum(f"c{g}").cast("bigint").alias(f"n_{g}"))
+        out_aggs.append(F.sum(F.col(f"c{g}") * mid2).cast("bigint").alias(f"two_r_{g}"))
+    s = per_v.groupBy(F.col("key").alias("event_type")).agg(*out_aggs)
+    ident = reduce(
+        lambda a, g: a + F.col(f"two_r_{g}"), range(1, groups), F.col("two_r_0")
+    )
+    s = s.where(ident == F.col("n") * (F.col("n") + 1)).withColumn(
+        "tie_cubed", F.col("tie_dec").cast("double")
+    )
+    cols = (
+        ["event_type", "n"]
+        + [f"n_{g}" for g in range(groups)]
+        + [f"two_r_{g}" for g in range(groups)]
+        + ["tie_cubed"]
+    )
+    return s.select(*cols).withColumn(
+        "h_adj", F.expr(kw_h_expr("DECIMAL(38,0)", groups))
+    )
+
+
 def mann_whitney_from_distribution(dist: DataFrame) -> DataFrame:
     """Exact Mann-Whitney doubled-U per key from the accumulated summary
     — identical integer algebra to q294 (value-level midranks: 2U =

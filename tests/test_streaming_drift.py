@@ -125,6 +125,55 @@ def test_stream_mann_whitney_equals_batch(spark, tmpdir):
     assert got == want and len(got) == 3
 
 
+def test_regroup_crt_and_kruskal_wallis(spark):
+    """grp stored at %6 granularity regroups losslessly to %2 and %3
+    (CRT), and the Kruskal-Wallis blocks from the regrouped state match
+    a direct %3 computation. H is hand-checked on a tie-free fixture:
+    groups {1,2,3}, {4,5,6}, {7,8,9} → rank sums 6/15/24, H = 7.2."""
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.streaming.drift import (
+        kruskal_wallis_from_distribution,
+        mann_whitney_from_distribution,
+        regroup_distribution,
+    )
+
+    # grp must be independent of key (= event_id % 3): id//3 % 6 walks
+    # all six residues within every key class
+    rows = _df(spark, 0, 900).withColumn(
+        "grp", (F.col("event_id") / 3).cast("bigint") % 6
+    )
+    dist6 = rows.groupBy("key", "grp", "value").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    dist2 = rows.withColumn("grp", F.col("grp") % 2).groupBy(
+        "key", "grp", "value"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    got2 = mann_whitney_from_distribution(regroup_distribution(dist6, 2))
+    want2 = mann_whitney_from_distribution(dist2)
+    key = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert key(got2) == key(want2) and got2.count() == 3
+
+    dist3 = rows.withColumn("grp", F.col("grp") % 3).groupBy(
+        "key", "grp", "value"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    got3 = kruskal_wallis_from_distribution(regroup_distribution(dist6, 3))
+    assert key(got3) == key(kruskal_wallis_from_distribution(dist3))
+    r = {x.event_type: x for x in got3.collect()}
+    assert set(r) == {"a", "b", "c"}
+    for x in r.values():
+        assert x.two_r_0 + x.two_r_1 + x.two_r_2 == x.n * (x.n + 1)
+
+    # hand-checked H: 9 values 1..9, groups by tertile, no ties
+    hand = spark.createDataFrame(
+        [("k", (v - 1) // 3, float(v), 1) for v in range(1, 10)],
+        "key string, grp int, value double, n bigint",
+    )
+    row = kruskal_wallis_from_distribution(hand).collect()[0]
+    assert row.tie_cubed == 0.0 and abs(row.h_adj - 7.2) < 1e-12
+    assert (row.two_r_0, row.two_r_1, row.two_r_2) == (12, 30, 48)
+
+
 def test_stream_ks_chop_invariance_property(spark, tmpdir):
     """PROPERTY: the statistic is invariant to HOW the stream was
     chopped into micro-batches — any random partition of the rows into
