@@ -13765,3 +13765,359 @@ def q302_stream_kruskal_wallis(spark, sf_dir):
     return kruskal_wallis_from_distribution(regroup_distribution(dist, 3)).orderBy(
         "event_type"
     )
+
+
+# Shared rho spelling (q303/q304): ONE string for both engines so the
+# IEEE operation sequence is identical (the kw_h_expr pattern); inputs
+# are rule-16 exact-integer→double casts, sqrt is correctly rounded in
+# both engines. NULL guards the all-tied degenerate shape (ANSI Spark
+# throws on double division by zero).
+_RHO_EXPR = (
+    "(CASE WHEN den_x > 0.0 AND den_y > 0.0 "
+    "THEN num / sqrt(den_x * den_y) ELSE NULL END)"
+)
+
+
+def _q303_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT event_type, value,
+         epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day
+  FROM events
+), r AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+           + count(*) OVER (PARTITION BY event_type, value) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY day)
+           + count(*) OVER (PARTITION BY event_type, day) - 1 AS ry
+  FROM e
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+         sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+         sum(CAST(ry AS HUGEINT) * ry) AS syy,
+         sum(CAST(rx AS HUGEINT)) AS tx,
+         sum(CAST(ry AS HUGEINT)) AS ty
+  FROM r GROUP BY event_type
+), b AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         CAST(CAST(n AS HUGEINT) * sxy - tx * ty AS DOUBLE) AS num,
+         CAST(CAST(n AS HUGEINT) * sxx - tx * tx AS DOUBLE) AS den_x,
+         CAST(CAST(n AS HUGEINT) * syy - ty * ty AS DOUBLE) AS den_y
+  FROM s
+  WHERE tx = CAST(n AS HUGEINT) * (n + 1) AND ty = CAST(n AS HUGEINT) * (n + 1)
+)
+SELECT event_type, n, num, den_x, den_y, {_RHO_EXPR} AS rho
+FROM b ORDER BY event_type"""
+
+
+@query("q303_spearman_trend", _q303_oracle())
+def q303_spearman_trend(spark, sf_dir):
+    """Exact Spearman rank correlation per event_type between value and
+    UTC day — the nonparametric DAILY-TREND screen beside q294/q301's
+    group tests (a monotone metric drift over days shows up as |rho| ≫ 0
+    with no normality assumption). Spearman with ties = Pearson on
+    midranks; doubled midranks keep every moment an exact integer, and
+    per-term products (c·2rx·2ry ≲ 4n³) exceed int64 so each term is
+    cast to DECIMAL(38,0) BEFORE the sum (rule 7; HUGEINT in the
+    oracle, rule 11). Both rank-sum identities Σ2r = n(n+1) are loud
+    WHEREs; num/den moments are emitted as rule-16 exact casts and rho
+    is ONE shared-spelling IEEE expression (_RHO_EXPR).
+
+    Scale shape: never ranks raw rows — one map-side-combining groupBy
+    to the (type, value, day) pair summary, rank maps from its two
+    marginals (bounded distinct-value/distinct-day frames), two joins
+    back on bounded keys, one shrinking groupBy."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr("unix_millis(ts) div 86400000").cast("bigint").alias("day"),
+    )
+    pair = ev.groupBy("event_type", "value", "day").agg(F.count("*").alias("c2"))
+
+    def mid2_map(col: str, alias: str):
+        m = pair.groupBy("event_type", col).agg(F.sum("c2").alias("c"))
+        wb = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        m = m.withColumn("cum_before", F.coalesce(F.sum("c").over(wb), F.lit(0)))
+        return m.select(
+            "event_type", col, (2 * F.col("cum_before") + F.col("c") + 1).alias(alias)
+        )
+
+    j = pair.join(mid2_map("value", "mid2x"), ["event_type", "value"]).join(
+        mid2_map("day", "mid2y"), ["event_type", "day"]
+    )
+    c2d = F.col("c2").cast("decimal(38,0)")
+    s = j.groupBy("event_type").agg(
+        F.sum("c2").cast("bigint").alias("n"),
+        F.sum(c2d * F.col("mid2x") * F.col("mid2y")).alias("sxy"),
+        F.sum(c2d * F.col("mid2x") * F.col("mid2x")).alias("sxx"),
+        F.sum(c2d * F.col("mid2y") * F.col("mid2y")).alias("syy"),
+        F.sum(c2d * F.col("mid2x")).alias("tx"),
+        F.sum(c2d * F.col("mid2y")).alias("ty"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    b = (
+        s.where((F.col("tx") == nd * (nd + 1)) & (F.col("ty") == nd * (nd + 1)))
+        .select(
+            "event_type",
+            "n",
+            (nd * F.col("sxy") - F.col("tx") * F.col("ty"))
+            .cast("double")
+            .alias("num"),
+            (nd * F.col("sxx") - F.col("tx") * F.col("tx"))
+            .cast("double")
+            .alias("den_x"),
+            (nd * F.col("syy") - F.col("ty") * F.col("ty"))
+            .cast("double")
+            .alias("den_y"),
+        )
+    )
+    return b.withColumn("rho", F.expr(_RHO_EXPR)).orderBy("event_type")
+
+
+def _q304_oracle() -> str:
+    pk = "\nUNION ALL\n".join(
+        f"  SELECT event_type, {k} AS lag, v AS x, y{k} AS y FROM l WHERE y{k} IS NOT NULL"
+        for k in (1, 2, 3)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id,
+         CAST(round(value * 1024.0) AS BIGINT) AS v
+  FROM events
+), l AS (
+  SELECT event_type, v,
+         lead(v, 1) OVER w AS y1,
+         lead(v, 2) OVER w AS y2,
+         lead(v, 3) OVER w AS y3
+  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ms, event_id)
+), p AS (
+{pk}
+), s AS (
+  SELECT event_type, lag, count(*) AS m,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM p GROUP BY event_type, lag
+), b AS (
+  SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(m AS BIGINT) AS m,
+         CAST(CAST(m AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS num,
+         CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS den_x,
+         CAST(CAST(m AS HUGEINT) * syy - sy * sy AS DOUBLE) AS den_y
+  FROM s
+)
+SELECT event_type, lag, m, num, den_x, den_y, {_RHO_EXPR} AS rho
+FROM b ORDER BY event_type, lag"""
+
+
+@query("q304_autocorrelation", _q304_oracle())
+def q304_autocorrelation(spark, sf_dir):
+    """Exact lag-1/2/3 autocorrelation of value per event_type over the
+    (ms, event_id) arrival order — the serial-dependence screen of the
+    stats family (a metrics pipeline uses it to pick control-chart
+    windows and to catch feedback loops a location test can't see).
+    Values ride the rule-8 power-of-two integer scaling (round(v·2¹⁰) —
+    exact exponent-shift multiply, identical half-away rounding on the
+    non-negative domain), every moment is an exact integer with
+    DECIMAL(38,0)/HUGEINT terms (rules 7/11), and per-lag Pearson rho
+    over the paired subsets is the shared _RHO_EXPR spelling on rule-16
+    casts. Ordering ties on ms are broken by the unique event_id in
+    BOTH engines, so lead() pairs are deterministic.
+
+    Scale shape: ONE window pass computes all three leads (sequence ops
+    are per-key sorts — at 100 TB this partitions by (type, day) or
+    tsid segment, exactly how q130/q180's windows shard); the explode
+    is a bounded ×3 fan-out feeding one map-side-combining groupBy."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        F.round(F.col("value") * F.lit(1024.0)).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ms", "event_id")
+    led = ev.select(
+        "event_type",
+        F.col("v"),
+        *[F.lead("v", k).over(w).alias(f"y{k}") for k in (1, 2, 3)],
+    )
+    pairs = (
+        led.select(
+            "event_type",
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("bigint").alias("lag"),
+                            F.col(f"y{k}").alias("y"),
+                        )
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("event_type", F.col("p.lag").alias("lag"), F.col("v").alias("x"), F.col("p.y").alias("y"))
+        .where(F.col("y").isNotNull())
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    )
+    md = F.col("m").cast("decimal(38,0)")
+    b = s.select(
+        "event_type",
+        "lag",
+        "m",
+        (md * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("num"),
+        (md * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("den_x"),
+        (md * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("den_y"),
+    )
+    return b.withColumn("rho", F.expr(_RHO_EXPR)).orderBy("event_type", "lag")
+
+
+@query(
+    "q305_simpson_diversity",
+    """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok
+), a AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, rep_pairs,
+       (CASE WHEN n_tokens > 1
+        THEN CAST(rep_pairs AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+        ELSE NULL END) AS simpson
+FROM a ORDER BY doc_id""",
+)
+def q305_simpson_diversity(spark, sf_dir):
+    """Simpson repeat-concentration per document — the exact-integer
+    lexical-diversity screen beside the TTR/vocab-growth family (q245):
+    simpson = Σc(c−1)/(n(n−1)) is the probability two token draws
+    without replacement collide, i.e. the repetition signal Gopher-style
+    filters threshold on, computed without any entropy float hazard
+    (logs never appear; one final IEEE division of exact sub-2^53
+    integers, rule 12's one-division form). Emitted blocks (n_tokens,
+    n_distinct, rep_pairs) are plain bigints.
+
+    Scale shape: explode → one map-side-combining (doc, token) groupBy
+    → one shrinking per-doc groupBy; bodies leave the scan once."""
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    c = w.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    a = c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("rep_pairs"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return a.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "rep_pairs",
+        F.when(
+            F.col("n_tokens") > 1,
+            F.col("rep_pairs").cast("double") / (nt * (nt - F.lit(1.0))),
+        ).alias("simpson"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q306_lexical_complexity",
+    """
+WITH sc AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> len(regexp_extract_all(w, '[aeiouy]+'))) AS syl
+  FROM documents
+), a AS (
+  SELECT doc_id,
+         CAST(len(syl) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(syl), 0) AS BIGINT) AS n_syllables,
+         CAST(len(list_filter(syl, s -> s >= 3)) AS BIGINT) AS n_complex,
+         CAST(len(list_filter(syl, s -> s = 1)) AS BIGINT) AS n_mono,
+         CAST(len(list_filter(syl, s -> s = 0)) AS BIGINT) AS n_novowel
+  FROM sc
+)
+SELECT doc_id, n_words, n_syllables, n_complex, n_mono, n_novowel,
+       (CASE WHEN n_words > 0
+        THEN CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+        ELSE NULL END) AS syll_per_word
+FROM a ORDER BY doc_id""",
+)
+def q306_lexical_complexity(spark, sf_dir):
+    """Syllable-census lexical-complexity profile per document — the
+    FOG/SMOG readability INGREDIENTS (complex-word count = words with
+    ≥3 vowel groups, monosyllable count, syllables-per-word) emitted as
+    exact integers; the corpus has no sentence punctuation (verified),
+    so a sentence-normalized grade would be fiction and the honest
+    output is the word-level census a quality filter thresholds on.
+    Vowel-group counting is the standard heuristic syllabifier; words
+    with zero vowels are surfaced (gibberish/code signal). One final
+    IEEE division for syll_per_word.
+
+    Scale shape: per-doc map-only work; the per-word counts array is
+    materialized ONCE and every statistic folds over that one array —
+    no CollapseProject re-evaluation of the regex (the q130-class
+    projection trap), no explode, no shuffle beyond the final sort."""
+    d = _docs(spark, sf_dir)
+    syl = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+    )
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("s"),
+        F.lit(0).cast("bigint").alias("cx"),
+        F.lit(0).cast("bigint").alias("mono"),
+        F.lit(0).cast("bigint").alias("nv"),
+    )
+
+    def step(acc, x):
+        return F.struct(
+            (acc.s + x).alias("s"),
+            (acc.cx + F.when(x >= 3, 1).otherwise(0)).alias("cx"),
+            (acc.mono + F.when(x == 1, 1).otherwise(0)).alias("mono"),
+            (acc.nv + F.when(x == 0, 1).otherwise(0)).alias("nv"),
+        )
+
+    a = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_words"),
+        F.aggregate(syl, zero, step).alias("st"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.col("st.s").alias("n_syllables"),
+        F.col("st.cx").alias("n_complex"),
+        F.col("st.mono").alias("n_mono"),
+        F.col("st.nv").alias("n_novowel"),
+    )
+    return a.withColumn(
+        "syll_per_word",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_syllables").cast("double") / F.col("n_words").cast("double"),
+        ),
+    ).orderBy("doc_id")
