@@ -194,6 +194,95 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, rgb
 
 
+def encode_bmp(width: int, height: int, rgb: bytes, top_down: bool = False) -> bytes:
+    """24-bit BI_RGB Windows bitmap writer (BITMAPFILEHEADER +
+    BITMAPINFOHEADER). The format's quirks are real: rows are stored
+    BOTTOM-UP by default in BGR channel order, each row padded to a
+    4-byte boundary; ``top_down=True`` writes the negative-height
+    variant (rows in natural order). Input is top-down RGB like the
+    other image writers."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"BMP payload needs {width * height * 3} bytes, got {len(rgb)}")
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    order = range(height) if top_down else range(height - 1, -1, -1)
+    for y in order:
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        bgr = bytearray(row)
+        bgr[0::3] = row[2::3]
+        bgr[2::3] = row[0::3]
+        rows.append(bytes(bgr) + pad)
+    px = b"".join(rows)
+    bih = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,
+        24,
+        0,
+        len(px),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    off = 14 + 40
+    bfh = b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+    return bfh + bih + px
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24-bit BI_RGB BMP → ``(width, height, rgb_bytes)`` in
+    top-down RGB order. Validates the 'BM' magic, header lengths, plane
+    count, pixel-array offset and size; undoes the bottom-up row order
+    (or honors a negative-height top-down bitmap), the BGR channel
+    order, and the 4-byte row stride padding. Other bit depths /
+    compressions (RLE, bitfields, palette) raise NotImplementedError —
+    the triage path routes them to the transcode queue rather than
+    faking pixels."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("BMP header truncated")
+    _fsize, _r1, _r2, off = struct.unpack("<IHHI", payload[2:14])
+    bisize, w, h_raw, planes, bpp, comp, _isz, _xp, _yp, _clr, _imp = struct.unpack(
+        "<IiiHHIIiiII", payload[14:54]
+    )
+    if bisize < 40:
+        raise ValueError(f"unsupported BMP info-header size {bisize}")
+    if planes != 1:
+        raise ValueError(f"BMP planes must be 1, got {planes}")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMPs decode (bpp={bpp}, compression={comp})"
+        )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0 or off < 54:
+        raise ValueError(f"BMP geometry invalid ({w}x{h_raw}, offset {off})")
+    stride = (w * 3 + 3) & ~3
+    need = stride * h
+    px = payload[off : off + need]
+    if len(px) != need:
+        raise ValueError(f"BMP pixel array truncated: {len(px)}/{need} bytes")
+    out = bytearray(w * h * 3)
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        row = px[i * stride : i * stride + w * 3]
+        o = y * w * 3
+        rgb = bytearray(row)
+        rgb[0::3] = row[2::3]
+        rgb[2::3] = row[0::3]
+        out[o : o + w * 3] = rgb
+    return w, h, bytes(out)
+
+
 # --------------------------------------------------------------------------
 # Real PNG codec (VERDICT r8 #2): PNG is the one COMPRESSED image format
 # fully decodable with the stdlib alone (zlib is the spec's only
@@ -379,6 +468,8 @@ def decode_media(modality: str, payload: bytes):
       * ``audio`` / RIFF..WAVE → ``(sample_rate, channels, [int16 samples])``
         (:func:`decode_wav_pcm16`);
       * ``image`` / P6 → ``(width, height, rgb_bytes)`` (:func:`decode_ppm`);
+      * ``image`` / BM → ``(width, height, rgb_bytes)`` (:func:`decode_bmp`
+        — 24-bit BI_RGB, bottom-up or top-down, BGR + stride undone);
       * ``image`` / PNG signature → ``(width, height, channels,
         pixel_bytes)`` (:func:`decode_png` — real zlib inflate + five-filter
         unfiltering; 8-bit RGB/RGBA non-interlaced);
@@ -398,6 +489,8 @@ def decode_media(modality: str, payload: bytes):
         return decode_wav_pcm16(payload)
     if modality == "image" and payload[:2] == b"P6":
         return decode_ppm(payload)
+    if modality == "image" and payload[:2] == b"BM":
+        return decode_bmp(payload)
     if modality == "image" and payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if modality == "image" and payload[:2] == b"\xff\xd8":
@@ -764,6 +857,74 @@ def decoded_image_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out).astype("int64")
 
     return spread(media).mapInPandas(batches, schema=IMAGE_DECODED_SCHEMA)
+
+
+BMP_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixel_bytes", LongType()),
+        StructField("sum_pixels", LongType()),
+        StructField("possum", LongType()),
+    ]
+)
+
+
+def bmp_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL 24-bit BMPs: the text's utf-8
+    bytes as RGB triples on the shared fixed-width raster (zero-padded
+    last row), alternating bottom-up and top-down (negative-height)
+    storage by doc parity so BOTH row orders decode in every batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = t.encode("utf-8")
+                row_bytes = IMG_WIDTH * 3
+                height = max(1, -(-len(raw) // row_bytes))
+                padded = raw.ljust(row_bytes * height, b"\x00")
+                payloads.append(
+                    encode_bmp(IMG_WIDTH, height, padded, top_down=bool(int(did) % 2))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "modality": "image",
+                    "payload": payloads,
+                    "meta": [{"format": "bmp"}] * len(payloads),
+                }
+            )
+
+    return spread(docs).select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decoded_bmp_features(media: DataFrame) -> DataFrame:
+    """Geometry, exact pixel sum, AND the position-weighted checksum
+    Σ(i+1)·bᵢ over the decoded top-down RGB bytes. The positional term
+    is the point: a decoder that forgot to flip the bottom-up rows,
+    swap BGR→RGB, or strip the stride padding still gets the plain sum
+    right — only the correctly REORDERED raster reproduces possum,
+    which the oracle recomputes directly from the text bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in BMP_DECODED_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rgb = decode_bmp(bytes(payload))
+                arr = np.frombuffer(rgb, np.uint8).astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixel_bytes"].append(len(rgb))
+                out["sum_pixels"].append(int(arr.sum()))
+                out["possum"].append(int((np.arange(1, len(arr) + 1) * arr).sum()))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=BMP_DECODED_SCHEMA)
 
 
 def png_from_documents(docs: DataFrame) -> DataFrame:
@@ -1509,7 +1670,7 @@ def video_near_dup_pairs(media: DataFrame, max_hamming: int = 12) -> DataFrame:
 # data a pipeline routes on (decode vs quarantine vs transcode queue).
 # --------------------------------------------------------------------------
 
-CODEC_MIX_CLASSES = 12  # doc_id % 12 → (modality, payload family), see below
+CODEC_MIX_CLASSES = 14  # doc_id % 14 → (modality, payload family), see below
 
 
 def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
@@ -1531,6 +1692,8 @@ def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
     9       image     PNG with a flipped chunk-CRC byte      corrupt
     10      image     real baseline grayscale JPEG           decoded
     11      image     baseline JPEG, entropy data truncated  corrupt
+    12      image     real 24-bit BMP (top-down, bottom-up)  decoded
+    13      image     BMP with truncated pixel array         corrupt
     ======  ========  =====================================  ============
 
     Decodable payloads reuse the exact builders of
@@ -1619,6 +1782,15 @@ def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
             p[-1] ^= 0xFF
             return bytes(p)
 
+        def _mix_bmp(raw: bytes) -> bytes:
+            height = max(1, -(-len(raw) // row_bytes))
+            return encode_bmp(
+                IMG_WIDTH,
+                height,
+                raw.ljust(row_bytes * height, b"\x00"),
+                top_down=len(raw) % 2 == 1,
+            )
+
         build = {
             0: ("audio", "wav", wav),
             1: ("image", "ppm", ppm),
@@ -1632,6 +1804,8 @@ def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
             9: ("image", "png", bad_crc_png),
             10: ("image", "jpeg", jpeg),
             11: ("image", "jpeg", truncated_jpeg),
+            12: ("image", "bmp", lambda raw: _mix_bmp(raw)),
+            13: ("image", "bmp", lambda raw: _mix_bmp(raw)[:-3]),  # truncated pixels
         }
         for pdf in it:
             out: dict[str, list] = {"media_id": [], "modality": [], "payload": [], "meta": []}

@@ -6973,11 +6973,11 @@ def q196_incremental_exact_dedup(spark, sf_dir):
     """
 WITH c AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 12 IN (0, 3, 7) THEN 'audio'
-              WHEN doc_id % 12 IN (1, 4, 6, 8, 9, 10, 11) THEN 'image'
+         CASE WHEN doc_id % 14 IN (0, 3, 7) THEN 'audio'
+              WHEN doc_id % 14 IN (1, 4, 6, 8, 9, 10, 11, 12, 13) THEN 'image'
               ELSE 'video' END AS modality,
-         CASE WHEN doc_id % 12 IN (0, 1, 2, 8, 10) THEN 'decoded'
-              WHEN doc_id % 12 IN (3, 4, 5) THEN 'unsupported_codec'
+         CASE WHEN doc_id % 14 IN (0, 1, 2, 8, 10, 12) THEN 'decoded'
+              WHEN doc_id % 14 IN (3, 4, 5) THEN 'unsupported_codec'
               ELSE 'corrupt' END AS status
   FROM documents
 )
@@ -6987,17 +6987,18 @@ SELECT modality, status,
 FROM c GROUP BY modality, status ORDER BY modality, status""",
 )
 def q197_codec_audit(spark, sf_dir):
-    """E5 decode triage over a 12-class payload mixture (real WAV/PPM/
-    Y4M/compressed-PNG/baseline-JPEG, out-of-scope codec streams,
-    corrupt-but-well-magicked incl. a CRC-flipped PNG and a truncated
-    JPEG scan): every payload is actually PARSED and the verdict —
-    decoded / unsupported_codec (the principled MP3/MP4/progressive-JPEG
-    refusal, VERDICT r5 #5) / corrupt — is aggregated per modality.
-    r10: baseline grayscale JPEG moved from the refusal class to a REAL
-    decode (operators/jpeg.py), so the mixture grew two JPEG classes and
+    """E5 decode triage over a 14-class payload mixture (real WAV/PPM/
+    Y4M/compressed-PNG/baseline-JPEG/BMP, out-of-scope codec streams,
+    corrupt-but-well-magicked incl. a CRC-flipped PNG, a truncated
+    JPEG scan and a truncated BMP pixel array): every payload is
+    actually PARSED and the verdict — decoded / unsupported_codec (the
+    principled MP3/MP4/progressive-JPEG refusal, VERDICT r5 #5) /
+    corrupt — is aggregated per modality. r10: baseline grayscale JPEG
+    moved from the refusal class to a REAL decode (operators/jpeg.py),
     the unsupported-JPEG fixture became a genuine SOF2 progressive
-    header. The oracle recomputes the expected verdict from the
-    deterministic doc_id%12 class map, so the decode paths and the
+    header, and 24-bit BMP joined as the sixth real decode (classes
+    12/13). The oracle recomputes the expected verdict from the
+    deterministic doc_id%14 class map, so the decode paths and the
     refusal branch are driver-hash-verified behavior."""
     from tagtree_spark.operators.multimodal import (
         media_mixture_from_documents,
@@ -14121,3 +14122,43 @@ def q306_lexical_complexity(spark, sf_dir):
             F.col("n_syllables").cast("double") / F.col("n_words").cast("double"),
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "q307_bmp_decode",
+    """
+WITH px AS (
+  SELECT doc_id,
+         sum(ord(substr(text, CAST(i AS INT), 1))) AS s,
+         sum(i * ord(substr(text, CAST(i AS INT), 1))) AS ps
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents) t
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(greatest(1, (length(d.text) + 23) // 24) AS BIGINT) AS height,
+       CAST(24 * greatest(1, (length(d.text) + 23) // 24) AS BIGINT) AS n_pixel_bytes,
+       CAST(px.s AS BIGINT) AS sum_pixels,
+       CAST(px.ps AS BIGINT) AS possum
+FROM documents d JOIN px ON d.doc_id = px.doc_id
+ORDER BY media_id""",
+)
+def q307_bmp_decode(spark, sf_dir):
+    """E5 real BMP decode: text bytes → genuine 24-bit BI_RGB bitmaps
+    (bottom-up AND negative-height top-down by doc parity, BGR order,
+    4-byte row stride) → full header-validated decode back to the
+    top-down RGB raster. Beyond q107/q253's pixel SUM, the oracle pins
+    the position-weighted checksum Σi·bᵢ recomputed from the raw text —
+    a decoder that skipped the row flip, the BGR swap, or the stride
+    strip still matches the sum but NOT possum, so the reordering
+    logic itself is driver-hash-verified. Zero padding contributes 0 to
+    both statistics. Map-only Arrow pass; payloads never leave the
+    executors."""
+    from tagtree_spark.operators.multimodal import (
+        bmp_from_documents,
+        decoded_bmp_features,
+    )
+
+    media = bmp_from_documents(_docs(spark, sf_dir))
+    return decoded_bmp_features(media).orderBy("media_id")

@@ -177,3 +177,43 @@ def test_jpeg_color_444_roundtrip_property(w, h, ri, data):
     w2, h2, ch, out = decode_jpeg(encode_jpeg_color(w, h, px, restart_interval=ri))
     assert (w2, h2, ch) == (w, h, 3)
     assert max((abs(a - b) for a, b in zip(out, px)), default=0) <= 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    top_down=st.booleans(),
+    data=st.data(),
+)
+def test_bmp_roundtrip_property(w, h, top_down, data):
+    """Both storage orders round-trip to the SAME top-down RGB raster —
+    widths cover every stride-padding residue (w*3 mod 4)."""
+    from tagtree_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rgb = data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3), label="rgb")
+    assert decode_bmp(encode_bmp(w, h, rgb, top_down=top_down)) == (w, h, rgb)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=48, max_size=96))
+def test_bmp_corruption_always_detected(data):
+    """Truncating the pixel array, breaking the magic, or declaring an
+    undecodable depth must raise — never return wrong pixels."""
+    import struct
+
+    import pytest
+
+    from tagtree_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    w, h = 4, max(1, len(data) // 12)
+    rgb = data[: w * h * 3].ljust(w * h * 3, b"\x00")
+    good = encode_bmp(w, h, rgb)
+    with pytest.raises(ValueError):
+        decode_bmp(good[:-1])
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + good[2:])
+    bad_depth = bytearray(good)
+    bad_depth[28:30] = struct.pack("<H", 8)  # 8bpp palette form
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad_depth))
