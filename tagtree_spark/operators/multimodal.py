@@ -284,6 +284,251 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
 
 
 # --------------------------------------------------------------------------
+# Real GIF codec: the second COMPRESSED image format decodable without
+# any codec library — GIF's only compression is LZW (spec'd in 1987),
+# implemented here from scratch with the variable-width code schedule.
+# Scope: non-interlaced single-image GIF87a/GIF89a with a global or
+# local color table; 89a extension blocks are skipped per the spec's
+# block grammar. Interlaced images refuse (NotImplementedError) rather
+# than return wrongly-ordered pixels.
+# --------------------------------------------------------------------------
+
+_GIF_MAX_CODE = 1 << 12  # LZW code width is capped at 12 bits
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW: LSB-first bit packing, CLEAR/EOI codes, code
+    width growing 9→12 bits as the dictionary fills, CLEAR emitted when
+    it would overflow. Width bumps happen after each insert when
+    next_code hits 2^width — the decoder performs the mirror-image
+    insert per code read, so both sides stay width-synchronized."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    cur = 0
+    nbits = 0
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for ch in indices:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code == _GIF_MAX_CODE:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int | None = None) -> bytes:
+    """Inverse of :func:`_lzw_encode`, including the KwKwK self-reference
+    case (code == next_code). Truncated streams (bits run out before
+    EOI) and out-of-range codes raise ValueError — EXCEPT that a stream
+    ending after ``expected`` pixels without an explicit EOI is
+    accepted, because real-world writers (the canonical minimal GIFs)
+    omit EOI and every deployed decoder stops at the pixel count."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    cur = 0
+    nbits = 0
+    pos = 0
+    out = bytearray()
+    w: bytes | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                if expected is not None and len(out) >= expected:
+                    return bytes(out)
+                raise ValueError("LZW stream truncated before EOI")
+            cur |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = cur & ((1 << code_size) - 1)
+        cur >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+            w = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if w is None:
+            if code >= clear:
+                raise ValueError(f"first LZW code {code} is not a literal")
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = w + w[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"LZW code {code} beyond dictionary ({next_code})")
+            if next_code < _GIF_MAX_CODE:
+                table[next_code] = w + entry[:1]
+                next_code += 1
+                # the decoder's dictionary lags the encoder's by ONE
+                # insert (it reconstructs entry k only after reading
+                # code k+1), so it must widen one entry early to stay
+                # bit-synchronized: at 2^width − 1, not 2^width
+                if next_code == (1 << code_size) - 1 and code_size < 12:
+                    code_size += 1
+        out += entry
+        if expected is not None and len(out) >= expected:
+            return bytes(out)
+        w = entry
+
+
+def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+    """Single-image GIF87a writer: logical screen descriptor, 256-entry
+    global color table, image descriptor, real LZW-compressed pixel
+    indices in ≤255-byte sub-blocks, trailer."""
+    import struct
+
+    if len(indices) != width * height:
+        raise ValueError(f"GIF needs {width * height} indices, got {len(indices)}")
+    if len(palette) != 256 * 3:
+        raise ValueError("GIF writer uses a 256-entry RGB palette")
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | 0x70 | 0x07, 0, 0])  # GCT present, 8-bit, 256 entries
+    out += palette
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(8)  # LZW minimum code size
+    lzw = _lzw_encode(indices, 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a GIF87a/89a payload → ``(width, height, rgb_bytes)``:
+    header + screen descriptor validation, global/local color table,
+    89a extension-block skipping, sub-block reassembly, full LZW
+    decompression, palette mapping. Interlaced images refuse."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("GIF global color table truncated")
+        pos += 3 * n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ended without an image block")
+        intro = payload[pos]
+        pos += 1
+        if intro == 0x21:  # 89a extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF extension truncated")
+                blen = payload[pos]
+                pos += 1 + blen
+                if blen == 0:
+                    break
+            continue
+        if intro == 0x3B:
+            raise ValueError("GIF trailer reached before any image")
+        if intro != 0x2C:
+            raise ValueError(f"unknown GIF block introducer 0x{intro:02x}")
+        break
+    if pos + 9 > len(payload):
+        raise ValueError("GIF image descriptor truncated")
+    left, top, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])
+    ipacked = payload[pos + 8]
+    pos += 9
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIFs are out of scope")
+    table = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        table = payload[pos : pos + 3 * n]
+        if len(table) != 3 * n:
+            raise ValueError("GIF local color table truncated")
+        pos += 3 * n
+    if not table:
+        raise ValueError("GIF image has no color table")
+    if w <= 0 or h <= 0 or w > sw or h > sh or left + w > sw or top + h > sh:
+        raise ValueError(f"GIF geometry invalid ({w}x{h} in {sw}x{sh})")
+    if pos >= len(payload):
+        raise ValueError("GIF LZW header truncated")
+    min_code_size = payload[pos]
+    pos += 1
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"GIF LZW minimum code size {min_code_size} invalid")
+    lzw = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF sub-blocks truncated")
+        blen = payload[pos]
+        pos += 1
+        if blen == 0:
+            break
+        block = payload[pos : pos + blen]
+        if len(block) != blen:
+            raise ValueError("GIF sub-block truncated")
+        lzw += block
+        pos += blen
+    indices = _lzw_decode(bytes(lzw), min_code_size, expected=w * h)
+    if len(indices) != w * h:
+        raise ValueError(f"GIF decoded {len(indices)} pixels, expected {w * h}")
+    ncolors = len(table) // 3
+    out = bytearray(w * h * 3)
+    for i, ix in enumerate(indices):
+        if ix >= ncolors:
+            raise ValueError(f"GIF index {ix} beyond color table ({ncolors})")
+        out[3 * i : 3 * i + 3] = table[3 * ix : 3 * ix + 3]
+    return w, h, bytes(out)
+
+
+#: 256-entry grayscale palette (i, i, i) — the fixture's color table.
+GIF_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+
+
+# --------------------------------------------------------------------------
 # Real PNG codec (VERDICT r8 #2): PNG is the one COMPRESSED image format
 # fully decodable with the stdlib alone (zlib is the spec's only
 # compression method). Scope: non-interlaced 8-bit RGB/RGBA with all five
@@ -470,6 +715,10 @@ def decode_media(modality: str, payload: bytes):
       * ``image`` / P6 → ``(width, height, rgb_bytes)`` (:func:`decode_ppm`);
       * ``image`` / BM → ``(width, height, rgb_bytes)`` (:func:`decode_bmp`
         — 24-bit BI_RGB, bottom-up or top-down, BGR + stride undone);
+      * ``image`` / GIF8 → ``(width, height, rgb_bytes)``
+        (:func:`decode_gif` — real from-scratch LZW decompression with
+        the variable-width code schedule, 87a/89a, extension skipping,
+        palette mapping; interlaced refuses);
       * ``image`` / PNG signature → ``(width, height, channels,
         pixel_bytes)`` (:func:`decode_png` — real zlib inflate + five-filter
         unfiltering; 8-bit RGB/RGBA non-interlaced);
@@ -491,6 +740,8 @@ def decode_media(modality: str, payload: bytes):
         return decode_ppm(payload)
     if modality == "image" and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if modality == "image" and payload[:4] == b"GIF8":
+        return decode_gif(payload)
     if modality == "image" and payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if modality == "image" and payload[:2] == b"\xff\xd8":
@@ -915,6 +1166,59 @@ def decoded_bmp_features(media: DataFrame) -> DataFrame:
             out: dict[str, list] = {k.name: [] for k in BMP_DECODED_SCHEMA}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, rgb = decode_bmp(bytes(payload))
+                arr = np.frombuffer(rgb, np.uint8).astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixel_bytes"].append(len(rgb))
+                out["sum_pixels"].append(int(arr.sum()))
+                out["possum"].append(int((np.arange(1, len(arr) + 1) * arr).sum()))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=BMP_DECODED_SCHEMA)
+
+
+def gif_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL LZW-compressed GIFs: the
+    text's utf-8 bytes as palette indices on a fixed 8-wide raster
+    (zero-padded last row) against the 256-entry grayscale table, so
+    each decoded pixel is (b, b, b)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                height = max(1, -(-len(raw) // IMG_WIDTH))
+                padded = raw.ljust(IMG_WIDTH * height, b"\x00")
+                payloads.append(
+                    encode_gif(IMG_WIDTH, height, padded, GIF_GRAY_PALETTE)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "modality": "image",
+                    "payload": payloads,
+                    "meta": [{"format": "gif"}] * len(payloads),
+                }
+            )
+
+    return spread(docs).select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decoded_gif_features(media: DataFrame) -> DataFrame:
+    """Same feature tuple as :func:`decoded_bmp_features` (geometry,
+    exact pixel sum, position-weighted checksum over the decoded RGB
+    bytes) — possum pins the LZW decompression's exact output ORDER and
+    the palette mapping, not just the byte population."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in BMP_DECODED_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rgb = decode_gif(bytes(payload))
                 arr = np.frombuffer(rgb, np.uint8).astype(np.int64)
                 out["media_id"].append(int(mid))
                 out["width"].append(w)
@@ -1670,7 +1974,7 @@ def video_near_dup_pairs(media: DataFrame, max_hamming: int = 12) -> DataFrame:
 # data a pipeline routes on (decode vs quarantine vs transcode queue).
 # --------------------------------------------------------------------------
 
-CODEC_MIX_CLASSES = 14  # doc_id % 14 → (modality, payload family), see below
+CODEC_MIX_CLASSES = 16  # doc_id % 16 → (modality, payload family), see below
 
 
 def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
@@ -1694,6 +1998,8 @@ def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
     11      image     baseline JPEG, entropy data truncated  corrupt
     12      image     real 24-bit BMP (top-down, bottom-up)  decoded
     13      image     BMP with truncated pixel array         corrupt
+    14      image     real LZW-compressed GIF                decoded
+    15      image     GIF, LZW stream cut mid-scan           corrupt
     ======  ========  =====================================  ============
 
     Decodable payloads reuse the exact builders of
@@ -1782,6 +2088,13 @@ def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
             p[-1] ^= 0xFF
             return bytes(p)
 
+        def _mix_gif(raw: bytes) -> bytes:
+            height = max(1, -(-len(raw) // IMG_WIDTH))
+            return encode_gif(
+                IMG_WIDTH, height, raw.ljust(IMG_WIDTH * height, b"\x00"),
+                GIF_GRAY_PALETTE,
+            )
+
         def _mix_bmp(raw: bytes) -> bytes:
             height = max(1, -(-len(raw) // row_bytes))
             return encode_bmp(
@@ -1806,6 +2119,8 @@ def media_mixture_from_documents(docs: DataFrame) -> DataFrame:
             11: ("image", "jpeg", truncated_jpeg),
             12: ("image", "bmp", lambda raw: _mix_bmp(raw)),
             13: ("image", "bmp", lambda raw: _mix_bmp(raw)[:-3]),  # truncated pixels
+            14: ("image", "gif", _mix_gif),
+            15: ("image", "gif", lambda raw: _mix_gif(raw)[:-4]),  # LZW cut short
         }
         for pdf in it:
             out: dict[str, list] = {"media_id": [], "modality": [], "payload": [], "meta": []}

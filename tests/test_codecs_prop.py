@@ -217,3 +217,74 @@ def test_bmp_corruption_always_detected(data):
     bad_depth[28:30] = struct.pack("<H", 8)  # 8bpp palette form
     with pytest.raises(NotImplementedError):
         decode_bmp(bytes(bad_depth))
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=3000))
+def test_gif_lzw_roundtrip_property(data):
+    """LZW encode∘decode is identity across repetitive and random
+    content — inputs large enough to grow the code width past 9 bits."""
+    from tagtree_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(data), 8) == data
+    rep = (data or b"x") * 4
+    assert _lzw_decode(_lzw_encode(rep), 8) == rep
+
+
+def test_gif_lzw_dictionary_overflow_clear():
+    """A stream with >4096 dictionary inserts crosses the 12-bit cap:
+    the encoder must emit CLEAR and both sides must resynchronize."""
+    import random
+
+    from tagtree_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    rng = random.Random(11)
+    data = bytes(rng.randrange(256) for _ in range(30000))
+    assert _lzw_decode(_lzw_encode(data), 8) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+def test_gif_container_roundtrip_property(w, h, data):
+    from tagtree_spark.operators.multimodal import (
+        GIF_GRAY_PALETTE,
+        decode_gif,
+        encode_gif,
+    )
+
+    idx = data.draw(st.binary(min_size=w * h, max_size=w * h), label="idx")
+    want = bytes(v for i in idx for v in (i, i, i))
+    assert decode_gif(encode_gif(w, h, idx, GIF_GRAY_PALETTE)) == (w, h, want)
+
+
+def test_gif_validation_boundaries():
+    """Truncation anywhere → ValueError; interlace flag → the honest
+    NotImplementedError refusal; a canonical EXTERNAL 1x1 GIF89a (with
+    a graphic-control extension and no explicit EOI) decodes."""
+    import base64
+
+    import pytest
+
+    from tagtree_spark.operators.multimodal import (
+        GIF_GRAY_PALETTE,
+        decode_gif,
+        encode_gif,
+    )
+
+    good = encode_gif(4, 3, bytes(range(12)), GIF_GRAY_PALETTE)
+    with pytest.raises(ValueError):
+        decode_gif(good[:-4])
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF90a" + good[6:])
+    interlaced = bytearray(good)
+    # image descriptor starts after 6+7+768 bytes: intro + 8 = packed
+    ipk = 6 + 7 + 768 + 9
+    interlaced[ipk] |= 0x40
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(interlaced))
+    ext = base64.b64decode("R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    assert decode_gif(ext) == (1, 1, b"\x00\x00\x00")

@@ -418,19 +418,19 @@ def test_video_fingerprint_identity_and_difference(spark):
 
 
 def test_codec_triage_mixture(spark):
-    """All 14 mixture classes produce the right triage verdict, including
+    """All 16 mixture classes produce the right triage verdict, including
     the out-of-scope refusal branch (MP3/MP4/progressive-JPEG), both
-    r10 JPEG classes (real baseline decode, truncated-scan corrupt) and
-    the BMP pair (real decode, truncated pixel array)."""
+    r10 JPEG classes (real baseline decode, truncated-scan corrupt), the
+    BMP pair and the LZW-GIF pair (real decode, truncated stream)."""
     from tagtree_spark.operators.multimodal import (
         CODEC_MIX_CLASSES,
         media_mixture_from_documents,
         try_decode_status,
     )
 
-    assert CODEC_MIX_CLASSES == 14
+    assert CODEC_MIX_CLASSES == 16
     docs = spark.createDataFrame(
-        [(i, f"payload text {i} " * 3) for i in range(28)],
+        [(i, f"payload text {i} " * 3) for i in range(32)],
         "doc_id long, text string",
     )
     media = media_mixture_from_documents(docs)
@@ -438,16 +438,17 @@ def test_codec_triage_mixture(spark):
     expect_mod = {0: "audio", 1: "image", 2: "video", 3: "audio",
                   4: "image", 5: "video", 6: "image", 7: "audio",
                   8: "image", 9: "image", 10: "image", 11: "image",
-                  12: "image", 13: "image"}
+                  12: "image", 13: "image", 14: "image", 15: "image"}
     expect_st = {0: "decoded", 1: "decoded", 2: "decoded",
                  3: "unsupported_codec", 4: "unsupported_codec",
                  5: "unsupported_codec", 6: "corrupt", 7: "corrupt",
                  8: "decoded", 9: "corrupt", 10: "decoded", 11: "corrupt",
-                 12: "decoded", 13: "corrupt"}
-    assert len(got) == 28
+                 12: "decoded", 13: "corrupt",
+                 14: "decoded", 15: "corrupt"}
+    assert len(got) == 32
     for mid, (mod, st) in got.items():
-        assert mod == expect_mod[mid % 14], mid
-        assert st == expect_st[mid % 14], mid
+        assert mod == expect_mod[mid % 16], mid
+        assert st == expect_st[mid % 16], mid
 
 
 def test_png_roundtrip_all_filters_and_rgba():
