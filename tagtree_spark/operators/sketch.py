@@ -483,3 +483,71 @@ def kmv_overlap(
             est.alias("est_inter"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic log-histogram quantile sketch — the QUANTILE member of
+# the mergeable-sketch family (HLL distinct / CMS heavy hitters / KMV
+# overlap above). Values are rule-8 power-of-two scaled to integers,
+# then bucketed exactly below 64 and by (octave, 6-bit mantissa) above:
+# bucket counts are a deterministic pure function of the VALUE, so
+# partial sketches from disjoint partitions/days/streams merge by plain
+# count addition (no randomness, no merge-order sensitivity), state is
+# O(64 + 64·octaves) per key regardless of volume, and every quantile
+# answered from the sketch carries a guaranteed relative error ≤ 2^-6
+# per coordinate (the bucket's [lo, hi) straddles the true order
+# statistic — certified loudly by q309's containment WHERE). The same
+# integer algebra is emitted for DuckDB so the sketch is cross-engine
+# hash-verifiable, like the HLL above.
+# --------------------------------------------------------------------------
+
+LOGQ_SCALE_BITS = 10  # s = round(v · 2^10): exact exponent-shift multiply
+LOGQ_MANTISSA = 6  # mantissa bits kept per octave → rel. error ≤ 1/64
+
+
+def logq_exprs(s: str, engine: str) -> tuple[str, str, str]:
+    """(bucket, lo, hi) SQL over a non-negative scaled bigint expression
+    ``s`` — ONE generated spelling per engine (the kw_h_expr pattern) so
+    Spark and DuckDB bucket bit-identically. Width via length(bin(s))
+    (minimal binary rendering, identical in both engines — the HLL rank
+    trick); only the shift and integer-divide operators differ."""
+    e = f"length(bin({s}))"
+    if engine == "spark":
+        p2 = f"shiftleft(CAST(1 AS BIGINT), CAST({e} - 7 AS INT))"
+        m = f"({s} DIV {p2})"
+    elif engine == "duckdb":
+        p2 = f"(CAST(1 AS BIGINT) << CAST({e} - 7 AS INT))"
+        m = f"({s} // {p2})"
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    small = f"{s} < 64"
+    bucket = f"(CASE WHEN {small} THEN {s} ELSE 64 * {e} + {m} END)"
+    lo = f"(CASE WHEN {small} THEN {s} ELSE {m} * {p2} END)"
+    hi = f"(CASE WHEN {small} THEN {s} + 1 ELSE ({m} + 1) * {p2} END)"
+    return bucket, lo, hi
+
+
+def log_histogram(df: DataFrame, key_col: str, s_col: str) -> DataFrame:
+    """Build the sketch → ``(key, bucket, lo, hi, n)``. ``s_col`` must be
+    a non-negative scaled bigint (round(v · 2^LOGQ_SCALE_BITS)). One
+    map-side-combining groupBy; merging sketches is the SAME groupBy-sum
+    over their union (counts compose)."""
+    bucket, lo, hi = logq_exprs(s_col, "spark")
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.expr(bucket).cast("bigint").alias("bucket"),
+            F.expr(lo).cast("bigint").alias("lo"),
+            F.expr(hi).cast("bigint").alias("hi"),
+        )
+        .groupBy("key", "bucket", "lo", "hi")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def merge_log_histograms(parts: DataFrame) -> DataFrame:
+    """Merge partial sketches (any union of ``log_histogram`` outputs,
+    e.g. per-day partials) by bucket-count addition."""
+    return parts.groupBy("key", "bucket", "lo", "hi").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )

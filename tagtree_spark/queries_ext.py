@@ -14206,3 +14206,192 @@ def q308_gif_decode(spark, sf_dir):
 
     media = gif_from_documents(_docs(spark, sf_dir))
     return decoded_gif_features(media).orderBy("media_id")
+
+
+def _q309_oracle() -> str:
+    from tagtree_spark.operators.sketch import logq_exprs
+
+    bucket, lo, hi = logq_exprs("s", "duckdb")
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 1024.0) AS BIGINT) AS s FROM events
+), d AS (
+  SELECT event_type, s, count(*) AS c FROM e GROUP BY event_type, s
+), sk AS (
+  SELECT event_type, {bucket} AS bucket, {lo} AS lo, {hi} AS hi,
+         sum(c) AS n
+  FROM d GROUP BY event_type, {bucket}, {lo}, {hi}
+), cums AS (
+  SELECT event_type, bucket, lo, hi,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sk
+), nt AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM d GROUP BY event_type
+), tg AS (
+  SELECT nt.event_type, nt.n, pp.p, CAST(ceil(pp.p * nt.n) AS BIGINT) AS r
+  FROM nt CROSS JOIN (SELECT 0.50 AS p UNION ALL SELECT 0.90
+                      UNION ALL SELECT 0.99) pp
+), qb AS (
+  SELECT t.event_type, t.p, t.r, t.n, min(c.bucket) AS qbucket
+  FROM tg t JOIN cums c ON t.event_type = c.event_type AND c.cum >= t.r
+  GROUP BY t.event_type, t.p, t.r, t.n
+), qv AS (
+  SELECT qb.event_type, qb.p, qb.r, qb.n, s.lo AS q_lo, s.hi AS q_hi
+  FROM qb JOIN sk s ON qb.event_type = s.event_type AND qb.qbucket = s.bucket
+), dc AS (
+  SELECT event_type, s,
+         sum(c) OVER (PARTITION BY event_type ORDER BY s
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+), tru AS (
+  SELECT t.event_type, t.p, min(dc.s) AS q_true
+  FROM tg t JOIN dc ON t.event_type = dc.event_type AND dc.cum >= t.r
+  GROUP BY t.event_type, t.p
+)
+SELECT qv.event_type AS event_type, CAST(qv.p AS DOUBLE) AS p,
+       CAST(qv.r AS BIGINT) AS r, qv.n AS n,
+       CAST(qv.q_lo AS BIGINT) AS q_lo, CAST(qv.q_hi AS BIGINT) AS q_hi,
+       CAST(tru.q_true AS BIGINT) AS q_true
+FROM qv JOIN tru ON qv.event_type = tru.event_type AND qv.p = tru.p
+WHERE qv.q_lo <= tru.q_true AND tru.q_true < qv.q_hi
+ORDER BY event_type, p"""
+
+
+@query("q309_logquantile_sketch", _q309_oracle())
+def q309_logquantile_sketch(spark, sf_dir):
+    """Deterministic log-histogram QUANTILE sketch — the quantile member
+    of the mergeable-sketch family (HLL q101, CMS q102, KMV q154):
+    values rule-8-scaled to integers, bucketed exactly below 64 and by
+    (octave, 6-bit mantissa) above, p50/p90/p99 answered from the
+    O(64·octaves) bucket table. The containment WHERE is the sketch's
+    error GUARANTEE made loud in both engines: the chosen bucket's
+    [lo, hi) must straddle the TRUE rank-r order statistic (rel. width
+    ≤ 2^-6), so a bucketing or cumulation bug drops rows and fails the
+    driver count instead of shipping a wrong quantile. Rank targets
+    ceil(p·n) are exact DECIMAL arithmetic in both engines (no float
+    rank). At 100 TB the exact q135 path range-sorts; this sketch is
+    one map-side-combining groupBy + an O(buckets) window."""
+    from tagtree_spark.operators.sketch import log_histogram
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.round(F.col("value") * F.lit(1024.0)).cast("bigint").alias("s"),
+    )
+    dist = ev.groupBy("key", "s").agg(F.count("*").alias("c"))
+    sk = log_histogram(ev, "key", "s")
+    wb = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = sk.withColumn("cum", F.sum("n").over(wb))
+    nt = sk.groupBy("key").agg(F.sum("n").cast("bigint").alias("n"))
+    tg = nt.select(
+        "key",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(p)).alias("p"),
+                        F.expr(f"CAST(ceil({lit} * n) AS BIGINT)").alias("r"),
+                    )
+                    for p, lit in [(0.5, "0.50"), (0.9, "0.90"), (0.99, "0.99")]
+                ]
+            )
+        ).alias("t"),
+    ).select("key", "n", F.col("t.p").alias("p"), F.col("t.r").alias("r"))
+    qb = (
+        tg.join(cums.select("key", "bucket", "lo", "hi", "cum"), "key")
+        .where(F.col("cum") >= F.col("r"))
+        .groupBy("key", "p", "r", "n")
+        .agg(F.min(F.struct("bucket", "lo", "hi")).alias("qb"))
+        .select(
+            "key",
+            "p",
+            "r",
+            "n",
+            F.col("qb.lo").alias("q_lo"),
+            F.col("qb.hi").alias("q_hi"),
+        )
+    )
+    ws = (
+        Window.partitionBy("key")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dc = dist.withColumn("cum", F.sum("c").over(ws))
+    tru = (
+        tg.join(dc.select("key", "s", "cum"), "key")
+        .where(F.col("cum") >= F.col("r"))
+        .groupBy("key", "p")
+        .agg(F.min("s").alias("q_true"))
+    )
+    return (
+        qb.join(tru, ["key", "p"])
+        .where((F.col("q_lo") <= F.col("q_true")) & (F.col("q_true") < F.col("q_hi")))
+        .select(
+            F.col("key").alias("event_type"),
+            "p",
+            "r",
+            "n",
+            F.col("q_lo").cast("bigint"),
+            F.col("q_hi").cast("bigint"),
+            F.col("q_true").cast("bigint"),
+        )
+        .orderBy("event_type", "p")
+    )
+
+
+def _q310_oracle() -> str:
+    from tagtree_spark.operators.sketch import logq_exprs
+
+    bucket, lo, hi = logq_exprs("s", "duckdb")
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 1024.0) AS BIGINT) AS s FROM events
+)
+SELECT event_type, {bucket} AS bucket,
+       CAST({lo} AS BIGINT) AS lo, CAST({hi} AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY event_type, {bucket}, {lo}, {hi}
+ORDER BY event_type, bucket"""
+
+
+@query("q310_logquantile_merge", _q310_oracle())
+def q310_logquantile_merge(spark, sf_dir):
+    """MERGEABILITY proof for the q309 sketch (the q265 HLL-merge
+    pattern): per-UTC-day PARTIAL sketches are built independently,
+    then merged by bucket-count addition — and the merged table must
+    hash-match the oracle's direct single-pass sketch over all rows.
+    Deterministic bucketing is what makes this exact (no randomness, no
+    merge-order sensitivity): counts compose, so daily/streaming/
+    per-partition rollups answer the same quantiles as a global build.
+    This is the 100 TB operating mode — partials at ingest, O(buckets)
+    merge at query time."""
+    from tagtree_spark.operators.sketch import logq_exprs, merge_log_histograms
+
+    bucket, lo, hi = logq_exprs("s", "spark")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.expr("unix_millis(ts) div 86400000").cast("bigint").alias("day"),
+        F.round(F.col("value") * F.lit(1024.0)).cast("bigint").alias("s"),
+    )
+    partials = (
+        ev.select(
+            "key",
+            "day",
+            F.expr(bucket).cast("bigint").alias("bucket"),
+            F.expr(lo).cast("bigint").alias("lo"),
+            F.expr(hi).cast("bigint").alias("hi"),
+        )
+        .groupBy("key", "day", "bucket", "lo", "hi")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    merged = merge_log_histograms(partials.drop("day"))
+    return merged.select(
+        F.col("key").alias("event_type"), "bucket", "lo", "hi", "n"
+    ).orderBy("event_type", "bucket")

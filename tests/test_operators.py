@@ -2765,3 +2765,62 @@ def test_code_switching_detects_mixture(spark):
     assert got[2].n_langs == 1 and got[2].n_identified == got[2].dom_chunks
     assert got[3].n_langs == 0 and got[3].n_identified == 0
     assert got[4].n_chunks == 1 and got[4].n_langs == 0
+
+
+def test_log_histogram_quantile_sketch(spark):
+    """Log-histogram sketch invariants: (1) merge of arbitrary partition
+    partials equals the direct sketch; (2) every quantile bucket
+    straddles the true order statistic with relative width ≤ 2^-6 —
+    checked on adversarial data packed around power-of-two boundaries."""
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.operators.sketch import (
+        log_histogram,
+        logq_exprs,
+        merge_log_histograms,
+    )
+
+    vals = (
+        [0, 1, 63, 64, 65, 127, 128, 129]
+        + [2**k + d for k in range(6, 18) for d in (-1, 0, 1)]
+        + [17 * i % 100_000 for i in range(3000)]
+    )
+    df = spark.createDataFrame(
+        [("k", v, i) for i, v in enumerate(vals)], "key string, s long, i long"
+    )
+    direct = {
+        (r.bucket, r.lo, r.hi): r.n for r in log_histogram(df, "key", "s").collect()
+    }
+    # partials over 5 arbitrary slices -> merge == direct
+    bucket, lo, hi = logq_exprs("s", "spark")
+    parts = (
+        df.withColumn("slice", F.col("i") % 5)
+        .select(
+            "key",
+            "slice",
+            F.expr(bucket).cast("bigint").alias("bucket"),
+            F.expr(lo).cast("bigint").alias("lo"),
+            F.expr(hi).cast("bigint").alias("hi"),
+        )
+        .groupBy("key", "slice", "bucket", "lo", "hi")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    merged = {
+        (r.bucket, r.lo, r.hi): r.n
+        for r in merge_log_histograms(parts.drop("slice")).collect()
+    }
+    assert merged == direct and len(direct) > 50
+    # containment + width bound for every rank target
+    svals = sorted(vals)
+    n = len(svals)
+    rows = sorted(direct.items())
+    for p in (0.01, 0.25, 0.5, 0.9, 0.99, 1.0):
+        r = max(1, -(-int(p * n * 100) // 100))  # ceil(p*n) without fp drama
+        true = svals[r - 1]
+        cum = 0
+        for (b, l, h), c in rows:
+            cum += c
+            if cum >= r:
+                assert l <= true < h, (p, r, true, l, h)
+                assert (h - l) <= max(1, (true >> 6) + 1), (p, h - l, true)
+                break
