@@ -527,21 +527,30 @@ def logq_exprs(s: str, engine: str) -> tuple[str, str, str]:
     return bucket, lo, hi
 
 
-def log_histogram(df: DataFrame, key_col: str, s_col: str) -> DataFrame:
+def log_histogram(
+    df: DataFrame, key_col: str, s_col: str, weight_col: str | None = None
+) -> DataFrame:
     """Build the sketch → ``(key, bucket, lo, hi, n)``. ``s_col`` must be
     a non-negative scaled bigint (round(v · 2^LOGQ_SCALE_BITS)). One
     map-side-combining groupBy; merging sketches is the SAME groupBy-sum
-    over their union (counts compose)."""
+    over their union (counts compose). With ``weight_col`` the input is
+    itself a count summary (e.g. a distinct-value frame or the streamed
+    DistributionSink state) and buckets sum the weights."""
     bucket, lo, hi = logq_exprs(s_col, "spark")
+    cols = [
+        F.col(key_col).alias("key"),
+        F.expr(bucket).cast("bigint").alias("bucket"),
+        F.expr(lo).cast("bigint").alias("lo"),
+        F.expr(hi).cast("bigint").alias("hi"),
+    ]
+    agg = F.count("*") if weight_col is None else F.sum(weight_col)
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("_w"))
+        agg = F.sum("_w")
     return (
-        df.select(
-            F.col(key_col).alias("key"),
-            F.expr(bucket).cast("bigint").alias("bucket"),
-            F.expr(lo).cast("bigint").alias("lo"),
-            F.expr(hi).cast("bigint").alias("hi"),
-        )
+        df.select(*cols)
         .groupBy("key", "bucket", "lo", "hi")
-        .agg(F.count("*").cast("bigint").alias("n"))
+        .agg(agg.cast("bigint").alias("n"))
     )
 
 
@@ -550,4 +559,79 @@ def merge_log_histograms(parts: DataFrame) -> DataFrame:
     e.g. per-day partials) by bucket-count addition."""
     return parts.groupBy("key", "bucket", "lo", "hi").agg(
         F.sum("n").cast("bigint").alias("n")
+    )
+
+
+def logq_quantile_report(dist: DataFrame) -> DataFrame:
+    """p50/p90/p99 from the sketch WITH the containment certificate —
+    shared by the batch (q309) and stream-state (q311) paths so both
+    answer the same oracle bit-for-bit. ``dist`` is a count summary
+    ``(key, s, c)`` (s = scaled bigint value). Output: (event_type, p,
+    r, n, q_lo, q_hi, q_true); rows DROP if the chosen bucket fails to
+    straddle the true rank-r order statistic — the sketch's ≤2^-6
+    relative-error guarantee enforced as a loud WHERE. Rank targets
+    ceil(p·n) are exact DECIMAL arithmetic (no float rank)."""
+    from pyspark.sql import Window
+
+    sk = log_histogram(dist, "key", "s", weight_col="c")
+    wb = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = sk.withColumn("cum", F.sum("n").over(wb))
+    nt = sk.groupBy("key").agg(F.sum("n").cast("bigint").alias("n"))
+    tg = nt.select(
+        "key",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(p)).alias("p"),
+                        F.expr(f"CAST(ceil({lit} * n) AS BIGINT)").alias("r"),
+                    )
+                    for p, lit in [(0.5, "0.50"), (0.9, "0.90"), (0.99, "0.99")]
+                ]
+            )
+        ).alias("t"),
+    ).select("key", "n", F.col("t.p").alias("p"), F.col("t.r").alias("r"))
+    qb = (
+        tg.join(cums.select("key", "bucket", "lo", "hi", "cum"), "key")
+        .where(F.col("cum") >= F.col("r"))
+        .groupBy("key", "p", "r", "n")
+        .agg(F.min(F.struct("bucket", "lo", "hi")).alias("qb"))
+        .select(
+            "key",
+            "p",
+            "r",
+            "n",
+            F.col("qb.lo").alias("q_lo"),
+            F.col("qb.hi").alias("q_hi"),
+        )
+    )
+    ws = (
+        Window.partitionBy("key")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dc = dist.withColumn("cum", F.sum("c").over(ws))
+    tru = (
+        tg.join(dc.select("key", "s", "cum"), "key")
+        .where(F.col("cum") >= F.col("r"))
+        .groupBy("key", "p")
+        .agg(F.min("s").alias("q_true"))
+    )
+    return (
+        qb.join(tru, ["key", "p"])
+        .where((F.col("q_lo") <= F.col("q_true")) & (F.col("q_true") < F.col("q_hi")))
+        .select(
+            F.col("key").alias("event_type"),
+            "p",
+            "r",
+            "n",
+            F.col("q_lo").cast("bigint"),
+            F.col("q_hi").cast("bigint"),
+            F.col("q_true").cast("bigint"),
+        )
     )

@@ -14271,79 +14271,17 @@ def q309_logquantile_sketch(spark, sf_dir):
     driver count instead of shipping a wrong quantile. Rank targets
     ceil(p·n) are exact DECIMAL arithmetic in both engines (no float
     rank). At 100 TB the exact q135 path range-sorts; this sketch is
-    one map-side-combining groupBy + an O(buckets) window."""
-    from tagtree_spark.operators.sketch import log_histogram
-
-    from pyspark.sql import Window
+    one map-side-combining groupBy + an O(buckets) window. The whole
+    report rides the SHARED logq_quantile_report so q311 answers this
+    same oracle from the streamed DistributionSink state."""
+    from tagtree_spark.operators.sketch import logq_quantile_report
 
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("key"),
         F.round(F.col("value") * F.lit(1024.0)).cast("bigint").alias("s"),
     )
     dist = ev.groupBy("key", "s").agg(F.count("*").alias("c"))
-    sk = log_histogram(ev, "key", "s")
-    wb = (
-        Window.partitionBy("key")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cums = sk.withColumn("cum", F.sum("n").over(wb))
-    nt = sk.groupBy("key").agg(F.sum("n").cast("bigint").alias("n"))
-    tg = nt.select(
-        "key",
-        "n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(float(p)).alias("p"),
-                        F.expr(f"CAST(ceil({lit} * n) AS BIGINT)").alias("r"),
-                    )
-                    for p, lit in [(0.5, "0.50"), (0.9, "0.90"), (0.99, "0.99")]
-                ]
-            )
-        ).alias("t"),
-    ).select("key", "n", F.col("t.p").alias("p"), F.col("t.r").alias("r"))
-    qb = (
-        tg.join(cums.select("key", "bucket", "lo", "hi", "cum"), "key")
-        .where(F.col("cum") >= F.col("r"))
-        .groupBy("key", "p", "r", "n")
-        .agg(F.min(F.struct("bucket", "lo", "hi")).alias("qb"))
-        .select(
-            "key",
-            "p",
-            "r",
-            "n",
-            F.col("qb.lo").alias("q_lo"),
-            F.col("qb.hi").alias("q_hi"),
-        )
-    )
-    ws = (
-        Window.partitionBy("key")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    dc = dist.withColumn("cum", F.sum("c").over(ws))
-    tru = (
-        tg.join(dc.select("key", "s", "cum"), "key")
-        .where(F.col("cum") >= F.col("r"))
-        .groupBy("key", "p")
-        .agg(F.min("s").alias("q_true"))
-    )
-    return (
-        qb.join(tru, ["key", "p"])
-        .where((F.col("q_lo") <= F.col("q_true")) & (F.col("q_true") < F.col("q_hi")))
-        .select(
-            F.col("key").alias("event_type"),
-            "p",
-            "r",
-            "n",
-            F.col("q_lo").cast("bigint"),
-            F.col("q_hi").cast("bigint"),
-            F.col("q_true").cast("bigint"),
-        )
-        .orderBy("event_type", "p")
-    )
+    return logq_quantile_report(dist).orderBy("event_type", "p")
 
 
 def _q310_oracle() -> str:
@@ -14395,3 +14333,27 @@ def q310_logquantile_merge(spark, sf_dir):
     return merged.select(
         F.col("key").alias("event_type"), "bucket", "lo", "hi", "n"
     ).orderBy("event_type", "bucket")
+
+
+@query("q311_stream_logquantile", _ORACLE_REG["q309_logquantile_sketch"])
+def q311_stream_logquantile(spark, sf_dir):
+    """The FOURTH test family answered from q299's ONE streamed state:
+    the DistributionSink's per-(key, grp, value) counts collapse over
+    grp into exactly the (key, s, c) summary the log-histogram quantile
+    sketch builds from, so certified p50/p90/p99 (q309's oracle,
+    containment WHERE and all) fall out of the same segments that
+    already answer KS (q299), Mann-Whitney (q300) and Kruskal-Wallis
+    (q302). One accumulator, location + shape + K-group + quantile
+    monitors — the full drift dashboard with zero per-test stream
+    state. Shares logq_quantile_report with q309 for bit-identity."""
+    from tagtree_spark.operators.sketch import logq_quantile_report
+    from tagtree_spark.streaming.drift import read_distribution
+
+    store = _stream_drift_store(spark, sf_dir)
+    dist = read_distribution(spark, store)
+    if dist is None:
+        raise ValueError("empty drift store")
+    summary = dist.groupBy(
+        "key", F.round(F.col("value") * F.lit(1024.0)).cast("bigint").alias("s")
+    ).agg(F.sum("n").cast("bigint").alias("c"))
+    return logq_quantile_report(summary).orderBy("event_type", "p")
