@@ -14357,3 +14357,86 @@ def q311_stream_logquantile(spark, sf_dir):
         "key", F.round(F.col("value") * F.lit(1024.0)).cast("bigint").alias("s")
     ).agg(F.sum("n").cast("bigint").alias("c"))
     return logq_quantile_report(summary).orderBy("event_type", "p")
+
+
+_Q312_MIN_DF = 3  # corpus-frequency threshold for a "known" bigram
+
+
+@query(
+    "q312_bigram_coverage",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), bg AS (
+  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bigram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks) t
+), df AS (
+  SELECT bigram, count(DISTINCT doc_id) AS ndocs FROM bg GROUP BY bigram
+), known AS (
+  SELECT bigram FROM df WHERE ndocs >= {_Q312_MIN_DF}
+), per AS (
+  SELECT bg.doc_id,
+         count(*) AS n_bigrams,
+         sum(CASE WHEN k.bigram IS NOT NULL THEN 1 ELSE 0 END) AS n_known
+  FROM bg LEFT JOIN known k ON bg.bigram = k.bigram
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(per.n_known, 0) AS BIGINT) AS n_known,
+       (CASE WHEN coalesce(per.n_bigrams, 0) > 0
+        THEN CAST(per.n_known AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE)
+        ELSE NULL END) AS coverage
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY doc_id""",
+)
+def q312_bigram_coverage(spark, sf_dir):
+    """Corpus-LM fluency proxy: per-document fraction of word bigrams
+    that are 'known' to the corpus (document frequency ≥ 3) — the
+    integer-exact stand-in for an n-gram LM perplexity screen (a doc
+    whose transitions rarely occur elsewhere scores low, exactly what
+    the CCNet/Gopher-class filters use perplexity for, with no float
+    log hazard; one final IEEE division). DISTINCT-doc counting keeps a
+    single spammy doc from canonizing its own repeated bigram.
+
+    Scale shape: explode to (doc, bigram) once; the corpus df table is
+    one map-side-combining groupBy; the membership join keys on the
+    bigram string (broadcast-able after the df>=K filter prunes the
+    tail — the decontamination q51 join shape)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))")
+        ).alias("bigram"),
+    )
+    known = (
+        bg.groupBy("bigram")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= _Q312_MIN_DF)
+        .select("bigram")
+        .withColumn("_k", F.lit(1))
+    )
+    per = (
+        bg.join(known, "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.coalesce("_k", F.lit(0))).cast("bigint").alias("n_known"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("n_known", F.lit(0)).cast("bigint").alias("n_known"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.col("n_known").cast("double") / F.col("n_bigrams").cast("double"),
+            ).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
