@@ -14440,3 +14440,171 @@ def q312_bigram_coverage(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# Kendall tau-b shared spelling (q313): num = C − D, cpd = C + D,
+# den_g = (doubled pairs not tied on that variable); tau_b =
+# 2(C−D)/sqrt((T2−tx2)(T2−ty2)). Same rule-12/16 discipline as _RHO_EXPR.
+_TAU_EXPR = (
+    "(CASE WHEN den_x > 0.0 AND den_y > 0.0 "
+    "THEN (2.0 * CAST(num AS DOUBLE)) / sqrt(den_x * den_y) ELSE NULL END)"
+)
+
+
+def _q313_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT event_type, value AS v,
+         epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS d
+  FROM events
+), c AS (
+  SELECT event_type, v, d, count(*) AS n FROM e GROUP BY event_type, v, d
+), u AS (
+  SELECT c.event_type AS event_type, dd.d2 AS dpart, c.v AS v, 0 AS kr,
+         0 AS data_n, c.n AS n_b,
+         CASE WHEN c.d > dd.d2 THEN 1 ELSE -1 END AS sgn
+  FROM c JOIN (SELECT DISTINCT event_type AS et2, d AS d2 FROM c) dd
+    ON c.event_type = dd.et2 AND dd.d2 <> c.d
+  UNION ALL
+  SELECT event_type, d AS dpart, v, 1 AS kr, n AS data_n, 0 AS n_b, 0 AS sgn
+  FROM c
+), w AS (
+  SELECT event_type, kr, n_b, sgn,
+         sum(data_n) OVER (PARTITION BY event_type, dpart ORDER BY v, kr
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM u
+), num AS (
+  SELECT event_type,
+         CAST(sum(CAST(sgn AS HUGEINT) * n_b * cum) AS BIGINT) AS num
+  FROM w WHERE kr = 0 GROUP BY event_type
+), mx AS (
+  SELECT event_type, sum(CAST(cx AS HUGEINT) * (cx - 1)) AS tx2
+  FROM (SELECT event_type, v, sum(n) AS cx FROM c GROUP BY event_type, v)
+  GROUP BY event_type
+), my AS (
+  SELECT event_type, sum(CAST(cy AS HUGEINT) * (cy - 1)) AS ty2
+  FROM (SELECT event_type, d, sum(n) AS cy FROM c GROUP BY event_type, d)
+  GROUP BY event_type
+), mc AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+         sum(CAST(n AS HUGEINT) * (n - 1)) AS txy2
+  FROM c GROUP BY event_type
+), b AS (
+  SELECT mc.event_type AS event_type, mc.n AS n, num.num AS num,
+         CAST((CAST(mc.n AS HUGEINT) * (mc.n - 1) - mx.tx2 - my.ty2
+               + mc.txy2) // 2 AS BIGINT) AS cpd,
+         CAST(CAST(mc.n AS HUGEINT) * (mc.n - 1) - mx.tx2 AS DOUBLE) AS den_x,
+         CAST(CAST(mc.n AS HUGEINT) * (mc.n - 1) - my.ty2 AS DOUBLE) AS den_y
+  FROM mc JOIN num ON mc.event_type = num.event_type
+          JOIN mx ON mc.event_type = mx.event_type
+          JOIN my ON mc.event_type = my.event_type
+)
+SELECT event_type, n, num, cpd, den_x, den_y, {_TAU_EXPR} AS tau
+FROM b WHERE abs(num) <= cpd ORDER BY event_type"""
+
+
+@query("q313_kendall_tau", _q313_oracle())
+def q313_kendall_tau(spark, sf_dir):
+    """Exact Kendall tau-b per event_type between value and UTC day —
+    the pair-concordance twin of q303's Spearman (tau-b is the robust
+    choice under heavy day ties). C − D is computed WITHOUT the O(n²)
+    pair join: each (value, day) cell probes every OTHER day through
+    the union-merge rank trick — probe rows (kr=0) interleave with data
+    rows (kr=1) in one value-ordered window per (type, day), so the
+    running data-count at a probe IS that day's strict value-rank of
+    the probing cell, and C − D = Σ sign(d_b − d')·n_b·rank. Fan-out is
+    bounded by the DAY CARDINALITY (30 here; a dashboard's trend window
+    at any scale), never by rows or distinct values. All pair counts
+    stay exact integers (DECIMAL/HUGEINT sums, rules 7/11); the
+    |C−D| ≤ C+D identity (C+D derived independently from the tie
+    marginals) is a loud WHERE in both engines; tau is the shared
+    _TAU_EXPR spelling over rule-16 casts."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.session import persist_tracked
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.expr("unix_millis(ts) div 86400000").cast("bigint").alias("d"),
+    )
+    # the cell table feeds FIVE branches (probes/data/num + 3 marginals);
+    # persist the one-row-per-cell intermediate per the self-join rule
+    c = persist_tracked(
+        ev.groupBy("event_type", "v", "d").agg(F.count("*").alias("n"))
+    )
+    days = c.select("event_type", F.col("d").alias("d2")).distinct()
+    probes = (
+        c.join(F.broadcast(days), "event_type")
+        .where(F.col("d2") != F.col("d"))
+        .select(
+            "event_type",
+            F.col("d2").alias("dpart"),
+            "v",
+            F.lit(0).alias("kr"),
+            F.lit(0).cast("bigint").alias("data_n"),
+            F.col("n").alias("n_b"),
+            F.when(F.col("d") > F.col("d2"), F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+        )
+    )
+    data = c.select(
+        "event_type",
+        F.col("d").alias("dpart"),
+        "v",
+        F.lit(1).alias("kr"),
+        F.col("n").cast("bigint").alias("data_n"),
+        F.lit(0).cast("bigint").alias("n_b"),
+        F.lit(0).alias("sgn"),
+    )
+    wm = (
+        Window.partitionBy("event_type", "dpart")
+        .orderBy("v", "kr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = probes.unionByName(data).withColumn("cum", F.sum("data_n").over(wm))
+    num = (
+        w.where(F.col("kr") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("sgn").cast("decimal(38,0)") * F.col("n_b") * F.col("cum")
+            )
+            .cast("bigint")
+            .alias("num")
+        )
+    )
+    cx = c.groupBy("event_type", "v").agg(F.sum("n").alias("cx"))
+    mx = cx.groupBy("event_type").agg(
+        F.sum(F.col("cx").cast("decimal(38,0)") * (F.col("cx") - 1)).alias("tx2")
+    )
+    cy = c.groupBy("event_type", "d").agg(F.sum("n").alias("cy"))
+    my = cy.groupBy("event_type").agg(
+        F.sum(F.col("cy").cast("decimal(38,0)") * (F.col("cy") - 1)).alias("ty2")
+    )
+    mc = c.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)).alias("txy2"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    t2 = nd * (nd - 1)
+    b = (
+        mc.join(num, "event_type")
+        .join(mx, "event_type")
+        .join(my, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "num",
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * (n - 1) - tx2 - ty2 + txy2)"
+                " DIV 2 AS BIGINT)"
+            ).alias("cpd"),
+            (t2 - F.col("tx2")).cast("double").alias("den_x"),
+            (t2 - F.col("ty2")).cast("double").alias("den_y"),
+        )
+    )
+    return (
+        b.where(F.abs(F.col("num")) <= F.col("cpd"))
+        .withColumn("tau", F.expr(_TAU_EXPR))
+        .orderBy("event_type")
+    )
