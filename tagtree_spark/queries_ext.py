@@ -14608,3 +14608,166 @@ def q313_kendall_tau(spark, sf_dir):
         .withColumn("tau", F.expr(_TAU_EXPR))
         .orderBy("event_type")
     )
+
+
+_PCA_DIM = 64
+_PCA_ITERS = 10
+_PCA_SCALE = 1_048_576.0  # 2^20 (rule 8: exact exponent-shift multiply)
+
+
+def _pca_matvec(c: str, v: str, engine: str) -> str:
+    """C·v with the fold order PINNED k = 1..64 (rule 3: Spark aggregate
+    ≡ DuckDB list_reduce(list_prepend) — same bracketing), so the double
+    results are bit-identical across engines."""
+    if engine == "spark":
+        return (
+            f"transform({c}, row -> aggregate(transform(sequence(1, {_PCA_DIM}), "
+            f"k -> element_at(row, k) * element_at({v}, k)), 0D, (acc, x) -> acc + x))"
+        )
+    return (
+        f"list_transform({c}, row -> list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, {_PCA_DIM + 1}), k -> row[k] * {v}[k])), "
+        f"(acc, x) -> acc + x))"
+    )
+
+
+def _pca_normalize(v: str, engine: str) -> str:
+    if engine == "spark":
+        nrm = f"sqrt(aggregate({v}, 0D, (acc, x) -> acc + x * x))"
+        return f"transform({v}, x -> x / {nrm})"
+    nrm = f"sqrt(list_reduce(list_prepend(0.0, {v}), (acc, x) -> acc + x * x))"
+    return f"list_transform({v}, x -> x / {nrm})"
+
+
+def _q314_oracle() -> str:
+    it = "SELECT c, v0 AS v FROM base"
+    for _ in range(_PCA_ITERS):
+        mv = _pca_matvec("c", "v", "duckdb")
+        it = f"SELECT c, {_pca_normalize(mv, 'duckdb')} AS v FROM ({it})"
+    lam_terms = _pca_matvec("c", "v", "duckdb")
+    lam = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {_PCA_DIM + 1}), "
+        f"k -> v[k] * ({lam_terms})[k])), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH r AS (
+  SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * {_PCA_SCALE}) AS BIGINT) AS ri, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, {_PCA_DIM + 1})) AS i
+        FROM embeddings)
+), t1 AS (
+  SELECT r.vec_id, r.i, r.ri, e2.rl FROM r
+  JOIN (SELECT vec_id, list(CAST(round(CAST(x AS DOUBLE) * {_PCA_SCALE}) AS BIGINT)
+                            ORDER BY i) AS rl
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     unnest(range(1, {_PCA_DIM + 1})) AS i FROM embeddings)
+        GROUP BY vec_id) e2 ON r.vec_id = e2.vec_id
+), pairs AS (
+  SELECT i, j, rj, ri FROM (
+    SELECT vec_id, i, ri, unnest(rl) AS rj,
+           unnest(range(1, {_PCA_DIM + 1})) AS j
+    FROM t1)
+), mom AS (
+  SELECT i, j, sum(CAST(ri AS HUGEINT) * rj) AS m FROM pairs GROUP BY i, j
+), marg AS (
+  SELECT i, sum(CAST(ri AS HUGEINT)) AS s FROM r GROUP BY i
+), nn AS (SELECT count(*) AS n FROM embeddings),
+cov AS (
+  SELECT mom.i AS i, mom.j AS j,
+         CAST(CAST(nn.n AS HUGEINT) * mom.m - sa.s * sb.s AS DOUBLE) AS cv
+  FROM mom, nn
+  JOIN marg sa ON sa.i = mom.i
+  JOIN marg sb ON sb.i = mom.j
+), crows AS (
+  SELECT i, list(cv ORDER BY j) AS row FROM cov GROUP BY i
+), base AS (
+  SELECT list(row ORDER BY i) AS c,
+         list_transform(range(1, {_PCA_DIM + 1}), k -> 0.125) AS v0
+  FROM crows
+), fin AS ({it})
+SELECT CAST(t.i AS BIGINT) AS i, v[CAST(t.i AS INT)] AS comp,
+       CAST({lam} AS DOUBLE) AS lam_scaled
+FROM fin, (SELECT unnest(range(1, {_PCA_DIM + 1})) AS i) t
+ORDER BY i"""
+
+
+@query("q314_pca_power_iteration", _q314_oracle())
+def q314_pca_power_iteration(spark, sf_dir):
+    """TOP PRINCIPAL COMPONENT of the embedding corpus computed entirely
+    IN-ENGINE by 10 fixed power iterations — the embedding-drift /
+    whitening primitive, with the whole float pipeline cross-engine
+    bit-certified: the 64×64 second-moment matrix is EXACT integers
+    (rule-8 2^20 scaling, DECIMAL/HUGEINT sums, rules 7/11), the
+    covariance-times-n² entries cast once per rule 16, and every C·v,
+    norm and Rayleigh fold runs in the PINNED k=1..64 order (rule 3:
+    aggregate ≡ list_reduce — same bracketing), so 10 iterations of
+    IEEE arithmetic land on identical bits in Spark and DuckDB. Fixed
+    v0 = 1/8·𝟙 pins the eigenvector sign. Iterations are chained
+    projections over a ONE-ROW frame with an eager localCheckpoint
+    barrier per step — CollapseProject would otherwise paste each v
+    64× per matvec level (the q130-class projection trap) and blow the
+    expression tree up exponentially.
+
+    Scale shape: the moment build is the only data-sized stage — one
+    explode to (row, i, j) and a map-side-combining groupBy to 4096
+    cells; iterations are O(d²) control-plane work on one row. At
+    100 TB you shard the moment groupBy; the iteration cost never
+    grows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_PCA_SCALE}) AS BIGINT))"
+        ).alias("rl"),
+    )
+    t1 = r.select("vec_id", "rl", F.posexplode("rl").alias("i0", "ri")).select(
+        "vec_id", "rl", (F.col("i0") + 1).alias("i"), "ri"
+    )
+    pairs = t1.select(
+        "i", "ri", F.posexplode("rl").alias("j0", "rj")
+    ).select("i", (F.col("j0") + 1).alias("j"), "ri", "rj")
+    mom = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("ri").cast("decimal(38,0)") * F.col("rj")).alias("m")
+    )
+    marg = t1.groupBy("i").agg(F.sum(F.col("ri").cast("decimal(38,0)")).alias("s"))
+    n = emb.count()
+    cov = (
+        mom.join(marg.select(F.col("i").alias("i"), F.col("s").alias("sa")), "i")
+        .join(
+            marg.select(F.col("i").alias("j"), F.col("s").alias("sb")),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (F.lit(n).cast("decimal(38,0)") * F.col("m") - F.col("sa") * F.col("sb"))
+            .cast("double")
+            .alias("cv"),
+        )
+    )
+    crows = cov.groupBy("i").agg(
+        F.array_sort(F.collect_list(F.struct("j", "cv"))).alias("jr")
+    ).select("i", F.expr("transform(jr, p -> p.cv)").alias("row"))
+    base = crows.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("i", "row"))).alias("ir")
+    ).select(
+        F.expr("transform(ir, p -> p.row)").alias("c"),
+        F.expr(f"transform(sequence(1, {_PCA_DIM}), k -> 0.125D)").alias("v"),
+    )
+    cur = base
+    for _ in range(_PCA_ITERS):
+        mv = _pca_matvec("c", "v", "spark")
+        cur = cur.select(
+            "c", F.expr(_pca_normalize(mv, "spark")).alias("v")
+        ).localCheckpoint(eager=True)
+    lam_terms = _pca_matvec("c", "v", "spark")
+    lam = (
+        f"aggregate(transform(sequence(1, {_PCA_DIM}), "
+        f"k -> element_at(v, k) * element_at(({lam_terms}), k)), 0D, (acc, x) -> acc + x)"
+    )
+    fin = cur.select("v", F.expr(lam).cast("double").alias("lam_scaled"))
+    return fin.select(
+        F.posexplode("v").alias("i0", "comp"), "lam_scaled"
+    ).select(
+        (F.col("i0") + 1).cast("bigint").alias("i"), "comp", "lam_scaled"
+    ).orderBy("i")
