@@ -13933,26 +13933,49 @@ def q304_autocorrelation(spark, sf_dir):
     casts. Ordering ties on ms are broken by the unique event_id in
     BOTH engines, so lead() pairs are deterministic.
 
-    Scale shape: ONE window pass computes all three leads (sequence ops
-    are per-key sorts — at 100 TB this partitions by (type, day) or
-    tsid segment, exactly how q130/q180's windows shard); the explode
-    is a bounded ×3 fan-out feeding one map-side-combining groupBy."""
+    Scale shape (r10b rework after the 100× probe showed 19× wall): the
+    sequence is SPLIT-AND-STITCHED — leads run inside (type, UTC-day)
+    windows (150-way parallel instead of one hot sort per type), and
+    the ≤3·(days−1) pairs that CROSS segment boundaries are assembled
+    exactly via global indices (per-day cumulative offsets over a tiny
+    frame; candidates = each day's first/last 3 rows, which covers
+    short and empty days too) and a bounded equi-join on idx + k. The
+    pair MULTISET is identical to one global window, so the sums — and
+    the oracle hash — are unchanged. The explode is a bounded ×3
+    fan-out feeding one map-side-combining groupBy."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.unix_millis("ts").alias("ms"),
         "event_id",
+        F.expr("unix_millis(ts) div 86400000").cast("bigint").alias("day"),
         F.round(F.col("value") * F.lit(1024.0)).cast("bigint").alias("v"),
     )
-    w = Window.partitionBy("event_type").orderBy("ms", "event_id")
-    led = ev.select(
-        "event_type",
-        F.col("v"),
-        *[F.lead("v", k).over(w).alias(f"y{k}") for k in (1, 2, 3)],
+    wday = Window.partitionBy("event_type", "day").orderBy("ms", "event_id")
+    # ONE window pass produces both the within-day leads and the row
+    # numbers; everything else joins BROADCAST day-level frames onto it
+    # (a second 10M-row sort showed up as half the 100x wall otherwise)
+    from tagtree_spark.session import persist_tracked
+
+    base = persist_tracked(
+        ev.select(
+            "event_type",
+            "day",
+            "v",
+            F.row_number().over(wday).alias("rn"),
+            *[F.lead("v", k).over(wday).alias(f"y{k}") for k in (1, 2, 3)],
+        )
     )
-    pairs = (
-        led.select(
+    daycnt = ev.groupBy("event_type", "day").agg(F.count("*").alias("cnt"))
+    woff = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = daycnt.withColumn("off", F.coalesce(F.sum("cnt").over(woff), F.lit(0)))
+    within = (
+        base.select(
             "event_type",
             "v",
             F.explode(
@@ -13970,6 +13993,33 @@ def q304_autocorrelation(spark, sf_dir):
         .select("event_type", F.col("p.lag").alias("lag"), F.col("v").alias("x"), F.col("p.y").alias("y"))
         .where(F.col("y").isNotNull())
     )
+    # a row is in its day's LAST 3 rows iff its lead-3 is null, so the
+    # candidate filter needs no per-day count; the tiny survivor set
+    # (≤6 rows/day) then takes its global idx from the broadcast offsets
+    cand = (
+        base.where((F.col("rn") <= 3) | F.col("y3").isNull())
+        .join(F.broadcast(offs), ["event_type", "day"])
+        .select(
+            "event_type", "day", (F.col("off") + F.col("rn")).alias("idx"), "v"
+        )
+    )
+    probes = cand.select(
+        "event_type",
+        F.col("day").alias("xday"),
+        F.col("v").alias("x"),
+        "idx",
+        F.explode(F.array(*[F.lit(k).cast("bigint") for k in (1, 2, 3)])).alias("lag"),
+    ).withColumn("tidx", F.col("idx") + F.col("lag"))
+    boundary = probes.join(
+        cand.select(
+            "event_type",
+            F.col("day").alias("yday"),
+            F.col("idx").alias("tidx"),
+            F.col("v").alias("y"),
+        ),
+        ["event_type", "tidx"],
+    ).where(F.col("yday") != F.col("xday")).select("event_type", "lag", "x", "y")
+    pairs = within.unionByName(boundary)
     xd = F.col("x").cast("decimal(38,0)")
     yd = F.col("y").cast("decimal(38,0)")
     s = pairs.groupBy("event_type", "lag").agg(
@@ -14893,3 +14943,75 @@ def q315_pc1_projection(spark, sf_dir):
         .unionByName(side(scored, True, "neg"))
         .orderBy("side", "rank")
     )
+
+
+@query(
+    "q316_ewma_chart",
+    """
+WITH RECURSIVE d AS (
+  SELECT event_type,
+         epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+         CAST(sum(CAST(round(value * 1024.0) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY event_type, epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000
+), dt AS (
+  SELECT event_type, day, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM d
+), ew AS (
+  SELECT event_type, day, t, x, x AS z FROM dt WHERE t = 1
+  UNION ALL
+  SELECT dt.event_type, dt.day, dt.t, dt.x, 0.25 * dt.x + 0.75 * ew.z AS z
+  FROM ew JOIN dt ON dt.event_type = ew.event_type AND dt.t = ew.t + 1
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, x, CAST(z AS DOUBLE) AS z
+FROM ew ORDER BY event_type, day""",
+)
+def q316_ewma_chart(spark, sf_dir):
+    """EWMA control chart per event_type over the daily mean (scaled
+    units): z_t = ¼·x_t + ¾·z_{t−1}, z_1 = x_1 — the classic
+    smoothed-drift monitor beside CUSUM (q263). Cross-engine float
+    determinism is by construction: daily means are ONE division of
+    exact rule-8 integers, λ = ¼ and 1−λ = ¾ are binary-exact
+    constants, and the recursion evaluates the IDENTICAL two-multiply-
+    one-add expression per step — Spark as a struct-state aggregate
+    fold over the day-sorted array (rule 3's sequential-fold bracketing),
+    DuckDB as a recursive CTE walking t = 1..D. Emits the full (x, z)
+    trajectory, not just the endpoint, so a dashboard replays it.
+
+    Scale shape: the only data-sized stage is the (type, day) groupBy;
+    the fold is O(days) per key on a bounded frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").cast("bigint").alias("day"),
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * F.lit(1024.0)).cast("bigint").cast("decimal(38,0)"))
+            .cast("double")
+            / F.count("*").cast("double")
+        ).alias("x")
+    )
+    arr = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("arr")
+    )
+    fold = (
+        "aggregate(arr, "
+        "struct(CAST(0.0 AS DOUBLE) AS z, "
+        "CAST(array() AS ARRAY<STRUCT<day: BIGINT, x: DOUBLE, z: DOUBLE>>) AS out), "
+        "(acc, p) -> struct("
+        "CASE WHEN size(acc.out) = 0 THEN p.x ELSE 0.25 * p.x + 0.75 * acc.z END AS z, "
+        "array_append(acc.out, struct(p.day AS day, p.x AS x, "
+        "CASE WHEN size(acc.out) = 0 THEN p.x ELSE 0.25 * p.x + 0.75 * acc.z END AS z)) AS out))"
+    )
+    rows = arr.select(
+        "event_type", F.explode(F.expr(fold + ".out")).alias("r")
+    )
+    return rows.select(
+        "event_type",
+        F.col("r.day").cast("bigint").alias("day"),
+        F.col("r.x").alias("x"),
+        F.col("r.z").cast("double").alias("z"),
+    ).orderBy("event_type", "day")

@@ -106,6 +106,21 @@ OVERFLOW_QUERIES = (
     "q45_neardup_clusters",    # CC label propagation rounds
     "q216_kcore",              # convergence-checked peel (r9)
     "q238_sequence_match",     # CEP per-key sequence state
+    # r10b exact-integer rank/sketch additions: doubled rank sums reach
+    # n(n+1) (~4e14 at 100x), their squares ride DECIMAL(38,0)/HUGEINT
+    # (kw_h_expr), Spearman per-term products c·2rx·2ry ~ 4n^3 forced
+    # the rule-7 per-term DECIMAL casts this probes; the quantile
+    # sketch's rank targets and the Kendall union-merge products grow
+    # the same way. q314/q315 (embeddings) are probed separately at a
+    # smaller --n: the moment explode is 64^2 per vector, so 100x
+    # documents would time the explode, not the overflow headroom.
+    "q301_kruskal_wallis",
+    "q303_spearman_trend",
+    "q304_autocorrelation",
+    "q309_logquantile_sketch",
+    "q310_logquantile_merge",
+    "q312_bigram_coverage",
+    "q313_kendall_tau",
 )
 
 
