@@ -764,6 +764,24 @@ def resize_media(modality: str, payload: bytes, width: int, height: int) -> byte
     modalities raise: audio resampling and video scaling need DSP/codec
     machinery out of scope here."""
     if modality == "image":
+        if payload[:4] == b"GIF8":
+            w0, h0, rgb = decode_gif(payload)
+            if any(
+                rgb[3 * i] != rgb[3 * i + 1] or rgb[3 * i] != rgb[3 * i + 2]
+                for i in range(w0 * h0)
+            ):
+                raise NotImplementedError(
+                    "GIF resize re-encodes through the grayscale palette; "
+                    "color GIFs would need palette requantization (out of "
+                    "scope — no codec library here)"
+                )
+            out = bytearray()
+            for y in range(height):
+                sy = y * h0 // height
+                for x in range(width):
+                    sx = x * w0 // width
+                    out.append(rgb[3 * (sy * w0 + sx)])
+            return encode_gif(width, height, bytes(out), GIF_GRAY_PALETTE)
         if payload[:8] == _PNG_SIG:
             w0, h0, ch, px = decode_png(payload)
         elif payload[:2] == b"\xff\xd8":
@@ -1219,6 +1237,35 @@ def decoded_gif_features(media: DataFrame) -> DataFrame:
             out: dict[str, list] = {k.name: [] for k in BMP_DECODED_SCHEMA}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, rgb = decode_gif(bytes(payload))
+                arr = np.frombuffer(rgb, np.uint8).astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixel_bytes"].append(len(rgb))
+                out["sum_pixels"].append(int(arr.sum()))
+                out["possum"].append(int((np.arange(1, len(arr) + 1) * arr).sum()))
+            yield pd.DataFrame(out).astype("int64")
+
+    return spread(media).mapInPandas(batches, schema=BMP_DECODED_SCHEMA)
+
+
+def gif_thumbnail_features(media: DataFrame, out_w: int = 4) -> DataFrame:
+    """GIF thumbnail pipeline (the q292 PNG shape, through the LZW
+    codec): full GIF decode → nearest-neighbour ``resize_media`` to
+    ``out_w`` wide × half height → REAL GIF re-encode → decode the
+    thumbnail → geometry + exact pixel sum + position-weighted
+    checksum. Both LZW passes are the real codec."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in BMP_DECODED_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w0, h0, _rgb = decode_gif(bytes(payload))
+                th = max(1, h0 // 2)
+                thumb = resize_media("image", bytes(payload), out_w, th)
+                w, h, rgb = decode_gif(thumb)
                 arr = np.frombuffer(rgb, np.uint8).astype(np.int64)
                 out["media_id"].append(int(mid))
                 out["width"].append(w)

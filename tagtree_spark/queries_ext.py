@@ -15015,3 +15015,180 @@ def q316_ewma_chart(spark, sf_dir):
         F.col("r.x").alias("x"),
         F.col("r.z").cast("double").alias("z"),
     ).orderBy("event_type", "day")
+
+
+def _zorder_sql(a: str, b: str, bits: int = 8) -> str:
+    """Bit-interleave two ``bits``-wide non-negative ints (a into even
+    positions, b into odd) with plain integer arithmetic — one shared
+    spelling for both engines (no engine bit-op dialect: (x DIV 2^k) % 2
+    extracts bit k in Spark and DuckDB alike once DIV is spelled //
+    there; this helper uses floor-div-free multiply/mod form)."""
+    terms = []
+    for k in range(bits):
+        p2k = 1 << k
+        terms.append(f"(({a} DIV {p2k}) % 2) * {1 << (2 * k)}")
+        terms.append(f"(({b} DIV {p2k}) % 2) * {1 << (2 * k + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q317_zorder_layout",
+    f"""
+WITH e AS (
+  SELECT event_type,
+         epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 - 19723 AS day_off,
+         CAST(least(255, CAST(round(value * 1024.0) AS BIGINT) // 2048) AS BIGINT)
+           AS vb
+  FROM events
+), z AS (
+  SELECT event_type, day_off, vb,
+         {_zorder_sql("day_off", "vb").replace("DIV", "//")} AS zkey
+  FROM e
+), r AS (
+  SELECT event_type, zkey, day_off, vb,
+         row_number() OVER (PARTITION BY event_type ORDER BY zkey,
+                            day_off, vb) AS pos,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM z
+), sel AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE day_off BETWEEN 7 AND 13
+                               AND vb BETWEEN 32 AND 95) AS BIGINT) AS n_sel,
+         CAST(max(pos) FILTER (WHERE day_off BETWEEN 7 AND 13
+                               AND vb BETWEEN 32 AND 95)
+              - min(pos) FILTER (WHERE day_off BETWEEN 7 AND 13
+                                 AND vb BETWEEN 32 AND 95) + 1 AS BIGINT)
+           AS span_z,
+         CAST(min(zkey) AS BIGINT) AS zkey_min,
+         CAST(max(zkey) AS BIGINT) AS zkey_max
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n, n_sel, span_z, zkey_min, zkey_max,
+       (CASE WHEN span_z > 0
+        THEN CAST(n_sel AS DOUBLE) / CAST(span_z AS DOUBLE)
+        ELSE NULL END) AS density
+FROM sel ORDER BY event_type""",
+)
+def q317_zorder_layout(spark, sf_dir):
+    """DATA-LAYOUT operator: Z-ORDER (Morton) clustering key over
+    (day, value-bucket) — the multi-dimensional sort key a 100 TB table
+    is rewritten under so that a 2-D predicate (a week × a value band)
+    touches a contiguous-ish run of files instead of the whole table.
+    The interleave is plain integer arithmetic from ONE generated
+    spelling (bit k via DIV/mod — no engine bit-op dialect), and the
+    emitted metric is the layout's value made measurable: for the probe
+    rectangle day∈[7,13] × bucket∈[32,95], `span_z` = the width of the
+    Z-sorted position range its rows occupy and `density` = n_sel/span
+    — the fraction of a contiguous Z-range scan that is useful rows
+    (1.0 = perfectly clustered; n_sel/n = what an unsorted layout
+    gives). A table rewriter thresholds on exactly this number. Day
+    offset is anchored to the corpus epoch (2024-01-01 = day 19723) so
+    8 bits cover the domain; the value axis is capped into 8 bits with
+    least(). All integers exact; one final IEEE division."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("unix_millis(ts) div 86400000") - F.lit(19723))
+        .cast("bigint")
+        .alias("day_off"),
+        F.least(
+            F.lit(255),
+            (F.round(F.col("value") * F.lit(1024.0)).cast("bigint") / F.lit(2048))
+            .cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("vb"),
+    )
+    z = ev.withColumn("zkey", F.expr(_zorder_sql("day_off", "vb")).cast("bigint"))
+    wpos = Window.partitionBy("event_type").orderBy("zkey", "day_off", "vb")
+    wall = Window.partitionBy("event_type")
+    r = z.select(
+        "event_type",
+        "zkey",
+        "day_off",
+        "vb",
+        F.row_number().over(wpos).alias("pos"),
+        F.count("*").over(wall).alias("n"),
+    )
+    in_rect = (
+        F.col("day_off").between(7, 13) & F.col("vb").between(32, 95)
+    )
+    sel = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.when(in_rect, 1).otherwise(0)).cast("bigint").alias("n_sel"),
+        (
+            F.max(F.when(in_rect, F.col("pos")))
+            - F.min(F.when(in_rect, F.col("pos")))
+            + 1
+        )
+        .cast("bigint")
+        .alias("span_z"),
+        F.min("zkey").cast("bigint").alias("zkey_min"),
+        F.max("zkey").cast("bigint").alias("zkey_max"),
+    )
+    return sel.select(
+        "event_type",
+        "n",
+        "n_sel",
+        "span_z",
+        "zkey_min",
+        "zkey_max",
+        F.when(
+            F.col("span_z") > 0,
+            F.col("n_sel").cast("double") / F.col("span_z").cast("double"),
+        ).alias("density"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q318_gif_thumbnail",
+    """
+WITH dims AS (
+  SELECT doc_id, text, length(text) AS len,
+         greatest(1, (length(text) + 7) // 8) AS h0,
+         greatest(1, greatest(1, (length(text) + 7) // 8) // 2) AS th
+  FROM documents
+), ys AS (
+  SELECT doc_id, text, len, h0, th, unnest(range(0, th)) AS y FROM dims
+), px AS (
+  SELECT doc_id, th,
+         (y * 4 + x) AS p0,
+         (CASE WHEN ((y * h0) // th) * 8 + 2 * x < len
+          THEN ord(substr(text,
+                          CAST(((y * h0) // th) * 8 + 2 * x + 1 AS INT), 1))
+          ELSE 0 END) AS b
+  FROM (SELECT doc_id, text, len, h0, th, y, unnest(range(0, 4)) AS x FROM ys)
+), a AS (
+  SELECT doc_id, CAST(max(th) AS BIGINT) AS th,
+         CAST(sum(3 * b) AS BIGINT) AS sum_pixels,
+         CAST(sum((9 * p0 + 6) * b) AS BIGINT) AS possum
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(4 AS BIGINT) AS width,
+       th AS height,
+       CAST(12 * th AS BIGINT) AS n_pixel_bytes,
+       sum_pixels, possum
+FROM a ORDER BY media_id""",
+)
+def q318_gif_thumbnail(spark, sf_dir):
+    """GIF THUMBNAIL pipeline — q292's resize surface pushed through the
+    LZW codec end-to-end: real GIF decode → nearest-neighbour resize to
+    4 wide × half height (index map sy = y·h0 div th, sx = 2x) → REAL
+    LZW re-encode → decode the thumbnail → exact pixel sum AND the
+    position-weighted checksum (pinning the resampled pixel ORDER
+    through compress/decompress round 2). The oracle replays the index
+    map directly over the raw text bytes (sampled indices past the text
+    are the raster's zero padding). One Arrow pass per doc; both LZW
+    passes are the from-scratch codec."""
+    from tagtree_spark.operators.multimodal import (
+        gif_from_documents,
+        gif_thumbnail_features,
+    )
+
+    media = gif_from_documents(_docs(spark, sf_dir))
+    return gif_thumbnail_features(media).repartition(1).sortWithinPartitions(
+        "media_id"
+    )
