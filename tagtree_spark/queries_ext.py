@@ -15192,3 +15192,307 @@ def q318_gif_thumbnail(spark, sf_dir):
     return gif_thumbnail_features(media).repartition(1).sortWithinPartitions(
         "media_id"
     )
+
+
+_Q319_SEQLEN = 512
+_Q319_BLOCK = 1000  # doc_id block width for the two-level prefix sum
+
+
+@query(
+    "q319_sequence_packing",
+    f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_before // {_Q319_SEQLEN} AS BIGINT) AS first_seq,
+       CAST((cum_before + n_tok - 1) // {_Q319_SEQLEN} AS BIGINT) AS last_seq,
+       CAST(cum_before % {_Q319_SEQLEN} AS BIGINT) AS seq_offset
+FROM c ORDER BY doc_id""",
+)
+def q319_sequence_packing(spark, sf_dir):
+    """SEQUENCE PACKING plan — the concat-and-chop layout GPT-style
+    pretraining uses (zero padding waste): tokens laid out in doc_id
+    order and split into 512-token sequences; per document,
+    its first/last sequence index and offset — exactly the manifest a
+    shard writer and an attention-mask builder consume (a doc spanning
+    sequences needs cross-boundary masking).
+
+    Scale shape: the global prefix sum is NOT a one-partition window —
+    it is the distributed two-level form (the q304 stitch pattern):
+    per-block token sums (block = doc_id div 1000) roll up to
+    a TINY block-offset frame, and each block's internal cumulative
+    runs in its own window partition; global cum = block offset +
+    within-block cum. Identical multiset of integers to the oracle's
+    single window."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") / _Q319_BLOCK).cast("bigint").alias("blk"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    blk = t.groupBy("blk").agg(F.sum("n_tok").alias("blk_tok"))
+    woff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = blk.withColumn("blk_off", F.coalesce(F.sum("blk_tok").over(woff), F.lit(0)))
+    win = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        t.withColumn("in_cum", F.coalesce(F.sum("n_tok").over(win), F.lit(0)))
+        .join(F.broadcast(offs.select("blk", "blk_off")), "blk")
+        .withColumn("cum_before", F.col("blk_off") + F.col("in_cum"))
+    )
+    L = _Q319_SEQLEN
+    return c.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"cum_before DIV {L}").cast("bigint").alias("first_seq"),
+        F.expr(f"(cum_before + n_tok - 1) DIV {L}").cast("bigint").alias("last_seq"),
+        (F.col("cum_before") % L).cast("bigint").alias("seq_offset"),
+    ).orderBy("doc_id")
+
+
+_Q320_PAIRS = [(1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1)]
+
+
+def _q320_oracle() -> str:
+    vals = ", ".join(f"({b}, {r})" for b, r in _Q320_PAIRS)
+    sr = (
+        "list_reduce(list_prepend(1.0, list_transform(range(1, r + 1), "
+        "k -> s)), (acc, x) -> acc * x)"
+    )
+    qb = (
+        "list_reduce(list_prepend(1.0, list_transform(range(1, b + 1), "
+        "k -> __Q__)), (acc, x) -> acc * x)"
+    )
+    fold = (
+        "list_reduce(list_prepend(0.0, list({t} ORDER BY i)), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH cand AS (
+  SELECT b, r FROM (VALUES {vals}) AS v(b, r)
+), grid AS (
+  SELECT b, r, i, CAST(i AS DOUBLE) / 20.0 AS s
+  FROM cand, (SELECT unnest(range(1, 20)) AS i)
+), curve AS (
+  SELECT b, r, i, s, 1.0 - {qb.replace("__Q__", f"(1.0 - {sr})")} AS p
+  FROM grid
+), terms AS (
+  SELECT b, r, i,
+         CASE WHEN i < 10 THEN p ELSE 0.0 END AS fp_t,
+         CASE WHEN i >= 10 THEN 1.0 - p ELSE 0.0 END AS fn_t
+  FROM curve
+), sums AS (
+  SELECT b, r,
+         {fold.format(t="fp_t")} AS fp_sum,
+         {fold.format(t="fn_t")} AS fn_sum
+  FROM terms GROUP BY b, r
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+sc AS (
+  SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+         fp_sum, fn_sum, (fp_sum + fn_sum) AS cost
+  FROM sums
+)
+SELECT sc.b AS b, sc.r AS r, nd.n_docs AS n_docs,
+       CAST(sc.fp_sum AS DOUBLE) AS fp_sum, CAST(sc.fn_sum AS DOUBLE) AS fn_sum,
+       CAST(sc.cost AS DOUBLE) AS cost,
+       CAST(CASE WHEN sc.cost = (SELECT min(cost) FROM sc) THEN 1 ELSE 0 END
+            AS BIGINT) AS chosen
+FROM sc, nd ORDER BY b"""
+
+
+@query("q320_lsh_parameter_plan", _q320_oracle())
+def q320_lsh_parameter_plan(spark, sf_dir):
+    """LSH PARAMETER PLANNER — the meta-tool that justifies the (bands,
+    rows) the MinHash dedup family (q25/q32/q269) runs with: for every
+    factorization b·r = 64, evaluate the S-curve p(s) = 1 − (1 − s^r)^b
+    on a 19-point similarity grid and integrate false-positive mass
+    (p below the 0.5 target) and false-negative mass (1−p above it);
+    the minimum-cost row is the plan. Every power is a PINNED product
+    fold (rule 3) and the grid sums fold in fixed i-order (rule 12 —
+    skipped terms contribute an exact +0.0), so the curve, the masses
+    and the argmin land on identical doubles in both engines. The
+    corpus size rides along (n_docs scales the absolute FP count a
+    deployment would see)."""
+    cand = spark.createDataFrame(_Q320_PAIRS, "b long, r long")
+    grid = cand.select(
+        "b",
+        "r",
+        F.explode(F.sequence(F.lit(1), F.lit(19))).alias("i"),
+    ).withColumn("s", F.col("i").cast("double") / F.lit(20.0))
+    sr = (
+        "aggregate(transform(sequence(1, r), k -> s), CAST(1.0 AS DOUBLE), "
+        "(acc, x) -> acc * x)"
+    )
+    qb = (
+        "aggregate(transform(sequence(1, b), k -> __Q__), CAST(1.0 AS DOUBLE), "
+        "(acc, x) -> acc * x)"
+    )
+    curve = grid.withColumn(
+        "p", F.expr(f"1.0D - {qb.replace('__Q__', f'(1.0D - {sr})')}")
+    )
+    terms = curve.select(
+        "b",
+        "r",
+        "i",
+        F.when(F.col("i") < 10, F.col("p")).otherwise(F.lit(0.0)).alias("fp_t"),
+        F.when(F.col("i") >= 10, F.lit(1.0) - F.col("p"))
+        .otherwise(F.lit(0.0))
+        .alias("fn_t"),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(i, {t}))), "
+        "x -> x.{t}), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    sums = terms.groupBy("b", "r").agg(
+        F.expr(fold.format(t="fp_t")).alias("fp_sum"),
+        F.expr(fold.format(t="fn_t")).alias("fn_sum"),
+    )
+    sc = sums.withColumn("cost", F.col("fp_sum") + F.col("fn_sum"))
+    n_docs = _docs(spark, sf_dir).count()
+    from pyspark.sql import Window
+
+    wmin = Window.partitionBy()
+    return (
+        sc.withColumn("n_docs", F.lit(n_docs).cast("bigint"))
+        .withColumn(
+            "chosen",
+            F.when(F.col("cost") == F.min("cost").over(wmin), 1)
+            .otherwise(0)
+            .cast("bigint"),
+        )
+        .select("b", "r", "n_docs", "fp_sum", "fn_sum", "cost", "chosen")
+        .orderBy("b")
+    )
+
+
+def _q321_oracle() -> str:
+    return """
+WITH gv AS (
+  SELECT value, count(*) AS cglob FROM events GROUP BY value
+), gcum AS (
+  SELECT value, cglob,
+         sum(cglob) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_glob,
+         sum(cglob) OVER () AS n_glob,
+         count(*) OVER () AS m
+  FROM gv
+), grid AS (
+  SELECT g.g AS g, c.value, c.cum_glob, c.n_glob, c.m
+  FROM gcum c, (SELECT unnest(range(0, 10)) AS g) g
+), gc AS (
+  SELECT user_id % 10 AS g, value, count(*) AS cg FROM events
+  GROUP BY user_id % 10, value
+), j AS (
+  SELECT grid.g, grid.value, grid.cum_glob, grid.n_glob, grid.m,
+         sum(coalesce(gc.cg, 0)) OVER (PARTITION BY grid.g ORDER BY grid.value
+                                       ROWS UNBOUNDED PRECEDING) AS cum_g,
+         sum(coalesce(gc.cg, 0)) OVER (PARTITION BY grid.g) AS n_g
+  FROM grid LEFT JOIN gc ON grid.g = gc.g AND grid.value = gc.value
+), a AS (
+  SELECT g, CAST(max(n_g) AS BIGINT) AS n_g, CAST(max(m) AS BIGINT) AS m,
+         CAST(max(n_glob) AS BIGINT) AS n_glob,
+         CAST(sum(abs(CAST(cum_g AS HUGEINT) * n_glob
+                      - CAST(cum_glob AS HUGEINT) * n_g)) AS BIGINT) AS emd_num
+  FROM j GROUP BY g
+)
+SELECT CAST(g AS BIGINT) AS g, n_g, m, emd_num,
+       (CASE WHEN n_g > 0 AND m > 1
+        THEN CAST(emd_num AS DOUBLE)
+             / ((CAST(n_g AS DOUBLE) * CAST(n_glob AS DOUBLE))
+                * (CAST(m AS DOUBLE) - 1.0))
+        ELSE NULL END) AS t_est
+FROM a ORDER BY g"""
+
+
+@query("q321_t_closeness", _q321_oracle())
+def q321_t_closeness(spark, sf_dir):
+    """T-CLOSENESS audit — the third privacy screen beside k-anonymity
+    (q158) and l-diversity (q241): per quasi-identifier cohort
+    (user_id%10), the 1-D earth-mover's distance between the cohort's
+    value distribution and the global one, as the EXACT integer
+    numerator Σ_i |cum_g(i)·N − cumG(i)·n_g| over the ordered global
+    value domain (EMD over a 1-D ordered domain IS the cdf-difference
+    sum — the q295 KS algebra summed instead of maxed), normalized by
+    n_g·N·(m−1) in one bracketed IEEE expression. A release gate
+    thresholds t_est: a cohort whose value distribution leaks (skewed
+    vs global) scores high even when k-anonymity passes.
+
+    Scale shape: everything runs on the distinct-value summary; the
+    cohort grid is a bounded ×10 fan-out (the Kendall day-fan-out
+    principle) so every cohort's cdf is evaluated at EVERY global
+    value without an all-rows shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("g"), "value"
+    )
+    gv = ev.groupBy("value").agg(F.count("*").alias("cglob"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    gcum = gv.select(
+        "value",
+        F.sum("cglob").over(wv).alias("cum_glob"),
+        F.sum("cglob").over(wall).alias("n_glob"),
+        F.count("*").over(wall).alias("m"),
+    )
+    grid = gcum.select(
+        "value",
+        "cum_glob",
+        "n_glob",
+        "m",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("g"),
+    )
+    gc = ev.groupBy("g", "value").agg(F.count("*").alias("cg"))
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wgall = Window.partitionBy("g")
+    j = grid.join(gc, ["g", "value"], "left").select(
+        "g",
+        "value",
+        "cum_glob",
+        "n_glob",
+        "m",
+        F.sum(F.coalesce("cg", F.lit(0))).over(wg).alias("cum_g"),
+        F.sum(F.coalesce("cg", F.lit(0))).over(wgall).alias("n_g"),
+    )
+    a = j.groupBy("g").agg(
+        F.max("n_g").cast("bigint").alias("n_g"),
+        F.max("m").cast("bigint").alias("m"),
+        F.max("n_glob").cast("bigint").alias("n_glob"),
+        F.sum(
+            F.abs(
+                F.col("cum_g").cast("decimal(38,0)") * F.col("n_glob")
+                - F.col("cum_glob").cast("decimal(38,0)") * F.col("n_g")
+            )
+        )
+        .cast("bigint")
+        .alias("emd_num"),
+    )
+    return a.select(
+        F.col("g").cast("bigint").alias("g"),
+        "n_g",
+        "m",
+        "emd_num",
+        F.when(
+            (F.col("n_g") > 0) & (F.col("m") > 1),
+            F.col("emd_num").cast("double")
+            / (
+                (F.col("n_g").cast("double") * F.col("n_glob").cast("double"))
+                * (F.col("m").cast("double") - F.lit(1.0))
+            ),
+        ).alias("t_est"),
+    ).orderBy("g")
