@@ -15496,3 +15496,115 @@ def q321_t_closeness(spark, sf_dir):
             ),
         ).alias("t_est"),
     ).orderBy("g")
+
+
+def _q322_oracle() -> str:
+    from tagtree_spark.functions.hashing import duck_h60
+    from tagtree_spark.operators.sketch import HLL_ALPHA, HLL_M
+
+    h = duck_h60("CAST(user_id AS VARCHAR)")
+    fin = (
+        f"CAST(s_hit + (CAST({HLL_M} AS DECIMAL(38,0))"
+        f" - CAST(buckets_hit AS DECIMAL(38,0)))"
+        f" * CAST({1 << 60} AS DECIMAL(38,0)) AS DOUBLE)"
+    )
+    return f"""
+WITH e AS (
+  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day, user_id
+  FROM events
+), k AS (
+  SELECT day, {h} AS h FROM e
+), r AS (
+  SELECT day, h % {HLL_M} AS b,
+         max(CASE WHEN h // {HLL_M} > 0
+             THEN 55 - length(bin(h // {HLL_M})) ELSE 55 END) AS m
+  FROM k GROUP BY day, h % {HLL_M}
+), days AS (SELECT DISTINCT day FROM e),
+grid AS (
+  SELECT days.day, bb.b
+  FROM days, (SELECT unnest(range(0, {HLL_M})) AS b) bb
+), g AS (
+  SELECT grid.day, grid.b, r.m
+  FROM grid LEFT JOIN r ON grid.day = r.day AND grid.b = r.b
+), s AS (
+  SELECT day, b,
+         max(m) OVER (PARTITION BY b ORDER BY day
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS wm
+  FROM g
+), f AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS buckets_hit,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(60 - wm AS INT)) AS DECIMAL(38,0))
+           AS s_hit
+  FROM s WHERE wm IS NOT NULL GROUP BY day
+), ex AS (
+  SELECT d2 AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM (SELECT user_id, day + oo.o AS d2
+        FROM e, (SELECT unnest(range(0, 7)) AS o) oo)
+  WHERE d2 IN (SELECT day FROM days)
+  GROUP BY d2
+)
+SELECT CAST(f.day AS BIGINT) AS day, ex.n_exact, f.buckets_hit,
+       {fin} AS s_scaled,
+       {HLL_ALPHA} * {float(HLL_M * HLL_M)} * {float(1 << 60)} / {fin}
+         AS hll_estimate
+FROM f JOIN ex ON f.day = ex.day
+ORDER BY day"""
+
+
+@query("q322_sliding_hll", _q322_oracle())
+def q322_sliding_hll(spark, sf_dir):
+    """SLIDING-WINDOW cardinality: distinct users over each trailing
+    7-day window, answered from PER-DAY HLL register partials merged by
+    a RANGE-frame max — the classic TSDB rolling-uniques panel, and the
+    operational payoff of register mergeability (q265 proved merge
+    correctness; this uses it: 30 daily sketches answer 30 overlapping
+    windows with ZERO re-reads of raw data, where exact distinct would
+    re-scan 7 days per window). The (day × 64-bucket) grid (the q321
+    bounded-fan-out principle) gives every window a row even for
+    buckets the target day itself never hit; empty buckets stay NULL
+    and max() ignores them. Finish arithmetic is the q101 exact-decimal
+    spelling; n_exact rides along (error visible in-row, the hll_distinct
+    convention) via a bounded ×7 day-offset explode, never a range join."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_millis(ts) div 86400000").cast("bigint").alias("day"),
+        "user_id",
+    )
+    regs = hll_registers(ev, "user_id", ["day"])
+    days = ev.select("day").distinct()
+    buckets = spark.range(HLL_M).select(F.col("id").cast("bigint").alias("_b"))
+    grid = days.crossJoin(F.broadcast(buckets))
+    g = grid.join(regs, ["day", "_b"], "left")
+    wslide = Window.partitionBy("_b").orderBy("day").rangeBetween(-6, 0)
+    slid = (
+        g.withColumn("wm", F.max("_m").over(wslide))
+        .where(F.col("wm").isNotNull())
+        .select("day", "_b", F.col("wm").alias("_m"))
+    )
+    est = hll_estimate_from_registers(slid, ["day"])
+    exact = (
+        ev.select(
+            "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("d2")
+        )
+        .join(days.select(F.col("day").alias("d2")), "d2")
+        .groupBy("d2")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return (
+        est.join(exact, est.day == exact.d2)
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "n_exact",
+            "buckets_hit",
+            "s_scaled",
+            "hll_estimate",
+        )
+        .orderBy("day")
+    )
