@@ -15608,3 +15608,115 @@ def q322_sliding_hll(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+_STREAM_PACK_CACHE: dict = {}
+
+
+def _stream_pack_store(spark, sf_dir):
+    """Drain documents through a packing-manifest sink in 3 doc_id-range
+    micro-batches: each batch extends the manifest with its docs'
+    sequence coordinates, continuing from the token total of all PRIOR
+    segments (recomputed merge-on-read per batch, so replaying a batch
+    overwrites its own segment and never double-counts — the
+    DistributionSink idempotence recipe applied to ORDER-DEPENDENT
+    metadata; order holds because file batches are doc_id ranges fed
+    in (mtime, path) order)."""
+    import glob as _glob
+    import tempfile
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _STREAM_PACK_CACHE:
+        return _STREAM_PACK_CACHE[key]
+    d = tempfile.mkdtemp(prefix="tagtree-stream-pack-")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok")
+    )
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    for b, cond in enumerate(
+        [
+            F.col("doc_id") <= cut1,
+            (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+            F.col("doc_id") > cut2,
+        ]
+    ):
+        docs.where(cond).coalesce(1).write.parquet(f"{d}/in/b{b}")
+    schema = spark.read.parquet(f"{d}/in/b0").schema
+    store = f"{d}/store"
+    L = _Q319_SEQLEN
+
+    def sink(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        from pyspark.sql import Window
+
+        prior = sorted(_glob.glob(f"{store}/seg-*"))
+        tot0 = 0
+        keep = [s for s in prior if int(s.rsplit("-", 1)[-1]) < batch_id]
+        if keep:
+            from functools import reduce as _red
+
+            pri = _red(
+                lambda a, b2: a.unionByName(b2),
+                (sp.read.parquet(s) for s in keep),
+            )
+            tot0 = pri.agg(F.sum("n_tok")).collect()[0][0] or 0
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        man = (
+            batch_df.withColumn(
+                "cum_before",
+                F.coalesce(F.sum("n_tok").over(w), F.lit(0)) + F.lit(int(tot0)),
+            )
+            .select(
+                "doc_id",
+                "n_tok",
+                F.expr(f"cum_before DIV {L}").cast("bigint").alias("first_seq"),
+                F.expr(f"(cum_before + n_tok - 1) DIV {L}")
+                .cast("bigint")
+                .alias("last_seq"),
+                (F.col("cum_before") % L).cast("bigint").alias("seq_offset"),
+            )
+        )
+        man.write.mode("overwrite").parquet(f"{store}/seg-{batch_id:010d}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in/*")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("q323 stream drain did not finish in 600s")
+    _STREAM_PACK_CACHE[key] = store
+    return store
+
+
+@query("q323_stream_packing_manifest", _ORACLE_REG["q319_sequence_packing"])
+def q323_stream_packing_manifest(spark, sf_dir):
+    """STREAMING twin of q319: the sequence-packing manifest maintained
+    INCREMENTALLY by a micro-batch sink — each batch appends its docs'
+    coordinates continuing from the prior segments' token total, so a
+    shard writer can start packing while ingest is still running. The
+    merged manifest must equal the batch plan bit-for-bit (same
+    concat-and-chop layout), which pins the one thing incremental
+    metadata can silently get wrong: the carried-over offset. The
+    sink's window runs over ONE bounded batch; cross-batch state is a
+    single integer recomputed merge-on-read (replay-idempotent by
+    segment overwrite)."""
+    import glob as _glob
+    from functools import reduce as _red
+
+    store = _stream_pack_store(spark, sf_dir)
+    segs = sorted(_glob.glob(f"{store}/seg-*"))
+    if not segs:
+        raise ValueError("empty packing manifest store")
+    man = _red(
+        lambda a, b: a.unionByName(b), (spark.read.parquet(s) for s in segs)
+    )
+    return man.orderBy("doc_id")
