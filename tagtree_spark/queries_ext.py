@@ -15720,3 +15720,224 @@ def q323_stream_packing_manifest(spark, sf_dir):
         lambda a, b: a.unionByName(b), (spark.read.parquet(s) for s in segs)
     )
     return man.orderBy("doc_id")
+
+
+@query(
+    "q324_mad_outliers",
+    """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 1024.0) AS BIGINT) AS s FROM events
+), d AS (
+  SELECT event_type, s, count(*) AS c FROM e GROUP BY event_type, s
+), cum AS (
+  SELECT event_type, s, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY s
+                      ROWS UNBOUNDED PRECEDING) AS cu,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM d
+), med AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN cu >= (n + 1) // 2 THEN s END) AS BIGINT) AS med_s
+  FROM cum GROUP BY event_type
+), dev AS (
+  SELECT d.event_type, abs(d.s - med.med_s) AS dv, d.c
+  FROM d JOIN med ON d.event_type = med.event_type
+), dd AS (
+  SELECT event_type, dv, sum(c) AS c FROM dev GROUP BY event_type, dv
+), dcum AS (
+  SELECT event_type, dv, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY dv
+                      ROWS UNBOUNDED PRECEDING) AS cu,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM dd
+), mad AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN cu >= (n + 1) // 2 THEN dv END) AS BIGINT) AS mad_s
+  FROM dcum GROUP BY event_type
+)
+SELECT med.event_type AS event_type, med.n AS n, med.med_s AS med_s,
+       mad.mad_s AS mad_s,
+       CAST(coalesce(sum(CASE WHEN dev.dv > 3 * mad.mad_s
+                          THEN dev.c ELSE 0 END), 0) AS BIGINT) AS n_outliers
+FROM med JOIN mad ON med.event_type = mad.event_type
+JOIN dev ON dev.event_type = med.event_type
+GROUP BY med.event_type, med.n, med.med_s, mad.mad_s
+ORDER BY event_type""",
+)
+def q324_mad_outliers(spark, sf_dir):
+    """Median / MAD / robust-outlier census per event_type with ZERO
+    floating point anywhere: medians are exact order statistics at rank
+    (n+1) div 2 read off cumulative frames over the distinct-value
+    summary (the q294 scale shape — never sorts raw rows), deviations
+    re-summarize to a second bounded frame, and the outlier rule
+    |s − med| > 3·MAD is an integer comparison. The robust twin of the
+    mean/stddev z-score screen (q163's winsorize family): one wild
+    day cannot move the fence. Output is all bigints — nothing for
+    rules 1/2 to even guard."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1024.0)).cast("bigint").alias("s"),
+    )
+    d = ev.groupBy("event_type", "s").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = d.select(
+        "event_type",
+        "s",
+        F.sum("c").over(wcum).alias("cu"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("cu") >= F.expr("(n + 1) DIV 2"), F.col("s")))
+        .cast("bigint")
+        .alias("med_s"),
+    )
+    dev = d.join(med, "event_type").select(
+        "event_type",
+        "n",
+        "med_s",
+        F.abs(F.col("s") - F.col("med_s")).alias("dv"),
+        "c",
+    )
+    dd = dev.groupBy("event_type", "dv").agg(F.sum("c").alias("c"))
+    wdc = (
+        Window.partitionBy("event_type")
+        .orderBy("dv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dd.select(
+        "event_type",
+        "dv",
+        F.sum("c").over(wdc).alias("cu"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    mad = dcum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cu") >= F.expr("(n + 1) DIV 2"), F.col("dv")))
+        .cast("bigint")
+        .alias("mad_s")
+    )
+    out = (
+        dev.join(mad, "event_type")
+        .groupBy("event_type", "n", "med_s", "mad_s")
+        .agg(
+            F.sum(F.when(F.col("dv") > 3 * F.col("mad_s"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+    return out.select(
+        "event_type", "n", "med_s", "mad_s", "n_outliers"
+    ).orderBy("event_type")
+
+
+@query(
+    "q325_theil_sen",
+    """
+WITH d AS (
+  SELECT event_type,
+         epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+         sum(CAST(round(value * 1024.0) AS BIGINT)) AS sm,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000
+), p AS (
+  SELECT a.event_type AS event_type, a.day AS di, b.day AS dj,
+         CAST(b.sm * a.cnt - a.sm * b.cnt AS BIGINT) AS num,
+         CAST(a.cnt * b.cnt * (b.day - a.day) AS BIGINT) AS den
+  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+), sl AS (
+  SELECT event_type, di, dj, num, den,
+         CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+                                     di, dj) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM p
+)
+SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+       CAST(di AS BIGINT) AS med_di, CAST(dj AS BIGINT) AS med_dj,
+       num AS med_num, den AS med_den,
+       CAST(slope AS DOUBLE) AS slope_med
+FROM sl WHERE rk = (np + 1) // 2
+ORDER BY event_type""",
+)
+def q325_theil_sen(spark, sf_dir):
+    """THEIL-SEN robust slope per event_type — the median of all
+    pairwise daily-mean slopes, the estimator that shrugs off the
+    outlier days q324 fences (a single corrupted day moves OLS by an
+    unbounded amount but moves this by one rank). Slopes stay RATIONAL:
+    num = smⱼ·cntᵢ − smᵢ·cntⱼ, den = cntᵢ·cntⱼ·(dayⱼ−dayᵢ) > 0 from
+    exact rule-8 daily sums, and the double division is only the SORT
+    key (identical IEEE division in both engines; ties broken by the
+    day pair), so median selection at rank (n_pairs+1) div 2 is
+    deterministic and the emitted med_num/med_den are exact integers.
+
+    Scale shape: the pair join is over the DAILY-AGGREGATE frame —
+    C(days, 2) ≈ 435 pairs per key for a month, bounded by the time
+    window, never by rows (the q313 day-fan-out principle squared).
+    Window rank runs over that bounded pair frame only."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").cast("bigint").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * F.lit(1024.0)).cast("bigint")).alias("sm"),
+        F.count("*").alias("cnt"),
+    )
+    a = d.select(
+        "event_type",
+        F.col("day").alias("di"),
+        F.col("sm").alias("smi"),
+        F.col("cnt").alias("ci"),
+    )
+    b = d.select(
+        "event_type",
+        F.col("day").alias("dj"),
+        F.col("sm").alias("smj"),
+        F.col("cnt").alias("cj"),
+    )
+    p = a.join(b, "event_type").where(F.col("di") < F.col("dj")).select(
+        "event_type",
+        "di",
+        "dj",
+        (F.col("smj") * F.col("ci") - F.col("smi") * F.col("cj"))
+        .cast("bigint")
+        .alias("num"),
+        (F.col("ci") * F.col("cj") * (F.col("dj") - F.col("di")))
+        .cast("bigint")
+        .alias("den"),
+    )
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    wrk = Window.partitionBy("event_type").orderBy(slope, "di", "dj")
+    wall = Window.partitionBy("event_type")
+    sl = p.select(
+        "event_type",
+        "di",
+        "dj",
+        "num",
+        "den",
+        slope.alias("slope"),
+        F.row_number().over(wrk).alias("rk"),
+        F.count("*").over(wall).alias("np"),
+    )
+    return (
+        sl.where(F.col("rk") == F.expr("(np + 1) DIV 2"))
+        .select(
+            "event_type",
+            F.col("np").cast("bigint").alias("n_pairs"),
+            F.col("di").cast("bigint").alias("med_di"),
+            F.col("dj").cast("bigint").alias("med_dj"),
+            F.col("num").alias("med_num"),
+            F.col("den").alias("med_den"),
+            F.col("slope").cast("double").alias("slope_med"),
+        )
+        .orderBy("event_type")
+    )
