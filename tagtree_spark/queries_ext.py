@@ -15941,3 +15941,332 @@ def q325_theil_sen(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q326_association_rules",
+    """
+WITH u AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nn AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY event_type),
+ab AS (
+  SELECT a.event_type AS a, b.event_type AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT ab.a AS antecedent, ab.b AS consequent,
+       ab.n_ab AS n_both, na1.n AS n_a, na2.n AS n_b, nn.n_users AS n_users,
+       CAST(ab.n_ab * 1000000 // na1.n AS BIGINT) AS confidence_ppm,
+       CAST(CAST(ab.n_ab AS HUGEINT) * nn.n_users AS DOUBLE)
+         / CAST(CAST(na1.n AS HUGEINT) * na2.n AS DOUBLE) AS lift
+FROM ab JOIN na na1 ON ab.a = na1.event_type
+        JOIN na na2 ON ab.b = na2.event_type
+        CROSS JOIN nn
+ORDER BY antecedent, consequent""",
+)
+def q326_association_rules(spark, sf_dir):
+    """MARKET-BASKET association rules over per-user event-type sets —
+    the recsys/cross-sell screen (A→B): support, integer-ppm confidence
+    n_AB·10⁶ div n_A, and lift n_AB·N/(n_A·n_B) as one division of
+    rule-16 exact products. The user-set self-join fans out ≤ T−1 per
+    (user, type) with T = 5 event types — candidate pairs are bounded
+    by the TYPE vocabulary, never by rows (the q313 principle on the
+    categorical axis); everything upstream is DISTINCT + groupBy
+    map-side combines."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    n_users = ev.select("user_id").distinct().count()
+    na = u.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    a = u.select("user_id", F.col("event_type").alias("a"))
+    b = u.select("user_id", F.col("event_type").alias("b"))
+    ab = (
+        a.join(b, "user_id")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    out = (
+        ab.join(na.select(F.col("event_type").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(na.select(F.col("event_type").alias("b"), F.col("n").alias("n_b")), "b")
+        .withColumn("n_users", F.lit(n_users).cast("bigint"))
+    )
+    return out.select(
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        F.col("n_ab").alias("n_both"),
+        "n_a",
+        "n_b",
+        "n_users",
+        F.expr("CAST(n_ab * 1000000 DIV n_a AS BIGINT)").alias("confidence_ppm"),
+        (
+            (F.col("n_ab").cast("decimal(38,0)") * F.col("n_users")).cast("double")
+            / (F.col("n_a").cast("decimal(38,0)") * F.col("n_b")).cast("double")
+        ).alias("lift"),
+    ).orderBy("antecedent", "consequent")
+
+
+_Q327_ITERS = 10
+
+
+def _q327_oracle() -> str:
+    mv = (
+        "list_transform(pt, row -> list_reduce(list_prepend(0.0, "
+        "list_transform(range(1, len(v) + 1), k -> row[k] * v[k])), "
+        "(acc, x) -> acc + x))"
+    )
+    return f"""
+WITH RECURSIVE p0 AS (
+  SELECT event_type AS frm,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)),
+                                         event_id) AS nxt
+  FROM events
+), c AS (
+  SELECT frm, nxt, count(*) AS c FROM p0 WHERE nxt IS NOT NULL
+  GROUP BY frm, nxt
+), ty AS (SELECT DISTINCT event_type AS t FROM events),
+grid AS (SELECT a.t AS frm, b.t AS nxt FROM ty a, ty b),
+g AS (
+  SELECT grid.frm, grid.nxt, coalesce(c.c, 0) AS c
+  FROM grid LEFT JOIN c ON grid.frm = c.frm AND grid.nxt = c.nxt
+), rs AS (SELECT frm, sum(c) AS r FROM g GROUP BY frm),
+pm AS MATERIALIZED (
+  SELECT g.frm, g.nxt, g.c,
+         CASE WHEN rs.r > 0 THEN CAST(g.c AS DOUBLE) / CAST(rs.r AS DOUBLE)
+              ELSE 0.0 END AS p
+  FROM g JOIN rs ON g.frm = rs.frm
+), ptm AS MATERIALIZED (
+  SELECT (SELECT list(row ORDER BY nxt)
+          FROM (SELECT nxt, list(p ORDER BY frm) AS row FROM pm GROUP BY nxt))
+           AS pt,
+         (SELECT list(t ORDER BY t) FROM ty) AS tys
+), it AS (
+  SELECT 0 AS k,
+         list_transform(range(1, len(tys) + 1),
+                        x -> CAST(1.0 AS DOUBLE) / CAST(len(tys) AS DOUBLE)) AS v
+  FROM ptm
+  UNION ALL
+  SELECT k + 1, {mv} FROM it, ptm WHERE k < {_Q327_ITERS}
+), st AS (
+  SELECT unnest(ptm.tys) AS t, unnest(it.v) AS stat
+  FROM ptm, it WHERE it.k = {_Q327_ITERS}
+)
+SELECT pm.frm AS frm, pm.nxt AS nxt, CAST(pm.c AS BIGINT) AS n_trans,
+       CAST(pm.p AS DOUBLE) AS p, CAST(st.stat AS DOUBLE) AS stat_from
+FROM pm JOIN st ON pm.frm = st.t
+ORDER BY frm, nxt"""
+
+
+@query("q327_markov_stationary", _q327_oracle())
+def q327_markov_stationary(spark, sf_dir):
+    """First-order MARKOV CHAIN over per-user event sequences: the
+    row-stochastic transition matrix (5×5 grid, zero rows guarded) AND
+    its stationary distribution by 10 in-engine power iterations — the
+    q314 machinery at behavioral scale (dimension-agnostic pinned
+    folds, so the same expression text serves 64-dim PCA and a 5-state
+    chain). The stationary vector is the long-run visit share a
+    session simulator or traffic model needs; transitions emit exact
+    counts + one-division probabilities. Per-user lead windows are
+    user-partitioned (1500+ keys — parallel); everything after the
+    transition groupBy is control-plane-sized."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+    )
+    wu = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    p0 = ev.select(
+        F.col("event_type").alias("frm"),
+        F.lead("event_type").over(wu).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    c = p0.groupBy("frm", "nxt").agg(F.count("*").alias("c"))
+    ty = ev.select(F.col("event_type").alias("t")).distinct()
+    grid = ty.select(F.col("t").alias("frm")).crossJoin(
+        F.broadcast(ty.select(F.col("t").alias("nxt")))
+    )
+    g = grid.join(c, ["frm", "nxt"], "left").withColumn(
+        "c", F.coalesce("c", F.lit(0))
+    )
+    rs = g.groupBy("frm").agg(F.sum("c").alias("r"))
+    pm = g.join(rs, "frm").select(
+        "frm",
+        "nxt",
+        "c",
+        F.when(
+            F.col("r") > 0, F.col("c").cast("double") / F.col("r").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("p"),
+    )
+    ptrow = pm.groupBy("nxt").agg(
+        F.array_sort(F.collect_list(F.struct("frm", "p"))).alias("fr")
+    ).select("nxt", F.expr("transform(fr, x -> x.p)").alias("row"))
+    ptm = ptrow.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("nxt", "row"))).alias("nr")
+    ).select(F.expr("transform(nr, x -> x.row)").alias("pt"))
+    tys = ty.groupBy().agg(F.array_sort(F.collect_list("t")).alias("tys"))
+    cur = ptm.crossJoin(F.broadcast(tys)).select(
+        "pt",
+        "tys",
+        F.expr(
+            "transform(sequence(1, size(tys)), "
+            "x -> CAST(1.0 AS DOUBLE) / CAST(size(tys) AS DOUBLE))"
+        ).alias("v"),
+    )
+    mv = (
+        "transform(pt, row -> aggregate(transform(sequence(1, size(v)), "
+        "k -> element_at(row, k) * element_at(v, k)), 0D, (acc, x) -> acc + x))"
+    )
+    for _ in range(_Q327_ITERS):
+        cur = cur.select("pt", "tys", F.expr(mv).alias("v")).localCheckpoint(
+            eager=True
+        )
+    st = cur.select(
+        F.explode(F.arrays_zip("tys", "v")).alias("z")
+    ).select(F.col("z.tys").alias("t"), F.col("z.v").alias("stat"))
+    return (
+        pm.join(st, pm.frm == st.t)
+        .select(
+            "frm",
+            "nxt",
+            F.col("c").cast("bigint").alias("n_trans"),
+            F.col("p").cast("double").alias("p"),
+            F.col("stat").cast("double").alias("stat_from"),
+        )
+        .orderBy("frm", "nxt")
+    )
+
+
+def _q328_fold(engine: str, col: str) -> str:
+    if engine == "spark":
+        return (
+            f"aggregate(transform(array_sort(collect_list(struct(day, {col}))), "
+            f"x -> x.{col}), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    return (
+        f"list_reduce(list_prepend(0.0, list({col} ORDER BY day)), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _q328_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT event_type,
+         epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+         sum(CAST(round(value * 1024.0) AS BIGINT)) AS sm,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000
+), l1 AS (
+  SELECT event_type, day, sm, cnt,
+         lag(sm) OVER (PARTITION BY event_type ORDER BY day) AS psm,
+         lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS pcnt
+  FROM d
+), e1 AS (
+  SELECT event_type, day,
+         CAST(abs(CAST(sm AS HUGEINT) * pcnt - CAST(psm AS HUGEINT) * cnt)
+              AS DOUBLE)
+           / CAST(CAST(cnt AS HUGEINT) * pcnt AS DOUBLE) AS err
+  FROM l1 WHERE psm IS NOT NULL
+), e7 AS (
+  SELECT a.event_type, a.day,
+         CAST(abs(CAST(a.sm AS HUGEINT) * b.cnt - CAST(b.sm AS HUGEINT) * a.cnt)
+              AS DOUBLE)
+           / CAST(CAST(a.cnt AS HUGEINT) * b.cnt AS DOUBLE) AS err
+  FROM d a JOIN d b ON a.event_type = b.event_type AND b.day = a.day - 7
+), s1 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n1,
+         ({_q328_fold("duckdb", "err")}) / CAST(count(*) AS DOUBLE) AS mae1
+  FROM e1 GROUP BY event_type
+), s7 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n7,
+         ({_q328_fold("duckdb", "err")}) / CAST(count(*) AS DOUBLE) AS mae7
+  FROM e7 GROUP BY event_type
+)
+SELECT s1.event_type AS event_type, s1.n1 AS n1, CAST(s1.mae1 AS DOUBLE) AS mae1,
+       s7.n7 AS n7, CAST(s7.mae7 AS DOUBLE) AS mae7,
+       CAST(s7.mae7 / s1.mae1 AS DOUBLE) AS mase_ratio
+FROM s1 JOIN s7 ON s1.event_type = s7.event_type
+ORDER BY event_type"""
+
+
+@query("q328_naive_backtest", _q328_oracle())
+def q328_naive_backtest(spark, sf_dir):
+    """FORECAST BACKTEST per event_type: mean absolute error of the
+    naive (yesterday) and seasonal-naive (same day last week) daily-mean
+    forecasts, and their MASE-style ratio — the go/no-go a forecasting
+    pipeline computes before trusting any fancier model. Per-day errors
+    are single divisions of exact cross-multiplied integers (rules
+    8/16: |smᵈ·cntᵖ − smᵖ·cntᵈ| / (cntᵈ·cntᵖ)); the MAE folds run in
+    pinned day order (rule 12) so both engines add the same doubles in
+    the same bracketing, and the final ratio is one more IEEE division.
+    All stages run on the bounded daily frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").cast("bigint").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * F.lit(1024.0)).cast("bigint")).alias("sm"),
+        F.count("*").alias("cnt"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    l1 = d.select(
+        "event_type",
+        "day",
+        "sm",
+        "cnt",
+        F.lag("sm").over(wl).alias("psm"),
+        F.lag("cnt").over(wl).alias("pcnt"),
+    )
+
+    def err(sm, cnt, psm, pcnt):
+        return (
+            F.abs(
+                F.col(sm).cast("decimal(38,0)") * F.col(pcnt)
+                - F.col(psm).cast("decimal(38,0)") * F.col(cnt)
+            ).cast("double")
+            / (F.col(cnt).cast("decimal(38,0)") * F.col(pcnt)).cast("double")
+        )
+
+    e1 = l1.where(F.col("psm").isNotNull()).select(
+        "event_type", "day", err("sm", "cnt", "psm", "pcnt").alias("err")
+    )
+    b7 = d.select(
+        "event_type",
+        (F.col("day") + 7).alias("day"),
+        F.col("sm").alias("psm"),
+        F.col("cnt").alias("pcnt"),
+    )
+    e7 = d.join(b7, ["event_type", "day"]).select(
+        "event_type", "day", err("sm", "cnt", "psm", "pcnt").alias("err")
+    )
+    s1 = e1.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n1"),
+        (F.expr(_q328_fold("spark", "err")) / F.count("*").cast("double")).alias(
+            "mae1"
+        ),
+    )
+    s7 = e7.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n7"),
+        (F.expr(_q328_fold("spark", "err")) / F.count("*").cast("double")).alias(
+            "mae7"
+        ),
+    )
+    return (
+        s1.join(s7, "event_type")
+        .select(
+            "event_type",
+            "n1",
+            F.col("mae1").cast("double"),
+            "n7",
+            F.col("mae7").cast("double"),
+            (F.col("mae7") / F.col("mae1")).cast("double").alias("mase_ratio"),
+        )
+        .orderBy("event_type")
+    )
