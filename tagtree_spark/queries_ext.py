@@ -16270,3 +16270,100 @@ def q328_naive_backtest(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_Q329_COLS = [
+    ("event_id", "CAST(event_id AS {S})"),
+    ("user_id", "CAST(user_id AS {S})"),
+    ("event_type", "event_type"),
+    ("value_scaled", "CAST(CAST(round(value * 1024.0) AS BIGINT) AS {S})"),
+    ("props", "props"),
+]
+
+
+def _q329_oracle() -> str:
+    from tagtree_spark.functions.hashing import duck_h60
+    from tagtree_spark.operators.sketch import HLL_ALPHA, HLL_M
+
+    parts = "\nUNION ALL\n".join(
+        f"  SELECT '{name}' AS col, {expr.format(S='VARCHAR')} AS x FROM events"
+        for name, expr in _Q329_COLS
+    )
+    h = duck_h60("x")
+    fin = (
+        f"CAST(s_hit + (CAST({HLL_M} AS DECIMAL(38,0))"
+        f" - CAST(buckets_hit AS DECIMAL(38,0)))"
+        f" * CAST({1 << 60} AS DECIMAL(38,0)) AS DOUBLE)"
+    )
+    return f"""
+WITH long AS (
+{parts}
+), nn AS (
+  SELECT col, CAST(count(x) AS BIGINT) AS n,
+         CAST(count(*) - count(x) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT x) AS BIGINT) AS n_exact
+  FROM long GROUP BY col
+), k AS (
+  SELECT col, {h} AS h FROM long WHERE x IS NOT NULL
+), r AS (
+  SELECT col, h % {HLL_M} AS b,
+         max(CASE WHEN h // {HLL_M} > 0
+             THEN 55 - length(bin(h // {HLL_M})) ELSE 55 END) AS m
+  FROM k GROUP BY col, h % {HLL_M}
+), agg AS (
+  SELECT col, CAST(count(*) AS BIGINT) AS buckets_hit,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(60 - m AS INT)) AS DECIMAL(38,0))
+           AS s_hit
+  FROM r GROUP BY col
+)
+SELECT nn.col AS col, nn.n AS n, nn.n_null AS n_null, nn.n_exact AS n_exact,
+       agg.buckets_hit AS buckets_hit,
+       {HLL_ALPHA} * {float(HLL_M * HLL_M)} * {float(1 << 60)} / {fin}
+         AS ndv_estimate
+FROM nn JOIN agg ON nn.col = agg.col
+ORDER BY col"""
+
+
+@query("q329_column_statistics", _q329_oracle())
+def q329_column_statistics(spark, sf_dir):
+    """ANALYZE-TABLE analogue: per-column statistics for the events
+    table — non-null count, null count, exact NDV (riding along per the
+    hll_distinct error-visibility convention) and the mergeable HLL NDV
+    estimate — exactly the payload a cost-based optimizer's stats
+    collector materializes, produced in ONE pass over a 5-way column
+    unpivot (each column canonicalized to a deterministic string:
+    numerics via CAST, value via its rule-8 scaled-int form so no
+    float-formatting hazard crosses engines). At 100 TB this is the
+    map-side register partial per column per file, merged at commit —
+    the reason NDV uses a sketch and not COUNT(DISTINCT)."""
+    from tagtree_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    longf = None
+    for name, expr in _Q329_COLS:
+        part = ev.select(
+            F.lit(name).alias("col"), F.expr(expr.format(S="STRING")).alias("x")
+        )
+        longf = part if longf is None else longf.unionByName(part)
+    nn = longf.groupBy("col").agg(
+        F.count("x").cast("bigint").alias("n"),
+        (F.count("*") - F.count("x")).cast("bigint").alias("n_null"),
+        F.countDistinct("x").cast("bigint").alias("n_exact"),
+    )
+    regs = hll_registers(longf.where(F.col("x").isNotNull()), "x", ["col"])
+    est = hll_estimate_from_registers(regs, ["col"])
+    return (
+        nn.join(est, "col")
+        .select(
+            "col",
+            "n",
+            "n_null",
+            "n_exact",
+            "buckets_hit",
+            F.col("hll_estimate").alias("ndv_estimate"),
+        )
+        .orderBy("col")
+    )
