@@ -14540,12 +14540,13 @@ WITH e AS (
          sum(CAST(n AS HUGEINT) * (n - 1)) AS txy2
   FROM c GROUP BY event_type
 ), b AS (
-  SELECT mc.event_type AS event_type, mc.n AS n, num.num AS num,
+  SELECT mc.event_type AS event_type, mc.n AS n,
+         CAST(coalesce(num.num, 0) AS BIGINT) AS num,
          CAST((CAST(mc.n AS HUGEINT) * (mc.n - 1) - mx.tx2 - my.ty2
                + mc.txy2) // 2 AS BIGINT) AS cpd,
          CAST(CAST(mc.n AS HUGEINT) * (mc.n - 1) - mx.tx2 AS DOUBLE) AS den_x,
          CAST(CAST(mc.n AS HUGEINT) * (mc.n - 1) - my.ty2 AS DOUBLE) AS den_y
-  FROM mc JOIN num ON mc.event_type = num.event_type
+  FROM mc LEFT JOIN num ON mc.event_type = num.event_type
           JOIN mx ON mc.event_type = mx.event_type
           JOIN my ON mc.event_type = my.event_type
 )
@@ -14638,13 +14639,13 @@ def q313_kendall_tau(spark, sf_dir):
     nd = F.col("n").cast("decimal(38,0)")
     t2 = nd * (nd - 1)
     b = (
-        mc.join(num, "event_type")
+        mc.join(num, "event_type", "left")
         .join(mx, "event_type")
         .join(my, "event_type")
         .select(
             "event_type",
             "n",
-            "num",
+            F.coalesce("num", F.lit(0)).cast("bigint").alias("num"),
             F.expr(
                 "CAST((CAST(n AS DECIMAL(38,0)) * (n - 1) - tx2 - ty2 + txy2)"
                 " DIV 2 AS BIGINT)"
