@@ -146,3 +146,81 @@ def test_kruskal_oracle_vs_bruteforce(rows):
             assert abs(got[t][9] - h_adj) < 1e-9, (t, got[t][9], h_adj)
         else:
             assert got[t][9] is None
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=ROWS)
+def test_mad_oracle_vs_bruteforce(rows):
+    from tagtree_spark.queries_ext import _ORACLE_REG
+
+    rows = [(t, u, v, d, i) for i, (t, u, v, d) in enumerate(rows)]
+    sql = _ORACLE_REG["q324_mad_outliers"]
+    got = {r[0]: r for r in _con(rows).execute(sql).fetchall()}
+    for t in ("a", "b"):
+        svals = sorted(round(r[2] * 1024) for r in rows if r[0] == t)
+        if not svals:
+            continue
+        n = len(svals)
+        med = svals[(n + 1) // 2 - 1]
+        devs = sorted(abs(s - med) for s in svals)
+        mad = devs[(n + 1) // 2 - 1]
+        outl = sum(1 for s in svals if abs(s - med) > 3 * mad)
+        assert got[t][1:] == (n, med, mad, outl), (t, got[t], (n, med, mad, outl))
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=ROWS)
+def test_theil_sen_oracle_vs_bruteforce(rows):
+    from tagtree_spark.queries_ext import _ORACLE_REG
+
+    rows = [(t, u, v, d, i) for i, (t, u, v, d) in enumerate(rows)]
+    sql = _ORACLE_REG["q325_theil_sen"]
+    got = {r[0]: r for r in _con(rows).execute(sql).fetchall()}
+    for t in ("a", "b"):
+        daily = {}
+        for r in rows:
+            if r[0] == t:
+                sm, c = daily.get(r[3], (0, 0))
+                daily[r[3]] = (sm + round(r[2] * 1024), c + 1)
+        days = sorted(daily)
+        pairs = []
+        for ii in range(len(days)):
+            for jj in range(ii + 1, len(days)):
+                di, dj = days[ii], days[jj]
+                (si, ci), (sj, cj) = daily[di], daily[dj]
+                num = sj * ci - si * cj
+                den = ci * cj * (dj - di)
+                pairs.append((num / den, di, dj, num, den))
+        if not pairs:
+            assert t not in got
+            continue
+        pairs.sort(key=lambda p: (p[0], p[1], p[2]))
+        sel = pairs[(len(pairs) + 1) // 2 - 1]
+        row = got[t]
+        # oracle days are absolute epoch days; fixture day 0 = 2024-01-01
+        assert (row[1], row[2], row[3], row[4], row[5]) == (
+            len(pairs), sel[1] + 19723, sel[2] + 19723, sel[3], sel[4],
+        ), (t, row, sel)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=ROWS)
+def test_t_closeness_oracle_vs_bruteforce(rows):
+    from tagtree_spark.queries_ext import _ORACLE_REG
+
+    rows = [(t, u, v, d, i) for i, (t, u, v, d) in enumerate(rows)]
+    sql = _ORACLE_REG["q321_t_closeness"]
+    got = {r[0]: r for r in _con(rows).execute(sql).fetchall()}
+    vals = sorted({r[2] for r in rows})
+    n_glob = len(rows)
+    m = len(vals)
+    for g in range(10):
+        gv = [r[2] for r in rows if r[1] % 10 == g]
+        cum_g = cum_all = 0
+        num = 0
+        for v in vals:
+            cum_g += sum(1 for x in gv if x == v)
+            cum_all += sum(1 for r in rows if r[2] == v)
+            num += abs(cum_g * n_glob - cum_all * len(gv))
+        row = got[g]
+        assert (row[1], row[2], row[3]) == (len(gv), m, num), (g, row, (len(gv), m, num))
