@@ -16368,3 +16368,91 @@ def q329_column_statistics(spark, sf_dir):
         )
         .orderBy("col")
     )
+
+
+@query(
+    "q330_int8_quantization",
+    """
+WITH r AS (
+  SELECT vec_id,
+         CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) AS ri, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, 65)) AS i FROM embeddings)
+), mm AS (
+  SELECT i, min(ri) AS lo, max(ri) AS hi, count(*) AS n FROM r GROUP BY i
+), q AS (
+  SELECT r.i, r.ri, mm.lo, mm.hi, mm.n,
+         (CASE WHEN mm.hi > mm.lo
+          THEN ((r.ri - mm.lo) * 255) // (mm.hi - mm.lo) ELSE 0 END) AS code
+  FROM r JOIN mm ON r.i = mm.i
+), d AS (
+  SELECT i, lo, hi, n, ri, code,
+         (CASE WHEN hi > lo THEN lo + (code * (hi - lo)) // 255 ELSE lo END)
+           AS rhat
+  FROM q
+)
+SELECT CAST(i AS BIGINT) AS i,
+       CAST(max(lo) AS BIGINT) AS lo, CAST(max(hi) AS BIGINT) AS hi,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(CAST(ri - rhat AS HUGEINT) * (ri - rhat)) AS BIGINT)
+         AS sse_scaled,
+       CAST(max(abs(ri - rhat)) AS BIGINT) AS max_err_scaled
+FROM d GROUP BY i ORDER BY i""",
+)
+def q330_int8_quantization(spark, sf_dir):
+    """INT8 scalar-quantization audit per embedding dimension — the
+    4×-compression every vector store offers, evaluated with ZERO
+    floating point: values live on the rule-8 2^20 integer grid, codes
+    are (r−lo)·255 div (hi−lo) (integer floor division), dequant is the
+    integer midpoint-free inverse, and the per-dimension SSE and max
+    reconstruction error are exact integers (HUGEINT/DECIMAL squares,
+    rules 7/11). A deployment reads this table to decide which
+    dimensions tolerate int8 and which need the float path (max_err is
+    the ANN-margin killer, not mean SSE). One explode + two
+    map-side-combining groupBys; the min/max frame is 64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+            )
+        ).alias("i0", "ri"),
+    ).select((F.col("i0") + 1).alias("i"), "ri")
+    mm = r.groupBy("i").agg(
+        F.min("ri").alias("lo"), F.max("ri").alias("hi"), F.count("*").alias("n")
+    )
+    q = r.join(F.broadcast(mm), "i").withColumn(
+        "code",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.expr("((ri - lo) * 255) DIV (hi - lo)"),
+        ).otherwise(F.lit(0)),
+    )
+    d = q.withColumn(
+        "rhat",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.expr("lo + (code * (hi - lo)) DIV 255"),
+        ).otherwise(F.col("lo")),
+    )
+    err = F.col("ri") - F.col("rhat")
+    return (
+        d.groupBy("i")
+        .agg(
+            F.max("lo").cast("bigint").alias("lo"),
+            F.max("hi").cast("bigint").alias("hi"),
+            F.max("n").cast("bigint").alias("n"),
+            F.sum(err.cast("decimal(38,0)") * err).cast("bigint").alias("sse_scaled"),
+            F.max(F.abs(err)).cast("bigint").alias("max_err_scaled"),
+        )
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            "lo",
+            "hi",
+            "n",
+            "sse_scaled",
+            "max_err_scaled",
+        )
+        .orderBy("i")
+    )
