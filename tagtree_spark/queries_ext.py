@@ -10800,6 +10800,8 @@ def one_time_builders():
         "wal_live_tail_log": lambda s, d: _wal_live_tail_log(s, d),
         "stream_drift_store": lambda s, d: _stream_drift_store(s, d),
         "ckpt_compacted_store": lambda s, d: _ckpt_compacted_store(s, d),
+        "pca_base": lambda s, d: _force(_pca_base(s, d)),
+        "stream_pack_store": lambda s, d: _stream_pack_store(s, d),
     }
 
 
