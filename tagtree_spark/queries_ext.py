@@ -16458,3 +16458,132 @@ def q330_int8_quantization(spark, sf_dir):
         )
         .orderBy("i")
     )
+
+
+def _q331_oracle() -> str:
+    from tagtree_spark.functions.hashing import duck_h60
+    from tagtree_spark.operators.sketch import logq_exprs
+
+    bucket, _lo, _hi = logq_exprs("s", "duckdb")
+    h = duck_h60("CAST(event_id AS VARCHAR)")
+    return f"""
+WITH e AS (
+  SELECT event_id, CAST(round(value * 1024.0) AS BIGINT) AS s FROM events
+), z AS (
+  SELECT event_id, {bucket} AS bucket FROM e
+), sk AS (
+  SELECT bucket, count(*) AS n FROM z GROUP BY bucket
+), cums AS (
+  SELECT bucket, n,
+         sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS nt
+  FROM sk
+), qb AS (
+  SELECT min(CASE WHEN cum >= CAST(ceil(0.25 * nt) AS BIGINT)
+             THEN bucket END) AS b25,
+         min(CASE WHEN cum >= CAST(ceil(0.50 * nt) AS BIGINT)
+             THEN bucket END) AS b50,
+         min(CASE WHEN cum >= CAST(ceil(0.75 * nt) AS BIGINT)
+             THEN bucket END) AS b75
+  FROM cums
+), st AS (
+  SELECT z.event_id,
+         (CASE WHEN z.bucket <= qb.b25 THEN 0
+               WHEN z.bucket <= qb.b50 THEN 1
+               WHEN z.bucket <= qb.b75 THEN 2
+               ELSE 3 END) AS stratum
+  FROM z, qb
+), sz AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY stratum
+), tgt AS (SELECT min(n) AS target FROM sz),
+rates AS (
+  SELECT sz.stratum, sz.n, tgt.target,
+         CAST(least(1000000, tgt.target * 1000000 // sz.n) AS BIGINT)
+           AS rate_ppm
+  FROM sz, tgt
+)
+SELECT r.stratum AS stratum, r.n AS n, CAST(r.target AS BIGINT) AS target,
+       r.rate_ppm AS rate_ppm,
+       CAST(coalesce(sum(CASE WHEN {h} % 1000000 < r.rate_ppm
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept
+FROM rates r JOIN st ON r.stratum = st.stratum
+GROUP BY r.stratum, r.n, r.target, r.rate_ppm
+ORDER BY stratum"""
+
+
+@query("q331_quantile_stratified_sample", _q331_oracle())
+def q331_quantile_stratified_sample(spark, sf_dir):
+    """QUANTILE-STRATIFIED deterministic sampling — the sketch and the
+    sampler composed: the log-histogram (q309) supplies value-quartile
+    boundaries as BUCKET ids (integer compares, no float quantiles),
+    each event lands in a stratum, and the E7 h60 keep-gate
+    (h60(event_id) % 10⁶ < rate_ppm) downsamples every stratum to the
+    smallest one's size — the balanced-value-distribution sample a
+    regression test or a calibration set wants, reproducible bit-for-bit
+    from ids alone (no RNG state, mergeable across machines). Emits the
+    audit per stratum: size, target, integer-ppm rate, exact kept
+    count. One scan to the bucket summary, a 4-row boundary broadcast,
+    one keep-gate pass."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.functions.hashing import h60
+    from tagtree_spark.operators.sketch import logq_exprs
+
+    bucket, _lo, _hi = logq_exprs("s", "spark")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * F.lit(1024.0)).cast("bigint").alias("s"),
+    )
+    z = ev.select("event_id", F.expr(bucket).cast("bigint").alias("bucket"))
+    sk = z.groupBy("bucket").agg(F.count("*").alias("n"))
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cums = sk.select(
+        "bucket",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wall).alias("nt"),
+    )
+    qb = cums.groupBy().agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"CAST(ceil({lit} * nt) AS BIGINT)"),
+                    F.col("bucket"),
+                )
+            ).alias(name)
+            for lit, name in [("0.25", "b25"), ("0.50", "b50"), ("0.75", "b75")]
+        ]
+    )
+    st = z.crossJoin(F.broadcast(qb)).select(
+        "event_id",
+        F.when(F.col("bucket") <= F.col("b25"), 0)
+        .when(F.col("bucket") <= F.col("b50"), 1)
+        .when(F.col("bucket") <= F.col("b75"), 2)
+        .otherwise(3)
+        .alias("stratum"),
+    )
+    sz = st.groupBy("stratum").agg(F.count("*").cast("bigint").alias("n"))
+    tgt = sz.groupBy().agg(F.min("n").alias("target"))
+    rates = sz.crossJoin(F.broadcast(tgt)).select(
+        "stratum",
+        "n",
+        F.col("target").cast("bigint").alias("target"),
+        F.least(F.lit(1000000), F.expr("target * 1000000 DIV n"))
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    gate = h60(F.col("event_id").cast("string")) % 1000000
+    kept = (
+        st.join(F.broadcast(rates), "stratum")
+        .groupBy("stratum", "n", "target", "rate_ppm")
+        .agg(
+            F.sum(F.when(gate < F.col("rate_ppm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept")
+        )
+    )
+    return kept.select(
+        "stratum", "n", "target", "rate_ppm", "n_kept"
+    ).orderBy("stratum")
