@@ -10802,6 +10802,7 @@ def one_time_builders():
         "ckpt_compacted_store": lambda s, d: _ckpt_compacted_store(s, d),
         "pca_base": lambda s, d: _force(_pca_base(s, d)),
         "stream_pack_store": lambda s, d: _stream_pack_store(s, d),
+        "stream_rollup_store": lambda s, d: _stream_rollup_store(s, d),
     }
 
 
@@ -16587,3 +16588,135 @@ def q331_quantile_stratified_sample(spark, sf_dir):
     return kept.select(
         "stratum", "n", "target", "rate_ppm", "n_kept"
     ).orderBy("stratum")
+
+
+_STREAM_ROLLUP_CACHE: dict = {}
+
+
+def _stream_rollup_store(spark, sf_dir):
+    """Drain events through the RollupSink continuous aggregate at DAY
+    resolution (3 micro-batches + mid-stream compaction): value is
+    staged in exact centi-units (round(v·100) — integer-valued doubles,
+    so the sink's DECIMAL sums are exact) and event_type rides as a
+    dense sorted code (rollup tsids are bigint)."""
+    import tempfile
+
+    from tagtree_spark.streaming.rollup import RollupSink
+
+    tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _STREAM_ROLLUP_CACHE:
+        return _STREAM_ROLLUP_CACHE[key]
+    d = tempfile.mkdtemp(prefix="tagtree-stream-rollup-")
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct()
+    wcode = Window.orderBy("event_type")
+    codes = types.select(
+        "event_type", F.row_number().over(wcode).cast("bigint").alias("tsid")
+    )
+    staged = ev.join(F.broadcast(codes), "event_type").select(
+        "event_id",
+        "tsid",
+        "ts",
+        F.round(F.col("value") * F.lit(100.0)).alias("value"),
+    )
+    for b in (0, 1, 2):
+        staged.where(F.col("event_id") % 3 == b).coalesce(1).write.parquet(
+            f"{d}/in/b{b}"
+        )
+    schema = spark.read.parquet(f"{d}/in/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in/*")
+        .select("tsid", "ts", "value")
+    )
+    store = f"{d}/store"
+    q = (
+        stream.writeStream.foreachBatch(
+            RollupSink(store, minutes=1440, compact_every=2)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("q332 stream drain did not finish in 600s")
+    _STREAM_ROLLUP_CACHE[key] = store
+    return store
+
+
+@query(
+    "q332_stream_ewma",
+    """
+WITH RECURSIVE d AS (
+  SELECT event_type,
+         epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY event_type, epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000
+), dt AS (
+  SELECT event_type, day, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM d
+), ew AS (
+  SELECT event_type, day, t, x, x AS z FROM dt WHERE t = 1
+  UNION ALL
+  SELECT dt.event_type, dt.day, dt.t, dt.x, 0.25 * dt.x + 0.75 * ew.z AS z
+  FROM ew JOIN dt ON dt.event_type = ew.event_type AND dt.t = ew.t + 1
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, x, CAST(z AS DOUBLE) AS z
+FROM ew ORDER BY event_type, day""",
+)
+def q332_stream_ewma(spark, sf_dir):
+    """EWMA control chart answered from the STREAMED continuous
+    aggregate: the RollupSink's day-resolution (tsid, bucket, n,
+    DECIMAL v_sum) segments — written incrementally, compacted
+    mid-stream — supply exact daily means (centi-unit staging keeps the
+    decimal sums exact), and the same ¼/¾ fold as q316 reproduces the
+    batch trajectory bit-for-bit. This is the dashboard wiring at
+    100 TB: the monitor reads O(days·keys) rollup rows, never raw
+    samples, and micro-batch boundaries cannot move the curve (rollup
+    aggregates compose exactly — the sink's invariant, now carried
+    through a downstream recursive statistic)."""
+    from tagtree_spark.streaming.rollup import read_rollup
+
+    from pyspark.sql import Window
+
+    store = _stream_rollup_store(spark, sf_dir)
+    rd = read_rollup(spark, store)
+    if rd is None:
+        raise ValueError("empty rollup store")
+    ev = load_table(spark, sf_dir, "events")
+    wcode = Window.orderBy("event_type")
+    codes = ev.select("event_type").distinct().select(
+        "event_type", F.row_number().over(wcode).cast("bigint").alias("tsid")
+    )
+    d = rd.join(F.broadcast(codes), "tsid").select(
+        "event_type",
+        (F.col("bucket_start") / 86400).cast("bigint").alias("day"),
+        (F.col("v_sum").cast("double") / F.col("n").cast("double")).alias("x"),
+    )
+    arr = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("arr")
+    )
+    fold = (
+        "aggregate(arr, "
+        "struct(CAST(0.0 AS DOUBLE) AS z, "
+        "CAST(array() AS ARRAY<STRUCT<day: BIGINT, x: DOUBLE, z: DOUBLE>>) AS out), "
+        "(acc, p) -> struct("
+        "CASE WHEN size(acc.out) = 0 THEN p.x ELSE 0.25 * p.x + 0.75 * acc.z END AS z, "
+        "array_append(acc.out, struct(p.day AS day, p.x AS x, "
+        "CASE WHEN size(acc.out) = 0 THEN p.x ELSE 0.25 * p.x + 0.75 * acc.z END AS z)) AS out))"
+    )
+    rows = arr.select("event_type", F.explode(F.expr(fold + ".out")).alias("r"))
+    return rows.select(
+        "event_type",
+        F.col("r.day").cast("bigint").alias("day"),
+        F.col("r.x").alias("x"),
+        F.col("r.z").cast("double").alias("z"),
+    ).orderBy("event_type", "day")
