@@ -16720,3 +16720,123 @@ def q332_stream_ewma(spark, sf_dir):
         F.col("r.x").alias("x"),
         F.col("r.z").cast("double").alias("z"),
     ).orderBy("event_type", "day")
+
+
+def _rollup_daily(spark, sf_dir):
+    """(event_type, day, n, v_sum, v_min, v_max) decoded from the
+    streamed day-rollup store (codes re-derived deterministically)."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.streaming.rollup import read_rollup
+
+    store = _stream_rollup_store(spark, sf_dir)
+    rd = read_rollup(spark, store)
+    if rd is None:
+        raise ValueError("empty rollup store")
+    ev = load_table(spark, sf_dir, "events")
+    wcode = Window.orderBy("event_type")
+    codes = ev.select("event_type").distinct().select(
+        "event_type", F.row_number().over(wcode).cast("bigint").alias("tsid")
+    )
+    return rd.join(F.broadcast(codes), "tsid").select(
+        "event_type",
+        F.expr("bucket_start DIV 86400").cast("bigint").alias("day"),
+        "n",
+        "v_sum",
+        "v_min",
+        "v_max",
+    )
+
+
+@query("q333_stream_cusum", _ORACLE_REG["q263_cusum_changepoint"])
+def q333_stream_cusum(spark, sf_dir):
+    """CUSUM changepoint answered from the STREAMED rollup state — the
+    second monitor riding q332's continuous aggregate (the drift-store
+    pattern on the rollup side: one incrementally-maintained day table,
+    a family of alarms). The store's per-(key, day) counts ARE q263's
+    daily volume series, so the exact cleared-denominator statistic
+    S_k = n·Σx_i − k·Σx reproduces the batch oracle bit-for-bit through
+    micro-batch chops and compaction. The alarm reads days×types rows,
+    never raw events."""
+    from pyspark.sql import Window
+
+    d = _rollup_daily(spark, sf_dir).select(
+        "event_type", "day", F.col("n").cast("bigint").alias("x")
+    )
+    t = d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("total"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.join(t, "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        "total",
+        (
+            F.col("n_days") * F.sum("x").over(wcum)
+            - F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+            * F.col("total")
+        ).alias("s"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.abs(F.col("s")).desc(), "day")
+    r = c.select(
+        "event_type",
+        "day",
+        "n_days",
+        "total",
+        F.abs(F.col("s")).alias("abs_s"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        r.where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            "total",
+            F.col("day").alias("cp_day"),
+            F.col("abs_s").cast("bigint").alias("max_abs_s"),
+            (
+                F.col("abs_s").cast("double")
+                / (F.col("n_days") * F.col("total")).cast("double")
+            ).alias("score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q334_stream_daily_extremes",
+    """
+SELECT event_type,
+       CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS v_min,
+       CAST(max(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS v_max,
+       CAST(max(CAST(round(value * 100.0) AS BIGINT))
+            - min(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS v_range
+FROM events
+GROUP BY event_type, epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000
+ORDER BY event_type, day""",
+)
+def q334_stream_daily_extremes(spark, sf_dir):
+    """Daily min/max/range panel from the STREAMED rollup — covering the
+    store's remaining aggregate fields (min/max compose like the sums,
+    so merge-on-read over chopped, compacted segments reproduces the
+    batch extremes exactly; centi-unit staging makes them integers).
+    The volatility/range screen an ops dashboard plots next to q332's
+    EWMA and q333's CUSUM — three monitors, one continuous aggregate,
+    zero raw re-reads."""
+    d = _rollup_daily(spark, sf_dir)
+    return d.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("v_min").cast("bigint").alias("v_min"),
+        F.col("v_max").cast("bigint").alias("v_max"),
+        (F.col("v_max") - F.col("v_min")).cast("bigint").alias("v_range"),
+    ).orderBy("event_type", "day")
