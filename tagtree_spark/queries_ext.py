@@ -16840,3 +16840,233 @@ def q334_stream_daily_extremes(spark, sf_dir):
         F.col("v_max").cast("bigint").alias("v_max"),
         (F.col("v_max") - F.col("v_min")).cast("bigint").alias("v_range"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "q335_conformal_coverage",
+    """
+WITH cal AS (
+  SELECT event_type, CAST(round(value * 1024.0) AS BIGINT) AS s FROM events
+  WHERE user_id % 2 = 0
+), tst AS (
+  SELECT event_type, CAST(round(value * 1024.0) AS BIGINT) AS s FROM events
+  WHERE user_id % 2 = 1
+), cd AS (
+  SELECT event_type, s, count(*) AS c FROM cal GROUP BY event_type, s
+), cc AS (
+  SELECT event_type, s,
+         sum(c) OVER (PARTITION BY event_type ORDER BY s
+                      ROWS UNBOUNDED PRECEDING) AS cu,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM cd
+), med AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_cal,
+         CAST(min(CASE WHEN cu >= (n + 1) // 2 THEN s END) AS BIGINT) AS med_s
+  FROM cc GROUP BY event_type
+), sc AS (
+  SELECT cd.event_type, abs(cd.s - med.med_s) AS sco, cd.c
+  FROM cd JOIN med ON cd.event_type = med.event_type
+), sd AS (
+  SELECT event_type, sco, sum(c) AS c FROM sc GROUP BY event_type, sco
+), scc AS (
+  SELECT event_type, sco,
+         sum(c) OVER (PARTITION BY event_type ORDER BY sco
+                      ROWS UNBOUNDED PRECEDING) AS cu,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM sd
+), qh AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN cu >= least(CAST(ceil(0.90 * (n + 1)) AS BIGINT), n)
+                  THEN sco END) AS BIGINT) AS qhat
+  FROM scc GROUP BY event_type
+), cov AS (
+  SELECT t.event_type,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN abs(t.s - med.med_s) <= qh.qhat
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM tst t JOIN med ON t.event_type = med.event_type
+             JOIN qh ON t.event_type = qh.event_type
+  GROUP BY t.event_type
+)
+SELECT med.event_type AS event_type, med.n_cal AS n_cal, med.med_s AS med_s,
+       qh.qhat AS qhat, cov.n_test AS n_test, cov.n_covered AS n_covered,
+       CAST(cov.n_covered * 1000000 // cov.n_test AS BIGINT) AS coverage_ppm
+FROM med JOIN qh ON med.event_type = qh.event_type
+         JOIN cov ON med.event_type = cov.event_type
+ORDER BY event_type""",
+)
+def q335_conformal_coverage(spark, sf_dir):
+    """SPLIT-CONFORMAL prediction intervals with exact arithmetic: the
+    calibration half (user parity) supplies a per-type center (exact
+    median) and the ⌈0.9·(n+1)⌉-th smallest nonconformity score
+    |s − med| (exact DECIMAL rank, clamped at n); the held-out half
+    then measures EMPIRICAL COVERAGE of med ± qhat as an integer ppm —
+    the distribution-free ~90% guarantee made auditable (a model-eval
+    pipeline gates on this row before shipping intervals). Everything
+    is order statistics over distinct-value summaries (the q324 shape);
+    no float appears anywhere. The integer-ppm division is exact floor
+    arithmetic in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("half"),
+        F.round(F.col("value") * F.lit(1024.0)).cast("bigint").alias("s"),
+    )
+    cal = ev.where(F.col("half") == 0)
+    tst = ev.where(F.col("half") == 1)
+    cd = cal.groupBy("event_type", "s").agg(F.count("*").alias("c"))
+    wcu = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cc = cd.select(
+        "event_type",
+        "s",
+        F.sum("c").over(wcu).alias("cu"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    med = cc.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_cal"),
+        F.min(F.when(F.col("cu") >= F.expr("(n + 1) DIV 2"), F.col("s")))
+        .cast("bigint")
+        .alias("med_s"),
+    )
+    sc = cd.join(med, "event_type").select(
+        "event_type", F.abs(F.col("s") - F.col("med_s")).alias("sco"), "c"
+    )
+    sd = sc.groupBy("event_type", "sco").agg(F.sum("c").alias("c"))
+    wsc = (
+        Window.partitionBy("event_type")
+        .orderBy("sco")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scc = sd.select(
+        "event_type",
+        "sco",
+        F.sum("c").over(wsc).alias("cu"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qh = scc.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("cu")
+                >= F.expr("least(CAST(ceil(0.90 * (n + 1)) AS BIGINT), n)"),
+                F.col("sco"),
+            )
+        )
+        .cast("bigint")
+        .alias("qhat")
+    )
+    cov = (
+        tst.join(med.select("event_type", "med_s"), "event_type")
+        .join(qh, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("s") - F.col("med_s")) <= F.col("qhat"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        med.join(qh, "event_type")
+        .join(cov, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "med_s",
+            "qhat",
+            "n_test",
+            "n_covered",
+            F.expr("CAST(n_covered * 1000000 DIV n_test AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q336_oracle() -> str:
+    from tagtree_spark.functions.hashing import duck_h60_seeded
+    from tagtree_spark.operators.sketch import CMS_D, CMS_W
+
+    rows = "\nUNION ALL\n".join(
+        f"  SELECT {r} AS row, {duck_h60_seeded('CAST(user_id AS VARCHAR)', r)}"
+        f" % {CMS_W} AS bucket FROM events"
+        for r in range(CMS_D)
+    )
+    return f"""
+WITH k AS (
+{rows}
+), regs AS (
+  SELECT row, bucket, count(*) AS cnt FROM k GROUP BY row, bucket
+), f2 AS (
+  SELECT row, sum(CAST(cnt AS HUGEINT) * cnt) AS est FROM regs GROUP BY row
+), ex AS (
+  SELECT CAST(sum(CAST(d AS HUGEINT) * d) AS BIGINT) AS exact_f2,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(d) AS BIGINT) AS n
+  FROM (SELECT user_id, count(*) AS d FROM events GROUP BY user_id)
+), mn AS (SELECT min(est) AS best FROM f2)
+SELECT CAST(f2.row AS BIGINT) AS row, CAST(f2.est AS BIGINT) AS est_f2,
+       ex.n AS n, ex.n_keys AS n_keys, ex.exact_f2 AS exact_f2,
+       CAST(CASE WHEN f2.est = mn.best THEN 1 ELSE 0 END AS BIGINT) AS is_min
+FROM f2, ex, mn
+ORDER BY row"""
+
+
+@query("q336_join_size_estimate", _q336_oracle())
+def q336_join_size_estimate(spark, sf_dir):
+    """SELF-JOIN SIZE (second frequency moment F₂ = Σ d(k)²) estimation
+    — the optimizer statistic that decides whether a user_id self-join
+    is feasible — from the CMS registers' row-wise inner product
+    Σ_b cnt[r][b]² (the AMS/CMS F₂ estimator: each of the 4 seeded rows
+    OVERcounts by collision mass only, so min-over-rows is the
+    estimate; est ≥ exact always). The exact Σd² rides along (the
+    hll_distinct error-visibility convention), so the row is its own
+    calibration. Register sums are exact DECIMAL/HUGEINT products
+    (rules 7/11); at 100 TB the registers are the same d×w map-side
+    partials the heavy-hitter path (q109) already maintains — join-size
+    estimation is a free second read of that state."""
+    from tagtree_spark.operators.sketch import cms_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = cms_registers(ev, "user_id")
+    f2 = regs.groupBy("row").agg(
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("est")
+    )
+    ex = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("d"))
+        .agg(
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+            .cast("bigint")
+            .alias("exact_f2"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("d").cast("bigint").alias("n"),
+        )
+    )
+    mn = f2.agg(F.min("est").alias("best"))
+    return (
+        f2.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(mn))
+        .select(
+            F.col("row").cast("bigint").alias("row"),
+            F.col("est").cast("bigint").alias("est_f2"),
+            "n",
+            "n_keys",
+            "exact_f2",
+            F.when(F.col("est") == F.col("best"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_min"),
+        )
+        .orderBy("row")
+    )
