@@ -17070,3 +17070,72 @@ def q336_join_size_estimate(spark, sf_dir):
         )
         .orderBy("row")
     )
+
+
+@query(
+    "q337_gini_concentration",
+    """
+WITH d AS (
+  SELECT event_type, user_id, count(*) AS x FROM events
+  GROUP BY event_type, user_id
+), r AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(x) OVER (PARTITION BY event_type) AS tot
+  FROM d
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(tot) AS BIGINT) AS n_events,
+       CAST(sum(CAST(2 * rk - n - 1 AS HUGEINT) * x) AS BIGINT) AS gini_num,
+       CAST(CAST(max(n) AS HUGEINT) * max(tot) AS BIGINT) AS gini_den,
+       CAST(sum(CAST(2 * rk - n - 1 AS HUGEINT) * x) AS DOUBLE)
+         / CAST(CAST(max(n) AS HUGEINT) * max(tot) AS DOUBLE) AS gini
+FROM r GROUP BY event_type ORDER BY event_type""",
+)
+def q337_gini_concentration(spark, sf_dir):
+    """GINI concentration of per-user activity per event_type — the
+    inequality screen (is engagement spread across the user base or
+    carried by whales?) a growth dashboard and an abuse monitor both
+    read. The mean-difference form G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over
+    counts sorted by (x, user_id) keeps the numerator an exact integer
+    (ties are broken deterministically and the formula is tie-safe:
+    permuting equal x's leaves the sum unchanged), denominators are
+    rule-16 exact products, one final IEEE division. Windows run over
+    the bounded per-(type, user) count frame, never raw events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("x"))
+    wrk = Window.partitionBy("event_type").orderBy("x", "user_id")
+    wall = Window.partitionBy("event_type")
+    r = d.select(
+        "event_type",
+        "x",
+        F.row_number().over(wrk).alias("rk"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("x").over(wall).alias("tot"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.max("tot").cast("bigint").alias("n_events"),
+        F.sum(
+            (2 * F.col("rk") - F.col("n") - 1).cast("decimal(38,0)") * F.col("x")
+        )
+        .cast("bigint")
+        .alias("gini_num"),
+        (F.max("n").cast("decimal(38,0)") * F.max("tot"))
+        .cast("bigint")
+        .alias("gini_den"),
+    )
+    return g.select(
+        "event_type",
+        "n_users",
+        "n_events",
+        "gini_num",
+        "gini_den",
+        (F.col("gini_num").cast("double") / F.col("gini_den").cast("double")).alias(
+            "gini"
+        ),
+    ).orderBy("event_type")
