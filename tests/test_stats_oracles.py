@@ -224,3 +224,52 @@ def test_t_closeness_oracle_vs_bruteforce(rows):
             num += abs(cum_g * n_glob - cum_all * len(gv))
         row = got[g]
         assert (row[1], row[2], row[3]) == (len(gv), m, num), (g, row, (len(gv), m, num))
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=ROWS)
+def test_gini_oracle_vs_bruteforce(rows):
+    from tagtree_spark.queries_ext import _ORACLE_REG
+
+    rows = [(t, u, v, d, i) for i, (t, u, v, d) in enumerate(rows)]
+    sql = _ORACLE_REG["q337_gini_concentration"]
+    got = {r[0]: r for r in _con(rows).execute(sql).fetchall()}
+    for t in ("a", "b"):
+        from collections import Counter
+
+        counts = Counter(r[1] for r in rows if r[0] == t)
+        if not counts:
+            continue
+        xs = sorted(counts.values())
+        n, tot = len(xs), sum(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        row = got[t]
+        assert (row[1], row[2], row[3], row[4]) == (n, tot, num, n * tot), (t, row)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=ROWS)
+def test_conformal_oracle_vs_bruteforce(rows):
+    from tagtree_spark.queries_ext import _ORACLE_REG
+
+    rows = [(t, u, v, d, i) for i, (t, u, v, d) in enumerate(rows)]
+    sql = _ORACLE_REG["q335_conformal_coverage"]
+    got = {r[0]: r for r in _con(rows).execute(sql).fetchall()}
+    for t in ("a", "b"):
+        cal = sorted(round(r[2] * 1024) for r in rows if r[0] == t and r[1] % 2 == 0)
+        tst = [round(r[2] * 1024) for r in rows if r[0] == t and r[1] % 2 == 1]
+        if not cal or not tst:
+            assert t not in got
+            continue
+        n = len(cal)
+        med = cal[(n + 1) // 2 - 1]
+        scores = sorted(abs(s - med) for s in cal)
+        # exact ceil(0.9(n+1)) — the engines do DECIMAL arithmetic, so the
+        # reference must not round through a float 0.9
+        r_ = min(-(-9 * (n + 1) // 10), n)
+        qhat = scores[r_ - 1]
+        ncov = sum(1 for s in tst if abs(s - med) <= qhat)
+        row = got[t]
+        assert (row[1], row[2], row[3], row[4], row[5]) == (
+            n, med, qhat, len(tst), ncov,
+        ), (t, row)
