@@ -17,6 +17,9 @@ regression, without a re-run).
 
 The LAST line is always small enough to survive a bounded tail capture
 (the detailed line outgrew the driver's window at ~100 queries, r3).
+"canary"/"canary_ratio" (r11): three pinned cheap queries re-timed at the
+END of the run vs the START — a contended host reads ratio >> 1.0, so an
+inflated session self-identifies from the artifact alone.
 Execution is forced through the noop sink (full plan runs, nothing is
 transferred to the driver) — collect() would make the bench measure driver
 materialization instead of the engine. All Spark logs go to stderr; stdout
@@ -87,6 +90,29 @@ def main() -> int:
     # per-query round is distinguishable from a clean one (ADVICE r9)
     one_time_failed = sorted(n for n, v in one_time.items() if v < 0)
 
+    # Contention canary (VERDICT r10 #2): three pinned cheap queries timed
+    # best-of-2 BEFORE and AFTER the main loop. On a quiet host the
+    # end/start ratio sits near 1.0; a contended session reads high — so an
+    # inflated total self-identifies quantitatively from the artifact alone
+    # instead of needing a cross-round per-query diff.
+    canary_names = [
+        n for n in ("q01_eql", "q126_prefix_filter", "q216_kcore") if n in qs
+    ]
+
+    def _canary_pass() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for n in canary_names:
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                run_query(qs[n](spark, sf_dir))
+                runs.append(time.time() - t0)
+            out[n] = round(min(runs), 3)
+            release_tracked()
+        return out
+
+    canary_start = _canary_pass()
+
     # Best-of-2 per query: this host shows ±30% run-to-run noise; the min
     # is a far stabler round-over-round signal than a single cold sample.
     # "value" = sum of per-query minima (the comparable metric); true
@@ -115,6 +141,15 @@ def main() -> int:
     wall = round(time.time() - t_all, 3)
     total = round(sum(v for v in timings.values() if v > 0), 3)
 
+    canary_end = _canary_pass()
+    c_start = sum(canary_start.values())
+    canary_ratio = (
+        round(sum(canary_end.values()) / c_start, 3) if c_start > 0 else -1.0
+    )
+    canary = {
+        n: [canary_start[n], canary_end[n]] for n in canary_names
+    }
+
     print(
         json.dumps(
             {
@@ -126,6 +161,8 @@ def main() -> int:
                 "one_time": one_time,
                 "one_time_sec": one_time_total,
                 "one_time_failed": one_time_failed,
+                "canary": canary,
+                "canary_ratio": canary_ratio,
                 "wall_sec": wall,
                 "sf": _sf_of(sf_dir),
             }
@@ -143,6 +180,7 @@ def main() -> int:
                 "unit": "sec",
                 "one_time_sec": one_time_total,
                 "one_time_failed": one_time_failed,
+                "canary_ratio": canary_ratio,
                 "wall_sec": wall,
                 "sf": _sf_of(sf_dir),
                 "n_queries": len(timings),

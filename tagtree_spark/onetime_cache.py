@@ -1,0 +1,107 @@
+"""Cross-session content-addressed cache for one-time builds (VERDICT
+r10 #3).
+
+Every builder in ``queries_ext.one_time_builders()`` is a deterministic
+function of (sf_dir, its parameters, its own code). Re-deriving them
+identically in every parity/bench session wasted ~90s/session. This
+module gives each builder a stable on-disk home keyed by a content hash
+of (name, sf_dir, params, code-version), with a ``_COMPLETE`` marker for
+commit — so a second session reuses the artifact, and ANY change to the
+builder's source (the version is an ``inspect.getsource`` hash of the
+builder and its declared dependencies) moves the key and forces a clean
+rebuild. Stale artifacts are never read; they are simply orphaned under
+the old key.
+
+Layout: ``<repo>/.tmp/onetime/<name>-<md5(key)[:16]>/`` (``.tmp/`` is
+gitignored). Opt out with ``TAGTREE_ONETIME_CACHE=0`` (every build then
+lands in a fresh tempdir, the pre-r11 behavior).
+
+Concurrency: builds land in a pid-suffixed staging dir and commit via a
+single ``os.rename`` — two racing sessions both build, one rename wins,
+the loser reuses the winner's artifact. Readers only ever see fully
+committed directories.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import os
+import shutil
+import tempfile
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def cache_root() -> str | None:
+    """The cache directory, or None when disabled via env."""
+    env = os.environ.get("TAGTREE_ONETIME_CACHE", "")
+    if env == "0":
+        return None
+    if env:
+        return env
+    return os.path.join(_REPO_ROOT, ".tmp", "onetime")
+
+
+def source_version(*objs) -> str:
+    """Code-version hash: md5 over the SOURCE of the builder and its
+    declared dependencies. Editing any of them moves the cache key."""
+    src = "".join(inspect.getsource(o) for o in objs)
+    return hashlib.md5(src.encode()).hexdigest()[:12]
+
+
+def _slot(name: str, sf_dir: str, version: str, params: str) -> str:
+    root = cache_root()
+    assert root is not None
+    h = hashlib.md5(f"{name}|{sf_dir}|{version}|{params}".encode()).hexdigest()[:16]
+    return os.path.join(root, f"{name}-{h}")
+
+
+def cached_dir(name, sf_dir, version, build, params: str = ""):
+    """Return a directory built by ``build(path)`` exactly once per
+    (name, sf_dir, version, params) ACROSS sessions. ``build`` writes
+    into the fresh path it is given; the rename + ``_COMPLETE`` marker
+    commit it. With the cache disabled, builds into a tempdir every
+    call (caller-side session dicts still dedupe within a session)."""
+    if cache_root() is None:
+        d = tempfile.mkdtemp(prefix=f"tagtree-{name}-")
+        build(d)
+        return d
+    final = _slot(name, sf_dir, version, params)
+    # the marker is a SIBLING file, never inside the artifact — byte-level
+    # readers (WAL segment scan, series-file glob) list the store dir and
+    # must see exactly the files the builder wrote
+    marker = final + ".complete"
+    if os.path.exists(marker) and os.path.isdir(final):
+        return final
+    staging = f"{final}.build{os.getpid()}"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
+    build(staging)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        # a racing session committed first; use its artifact
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isdir(final):
+            raise
+    with open(marker, "w") as f:
+        f.write(f"{name}|{sf_dir}|{version}|{params}\n")
+    return final
+
+
+def cached_frame(spark, name, sf_dir, version, build_df, params: str = ""):
+    """Parquet-backed DataFrame cache: on miss, run ``build_df()`` and
+    write the result; ALWAYS return a scan of the committed parquet, so
+    first and later sessions hand consumers the identical plan shape.
+    Caller persists/tracks as it sees fit. Falls back to the computed
+    frame directly when the cache is disabled."""
+    if cache_root() is None:
+        return build_df()
+
+    def _build(path: str) -> None:
+        build_df().write.parquet(os.path.join(path, "data"))
+
+    d = cached_dir(name, sf_dir, version, _build, params)
+    return spark.read.parquet(os.path.join(d, "data"))

@@ -368,6 +368,18 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int | None = None) ->
             if pos >= len(data):
                 if expected is not None and len(out) >= expected:
                     return bytes(out)
+                # the encoder makes NO insert before emitting EOI, so the
+                # decoder's one-early width bump after the FINAL data code
+                # can leave it wanting one bit more than the stream holds
+                # when EOI's old-width bits end exactly at a byte boundary
+                # (no zero padding to rescue the wide read): accept an EOI
+                # spelled at the previous width as a clean terminal
+                if (
+                    code_size > min_code_size + 1
+                    and nbits == code_size - 1
+                    and (cur & ((1 << (code_size - 1)) - 1)) == eoi
+                ):
+                    return bytes(out)
                 raise ValueError("LZW stream truncated before EOI")
             cur |= data[pos] << nbits
             nbits += 8

@@ -1612,3 +1612,32 @@ def mmr_topk(
         # round re-executes every previous round's one-row pick subtree
         out = out.unionByName(nxt).localCheckpoint(eager=False)
     return out.select("rank", "vec_id", "rel", "max_sim", "mmr")
+
+
+def bucket_store_topk(spark, store_dir: str, query_id: int, k: int = 5) -> DataFrame:
+    """ANN top-k over the PERSISTED hyperplane-LSH bucket table — the
+    versioned, bucket-PARTITIONED twin of :func:`bucketed_embeddings`
+    (VERDICT r10 #4, the third cache→table migration after the shingle
+    and CC stores): resolve the committed version, read the query's
+    bucket id (one bounded row, the control-plane read class), then scan
+    ONLY that bucket's partition directory — PartitionFilters pinned in
+    test_plans. Same cosine fold as :func:`lsh_bucket_topk`, so scores
+    are bit-identical to the in-memory path and q33's oracle."""
+    from tagtree_spark.tsdb.store import versioned_read
+
+    t = versioned_read(spark, store_dir)
+    qb = int(
+        t.where(F.col("vec_id") == query_id).select("bucket").collect()[0][0]
+    )
+    qv_df = t.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    pruned = t.where(F.col("bucket") == qb).where(F.col("vec_id") != query_id)
+    return (
+        pruned.join(F.broadcast(qv_df))
+        .select(
+            "vec_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            cosine("v", "qv").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+    )

@@ -543,7 +543,7 @@ def log_histogram(
         F.expr(lo).cast("bigint").alias("lo"),
         F.expr(hi).cast("bigint").alias("hi"),
     ]
-    agg = F.count("*") if weight_col is None else F.sum(weight_col)
+    agg = F.count("*")
     if weight_col is not None:
         cols.append(F.col(weight_col).alias("_w"))
         agg = F.sum("_w")

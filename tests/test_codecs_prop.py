@@ -231,6 +231,22 @@ def test_gif_lzw_roundtrip_property(data):
     assert _lzw_decode(_lzw_encode(rep), 8) == rep
 
 
+def test_gif_lzw_byte_aligned_eoi_after_width_bump():
+    """The decoder widens ONE insert early, but the encoder makes no
+    insert before EOI — so when the decoder's post-insert next_code
+    lands exactly on 2^width−1 after the FINAL data code, the encoder
+    wrote EOI at the old width. 254 distinct-literal codes at
+    min_code_size=8 hit that boundary with EOI ending exactly on a byte
+    (288 bytes, zero padding bits): the pre-fix decoder raised
+    'LZW stream truncated before EOI' when expected=None."""
+    from tagtree_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    data = bytes(range(254))
+    enc = _lzw_encode(data, 8)
+    assert len(enc) == 288  # the byte-aligned-EOI shape this test pins
+    assert _lzw_decode(enc, 8) == data  # no `expected` rescue available
+
+
 def test_gif_lzw_dictionary_overflow_clear():
     """A stream with >4096 dictionary inserts crosses the 12-bit cap:
     the encoder must emit CLEAR and both sides must resynchronize."""

@@ -885,3 +885,43 @@ def test_jpeg_fixture_truncates_long_docs(spark):
     r = decoded_jpeg_features(jpeg_from_documents(docs)).collect()[0]
     assert r.height == 8 * JPEG_MAX_BYTES
     assert r.sum_pixels == 64 * ord("a") * JPEG_MAX_BYTES
+
+
+def test_decode_oracles_keep_empty_docs(spark):
+    """A zero-length text must yield the SAME zero row from both
+    engines: the fixture encoders emit a 1-row zero raster (sum=0,
+    possum=0) while the pre-r11 oracles INNER JOINed documents to a
+    per-character aggregate, which has no row for an empty text — the
+    doc silently dropped from the oracle only (ADVICE r10). Pins the
+    LEFT JOIN + coalesce form of q107/q253/q307/q308 on the corpus
+    shape the generator never produces."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from tagtree_spark.operators.multimodal import (
+        bmp_from_documents,
+        decoded_bmp_features,
+        decoded_gif_features,
+        decoded_image_features,
+        gif_from_documents,
+        png_from_documents,
+        ppm_from_documents,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["", "hello world"]})
+    docs = spark.createDataFrame(pdf)
+    oracles = entry.oracle_sql()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    pairs = [
+        ("q107_ppm_decode", decoded_image_features(ppm_from_documents(docs))),
+        ("q253_png_decode", decoded_image_features(png_from_documents(docs))),
+        ("q307_bmp_decode", decoded_bmp_features(bmp_from_documents(docs))),
+        ("q308_gif_decode", decoded_gif_features(gif_from_documents(docs))),
+    ]
+    for qname, sdf in pairs:
+        got = {tuple(r) for r in sdf.collect()}
+        want = {tuple(r) for r in con.execute(oracles[qname]).fetchall()}
+        assert got == want, qname
+        assert len(got) == 2, qname  # the empty doc is present

@@ -2824,3 +2824,32 @@ def test_log_histogram_quantile_sketch(spark):
                 assert l <= true < h, (p, r, true, l, h)
                 assert (h - l) <= max(1, (true >> 6) + 1), (p, h - l, true)
                 break
+
+
+def test_q313_window_parameter_bounds_probe_days(spark):
+    """q313's trend window is an enforced PARAMETER (VERDICT r10 #7), not
+    an assumption about the dataset's span: with window_days=7 both
+    engines analyze only the trailing 7 days per type and still
+    hash-match, and the n column shrinks vs the full-window run —
+    proof the filter actually restricts the pair universe."""
+    import duckdb
+
+    from tagtree_spark.io import TABLES, load_table
+    from tagtree_spark.queries_ext import _q313_oracle, q313_kendall_tau
+
+    sf = "/root/testdata/sf0.001"
+    got = q313_kendall_tau(spark, sf, window_days=7).toPandas()
+    full = q313_kendall_tau(spark, sf).toPandas()
+    assert got["n"].sum() < full["n"].sum()
+
+    con = duckdb.connect()
+    ev = load_table(spark, sf, "events").toPandas()
+    con.register("events", ev)
+    want = con.execute(_q313_oracle(window_days=7)).df()
+    g = got.sort_values("event_type").reset_index(drop=True)
+    w = want.sort_values("event_type").reset_index(drop=True)
+    assert list(g["event_type"]) == list(w["event_type"])
+    for c in ("n", "num", "cpd"):
+        assert list(g[c].astype(int)) == list(w[c].astype(int)), c
+    for c in ("den_x", "den_y", "tau"):
+        assert [repr(x) for x in g[c]] == [repr(x) for x in w[c]], c

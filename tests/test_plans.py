@@ -364,3 +364,22 @@ def test_cc_clusters_read_from_versioned_store(spark):
     assert "Join" not in plan, plan[:2000]
     assert "Exchange" not in plan, plan[:2000]
     assert committed_version(_cc_store_dir(spark, sf)) is not None
+
+
+def test_wb_store_probe_prunes_bucket_partitions(spark):
+    """The persisted hyperplane-LSH bucket table (VERDICT r10 #4 — _wb
+    committed through versioned_overwrite, partitioned by bucket) must
+    answer the q33 probe from ONE bucket directory: PartitionFilters on
+    bucket in the pruned scan, and results bit-identical to the
+    in-memory lsh_bucket_topk path."""
+    from tagtree_spark.operators.similarity import bucket_store_topk, lsh_bucket_topk
+    from tagtree_spark.queries_ext import _emb, _wb, _wb_store_dir
+
+    sf = "/root/testdata/sf0.001"
+    d = _wb_store_dir(spark, sf)
+    got = bucket_store_topk(spark, d, query_id=0, k=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    mem = lsh_bucket_topk(_emb(spark, sf), query_id=0, k=5, wb=_wb(spark, sf))
+    want = [(r.vec_id, r.bucket, r.score) for r in mem.collect()]
+    assert [(r.vec_id, r.bucket, r.score) for r in got.collect()] == want
