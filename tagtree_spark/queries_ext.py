@@ -147,36 +147,57 @@ _JPEG_MEDIA_CACHE: dict = {}
 
 
 def _png_media(spark, sf_dir):
+    from tagtree_spark.onetime_cache import cached_frame, source_version
     from tagtree_spark.operators.multimodal import png_from_documents
 
     key = (spark.sparkContext.applicationId, sf_dir, "png")
     got = _JPEG_MEDIA_CACHE.get(key)
     if got is None:
-        got = png_from_documents(_docs(spark, sf_dir)).persist()
+        got = cached_frame(
+            spark,
+            "png_media",
+            sf_dir,
+            source_version(_png_media, png_from_documents),
+            lambda: png_from_documents(_docs(spark, sf_dir)),
+        ).persist()
         got.count()
         _JPEG_MEDIA_CACHE[key] = got
     return got
 
 
 def _jpeg_media(spark, sf_dir):
+    from tagtree_spark.onetime_cache import cached_frame, source_version
     from tagtree_spark.operators.multimodal import jpeg_from_documents
 
     key = (spark.sparkContext.applicationId, sf_dir, "gray")
     got = _JPEG_MEDIA_CACHE.get(key)
     if got is None:
-        got = jpeg_from_documents(_docs(spark, sf_dir)).persist()
+        got = cached_frame(
+            spark,
+            "jpeg_media",
+            sf_dir,
+            source_version(_jpeg_media, jpeg_from_documents),
+            lambda: jpeg_from_documents(_docs(spark, sf_dir)),
+        ).persist()
         got.count()
         _JPEG_MEDIA_CACHE[key] = got
     return got
 
 
 def _jpeg_color_media(spark, sf_dir):
+    from tagtree_spark.onetime_cache import cached_frame, source_version
     from tagtree_spark.operators.multimodal import jpeg_color_from_documents
 
     key = (spark.sparkContext.applicationId, sf_dir, "color")
     got = _JPEG_MEDIA_CACHE.get(key)
     if got is None:
-        got = jpeg_color_from_documents(_docs(spark, sf_dir)).persist()
+        got = cached_frame(
+            spark,
+            "jpeg_color_media",
+            sf_dir,
+            source_version(_jpeg_color_media, jpeg_color_from_documents),
+            lambda: jpeg_color_from_documents(_docs(spark, sf_dir)),
+        ).persist()
         got.count()
         _JPEG_MEDIA_CACHE[key] = got
     return got
@@ -7216,12 +7237,19 @@ _PQC_CACHE: dict = {}
 
 
 def _pqc(spark, sf_dir):
+    from tagtree_spark.onetime_cache import cached_frame, source_version
     from tagtree_spark.operators.similarity import pq_codes
 
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _PQC_CACHE.get(key)
     if got is None:
-        got = pq_codes(_emb(spark, sf_dir)).persist()
+        got = cached_frame(
+            spark,
+            "pq_codes",
+            sf_dir,
+            source_version(_pqc, pq_codes),
+            lambda: pq_codes(_emb(spark, sf_dir)),
+        ).persist()
         got.count()
         _PQC_CACHE[key] = got
     return got
@@ -11348,12 +11376,20 @@ _DUPWIN_CACHE: dict = {}
 
 
 def _dupwin(spark, sf_dir):
+    from tagtree_spark.onetime_cache import cached_frame, source_version
     from tagtree_spark.operators.dedup import dup_window_positions
 
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _DUPWIN_CACHE.get(key)
     if got is None:
-        got = dup_window_positions(_docs(spark, sf_dir), window=8).persist()
+        got = cached_frame(
+            spark,
+            "dup_windows",
+            sf_dir,
+            source_version(_dupwin, dup_window_positions),
+            lambda: dup_window_positions(_docs(spark, sf_dir), window=8),
+            params="w=8",
+        ).persist()
         got.count()
         _DUPWIN_CACHE[key] = got
     return got
@@ -17378,6 +17414,7 @@ def q337_gini_concentration(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _PP_CACHE: dict = {}
+_SYMREF_CACHE: dict = {}
 
 
 def _symbol_refs(spark, sf_dir):
@@ -17387,23 +17424,42 @@ def _symbol_refs(spark, sf_dir):
     sorted-list page metadata carries (index_tree.cpp:663). The
     reference's ref assignment is insertion-ordered and equally arbitrary;
     any bijection works as long as the dictionary travels with the pages
-    (our symbol.tab twin, tsdb/seriesfmt.py). Tiny frame — one window over
-    tens of symbols."""
+    (our symbol.tab twin, tsdb/seriesfmt.py). Tiny frame — computed once
+    per (session, sf): tens of symbols, every decode branch reuses the
+    collected map."""
     from pyspark.sql import Window
 
     from tagtree_spark.queries import _model
 
-    _, postings, _ = _model(spark, sf_dir)
-    syms = (
-        postings.select(F.col("name").alias("symbol"))
-        .union(postings.select(F.col("value").alias("symbol")))
-        .union(spark.createDataFrame([("",)], "symbol string"))
-        .distinct()
-    )
-    w = Window.orderBy("symbol")
-    return syms.select(
-        "symbol", (F.row_number().over(w) - 1).cast("bigint").alias("ref")
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SYMREF_CACHE.get(key)
+    if got is None:
+        _, postings, _ = _model(spark, sf_dir)
+        syms = (
+            postings.select(F.col("name").alias("symbol"))
+            .union(postings.select(F.col("value").alias("symbol")))
+            .union(spark.createDataFrame([("",)], "symbol string"))
+            .distinct()
+        )
+        w = Window.orderBy("symbol")
+        rows = [
+            (r["symbol"], int(r["ref"]))
+            for r in syms.select(
+                "symbol",
+                (F.row_number().over(w) - 1).cast("bigint").alias("ref"),
+            ).collect()
+        ]
+        got = (
+            spark.createDataFrame(rows, "symbol string, ref bigint").persist(),
+            {ref: sym for sym, ref in rows},
+        )
+        _SYMREF_CACHE[key] = got
+    return got[0]
+
+
+def _symbol_map(spark, sf_dir) -> dict:
+    _symbol_refs(spark, sf_dir)
+    return _SYMREF_CACHE[(spark.sparkContext.applicationId, sf_dir)][1]
 
 
 def _posting_pages(spark, sf_dir):
@@ -17539,19 +17595,33 @@ def _posting_pages(spark, sf_dir):
     return got
 
 
-def _pages_postings(spark, sf_dir):
+def _pages_postings(spark, sf_dir, name=None, value=None):
     """(name, value, tsid, ptype) recovered by DECODING the page images —
     bitmap pages through the segment-offset bit walk, sorted-list pages
     through the slotted line-pointer walk; value strings resolved from
     item/metadata refs via the broadcast symbol frame. The decoder also
     re-derives each page's name from its metadata name_ref and the
     page TYPE from the end_timestamp bit-63 flag, certifying both against
-    the carried columns."""
+    the carried columns.
+
+    ``name``/``value`` prune the PAGE SET before any byte is decoded —
+    the reference's key-range scan (make_key spans one (name, value)
+    prefix, index_tree.cpp:110-136): a matcher only ever decodes its own
+    label's pages. Sorted-list pages pack many values of a name under
+    value='', so the value prune applies to bitmap pages only and the
+    item-level filter stays with the caller."""
     from tagtree_spark.tsdb import pagefmt as pf
 
     pages = _posting_pages(spark, sf_dir)
+    if name is not None:
+        pages = pages.where(F.col("name") == name)
+        if value is not None:
+            pages = pages.where(
+                (F.col("value") == value)
+                | (F.col("page_type") == pf.TYPE_SORTED_LIST)
+            )
     syms = _symbol_refs(spark, sf_dir)
-    ref2sym = {int(r["ref"]): r["symbol"] for r in syms.collect()}  # tiny
+    ref2sym = _symbol_map(spark, sf_dir)
 
     def dec(it):
         import pandas as pd
@@ -17666,21 +17736,28 @@ def q338_posting_pages(spark, sf_dir):
 def q339_pages_conjunction(spark, sf_dir):
     """q07's 3-matcher conjunction (EQL + regex + NEQ) answered purely
     from the synthesized PAGE IMAGES: each matcher's posting set is
-    recovered by decoding page bytes (bitmap bit-walk / slotted-item
-    walk), then AND/ANDNOT-composed — the reference's
-    resolve_label_matchers read path (index_tree.cpp:908-) with Spark
-    set ops standing in for the Roaring intersections. Same oracle as
-    q07: the page round-trip must be invisible to the matcher."""
-    post = _pages_postings(spark, sf_dir)
-    m1 = post.where(
-        (F.col("name") == "user_bucket") & (F.col("value") == "u1")
-    ).select("tsid")
-    m2 = post.where(
-        (F.col("name") == "k_bucket") & F.col("value").rlike("^k[12]$")
-    ).select("tsid")
-    m3 = post.where(
-        (F.col("name") == "event_type") & (F.col("value") == "error")
-    ).select("tsid")
+    recovered by decoding ONLY its own label's pages (the name/value
+    prune happens on the page table BEFORE any byte is touched — the
+    reference's key-range scan, index_tree.cpp:110-136), then
+    AND/ANDNOT-composed — resolve_label_matchers (index_tree.cpp:908-)
+    with Spark set ops standing in for the Roaring intersections. Same
+    oracle as q07: the page round-trip must be invisible to the
+    matcher."""
+    m1 = (
+        _pages_postings(spark, sf_dir, "user_bucket", "u1")
+        .where(F.col("value") == "u1")
+        .select("tsid")
+    )
+    m2 = (
+        _pages_postings(spark, sf_dir, "k_bucket")
+        .where(F.col("value").rlike("^k[12]$"))
+        .select("tsid")
+    )
+    m3 = (
+        _pages_postings(spark, sf_dir, "event_type", "error")
+        .where(F.col("value") == "error")
+        .select("tsid")
+    )
     return m1.intersect(m2).subtract(m3).orderBy("tsid")
 
 

@@ -202,6 +202,97 @@ def build_scaled_dir(spark, src_dir: str, out_dir: str, n: int) -> None:
     eout.repartition(32).write.parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
+#: key columns shifted per copy for the FULL-inventory scaled dir — join
+#: keys shift coherently (lineitem.l_orderkey matches orders.o_orderkey,
+#: etc.), non-key attributes and dates stay, so every join/agg plan sees a
+#: genuinely Nx fact universe. nation/region are fixed dims (symlinked).
+_TPCH_KEY_SHIFTS = {
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+}
+
+
+def build_full_scaled_dir(spark, src_dir: str, out_dir: str, n: int) -> None:
+    """Nx EVERY fact table (VERDICT r10 #6 — the sf1 full-inventory
+    sweep): documents/embeddings/events via build_scaled_dir's
+    decorrelated copies, plus the TPC-H facts with coherent key shifts;
+    only the fixed dims (nation/region) stay 1x."""
+    build_scaled_dir(spark, src_dir, out_dir, n)
+    for t, keys in _TPCH_KEY_SHIFTS.items():
+        link = os.path.join(out_dir, f"{t}.parquet")
+        os.remove(link)  # drop the symlink build_scaled_dir made
+        df = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+        copies = []
+        for i in range(n):
+            copies.append(
+                df.select(
+                    *[
+                        (F.col(c) + F.lit(i * ID_OFFSET)).alias(c)
+                        if c in keys
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            )
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.repartition(32).write.parquet(link)
+
+
+def run_full_sweep(spark, src_dir: str, out_dir: str, n: int) -> None:
+    """Run the ENTIRE query inventory once at 1x and once at Nx —
+    one-time builds forced up front at each scale so per-query walls are
+    steady-state — and print the markdown table sorted by ratio, worst
+    first. Done-criterion: any >3x-scaling query gets a named cause in
+    SCALE.md."""
+    import __spark_entry__ as entry
+    from tagtree_spark.queries_ext import one_time_builders
+    from tagtree_spark.session import release_tracked
+
+    qs = entry.queries()
+    rows = []
+    for sf in (src_dir, out_dir):
+        t0 = time.perf_counter()
+        for bname, build in one_time_builders().items():
+            try:
+                build(spark, sf)
+            except Exception as exc:
+                print(f"one-time {bname} @ {sf}: {exc!r}", file=sys.stderr)
+        print(
+            f"one-time builds @ {os.path.basename(sf)}: "
+            f"{time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    for name, fn in qs.items():
+        try:
+            r1, w1 = time_query(fn, spark, src_dir)
+            rn, wn = time_query(fn, spark, out_dir)
+            rows.append((name, r1, w1, rn, wn, wn / w1 if w1 > 0 else 0.0))
+        except Exception as exc:
+            print(f"{name}: FAILED {exc!r}", file=sys.stderr)
+            rows.append((name, -1, -1.0, -1, -1.0, -1.0))
+        release_tracked()
+    rows.sort(key=lambda r: -r[5])
+    tot1 = sum(r[2] for r in rows if r[2] > 0)
+    totn = sum(r[4] for r in rows if r[4] > 0)
+    print(
+        f"TOTAL: 1x {tot1:.1f}s, {n}x {totn:.1f}s, ratio {totn / tot1:.2f}x "
+        f"over {len(rows)} queries",
+        flush=True,
+    )
+    print(f"| query | rows 1x | wall 1x | rows {n}x | wall {n}x | ratio |")
+    print("|---|---|---|---|---|---|")
+    for name, r1, w1, rn, wn, ratio in rows:
+        print(
+            f"| {name} | {r1} | {w1:.2f}s | {rn} | {wn:.2f}s | {ratio:.1f}x |",
+            flush=True,
+        )
+
+
 def run_skew_case(spark, n_edges: int) -> None:
     """Adversarial SKEW stress for the iterative CC/k-core family
     (VERDICT r9 #6): the 100x sweep grew data uniformly; here ONE giant
@@ -270,12 +361,13 @@ def main() -> int:
     ap.add_argument("--only", default=None, help="comma-separated query subset")
     ap.add_argument(
         "--family",
-        choices=("dedup", "overflow", "skew"),
+        choices=("dedup", "overflow", "skew", "full"),
         default="dedup",
         help="query family: dedup (the quadratic-risk list), overflow "
-        "(exact-integer + iterative families for deep --n runs), or skew "
+        "(exact-integer + iterative families for deep --n runs), skew "
         "(synthetic hot-component CC/k-core stress; --n scales edge count "
-        "in millions)",
+        "in millions), or full (the ENTIRE inventory at 1x and Nx with "
+        "every fact table scaled — the sf1 sweep, VERDICT r10 #6)",
     )
     args = ap.parse_args()
     # symlink targets resolve relative to the LINK's directory, not the
@@ -289,6 +381,12 @@ def main() -> int:
     out_dir = os.path.abspath(f".tmp/scaleup-x{args.n}")
     print(f"building x{args.n} corpus under {out_dir} ...", file=sys.stderr)
     t0 = time.perf_counter()
+    if args.family == "full":
+        build_full_scaled_dir(spark, args.src, out_dir, args.n)
+        print(f"built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        run_full_sweep(spark, args.src, out_dir, args.n)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return 0
     build_scaled_dir(spark, args.src, out_dir, args.n)
     print(f"built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
