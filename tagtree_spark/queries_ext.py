@@ -17805,3 +17805,588 @@ def q340_wb_store_ann(spark, sf_dir):
     from tagtree_spark.operators.similarity import bucket_store_topk
 
     return bucket_store_topk(spark, _wb_store_dir(spark, sf_dir), query_id=0, k=5)
+
+
+# --------------------------------------------------------------------------
+# r11 continuation: experimentation/meta-analysis layer on exact statistics
+# --------------------------------------------------------------------------
+
+
+def _q341_oracle() -> str:
+    # α = 1/4 at m = #event_types and 1/(K+1) p-granularity: the BH step
+    # condition p_(i) ≤ i·α/m cross-multiplies to 4·m·p_num ≤ i·p_den —
+    # pure integers, no fp compare anywhere.
+    return f"""
+WITH base AS ({_q296_oracle()}
+), ranked AS (
+  SELECT event_type, n_a, n_b, k_extreme, n_perms,
+         k_extreme + 1 AS p_num, n_perms + 1 AS p_den,
+         row_number() OVER (ORDER BY k_extreme, event_type) AS rnk,
+         count(*) OVER () AS m
+  FROM base
+), flag AS (
+  SELECT *, CASE WHEN 4 * p_num * m <= rnk * p_den THEN rnk ELSE 0 END AS ok
+  FROM ranked
+), mx AS (SELECT max(ok) AS kmax FROM flag)
+SELECT event_type,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(p_num AS BIGINT) AS p_num,
+       CAST(p_den AS BIGINT) AS p_den,
+       CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS p_value,
+       CAST(CASE WHEN ok > 0 AND rnk <= mx.kmax THEN 1
+                 WHEN rnk <= mx.kmax THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM flag, mx ORDER BY rnk"""
+
+
+@query("q341_bh_fdr", _q341_oracle())
+def q341_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR control COMPOSED over q296's exact
+    permutation p-values — the multiple-testing layer every
+    experimentation platform needs once it runs one test per event_type:
+    p_(i) = (k_i+1)/(K+1) ranks ascending and the BH step rejects every
+    rank ≤ max{{i : p_(i) ≤ i·α/m}} (α=1/4 at this m and 1/33
+    granularity). The step condition cross-multiplies to
+    4·m·p_num ≤ i·p_den — integers end to end, so the only doubles in
+    the output are final single divisions (rule 16). Scale shape: rides
+    q296's map-side-combined permutation aggregate (m rows reach the
+    window, one per type)."""
+    from pyspark.sql import Window
+
+    base = q296_permutation_test(spark, sf_dir)
+    w = Window.orderBy("k_extreme", "event_type")
+    wall = Window.partitionBy()
+    ranked = base.select(
+        "event_type",
+        (F.col("k_extreme") + 1).cast("bigint").alias("p_num"),
+        (F.col("n_perms") + 1).cast("bigint").alias("p_den"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count("*").over(wall).cast("bigint").alias("m"),
+    )
+    flag = ranked.withColumn(
+        "ok",
+        F.when(
+            4 * F.col("p_num") * F.col("m") <= F.col("rnk") * F.col("p_den"),
+            F.col("rnk"),
+        ).otherwise(F.lit(0)),
+    ).withColumn("kmax", F.max("ok").over(wall))
+    return flag.select(
+        "event_type",
+        "rnk",
+        "p_num",
+        "p_den",
+        (F.col("p_num").cast("double") / F.col("p_den").cast("double")).alias(
+            "p_value"
+        ),
+        F.when(F.col("rnk") <= F.col("kmax"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rejected"),
+    ).orderBy("rnk")
+
+
+_Q342_SCALE = 1_048_576.0  # 2^20 (rule 8) — Σx² stays inside DECIMAL(38,0)
+
+
+def _q342_oracle() -> str:
+    s = f"CAST(round(value * CAST({_Q342_SCALE} AS DOUBLE)) AS HUGEINT)"
+    return f"""
+WITH e AS (
+  SELECT event_type, user_id % 2 AS g, {s} AS x FROM events
+), m AS (
+  SELECT event_type,
+         sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS sa,
+         sum(CASE WHEN g = 0 THEN x * x ELSE 0 END) AS qa,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS sb,
+         sum(CASE WHEN g = 1 THEN x * x ELSE 0 END) AS qb,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb
+  FROM e GROUP BY event_type
+), c AS (
+  SELECT event_type, na, nb,
+         CAST(sa * nb - sb * na AS DOUBLE) AS md_num,
+         CAST(na * nb AS DOUBLE) AS md_den,
+         CAST((na * qa - sa * sa) * nb + (nb * qb - sb * sb) * na AS DOUBLE)
+           AS sp_num,
+         CAST(na * nb * (na + nb - 2) AS DOUBLE) AS sp_den
+  FROM m
+)
+SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CASE WHEN sp_num > 0.0 AND na > 1 AND nb > 1
+            THEN (md_num / md_den) / sqrt(sp_num / sp_den) ELSE NULL END AS d
+FROM c ORDER BY event_type"""
+
+
+@query("q342_effect_size", _q342_oracle())
+def q342_effect_size(spark, sf_dir):
+    """Cohen's d for the A/B split (user_id % 2) per event_type — the
+    EFFECT SIZE companion to q296's significance: mean difference over
+    the pooled standard deviation, with every moment an exact integer
+    (rule-8 2^20 scaling; (n−1)·s² terms put over the common denominator
+    na·nb·(na+nb−2) so (na−1)sa²+(nb−1)sb² = (na·qa−sa²)·nb +
+    (nb·qb−sb²)·na — DECIMAL(38,0)/HUGEINT, rule 11) and d itself ONE
+    shared spelling of two divisions and a sqrt over rule-16 casts
+    (identical IEEE ops both engines; the scale factor cancels between
+    numerator and denominator). One map-side-combining groupBy; m rows
+    out."""
+    s = F.expr(
+        f"CAST(round(value * CAST({_Q342_SCALE} AS DOUBLE)) AS DECIMAL(38,0))"
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("g"), s.alias("x")
+    )
+    m = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("x")).otherwise(F.lit(0))).alias("sa"),
+        F.sum(
+            F.when(F.col("g") == 0, F.col("x") * F.col("x")).otherwise(F.lit(0))
+        ).alias("qa"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("na"),
+        F.sum(F.when(F.col("g") == 1, F.col("x")).otherwise(F.lit(0))).alias("sb"),
+        F.sum(
+            F.when(F.col("g") == 1, F.col("x") * F.col("x")).otherwise(F.lit(0))
+        ).alias("qb"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("nb"),
+    )
+    c = m.select(
+        "event_type",
+        "na",
+        "nb",
+        (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+        .cast("double")
+        .alias("md_num"),
+        (F.col("na") * F.col("nb")).cast("double").alias("md_den"),
+        (
+            (F.col("na") * F.col("qa") - F.col("sa") * F.col("sa")) * F.col("nb")
+            + (F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb")) * F.col("na")
+        )
+        .cast("double")
+        .alias("sp_num"),
+        (F.col("na") * F.col("nb") * (F.col("na") + F.col("nb") - 2))
+        .cast("double")
+        .alias("sp_den"),
+    )
+    return c.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.when(
+            (F.col("sp_num") > 0.0) & (F.col("na") > 1) & (F.col("nb") > 1),
+            (F.col("md_num") / F.col("md_den"))
+            / F.sqrt(F.col("sp_num") / F.col("sp_den")),
+        ).alias("d"),
+    ).orderBy("event_type")
+
+
+def _q345_oracle() -> str:
+    return f"""
+WITH pairs AS ({_ORACLE_REG["q32_ngram_jaccard"]}
+), thr(t) AS (VALUES (50), (60), (70), (80), (90)),
+hit AS (
+  SELECT t, doc_a, doc_b FROM pairs, thr
+  WHERE n_common * 100 >= t * (n_a + n_b - n_common)
+), pd AS (
+  SELECT t, doc_a AS d FROM hit UNION SELECT t, doc_b FROM hit
+), np AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM hit GROUP BY t
+), nd AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_docs FROM pd GROUP BY t
+)
+SELECT thr.t AS threshold_pct,
+       CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+FROM thr LEFT JOIN np ON np.t = thr.t LEFT JOIN nd ON nd.t = thr.t
+ORDER BY threshold_pct"""
+
+
+@query("q345_threshold_sweep", _q345_oracle())
+def q345_threshold_sweep(spark, sf_dir):
+    """Dedup OPERATING CURVE: pair and affected-doc counts at Jaccard
+    thresholds 50..90, from ONE exact-overlap pass (q32's inverted-index
+    machinery via the shared shingle table) — the sweep an operator runs
+    before choosing a threshold, and the empirical complement to q320's
+    analytic S-curve planner. Every pair carries exact integer
+    (n_common, n_a, n_b), so each threshold is a pure integer
+    cross-multiplication filter over the SAME pair frame (computed once,
+    never re-shingled). Thresholds below the 50% candidate floor would
+    need a lower band calibration — documented, not silently extended."""
+    from tagtree_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), min_jaccard_pct=50, sh=_sh(spark, sf_dir)
+    )
+    thr = F.explode(F.array(*[F.lit(t) for t in (50, 60, 70, 80, 90)])).alias("t")
+    hit = (
+        pairs.select("doc_a", "doc_b", "n_common", "n_a", "n_b", thr)
+        .where(
+            F.col("n_common") * 100
+            >= F.col("t") * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select("t", "doc_a", "doc_b")
+    )
+    np_ = hit.groupBy("t").agg(F.count("*").cast("bigint").alias("n_pairs"))
+    pd_ = (
+        hit.select("t", F.col("doc_a").alias("d"))
+        .union(hit.select("t", F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    nd_ = pd_.groupBy("t").agg(F.count("*").cast("bigint").alias("n_docs"))
+    base = spark.createDataFrame([(t,) for t in (50, 60, 70, 80, 90)], "t int")
+    return (
+        base.join(np_, "t", "left")
+        .join(nd_, "t", "left")
+        .select(
+            F.col("t").alias("threshold_pct"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+@query(
+    "q346_zipf_octaves",
+    """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok WHERE w <> '' GROUP BY w
+), oct AS (
+  SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS octave, c FROM tf
+), agg AS (
+  SELECT octave, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM oct GROUP BY octave
+), tot AS (SELECT sum(n_tokens) AS tt FROM agg)
+SELECT octave, n_terms, n_tokens,
+       CAST(1000000 * n_tokens // tot.tt AS BIGINT) AS share_ppm
+FROM agg, tot ORDER BY octave""",
+)
+def q346_zipf_octaves(spark, sf_dir):
+    """Zipf/heavy-tail profile of the corpus vocabulary WITHOUT any
+    floating log: term frequencies bucket into power-of-two octaves via
+    the binary-string length (``length(bin(c)) − 1`` — the same
+    no-libm-log trick as the q309 quantile sketch, and bin() spells
+    identically in Spark and DuckDB), giving vocab size and token mass
+    per frequency octave plus integer-ppm corpus share. The shape a
+    tokenizer-budget or stop-list decision actually consumes; one
+    map-side-combined term count, 20-ish octave rows out."""
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    agg = (
+        tf.select(
+            (F.length(F.expr("bin(c)")) - 1).cast("bigint").alias("octave"), "c"
+        )
+        .groupBy("octave")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = agg.agg(F.sum("n_tokens").alias("tt"))
+    return (
+        agg.join(F.broadcast(tot))
+        .select(
+            "octave",
+            "n_terms",
+            "n_tokens",
+            F.expr("CAST(1000000 * n_tokens DIV tt AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("octave")
+    )
+
+
+@query(
+    "q347_resets",
+    TSDB_CTE
+    + """
+, d AS (
+  SELECT tsid, value,
+         lag(value) OVER (PARTITION BY tsid ORDER BY ts, value) AS prev
+  FROM samples
+)
+SELECT tsid, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+FROM d GROUP BY tsid ORDER BY tsid""",
+)
+def q347_resets(spark, sf_dir):
+    """PromQL ``resets()`` — the counter-monotonicity companion to q115's
+    ``changes()`` (/root/reference delegates PromQL evaluation upstream;
+    resets is the primitive its counters need for rate() correctness):
+    per series, how many consecutive-sample DECREASES occur. Pure
+    comparisons on raw doubles under the same total (ts, value) order as
+    q115 — no arithmetic, cross-engine exact; one tsid-partitioned lag
+    window + one same-key groupBy (single shuffle)."""
+    from tagtree_spark.tsdb.promql import resets_over_time
+
+    from tagtree_spark.queries import _model
+
+    _, _, samples = _model(spark, sf_dir)
+    return resets_over_time(samples).orderBy("tsid")
+
+
+@query(
+    "q348_page_density",
+    TSDB_CTE
+    + """
+, pc AS (
+  SELECT name, count(DISTINCT value) AS n_vals, count(*) AS total
+  FROM postings GROUP BY name
+), pt AS (
+  SELECT name, CASE WHEN ((total * 12 + 4095) // 4096) * 4096 <= n_vals * 4096
+                    THEN 'sorted_list' ELSE 'bitmap' END AS page_type
+  FROM pc
+), bmseg AS (
+  SELECT name, value, tsid // 32640 AS seg FROM postings GROUP BY 1, 2, 3
+), bmp AS (
+  SELECT name, CAST(count(*) AS BIGINT) AS n_pages FROM bmseg GROUP BY name
+), base AS (
+  SELECT p.name AS name, pt.page_type AS page_type,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(CASE WHEN pt.page_type = 'sorted_list'
+                   THEN (count(*) + 253) // 254
+                   ELSE max(bmp.n_pages) END AS BIGINT) AS n_pages
+  FROM postings p JOIN pt ON pt.name = p.name
+                  JOIN bmp ON bmp.name = p.name
+  GROUP BY p.name, pt.page_type
+)
+SELECT name, page_type, n_items, n_pages,
+       CAST(1000000 * n_items //
+            (n_pages * CASE WHEN page_type = 'sorted_list'
+                            THEN 254 ELSE 32640 END) AS BIGINT) AS fill_ppm
+FROM base ORDER BY name""",
+)
+def q348_page_density(spark, sf_dir):
+    """Storage-efficiency audit of the posting PAGE BYTES — the signal a
+    table rewriter (the reference's write_postings re-choosing layouts
+    per compaction) acts on: per label name, page count and slot
+    occupancy recovered by DECODING every page image (sorted pages
+    report their line-pointer count against the exact 254-slot capacity;
+    bitmap pages their popcount against 32,640 bits). The oracle
+    re-derives the same inventory from raw events + the chooser/capacity
+    arithmetic — so a pagination bug (one row spilled to a phantom page,
+    one bit set in the wrong segment) breaks the driver hash. Integer
+    ppm; decode is the same Arrow pass as q338."""
+    from tagtree_spark.tsdb import pagefmt as pf
+
+    pages = _posting_pages(spark, sf_dir)
+
+    def dens(it):
+        import pandas as pd
+
+        for pdf in it:
+            names, ptypes, items = [], [], []
+            for name, ptype, segsel, page in zip(
+                pdf["name"], pdf["page_type"], pdf["segsel"], pdf["page"]
+            ):
+                page = bytes(page)
+                _, _, _, flag_type = pf.decode_page_metadata(page)
+                if flag_type != ptype:
+                    raise ValueError("page type flag mismatch")
+                if ptype == pf.TYPE_BITMAP:
+                    n = len(pf.decode_bitmap_page(page, int(segsel)))
+                else:
+                    n = len(pf.decode_sorted_list_page(page))
+                names.append(name)
+                ptypes.append(ptype)
+                items.append(n)
+            yield pd.DataFrame(
+                {
+                    "name": names,
+                    "page_type": ptypes,
+                    "n": pd.Series(items, dtype="int64"),
+                }
+            )
+
+    d = pages.mapInPandas(dens, "name string, page_type string, n bigint")
+    cap = F.when(F.col("page_type") == pf.TYPE_SORTED_LIST, F.lit(254)).otherwise(
+        F.lit(32640)
+    )
+    return (
+        d.groupBy("name", "page_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_items"),
+            F.count("*").cast("bigint").alias("n_pages"),
+        )
+        .select(
+            "name",
+            "page_type",
+            "n_items",
+            "n_pages",
+            F.expr(
+                "CAST(1000000 * n_items DIV (n_pages * "
+                "CASE WHEN page_type = 'sorted_list' THEN 254 ELSE 32640 END) "
+                "AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
+        .orderBy("name")
+    )
+
+
+_Q344_B = 64  # bootstrap replicates; ranks 2 and 63 ≈ the 95% percentile CI
+
+
+def _q344_oracle() -> str:
+    hp = duck_h60(
+        "event_type || '|' || CAST(b AS VARCHAR) || '|' || CAST(j AS VARCHAR)"
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+         CAST(round(value * 1099511627776.0) AS HUGEINT) AS s
+  FROM events
+), d AS (
+  SELECT event_type, day, sum(s) AS sv, CAST(count(*) AS HUGEINT) AS cv
+  FROM e GROUP BY 1, 2
+), di AS (
+  SELECT event_type, day, sv, cv,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS idx,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM d
+), tb AS (
+  SELECT event_type, nd, unnest(range(1, {_Q344_B} + 1)) AS b
+  FROM (SELECT DISTINCT event_type, nd FROM di)
+), tbj AS (
+  SELECT event_type, nd, b, unnest(range(0, nd)) AS j FROM tb
+), picks AS (
+  SELECT event_type, b, ({hp}) % nd AS pick FROM tbj
+), reps AS (
+  SELECT p.event_type AS event_type, p.b AS b,
+         sum(di.sv) AS sn, sum(di.cv) AS sd
+  FROM picks p JOIN di ON di.event_type = p.event_type AND di.idx = p.pick
+  GROUP BY 1, 2
+), rv AS (
+  SELECT event_type, b, CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE) AS val,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE), b)
+           AS rn
+  FROM reps
+), obs AS (
+  SELECT event_type, CAST(sum(sv) AS DOUBLE) / CAST(sum(cv) AS DOUBLE) AS mean,
+         CAST(max(nd) AS BIGINT) AS n_days
+  FROM di GROUP BY event_type
+)
+SELECT o.event_type AS event_type, o.n_days AS n_days,
+       o.mean / 1099511627776.0 AS mean,
+       lo.val / 1099511627776.0 AS ci_lo,
+       hi.val / 1099511627776.0 AS ci_hi
+FROM obs o
+JOIN rv lo ON lo.event_type = o.event_type AND lo.rn = 2
+JOIN rv hi ON hi.event_type = o.event_type AND hi.rn = {_Q344_B} - 1
+ORDER BY event_type"""
+
+
+@query("q344_bootstrap_ci", _q344_oracle())
+def q344_bootstrap_ci(spark, sf_dir):
+    """Deterministic DAY-BLOCK BOOTSTRAP 95% CI for the per-type mean —
+    the distribution-free uncertainty quantifier beside q335's conformal
+    intervals: 64 replicates each resample D days WITH replacement
+    (pick index = h60(type|b|j) % D — the h60-seeded determinism of the
+    sampling family, so both engines draw the SAME resample), replicate
+    means stay exact rationals (rule-8 2^40 sums / counts,
+    DECIMAL/HUGEINT) until ONE final division ranks them (rule 16;
+    ties broken by replicate id), and the CI is the rank-2/rank-63
+    percentile pair. Day blocks respect within-day correlation — the
+    honest bootstrap for time-series means. Cost: picks frame =
+    types×B×D rows (thousands), joined to the D-row day table —
+    independent of event volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").cast("bigint").alias("day"),
+        F.expr(
+            "CAST(round(value * 1099511627776.0) AS DECIMAL(38,0))"
+        ).alias("s"),
+    )
+    d = ev.groupBy("event_type", "day").agg(
+        F.sum("s").alias("sv"), F.count("*").cast("decimal(38,0)").alias("cv")
+    )
+    wi = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    di = d.select(
+        "event_type",
+        "sv",
+        "cv",
+        (F.row_number().over(wi) - 1).cast("bigint").alias("idx"),
+        F.count("*").over(wall).cast("bigint").alias("nd"),
+    ).persist()
+    tb = (
+        di.select("event_type", "nd")
+        .distinct()
+        .select(
+            "event_type",
+            "nd",
+            F.explode(F.sequence(F.lit(1), F.lit(_Q344_B))).alias("b"),
+        )
+    )
+    tbj = tb.select(
+        "event_type",
+        "nd",
+        "b",
+        F.explode(F.sequence(F.lit(0), F.col("nd") - 1)).alias("j"),
+    )
+    picks = tbj.select(
+        "event_type",
+        "b",
+        (
+            h60(
+                F.concat(
+                    F.col("event_type"),
+                    F.lit("|"),
+                    F.col("b").cast("string"),
+                    F.lit("|"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % F.col("nd")
+        ).alias("pick"),
+    )
+    reps = (
+        picks.join(
+            di.select("event_type", F.col("idx").alias("pick"), "sv", "cv"),
+            ["event_type", "pick"],
+        )
+        .groupBy("event_type", "b")
+        .agg(F.sum("sv").alias("sn"), F.sum("cv").alias("sd"))
+    )
+    val = F.col("sn").cast("double") / F.col("sd").cast("double")
+    wr = Window.partitionBy("event_type").orderBy(val, "b")
+    rv = reps.select(
+        "event_type", "b", val.alias("val"), F.row_number().over(wr).alias("rn")
+    ).persist()
+    obs = di.groupBy("event_type").agg(
+        (F.sum("sv").cast("double") / F.sum("cv").cast("double")).alias("mean"),
+        F.max("nd").cast("bigint").alias("n_days"),
+    )
+    sc = F.lit(1099511627776.0)
+    return (
+        obs.join(
+            rv.where(F.col("rn") == 2).select(
+                "event_type", F.col("val").alias("lo")
+            ),
+            "event_type",
+        )
+        .join(
+            rv.where(F.col("rn") == _Q344_B - 1).select(
+                "event_type", F.col("val").alias("hi")
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "n_days",
+            (F.col("mean") / sc).alias("mean"),
+            (F.col("lo") / sc).alias("ci_lo"),
+            (F.col("hi") / sc).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )

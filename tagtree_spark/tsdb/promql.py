@@ -757,3 +757,33 @@ def mad_over_time(
         F.max(F.when(F.col("rn") == F.col("kk"), F.col("value"))).alias("med"),
         F.max(F.when(F.col("rd") == F.col("kk"), F.col("dev"))).alias("mad"),
     )
+
+
+def resets_over_time(
+    samples: DataFrame,
+    eval_ts: _dt.datetime | None = None,
+    lookback: _dt.timedelta | None = None,
+) -> DataFrame:
+    """PromQL ``resets()`` over a range vector: per series, how many
+    consecutive-sample DECREASES occur — the counter-restart detector
+    rate()/increase() extrapolation depends on. Same total (ts, value)
+    lag order and pure-comparison discipline as :func:`changes_over_time`
+    (no arithmetic → cross-engine exact); single shuffle.
+
+    → ``(tsid, n_samples, n_resets)``.
+    """
+    samples = bound_range(samples, eval_ts, lookback)
+    w = Window.partitionBy("tsid").orderBy("ts", "value")
+    d = samples.select("tsid", "ts", "value").withColumn(
+        "prev", F.lag("value").over(w)
+    )
+    return d.groupBy("tsid").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("value") < F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resets"),
+    )
