@@ -18013,9 +18013,14 @@ def q345_threshold_sweep(spark, sf_dir):
     never re-shingled). Thresholds below the 50% candidate floor would
     need a lower band calibration — documented, not silently extended."""
     from tagtree_spark.operators.dedup import ngram_jaccard_pairs
+    from tagtree_spark.session import persist_tracked
 
-    pairs = ngram_jaccard_pairs(
-        _docs(spark, sf_dir), min_jaccard_pct=50, sh=_sh(spark, sf_dir)
+    # the pair frame feeds THREE branches (pair counts + both doc stacks);
+    # persist the tiny ≥50% pair set so the shingle self-join runs once
+    pairs = persist_tracked(
+        ngram_jaccard_pairs(
+            _docs(spark, sf_dir), min_jaccard_pct=50, sh=_sh(spark, sf_dir)
+        )
     )
     thr = F.explode(F.array(*[F.lit(t) for t in (50, 60, 70, 80, 90)])).alias("t")
     hit = (

@@ -2853,3 +2853,22 @@ def test_q313_window_parameter_bounds_probe_days(spark):
         assert list(g[c].astype(int)) == list(w[c].astype(int)), c
     for c in ("den_x", "den_y", "tau"):
         assert [repr(x) for x in g[c]] == [repr(x) for x in w[c]], c
+
+
+def test_resets_over_time_counts_decreases(spark):
+    """resets() counts strict consecutive decreases under the total
+    (ts, value) order; changes() on the same series counts all
+    inequality flips — resets <= changes always."""
+    import datetime as dt
+
+    from tagtree_spark.tsdb.promql import changes_over_time, resets_over_time
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), v)
+        for i, v in enumerate([1.0, 3.0, 2.0, 2.0, 5.0, 1.0])
+    ]
+    samples = spark.createDataFrame(rows, "tsid long, ts timestamp, value double")
+    r = resets_over_time(samples).collect()[0]
+    c = changes_over_time(samples).collect()[0]
+    assert (r.n_samples, r.n_resets) == (6, 2)  # 3->2 and 5->1
+    assert c.n_changes == 4 and r.n_resets <= c.n_changes
