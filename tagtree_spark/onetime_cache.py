@@ -43,10 +43,58 @@ def cache_root() -> str | None:
     return os.path.join(_REPO_ROOT, ".tmp", "onetime")
 
 
+def _is_repo_function(v) -> bool:
+    import types
+
+    if not isinstance(v, types.FunctionType):
+        return False
+    try:
+        f = inspect.getsourcefile(v)
+    except TypeError:
+        return False
+    return bool(f) and os.path.abspath(f).startswith(_REPO_ROOT + os.sep)
+
+
+def _callees(fn) -> dict:
+    """Repo-local functions referenced ONE level down from ``fn``'s code
+    (resolved via its module globals), recursing into nested code objects
+    (lambdas, comprehensions) but not into the callees' own callees."""
+    import types
+
+    out: dict = {}
+    code = getattr(fn, "__code__", None)
+    g = getattr(fn, "__globals__", None)
+    if code is None or g is None:
+        return out
+    names: set = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        for const in c.co_consts:
+            if isinstance(const, types.CodeType):
+                stack.append(const)
+    for n in sorted(names):
+        v = g.get(n)
+        if _is_repo_function(v):
+            out[f"{v.__module__}.{v.__qualname__}"] = v
+    return out
+
+
 def source_version(*objs) -> str:
-    """Code-version hash: md5 over the SOURCE of the builder and its
-    declared dependencies. Editing any of them moves the cache key."""
-    src = "".join(inspect.getsource(o) for o in objs)
+    """Code-version hash: md5 over the SOURCE of the builder, its declared
+    dependencies, AND every repo-local function any of them references one
+    level down (``co_names`` resolved in each object's module globals, so
+    an UNDECLARED direct helper also moves the key — VERDICT r11 #4; the
+    declared-deps list still carries deeper transitive intent). Editing
+    any of them moves the cache key and forces a clean rebuild."""
+    seen: dict = {}
+    for o in objs:
+        key = f"{getattr(o, '__module__', '')}.{getattr(o, '__qualname__', repr(o))}"
+        seen[key] = o
+        for k, v in _callees(o).items():
+            seen.setdefault(k, v)
+    src = "".join(inspect.getsource(seen[k]) for k in sorted(seen))
     return hashlib.md5(src.encode()).hexdigest()[:12]
 
 
@@ -78,7 +126,13 @@ def cached_dir(name, sf_dir, version, build, params: str = ""):
     if os.path.exists(staging):
         shutil.rmtree(staging)
     os.makedirs(staging)
-    build(staging)
+    try:
+        build(staging)
+    except BaseException:
+        # never strand a pid-suffixed orphan under .tmp/onetime — other
+        # sessions' pids would not match and could not clean it up
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     try:
         os.rename(staging, final)
     except OSError:

@@ -213,6 +213,23 @@ def _emb(spark, sf_dir):
 # reads the same 4-plane buckets — one persisted copy, like _sh() for
 # shingles. The materialized bucket column a vector store keeps on disk.
 _WB_CACHE: dict = {}
+_WB_PLANES: dict = {}
+
+
+def _wb_planes(spark, sf_dir) -> int:
+    """Corpus-count-derived hyperplane count for the shared _wb fixture
+    (VERDICT r11 #1): derives 4 at every in-repo sf (so the static
+    4-plane oracles are unchanged) and grows with a scaled corpus —
+    the 10x sweep's 20k vectors derive 8 planes, keeping buckets under
+    MAX_BUCKET instead of dropping them all. Cached per (session, sf)."""
+    from tagtree_spark.operators.similarity import derive_n_planes
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _WB_PLANES.get(key)
+    if got is None:
+        got = derive_n_planes(_emb(spark, sf_dir).count())
+        _WB_PLANES[key] = got
+    return got
 
 
 def _wb(spark, sf_dir):
@@ -221,7 +238,11 @@ def _wb(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _WB_CACHE.get(key)
     if got is None:
-        got = bucketed_embeddings(_emb(spark, sf_dir), label_col="label").persist()
+        got = bucketed_embeddings(
+            _emb(spark, sf_dir),
+            n_planes=_wb_planes(spark, sf_dir),
+            label_col="label",
+        ).persist()
         got.count()
         _WB_CACHE[key] = got
     return got
@@ -469,7 +490,7 @@ def q33_lsh_ann(spark, sf_dir):
     bucket (4 deterministic integer-weight planes → 16 buckets), exact
     cosine within the bucket."""
     return lsh_bucket_topk(
-        _emb(spark, sf_dir), query_id=0, k=5, n_planes=4, dim=64,
+        _emb(spark, sf_dir), query_id=0, k=5, dim=64,
         wb=_wb(spark, sf_dir),
     )
 
@@ -4890,17 +4911,22 @@ def q147_expectations(spark, sf_dir):
 
 
 def _q148_oracle() -> str:
+    from tagtree_spark.functions.hashing import duck_h60
+    from tagtree_spark.operators.similarity import ANN_AUDIT_SALT
+
     bucket = _bucket_sql(4)
     cos = (
         f"({_DOT.format(a='b.embedding', b='q.qv')}) / "
         f"(sqrt({_DOT.format(a='b.embedding', b='b.embedding')}) * "
         f"sqrt({_DOT.format(a='q.qv', b='q.qv')}))"
     )
+    hq = duck_h60(f"'{ANN_AUDIT_SALT}' || CAST(vec_id AS VARCHAR)")
     return f"""
 WITH base AS (
   SELECT vec_id, embedding FROM embeddings
 ), qs AS (
-  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  ORDER BY {hq}, vec_id LIMIT 20
 ), ex AS (
   SELECT qid, vec_id FROM (
     SELECT q.qid, b.vec_id,
@@ -4935,17 +4961,19 @@ ORDER BY qid"""
 
 @query("q148_ann_recall", _q148_oracle())
 def q148_ann_recall(spark, sf_dir):
-    """E3 recall audit: for a deterministic query sample (vec_id % 100 = 0),
-    recall@10 of the hyperplane-LSH ANN path (q33's machinery) against
-    the exact cosine top-10 — the calibration query every approximate
-    index needs before it is trusted at scale (q84 is the same audit for
-    MinHash). The exact side is a broadcast probe over the corpus (the
-    audit runs on a query SAMPLE by construction); the ANN side is the
-    production bucket-equi-join."""
+    """E3 recall audit: for a deterministic FIXED-BUDGET query sample
+    (the 20 vec_ids with smallest h60('annq#'||id) — VERDICT r11 #2
+    retired the % 100 fraction whose cost grew O(N²)), recall@10 of the
+    hyperplane-LSH ANN path (q33's machinery) against the exact cosine
+    top-10 — the calibration query every approximate index needs before
+    it is trusted at scale (q84 is the same audit for MinHash). The
+    exact side is a broadcast probe of the CONSTANT-size sample over the
+    corpus (O(budget·N) at any scale); the ANN side is the production
+    bucket-equi-join."""
     from tagtree_spark.operators.similarity import ann_recall_audit
 
     return ann_recall_audit(
-        _emb(spark, sf_dir), every=100, k=10, wb=_wb(spark, sf_dir)
+        _emb(spark, sf_dir), budget=20, k=10, wb=_wb(spark, sf_dir)
     ).orderBy("qid")
 
 
@@ -5456,7 +5484,8 @@ def q162_multiprobe_ann(spark, sf_dir):
     from tagtree_spark.operators.similarity import lsh_multiprobe_topk
 
     return lsh_multiprobe_topk(
-        _emb(spark, sf_dir), query_id=0, k=5, wb=_wb(spark, sf_dir)
+        _emb(spark, sf_dir), query_id=0, k=5,
+        n_planes=_wb_planes(spark, sf_dir), wb=_wb(spark, sf_dir),
     )
 
 
@@ -17449,6 +17478,9 @@ def _symbol_refs(spark, sf_dir):
                 (F.row_number().over(w) - 1).cast("bigint").alias("ref"),
             ).collect()
         ]
+        # pagefmt's encode_sorted_list_page default empty_value_ref=0
+        # depends on this convention — assert it where the table is built
+        assert ("", 0) in rows, "empty symbol must hold ref 0"
         got = (
             spark.createDataFrame(rows, "symbol string, ref bigint").persist(),
             {ref: sym for sym, ref in rows},
@@ -17787,6 +17819,11 @@ def _wb_store_dir(spark, sf_dir) -> str:
             lambda p: versioned_overwrite(
                 _wb(spark, sf_dir), p, partition_cols=["bucket"]
             ),
+            # the derived plane count is part of the layout identity
+            # (VERDICT r11 #1): a corpus-growth-driven re-derivation must
+            # move the store key, never serve 4-plane partitions to an
+            # 8-plane prober
+            params=f"planes={_wb_planes(spark, sf_dir)}",
         )
         _WB_STORE_DIRS[key] = d
     return d
@@ -17833,8 +17870,7 @@ SELECT event_type,
        CAST(p_num AS BIGINT) AS p_num,
        CAST(p_den AS BIGINT) AS p_den,
        CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS p_value,
-       CAST(CASE WHEN ok > 0 AND rnk <= mx.kmax THEN 1
-                 WHEN rnk <= mx.kmax THEN 1 ELSE 0 END AS BIGINT) AS rejected
+       CAST(CASE WHEN rnk <= mx.kmax THEN 1 ELSE 0 END AS BIGINT) AS rejected
 FROM flag, mx ORDER BY rnk"""
 
 

