@@ -38,3 +38,56 @@ def single_partition_exchanges(df: DataFrame) -> int:
 
 def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in physical_plan(df)
+
+
+def _children(node) -> list:
+    seq = node.children()
+    kids = [seq.apply(i) for i in range(seq.size())]
+    # persisted/adaptive subtrees embed their plans outside children():
+    # a Window inside a .persist()ed intermediate would otherwise be
+    # invisible to the walk
+    name = node.nodeName()
+    try:
+        if name == "InMemoryRelation":
+            kids.append(node.cachedPlan())
+        elif name == "InMemoryTableScan":
+            kids.append(node.relation().cachedPlan())
+        elif name == "AdaptiveSparkPlan":
+            kids.append(node.initialPlan())
+    except Exception:
+        pass
+    return kids
+
+
+def windows_over_aggregate(
+    df: DataFrame, only_unpartitioned: bool = True
+) -> list[bool]:
+    """For each Window in the optimized logical plan (by default only the
+    PARTITION-LESS ones), True iff an Aggregate sits somewhere in its
+    subtree — i.e. the window's input is a post-aggregation frame
+    (bounded by group cardinality), not raw rows. A partition-less
+    window is a single-partition sort, safe ONLY over bounded frames
+    (VERDICT r11 "what's wrong" #4); tests assert all() of this so an
+    edit that moves the window below the aggregate fails the pin."""
+
+    def has_agg(n) -> bool:
+        if "Aggregate" in n.nodeName():
+            return True
+        return any(has_agg(c) for c in _children(n))
+
+    out: list[bool] = []
+
+    def walk(n) -> None:
+        if n.nodeName() == "Window" and (
+            not only_unpartitioned or n.partitionSpec().isEmpty()
+        ):
+            out.append(has_agg(n))
+        for c in _children(n):
+            walk(c)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
+def unpartitioned_windows_over_aggregate(df: DataFrame) -> list[bool]:
+    return windows_over_aggregate(df, only_unpartitioned=True)

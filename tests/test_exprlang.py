@@ -1,0 +1,199 @@
+"""PromQL expression front-end (VERDICT r11 #6): recursive-descent
+parser/formatter round-trips (hypothesis-pinned on random ASTs) plus
+evaluator semantics against hand-built frames."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tagtree_spark.tsdb.exprlang import (
+    BinOp,
+    Call,
+    ExprParseError,
+    MatrixSelector,
+    Number,
+    Subquery,
+    VectorSelector,
+    evaluate,
+    format_duration,
+    format_expr,
+    parse_expr,
+)
+from tagtree_spark.tsdb.matchers import LabelMatcher, MatchOp
+
+# --- parser basics ---------------------------------------------------------
+
+
+def test_parse_judge_exemplar():
+    e = parse_expr(
+        'max_over_time(rate(events_total{event_type="click"}[1d])[7d:1d])'
+    )
+    assert isinstance(e, Call) and e.func == "max_over_time"
+    (sq,) = e.args
+    assert isinstance(sq, Subquery)
+    assert sq.range_ms == 7 * 86400_000 and sq.step_ms == 86400_000
+    inner = sq.inner
+    assert isinstance(inner, Call) and inner.func == "rate"
+    (m,) = inner.args
+    assert isinstance(m, MatrixSelector) and m.range_ms == 86400_000
+    assert m.inner.name == "events_total"
+    assert m.inner.matchers == (
+        LabelMatcher(MatchOp.EQL, "event_type", "click"),
+    )
+
+
+def test_parse_unbounded_subquery_and_arith():
+    e = parse_expr("max_over_time(rate(events_total[1d])[:1d]) * 100")
+    assert isinstance(e, BinOp) and e.op == "*"
+    assert isinstance(e.right, Number) and e.right.value == 100.0
+    assert isinstance(e.left.args[0], Subquery)
+    assert e.left.args[0].range_ms is None
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "rate(events_total[1d]",  # unbalanced paren
+        "events_total{",  # unterminated selector
+        "rate(events_total[0s])",  # zero duration
+        "x[1m1h]",  # ascending units
+        "rate(events_total[1d]) 5",  # trailing input
+        "",  # empty
+        "rate(events_total[1d1d])",  # repeated unit
+    ],
+)
+def test_parse_errors_are_loud(bad):
+    with pytest.raises(ExprParseError):
+        parse_expr(bad)
+
+
+def test_duration_compound():
+    assert parse_expr("f(x[1h30m])").args[0].range_ms == 5400_000
+    assert format_duration(5400_000) == "1h30m"
+    assert format_duration(90061_500) == "1d1h1m1s500ms"
+    assert format_duration(7 * 86400_000) == "1w"
+
+
+# --- hypothesis round-trip: parse(format(ast)) == ast ----------------------
+
+_idents = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True)
+_durations = st.integers(min_value=1, max_value=10**10)
+_numbers = st.one_of(
+    st.integers(min_value=0, max_value=10**9).map(float),
+    st.floats(
+        min_value=0.0,
+        max_value=1e12,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+).map(Number)
+_matchers = st.lists(
+    st.builds(
+        LabelMatcher,
+        st.sampled_from([MatchOp.EQL, MatchOp.NEQ, MatchOp.GTR, MatchOp.LTE]),
+        st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True),
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .*[]()^$\\\"'\n\t",
+            max_size=8,
+        ),
+    ),
+    max_size=3,
+).map(tuple)
+_selectors = st.builds(VectorSelector, _idents, _matchers)
+_leaves = st.one_of(_numbers, _selectors)
+
+
+def _extend(children):
+    return st.one_of(
+        st.builds(MatrixSelector, _selectors, _durations),
+        st.builds(Subquery, children, st.one_of(st.none(), _durations), _durations),
+        st.builds(Call, _idents, st.lists(children, min_size=1, max_size=2).map(tuple)),
+        st.builds(BinOp, st.sampled_from("+-*/"), children, children),
+    )
+
+
+_asts = st.recursive(_leaves, _extend, max_leaves=8)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_asts)
+def test_format_parse_roundtrip(ast):
+    assert parse_expr(format_expr(ast)) == ast
+
+
+# --- evaluator -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_samples(spark):
+    # one series: counter 0,5,3,9 over 4 hours of one day + day2 10,11
+    rows = [
+        (1, "2024-01-01 00:00:00", 0.0),
+        (1, "2024-01-01 01:00:00", 5.0),
+        (1, "2024-01-01 02:00:00", 3.0),  # reset
+        (1, "2024-01-01 03:00:00", 9.0),
+        (1, "2024-01-02 00:00:00", 10.0),
+        (1, "2024-01-02 06:00:00", 11.0),
+        (2, "2024-01-01 00:00:00", 7.0),
+        (2, "2024-01-01 12:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "tsid bigint, ts string, value double")
+    return df.selectExpr("tsid", "CAST(ts AS TIMESTAMP) AS ts", "value")
+
+
+def test_eval_rate_and_max_over_time(tiny_samples):
+    out = {
+        r["tsid"]: r["value"]
+        for r in evaluate(
+            "max_over_time(rate(events_total[1d])[:1d])", tiny_samples
+        ).collect()
+    }
+    # day1 inc = 5 + 6 = 11 over 3h span; day2 inc = 1 over 6h span
+    assert out[1] == pytest.approx(11.0 / (3 * 3600), rel=1e-12)
+    assert out[2] == 0.0
+
+
+def test_eval_bounded_subquery_keeps_trailing_buckets(tiny_samples):
+    # 1d bound → only the LAST rate bucket (day2 for tsid 1)
+    out = {
+        r["tsid"]: r["value"]
+        for r in evaluate(
+            "max_over_time(rate(events_total[1d])[1d:1d])", tiny_samples
+        ).collect()
+    }
+    assert out[1] == pytest.approx(1.0 / (6 * 3600), rel=1e-12)
+    assert 2 not in out  # tsid 2's only bucket is outside the window
+
+
+def test_eval_scalar_arithmetic(tiny_samples):
+    out = {
+        r["tsid"]: r["value"]
+        for r in evaluate(
+            "max_over_time(increase(events_total[1d])[:1d]) * 2 + 1",
+            tiny_samples,
+        ).collect()
+    }
+    assert out[1] == pytest.approx(11.0 * 2 + 1)
+
+
+def test_eval_count_and_changes(tiny_samples):
+    out = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate("changes(events_total[1d])", tiny_samples).collect()
+    }
+    day1 = 19723  # 2024-01-01 in day buckets
+    assert out[(1, day1)] == 3.0
+    assert out[(2, day1)] == 0.0
+
+
+def test_eval_refusals(tiny_samples):
+    with pytest.raises(NotImplementedError):
+        # step != inner range: overlapping-lookback instant model
+        evaluate("max_over_time(rate(events_total[1d])[7d:2d])", tiny_samples)
+    with pytest.raises(NotImplementedError):
+        evaluate("quantile_over_time(rate(events_total[1d])[:1d])", tiny_samples)
+    with pytest.raises(ValueError):
+        # matchers without a postings frame
+        evaluate('rate(events_total{event_type="x"}[1d])', tiny_samples)

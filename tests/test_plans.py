@@ -383,3 +383,32 @@ def test_wb_store_probe_prunes_bucket_partitions(spark):
     mem = lsh_bucket_topk(_emb(spark, sf), query_id=0, k=5, wb=_wb(spark, sf))
     want = [(r.vec_id, r.bucket, r.score) for r in mem.collect()]
     assert [(r.vec_id, r.bucket, r.score) for r in got.collect()] == want
+
+
+def test_stats_unpartitioned_windows_are_post_aggregation(spark):
+    """q341 (BH ranking) and q344 (bootstrap percentile picks) use
+    PARTITION-LESS windows — safe only because their inputs are bounded
+    post-aggregation frames (≤ |event_types| rows / bounded replicate
+    count). Pin that: every partition-less Window in the optimized plan
+    must have an Aggregate in its subtree, so a future edit can't
+    silently move the window onto raw event rows (VERDICT r11 #8)."""
+    import __spark_entry__ as entry
+
+    from tagtree_spark.plans.inspect import (
+        unpartitioned_windows_over_aggregate,
+        windows_over_aggregate,
+    )
+
+    qs = entry.queries()
+    # q341's BH ranking window is literally partition-less (m = 5 rows)
+    df = qs["q341_bh_fdr"](spark, SF)
+    flags = unpartitioned_windows_over_aggregate(df)
+    assert flags, "q341: expected at least one partition-less window"
+    assert all(flags), "q341: partition-less window over raw rows"
+    # q344's percentile-pick windows partition by event_type but are
+    # bounded only because the frame is per-(type, replicate) AGGREGATED
+    # sums, not raw event rows — pin every window above an Aggregate
+    df = qs["q344_bootstrap_ci"](spark, SF)
+    flags = windows_over_aggregate(df, only_unpartitioned=False)
+    assert flags, "q344: expected windows in the plan"
+    assert all(flags), "q344: a window runs over raw rows"
