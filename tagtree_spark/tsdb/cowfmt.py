@@ -105,6 +105,24 @@ def key_less(a: bytes, b: bytes) -> bool:
     return key_sort_tuple(a) < key_sort_tuple(b)
 
 
+def hash_name_bytes(h: int) -> bytes:
+    """Name key bytes: the 6 LSB bytes of a 64-bit string hash, MSB
+    first (index_tree.cpp:955-963 writes j = NAME_BYTES-1 .. 0). The
+    HASH FUNCTION itself is std::hash in the reference —
+    implementation-defined and non-portable — so callers supply the
+    engine's deterministic h60 instead (documented deviation, the same
+    substitution the whole repo makes per functions/hashing.py)."""
+    return bytes((h >> (j << 3)) & 0xFF for j in range(NAME_BYTES - 1, -1, -1))
+
+
+def hash_value_bytes(value: str, h: int) -> bytes:
+    """Value key bytes: | 6-byte string prefix (zero-padded) | 2 hash
+    bytes (bits 15..8 then 7..0) | (index_tree.cpp:965-982)."""
+    prefix = value.encode()[: VALUE_BYTES - 2]
+    prefix += b"\x00" * (VALUE_BYTES - 2 - len(prefix))
+    return prefix + bytes([(h >> 8) & 0xFF, h & 0xFF])
+
+
 # ---------------------------------------------------------------------------
 # Node page images
 # ---------------------------------------------------------------------------
