@@ -18687,3 +18687,92 @@ def q351_cow_tree_walk(spark, sf_dir):
         "name string, n_entries bigint, sum_segsel bigint, "
         "ref_checksum bigint, sum_pid bigint, min_ts_ms bigint",
     ).orderBy("name")
+
+
+_Q352_RATE_CTE = """
+, b AS (
+  SELECT tsid, epoch_us(ts) // 86400000000 AS day_idx, ts,
+         CAST(value AS DECIMAL(18,4)) AS v,
+         lag(CAST(value AS DECIMAL(18,4))) OVER (
+           PARTITION BY tsid, epoch_us(ts) // 86400000000
+           ORDER BY ts, value) AS prev
+  FROM samples
+), br AS (
+  SELECT tsid, day_idx,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND v > prev THEN v - prev
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS inc,
+         CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+  FROM b GROUP BY 1, 2
+)
+"""
+
+
+@query(
+    "q352_promql_agg_by",
+    TSDB_CTE
+    + _Q352_RATE_CTE
+    + """
+, rates AS (
+  SELECT tsid, day_idx, inc / (span_us / 1e6) AS r
+  FROM br WHERE span_us > 0
+)
+SELECT s.event_type AS event_type, CAST(r.day_idx AS BIGINT) AS bucket,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE), list(r.r ORDER BY r.tsid)),
+                   (x, y) -> x + y) AS value
+FROM rates r JOIN series s ON s.tsid = r.tsid
+GROUP BY 1, 2 ORDER BY event_type, bucket""",
+)
+def q352_promql_agg_by(spark, sf_dir):
+    """PromQL AGGREGATION OPERATOR through the expression grammar —
+    ``sum by (event_type) (rate(events_total[1d]))``: the per-series day
+    rates collapse across the label dimension via the series frame
+    (tsid → event_type join, the instant-vector grouping PromQL's `by`
+    clause does). The per-group sum of DOUBLES folds sequentially in
+    tsid order (rule 12) ≡ the oracle's list_reduce over list(r ORDER BY
+    tsid) — bit-identical bracketing; group size is bounded by the
+    label-vocabulary series count, never event volume."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    series, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "sum by (event_type) (rate(events_total[1d]))",
+            samples,
+            series=series,
+        )
+        .select("event_type", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "q353_promql_agg_global",
+    TSDB_CTE
+    + _Q352_RATE_CTE
+    + """
+SELECT CAST(day_idx AS BIGINT) AS bucket,
+       CAST(count(*) AS DOUBLE) AS n_series,
+       max(inc) AS max_increase
+FROM br GROUP BY 1 ORDER BY bucket""",
+)
+def q353_promql_agg_global(spark, sf_dir):
+    """Global (no `by`) aggregation operators from two expression
+    strings — ``count(increase(events_total[1d]))`` and
+    ``max(increase(events_total[1d]))`` — joined on the bucket: the
+    per-day series count and hottest counter increase, both order-free
+    aggregates over the decimal-exact increase values (one row per day
+    regardless of corpus size)."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    cnt = evaluate("count(increase(events_total[1d]))", samples).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("value").alias("n_series"),
+    )
+    mx = evaluate("max(increase(events_total[1d]))", samples).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("value").alias("max_increase"),
+    )
+    return cnt.join(mx, "bucket").orderBy("bucket")

@@ -88,7 +88,19 @@ class BinOp:
     right: "Expr"
 
 
-Expr = Union[Number, VectorSelector, MatrixSelector, Subquery, Call, BinOp]
+@dataclass(frozen=True)
+class AggExpr:
+    """``sum by (l1, l2) (expr)`` / ``max(expr)`` — PromQL aggregation
+    operators (prefix ``by`` form)."""
+
+    op: str
+    by: Tuple[str, ...]
+    expr: "Expr"
+
+
+Expr = Union[
+    Number, VectorSelector, MatrixSelector, Subquery, Call, BinOp, AggExpr
+]
 
 
 # ---------------------------------------------------------------------------
@@ -130,6 +142,7 @@ _SUBQ_FNS = {
     "min_over_time",
     "count_over_time",
 }
+_AGG_OPS = {"sum", "avg", "max", "min", "count"}
 
 
 class _P:
@@ -274,6 +287,32 @@ class _P:
             return Number(self.number())
         name = self.ident()
         self.ws()
+        def _at_by() -> bool:
+            if not self.s.startswith("by", self.i):
+                return False
+            nxt = self.s[self.i + 2 : self.i + 3]
+            return not (nxt.isalnum() or nxt == "_")
+
+        if name in _AGG_OPS and (_at_by() or self.peek() == "("):
+            by: Tuple[str, ...] = ()
+            if _at_by():
+                self.i += 2
+                self.ws()
+                self.eat("(")
+                labels = [self.ident()]
+                self.ws()
+                while self.peek() == ",":
+                    self.eat(",")
+                    labels.append(self.ident())
+                    self.ws()
+                self.eat(")")
+                by = tuple(labels)
+                self.ws()
+            self.eat("(")
+            inner = self.expr()
+            self.ws()
+            self.eat(")")
+            return AggExpr(name, by, inner)
         if self.peek() == "(":
             self.eat("(")
             args = [self.expr()]
@@ -357,6 +396,9 @@ def format_expr(e: Expr) -> str:
         return f"{format_expr(e.inner)}[{rng}:{format_duration(e.step_ms)}]"
     if isinstance(e, Call):
         return f"{e.func}({', '.join(format_expr(a) for a in e.args)})"
+    if isinstance(e, AggExpr):
+        by = f" by ({', '.join(e.by)})" if e.by else ""
+        return f"{e.op}{by} ({format_expr(e.expr)})"
     if isinstance(e, BinOp):
         return f"({format_expr(e.left)} {e.op} {format_expr(e.right)})"
     raise TypeError(f"unknown node {e!r}")
@@ -536,20 +578,64 @@ def _scalar_of(e: Expr) -> Optional[float]:
     return None
 
 
+def _agg_by(op: str, vec: _Vec, by: Tuple[str, ...], series) -> DataFrame:
+    """PromQL aggregation over a bucketed vector → (by..., bucket,
+    value). max/min/count are order-free; sum/avg fold SEQUENTIALLY in
+    tsid order (rule 12) because the per-series values are doubles. The
+    collect_list is bounded by the label-vocabulary series count per
+    group — the same boundedness every TSDB query here rides (the
+    series table is vocabulary-sized, not event-sized)."""
+    if by:
+        if series is None:
+            raise ValueError("by-grouping needs the series frame")
+        missing = [c for c in by if c not in series.columns]
+        if missing:
+            raise ValueError(f"unknown grouping label(s) {missing}")
+        df = vec.df.join(series.select("tsid", *by), "tsid")
+        keys = list(by) + ["bucket"]
+    else:
+        df = vec.df
+        keys = ["bucket"]
+    g = df.groupBy(*keys)
+    if op == "max":
+        out = g.agg(F.max("value").alias("value"))
+    elif op == "min":
+        out = g.agg(F.min("value").alias("value"))
+    elif op == "count":
+        out = g.agg(F.count("*").cast("double").alias("value"))
+    else:  # sum / avg — deterministic sequential fold in tsid order
+        out = g.agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tsid", "value"))),
+                    lambda t: t["value"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        val = F.col("s") if op == "sum" else F.col("s") / F.col("n").cast("double")
+        out = out.select(*keys, val.alias("value"))
+    return out.select(*keys, "value")
+
+
 def evaluate(
     expr: Union[str, Expr],
     samples: DataFrame,
     postings: Optional[DataFrame] = None,
+    series: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Evaluate a PromQL-style expression against the derived model.
 
     Returns (tsid, value) for expressions whose outermost vector is a
-    *_over_time over a subquery, or (tsid, bucket, value) for a bare
-    range-function expression; scalar arithmetic applies elementwise.
+    *_over_time over a subquery, (tsid, bucket, value) for a bare
+    range-function expression, or (by-labels..., bucket, value) for an
+    aggregation operator; scalar arithmetic applies elementwise.
     Unsupported PromQL shapes raise NotImplementedError (honest refusal,
     the codec-triage convention) rather than approximating."""
     e = parse_expr(expr) if isinstance(expr, str) else expr
-    out = _eval(e, samples, postings)
+    out = _eval(e, samples, postings, series)
     if isinstance(out, _Vec):
         return out.df.select("tsid", "bucket", "value")
     if isinstance(out, DataFrame):
@@ -557,7 +643,12 @@ def evaluate(
     raise NotImplementedError("top-level expression must be a vector")
 
 
-def _eval(e: Expr, samples: DataFrame, postings: Optional[DataFrame]):
+def _eval(
+    e: Expr,
+    samples: DataFrame,
+    postings: Optional[DataFrame],
+    series: Optional[DataFrame] = None,
+):
     if isinstance(e, Call):
         if len(e.args) == 1 and isinstance(e.args[0], MatrixSelector):
             if e.func not in _RANGE_FNS:
@@ -566,17 +657,24 @@ def _eval(e: Expr, samples: DataFrame, postings: Optional[DataFrame]):
         if len(e.args) == 1 and isinstance(e.args[0], Subquery):
             if e.func not in _SUBQ_FNS:
                 raise NotImplementedError(f"function {e.func} over a subquery")
-            inner = _eval(e.args[0].inner, samples, postings)
+            inner = _eval(e.args[0].inner, samples, postings, series)
             if not isinstance(inner, _Vec):
                 raise NotImplementedError("subquery inner must be a bucket vector")
             return _over_subquery(e.func, _subquery_frame(inner, e.args[0]))
         raise NotImplementedError(f"call shape {format_expr(e)}")
+    if isinstance(e, AggExpr):
+        inner = _eval(e.expr, samples, postings, series)
+        if not isinstance(inner, _Vec):
+            raise NotImplementedError(
+                "aggregation operators apply to a bucketed vector"
+            )
+        return _agg_by(e.op, inner, e.by, series)
     if isinstance(e, BinOp):
         ls, rs = _scalar_of(e.left), _scalar_of(e.right)
         if ls is not None and rs is not None:
             v = {"+": ls + rs, "-": ls - rs, "*": ls * rs, "/": ls / rs}[e.op]
             return Number(v)
-        side = _eval(e.left if ls is None else e.right, samples, postings)
+        side = _eval(e.left if ls is None else e.right, samples, postings, series)
         sc = F.lit(rs if ls is None else ls)
         col = F.col("value")
         if ls is None:  # vector op scalar

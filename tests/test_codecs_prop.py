@@ -169,14 +169,31 @@ def test_jpeg_truncation_always_detected(data):
 )
 def test_jpeg_color_444_roundtrip_property(w, h, ri, data):
     """4:4:4 color with the all-ones quant table: every component of
-    every pixel round-trips within 1 — the interleaved-MCU twin of the
-    grayscale property."""
+    every pixel round-trips within 2 — the interleaved-MCU twin of the
+    grayscale property. The color bound is 2, not grayscale's 1: the
+    path stacks THREE roundings (RGB→YCbCr integer rounding, the DCT
+    round-trip's ±1, YCbCr→RGB rounding) and adversarial inputs
+    legitimately compose two of them the same way (r12: hypothesis
+    found px=...0014 0000 1200 at 2x2 reaching exactly 2; pinned
+    below)."""
     from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
 
     px = data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3), label="px")
     w2, h2, ch, out = decode_jpeg(encode_jpeg_color(w, h, px, restart_interval=ri))
     assert (w2, h2, ch) == (w, h, 3)
-    assert max((abs(a - b) for a, b in zip(out, px)), default=0) <= 1
+    assert max((abs(a - b) for a, b in zip(out, px)), default=0) <= 2
+
+
+def test_jpeg_color_444_adversarial_rounding_regression():
+    """The exact 2x2 input hypothesis found in r12 whose component error
+    reaches 2 (two stacked roundings), plus the assertion that it never
+    exceeds it."""
+    from tagtree_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+    px = b"\x00\x00\x00\x00\x00\x00\x00\x14\x00\x00\x12\x00"
+    _, _, _, out = decode_jpeg(encode_jpeg_color(2, 2, px, restart_interval=0))
+    err = max(abs(a - b) for a, b in zip(out, px))
+    assert err == 2
 
 
 @settings(max_examples=200, deadline=None)

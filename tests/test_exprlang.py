@@ -9,6 +9,8 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from tagtree_spark.tsdb.exprlang import (
+    _AGG_OPS,
+    AggExpr,
     BinOp,
     Call,
     ExprParseError,
@@ -69,6 +71,19 @@ def test_parse_errors_are_loud(bad):
         parse_expr(bad)
 
 
+def test_parse_agg_by():
+    e = parse_expr("sum by (event_type, user_bucket) (rate(events_total[1d]))")
+    assert isinstance(e, AggExpr)
+    assert e.op == "sum" and e.by == ("event_type", "user_bucket")
+    assert isinstance(e.expr, Call) and e.expr.func == "rate"
+    # global form, and `by` as a word boundary (bygone is a selector name)
+    assert isinstance(parse_expr("max(rate(events_total[1h]))"), AggExpr)
+    g = parse_expr("count(increase(events_total[1d]))")
+    assert isinstance(g, AggExpr) and g.by == ()
+    with pytest.raises(ExprParseError):
+        parse_expr("sum bygone (rate(events_total[1d]))")
+
+
 def test_duration_compound():
     assert parse_expr("f(x[1h30m])").args[0].range_ms == 5400_000
     assert format_duration(5400_000) == "1h30m"
@@ -105,11 +120,20 @@ _selectors = st.builds(VectorSelector, _idents, _matchers)
 _leaves = st.one_of(_numbers, _selectors)
 
 
+_call_idents = _idents.filter(lambda n: n not in _AGG_OPS)
+_agg_by = st.lists(
+    st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True), max_size=2
+).map(tuple)
+
+
 def _extend(children):
     return st.one_of(
         st.builds(MatrixSelector, _selectors, _durations),
         st.builds(Subquery, children, st.one_of(st.none(), _durations), _durations),
-        st.builds(Call, _idents, st.lists(children, min_size=1, max_size=2).map(tuple)),
+        st.builds(
+            Call, _call_idents, st.lists(children, min_size=1, max_size=2).map(tuple)
+        ),
+        st.builds(AggExpr, st.sampled_from(sorted(_AGG_OPS)), _agg_by, children),
         st.builds(BinOp, st.sampled_from("+-*/"), children, children),
     )
 
@@ -186,6 +210,49 @@ def test_eval_count_and_changes(tiny_samples):
     day1 = 19723  # 2024-01-01 in day buckets
     assert out[(1, day1)] == 3.0
     assert out[(2, day1)] == 0.0
+
+
+@pytest.fixture(scope="module")
+def tiny_series(spark):
+    rows = [(1, "click"), (2, "view")]
+    return spark.createDataFrame(rows, "tsid bigint, event_type string")
+
+
+def test_eval_agg_by(tiny_samples, tiny_series):
+    out = {
+        (r["event_type"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "sum by (event_type) (increase(events_total[1d]))",
+            tiny_samples,
+            series=tiny_series,
+        ).collect()
+    }
+    day1 = 19723
+    assert out[("click", day1)] == pytest.approx(11.0)
+    assert out[("view", day1)] == 0.0
+
+
+def test_eval_agg_global(tiny_samples):
+    out = {
+        r["bucket"]: r["value"]
+        for r in evaluate("count(increase(events_total[1d]))", tiny_samples).collect()
+    }
+    day1 = 19723
+    assert out[day1] == 2.0  # both series have a day-1 bucket
+    assert out[day1 + 1] == 1.0
+
+
+def test_eval_agg_errors(tiny_samples, tiny_series):
+    with pytest.raises(ValueError):
+        evaluate(
+            "sum by (event_type) (rate(events_total[1d]))", tiny_samples
+        )  # no series frame
+    with pytest.raises(ValueError):
+        evaluate(
+            "sum by (nope) (rate(events_total[1d]))",
+            tiny_samples,
+            series=tiny_series,
+        )
 
 
 def test_eval_refusals(tiny_samples):
