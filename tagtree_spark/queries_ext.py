@@ -18776,3 +18776,73 @@ def q353_promql_agg_global(spark, sf_dir):
         F.col("value").alias("max_increase"),
     )
     return cnt.join(mx, "bucket").orderBy("bucket")
+
+
+@query(
+    "q354_promql_topk_expr",
+    TSDB_CTE
+    + _Q352_RATE_CTE
+    + """
+, rates AS (
+  SELECT tsid, day_idx, inc / (span_us / 1e6) AS r
+  FROM br WHERE span_us > 0
+)
+SELECT tsid, bucket, value FROM (
+  SELECT tsid, CAST(day_idx AS BIGINT) AS bucket, r AS value,
+         row_number() OVER (PARTITION BY day_idx ORDER BY r DESC, tsid) AS rn
+  FROM rates
+) t WHERE rn <= 3 ORDER BY bucket, value DESC, tsid""",
+)
+def q354_promql_topk_expr(spark, sf_dir):
+    """PromQL ``topk(3, rate(events_total[1d]))`` through the expression
+    grammar: the per-bucket 3 hottest series, ties by tsid (the
+    deterministic tiebreak PromQL leaves unspecified). The window
+    partitions by bucket over the SERIES-bounded rate vector — one
+    bounded sort per day, never event rows; composes as a vector (a
+    further agg or scalar op could wrap it)."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("topk(3, rate(events_total[1d]))", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("bucket", F.col("value").desc(), "tsid")
+    )
+
+
+@query(
+    "q355_promql_delta",
+    TSDB_CTE
+    + """
+, d AS (
+  SELECT tsid, epoch_us(ts) // 86400000000 AS day_idx, ts,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM samples
+), e AS (
+  SELECT tsid, day_idx, v,
+         row_number() OVER (PARTITION BY tsid, day_idx ORDER BY ts, v) AS rn_a,
+         row_number() OVER (PARTITION BY tsid, day_idx ORDER BY ts DESC, v DESC) AS rn_d
+  FROM d
+)
+SELECT tsid, CAST(day_idx AS BIGINT) AS bucket,
+       CAST(max(CASE WHEN rn_d = 1 THEN v END) -
+            max(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS value
+FROM e GROUP BY 1, 2 ORDER BY tsid, bucket""",
+)
+def q355_promql_delta(spark, sf_dir):
+    """PromQL gauge ``delta(events_total[1d])`` through the grammar:
+    last-minus-first sample per (series, day), endpoints picked under
+    the total (ts, value) order (deterministic under duplicate
+    timestamps), the subtraction done in DECIMAL and cast ONCE — exact
+    cross-engine. One (tsid, day) window pass, same shuffle budget as
+    rate()."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("delta(events_total[1d])", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )

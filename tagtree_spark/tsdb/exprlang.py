@@ -129,11 +129,14 @@ _RANGE_FNS = {
     "increase",
     "resets",
     "changes",
+    "delta",
     "sum_over_time",
     "avg_over_time",
     "max_over_time",
     "min_over_time",
     "count_over_time",
+    "last_over_time",
+    "first_over_time",
 }
 _SUBQ_FNS = {
     "sum_over_time",
@@ -513,6 +516,28 @@ def _range_eval(
         out = b.groupBy("tsid", "bucket").agg(
             F.count("*").cast("double").alias("value")
         )
+    elif func in ("last_over_time", "first_over_time", "delta"):
+        # endpoint picks under the total (ts, v) order — deterministic
+        # under duplicate timestamps, same tie rule as the lag windows
+        w_asc = Window.partitionBy("tsid", "bucket").orderBy("ts", "v")
+        w_desc = Window.partitionBy("tsid", "bucket").orderBy(
+            F.col("ts").desc(), F.col("v").desc()
+        )
+        x = b.withColumn("rn_a", F.row_number().over(w_asc)).withColumn(
+            "rn_d", F.row_number().over(w_desc)
+        )
+        g = x.groupBy("tsid", "bucket").agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("v"))).alias("first_v"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("v"))).alias("last_v"),
+        )
+        if func == "delta":
+            # decimal − decimal, ONE cast — exact cross-engine
+            val = (F.col("last_v") - F.col("first_v")).cast("double")
+        elif func == "last_over_time":
+            val = F.col("last_v").cast("double")
+        else:
+            val = F.col("first_v").cast("double")
+        out = g.select("tsid", "bucket", val.alias("value"))
     else:
         raise NotImplementedError(f"range function {func}")
     return _Vec(out, m.range_ms)
@@ -650,6 +675,29 @@ def _eval(
     series: Optional[DataFrame] = None,
 ):
     if isinstance(e, Call):
+        if (
+            e.func in ("topk", "bottomk")
+            and len(e.args) == 2
+            and isinstance(e.args[0], Number)
+        ):
+            from pyspark.sql import Window
+
+            inner = _eval(e.args[1], samples, postings, series)
+            if not isinstance(inner, _Vec):
+                raise NotImplementedError("topk/bottomk need a bucketed vector")
+            kk = int(e.args[0].value)
+            order = (
+                [F.col("value").desc(), F.col("tsid")]
+                if e.func == "topk"
+                else [F.col("value").asc(), F.col("tsid")]
+            )
+            w = Window.partitionBy("bucket").orderBy(*order)
+            df = (
+                inner.df.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= kk)
+                .drop("rn")
+            )
+            return _Vec(df, inner.step_ms)
         if len(e.args) == 1 and isinstance(e.args[0], MatrixSelector):
             if e.func not in _RANGE_FNS:
                 raise NotImplementedError(f"function {e.func} over a range")

@@ -255,6 +255,37 @@ def test_eval_agg_errors(tiny_samples, tiny_series):
         )
 
 
+def test_eval_delta_and_endpoints(tiny_samples):
+    day1 = 19723
+    d = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate("delta(events_total[1d])", tiny_samples).collect()
+    }
+    assert d[(1, day1)] == 9.0  # 9 - 0
+    assert d[(1, day1 + 1)] == 1.0  # 11 - 10
+    assert d[(2, day1)] == 0.0
+    last = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate("last_over_time(events_total[1d])", tiny_samples).collect()
+    }
+    assert last[(1, day1)] == 9.0 and last[(1, day1 + 1)] == 11.0
+    first = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate("first_over_time(events_total[1d])", tiny_samples).collect()
+    }
+    assert first[(1, day1)] == 0.0
+
+
+def test_eval_topk(tiny_samples):
+    day1 = 19723
+    rows = evaluate("topk(1, increase(events_total[1d]))", tiny_samples).collect()
+    got = {(r["tsid"], r["bucket"]) for r in rows}
+    # day1: tsid 1 has increase 11 vs tsid 2's 0 → tsid 1 wins
+    assert (1, day1) in got and (2, day1) not in got
+    bot = evaluate("bottomk(1, increase(events_total[1d]))", tiny_samples).collect()
+    assert (2, day1) in {(r["tsid"], r["bucket"]) for r in bot}
+
+
 def test_eval_refusals(tiny_samples):
     with pytest.raises(NotImplementedError):
         # step != inner range: overlapping-lookback instant model
