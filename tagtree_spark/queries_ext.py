@@ -18846,3 +18846,42 @@ def q355_promql_delta(spark, sf_dir):
         .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
         .orderBy("tsid", "bucket")
     )
+
+
+@query(
+    "q356_promql_vector_binop",
+    TSDB_CTE
+    + _Q352_RATE_CTE
+    + """
+, cnt AS (
+  SELECT tsid, epoch_us(ts) // 86400000000 AS day_idx,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM samples GROUP BY 1, 2
+)
+SELECT br.tsid AS tsid, CAST(br.day_idx AS BIGINT) AS bucket,
+       br.inc / cnt.c AS value
+FROM br JOIN cnt ON cnt.tsid = br.tsid AND cnt.day_idx = br.day_idx
+ORDER BY tsid, bucket""",
+)
+def q356_promql_vector_binop(spark, sf_dir):
+    """PromQL VECTOR-VECTOR arithmetic through the grammar —
+    ``increase(events_total[1d]) / count_over_time(events_total[1d])``
+    (mean positive step per sample): the two bucketed vectors join
+    one-to-one on the (tsid, bucket) identity, exactly PromQL's
+    label-set matching, then ONE IEEE division per row (numerator an
+    exact decimal sum cast once, denominator an integer count — both
+    engines divide the identical pair). Unmatched rows drop (inner
+    join); zero denominators can't occur here (a bucket exists only
+    with ≥1 sample) but the evaluator's guard drops them generally."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "increase(events_total[1d]) / count_over_time(events_total[1d])",
+            samples,
+        )
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )

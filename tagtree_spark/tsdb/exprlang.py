@@ -722,6 +722,39 @@ def _eval(
         if ls is not None and rs is not None:
             v = {"+": ls + rs, "-": ls - rs, "*": ls * rs, "/": ls / rs}[e.op]
             return Number(v)
+        if ls is None and rs is None:
+            # vector ⊗ vector: PromQL one-to-one matching on the full
+            # label set — here the (tsid, bucket) identity. An inner
+            # join (unmatched samples drop, PromQL semantics); division
+            # DROPS zero denominators (documented deviation from
+            # PromQL's ±Inf — ANSI Spark throws on double /0, rule 18,
+            # and a dropped row is honest where an Inf literal is not)
+            lv = _eval(e.left, samples, postings, series)
+            rv = _eval(e.right, samples, postings, series)
+            if not (isinstance(lv, _Vec) and isinstance(rv, _Vec)):
+                raise NotImplementedError(
+                    "vector-vector arithmetic needs two bucketed vectors"
+                )
+            if lv.step_ms != rv.step_ms:
+                raise NotImplementedError(
+                    "vector-vector arithmetic needs matching bucket widths"
+                )
+            j = lv.df.select(
+                "tsid", "bucket", F.col("value").alias("_l")
+            ).join(
+                rv.df.select("tsid", "bucket", F.col("value").alias("_r")),
+                ["tsid", "bucket"],
+            )
+            if e.op == "/":
+                j = j.where(F.col("_r") != 0.0)
+            lcol, rcol = F.col("_l"), F.col("_r")
+            newv = {
+                "+": lcol + rcol,
+                "-": lcol - rcol,
+                "*": lcol * rcol,
+                "/": lcol / rcol,
+            }[e.op]
+            return _Vec(j.select("tsid", "bucket", newv.alias("value")), lv.step_ms)
         side = _eval(e.left if ls is None else e.right, samples, postings, series)
         sc = F.lit(rs if ls is None else ls)
         col = F.col("value")

@@ -286,6 +286,36 @@ def test_eval_topk(tiny_samples):
     assert (2, day1) in {(r["tsid"], r["bucket"]) for r in bot}
 
 
+def test_eval_vector_vector_binop(tiny_samples):
+    day1 = 19723
+    out = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "increase(events_total[1d]) / count_over_time(events_total[1d])",
+            tiny_samples,
+        ).collect()
+    }
+    assert out[(1, day1)] == pytest.approx(11.0 / 4)
+    assert out[(2, day1)] == 0.0
+    # subtraction: increase - delta = recovered reset loss
+    sub = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "increase(events_total[1d]) - delta(events_total[1d])", tiny_samples
+        ).collect()
+    }
+    assert sub[(1, day1)] == pytest.approx(2.0)  # reset 5→3 lost 2
+    # division drops zero denominators instead of Inf/throw
+    z = evaluate(
+        "increase(events_total[1d]) / resets(events_total[1d])", tiny_samples
+    ).collect()
+    assert {(r["tsid"], r["bucket"]) for r in z} == {(1, day1)}  # only 1 reset row
+    with pytest.raises(NotImplementedError):
+        evaluate(
+            "rate(events_total[1d]) / rate(events_total[2d])", tiny_samples
+        )  # mismatched bucket widths
+
+
 def test_eval_refusals(tiny_samples):
     with pytest.raises(NotImplementedError):
         # step != inner range: overlapping-lookback instant model
