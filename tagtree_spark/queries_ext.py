@@ -18885,3 +18885,38 @@ def q356_promql_vector_binop(spark, sf_dir):
         .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
         .orderBy("tsid", "bucket")
     )
+
+
+@query(
+    "q357_promql_offset_wow",
+    TSDB_CTE
+    + _Q352_RATE_CTE
+    + """
+SELECT a.tsid AS tsid, CAST(a.day_idx AS BIGINT) AS bucket,
+       a.inc - b.inc AS value
+FROM br a JOIN br b ON b.tsid = a.tsid AND b.day_idx = a.day_idx - 7
+ORDER BY tsid, bucket""",
+)
+def q357_promql_offset_wow(spark, sf_dir):
+    """PromQL ``offset`` modifier through the grammar — the
+    week-over-week monitor
+    ``increase(events_total[1d]) - increase(events_total[1d] offset 7d)``:
+    the offset vector relabels each bucket +7 days (the value observed a
+    week ago surfaces at today's bucket), so the vector-vector subtract
+    joins day b against day b−7 one-to-one on (tsid, bucket). Both sides
+    are exact decimal sums cast once; ONE double subtraction per row.
+    The same (tsid, day) window base pass feeds both sides — Catalyst
+    reuses the shuffle (same grouping key), so WoW costs one extra
+    self-join of a vocabulary-bounded frame."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "increase(events_total[1d]) - increase(events_total[1d] offset 7d)",
+            samples,
+        )
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )

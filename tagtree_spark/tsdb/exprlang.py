@@ -59,10 +59,14 @@ class VectorSelector:
 
 @dataclass(frozen=True)
 class MatrixSelector:
-    """``m{sel}[R]`` — R in milliseconds."""
+    """``m{sel}[R] [offset O]`` — R/O in milliseconds. The offset
+    relabels buckets forward (the value observed O ago appears at the
+    current bucket); O must be a multiple of R in the aligned-bucket
+    model."""
 
     inner: VectorSelector
     range_ms: int
+    offset_ms: int = 0
 
 
 @dataclass(frozen=True)
@@ -265,7 +269,15 @@ class _P:
                     e = Subquery(e, r, step)
                 else:
                     self.eat("]")
-                    e = MatrixSelector(e, r)
+                    off = 0
+                    self.ws()
+                    if self.s.startswith("offset", self.i) and not (
+                        self.s[self.i + 6 : self.i + 7].isalnum()
+                        or self.s[self.i + 6 : self.i + 7] == "_"
+                    ):
+                        self.i += 6
+                        off = self.duration()
+                    e = MatrixSelector(e, r, off)
             else:
                 rng: Optional[int] = None
                 if self.peek() != ":":
@@ -393,7 +405,8 @@ def format_expr(e: Expr) -> str:
         sel = format_selector(list(e.matchers)) if e.matchers else ""
         return f"{e.name}{sel}"
     if isinstance(e, MatrixSelector):
-        return f"{format_expr(e.inner)}[{format_duration(e.range_ms)}]"
+        off = f" offset {format_duration(e.offset_ms)}" if e.offset_ms else ""
+        return f"{format_expr(e.inner)}[{format_duration(e.range_ms)}]{off}"
     if isinstance(e, Subquery):
         rng = format_duration(e.range_ms) if e.range_ms is not None else ""
         return f"{format_expr(e.inner)}[{rng}:{format_duration(e.step_ms)}]"
@@ -540,6 +553,13 @@ def _range_eval(
         out = g.select("tsid", "bucket", val.alias("value"))
     else:
         raise NotImplementedError(f"range function {func}")
+    if m.offset_ms:
+        if m.offset_ms % m.range_ms:
+            raise NotImplementedError(
+                "offset must be a multiple of the range in the aligned-bucket model"
+            )
+        shift = m.offset_ms // m.range_ms
+        out = out.withColumn("bucket", F.col("bucket") + F.lit(shift))
     return _Vec(out, m.range_ms)
 
 

@@ -128,7 +128,12 @@ _agg_by = st.lists(
 
 def _extend(children):
     return st.one_of(
-        st.builds(MatrixSelector, _selectors, _durations),
+        st.builds(
+            MatrixSelector,
+            _selectors,
+            _durations,
+            st.one_of(st.just(0), _durations),
+        ),
         st.builds(Subquery, children, st.one_of(st.none(), _durations), _durations),
         st.builds(
             Call, _call_idents, st.lists(children, min_size=1, max_size=2).map(tuple)
@@ -314,6 +319,35 @@ def test_eval_vector_vector_binop(tiny_samples):
         evaluate(
             "rate(events_total[1d]) / rate(events_total[2d])", tiny_samples
         )  # mismatched bucket widths
+
+
+def test_parse_and_eval_offset(tiny_samples):
+    e = parse_expr("increase(events_total[1d] offset 7d)")
+    m = e.args[0]
+    assert isinstance(m, MatrixSelector) and m.offset_ms == 7 * 86400_000
+    assert format_expr(m) == "events_total[1d] offset 1w"
+    # offsetko is a selector name, not the modifier (word boundary)
+    with pytest.raises(ExprParseError):
+        parse_expr("increase(events_total[1d] offsetko)")
+    day1 = 19723
+    out = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "increase(events_total[1d] offset 7d)", tiny_samples
+        ).collect()
+    }
+    # relabeled forward: day1's increase surfaces at day1+7
+    assert out[(1, day1 + 7)] == pytest.approx(11.0)
+    wow = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "increase(events_total[1d]) - increase(events_total[1d] offset 1d)",
+            tiny_samples,
+        ).collect()
+    }
+    assert wow[(1, day1 + 1)] == pytest.approx(1.0 - 11.0)
+    with pytest.raises(NotImplementedError):
+        evaluate("increase(events_total[1d] offset 36h)", tiny_samples)
 
 
 def test_eval_refusals(tiny_samples):
