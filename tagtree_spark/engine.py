@@ -197,6 +197,27 @@ class TagTreeEngine:
         return self._observed("select", self.storage.select(tsids, start, end))
 
     @_tracked
+    def query(self, promql_expr: str) -> DataFrame:
+        """Evaluate a PromQL-style EXPRESSION string against this
+        engine's model (tsdb/exprlang.py, r12) — the capstone over the
+        selector-string boundary: selectors inside the expression
+        resolve through this engine's postings index, aggregation `by`
+        labels through its series table. The reference delegates this
+        layer to external libpromql (README.org:11-24); here it is
+        in-engine. Example::
+
+            engine.query('sum by (event_type) (rate(events_total[1d]))')
+        """
+        from tagtree_spark.tsdb.exprlang import evaluate
+
+        return self._observed(
+            "query",
+            evaluate(
+                promql_expr, self.samples, self.postings, series=self.series
+            ),
+        )
+
+    @_tracked
     def label_values(self, name: str) -> DataFrame:
         return self._observed("label_values", _m.label_values(self.postings, name))
 

@@ -401,3 +401,19 @@ def test_readme_quickstart_selector_roundtrip(spark, events):
         assert stats  # telemetry populated by the calls above
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_query_promql_expression(spark, events):
+    """engine.query('<expr>') — the r12 expression front-end through the
+    public facade: selector matchers resolve via THIS engine's postings,
+    `by` labels via its series table."""
+    eng = _engine(spark, events)
+    rows = eng.query(
+        'sum by (event_type) (increase(events_total{event_type="click"}[1d]))'
+    ).collect()
+    assert rows and {r.event_type for r in rows} == {"click"}
+    assert set(rows[0].asDict()) == {"event_type", "bucket", "value"}
+    # unfiltered count matches the engine's own series surface
+    per_series = eng.query("count_over_time(events_total[1000d])").collect()
+    n_series = eng.series.count()
+    assert len(per_series) == n_series
