@@ -18920,3 +18920,39 @@ def q357_promql_offset_wow(spark, sf_dir):
         .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
         .orderBy("tsid", "bucket")
     )
+
+
+@query(
+    "q358_stream_expr_twin",
+    """
+WITH st AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(floor(value * 100.0 + 0.5) AS HUGEINT) AS cv
+  FROM events
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(sum(cv) AS DOUBLE) / 100.0 AS value
+FROM st GROUP BY 1, 2 ORDER BY event_type, day""",
+)
+def q358_stream_expr_twin(spark, sf_dir):
+    """The STREAMED continuous aggregate answering an EXPRESSION-layer
+    question: per (event_type, day) total value served from q332's
+    stream-fed RollupSink store (micro-batch chopped, mid-stream
+    compacted) — the store's DECIMAL v_sum over exact centi-staged
+    values divides ONCE by 100. The oracle re-derives from raw events;
+    test_exprlang.py's stream-twin test additionally pins the expression
+    layer against this stream read: ``sum by (event_type)
+    (count_over_time(events_total[1d]))`` equals the store's n
+    BIT-FOR-BIT (integer counts are exact in doubles), and the sum
+    expression agrees within one fold-rounding ulp-band (the rule-12
+    double fold brackets per-SERIES rounded decimals, the store divides
+    one exact total — equal on integers, fp-adjacent on the centi
+    grid). One dashboard question, three mutually-verified answers:
+    raw SQL, expression compile, streamed state."""
+    d = _rollup_daily(spark, sf_dir)
+    return d.select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        (F.col("v_sum").cast("double") / F.lit(100.0)).alias("value"),
+    ).orderBy("event_type", "day")

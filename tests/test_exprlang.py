@@ -359,3 +359,39 @@ def test_eval_refusals(tiny_samples):
     with pytest.raises(ValueError):
         # matchers without a postings frame
         evaluate('rate(events_total{event_type="x"}[1d])', tiny_samples)
+
+
+def test_expression_matches_streamed_rollup(spark):
+    """Three-way agreement on one dashboard question (q358): the
+    expression layer on the BATCH model vs the STREAM-fed RollupSink
+    store. Counts match bit-for-bit; sums agree within the fold-order
+    fp band (per-series rounded decimals folded vs one exact total)."""
+    sf = "/root/testdata/sf0.001"
+    from tagtree_spark.queries import _model
+    from tagtree_spark.queries_ext import _rollup_daily
+
+    series, _, samples = _model(spark, sf)
+    expr_n = {
+        (r["event_type"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "sum by (event_type) (count_over_time(events_total[1d]))",
+            samples,
+            series=series,
+        ).collect()
+    }
+    expr_s = {
+        (r["event_type"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "sum by (event_type) (sum_over_time(events_total[1d]))",
+            samples,
+            series=series,
+        ).collect()
+    }
+    stream = {
+        (r["event_type"], r["day"]): (int(r["n"]), float(r["v_sum"]))
+        for r in _rollup_daily(spark, sf).collect()
+    }
+    assert set(expr_n) == set(stream)
+    for k, (n, v_sum_centi) in stream.items():
+        assert expr_n[k] == float(n)  # integer counts: bit-exact
+        assert expr_s[k] == pytest.approx(v_sum_centi / 100.0, abs=1e-9)
