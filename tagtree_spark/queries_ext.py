@@ -18956,3 +18956,42 @@ def q358_stream_expr_twin(spark, sf_dir):
         F.col("day").cast("bigint").alias("day"),
         (F.col("v_sum").cast("double") / F.lit(100.0)).alias("value"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "q359_promql_quantile_expr",
+    TSDB_CTE
+    + """
+, d AS (
+  SELECT tsid, epoch_us(ts) // 86400000000 AS day_idx, ts,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM samples
+), e AS (
+  SELECT tsid, day_idx, v,
+         row_number() OVER (PARTITION BY tsid, day_idx ORDER BY v, ts) AS rn,
+         count(*) OVER (PARTITION BY tsid, day_idx) AS n
+  FROM d
+)
+SELECT tsid, CAST(day_idx AS BIGINT) AS bucket,
+       CAST(max(CASE WHEN rn = greatest(1, (9 * n + 9) // 10)
+                     THEN v END) AS DOUBLE) AS value
+FROM e GROUP BY 1, 2 ORDER BY tsid, bucket""",
+)
+def q359_promql_quantile_expr(spark, sf_dir):
+    """``quantile_over_time(0.9, events_total[1d])`` through the
+    grammar: per (series, day) the EXACT rank-⌈0.9n⌉ sample under the
+    total (value, ts) order. Documented deviation from PromQL's linear
+    interpolation — the pick is an actual stored sample, so the result
+    is value-deterministic and hash-matches; the rank is pure INTEGER
+    arithmetic ((9n+9) DIV 10) because ceil(0.9·n) in doubles reads 10
+    at n=10 (0.9 isn't a binary fraction). One (tsid, day) window pass,
+    the same shuffle budget as every range function."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("quantile_over_time(0.9, events_total[1d])", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )

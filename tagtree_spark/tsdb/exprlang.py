@@ -563,6 +563,62 @@ def _range_eval(
     return _Vec(out, m.range_ms)
 
 
+def _quantile_eval(
+    phi: float, m: MatrixSelector, samples: DataFrame, postings
+) -> _Vec:
+    """``quantile_over_time(φ, m[R])`` — the EXACT rank pick (type-1
+    quantile: the sample at rank ⌈φ·n⌉ under the total (value, ts)
+    order), a documented deviation from PromQL's linear interpolation:
+    the pick is an actual stored sample, value-deterministic and
+    bit-identical cross-engine. The rank is computed in INTEGER
+    arithmetic from φ's exact decimal form — ``ceil(0.9·n)`` in doubles
+    reads 10 at n=10 (0.9 is not a binary fraction), the integer form
+    (9n+9)//10 never drifts."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    if not (0.0 <= phi <= 1.0):
+        raise ExprParseError(str(phi), 0, "quantile must be in [0, 1]")
+    frac = Fraction(repr(phi)).limit_denominator(10**9)
+    p_num, p_den = frac.numerator, frac.denominator
+    base = _resolve_selector(m.inner, samples, postings)
+    r_us = m.range_ms * 1000
+    v = F.col("value").cast("decimal(18,4)")
+    b = base.select(
+        "tsid",
+        "ts",
+        v.alias("v"),
+        F.expr(f"unix_micros(ts) div {r_us}").alias("bucket"),
+    )
+    w = Window.partitionBy("tsid", "bucket").orderBy("v", "ts")
+    wn = Window.partitionBy("tsid", "bucket")
+    x = b.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    rank = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(f"CAST(({p_num} * n + {p_den} - 1) DIV {p_den} AS BIGINT)"),
+    )
+    out = (
+        x.where(F.col("rn") == rank)
+        .select("tsid", "bucket", F.col("v").cast("double").alias("value"))
+    )
+    vec = _Vec(out, m.range_ms)
+    if m.offset_ms:
+        if m.offset_ms % m.range_ms:
+            raise NotImplementedError(
+                "offset must be a multiple of the range in the aligned-bucket model"
+            )
+        vec = _Vec(
+            out.withColumn(
+                "bucket", F.col("bucket") + F.lit(m.offset_ms // m.range_ms)
+            ),
+            m.range_ms,
+        )
+    return vec
+
+
 def _subquery_frame(v: _Vec, sq: Subquery) -> _Vec:
     if sq.step_ms != v.step_ms:
         raise NotImplementedError(
@@ -718,6 +774,13 @@ def _eval(
                 .drop("rn")
             )
             return _Vec(df, inner.step_ms)
+        if (
+            e.func == "quantile_over_time"
+            and len(e.args) == 2
+            and isinstance(e.args[0], Number)
+            and isinstance(e.args[1], MatrixSelector)
+        ):
+            return _quantile_eval(e.args[0].value, e.args[1], samples, postings)
         if len(e.args) == 1 and isinstance(e.args[0], MatrixSelector):
             if e.func not in _RANGE_FNS:
                 raise NotImplementedError(f"function {e.func} over a range")

@@ -395,3 +395,37 @@ def test_expression_matches_streamed_rollup(spark):
     for k, (n, v_sum_centi) in stream.items():
         assert expr_n[k] == float(n)  # integer counts: bit-exact
         assert expr_s[k] == pytest.approx(v_sum_centi / 100.0, abs=1e-9)
+
+
+def test_eval_quantile_over_time(tiny_samples):
+    day1 = 19723
+    q = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "quantile_over_time(0.5, events_total[1d])", tiny_samples
+        ).collect()
+    }
+    # tsid 1 day1 sorted values: 0,3,5,9 → rank ceil(0.5*4)=2 → 3
+    assert q[(1, day1)] == 3.0
+    assert q[(2, day1)] == 7.0
+    hi = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "quantile_over_time(1, events_total[1d])", tiny_samples
+        ).collect()
+    }
+    assert hi[(1, day1)] == 9.0
+    with pytest.raises(ExprParseError):
+        evaluate("quantile_over_time(1.5, events_total[1d])", tiny_samples)
+    # the integer-rank guard: n=10 at phi=0.9 must pick rank 9, not 10
+    import pyspark.sql.functions as SF
+
+    ten = tiny_samples.sparkSession.createDataFrame(
+        [(5, f"2024-01-01 0{i}:00:00", float(i)) for i in range(10)],
+        "tsid bigint, ts string, value double",
+    ).selectExpr("tsid", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    v = {
+        r["tsid"]: r["value"]
+        for r in evaluate("quantile_over_time(0.9, events_total[1d])", ten).collect()
+    }
+    assert v[5] == 8.0  # rank 9 of 0..9, NOT rank 10
