@@ -122,6 +122,14 @@ def main() -> int:
         run_query(qs[n](spark, sf_dir))
         release_tracked()
 
+    # Host-load stamp (VERDICT r12 #6): the canary detects contention only
+    # AFTER the run (end/start ratio); both judge r12 sessions burned ~15
+    # min discovering their hosts were hot. getloadavg() before/after the
+    # timed window makes a contended host visible from the artifact — and
+    # BEFORE interpreting `value` (interpretation rule in BASELINE.md:
+    # 1-min load >> cpu count at either stamp ⇒ treat `value` as inflated).
+    loadavg_start = [round(v, 2) for v in os.getloadavg()]
+
     canary_start = _canary_pass()
 
     # Best-of-2 per query: this host shows ±30% run-to-run noise; the min
@@ -153,6 +161,7 @@ def main() -> int:
     total = round(sum(v for v in timings.values() if v > 0), 3)
 
     canary_end = _canary_pass()
+    loadavg_end = [round(v, 2) for v in os.getloadavg()]
     c_start = sum(canary_start.values())
     canary_ratio = (
         round(sum(canary_end.values()) / c_start, 3) if c_start > 0 else -1.0
@@ -174,6 +183,8 @@ def main() -> int:
                 "one_time_failed": one_time_failed,
                 "canary": canary,
                 "canary_ratio": canary_ratio,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": loadavg_end,
                 "wall_sec": wall,
                 "sf": _sf_of(sf_dir),
             }
@@ -192,6 +203,8 @@ def main() -> int:
                 "one_time_sec": one_time_total,
                 "one_time_failed": one_time_failed,
                 "canary_ratio": canary_ratio,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": loadavg_end,
                 "wall_sec": wall,
                 "sf": _sf_of(sf_dir),
                 "n_queries": len(timings),
