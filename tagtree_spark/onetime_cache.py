@@ -55,10 +55,28 @@ def _is_repo_function(v) -> bool:
     return bool(f) and os.path.abspath(f).startswith(_REPO_ROOT + os.sep)
 
 
+def _is_repo_module(v) -> bool:
+    import types
+
+    if not isinstance(v, types.ModuleType):
+        return False
+    f = getattr(v, "__file__", None)
+    return bool(f) and os.path.abspath(f).startswith(_REPO_ROOT + os.sep)
+
+
 def _callees(fn) -> dict:
     """Repo-local functions referenced ONE level down from ``fn``'s code
     (resolved via its module globals), recursing into nested code objects
-    (lambdas, comprehensions) but not into the callees' own callees."""
+    (lambdas, comprehensions) but not into the callees' own callees.
+
+    Module-attribute references (``pf.choose_page_type`` style — ADVICE
+    r12 #3) are covered by over-approximation: ``co_names`` holds both
+    global names and attribute names, so for every repo-local MODULE the
+    code references, every other co_name that resolves to a function on
+    that module is included. This can only over-include (a key moves when
+    an unrelated same-named helper changes) — safe for a cache key, where
+    over-invalidation costs a rebuild and under-invalidation serves stale
+    data."""
     import types
 
     out: dict = {}
@@ -74,10 +92,18 @@ def _callees(fn) -> dict:
         for const in c.co_consts:
             if isinstance(const, types.CodeType):
                 stack.append(const)
+    mods = []
     for n in sorted(names):
         v = g.get(n)
         if _is_repo_function(v):
             out[f"{v.__module__}.{v.__qualname__}"] = v
+        elif _is_repo_module(v):
+            mods.append(v)
+    for m in mods:
+        for n in sorted(names):
+            v = getattr(m, n, None)
+            if _is_repo_function(v):
+                out.setdefault(f"{v.__module__}.{v.__qualname__}", v)
     return out
 
 
@@ -98,6 +124,43 @@ def source_version(*objs) -> str:
     return hashlib.md5(src.encode()).hexdigest()[:12]
 
 
+#: Staging dirs older than this are assumed orphaned (a crashed/killed
+#: FOREIGN session's build — the in-process cleanup only covers this
+#: pid's own failures). Far above any real build time (the slowest
+#: one-time build is ~4 min cold), so a live build is never swept.
+_ORPHAN_MAX_AGE_SEC = 6 * 3600
+
+_swept_roots: set = set()
+
+
+def _sweep_orphans(root: str) -> None:
+    """Age-based orphan sweep at cache-root init (VERDICT r12 #8): remove
+    ``*.build<pid>`` staging dirs older than ``_ORPHAN_MAX_AGE_SEC`` —
+    failed builds from OTHER sessions' pids accumulate forever otherwise
+    (the in-``cached_dir`` cleanup removes only the current process's
+    staging). Runs once per (process, root); errors are non-fatal (a
+    racing sweep may have removed the entry first)."""
+    if root in _swept_roots:
+        return
+    _swept_roots.add(root)
+    import time
+
+    now = time.time()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for e in entries:
+        if ".build" not in e:
+            continue
+        p = os.path.join(root, e)
+        try:
+            if os.path.isdir(p) and now - os.path.getmtime(p) > _ORPHAN_MAX_AGE_SEC:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def _slot(name: str, sf_dir: str, version: str, params: str) -> str:
     root = cache_root()
     assert root is not None
@@ -115,6 +178,9 @@ def cached_dir(name, sf_dir, version, build, params: str = ""):
         d = tempfile.mkdtemp(prefix=f"tagtree-{name}-")
         build(d)
         return d
+    root = cache_root()
+    if root is not None and os.path.isdir(root):
+        _sweep_orphans(root)
     final = _slot(name, sf_dir, version, params)
     # the marker is a SIBLING file, never inside the artifact — byte-level
     # readers (WAL segment scan, series-file glob) list the store dir and

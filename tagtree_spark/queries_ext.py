@@ -216,18 +216,46 @@ _WB_CACHE: dict = {}
 _WB_PLANES: dict = {}
 
 
+#: The plane count every STATIC LSH-family oracle SQL is generated with
+#: (_bucket_sql(4) in q33/q39/q148/q151/q162). Oracle strings are fixed at
+#: registration, so if a driver-checked corpus ever derived a different
+#: count the Spark side would silently hash-mismatch — the guard in
+#: _wb_planes makes that divergence LOUD instead (ADVICE r12 #1).
+_LSH_ORACLE_PLANES = 4
+
+
 def _wb_planes(spark, sf_dir) -> int:
     """Corpus-count-derived hyperplane count for the shared _wb fixture
     (VERDICT r11 #1): derives 4 at every in-repo sf (so the static
     4-plane oracles are unchanged) and grows with a scaled corpus —
     the 10x sweep's 20k vectors derive 8 planes, keeping buckets under
-    MAX_BUCKET instead of dropping them all. Cached per (session, sf)."""
+    MAX_BUCKET instead of dropping them all. Cached per (session, sf).
+
+    Oracle-consistency guard (ADVICE r12 #1): for corpora under
+    /root/testdata — the only dirs the driver runs oracle SQL against —
+    the derived count MUST equal the pinned _LSH_ORACLE_PLANES the
+    static oracles were generated with; a future sf whose vector count
+    leaves the derive_n_planes guard band fails here at query-build time
+    instead of silently hash-mismatching. Synthesized scale-probe dirs
+    (tools/scaleup.py) live elsewhere and keep the corpus-derived count.
+    """
+    import os as _os
+
     from tagtree_spark.operators.similarity import derive_n_planes
 
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _WB_PLANES.get(key)
     if got is None:
         got = derive_n_planes(_emb(spark, sf_dir).count())
+        if got != _LSH_ORACLE_PLANES and _os.path.realpath(sf_dir).startswith(
+            "/root/testdata"
+        ):
+            raise AssertionError(
+                f"LSH oracle divergence: {sf_dir} derives {got} hyperplanes "
+                f"but the static oracles pin _bucket_sql({_LSH_ORACLE_PLANES}) "
+                "— regenerate the q33/q39/q148/q151/q162 oracles or widen "
+                "the derive_n_planes guard band"
+            )
         _WB_PLANES[key] = got
     return got
 

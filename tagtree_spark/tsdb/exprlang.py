@@ -300,6 +300,16 @@ class _P:
             return e
         if c.isdigit() or c == ".":
             return Number(self.number())
+        if c == "-":
+            # unary minus on a NUMBER literal only (constant-folded BinOps
+            # can produce negative Number nodes, and format_expr emits
+            # them as '-2' — ADVICE r12 #4). Unary minus on a vector stays
+            # unsupported (loud error), matching the evaluator surface.
+            self.eat("-")
+            self.ws()
+            if not (self.peek().isdigit() or self.peek() == "."):
+                raise self.err("unary '-' applies to number literals only")
+            return Number(-self.number())
         name = self.ident()
         self.ws()
         def _at_by() -> bool:
@@ -342,17 +352,31 @@ class _P:
         if self.peek() == "{":
             from tagtree_spark.tsdb.selector import parse_selector
 
+            # scan to the matching close brace, skipping quoted regions
+            # ("..."/'...' with backslash escapes, `...` raw — the same
+            # lexical rule as parse_selector's string lexer) so a matcher
+            # VALUE containing '{' or '}' doesn't mis-slice the selector
+            # (ADVICE r12 #2)
             depth = 0
             j = self.i
             while j < len(self.s):
-                if self.s[j] == "{":
+                ch = self.s[j]
+                if ch in "\"'`":
+                    j += 1
+                    while j < len(self.s) and self.s[j] != ch:
+                        if ch != "`" and self.s[j] == "\\":
+                            j += 1
+                        j += 1
+                    if j >= len(self.s):
+                        raise self.err("unterminated string inside selector")
+                elif ch == "{":
                     depth += 1
-                elif self.s[j] == "}":
+                elif ch == "}":
                     depth -= 1
                     if depth == 0:
                         break
                 j += 1
-            if depth != 0:
+            if depth != 0 or j >= len(self.s):
                 raise self.err("unterminated selector braces")
             matchers = tuple(parse_selector(self.s[self.i : j + 1]))
             self.i = j + 1

@@ -71,6 +71,34 @@ def test_parse_errors_are_loud(bad):
         parse_expr(bad)
 
 
+def test_parse_selector_value_with_braces():
+    """ADVICE r12 #2: the selector-brace scan must honor quoted strings
+    — a matcher value containing '}' or '{' used to mis-slice."""
+    e = parse_expr('rate(m{a="x}y", b="{q"}[1d])')
+    (m,) = e.args
+    assert m.inner.matchers == (
+        LabelMatcher(MatchOp.EQL, "a", "x}y"),
+        LabelMatcher(MatchOp.EQL, "b", "{q"),
+    )
+    # escaped quote inside the value, then a brace
+    e2 = parse_expr('rate(m{a="x\\"}"}[1d])')
+    assert e2.args[0].inner.matchers == (LabelMatcher(MatchOp.EQL, "a", 'x"}'),)
+    with pytest.raises(ExprParseError):
+        parse_expr('rate(m{a="unterminated}[1d])')
+
+
+def test_parse_negative_number_literals():
+    """ADVICE r12 #4: unary minus on number literals (constant-folded
+    BinOps can produce negative Number nodes; format emits '-2')."""
+    assert parse_expr("-2") == Number(-2.0)
+    assert parse_expr(format_expr(Number(-2.0))) == Number(-2.0)
+    e = parse_expr("rate(events_total[1d]) * -0.5")
+    assert isinstance(e, BinOp) and e.right == Number(-0.5)
+    assert parse_expr("3 - -2") == BinOp("-", Number(3.0), Number(-2.0))
+    with pytest.raises(ExprParseError):
+        parse_expr("-rate(events_total[1d])")  # unary minus on vectors: loud
+
+
 def test_parse_agg_by():
     e = parse_expr("sum by (event_type, user_bucket) (rate(events_total[1d]))")
     assert isinstance(e, AggExpr)
@@ -96,9 +124,9 @@ def test_duration_compound():
 _idents = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True)
 _durations = st.integers(min_value=1, max_value=10**10)
 _numbers = st.one_of(
-    st.integers(min_value=0, max_value=10**9).map(float),
+    st.integers(min_value=-(10**9), max_value=10**9).map(float),
     st.floats(
-        min_value=0.0,
+        min_value=-1e12,
         max_value=1e12,
         allow_nan=False,
         allow_infinity=False,

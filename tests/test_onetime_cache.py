@@ -177,3 +177,73 @@ def test_cached_frame_roundtrip_and_hit(cache_env, spark):
     # doubles and arrays round-trip bit-exactly through parquet
     assert [repr(v) for v in a["x"]] == [repr(v) for v in b["x"]]
     assert a["arr"].map(list).tolist() == b["arr"].map(list).tolist()
+
+
+_CALLER_TEMPLATE = """\
+def builder():
+    return hm.helper() + 1
+"""
+
+_HELPER_TEMPLATE = """\
+def helper():
+    return {ret}
+"""
+
+
+def test_source_version_tracks_module_attr_helper(tmp_path):
+    """Editing a helper the builder calls THROUGH A MODULE ATTRIBUTE
+    (``hm.helper()`` — the pf.choose_page_type style, ADVICE r12 #3)
+    must move the cache key: co_names holds both the module name and the
+    attribute name, and _callees resolves the pair."""
+    repo_tmp = os.path.join(oc._REPO_ROOT, ".tmp", "verstest_attr")
+    os.makedirs(repo_tmp, exist_ok=True)
+    try:
+        paths = {}
+        for tag, ret in (("h1", 1), ("h2", 2)):
+            p = os.path.join(repo_tmp, f"{tag}.py")
+            with open(p, "w") as f:
+                f.write(_HELPER_TEMPLATE.format(ret=ret))
+            paths[tag] = p
+        c1 = os.path.join(repo_tmp, "c1.py")
+        c2 = os.path.join(repo_tmp, "c2.py")
+        for p in (c1, c2):
+            with open(p, "w") as f:
+                f.write(_CALLER_TEMPLATE)
+        h1 = _load_repo_module(paths["h1"], "tagtree_verstest_h1")
+        h2 = _load_repo_module(paths["h2"], "tagtree_verstest_h2")
+        m1 = _load_repo_module(c1, "tagtree_verstest_c1")
+        m2 = _load_repo_module(c2, "tagtree_verstest_c2")
+        m1.hm = h1
+        m2.hm = h2
+        import inspect
+
+        assert inspect.getsource(m1.builder) == inspect.getsource(m2.builder)
+        assert oc.source_version(m1.builder) != oc.source_version(m2.builder)
+    finally:
+        import shutil
+
+        shutil.rmtree(repo_tmp, ignore_errors=True)
+
+
+def test_orphan_sweep_removes_stale_foreign_staging(cache_env):
+    """VERDICT r12 #8: a stale staging dir from ANOTHER session's pid is
+    removed at cache-root init; a fresh one (possibly a live build) and
+    committed artifacts are left alone."""
+    import time
+
+    def build(d):
+        open(os.path.join(d, "a"), "w").close()
+
+    committed = oc.cached_dir("x", "/sf", "v1", build)
+    root = oc.cache_root()
+    stale = os.path.join(root, "y-deadbeef.build99999")
+    fresh = os.path.join(root, "z-deadbeef.build99998")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = time.time() - oc._ORPHAN_MAX_AGE_SEC - 60
+    os.utime(stale, (old, old))
+    oc._swept_roots.discard(root)  # re-arm the once-per-process latch
+    oc.cached_dir("x", "/sf", "v1", build)  # any cache touch sweeps
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+    assert os.path.exists(os.path.join(committed, "a"))
