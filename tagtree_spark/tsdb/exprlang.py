@@ -21,8 +21,11 @@ buckets of the inner bucket series (unbounded when Rsub is omitted:
 ``[:step]``); an outer *_over_time collapses the bucket series per tsid.
 This is deterministic and engine-reproducible (every q96/q97/q225-family
 oracle uses it) — a deliberate, documented deviation from Prometheus'
-instant-evaluation lookback model, which needs an evaluation wall-clock
-the batch engine doesn't have.
+instant-evaluation lookback model for RANGE math. Instant evaluation
+itself is available where PromQL makes the wall-clock explicit: the
+``@`` modifier (r13) evaluates ``m{sel} @ <unix-seconds>`` through the
+as-of join with a staleness lookback, so the batch engine needs no
+implicit "now".
 
 Cross-engine exactness rules (CLAUDE.md): counter math runs in
 DECIMAL(18,4) with ONE IEEE division per bucket (rate), and over-time
@@ -52,9 +55,31 @@ class Number:
 
 
 @dataclass(frozen=True)
+class Str:
+    """A double-quoted string literal — valid only as a function argument
+    (label_replace/label_join destinations, separators, regexes)."""
+
+    value: str
+
+
+@dataclass(frozen=True)
 class VectorSelector:
     name: str
     matchers: Tuple[LabelMatcher, ...] = ()
+
+
+@dataclass(frozen=True)
+class At:
+    """``m{sel} @ <unix-seconds>`` — PromQL's @ modifier: instant-vector
+    evaluation at an explicit timestamp (the latest sample per series in
+    ``(t - lookback, t]``, Prometheus' staleness rule; the lookback is an
+    evaluation parameter, default 5m). ``at_us`` is the eval timestamp in
+    microseconds. This retires the grammar's instant-eval
+    NotImplementedError class (r12): the wall-clock the batch engine
+    lacked is supplied explicitly in the expression string."""
+
+    inner: VectorSelector
+    at_us: int
 
 
 @dataclass(frozen=True)
@@ -103,7 +128,7 @@ class AggExpr:
 
 
 Expr = Union[
-    Number, VectorSelector, MatrixSelector, Subquery, Call, BinOp, AggExpr
+    Number, Str, VectorSelector, At, MatrixSelector, Subquery, Call, BinOp, AggExpr
 ]
 
 
@@ -150,6 +175,23 @@ _SUBQ_FNS = {
     "count_over_time",
 }
 _AGG_OPS = {"sum", "avg", "max", "min", "count"}
+#: r13 range-function families (1-arg over m[R], per (tsid, bucket)) —
+#: each compiles to the SAME arithmetic spelling its standalone
+#: driver-green operator proved (tsdb/promql.py: irate≡q65, idelta≡q88,
+#: deriv≡q83, stddev≡q69, mad≡q116).
+_RANGE_FNS2 = {
+    "irate",
+    "idelta",
+    "deriv",
+    "stddev_over_time",
+    "stdvar_over_time",
+    "mad_over_time",
+}
+#: instant-vector math functions — pure IEEE/selection ops (abs, sign,
+#: floor/ceil picks, correctly-rounded sqrt), all bit-identical
+#: cross-engine; exp/ln are deliberately ABSENT (libm results differ
+#: between engines — honest refusal over a hash mismatch).
+_VEC_MATH = {"abs", "sgn", "floor", "ceil", "sqrt"}
 
 
 class _P:
@@ -249,10 +291,37 @@ class _P:
             else:
                 return left
 
+    def string(self) -> str:
+        """Double-quoted string literal with backslash escapes (the same
+        lexical rule as parse_selector's value strings)."""
+        self.eat('"')
+        out = []
+        while self.i < len(self.s) and self.s[self.i] != '"':
+            c = self.s[self.i]
+            if c == "\\" and self.i + 1 < len(self.s):
+                self.i += 1
+                c = self.s[self.i]
+            out.append(c)
+            self.i += 1
+        if self.i >= len(self.s):
+            raise self.err("unterminated string literal")
+        self.eat('"')
+        return "".join(out)
+
     def postfix(self) -> Expr:
         e = self.primary()
         while True:
             self.ws()
+            if self.peek() == "@" and isinstance(e, VectorSelector):
+                self.eat("@")
+                self.ws()
+                neg = self.peek() == "-"
+                if neg:
+                    raise self.err("@ timestamps are non-negative unix seconds")
+                t = self.number()
+                # exact for any realistic epoch (us values ≪ 2^53)
+                e = At(e, int(round(t * 1_000_000)))
+                continue
             if self.peek() != "[":
                 return e
             # matrix range on a bare selector; otherwise a subquery
@@ -300,6 +369,8 @@ class _P:
             return e
         if c.isdigit() or c == ".":
             return Number(self.number())
+        if c == '"':
+            return Str(self.string())
         if c == "-":
             # unary minus on a NUMBER literal only (constant-folded BinOps
             # can produce negative Number nodes, and format_expr emits
@@ -425,9 +496,15 @@ def format_expr(e: Expr) -> str:
 
     if isinstance(e, Number):
         return _fmt_num(e.value)
+    if isinstance(e, Str):
+        q = e.value.replace("\\", "\\\\").replace('"', '\\"')
+        return f'"{q}"'
     if isinstance(e, VectorSelector):
         sel = format_selector(list(e.matchers)) if e.matchers else ""
         return f"{e.name}{sel}"
+    if isinstance(e, At):
+        # at_us is exact µs; emit seconds (integer when whole)
+        return f"{format_expr(e.inner)} @ {_fmt_num(e.at_us / 1_000_000)}"
     if isinstance(e, MatrixSelector):
         off = f" offset {format_duration(e.offset_ms)}" if e.offset_ms else ""
         return f"{format_expr(e.inner)}[{format_duration(e.range_ms)}]{off}"
@@ -452,33 +529,54 @@ def format_expr(e: Expr) -> str:
 @dataclass
 class _Vec:
     """A bucketed instant-vector frame: (tsid, bucket, value double),
-    bucket = unix_micros div step_us."""
+    bucket = unix_micros div step_us (or the eval timestamp in µs for
+    instant vectors, step_ms 0). ``series`` is the originating metric's
+    series frame — stamped at selector resolution, replaced by
+    label_replace/label_join, read by aggregation ``by`` grouping."""
 
     df: DataFrame
     step_ms: int
+    series: Optional[DataFrame] = None
 
 
-def _resolve_selector(
-    sel: VectorSelector, samples: DataFrame, postings: Optional[DataFrame]
-) -> DataFrame:
-    if sel.name not in ("events_total",):
-        raise ExprParseError(sel.name, 0, "unknown metric (model has events_total)")
+@dataclass
+class _Ctx:
+    """Evaluation context: the METRIC-NAME REGISTRY (VERDICT r12 #2 —
+    ``name → (samples, postings, series)``; postings/series may be None
+    for frames without an index/label table) and the instant-eval
+    staleness lookback (PromQL's 5m default)."""
+
+    metrics: dict
+    lookback_ms: int = 300_000
+
+
+def _metric(ctx: _Ctx, name: str):
+    got = ctx.metrics.get(name)
+    if got is None:
+        raise ExprParseError(
+            name, 0, f"unknown metric (registry has {sorted(ctx.metrics)})"
+        )
+    return got
+
+
+def _resolve_selector(sel: VectorSelector, ctx: _Ctx):
+    """→ (matcher-filtered samples frame, the metric's series frame or
+    None). Matchers prune via the postings semi-join BEFORE any math."""
+    samples, postings, series = _metric(ctx, sel.name)
     if not sel.matchers:
-        return samples
+        return samples, series
     if postings is None:
         raise ValueError("selector has matchers but no postings frame was given")
     from tagtree_spark.tsdb.matchers import resolve_label_matchers
 
     tsids = resolve_label_matchers(postings, list(sel.matchers))
-    return samples.join(tsids, "tsid", "left_semi")
+    return samples.join(tsids, "tsid", "left_semi"), series
 
 
-def _range_eval(
-    func: str, m: MatrixSelector, samples: DataFrame, postings: Optional[DataFrame]
-) -> _Vec:
+def _range_eval(func: str, m: MatrixSelector, ctx: _Ctx) -> _Vec:
     from pyspark.sql import Window
 
-    base = _resolve_selector(m.inner, samples, postings)
+    base, mser = _resolve_selector(m.inner, ctx)
     r_us = m.range_ms * 1000
     v = F.col("value").cast("decimal(18,4)")
     b = base.select(
@@ -584,12 +682,10 @@ def _range_eval(
             )
         shift = m.offset_ms // m.range_ms
         out = out.withColumn("bucket", F.col("bucket") + F.lit(shift))
-    return _Vec(out, m.range_ms)
+    return _Vec(out, m.range_ms, mser)
 
 
-def _quantile_eval(
-    phi: float, m: MatrixSelector, samples: DataFrame, postings
-) -> _Vec:
+def _quantile_eval(phi: float, m: MatrixSelector, ctx: _Ctx) -> _Vec:
     """``quantile_over_time(φ, m[R])`` — the EXACT rank pick (type-1
     quantile: the sample at rank ⌈φ·n⌉ under the total (value, ts)
     order), a documented deviation from PromQL's linear interpolation:
@@ -606,7 +702,7 @@ def _quantile_eval(
         raise ExprParseError(str(phi), 0, "quantile must be in [0, 1]")
     frac = Fraction(repr(phi)).limit_denominator(10**9)
     p_num, p_den = frac.numerator, frac.denominator
-    base = _resolve_selector(m.inner, samples, postings)
+    base, mser = _resolve_selector(m.inner, ctx)
     r_us = m.range_ms * 1000
     v = F.col("value").cast("decimal(18,4)")
     b = base.select(
@@ -628,7 +724,7 @@ def _quantile_eval(
         x.where(F.col("rn") == rank)
         .select("tsid", "bucket", F.col("v").cast("double").alias("value"))
     )
-    vec = _Vec(out, m.range_ms)
+    vec = _Vec(out, m.range_ms, mser)
     if m.offset_ms:
         if m.offset_ms % m.range_ms:
             raise NotImplementedError(
@@ -639,8 +735,369 @@ def _quantile_eval(
                 "bucket", F.col("bucket") + F.lit(m.offset_ms // m.range_ms)
             ),
             m.range_ms,
+            mser,
         )
     return vec
+
+
+def _range_eval2(func: str, m: MatrixSelector, ctx: _Ctx) -> _Vec:
+    """r13 range functions per (tsid, bucket) — each reuses the EXACT
+    arithmetic spelling its standalone driver-green operator proved
+    (tsdb/promql.py: irate≡q65, idelta≡q88, stddev/stdvar≡q69,
+    mad≡q116), so the cross-engine determinism argument carries over
+    unchanged: raw-double endpoint picks and single IEEE ops for
+    irate/idelta/mad, order-free decimal moments for stddev/stdvar."""
+    from pyspark.sql import Window
+
+    base, mser = _resolve_selector(m.inner, ctx)
+    r_us = m.range_ms * 1000
+    bkt = F.expr(f"unix_micros(ts) div {r_us}").alias("bucket")
+    if func in ("irate", "idelta"):
+        b = base.select("tsid", "ts", "value", bkt)
+        w = Window.partitionBy("tsid", "bucket").orderBy(
+            F.col("ts").desc(), F.col("value").desc()
+        )
+        ranked = b.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+        t_s = F.expr("unix_micros(ts) div 1000000")
+        last = ranked.where(F.col("rn") == 1).select(
+            "tsid", "bucket", t_s.alias("tl"), F.col("value").alias("vl")
+        )
+        prev = ranked.where(F.col("rn") == 2).select(
+            "tsid", "bucket", t_s.alias("tp"), F.col("value").alias("vp")
+        )
+        j = last.join(prev, ["tsid", "bucket"])
+        if func == "irate":
+            dt = (F.col("tl") - F.col("tp")).cast("bigint")
+            out = j.where(dt > 0).select(
+                "tsid",
+                "bucket",
+                ((F.col("vl") - F.col("vp")) / dt.cast("double")).alias("value"),
+            )
+        else:
+            out = j.select(
+                "tsid", "bucket", (F.col("vl") - F.col("vp")).alias("value")
+            )
+    elif func in ("stddev_over_time", "stdvar_over_time"):
+        v = F.col("value").cast("decimal(18,4)")
+        b = base.select("tsid", v.alias("v"), bkt)
+        g = b.groupBy("tsid", "bucket").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").alias("s"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(28,8)")).alias("ss"),
+        )
+        num = (
+            F.col("n") * F.col("ss")
+            - (F.col("s") * F.col("s")).cast("decimal(38,8)")
+        ).cast("double")
+        den = (F.col("n") * F.col("n")).cast("double")
+        val = num / den if func == "stdvar_over_time" else F.sqrt(num / den)
+        out = g.select("tsid", "bucket", val.alias("value"))
+    elif func == "mad_over_time":
+        # q116's discrete median + MAD rank picks, per (tsid, bucket)
+        wv = Window.partitionBy("tsid", "bucket").orderBy("value", "ts")
+        wn = Window.partitionBy("tsid", "bucket")
+        k = (
+            F.floor(F.lit(0.5) * (F.count("*").over(wn) - 1).cast("double")) + 1
+        ).cast("bigint")
+        d = (
+            base.select("tsid", "ts", "value", bkt)
+            .withColumn("rn", F.row_number().over(wv))
+            .withColumn("kk", k)
+            .withColumn(
+                "med",
+                F.max(F.when(F.col("rn") == F.col("kk"), F.col("value"))).over(wn),
+            )
+            .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+        )
+        wd = Window.partitionBy("tsid", "bucket").orderBy("dev", "ts")
+        d = d.withColumn("rd", F.row_number().over(wd))
+        out = d.groupBy("tsid", "bucket").agg(
+            F.max(F.when(F.col("rd") == F.col("kk"), F.col("dev"))).alias("value")
+        )
+    else:  # pragma: no cover - guarded by dispatch
+        raise NotImplementedError(f"range function {func}")
+    if m.offset_ms:
+        if m.offset_ms % m.range_ms:
+            raise NotImplementedError(
+                "offset must be a multiple of the range in the aligned-bucket model"
+            )
+        out = out.withColumn(
+            "bucket", F.col("bucket") + F.lit(m.offset_ms // m.range_ms)
+        )
+    return _Vec(out, m.range_ms, mser)
+
+
+def _linreg_vec(m: MatrixSelector, ctx: _Ctx, horizon_s: Optional[int]) -> _Vec:
+    """``deriv(m[R])`` (horizon None) / ``predict_linear(m[R], t)`` per
+    (tsid, bucket): q83/q86's exact-moment least squares — centered
+    integer-second x, DECIMAL(18,4) y, order-independent moment sums,
+    then ONE double division (and for predict_linear the same FIXED IEEE
+    chain as q86: intercept = (Σy − slope·Σx)/n, pred = intercept +
+    slope·(span + t)). Zero-variance groups drop (PromQL emits nothing
+    for single-sample series)."""
+    from pyspark.sql import Window
+
+    base, mser = _resolve_selector(m.inner, ctx)
+    r_us = m.range_ms * 1000
+    w = Window.partitionBy("tsid", "bucket")
+    d = base.select(
+        "tsid",
+        F.expr("unix_micros(ts) div 1000000").alias("t"),
+        F.col("value").cast("decimal(18,4)").alias("y"),
+        F.expr(f"unix_micros(ts) div {r_us}").alias("bucket"),
+    )
+    d = d.withColumn("x", (F.col("t") - F.min("t").over(w)).cast("bigint"))
+    g = d.groupBy("tsid", "bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+        F.max("x").alias("span"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    g = g.where(den != F.lit(0.0))
+    slope = num / den
+    if horizon_s is None:
+        val = slope
+    else:
+        intercept = (
+            F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+        ) / F.col("n").cast("double")
+        val = intercept + slope * (F.col("span") + F.lit(int(horizon_s))).cast(
+            "double"
+        )
+    return _Vec(g.select("tsid", "bucket", val.alias("value")), m.range_ms, mser)
+
+
+def _holt_vec(m: MatrixSelector, ctx: _Ctx, sf: float, tf: float) -> _Vec:
+    """``holt_winters(m[R], sf, tf)`` per (tsid, bucket): q89's
+    sequential left-to-right Holt fold over the bucket's time-ordered
+    values — Spark ``F.aggregate`` ≡ the oracle's step-per-rank
+    recursive CTE (NOT list_reduce: DuckDB's struct-state fold mutates
+    in place, q89's documented trap). ``1−sf``/``1−tf`` are computed
+    once in Python (one IEEE subtraction) and embedded as literals in
+    both engines."""
+    if not (0.0 < sf < 1.0 and 0.0 < tf < 1.0):
+        raise ExprParseError(f"{sf},{tf}", 0, "holt_winters factors must be in (0,1)")
+    base, mser = _resolve_selector(m.inner, ctx)
+    r_us = m.range_ms * 1000
+    inv_sf, inv_tf = 1.0 - sf, 1.0 - tf
+
+    def step(acc, x):
+        s, b, i = acc["s"], acc["b"], acc["i"]
+        beff = F.when(i == 1, x - s).otherwise(b)
+        snew = F.when(i == 0, x).otherwise(
+            F.lit(sf) * x + F.lit(inv_sf) * (s + beff)
+        )
+        bnew = F.when(i == 0, F.lit(0.0)).otherwise(
+            F.lit(tf) * (snew - s) + F.lit(inv_tf) * beff
+        )
+        return F.struct(snew.alias("s"), bnew.alias("b"), (i + F.lit(1)).alias("i"))
+
+    g = base.select(
+        "tsid",
+        "ts",
+        "value",
+        F.expr(f"unix_micros(ts) div {r_us}").alias("bucket"),
+    ).groupBy("tsid", "bucket").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "value"))),
+            lambda st: st["value"],
+        ).alias("_vs")
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("s"), F.lit(0.0).alias("b"), F.lit(0).alias("i")
+    )
+    out = g.select(
+        "tsid",
+        "bucket",
+        F.aggregate(F.col("_vs"), zero, step, lambda st: st["s"]).alias("value"),
+    )
+    return _Vec(out, m.range_ms, mser)
+
+
+#: implicit value-bucket width for the grammar's histogram_quantile —
+#: the same 100-wide buckets q70's standalone operator uses.
+_HISTQ_WIDTH = 100
+
+
+def _histq_vec(phi: float, m: MatrixSelector, ctx: _Ctx) -> _Vec:
+    """``histogram_quantile(φ, m[R])`` per (tsid, bucket): q70's
+    implicit-value-bucket interpolation (bucket by floor(value/100),
+    exact-integer cumulative target rank from φ's exact decimal form,
+    one linear interpolation inside the hit bucket)."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    if not (0.0 <= phi <= 1.0):
+        raise ExprParseError(str(phi), 0, "quantile must be in [0, 1]")
+    frac = Fraction(repr(phi)).limit_denominator(10**9)
+    pn, pd = frac.numerator, frac.denominator
+    base, mser = _resolve_selector(m.inner, ctx)
+    r_us = m.range_ms * 1000
+    wd = _HISTQ_WIDTH
+    counts = (
+        base.select(
+            "tsid",
+            F.expr(f"unix_micros(ts) div {r_us}").alias("bucket"),
+            F.floor(F.col("value") / wd).cast("bigint").alias("bk"),
+        )
+        .groupBy("tsid", "bucket", "bk")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = (
+        Window.partitionBy("tsid", "bucket")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("tsid", "bucket")
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(wt)
+    )
+    target = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(f"CAST((total * {pn} + {pd} - 1) DIV {pd} AS BIGINT)"),
+    )
+    hit = cum.where((F.col("cum") >= target) & (F.col("cum") - F.col("c") < target))
+    below = F.col("cum") - F.col("c")
+    fr = (target - below).cast("double") / F.col("c").cast("double")
+    out = hit.select(
+        "tsid",
+        "bucket",
+        (F.col("bk").cast("double") * wd + fr * wd).alias("value"),
+    )
+    return _Vec(out, m.range_ms, mser)
+
+
+def _vec_map(func: str, side, args: Tuple[float, ...]):
+    """Instant-vector math on a _Vec or value DataFrame — pure
+    IEEE/selection ops only (abs, sign, floor/ceil picks cast back to
+    double, correctly-rounded sqrt, least/greatest clamps), all
+    bit-identical cross-engine. exp/ln stay NotImplemented (libm
+    divergence)."""
+    v = F.col("value")
+    if func == "abs":
+        newv = F.abs(v)
+    elif func == "sgn":
+        newv = F.when(v > 0, 1.0).when(v < 0, -1.0).otherwise(0.0)
+    elif func == "floor":
+        newv = F.floor(v).cast("double")
+    elif func == "ceil":
+        newv = F.ceil(v).cast("double")
+    elif func == "sqrt":
+        newv = F.sqrt(v)
+    elif func == "clamp":
+        lo, hi = args
+        newv = F.least(F.greatest(v, F.lit(float(lo))), F.lit(float(hi)))
+    elif func == "clamp_min":
+        newv = F.greatest(v, F.lit(float(args[0])))
+    elif func == "clamp_max":
+        newv = F.least(v, F.lit(float(args[0])))
+    else:  # pragma: no cover - guarded by dispatch
+        raise NotImplementedError(func)
+    if isinstance(side, _Vec):
+        return _Vec(side.df.withColumn("value", newv), side.step_ms, side.series)
+    return side.withColumn("value", newv)
+
+
+def _label_fn(func: str, e: "Call", ctx: _Ctx) -> _Vec:
+    """``label_replace(v, "dst", "repl", "src", "regex")`` /
+    ``label_join(v, "dst", "sep", "src"...)``: transform the vector's
+    CARRIED series frame via the driver-green q56/q73 operators
+    (tsdb/promql.py) — the derived flat ``dst`` column then grouppable
+    by an outer ``<agg> by (dst) (...)``. The sample frame is untouched
+    (labels live on series, PromQL's model)."""
+    inner = _eval(e.args[0], ctx)
+    if not isinstance(inner, _Vec):
+        raise NotImplementedError(f"{func} applies to a vector expression")
+    if inner.series is None:
+        raise ValueError(f"{func} needs the metric's series frame (register series=)")
+    strs = []
+    for a in e.args[1:]:
+        if not isinstance(a, Str):
+            raise NotImplementedError(
+                f"{func} arguments after the vector must be string literals"
+            )
+        strs.append(a.value)
+    from tagtree_spark.tsdb import promql as _pq
+
+    if func == "label_replace":
+        if len(strs) != 4:
+            raise ExprParseError(
+                format_expr(e), 0, "label_replace takes (v, dst, repl, src, regex)"
+            )
+        new_series = _pq.label_replace(inner.series, strs[0], strs[1], strs[2], strs[3])
+    else:
+        if len(strs) < 2:
+            raise ExprParseError(
+                format_expr(e), 0, "label_join takes (v, dst, sep, src...)"
+            )
+        new_series = _pq.label_join(inner.series, strs[0], strs[1], list(strs[2:]))
+    return _Vec(inner.df, inner.step_ms, new_series)
+
+
+def _absent_eval(sel: VectorSelector, ctx: _Ctx) -> DataFrame:
+    """``absent(m{sel})`` → one row ``(name, value=1.0)`` when NO series
+    matches, empty otherwise. An UNREGISTERED metric name is absent by
+    definition (PromQL semantics — absent() is the one place an unknown
+    name is an answer, not an error)."""
+    got = ctx.metrics.get(sel.name)
+    if got is None:
+        if not ctx.metrics:
+            raise ValueError("absent() needs at least one registered metric")
+        any_samples = next(iter(ctx.metrics.values()))[0]
+        return (
+            any_samples.sparkSession.range(1)
+            .select(F.lit(sel.name).alias("name"), F.lit(1.0).alias("value"))
+        )
+    samples, postings, _ = got
+    if sel.matchers:
+        if postings is None:
+            raise ValueError("selector has matchers but no postings frame was given")
+        from tagtree_spark.tsdb.matchers import resolve_label_matchers
+
+        tsids = resolve_label_matchers(postings, list(sel.matchers))
+    else:
+        tsids = samples.select("tsid")
+    n = tsids.agg(F.count("*").alias("_n"))
+    return n.where(F.col("_n") == 0).select(
+        F.lit(sel.name).alias("name"), F.lit(1.0).alias("value")
+    )
+
+
+def _instant_eval(e: At, ctx: _Ctx) -> _Vec:
+    """``m{sel} @ t`` → the latest sample per series in
+    ``(t − lookback, t]`` via the driver-green as-of join (tsdb/asof.py,
+    q46): broadcast 1-row grid, ONE (tsid, eval_ts) argmax shuffle. The
+    result is an instant vector keyed by the eval timestamp in µs
+    (bucket := eval_us, step_ms 0), so instant vectors compose with
+    aggregation operators and each other."""
+    import datetime as _dt
+
+    from tagtree_spark.tsdb.asof import asof_instant
+
+    base, mser = _resolve_selector(e.inner, ctx)
+    t = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=e.at_us)
+    out = asof_instant(
+        base, [t], _dt.timedelta(milliseconds=ctx.lookback_ms)
+    )
+    return _Vec(
+        out.select("tsid", F.col("eval_us").alias("bucket"), "value"), 0, mser
+    )
+
+
+def _count_values_eval(inner: _Vec) -> DataFrame:
+    """``count_values(v)``: how many vector elements carry each value,
+    bucketed by ``floor(value)`` so the group key is an exact integer
+    (q62's deterministic form — grouping raw doubles cross-engine is
+    undefined under different aggregation orders)."""
+    return (
+        inner.df.groupBy(F.floor("value").cast("bigint").alias("vbucket"))
+        .agg(F.count("*").cast("double").alias("value"))
+    )
 
 
 def _subquery_frame(v: _Vec, sq: Subquery) -> _Vec:
@@ -661,7 +1118,7 @@ def _subquery_frame(v: _Vec, sq: Subquery) -> _Vec:
         df = df.join(F.broadcast(mx)).where(
             F.col("bucket") > F.col("mb") - F.lit(n)
         ).drop("mb")
-    return _Vec(df, v.step_ms)
+    return _Vec(df, v.step_ms, v.series)
 
 
 def _over_subquery(func: str, v: _Vec) -> DataFrame:
@@ -703,13 +1160,16 @@ def _scalar_of(e: Expr) -> Optional[float]:
     return None
 
 
-def _agg_by(op: str, vec: _Vec, by: Tuple[str, ...], series) -> DataFrame:
+def _agg_by(op: str, vec: _Vec, by: Tuple[str, ...]) -> DataFrame:
     """PromQL aggregation over a bucketed vector → (by..., bucket,
     value). max/min/count are order-free; sum/avg fold SEQUENTIALLY in
     tsid order (rule 12) because the per-series values are doubles. The
     collect_list is bounded by the label-vocabulary series count per
     group — the same boundedness every TSDB query here rides (the
-    series table is vocabulary-sized, not event-sized)."""
+    series table is vocabulary-sized, not event-sized). The series
+    frame is the one the vector CARRIES (stamped at selector
+    resolution; possibly rewritten by label_replace/label_join)."""
+    series = vec.series
     if by:
         if series is None:
             raise ValueError("by-grouping needs the series frame")
@@ -747,20 +1207,35 @@ def _agg_by(op: str, vec: _Vec, by: Tuple[str, ...], series) -> DataFrame:
 
 def evaluate(
     expr: Union[str, Expr],
-    samples: DataFrame,
+    samples: Optional[DataFrame] = None,
     postings: Optional[DataFrame] = None,
     series: Optional[DataFrame] = None,
+    metrics: Optional[dict] = None,
+    lookback_ms: int = 300_000,
 ) -> DataFrame:
-    """Evaluate a PromQL-style expression against the derived model.
+    """Evaluate a PromQL-style expression.
+
+    Metric names resolve through ``metrics`` — a registry mapping
+    ``name → (samples, postings, series)`` (VERDICT r12 #2); the
+    positional ``samples``/``postings``/``series`` trio is shorthand for
+    registering the single default metric ``events_total`` (the derived
+    fixture model's name). ``lookback_ms`` is the instant-eval (@)
+    staleness window, PromQL's 5m by default.
 
     Returns (tsid, value) for expressions whose outermost vector is a
     *_over_time over a subquery, (tsid, bucket, value) for a bare
-    range-function expression, or (by-labels..., bucket, value) for an
-    aggregation operator; scalar arithmetic applies elementwise.
-    Unsupported PromQL shapes raise NotImplementedError (honest refusal,
-    the codec-triage convention) rather than approximating."""
+    range-function or @-instant expression, (by-labels..., bucket,
+    value) for an aggregation operator, (name, value) for absent(), and
+    (vbucket, value) for count_values(); scalar arithmetic applies
+    elementwise. Unsupported PromQL shapes raise NotImplementedError
+    (honest refusal, the codec-triage convention) rather than
+    approximating."""
     e = parse_expr(expr) if isinstance(expr, str) else expr
-    out = _eval(e, samples, postings, series)
+    reg = dict(metrics) if metrics else {}
+    if samples is not None and "events_total" not in reg:
+        reg["events_total"] = (samples, postings, series)
+    ctx = _Ctx(reg, lookback_ms)
+    out = _eval(e, ctx)
     if isinstance(out, _Vec):
         return out.df.select("tsid", "bucket", "value")
     if isinstance(out, DataFrame):
@@ -768,12 +1243,7 @@ def evaluate(
     raise NotImplementedError("top-level expression must be a vector")
 
 
-def _eval(
-    e: Expr,
-    samples: DataFrame,
-    postings: Optional[DataFrame],
-    series: Optional[DataFrame] = None,
-):
+def _eval(e: Expr, ctx: _Ctx):
     if isinstance(e, Call):
         if (
             e.func in ("topk", "bottomk")
@@ -782,7 +1252,7 @@ def _eval(
         ):
             from pyspark.sql import Window
 
-            inner = _eval(e.args[1], samples, postings, series)
+            inner = _eval(e.args[1], ctx)
             if not isinstance(inner, _Vec):
                 raise NotImplementedError("topk/bottomk need a bucketed vector")
             kk = int(e.args[0].value)
@@ -797,33 +1267,91 @@ def _eval(
                 .where(F.col("rn") <= kk)
                 .drop("rn")
             )
-            return _Vec(df, inner.step_ms)
+            return _Vec(df, inner.step_ms, inner.series)
         if (
             e.func == "quantile_over_time"
             and len(e.args) == 2
             and isinstance(e.args[0], Number)
             and isinstance(e.args[1], MatrixSelector)
         ):
-            return _quantile_eval(e.args[0].value, e.args[1], samples, postings)
+            return _quantile_eval(e.args[0].value, e.args[1], ctx)
+        if (
+            e.func == "histogram_quantile"
+            and len(e.args) == 2
+            and isinstance(e.args[0], Number)
+            and isinstance(e.args[1], MatrixSelector)
+        ):
+            return _histq_vec(e.args[0].value, e.args[1], ctx)
+        if (
+            e.func == "predict_linear"
+            and len(e.args) == 2
+            and isinstance(e.args[0], MatrixSelector)
+            and isinstance(e.args[1], Number)
+        ):
+            return _linreg_vec(e.args[0], ctx, int(e.args[1].value))
+        if (
+            e.func == "holt_winters"
+            and len(e.args) == 3
+            and isinstance(e.args[0], MatrixSelector)
+            and isinstance(e.args[1], Number)
+            and isinstance(e.args[2], Number)
+        ):
+            return _holt_vec(e.args[0], ctx, e.args[1].value, e.args[2].value)
+        if e.func in ("label_replace", "label_join") and len(e.args) >= 2:
+            return _label_fn(e.func, e, ctx)
+        if (
+            e.func == "absent"
+            and len(e.args) == 1
+            and isinstance(e.args[0], VectorSelector)
+        ):
+            return _absent_eval(e.args[0], ctx)
+        if e.func == "count_values" and len(e.args) == 1:
+            inner = _eval(e.args[0], ctx)
+            if not isinstance(inner, _Vec):
+                raise NotImplementedError("count_values needs a bucketed vector")
+            return _count_values_eval(inner)
+        if e.func in _VEC_MATH and len(e.args) == 1:
+            side = _eval(e.args[0], ctx)
+            if not isinstance(side, (_Vec, DataFrame)):
+                raise NotImplementedError(f"{e.func} applies to a vector")
+            return _vec_map(e.func, side, ())
+        if e.func in ("clamp", "clamp_min", "clamp_max"):
+            want = 3 if e.func == "clamp" else 2
+            if len(e.args) != want or not all(
+                isinstance(a, Number) for a in e.args[1:]
+            ):
+                raise ExprParseError(
+                    format_expr(e), 0, f"{e.func} takes a vector and {want - 1} scalar(s)"
+                )
+            side = _eval(e.args[0], ctx)
+            if not isinstance(side, (_Vec, DataFrame)):
+                raise NotImplementedError(f"{e.func} applies to a vector")
+            return _vec_map(e.func, side, tuple(a.value for a in e.args[1:]))
         if len(e.args) == 1 and isinstance(e.args[0], MatrixSelector):
+            if e.func == "deriv":
+                return _linreg_vec(e.args[0], ctx, None)
+            if e.func in _RANGE_FNS2:
+                return _range_eval2(e.func, e.args[0], ctx)
             if e.func not in _RANGE_FNS:
                 raise NotImplementedError(f"function {e.func} over a range")
-            return _range_eval(e.func, e.args[0], samples, postings)
+            return _range_eval(e.func, e.args[0], ctx)
         if len(e.args) == 1 and isinstance(e.args[0], Subquery):
             if e.func not in _SUBQ_FNS:
                 raise NotImplementedError(f"function {e.func} over a subquery")
-            inner = _eval(e.args[0].inner, samples, postings, series)
+            inner = _eval(e.args[0].inner, ctx)
             if not isinstance(inner, _Vec):
                 raise NotImplementedError("subquery inner must be a bucket vector")
             return _over_subquery(e.func, _subquery_frame(inner, e.args[0]))
         raise NotImplementedError(f"call shape {format_expr(e)}")
+    if isinstance(e, At):
+        return _instant_eval(e, ctx)
     if isinstance(e, AggExpr):
-        inner = _eval(e.expr, samples, postings, series)
+        inner = _eval(e.expr, ctx)
         if not isinstance(inner, _Vec):
             raise NotImplementedError(
                 "aggregation operators apply to a bucketed vector"
             )
-        return _agg_by(e.op, inner, e.by, series)
+        return _agg_by(e.op, inner, e.by)
     if isinstance(e, BinOp):
         ls, rs = _scalar_of(e.left), _scalar_of(e.right)
         if ls is not None and rs is not None:
@@ -836,8 +1364,8 @@ def _eval(
             # DROPS zero denominators (documented deviation from
             # PromQL's ±Inf — ANSI Spark throws on double /0, rule 18,
             # and a dropped row is honest where an Inf literal is not)
-            lv = _eval(e.left, samples, postings, series)
-            rv = _eval(e.right, samples, postings, series)
+            lv = _eval(e.left, ctx)
+            rv = _eval(e.right, ctx)
             if not (isinstance(lv, _Vec) and isinstance(rv, _Vec)):
                 raise NotImplementedError(
                     "vector-vector arithmetic needs two bucketed vectors"
@@ -861,8 +1389,12 @@ def _eval(
                 "*": lcol * rcol,
                 "/": lcol / rcol,
             }[e.op]
-            return _Vec(j.select("tsid", "bucket", newv.alias("value")), lv.step_ms)
-        side = _eval(e.left if ls is None else e.right, samples, postings, series)
+            return _Vec(
+                j.select("tsid", "bucket", newv.alias("value")),
+                lv.step_ms,
+                lv.series,
+            )
+        side = _eval(e.left if ls is None else e.right, ctx)
         sc = F.lit(rs if ls is None else ls)
         col = F.col("value")
         if ls is None:  # vector op scalar
@@ -870,14 +1402,19 @@ def _eval(
         else:  # scalar op vector
             newv = {"+": sc + col, "-": sc - col, "*": sc * col, "/": sc / col}[e.op]
         if isinstance(side, _Vec):
-            return _Vec(side.df.withColumn("value", newv), side.step_ms)
+            return _Vec(side.df.withColumn("value", newv), side.step_ms, side.series)
         if isinstance(side, DataFrame):
             return side.withColumn("value", newv)
         raise NotImplementedError("arithmetic needs a vector side")
     if isinstance(e, (VectorSelector, MatrixSelector, Subquery)):
         raise NotImplementedError(
             f"bare {type(e).__name__} is not an evaluable vector here; "
-            "wrap it in a range/over-time function"
+            "wrap it in a range/over-time function, or evaluate an "
+            "instant vector with the @ modifier"
+        )
+    if isinstance(e, Str):
+        raise NotImplementedError(
+            "string literals are only valid as function arguments"
         )
     if isinstance(e, Number):
         return e
