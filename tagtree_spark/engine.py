@@ -196,15 +196,35 @@ class TagTreeEngine:
         )
         return self._observed("select", self.storage.select(tsids, start, end))
 
+    def register_metric(
+        self,
+        name: str,
+        samples: DataFrame,
+        postings: DataFrame | None = None,
+        series: DataFrame | None = None,
+    ) -> "TagTreeEngine":
+        """Register an additional metric name for :meth:`query`'s
+        expression evaluation (VERDICT r12 #2 — the registry that
+        replaced exprlang's hardcoded ``events_total``): ``name``
+        resolves to the given (samples, postings, series) frames, e.g.
+        a store-backed alias over a persisted layout (q377). The
+        engine's own model keeps the default name ``events_total``."""
+        if not hasattr(self, "_metric_registry"):
+            self._metric_registry: dict = {}
+        self._metric_registry[name] = (samples, postings, series)
+        return self
+
     @_tracked
-    def query(self, promql_expr: str) -> DataFrame:
+    def query(self, promql_expr: str, lookback_ms: int = 300_000) -> DataFrame:
         """Evaluate a PromQL-style EXPRESSION string against this
-        engine's model (tsdb/exprlang.py, r12) — the capstone over the
-        selector-string boundary: selectors inside the expression
+        engine's model (tsdb/exprlang.py, r12/r13) — the capstone over
+        the selector-string boundary: selectors inside the expression
         resolve through this engine's postings index, aggregation `by`
-        labels through its series table. The reference delegates this
-        layer to external libpromql (README.org:11-24); here it is
-        in-engine. Example::
+        labels through its series table, extra metric names through
+        :meth:`register_metric`, and ``@``-instant evaluation uses
+        ``lookback_ms`` as the staleness window (PromQL's 5m default).
+        The reference delegates this layer to external libpromql
+        (README.org:11-24); here it is in-engine. Example::
 
             engine.query('sum by (event_type) (rate(events_total[1d]))')
         """
@@ -213,7 +233,12 @@ class TagTreeEngine:
         return self._observed(
             "query",
             evaluate(
-                promql_expr, self.samples, self.postings, series=self.series
+                promql_expr,
+                self.samples,
+                self.postings,
+                series=self.series,
+                metrics=getattr(self, "_metric_registry", None),
+                lookback_ms=lookback_ms,
             ),
         )
 

@@ -19023,3 +19023,718 @@ def q359_promql_quantile_expr(spark, sf_dir):
         .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
         .orderBy("tsid", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# r13: expression-grammar completion (VERDICT r12 next #1-#3) — the ~13
+# operators previously reachable only as Python calls (tsdb/promql.py), now
+# driven from STRINGS; the @ instant-eval modifier; the metric registry.
+# Each oracle reuses the arithmetic spelling of the operator's original
+# driver-green query (q65/q83/q86/q69/q89/q116/q70/q56/q73/q62/q46) with
+# the aligned-bucket key added, so the grammar compilation is value-checked
+# against the already-proven chains.
+# --------------------------------------------------------------------------
+
+#: 100y in µs (3.1536e18 < 2^63): a [100y] range puts every 2024 sample in
+#: ONE aligned bucket, so per-(tsid, bucket) grammar math equals the
+#: original operators' per-series full-range form — the oracle-reuse trick.
+_US_100Y = 100 * 365 * 86400 * 1_000_000
+
+_B100 = f"epoch_us(ts) // {_US_100Y}"
+
+
+@query(
+    "q360_expr_irate",
+    TSDB_CTE
+    + f"""
+, rk AS (
+  SELECT tsid, {_B100} AS bucket, ts, value,
+         row_number() OVER (PARTITION BY tsid, {_B100}
+                            ORDER BY ts DESC, value DESC) AS rn
+  FROM samples
+), l AS (SELECT tsid, bucket, epoch_us(ts) // 1000000 AS tl, value AS vl
+         FROM rk WHERE rn = 1),
+  p AS (SELECT tsid, bucket, epoch_us(ts) // 1000000 AS tp, value AS vp
+         FROM rk WHERE rn = 2)
+SELECT l.tsid AS tsid, CAST(l.bucket AS BIGINT) AS bucket,
+       (l.vl - p.vp) / CAST(l.tl - p.tp AS DOUBLE) AS value
+FROM l JOIN p USING (tsid, bucket)
+WHERE l.tl - p.tp > 0
+ORDER BY tsid, bucket""",
+)
+def q360_expr_irate(spark, sf_dir):
+    """``irate(events_total[100y])`` through the grammar: q65's
+    last-two-samples instantaneous rate (single IEEE subtraction +
+    division on raw doubles, integer-second dt) per (tsid, bucket) — the
+    [100y] range puts the whole fixture in one bucket, so the values
+    equal the original per-series operator and the oracle is q65's
+    chain with the bucket key added."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("irate(events_total[100y])", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+@query(
+    "q361_expr_idelta",
+    TSDB_CTE
+    + f"""
+, rk AS (
+  SELECT tsid, {_B100} AS bucket, ts, value,
+         row_number() OVER (PARTITION BY tsid, {_B100}
+                            ORDER BY ts DESC, value DESC) AS rn
+  FROM samples
+), l AS (SELECT tsid, bucket, value AS vl FROM rk WHERE rn = 1),
+  p AS (SELECT tsid, bucket, value AS vp FROM rk WHERE rn = 2)
+SELECT l.tsid AS tsid, CAST(l.bucket AS BIGINT) AS bucket,
+       l.vl - p.vp AS value
+FROM l JOIN p USING (tsid, bucket)
+ORDER BY tsid, bucket""",
+)
+def q361_expr_idelta(spark, sf_dir):
+    """``idelta(events_total[100y])``: q88's last-minus-previous gauge
+    delta (one IEEE subtraction of raw sample doubles) per (tsid,
+    bucket), series with <2 samples emitting nothing like PromQL."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("idelta(events_total[100y])", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+_Q362_MOMENTS = f"""
+, d AS (
+  SELECT tsid, {_B100} AS bucket, epoch_us(ts) // 1000000 AS t,
+         CAST(value AS DECIMAL(18,4)) AS y
+  FROM samples
+), c AS (
+  SELECT tsid, bucket, t - min(t) OVER (PARTITION BY tsid, bucket) AS x, y
+  FROM d
+), g AS (
+  SELECT tsid, bucket, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy,
+         sum(CAST(x AS DECIMAL(18,0)) * y) AS sxy,
+         CAST(max(x) AS BIGINT) AS span
+  FROM c GROUP BY 1, 2
+)
+"""
+
+
+@query(
+    "q362_expr_deriv",
+    TSDB_CTE
+    + _Q362_MOMENTS
+    + """
+SELECT tsid, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n * sxy - sx * sy AS DOUBLE) /
+       CAST(n * sxx - sx * sx AS DOUBLE) AS value
+FROM g WHERE CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+ORDER BY tsid, bucket""",
+)
+def q362_expr_deriv(spark, sf_dir):
+    """``deriv(events_total[100y])``: q83's exact-moment least-squares
+    slope (centered integer-second x, decimal y, order-independent
+    sums, ONE double division) per (tsid, bucket); zero-variance groups
+    drop (PromQL emits nothing for them)."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("deriv(events_total[100y])", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+@query(
+    "q363_expr_predict_linear",
+    TSDB_CTE
+    + _Q362_MOMENTS
+    + """
+, s AS (
+  SELECT tsid, bucket, n, span,
+         CAST(n * sxy - sx * sy AS DOUBLE) /
+         CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+  FROM g
+)
+SELECT tsid, CAST(bucket AS BIGINT) AS bucket,
+       (syd - slope * sxd) / CAST(n AS DOUBLE)
+         + slope * CAST(span + 3600 AS DOUBLE) AS value
+FROM s WHERE den <> 0
+ORDER BY tsid, bucket""",
+)
+def q363_expr_predict_linear(spark, sf_dir):
+    """``predict_linear(events_total[100y], 3600)``: q86's least-squares
+    extrapolation 1h past each group's last sample — exact decimal
+    moments, then the SAME fixed IEEE chain as q86's oracle
+    (intercept = (Σy − slope·Σx)/n, pred = intercept + slope·(span+t))
+    spelled identically in both engines."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("predict_linear(events_total[100y], 3600)", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+@query(
+    "q364_expr_stddev",
+    TSDB_CTE
+    + f"""
+, g AS (
+  SELECT tsid, {_B100} AS bucket, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(18,4))) AS s,
+         sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+             AS DECIMAL(28,8))) AS ss
+  FROM samples GROUP BY 1, 2
+)
+SELECT tsid, CAST(bucket AS BIGINT) AS bucket,
+       sqrt(CAST(n * ss - CAST(s * s AS DECIMAL(38,8)) AS DOUBLE) /
+            CAST(n * n AS DOUBLE)) AS value
+FROM g ORDER BY tsid, bucket""",
+)
+def q364_expr_stddev(spark, sf_dir):
+    """``stddev_over_time(events_total[100y])``: q69's decimal-exact
+    moments (order-independent), variance in exact decimal arithmetic,
+    ONE double division + ONE correctly-rounded sqrt — per (tsid,
+    bucket) through the grammar."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("stddev_over_time(events_total[100y])", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+@query(
+    "q365_expr_stdvar_weekly",
+    TSDB_CTE
+    + """
+, g AS (
+  SELECT tsid, epoch_us(ts) // 604800000000 AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(18,4))) AS s,
+         sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+             AS DECIMAL(28,8))) AS ss
+  FROM samples GROUP BY 1, 2
+)
+SELECT tsid, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n * ss - CAST(s * s AS DECIMAL(38,8)) AS DOUBLE) /
+       CAST(n * n AS DOUBLE) AS value
+FROM g ORDER BY tsid, bucket""",
+)
+def q365_expr_stdvar_weekly(spark, sf_dir):
+    """``stdvar_over_time(events_total[1w])``: population variance per
+    (series, week) — the q69 moment discipline on REAL aligned buckets
+    (not the one-bucket [100y] trick), proving the family's bucketing."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("stdvar_over_time(events_total[1w])", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+@query(
+    "q366_expr_mad",
+    TSDB_CTE
+    + f"""
+, d AS (
+  SELECT tsid, {_B100} AS bucket, ts, value,
+         row_number() OVER (PARTITION BY tsid, {_B100}
+                            ORDER BY value, ts) AS rn,
+         CAST(floor(0.5 * CAST(count(*) OVER (PARTITION BY tsid, {_B100}) - 1
+              AS DOUBLE)) AS BIGINT) + 1 AS kk
+  FROM samples
+), m AS (
+  SELECT tsid, bucket, ts, value, rn, kk,
+         max(CASE WHEN rn = kk THEN value END)
+             OVER (PARTITION BY tsid, bucket) AS med
+  FROM d
+), dv AS (
+  SELECT tsid, bucket, rn, kk, abs(value - med) AS dev,
+         row_number() OVER (PARTITION BY tsid, bucket
+                            ORDER BY abs(value - med), ts) AS rd
+  FROM m
+)
+SELECT tsid, CAST(bucket AS BIGINT) AS bucket,
+       max(CASE WHEN rd = kk THEN dev END) AS value
+FROM dv GROUP BY 1, 2 ORDER BY tsid, bucket""",
+)
+def q366_expr_mad(spark, sf_dir):
+    """``mad_over_time(events_total[100y])``: q116's discrete median +
+    MAD rank picks per (tsid, bucket) — selections and one IEEE
+    subtract/abs each, no averaging, cross-engine exact."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("mad_over_time(events_total[100y])", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+# q367 holt_winters oracle: q89's step-per-rank RECURSIVE CTE (NOT
+# list_reduce — DuckDB's struct-state fold mutates in place, q89's
+# documented trap), per (tsid, bucket). _HW_SN is q89's exact new-level
+# expression, pasted verbatim into both the level and trend updates.
+@query(
+    "q367_expr_holt_winters",
+    TSDB_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, s0 AS (
+  SELECT tsid, {_B100} AS bucket, value,
+         row_number() OVER (PARTITION BY tsid, {_B100}
+                            ORDER BY ts, value) AS rn,
+         count(*) OVER (PARTITION BY tsid, {_B100}) AS nn
+  FROM samples
+), rec AS (
+  SELECT tsid, bucket, rn, nn, CAST(value AS DOUBLE) AS s,
+         CAST(0.0 AS DOUBLE) AS b
+  FROM s0 WHERE rn = 1
+  UNION ALL
+  SELECT n.tsid, n.bucket, n.rn, n.nn,
+         {_HW_SN} AS s,
+         0.25 * (({_HW_SN}) - r.s)
+           + 0.75 * (CASE WHEN n.rn = 2 THEN n.value - r.s ELSE r.b END) AS b
+  FROM rec r JOIN s0 n
+    ON n.tsid = r.tsid AND n.bucket = r.bucket AND n.rn = r.rn + 1
+)
+SELECT tsid, CAST(bucket AS BIGINT) AS bucket, s AS value
+FROM rec WHERE rn = nn ORDER BY tsid, bucket""",
+)
+def q367_expr_holt_winters(spark, sf_dir):
+    """``holt_winters(events_total[100y], 0.5, 0.25)``: q89's sequential
+    Holt fold (level/trend double exponential smoothing) per (tsid,
+    bucket) from the STRING — Spark F.aggregate over the bucket's
+    time-ordered values ≡ the oracle's recursive step-per-rank CTE,
+    identical IEEE op order per step. Factors 0.5/0.25 are exactly
+    representable so 1−α / 1−β are exact literals in both engines."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("holt_winters(events_total[100y], 0.5, 0.25)", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+@query(
+    "q368_expr_histogram_quantile",
+    TSDB_CTE
+    + f"""
+, counts AS (
+  SELECT tsid, {_B100} AS bucket,
+         CAST(floor(value / 100) AS BIGINT) AS bk,
+         CAST(count(*) AS BIGINT) AS c
+  FROM samples GROUP BY 1, 2, 3
+), cum AS (
+  SELECT tsid, bucket, bk, c,
+         sum(c) OVER (PARTITION BY tsid, bucket ORDER BY bk
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY tsid, bucket) AS total
+  FROM counts
+), hit AS (
+  SELECT *, greatest(1, (total * 9 + 9) // 10) AS target
+  FROM cum
+  WHERE cum >= greatest(1, (total * 9 + 9) // 10)
+    AND cum - c < greatest(1, (total * 9 + 9) // 10)
+)
+SELECT tsid, CAST(bucket AS BIGINT) AS bucket,
+       CAST(bk AS DOUBLE) * 100 +
+       (CAST(target - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE)) * 100 AS value
+FROM hit ORDER BY tsid, bucket""",
+)
+def q368_expr_histogram_quantile(spark, sf_dir):
+    """``histogram_quantile(0.9, events_total[100y])``: q70's
+    implicit-value-bucket interpolation per (tsid, bucket) — exact
+    integer cumulative target rank from φ's exact decimal form (9/10 →
+    (9·total+9) DIV 10), one linear interpolation in the hit bucket."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("histogram_quantile(0.9, events_total[100y])", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+_Q369_RATES = (
+    _Q352_RATE_CTE
+    + """
+, rates AS (
+  SELECT tsid, day_idx, inc / (span_us / 1e6) AS r
+  FROM br WHERE span_us > 0
+)
+"""
+)
+
+
+@query(
+    "q369_expr_clamp",
+    TSDB_CTE
+    + _Q369_RATES
+    + """
+SELECT s.event_type AS event_type, CAST(r.day_idx AS BIGINT) AS bucket,
+       max(least(greatest(r.r, CAST(0.1 AS DOUBLE)), CAST(2 AS DOUBLE))) AS value
+FROM rates r JOIN series s ON s.tsid = r.tsid
+GROUP BY 1, 2 ORDER BY event_type, bucket""",
+)
+def q369_expr_clamp(spark, sf_dir):
+    """``max by (event_type) (clamp(rate(events_total[1d]), 0.1, 2))``:
+    clamp is a pure least/greatest SELECTION on the day-rate vector
+    (cross-engine exact — no arithmetic), then the order-free max
+    aggregation over the label dimension."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    series, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "max by (event_type) (clamp(rate(events_total[1d]), 0.1, 2))",
+            samples,
+            series=series,
+        )
+        .select("event_type", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "q370_expr_math",
+    TSDB_CTE
+    + _Q369_RATES
+    + """
+SELECT s.event_type AS event_type, CAST(r.day_idx AS BIGINT) AS bucket,
+       max(sqrt(abs(r.r))) AS value
+FROM rates r JOIN series s ON s.tsid = r.tsid
+GROUP BY 1, 2 ORDER BY event_type, bucket""",
+)
+def q370_expr_math(spark, sf_dir):
+    """``max by (event_type) (sqrt(abs(rate(events_total[1d]))))``:
+    the instant-vector math family — abs is exact, IEEE sqrt is
+    correctly rounded, so the composed doubles hash-match; exp/ln stay
+    honestly NotImplemented (libm divergence between engines)."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    series, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "max by (event_type) (sqrt(abs(rate(events_total[1d]))))",
+            samples,
+            series=series,
+        )
+        .select("event_type", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "q371_expr_label_replace",
+    TSDB_CTE
+    + _Q369_RATES
+    + r"""
+, svc AS (
+  SELECT tsid, CASE WHEN regexp_matches(event_type, '^(?:(c.*|v.*))$')
+                    THEN regexp_replace(event_type, '^(?:(c.*|v.*))$', 'web_\1')
+                    ELSE '' END AS svc
+  FROM series
+)
+SELECT v.svc AS svc, CAST(r.day_idx AS BIGINT) AS bucket,
+       CAST(count(*) AS DOUBLE) AS value
+FROM rates r JOIN svc v ON v.tsid = r.tsid
+GROUP BY 1, 2 ORDER BY svc, bucket""",
+)
+def q371_expr_label_replace(spark, sf_dir):
+    """``count by (svc) (label_replace(rate(events_total[1d]), "svc",
+    "web_$1", "event_type", "(c.*|v.*)"))``: q56's anchored
+    capture-substitution rewrites the vector's CARRIED series frame, and
+    the derived label immediately groups the aggregation — the PromQL
+    relabel-then-aggregate idiom from one string. Same regex/replacement
+    as the driver-green q56."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    series, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            'count by (svc) (label_replace(rate(events_total[1d]), '
+            '"svc", "web_$1", "event_type", "(c.*|v.*)"))',
+            samples,
+            series=series,
+        )
+        .select("svc", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("svc", "bucket")
+    )
+
+
+@query(
+    "q372_expr_label_join",
+    TSDB_CTE
+    + _Q369_RATES
+    + """
+SELECT s.event_type || '|' || s.user_bucket AS key,
+       CAST(r.day_idx AS BIGINT) AS bucket,
+       CAST(count(*) AS DOUBLE) AS value
+FROM rates r JOIN series s ON s.tsid = r.tsid
+GROUP BY 1, 2 ORDER BY key, bucket""",
+)
+def q372_expr_label_join(spark, sf_dir):
+    """``count by (key) (label_join(rate(events_total[1d]), "key", "|",
+    "event_type", "user_bucket"))``: q73's separator-join label
+    derivation on the carried series frame, grouped by the composite
+    label — pure string concatenation, no arithmetic."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    series, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            'count by (key) (label_join(rate(events_total[1d]), '
+            '"key", "|", "event_type", "user_bucket"))',
+            samples,
+            series=series,
+        )
+        .select("key", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("key", "bucket")
+    )
+
+
+@query(
+    "q373_expr_absent",
+    TSDB_CTE
+    + """
+SELECT 'events_total' AS name, CAST(1.0 AS DOUBLE) AS value
+FROM (VALUES (1)) t(x)
+WHERE NOT EXISTS (
+  SELECT 1 FROM postings p WHERE p.name = 'event_type' AND p.value = 'zzz'
+)""",
+)
+def q373_expr_absent(spark, sf_dir):
+    """``absent(events_total{event_type="zzz"})``: the alerting
+    primitive — one row (value 1.0) because NO series matches the
+    selector; the matcher resolves through the postings index like any
+    other, and a present selector emits nothing (pinned by unit test).
+    An unregistered metric name is absent by definition (PromQL's one
+    place where an unknown name is an answer, not an error)."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, postings, samples = _model(spark, sf_dir)
+    return evaluate(
+        'absent(events_total{event_type="zzz"})', samples, postings
+    )
+
+
+@query(
+    "q374_expr_count_values",
+    TSDB_CTE
+    + """
+, d AS (
+  SELECT tsid, epoch_us(ts) // 86400000000 AS day_idx, ts,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM samples
+), e AS (
+  SELECT tsid, day_idx, v,
+         row_number() OVER (PARTITION BY tsid, day_idx
+                            ORDER BY ts DESC, v DESC) AS rd
+  FROM d
+), lv AS (
+  SELECT CAST(v AS DOUBLE) AS lval FROM e WHERE rd = 1
+)
+SELECT CAST(floor(lval) AS BIGINT) AS vbucket,
+       CAST(count(*) AS DOUBLE) AS value
+FROM lv GROUP BY 1 ORDER BY vbucket""",
+)
+def q374_expr_count_values(spark, sf_dir):
+    """``count_values(last_over_time(events_total[1d]))``: q62's
+    deterministic count_values form — the inner vector's doubles bucket
+    by floor() so the group key is an exact integer (grouping raw
+    doubles cross-engine is undefined under different aggregation
+    orders)."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("count_values(last_over_time(events_total[1d]))", samples)
+        .orderBy("vbucket")
+    )
+
+
+#: 3-day staleness lookback for the @ instant-eval queries — q46's window.
+_AT_LOOKBACK_MS = 3 * 86400 * 1000
+
+
+@query(
+    "q375_expr_at_instant",
+    TSDB_CTE
+    + """
+, sel AS (
+  SELECT tsid FROM postings WHERE name = 'event_type' AND value = 'click'
+), cand AS (
+  SELECT s.tsid, s.ts, s.value
+  FROM samples s JOIN sel USING (tsid)
+  WHERE s.ts <= TIMESTAMP '2024-01-18 00:00:00'
+    AND s.ts > TIMESTAMP '2024-01-18 00:00:00' - INTERVAL 3 DAY
+), last AS (
+  SELECT tsid, max(ts) AS last_ts FROM cand GROUP BY 1
+)
+SELECT c.tsid AS tsid, CAST(1705536000000000 AS BIGINT) AS bucket,
+       max(c.value) AS value
+FROM last l JOIN cand c ON c.tsid = l.tsid AND c.ts = l.last_ts
+GROUP BY 1, 2 ORDER BY tsid""",
+)
+def q375_expr_at_instant(spark, sf_dir):
+    """``events_total{event_type="click"} @ 1705536000`` (2024-01-18
+    UTC) with a 3-day staleness lookback: PromQL's @ modifier compiled
+    to the driver-green as-of join (q46's broadcast-grid argmax, one
+    (tsid, eval_ts) shuffle) — the instant-eval wall clock supplied
+    EXPLICITLY in the string, retiring the r12 NotImplementedError
+    class. The oracle is q46's chain at the single timestamp."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, postings, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            'events_total{event_type="click"} @ 1705536000',
+            samples,
+            postings,
+            lookback_ms=_AT_LOOKBACK_MS,
+        )
+        .orderBy("tsid")
+    )
+
+
+@query(
+    "q376_expr_at_agg",
+    TSDB_CTE
+    + """
+, cand AS (
+  SELECT s.tsid, s.ts, s.value
+  FROM samples s
+  WHERE s.ts <= TIMESTAMP '2024-01-18 00:00:00'
+    AND s.ts > TIMESTAMP '2024-01-18 00:00:00' - INTERVAL 3 DAY
+), last AS (
+  SELECT tsid, max(ts) AS last_ts FROM cand GROUP BY 1
+), iv AS (
+  SELECT c.tsid AS tsid, max(c.value) AS value
+  FROM last l JOIN cand c ON c.tsid = l.tsid AND c.ts = l.last_ts
+  GROUP BY 1
+)
+SELECT s.event_type AS event_type, CAST(1705536000000000 AS BIGINT) AS bucket,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(iv.value ORDER BY iv.tsid)),
+                   (x, y) -> x + y) AS value
+FROM iv JOIN series s ON s.tsid = iv.tsid
+GROUP BY 1, 2 ORDER BY event_type""",
+)
+def q376_expr_at_agg(spark, sf_dir):
+    """``sum by (event_type) (events_total @ 1705536000)``: instant
+    vectors are first-class — the @ result (bucket := eval µs) flows
+    into the aggregation operators like any bucketed vector; the sum of
+    raw sample doubles folds sequentially in tsid order (rule 12) ≡ the
+    oracle's list_reduce."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    series, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "sum by (event_type) (events_total @ 1705536000)",
+            samples,
+            series=series,
+            lookback_ms=_AT_LOOKBACK_MS,
+        )
+        .select("event_type", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q377_expr_metric_registry",
+    TSDB_CTE
+    + _Q352_RATE_CTE
+    + """
+, rates AS (
+  SELECT tsid, day_idx, inc / (span_us / 1e6) AS r
+  FROM br WHERE span_us > 0
+), agg AS (
+  SELECT s.event_type AS event_type, CAST(r.day_idx AS BIGINT) AS bucket,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(r.r ORDER BY r.tsid)),
+                     (x, y) -> x + y) AS value
+  FROM rates r JOIN series s ON s.tsid = r.tsid
+  GROUP BY 1, 2
+)
+SELECT event_type, bucket, value AS v_model, value AS v_store
+FROM agg ORDER BY event_type, bucket""",
+)
+def q377_expr_metric_registry(spark, sf_dir):
+    """METRIC-NAME REGISTRY (VERDICT r12 next #2): the SAME aggregation
+    expression evaluated against the derived model's ``events_total``
+    AND against ``events_store`` — a registry-registered metric backed
+    by the PERSISTED store layout (name-partitioned postings, z-ordered
+    date-partitioned samples; the q100/q103 read path) — joined on the
+    group key. Both columns must equal the one oracle chain: the
+    registry resolves names to frames, and the store-backed read is
+    value-identical to the derived model (same guarantee q100 proved
+    for select(), now through the expression front-end; the store
+    postings scan keeps its partition pruning — plan-pinned in
+    test_plans.py)."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    series, _, samples = _model(spark, sf_dir)
+    sseries, spostings, ssamples = _store_model(spark, sf_dir)
+    expr_model = "sum by (event_type) (rate(events_total[1d]))"
+    expr_store = "sum by (event_type) (rate(events_store[1d]))"
+    a = (
+        evaluate(expr_model, samples, series=series)
+        .select(
+            "event_type",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("value").alias("v_model"),
+        )
+    )
+    b = (
+        evaluate(
+            expr_store,
+            metrics={"events_store": (ssamples, spostings, sseries)},
+        )
+        .select(
+            "event_type",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("value").alias("v_store"),
+        )
+    )
+    return a.join(b, ["event_type", "bucket"]).orderBy("event_type", "bucket")

@@ -11,11 +11,13 @@ from hypothesis import strategies as st
 from tagtree_spark.tsdb.exprlang import (
     _AGG_OPS,
     AggExpr,
+    At,
     BinOp,
     Call,
     ExprParseError,
     MatrixSelector,
     Number,
+    Str,
     Subquery,
     VectorSelector,
     evaluate,
@@ -145,7 +147,15 @@ _matchers = st.lists(
     max_size=3,
 ).map(tuple)
 _selectors = st.builds(VectorSelector, _idents, _matchers)
-_leaves = st.one_of(_numbers, _selectors)
+_strs = st.builds(
+    Str,
+    st.text(
+        alphabet='abcdefghijklmnopqrstuvwxyz0123456789 .*$|\\"\n\t', max_size=8
+    ),
+)
+# @ timestamps: µs up to ~2096 (< 2^53, so seconds round-trip exactly)
+_ats = st.builds(At, _selectors, st.integers(min_value=0, max_value=4 * 10**15))
+_leaves = st.one_of(_numbers, _selectors, _strs, _ats)
 
 
 _call_idents = _idents.filter(lambda n: n not in _AGG_OPS)
@@ -457,3 +467,282 @@ def test_eval_quantile_over_time(tiny_samples):
         for r in evaluate("quantile_over_time(0.9, events_total[1d])", ten).collect()
     }
     assert v[5] == 8.0  # rank 9 of 0..9, NOT rank 10
+
+
+# --- r13: strings, @, registry, new function families ----------------------
+
+
+def test_parse_string_literals_and_label_fns():
+    e = parse_expr(
+        'label_replace(rate(m[1d]), "dst", "a\\"b\\\\c", "src", "(x.*)")'
+    )
+    assert isinstance(e, Call) and e.func == "label_replace"
+    assert e.args[1:] == (Str("dst"), Str('a"b\\c'), Str("src"), Str("(x.*)"))
+    assert parse_expr(format_expr(e)) == e
+    with pytest.raises(ExprParseError):
+        parse_expr('label_replace(rate(m[1d]), "unterminated)')
+
+
+def test_parse_at_modifier():
+    e = parse_expr('events_total{event_type="click"} @ 1705536000')
+    assert isinstance(e, At) and e.at_us == 1705536000 * 1_000_000
+    assert e.inner.matchers == (LabelMatcher(MatchOp.EQL, "event_type", "click"),)
+    assert parse_expr(format_expr(e)) == e
+    # fractional seconds round-trip exactly (µs grid)
+    e2 = parse_expr("m @ 1705536000.5")
+    assert e2.at_us == 1705536000_500_000
+    assert parse_expr(format_expr(e2)) == e2
+    # composes with aggregation and arithmetic
+    a = parse_expr("sum by (l) (m @ 5)")
+    assert isinstance(a, AggExpr) and isinstance(a.expr, At)
+    b = parse_expr("m @ 5 - m @ 3")
+    assert isinstance(b, BinOp) and isinstance(b.right, At)
+
+
+@pytest.fixture(scope="module")
+def tiny_registry(tiny_samples, tiny_series):
+    return {"m2": (tiny_samples, None, tiny_series)}
+
+
+def test_metric_registry(tiny_samples, tiny_registry):
+    out = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "last_over_time(m2[1d])", metrics=tiny_registry
+        ).collect()
+    }
+    day1 = 19723
+    assert out[(1, day1)] == 9.0
+    # unknown names error loudly, listing the registry
+    with pytest.raises(ExprParseError, match="m2"):
+        evaluate("rate(nope[1d])", metrics=tiny_registry)
+    # positional samples registers the default events_total alongside
+    both = evaluate(
+        "increase(events_total[1d]) - increase(m2[1d])",
+        tiny_samples,
+        metrics=tiny_registry,
+    ).collect()
+    assert all(r["value"] == 0.0 for r in both) and both
+
+
+def test_eval_at_instant(tiny_samples):
+    # 2024-01-02 00:00:00 UTC, 1d staleness lookback
+    t = 1704153600
+    out = {
+        r["tsid"]: (r["bucket"], r["value"])
+        for r in evaluate(
+            f"events_total @ {t}", tiny_samples, lookback_ms=86_400_000
+        ).collect()
+    }
+    assert out[1] == (t * 1_000_000, 10.0)  # ts == eval is inclusive
+    assert out[2] == (t * 1_000_000, 7.0)  # 01-01 12:00 inside lookback
+    # a 6h lookback excludes tsid 2's noon sample
+    short = {
+        r["tsid"]
+        for r in evaluate(
+            f"events_total @ {t}", tiny_samples, lookback_ms=6 * 3600_000
+        ).collect()
+    }
+    assert short == {1}
+    # instant vectors aggregate like any bucketed vector
+    agg = evaluate(
+        f"count(events_total @ {t})", tiny_samples, lookback_ms=86_400_000
+    ).collect()
+    assert [(r["bucket"], r["value"]) for r in agg] == [(t * 1_000_000, 2.0)]
+
+
+def test_eval_irate_idelta(tiny_samples):
+    day1 = 19723
+    ir = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate("irate(events_total[1d])", tiny_samples).collect()
+    }
+    assert ir[(1, day1)] == pytest.approx((9.0 - 3.0) / 3600)
+    assert ir[(1, day1 + 1)] == pytest.approx(1.0 / (6 * 3600))
+    assert ir[(2, day1)] == 0.0
+    idl = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate("idelta(events_total[1d])", tiny_samples).collect()
+    }
+    assert idl[(1, day1)] == 6.0 and idl[(1, day1 + 1)] == 1.0
+
+
+def test_eval_stddev_mad(tiny_samples):
+    day1 = 19723
+    sd = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate("stddev_over_time(events_total[1d])", tiny_samples).collect()
+    }
+    assert sd[(1, day1)] == pytest.approx(10.6875**0.5)
+    assert sd[(2, day1)] == 0.0
+    sv = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate("stdvar_over_time(events_total[1d])", tiny_samples).collect()
+    }
+    assert sv[(1, day1)] == pytest.approx(10.6875)
+    mad = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate("mad_over_time(events_total[1d])", tiny_samples).collect()
+    }
+    # sorted 0,3,5,9 → med=3 (rank 2); devs sorted 0,2,3,6 → mad=2
+    assert mad[(1, day1)] == 2.0 and mad[(2, day1)] == 0.0
+
+
+def test_eval_deriv_predict(tiny_samples):
+    import numpy as np
+
+    day1 = 19723
+    dv = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate("deriv(events_total[1d])", tiny_samples).collect()
+    }
+    x = np.array([0.0, 3600, 7200, 10800])
+    slope_ref = np.polyfit(x, [0.0, 5.0, 3.0, 9.0], 1)[0]
+    assert dv[(1, day1)] == pytest.approx(slope_ref, rel=1e-9)
+    assert dv[(2, day1)] == 0.0
+    pl = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "predict_linear(events_total[1d], 3600)", tiny_samples
+        ).collect()
+    }
+    icept_ref = np.polyfit(x, [0.0, 5.0, 3.0, 9.0], 1)[1]
+    assert pl[(1, day1)] == pytest.approx(
+        icept_ref + slope_ref * (10800 + 3600), rel=1e-9
+    )
+    # single-sample groups drop (zero variance), like PromQL
+    one = tiny_samples.sparkSession.createDataFrame(
+        [(9, "2024-01-01 00:00:00", 4.0)], "tsid bigint, ts string, value double"
+    ).selectExpr("tsid", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    assert evaluate("deriv(events_total[1d])", one).count() == 0
+
+
+def test_eval_holt_winters(tiny_samples):
+    day1 = 19723
+    hw = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "holt_winters(events_total[1d], 0.5, 0.25)", tiny_samples
+        ).collect()
+    }
+    # fold [0,5,3,9]: s=0 → 5 → 6.5 → 9.8125 (hand-computed)
+    assert hw[(1, day1)] == pytest.approx(9.8125)
+    with pytest.raises(ExprParseError):
+        evaluate("holt_winters(events_total[1d], 0, 0.25)", tiny_samples)
+
+
+def test_eval_vec_math_and_clamp(tiny_samples):
+    day1 = 19723
+    cl = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "clamp(last_over_time(events_total[1d]), 2, 8)", tiny_samples
+        ).collect()
+    }
+    assert cl[(1, day1)] == 8.0 and cl[(2, day1)] == 7.0
+    lo = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "clamp_min(delta(events_total[1d]), 0.5)", tiny_samples
+        ).collect()
+    }
+    assert lo[(2, day1)] == 0.5  # delta 0 clamped up
+    sq = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "sqrt(abs(delta(events_total[1d])))", tiny_samples
+        ).collect()
+    }
+    assert sq[(1, day1)] == 3.0  # sqrt(|9|)
+    fl = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "floor(avg_over_time(events_total[1d]))", tiny_samples
+        ).collect()
+    }
+    assert fl[(1, day1)] == 4.0  # avg 4.25
+    ce = evaluate("ceil(avg_over_time(events_total[1d]))", tiny_samples).collect()
+    assert {(r["tsid"], r["bucket"]): r["value"] for r in ce}[(1, day1)] == 5.0
+    sg = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "sgn(delta(events_total[1d]) - 1)", tiny_samples
+        ).collect()
+    }
+    assert sg[(1, day1)] == 1.0 and sg[(2, day1)] == -1.0
+    with pytest.raises(ExprParseError):
+        evaluate("clamp(last_over_time(events_total[1d]), 2)", tiny_samples)
+
+
+def test_eval_label_fns_compose_with_agg(tiny_samples, spark):
+    # series frame with a labels map (the model's shape)
+    series = spark.createDataFrame(
+        [(1, {"event_type": "click"}), (2, {"event_type": "view"})],
+        "tsid bigint, labels map<string,string>",
+    )
+    day1 = 19723
+    out = {
+        (r["svc"], r["bucket"]): r["value"]
+        for r in evaluate(
+            'count by (svc) (label_replace(increase(events_total[1d]), '
+            '"svc", "web_$1", "event_type", "(c.*)"))',
+            tiny_samples,
+            series=series,
+        ).collect()
+    }
+    assert out[("web_click", day1)] == 1.0 and out[("", day1)] == 1.0
+    j = {
+        (r["k"], r["bucket"]): r["value"]
+        for r in evaluate(
+            'count by (k) (label_join(increase(events_total[1d]), '
+            '"k", "-", "event_type", "event_type"))',
+            tiny_samples,
+            series=series,
+        ).collect()
+    }
+    assert ("click-click", day1) in j
+    with pytest.raises(NotImplementedError):
+        evaluate(
+            'label_replace(increase(events_total[1d]), "a", "b", "c", 5)',
+            tiny_samples,
+            series=series,
+        )
+    with pytest.raises(ValueError):  # no series frame carried
+        evaluate(
+            'label_replace(increase(events_total[1d]), "a", "b", "c", "d")',
+            tiny_samples,
+        )
+
+
+def test_eval_absent_and_count_values(tiny_samples):
+    # present metric, no matchers → empty
+    assert evaluate("absent(events_total)", tiny_samples).count() == 0
+    # unregistered name IS absent (PromQL semantics)
+    got = evaluate("absent(nosuch)", tiny_samples).collect()
+    assert [(r["name"], r["value"]) for r in got] == [("nosuch", 1.0)]
+    cv = {
+        r["vbucket"]: r["value"]
+        for r in evaluate(
+            "count_values(last_over_time(events_total[1d]))", tiny_samples
+        ).collect()
+    }
+    assert cv == {9: 1.0, 11: 1.0, 7: 1.0}
+
+
+def test_eval_histogram_quantile_grammar(tiny_samples, spark):
+    day1 = 19723
+    hq = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "histogram_quantile(0.9, events_total[1d])", tiny_samples
+        ).collect()
+    }
+    # all fixture values < 100 → one implicit bucket, target=n → 100.0
+    assert hq[(1, day1)] == 100.0
+    # two-bucket case: values 50 and 150 → p50 hits bucket 0 at rank 1
+    two = spark.createDataFrame(
+        [(3, "2024-01-01 00:00:00", 50.0), (3, "2024-01-01 01:00:00", 150.0)],
+        "tsid bigint, ts string, value double",
+    ).selectExpr("tsid", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    v = evaluate("histogram_quantile(0.5, events_total[1d])", two).collect()
+    assert v[0]["value"] == 100.0  # bucket 0 full → interpolates to its top

@@ -412,3 +412,32 @@ def test_stats_unpartitioned_windows_are_post_aggregation(spark):
     flags = windows_over_aggregate(df, only_unpartitioned=False)
     assert flags, "q344: expected windows in the plan"
     assert all(flags), "q344: a window runs over raw rows"
+
+
+def test_expr_store_metric_keeps_partition_filters(spark, events):
+    """q377's registry twin: the SAME expression string evaluated against
+    a STORE-backed metric must keep the persisted layout's pruning — the
+    selector's postings scan shows a PartitionFilters entry on ``name``
+    even when reached through the expression front-end's registry
+    (VERDICT r12 next #2's plan pin)."""
+    import re
+    import shutil
+    import tempfile
+
+    from tagtree_spark.tsdb.exprlang import evaluate
+    from tagtree_spark.tsdb.store import load_model, materialize_model
+    from tests.test_store import _tmp_root
+
+    d = tempfile.mkdtemp(dir=_tmp_root(), prefix="tagtree-expr-store-")
+    try:
+        materialize_model(spark, events, d)
+        series, postings, samples = load_model(spark, d)
+        q = evaluate(
+            'sum by (event_type) (rate(events_store{event_type="click"}[1d]))',
+            metrics={"events_store": (samples, postings, series)},
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert any("name" in f and f.strip() for f in pf), plan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
