@@ -293,6 +293,87 @@ def run_full_sweep(spark, src_dir: str, out_dir: str, n: int) -> None:
         )
 
 
+def build_series_scaled_dir(spark, src_dir: str, out_dir: str, n: int) -> None:
+    """SERIES-count explosion (VERDICT r12 #5): Nx the label VOCABULARY,
+    not just sample volume — copy i suffixes event_type with "~i" (new
+    label values → new series/postings entries) and shifts event/user
+    ids for uniqueness, so the derived model has N× the series at the
+    SAME samples-per-series. This is the regime the vocabulary-bounded
+    collect_list folds in exprlang's _agg_by/_over_subquery ride, and
+    the index-cardinality bound of q351's driver-side tree build."""
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        if t == "events":
+            continue
+        src = os.path.join(src_dir, f"{t}.parquet")
+        link = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(link):
+            os.symlink(src, link)
+    from tagtree_spark.io import load_table as _lt
+
+    ev = _lt(spark, src_dir, "events")
+    copies = []
+    for i in range(n):
+        copies.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * ID_OFFSET)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * ID_OFFSET)).alias("user_id"),
+                F.concat(F.col("event_type"), F.lit(f"~{i}")).alias("event_type"),
+                "value",
+                "props",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.parquet(os.path.join(out_dir, "events.parquet"))
+
+
+def run_series_sweep(spark, src_dir: str, out_dir: str, n: int) -> None:
+    """Time the expression-family fold shapes at 1x and Nx SERIES: the
+    `by`-grouped folds whose per-group collect_list grows with series
+    count (sum by user_bucket: 10 groups × 25N series; global sum: one
+    group × 250N per bucket), the group-count-scaled form (sum by
+    event_type: 5N groups × 50), the per-series subquery fold, and the
+    registered q351 tree walk (index cardinality ×N driver-side)."""
+    import __spark_entry__ as entry
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    exprs = [
+        ("sum_by_event_type_5N_groups", "sum by (event_type) (rate(events_total[1d]))"),
+        ("sum_by_user_bucket_fold_25N", "sum by (user_bucket) (rate(events_total[1d]))"),
+        ("global_sum_fold_250N", "sum(rate(events_total[1d]))"),
+        ("subq_fold_per_series", "sum_over_time(rate(events_total[1d])[:1d])"),
+        ("topk3_over_250N_series", "topk(3, last_over_time(events_total[1d]))"),
+    ]
+    print(f"| shape | rows 1x | wall 1x | rows {n}x | wall {n}x | ratio |")
+    print("|---|---|---|---|---|---|")
+    for label, ex in exprs:
+        walls = []
+        for sf in (src_dir, out_dir):
+            series, postings, samples = _model(spark, sf)
+            t0 = time.perf_counter()
+            cnt = evaluate(ex, samples, postings, series=series).count()
+            walls.append((cnt, time.perf_counter() - t0))
+        (r1, w1), (rn, wn) = walls
+        print(
+            f"| {label} | {r1} | {w1:.2f}s | {rn} | {wn:.2f}s | "
+            f"{wn / w1:.1f}x |",
+            flush=True,
+        )
+    qs = entry.queries()
+    for name in ("q351_cow_tree_walk",):
+        r1, w1 = time_query(qs[name], spark, src_dir)
+        rn, wn = time_query(qs[name], spark, out_dir)
+        print(
+            f"| {name} | {r1} | {w1:.2f}s | {rn} | {wn:.2f}s | "
+            f"{wn / w1:.1f}x |",
+            flush=True,
+        )
+
+
 def run_skew_case(spark, n_edges: int) -> None:
     """Adversarial SKEW stress for the iterative CC/k-core family
     (VERDICT r9 #6): the 100x sweep grew data uniformly; here ONE giant
@@ -361,13 +442,15 @@ def main() -> int:
     ap.add_argument("--only", default=None, help="comma-separated query subset")
     ap.add_argument(
         "--family",
-        choices=("dedup", "overflow", "skew", "full"),
+        choices=("dedup", "overflow", "skew", "full", "series"),
         default="dedup",
         help="query family: dedup (the quadratic-risk list), overflow "
         "(exact-integer + iterative families for deep --n runs), skew "
         "(synthetic hot-component CC/k-core stress; --n scales edge count "
-        "in millions), or full (the ENTIRE inventory at 1x and Nx with "
-        "every fact table scaled — the sf1 sweep, VERDICT r10 #6)",
+        "in millions), full (the ENTIRE inventory at 1x and Nx with "
+        "every fact table scaled — the sf1 sweep, VERDICT r10 #6), or "
+        "series (Nx the label VOCABULARY/series count at constant "
+        "samples-per-series — the exprlang fold-bound probe, r13)",
     )
     args = ap.parse_args()
     # symlink targets resolve relative to the LINK's directory, not the
@@ -385,6 +468,13 @@ def main() -> int:
         build_full_scaled_dir(spark, args.src, out_dir, args.n)
         print(f"built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
         run_full_sweep(spark, args.src, out_dir, args.n)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return 0
+    if args.family == "series":
+        out_dir = os.path.abspath(f".tmp/scaleup-series-x{args.n}")
+        build_series_scaled_dir(spark, args.src, out_dir, args.n)
+        print(f"built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        run_series_sweep(spark, args.src, out_dir, args.n)
         shutil.rmtree(out_dir, ignore_errors=True)
         return 0
     build_scaled_dir(spark, args.src, out_dir, args.n)
