@@ -405,3 +405,83 @@ class COWTreeReader:
 
         walk(self.root_pid)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Page-FILE container (VERDICT r12 #7) — an EXPLICITLY-ASSUMED layout
+# ---------------------------------------------------------------------------
+#
+# The reference maps {pid → 4 KiB page} into the index FILE through
+# bptree::HeapPageCache, whose on-disk layout lives in the vendored
+# bptree submodule — EMPTY in this checkout
+# (/root/reference/3rdparty/bptree/ has zero files; .gitmodules:1-3), so
+# the container layout CANNOT be pinned from in-repo sources. This
+# section implements the simplest layout consistent with every in-repo
+# constraint, as a LABELED ASSUMPTION behind an explicit opt-in flag:
+#
+#   byte offset of page pid = pid * PAGE_SIZE
+#
+# i.e. a flat pid-indexed array of 4 KiB slots, with slot 0 reserved
+# (INVALID_PAGE_ID == 0 under the in-repo 1-based pid pins
+# META_PAGE_ID==1 / FIRST_NODE_PAGE_ID==2) and absent pages zero-filled.
+# "Heap" page caches conventionally address file_offset = pid ×
+# page_size; a real HeapPageCache could differ (a header block, a free
+# list), so import/export REQUIRES assumed_layout=True — refusing by
+# default is the honest boundary, the codec-triage convention. An
+# all-zero slot is unambiguously "absent" for THIS tree's pages: node
+# pages start with a nonzero tag u32 and the meta page with the 0xC0FFEE
+# magic.
+
+
+def write_page_file(path: str, pages: dict, *, assumed_layout: bool = False) -> int:
+    """Export a committed page set ({pid: image}, COWTreeWriter.commit's
+    shape) into a flat pid-indexed 4 KiB-slot file. Returns the byte
+    size written. Requires ``assumed_layout=True`` (see the section
+    comment: the real HeapPageCache layout is submodule-hidden)."""
+    if not assumed_layout:
+        raise NotImplementedError(
+            "the reference's HeapPageCache file layout is hidden in the "
+            "empty bptree submodule; pass assumed_layout=True to use the "
+            "ASSUMED flat pid-indexed 4 KiB-slot container"
+        )
+    if not pages:
+        raise ValueError("empty page set")
+    if INVALID_PAGE_ID in pages:
+        raise ValueError("page id 0 is INVALID_PAGE_ID (reserved slot)")
+    max_pid = max(pages)
+    with open(path, "wb") as f:
+        for pid in range(max_pid + 1):
+            buf = pages.get(pid, b"")
+            if len(buf) > PAGE_SIZE:
+                raise ValueError(f"page {pid} exceeds {PAGE_SIZE} bytes")
+            f.write(buf + b"\x00" * (PAGE_SIZE - len(buf)))
+    return (max_pid + 1) * PAGE_SIZE
+
+
+def read_page_file(path: str, *, assumed_layout: bool = False) -> dict:
+    """Import a flat pid-indexed container back to {pid: 4 KiB image},
+    skipping zero-filled (absent) slots. Same opt-in flag as
+    :func:`write_page_file`."""
+    if not assumed_layout:
+        raise NotImplementedError(
+            "the reference's HeapPageCache file layout is hidden in the "
+            "empty bptree submodule; pass assumed_layout=True to use the "
+            "ASSUMED flat pid-indexed 4 KiB-slot container"
+        )
+    zero = b"\x00" * PAGE_SIZE
+    pages: dict = {}
+    with open(path, "rb") as f:
+        pid = 0
+        while True:
+            buf = f.read(PAGE_SIZE)
+            if not buf:
+                break
+            if len(buf) != PAGE_SIZE:
+                raise ValueError(
+                    f"container size is not a multiple of {PAGE_SIZE} "
+                    f"(trailing {len(buf)} bytes at pid {pid})"
+                )
+            if buf != zero:
+                pages[pid] = buf
+            pid += 1
+    return pages
