@@ -19738,3 +19738,310 @@ def q377_expr_metric_registry(spark, sf_dir):
         )
     )
     return a.join(b, ["event_type", "bucket"]).orderBy("event_type", "bucket")
+
+
+# --------------------------------------------------------------------------
+# r13 second wave: PromQL's remaining core operator semantics from strings —
+# comparison filters, and/or/unless set operators, without-grouping,
+# stddev/stdvar/quantile aggregation operators, on() vector matching.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q378_expr_cmp_filter",
+    TSDB_CTE
+    + _Q369_RATES
+    + """
+SELECT tsid, CAST(day_idx AS BIGINT) AS bucket, r AS value
+FROM rates WHERE r > CAST(0.001 AS DOUBLE)
+ORDER BY tsid, bucket""",
+)
+def q378_expr_cmp_filter(spark, sf_dir):
+    """``rate(events_total[1d]) > 0.001``: PromQL comparison FILTER
+    semantics — the vector's elements where the comparison holds, value
+    passed through untouched (pure double comparison, cross-engine
+    exact). Comparisons bind looser than arithmetic, like PromQL."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("rate(events_total[1d]) > 0.001", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+@query(
+    "q379_expr_or_union",
+    TSDB_CTE
+    + _Q369_RATES
+    + """
+SELECT tsid, CAST(day_idx AS BIGINT) AS bucket, r AS value
+FROM rates WHERE r > CAST(0.001 AS DOUBLE)
+ORDER BY tsid, bucket""",
+)
+def q379_expr_or_union(spark, sf_dir):
+    """``(rate > 0.01) or (rate > 0.001)``: PromQL's or keeps every
+    left element plus right elements the left LACKS — the overlapping
+    (tsid, bucket) keys here prove the preferring-left union dedups
+    (a naive UNION ALL would double the > 0.01 rows and break the
+    row-count gate). Equivalent to the single looser filter, which is
+    the oracle."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "(rate(events_total[1d]) > 0.01) or (rate(events_total[1d]) > 0.001)",
+            samples,
+        )
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+_Q380_RESETS = """
+, rs AS (
+  SELECT tsid, day_idx,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND v < prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS nr
+  FROM b GROUP BY 1, 2
+)
+"""
+
+
+@query(
+    "q380_expr_unless",
+    TSDB_CTE
+    + _Q352_RATE_CTE
+    + _Q380_RESETS
+    + """
+SELECT br.tsid AS tsid, CAST(br.day_idx AS BIGINT) AS bucket, br.inc AS value
+FROM br JOIN rs ON rs.tsid = br.tsid AND rs.day_idx = br.day_idx
+WHERE rs.nr = 0
+ORDER BY tsid, bucket""",
+)
+def q380_expr_unless(spark, sf_dir):
+    """``increase(events_total[1d]) unless (resets(events_total[1d]) >
+    0)``: the (tsid, bucket) anti-join set operator — day-increases for
+    series-days with NO counter reset (the clean-counter screen). Both
+    operands share a domain, so the oracle is the joined nr = 0 filter."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "increase(events_total[1d]) unless (resets(events_total[1d]) > 0)",
+            samples,
+        )
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+@query(
+    "q381_expr_and",
+    TSDB_CTE
+    + _Q352_RATE_CTE
+    + _Q380_RESETS
+    + """
+SELECT br.tsid AS tsid, CAST(br.day_idx AS BIGINT) AS bucket, br.inc AS value
+FROM br JOIN rs ON rs.tsid = br.tsid AND rs.day_idx = br.day_idx
+WHERE rs.nr > 0
+ORDER BY tsid, bucket""",
+)
+def q381_expr_and(spark, sf_dir):
+    """``increase(...) and (resets(...) > 0)``: the (tsid, bucket)
+    semi-join complement of q380 — increases ONLY where a reset
+    occurred (the suspect-counter screen)."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "increase(events_total[1d]) and (resets(events_total[1d]) > 0)",
+            samples,
+        )
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+@query(
+    "q382_expr_without",
+    TSDB_CTE
+    + _Q352_RATE_CTE
+    + """
+SELECT s.event_type AS event_type, s.user_bucket AS user_bucket,
+       CAST(br.day_idx AS BIGINT) AS bucket,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(br.inc ORDER BY br.tsid)),
+                   (x, y) -> x + y) AS value
+FROM br JOIN series s ON s.tsid = br.tsid
+GROUP BY 1, 2, 3 ORDER BY event_type, user_bucket, bucket""",
+)
+def q382_expr_without(spark, sf_dir):
+    """``sum without (k_bucket) (increase(events_total[1d]))``: the
+    complement grouping form — every series LABEL column except the
+    listed ones (bookkeeping columns like label_hash never group).
+    Resolves to by(event_type, user_bucket) on the fixture model; the
+    fold is rule-12 sequential in tsid order like every sum."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    series, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "sum without (k_bucket) (increase(events_total[1d]))",
+            samples,
+            series=series,
+        )
+        .select(
+            "event_type",
+            "user_bucket",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "value",
+        )
+        .orderBy("event_type", "user_bucket", "bucket")
+    )
+
+
+@query(
+    "q383_expr_stddev_agg",
+    TSDB_CTE
+    + _Q369_RATES
+    + """
+, folds AS (
+  SELECT s.event_type AS event_type, CAST(r.day_idx AS BIGINT) AS bucket,
+         CAST(count(*) AS DOUBLE) AS nd,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(r.r ORDER BY r.tsid)), (x, y) -> x + y) AS s1,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(list(r.r ORDER BY r.tsid),
+                                    vv -> vv * vv)), (x, y) -> x + y) AS s2
+  FROM rates r JOIN series s ON s.tsid = r.tsid
+  GROUP BY 1, 2
+)
+SELECT event_type, bucket,
+       sqrt((nd * s2 - s1 * s1) / (nd * nd)) AS value
+FROM folds ORDER BY event_type, bucket""",
+)
+def q383_expr_stddev_agg(spark, sf_dir):
+    """``stddev by (event_type) (rate(events_total[1d]))``: the
+    aggregation-operator stddev over per-series day rates — per-group
+    values are DOUBLES, so the two moments fold SEQUENTIALLY in tsid
+    order (rule 12; a decimal-moment shortcut is unavailable for
+    arbitrary doubles, rule 8) and the variance is ONE fixed IEEE chain
+    (n·Σv² − (Σv)²)/n² spelled identically in both engines, plus one
+    correctly-rounded sqrt."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    series, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "stddev by (event_type) (rate(events_total[1d]))",
+            samples,
+            series=series,
+        )
+        .select("event_type", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "q384_expr_quantile_agg",
+    TSDB_CTE
+    + """
+, d AS (
+  SELECT tsid, epoch_us(ts) // 86400000000 AS day_idx, ts,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM samples
+), e AS (
+  SELECT tsid, day_idx, v,
+         row_number() OVER (PARTITION BY tsid, day_idx
+                            ORDER BY ts DESC, v DESC) AS rd
+  FROM d
+), lv AS (
+  SELECT tsid, day_idx, CAST(v AS DOUBLE) AS lval FROM e WHERE rd = 1
+), rk AS (
+  SELECT day_idx, lval,
+         row_number() OVER (PARTITION BY day_idx ORDER BY lval, tsid) AS rn,
+         count(*) OVER (PARTITION BY day_idx) AS n
+  FROM lv
+)
+SELECT CAST(day_idx AS BIGINT) AS bucket, lval AS value
+FROM rk WHERE rn = greatest(1, (9 * n + 9) // 10)
+ORDER BY bucket""",
+)
+def q384_expr_quantile_agg(spark, sf_dir):
+    """``quantile(0.9, last_over_time(events_total[1d]))``: the
+    aggregation-operator quantile ACROSS series per bucket — the exact
+    rank-⌈0.9n⌉ element under the total (value, tsid) order, integer
+    rank arithmetic (q359's discipline applied across the series
+    dimension instead of time)."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "quantile(0.9, last_over_time(events_total[1d]))", samples
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q385_expr_on_ratio",
+    TSDB_CTE
+    + _Q369_RATES
+    + """
+, num AS (
+  SELECT s.user_bucket AS user_bucket, CAST(r.day_idx AS BIGINT) AS bucket,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(r.r ORDER BY r.tsid)), (x, y) -> x + y) AS value
+  FROM rates r JOIN series s ON s.tsid = r.tsid
+  WHERE s.event_type = 'click' GROUP BY 1, 2
+), den AS (
+  SELECT s.user_bucket AS user_bucket, CAST(r.day_idx AS BIGINT) AS bucket,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(r.r ORDER BY r.tsid)), (x, y) -> x + y) AS value
+  FROM rates r JOIN series s ON s.tsid = r.tsid
+  WHERE s.event_type = 'view' GROUP BY 1, 2
+)
+SELECT num.user_bucket AS user_bucket, num.bucket AS bucket,
+       num.value / den.value AS value
+FROM num JOIN den USING (user_bucket, bucket)
+WHERE den.value <> 0
+ORDER BY user_bucket, bucket""",
+)
+def q385_expr_on_ratio(spark, sf_dir):
+    """``sum by (user_bucket) (rate(click)) / on(user_bucket)
+    sum by (user_bucket) (rate(view))`` — q57's vector-matching binary
+    operation from ONE string: both sides resolve their selector
+    through the postings index, aggregate per label with the rule-12
+    sequential fold, and join on (on-labels, bucket); division drops
+    zero denominators (rule 18's documented deviation). The division is
+    ONE IEEE op on two fold results — bit-identical cross-engine."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    series, postings, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            'sum by (user_bucket) (rate(events_total{event_type="click"}[1d]))'
+            " / on(user_bucket) "
+            'sum by (user_bucket) (rate(events_total{event_type="view"}[1d]))',
+            samples,
+            postings,
+            series=series,
+        )
+        .select("user_bucket", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("user_bucket", "bucket")
+    )

@@ -112,19 +112,29 @@ class Call:
 
 @dataclass(frozen=True)
 class BinOp:
-    op: str  # + - * /
+    """Binary operation. ``op`` is arithmetic (+ - * /), comparison
+    (> < >= <= == !=, PromQL FILTER semantics — the left vector's
+    elements where the comparison holds), or a set operator
+    (and / or / unless — (tsid, bucket) semi / preferring-left union /
+    anti). ``on`` carries PromQL's ``on(labels)`` matching for
+    arithmetic between BY-GROUPED vectors (r13)."""
+
+    op: str
     left: "Expr"
     right: "Expr"
+    on: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
 class AggExpr:
-    """``sum by (l1, l2) (expr)`` / ``max(expr)`` — PromQL aggregation
-    operators (prefix ``by`` form)."""
+    """``sum by (l1, l2) (expr)`` / ``sum without (l) (expr)`` /
+    ``max(expr)`` — PromQL aggregation operators. ``without`` grouping
+    keeps every series label column EXCEPT the listed ones (r13)."""
 
     op: str
     by: Tuple[str, ...]
     expr: "Expr"
+    without: bool = False
 
 
 Expr = Union[
@@ -174,7 +184,16 @@ _SUBQ_FNS = {
     "min_over_time",
     "count_over_time",
 }
-_AGG_OPS = {"sum", "avg", "max", "min", "count"}
+_AGG_OPS = {"sum", "avg", "max", "min", "count", "stddev", "stdvar"}
+#: comparison operators, longest-match first (PromQL filter semantics)
+_CMP_OPS = (">=", "<=", "==", "!=", ">", "<")
+_SET_OPS = ("and", "unless", "or")
+#: series-frame bookkeeping columns that are NOT labels — excluded from
+#: `without (...)` grouping resolution (tsdb/model.py build_series:
+#: series(tsid, labels, label_hash, first_seen, last_seen) + flat cols)
+_NON_LABEL_SERIES_COLS = frozenset(
+    {"tsid", "labels", "label_hash", "first_seen", "last_seen"}
+)
 #: r13 range-function families (1-arg over m[R], per (tsid, bucket)) —
 #: each compiles to the SAME arithmetic spelling its standalone
 #: driver-green operator proved (tsdb/promql.py: irate≡q65, idelta≡q88,
@@ -267,16 +286,82 @@ class _P:
             raise self.err("expected a positive duration")
         return total
 
-    # --- grammar ---
+    # --- grammar (precedence, loosest first: or < and/unless < cmp <
+    # +- < */ — PromQL's ordering) ---
+
+    def _kw(self, word: str) -> bool:
+        """Is ``word`` at the cursor with a word boundary after it?"""
+        if not self.s.startswith(word, self.i):
+            return False
+        nxt = self.s[self.i + len(word) : self.i + len(word) + 1]
+        return not (nxt.isalnum() or nxt == "_")
+
+    def _maybe_on(self) -> Tuple[str, ...]:
+        """Optional ``on(l1, l2)`` matching clause after an arithmetic
+        operator (r13)."""
+        self.ws()
+        if not self._kw("on"):
+            return ()
+        save = self.i
+        self.i += 2
+        self.ws()
+        if self.peek() != "(":
+            self.i = save
+            return ()
+        self.eat("(")
+        labels = [self.ident()]
+        self.ws()
+        while self.peek() == ",":
+            self.eat(",")
+            labels.append(self.ident())
+            self.ws()
+        self.eat(")")
+        return tuple(labels)
 
     def expr(self) -> Expr:
+        left = self.and_expr()
+        while True:
+            self.ws()
+            if self._kw("or"):
+                self.i += 2
+                left = BinOp("or", left, self.and_expr())
+            else:
+                return left
+
+    def and_expr(self) -> Expr:
+        left = self.cmp()
+        while True:
+            self.ws()
+            if self._kw("and"):
+                self.i += 3
+                left = BinOp("and", left, self.cmp())
+            elif self._kw("unless"):
+                self.i += 6
+                left = BinOp("unless", left, self.cmp())
+            else:
+                return left
+
+    def cmp(self) -> Expr:
+        left = self.add()
+        while True:
+            self.ws()
+            for op in _CMP_OPS:
+                if self.s.startswith(op, self.i):
+                    self.i += len(op)
+                    left = BinOp(op, left, self.add())
+                    break
+            else:
+                return left
+
+    def add(self) -> Expr:
         left = self.mul()
         while True:
             self.ws()
             c = self.peek()
             if c and c in "+-":
                 self.i += 1
-                left = BinOp(c, left, self.mul())
+                on = self._maybe_on()
+                left = BinOp(c, left, self.mul(), on)
             else:
                 return left
 
@@ -287,7 +372,8 @@ class _P:
             c = self.peek()
             if c and c in "*/":
                 self.i += 1
-                left = BinOp(c, left, self.postfix())
+                on = self._maybe_on()
+                left = BinOp(c, left, self.postfix(), on)
             else:
                 return left
 
@@ -383,16 +469,15 @@ class _P:
             return Number(-self.number())
         name = self.ident()
         self.ws()
-        def _at_by() -> bool:
-            if not self.s.startswith("by", self.i):
-                return False
-            nxt = self.s[self.i + 2 : self.i + 3]
-            return not (nxt.isalnum() or nxt == "_")
 
-        if name in _AGG_OPS and (_at_by() or self.peek() == "("):
+        if name in _AGG_OPS and (
+            self._kw("by") or self._kw("without") or self.peek() == "("
+        ):
             by: Tuple[str, ...] = ()
-            if _at_by():
-                self.i += 2
+            without = False
+            if self._kw("by") or self._kw("without"):
+                without = self._kw("without")
+                self.i += 7 if without else 2
                 self.ws()
                 self.eat("(")
                 labels = [self.ident()]
@@ -408,7 +493,7 @@ class _P:
             inner = self.expr()
             self.ws()
             self.eat(")")
-            return AggExpr(name, by, inner)
+            return AggExpr(name, by, inner, without)
         if self.peek() == "(":
             self.eat("(")
             args = [self.expr()]
@@ -514,10 +599,12 @@ def format_expr(e: Expr) -> str:
     if isinstance(e, Call):
         return f"{e.func}({', '.join(format_expr(a) for a in e.args)})"
     if isinstance(e, AggExpr):
-        by = f" by ({', '.join(e.by)})" if e.by else ""
+        kw = "without" if e.without else "by"
+        by = f" {kw} ({', '.join(e.by)})" if e.by else ""
         return f"{e.op}{by} ({format_expr(e.expr)})"
     if isinstance(e, BinOp):
-        return f"({format_expr(e.left)} {e.op} {format_expr(e.right)})"
+        on = f" on({', '.join(e.on)})" if e.on else ""
+        return f"({format_expr(e.left)} {e.op}{on} {format_expr(e.right)})"
     raise TypeError(f"unknown node {e!r}")
 
 
@@ -1188,6 +1275,28 @@ def _agg_by(op: str, vec: _Vec, by: Tuple[str, ...]) -> DataFrame:
         out = g.agg(F.min("value").alias("value"))
     elif op == "count":
         out = g.agg(F.count("*").cast("double").alias("value"))
+    elif op in ("stddev", "stdvar"):
+        # population variance from TWO sequential folds in tsid order
+        # (values and squares — each fold rule-12 bracketed ≡ DuckDB
+        # list_reduce over list(... ORDER BY tsid)), then ONE fixed IEEE
+        # chain: (n·Σv² − (Σv)²)/n² — spelled identically in oracles.
+        gg = g.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tsid", "value"))),
+                lambda t: t["value"],
+            ).alias("_vs"),
+            F.count("*").alias("n"),
+        )
+        s1 = F.aggregate(F.col("_vs"), F.lit(0.0), lambda a, x: a + x)
+        s2 = F.aggregate(
+            F.transform(F.col("_vs"), lambda v: v * v),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        nd = F.col("n").cast("double")
+        var = (nd * s2 - s1 * s1) / (nd * nd)
+        val = F.sqrt(var) if op == "stddev" else var
+        out = gg.select(*keys, val.alias("value"))
     else:  # sum / avg — deterministic sequential fold in tsid order
         out = g.agg(
             F.aggregate(
@@ -1203,6 +1312,116 @@ def _agg_by(op: str, vec: _Vec, by: Tuple[str, ...]) -> DataFrame:
         val = F.col("s") if op == "sum" else F.col("s") / F.col("n").cast("double")
         out = out.select(*keys, val.alias("value"))
     return out.select(*keys, "value")
+
+
+def _cmp_op(op: str, left, right):
+    return {
+        ">": left > right,
+        "<": left < right,
+        ">=": left >= right,
+        "<=": left <= right,
+        "==": left == right,
+        "!=": left != right,
+    }[op]
+
+
+def _cmp_eval(e: BinOp, ctx: _Ctx):
+    """PromQL comparison FILTER semantics: keep the vector side's
+    elements where the comparison holds (the element's value passes
+    through unchanged — pure comparisons on doubles, cross-engine
+    exact). The ``bool`` modifier (0/1 results) is not implemented —
+    honest refusal."""
+    ls, rs = _scalar_of(e.left), _scalar_of(e.right)
+    if ls is not None and rs is not None:
+        raise NotImplementedError(
+            "scalar-scalar comparison needs the bool modifier (not implemented)"
+        )
+    v = F.col("value")
+    if ls is None and rs is None:
+        lv = _eval(e.left, ctx)
+        rv = _eval(e.right, ctx)
+        if not (isinstance(lv, _Vec) and isinstance(rv, _Vec)):
+            raise NotImplementedError(
+                "vector-vector comparison needs two bucketed vectors"
+            )
+        if lv.step_ms != rv.step_ms:
+            raise NotImplementedError("comparison needs matching bucket widths")
+        j = lv.df.select("tsid", "bucket", F.col("value").alias("_l")).join(
+            rv.df.select("tsid", "bucket", F.col("value").alias("_r")),
+            ["tsid", "bucket"],
+        )
+        out = j.where(_cmp_op(e.op, F.col("_l"), F.col("_r"))).select(
+            "tsid", "bucket", F.col("_l").alias("value")
+        )
+        return _Vec(out, lv.step_ms, lv.series)
+    side = _eval(e.left if ls is None else e.right, ctx)
+    lit = F.lit(rs if ls is None else ls)
+    cond = _cmp_op(e.op, v, lit) if ls is None else _cmp_op(e.op, lit, v)
+    if isinstance(side, _Vec):
+        return _Vec(side.df.where(cond), side.step_ms, side.series)
+    if isinstance(side, DataFrame):
+        return side.where(cond)
+    raise NotImplementedError("comparison needs a vector side")
+
+
+def _on_binop(e: BinOp, ctx: _Ctx) -> DataFrame:
+    """``a <op> on(l1, ...) b`` between two BY-GROUPED vectors (q57's
+    vector-matching shape from a string): both sides must be aggregation
+    results carrying the ``on`` labels; they join on (labels..., bucket)
+    and the op applies once per matched pair. Division drops zero
+    denominators (rule 18's documented deviation)."""
+    lv = _eval(e.left, ctx)
+    rv = _eval(e.right, ctx)
+    if not (isinstance(lv, DataFrame) and isinstance(rv, DataFrame)):
+        raise NotImplementedError(
+            "on() matching applies between by-grouped aggregation results"
+        )
+    for side_df, side_name in ((lv, "left"), (rv, "right")):
+        missing = [c for c in e.on if c not in side_df.columns]
+        if missing:
+            raise ValueError(
+                f"on() label(s) {missing} absent from the {side_name} side "
+                f"(its columns: {side_df.columns})"
+            )
+    keys = list(e.on) + ["bucket"]
+    j = lv.select(*keys, F.col("value").alias("_l")).join(
+        rv.select(*keys, F.col("value").alias("_r")), keys
+    )
+    if e.op == "/":
+        j = j.where(F.col("_r") != 0.0)
+    lcol, rcol = F.col("_l"), F.col("_r")
+    newv = {
+        "+": lcol + rcol,
+        "-": lcol - rcol,
+        "*": lcol * rcol,
+        "/": lcol / rcol,
+    }[e.op]
+    return j.select(*keys, newv.alias("value"))
+
+
+def _quantile_agg(phi: float, vec: _Vec) -> DataFrame:
+    """``quantile(φ, v)`` aggregation operator: the exact rank-⌈φ·n⌉
+    element across ALL series per bucket under the total (value, tsid)
+    order — the same integer-rank discipline as quantile_over_time
+    (q359's ceil-in-doubles trap dodged)."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    if not (0.0 <= phi <= 1.0):
+        raise ExprParseError(str(phi), 0, "quantile must be in [0, 1]")
+    frac = Fraction(repr(phi)).limit_denominator(10**9)
+    pn, pd = frac.numerator, frac.denominator
+    w = Window.partitionBy("bucket").orderBy("value", "tsid")
+    wn = Window.partitionBy("bucket")
+    x = vec.df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    rank = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(f"CAST(({pn} * n + {pd} - 1) DIV {pd} AS BIGINT)"),
+    )
+    return x.where(F.col("rn") == rank).select("bucket", "value")
 
 
 def evaluate(
@@ -1275,6 +1494,17 @@ def _eval(e: Expr, ctx: _Ctx):
             and isinstance(e.args[1], MatrixSelector)
         ):
             return _quantile_eval(e.args[0].value, e.args[1], ctx)
+        if (
+            e.func == "quantile"
+            and len(e.args) == 2
+            and isinstance(e.args[0], Number)
+        ):
+            inner = _eval(e.args[1], ctx)
+            if not isinstance(inner, _Vec):
+                raise NotImplementedError(
+                    "quantile() aggregates a bucketed vector"
+                )
+            return _quantile_agg(e.args[0].value, inner)
         if (
             e.func == "histogram_quantile"
             and len(e.args) == 2
@@ -1351,8 +1581,43 @@ def _eval(e: Expr, ctx: _Ctx):
             raise NotImplementedError(
                 "aggregation operators apply to a bucketed vector"
             )
-        return _agg_by(e.op, inner, e.by)
+        by = e.by
+        if e.without:
+            # keep every series LABEL column except the listed ones
+            # (unknown names ignored, PromQL semantics); the non-label
+            # bookkeeping columns never group
+            if inner.series is None:
+                raise ValueError("without-grouping needs the series frame")
+            drop = set(e.by) | _NON_LABEL_SERIES_COLS
+            by = tuple(c for c in inner.series.columns if c not in drop)
+        return _agg_by(e.op, inner, by)
     if isinstance(e, BinOp):
+        if e.op in _SET_OPS:
+            lv = _eval(e.left, ctx)
+            rv = _eval(e.right, ctx)
+            if not (isinstance(lv, _Vec) and isinstance(rv, _Vec)):
+                raise NotImplementedError(
+                    "set operators apply between two bucketed vectors"
+                )
+            if lv.step_ms != rv.step_ms:
+                raise NotImplementedError(
+                    "set operators need matching bucket widths"
+                )
+            rk = rv.df.select("tsid", "bucket")
+            if e.op == "and":
+                df = lv.df.join(rk, ["tsid", "bucket"], "left_semi")
+            elif e.op == "unless":
+                df = lv.df.join(rk, ["tsid", "bucket"], "left_anti")
+            else:  # or — every lhs element, plus rhs elements lhs lacks
+                lk = lv.df.select("tsid", "bucket")
+                df = lv.df.unionByName(
+                    rv.df.join(lk, ["tsid", "bucket"], "left_anti")
+                )
+            return _Vec(df, lv.step_ms, lv.series)
+        if e.op in _CMP_OPS:
+            return _cmp_eval(e, ctx)
+        if e.on:
+            return _on_binop(e, ctx)
         ls, rs = _scalar_of(e.left), _scalar_of(e.right)
         if ls is not None and rs is not None:
             v = {"+": ls + rs, "-": ls - rs, "*": ls * rs, "/": ls / rs}[e.op]

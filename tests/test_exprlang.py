@@ -158,10 +158,14 @@ _ats = st.builds(At, _selectors, st.integers(min_value=0, max_value=4 * 10**15))
 _leaves = st.one_of(_numbers, _selectors, _strs, _ats)
 
 
-_call_idents = _idents.filter(lambda n: n not in _AGG_OPS)
-_agg_by = st.lists(
-    st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True), max_size=2
-).map(tuple)
+# "on" after an arithmetic operator is the matching clause, so a CALL
+# named on there is genuinely ambiguous — reserved, like PromQL keywords
+_RESERVED = {"on", "and", "or", "unless", "by", "without"}
+_call_idents = _idents.filter(lambda n: n not in _AGG_OPS and n not in _RESERVED)
+_agg_labels = st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True)
+_agg_by = st.lists(_agg_labels, max_size=2).map(tuple)
+_on_labels = st.lists(_agg_labels, min_size=1, max_size=2).map(tuple)
+_all_binops = list("+-*/") + [">=", "<=", "==", "!=", ">", "<", "and", "or", "unless"]
 
 
 def _extend(children):
@@ -177,7 +181,17 @@ def _extend(children):
             Call, _call_idents, st.lists(children, min_size=1, max_size=2).map(tuple)
         ),
         st.builds(AggExpr, st.sampled_from(sorted(_AGG_OPS)), _agg_by, children),
-        st.builds(BinOp, st.sampled_from("+-*/"), children, children),
+        st.builds(
+            AggExpr,
+            st.sampled_from(sorted(_AGG_OPS)),
+            st.lists(_agg_labels, min_size=1, max_size=2).map(tuple),
+            children,
+            st.just(True),  # without-grouping (needs a nonempty label list)
+        ),
+        st.builds(BinOp, st.sampled_from(_all_binops), children, children),
+        st.builds(
+            BinOp, st.sampled_from("+-*/"), children, children, _on_labels
+        ),
     )
 
 
@@ -746,3 +760,161 @@ def test_eval_histogram_quantile_grammar(tiny_samples, spark):
     ).selectExpr("tsid", "CAST(ts AS TIMESTAMP) AS ts", "value")
     v = evaluate("histogram_quantile(0.5, events_total[1d])", two).collect()
     assert v[0]["value"] == 100.0  # bucket 0 full → interpolates to its top
+
+
+# --- r13 second wave: comparisons, set ops, without, agg operators ---------
+
+
+def test_parse_second_wave_precedence():
+    # cmp binds looser than arithmetic; and/unless looser; or loosest
+    e = parse_expr("rate(m[1d]) * 2 > 0.1 and f(m[1d]) or g(m[1d])")
+    assert isinstance(e, BinOp) and e.op == "or"
+    assert e.left.op == "and" and e.left.left.op == ">"
+    assert e.left.left.left.op == "*"
+    w = parse_expr("sum without (a, b) (rate(m[1d]))")
+    assert isinstance(w, AggExpr) and w.without and w.by == ("a", "b")
+    o = parse_expr("sum by (l) (f(m[1d])) / on(l) sum by (l) (g(m[1d]))")
+    assert isinstance(o, BinOp) and o.op == "/" and o.on == ("l",)
+    # a selector merely NAMED on is not the clause
+    assert parse_expr("x / on_total").right == VectorSelector("on_total")
+    assert parse_expr("x / on").right == VectorSelector("on")
+
+
+def test_eval_cmp_filter(tiny_samples):
+    day1 = 19723
+    out = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate("increase(events_total[1d]) > 1", tiny_samples).collect()
+    }
+    assert out == {(1, day1): 11.0}  # 11 and 1 and 0 → only > 1 survives
+    # scalar on the left, value passes through unchanged
+    lo = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate("5 >= increase(events_total[1d])", tiny_samples).collect()
+    }
+    assert lo == {(1, day1 + 1): 1.0, (2, day1): 0.0}
+    # vector-vector: delta != increase flags reset days
+    vv = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "increase(events_total[1d]) != delta(events_total[1d])", tiny_samples
+        ).collect()
+    }
+    assert vv == {(1, day1): 11.0}  # keeps the LEFT value
+    with pytest.raises(NotImplementedError):
+        evaluate("1 > 2", tiny_samples)  # scalar-scalar needs bool
+
+
+def test_eval_set_ops(tiny_samples):
+    day1 = 19723
+    a = {
+        (r["tsid"], r["bucket"])
+        for r in evaluate(
+            "increase(events_total[1d]) and (resets(events_total[1d]) > 0)",
+            tiny_samples,
+        ).collect()
+    }
+    assert a == {(1, day1)}  # only the reset day
+    u = {
+        (r["tsid"], r["bucket"])
+        for r in evaluate(
+            "increase(events_total[1d]) unless (resets(events_total[1d]) > 0)",
+            tiny_samples,
+        ).collect()
+    }
+    assert u == {(1, day1 + 1), (2, day1)}
+    # or dedups overlapping keys (preferring-left union)
+    o = evaluate(
+        "(increase(events_total[1d]) > 0) or (increase(events_total[1d]) >= 0)",
+        tiny_samples,
+    ).collect()
+    assert len(o) == 3  # NOT 5: the two >0 rows appear once
+    with pytest.raises(NotImplementedError):
+        evaluate(
+            "increase(events_total[1d]) and rate(events_total[2d])", tiny_samples
+        )  # mismatched widths
+
+
+def test_eval_without_grouping(tiny_samples, spark):
+    series = spark.createDataFrame(
+        [(1, "click", "u1"), (2, "view", "u2")],
+        "tsid bigint, event_type string, user_bucket string",
+    )
+    day1 = 19723
+    out = {
+        (r["event_type"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "sum without (user_bucket) (increase(events_total[1d]))",
+            tiny_samples,
+            series=series,
+        ).collect()
+    }
+    assert out[("click", day1)] == 11.0 and out[("view", day1)] == 0.0
+    # unknown names in without are ignored (PromQL); dropping everything
+    # falls back to global (bucket-only) grouping
+    g = evaluate(
+        "count without (event_type, user_bucket, nope) "
+        "(increase(events_total[1d]))",
+        tiny_samples,
+        series=series,
+    ).collect()
+    assert {r["bucket"]: r["value"] for r in g}[day1] == 2.0
+    with pytest.raises(ValueError):
+        evaluate(
+            "sum without (x) (increase(events_total[1d]))", tiny_samples
+        )  # no series frame
+
+
+def test_eval_stddev_stdvar_agg(tiny_samples):
+    day1 = 19723
+    # day-1 increases: tsid1 → 11, tsid2 → 0; pop var = 30.25
+    sv = {
+        r["bucket"]: r["value"]
+        for r in evaluate(
+            "stdvar(increase(events_total[1d]))", tiny_samples
+        ).collect()
+    }
+    assert sv[day1] == pytest.approx(30.25)
+    sd = {
+        r["bucket"]: r["value"]
+        for r in evaluate(
+            "stddev(increase(events_total[1d]))", tiny_samples
+        ).collect()
+    }
+    assert sd[day1] == pytest.approx(5.5)
+
+
+def test_eval_quantile_agg(tiny_samples):
+    day1 = 19723
+    q = {
+        r["bucket"]: r["value"]
+        for r in evaluate(
+            "quantile(0.5, last_over_time(events_total[1d]))", tiny_samples
+        ).collect()
+    }
+    # day-1 last values across series: 9, 7 → rank ceil(0.5·2)=1 → 7
+    assert q[day1] == 7.0 and q[day1 + 1] == 11.0
+
+
+def test_eval_on_matching(tiny_samples, tiny_series):
+    day1 = 19723
+    out = {
+        (r["event_type"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "sum by (event_type) (count_over_time(events_total[1d]))"
+            " + on(event_type) "
+            "sum by (event_type) (increase(events_total[1d]))",
+            tiny_samples,
+            series=tiny_series,
+        ).collect()
+    }
+    assert out[("click", day1)] == 4.0 + 11.0
+    assert out[("view", day1)] == 2.0 + 0.0
+    with pytest.raises(ValueError, match="absent from"):
+        evaluate(
+            "sum by (event_type) (increase(events_total[1d]))"
+            " / on(nope) "
+            "sum by (event_type) (increase(events_total[1d]))",
+            tiny_samples,
+            series=tiny_series,
+        )
