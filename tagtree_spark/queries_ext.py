@@ -20045,3 +20045,72 @@ def q385_expr_on_ratio(spark, sf_dir):
         .select("user_bucket", F.col("bucket").cast("bigint").alias("bucket"), "value")
         .orderBy("user_bucket", "bucket")
     )
+
+
+@query(
+    "q386_expr_bool_modifier",
+    TSDB_CTE
+    + _Q369_RATES
+    + """
+SELECT tsid, CAST(day_idx AS BIGINT) AS bucket,
+       CASE WHEN r >= CAST(0.001 AS DOUBLE) THEN 1.0 ELSE 0.0 END AS value
+FROM rates ORDER BY tsid, bucket""",
+)
+def q386_expr_bool_modifier(spark, sf_dir):
+    """``rate(events_total[1d]) >= bool 0.001``: the comparison bool
+    modifier — every element kept with a 0/1 value instead of filtering
+    (the alert-expression building block). Pure comparison + literal
+    pick, cross-engine exact."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    _, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate("rate(events_total[1d]) >= bool 0.001", samples)
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )
+
+
+@query(
+    "q387_expr_group_left",
+    TSDB_CTE
+    + _Q369_RATES
+    + """
+, grp AS (
+  SELECT s.user_bucket AS user_bucket, CAST(r.day_idx AS BIGINT) AS bucket,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(r.r ORDER BY r.tsid)), (x, y) -> x + y) AS value
+  FROM rates r JOIN series s ON s.tsid = r.tsid
+  GROUP BY 1, 2
+)
+SELECT r.tsid AS tsid, CAST(r.day_idx AS BIGINT) AS bucket,
+       r.r / g.value AS value
+FROM rates r
+JOIN series s ON s.tsid = r.tsid
+JOIN grp g ON g.user_bucket = s.user_bucket AND g.bucket = r.day_idx
+WHERE g.value <> 0
+ORDER BY tsid, bucket""",
+)
+def q387_expr_group_left(spark, sf_dir):
+    """``rate(events_total[1d]) / on(user_bucket) group_left
+    sum by (user_bucket) (rate(events_total[1d]))``: PromQL many-to-one
+    matching — each series' day rate divided by its user-bucket group
+    total (the share-of-group idiom, tsdb/promql.py group_share's shape
+    from one string). The group aggregate is label-vocabulary-sized and
+    broadcast; the division is ONE IEEE op of a raw rate over a fold
+    result — bit-identical cross-engine; zero denominators drop."""
+    from tagtree_spark.queries import _model
+    from tagtree_spark.tsdb.exprlang import evaluate
+
+    series, _, samples = _model(spark, sf_dir)
+    return (
+        evaluate(
+            "rate(events_total[1d]) / on(user_bucket) group_left "
+            "sum by (user_bucket) (rate(events_total[1d]))",
+            samples,
+            series=series,
+        )
+        .select("tsid", F.col("bucket").cast("bigint").alias("bucket"), "value")
+        .orderBy("tsid", "bucket")
+    )

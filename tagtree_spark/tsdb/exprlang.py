@@ -123,6 +123,12 @@ class BinOp:
     left: "Expr"
     right: "Expr"
     on: Tuple[str, ...] = ()
+    #: comparison ``bool`` modifier: 0/1 results instead of filtering
+    bool_mode: bool = False
+    #: ``on(...) group_left``: many-to-one matching — the LEFT side is a
+    #: per-series vector, the right a by-grouped aggregate (the
+    #: share-of-group idiom, q-group_share's shape)
+    group_left: bool = False
 
 
 @dataclass(frozen=True)
@@ -348,10 +354,23 @@ class _P:
             for op in _CMP_OPS:
                 if self.s.startswith(op, self.i):
                     self.i += len(op)
-                    left = BinOp(op, left, self.add())
+                    self.ws()
+                    boolm = self._kw("bool")
+                    if boolm:
+                        self.i += 4
+                    left = BinOp(op, left, self.add(), bool_mode=boolm)
                     break
             else:
                 return left
+
+    def _maybe_group_left(self, on: Tuple[str, ...]) -> bool:
+        if not on:
+            return False
+        self.ws()
+        if self._kw("group_left"):
+            self.i += 10
+            return True
+        return False
 
     def add(self) -> Expr:
         left = self.mul()
@@ -361,7 +380,8 @@ class _P:
             if c and c in "+-":
                 self.i += 1
                 on = self._maybe_on()
-                left = BinOp(c, left, self.mul(), on)
+                gl = self._maybe_group_left(on)
+                left = BinOp(c, left, self.mul(), on, group_left=gl)
             else:
                 return left
 
@@ -373,7 +393,8 @@ class _P:
             if c and c in "*/":
                 self.i += 1
                 on = self._maybe_on()
-                left = BinOp(c, left, self.postfix(), on)
+                gl = self._maybe_group_left(on)
+                left = BinOp(c, left, self.postfix(), on, group_left=gl)
             else:
                 return left
 
@@ -604,7 +625,9 @@ def format_expr(e: Expr) -> str:
         return f"{e.op}{by} ({format_expr(e.expr)})"
     if isinstance(e, BinOp):
         on = f" on({', '.join(e.on)})" if e.on else ""
-        return f"({format_expr(e.left)} {e.op}{on} {format_expr(e.right)})"
+        gl = " group_left" if e.group_left else ""
+        bm = " bool" if e.bool_mode else ""
+        return f"({format_expr(e.left)} {e.op}{bm}{on}{gl} {format_expr(e.right)})"
     raise TypeError(f"unknown node {e!r}")
 
 
@@ -1326,17 +1349,34 @@ def _cmp_op(op: str, left, right):
 
 
 def _cmp_eval(e: BinOp, ctx: _Ctx):
-    """PromQL comparison FILTER semantics: keep the vector side's
-    elements where the comparison holds (the element's value passes
-    through unchanged — pure comparisons on doubles, cross-engine
-    exact). The ``bool`` modifier (0/1 results) is not implemented —
-    honest refusal."""
+    """PromQL comparison semantics: FILTER by default (keep the vector
+    side's elements where the comparison holds, value untouched), 0/1
+    results with the ``bool`` modifier — pure comparisons on doubles
+    either way, cross-engine exact."""
     ls, rs = _scalar_of(e.left), _scalar_of(e.right)
     if ls is not None and rs is not None:
-        raise NotImplementedError(
-            "scalar-scalar comparison needs the bool modifier (not implemented)"
-        )
+        if not e.bool_mode:
+            raise NotImplementedError(
+                "scalar-scalar comparison needs the bool modifier"
+            )
+        py = {
+            ">": ls > rs,
+            "<": ls < rs,
+            ">=": ls >= rs,
+            "<=": ls <= rs,
+            "==": ls == rs,
+            "!=": ls != rs,
+        }[e.op]
+        return Number(1.0 if py else 0.0)
     v = F.col("value")
+
+    def _apply(df, cond):
+        if e.bool_mode:
+            return df.withColumn(
+                "value", F.when(cond, 1.0).otherwise(0.0)
+            )
+        return df.where(cond)
+
     if ls is None and rs is None:
         lv = _eval(e.left, ctx)
         rv = _eval(e.right, ctx)
@@ -1350,17 +1390,23 @@ def _cmp_eval(e: BinOp, ctx: _Ctx):
             rv.df.select("tsid", "bucket", F.col("value").alias("_r")),
             ["tsid", "bucket"],
         )
-        out = j.where(_cmp_op(e.op, F.col("_l"), F.col("_r"))).select(
-            "tsid", "bucket", F.col("_l").alias("value")
-        )
+        cond = _cmp_op(e.op, F.col("_l"), F.col("_r"))
+        if e.bool_mode:
+            out = j.select(
+                "tsid", "bucket", F.when(cond, 1.0).otherwise(0.0).alias("value")
+            )
+        else:
+            out = j.where(cond).select(
+                "tsid", "bucket", F.col("_l").alias("value")
+            )
         return _Vec(out, lv.step_ms, lv.series)
     side = _eval(e.left if ls is None else e.right, ctx)
     lit = F.lit(rs if ls is None else ls)
     cond = _cmp_op(e.op, v, lit) if ls is None else _cmp_op(e.op, lit, v)
     if isinstance(side, _Vec):
-        return _Vec(side.df.where(cond), side.step_ms, side.series)
+        return _Vec(_apply(side.df, cond), side.step_ms, side.series)
     if isinstance(side, DataFrame):
-        return side.where(cond)
+        return _apply(side, cond)
     raise NotImplementedError("comparison needs a vector side")
 
 
@@ -1397,6 +1443,51 @@ def _on_binop(e: BinOp, ctx: _Ctx) -> DataFrame:
         "/": lcol / rcol,
     }[e.op]
     return j.select(*keys, newv.alias("value"))
+
+
+def _group_left_binop(e: BinOp, ctx: _Ctx) -> _Vec:
+    """``v <op> on(l) group_left agg`` — PromQL many-to-one matching:
+    each LEFT element (a per-series vector) pairs with its label
+    group's aggregate (the share-of-group idiom, tsdb/promql.py
+    group_share's shape from a string). The left's carried series frame
+    supplies the on-labels; the group aggregate is broadcast-sized
+    (label vocabulary). Division drops zero denominators (rule 18)."""
+    lv = _eval(e.left, ctx)
+    rv = _eval(e.right, ctx)
+    if not isinstance(lv, _Vec):
+        raise NotImplementedError("group_left needs a per-series vector LEFT side")
+    if not isinstance(rv, DataFrame):
+        raise NotImplementedError(
+            "group_left needs a by-grouped aggregation RIGHT side"
+        )
+    if lv.series is None:
+        raise ValueError("group_left needs the metric's series frame")
+    missing = [c for c in e.on if c not in lv.series.columns]
+    if missing:
+        raise ValueError(f"on() label(s) {missing} absent from the series frame")
+    missing_r = [c for c in e.on if c not in rv.columns]
+    if missing_r:
+        raise ValueError(
+            f"on() label(s) {missing_r} absent from the right side "
+            f"(its columns: {rv.columns})"
+        )
+    keys = list(e.on) + ["bucket"]
+    labeled = lv.df.join(lv.series.select("tsid", *e.on), "tsid")
+    j = labeled.join(
+        F.broadcast(rv.select(*keys, F.col("value").alias("_r"))), keys
+    )
+    if e.op == "/":
+        j = j.where(F.col("_r") != 0.0)
+    lcol, rcol = F.col("value"), F.col("_r")
+    newv = {
+        "+": lcol + rcol,
+        "-": lcol - rcol,
+        "*": lcol * rcol,
+        "/": lcol / rcol,
+    }[e.op]
+    return _Vec(
+        j.select("tsid", "bucket", newv.alias("value")), lv.step_ms, lv.series
+    )
 
 
 def _quantile_agg(phi: float, vec: _Vec) -> DataFrame:
@@ -1616,9 +1707,16 @@ def _eval(e: Expr, ctx: _Ctx):
             return _Vec(df, lv.step_ms, lv.series)
         if e.op in _CMP_OPS:
             return _cmp_eval(e, ctx)
+        if e.on and e.group_left:
+            return _group_left_binop(e, ctx)
         if e.on:
             return _on_binop(e, ctx)
-        ls, rs = _scalar_of(e.left), _scalar_of(e.right)
+        # evaluate both sides first — a side may be a literal Number OR
+        # an expression that FOLDS to a scalar (e.g. a bool comparison)
+        lv = _eval(e.left, ctx)
+        rv = _eval(e.right, ctx)
+        ls = lv.value if isinstance(lv, Number) else None
+        rs = rv.value if isinstance(rv, Number) else None
         if ls is not None and rs is not None:
             v = {"+": ls + rs, "-": ls - rs, "*": ls * rs, "/": ls / rs}[e.op]
             return Number(v)
@@ -1629,8 +1727,6 @@ def _eval(e: Expr, ctx: _Ctx):
             # DROPS zero denominators (documented deviation from
             # PromQL's ±Inf — ANSI Spark throws on double /0, rule 18,
             # and a dropped row is honest where an Inf literal is not)
-            lv = _eval(e.left, ctx)
-            rv = _eval(e.right, ctx)
             if not (isinstance(lv, _Vec) and isinstance(rv, _Vec)):
                 raise NotImplementedError(
                     "vector-vector arithmetic needs two bucketed vectors"
@@ -1659,7 +1755,7 @@ def _eval(e: Expr, ctx: _Ctx):
                 lv.step_ms,
                 lv.series,
             )
-        side = _eval(e.left if ls is None else e.right, ctx)
+        side = lv if ls is None else rv
         sc = F.lit(rs if ls is None else ls)
         col = F.col("value")
         if ls is None:  # vector op scalar

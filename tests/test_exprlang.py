@@ -192,6 +192,23 @@ def _extend(children):
         st.builds(
             BinOp, st.sampled_from("+-*/"), children, children, _on_labels
         ),
+        st.builds(  # comparison with the bool modifier
+            BinOp,
+            st.sampled_from([">=", "<=", "==", "!=", ">", "<"]),
+            children,
+            children,
+            st.just(()),
+            st.just(True),
+        ),
+        st.builds(  # on(...) group_left
+            BinOp,
+            st.sampled_from("+-*/"),
+            children,
+            children,
+            _on_labels,
+            st.just(False),
+            st.just(True),
+        ),
     )
 
 
@@ -914,6 +931,59 @@ def test_eval_on_matching(tiny_samples, tiny_series):
         evaluate(
             "sum by (event_type) (increase(events_total[1d]))"
             " / on(nope) "
+            "sum by (event_type) (increase(events_total[1d]))",
+            tiny_samples,
+            series=tiny_series,
+        )
+
+
+def test_eval_bool_modifier(tiny_samples):
+    day1 = 19723
+    out = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "increase(events_total[1d]) > bool 1", tiny_samples
+        ).collect()
+    }
+    # ALL elements kept, 0/1 values
+    assert out == {(1, day1): 1.0, (1, day1 + 1): 0.0, (2, day1): 0.0}
+    # scalar-scalar bool folds to a 0/1 scalar, composable in arithmetic
+    sc = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "increase(events_total[1d]) + (3 > bool 2) * 100", tiny_samples
+        ).collect()
+    }
+    assert sc[(1, day1)] == 111.0
+    with pytest.raises(NotImplementedError):
+        evaluate("3 > bool 2", tiny_samples)  # a bare scalar is not a frame
+
+
+def test_eval_group_left(tiny_samples, tiny_series):
+    day1 = 19723
+    out = {
+        (r["tsid"], r["bucket"]): r["value"]
+        for r in evaluate(
+            "count_over_time(events_total[1d]) * on(event_type) group_left "
+            "sum by (event_type) (increase(events_total[1d]))",
+            tiny_samples,
+            series=tiny_series,
+        ).collect()
+    }
+    # tsid1 day1: count 4 × group-sum 11; tsid2: 2 × 0
+    assert out[(1, day1)] == 44.0 and out[(2, day1)] == 0.0
+    # division drops zero-denominator groups
+    shares = evaluate(
+        "increase(events_total[1d]) / on(event_type) group_left "
+        "sum by (event_type) (increase(events_total[1d]))",
+        tiny_samples,
+        series=tiny_series,
+    ).collect()
+    vals = {(r["tsid"], r["bucket"]): r["value"] for r in shares}
+    assert vals[(1, day1)] == 1.0 and (2, day1) not in vals
+    with pytest.raises(ValueError, match="absent from the series"):
+        evaluate(
+            "increase(events_total[1d]) / on(nope) group_left "
             "sum by (event_type) (increase(events_total[1d]))",
             tiny_samples,
             series=tiny_series,
