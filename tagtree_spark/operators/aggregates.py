@@ -121,8 +121,7 @@ def sampled_quantiles(
 
     keep = (h60(F.expr(key_expr)) % 100) < rate_pct
     vexpr = f"CAST({value_expr} AS DOUBLE)"
-    full = exact_disc_quantiles_distributed(df, vexpr, percentiles)
-    samp = exact_disc_quantiles_distributed(df.where(keep), vexpr, percentiles)
+    full, samp = _full_and_sampled_disc_quantiles(df, vexpr, keep, percentiles)
     names, vals = ["n_full"], [int(full["n"])]
     for p in percentiles:
         names.append(f"exact_p{int(p * 100)}")
@@ -136,6 +135,91 @@ def sampled_quantiles(
         f"{n} {'bigint' if n.startswith('n_') else 'double'}" for n in names
     )
     return df.sparkSession.createDataFrame([tuple(vals)], schema)
+
+
+def _full_and_sampled_disc_quantiles(
+    df: DataFrame,
+    value_expr: str,
+    keep,
+    percentiles: list[float],
+    n_parts: int = 32,
+) -> tuple[dict[float, float], dict[float, float]]:
+    """Full-data AND subset discrete quantiles from ONE range-partitioned
+    pass (r13, guide §2.4): the two-call form ran
+    :func:`exact_disc_quantiles_distributed` twice, and each call pays the
+    range partitioner's SAMPLING execution of the upstream plan plus its
+    own per-partition window — four evaluations of ``df`` for one query.
+    A range partition of the full data induces a consistent ordering of
+    any subset, so the sample's rank-k value can be read from the same
+    layout: ``_rn`` (row_number) ranks all rows per partition, ``_sn``
+    (running count of kept rows, same window order) ranks the kept subset,
+    and one bounded counts-collect prefix-sums both. Values picked at
+    identical global ranks as before — bit-identical output, half the
+    passes.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    v = (
+        df.select(F.expr(value_expr).alias("v"), keep.alias("_keep"))
+        .where(F.col("v").isNotNull())
+        .repartitionByRange(n_parts, "v")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy("v")
+    kf = F.col("_keep").cast("int")
+    d = (
+        v.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_sn", F.sum(kf).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    d = d.persist()
+    counts = {
+        r._pid: (r.c, r.s)
+        for r in d.groupBy("_pid")
+        .agg(F.count("*").alias("c"), F.sum(kf).alias("s"))
+        .collect()
+    }
+    wanted: list[tuple[int, object, int, float]] = []  # (which, pid, local_rn, p)
+    picks: list[dict] = []
+    for which in (0, 1):  # 0 = full (_rn), 1 = sample (_sn over kept rows)
+        n_total = sum(c[which] for c in counts.values())
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid][which]
+        got: dict = {"n": n_total}
+        for p in percentiles:
+            k = math.ceil(p * n_total)
+            for pid in sorted(counts):
+                if offsets[pid] < k <= offsets[pid] + counts[pid][which]:
+                    wanted.append((which, pid, k - offsets[pid], p))
+                    break
+        picks.append(got)
+    cond = None
+    for which, pid, rn, _ in wanted:
+        rank_col = F.col("_rn") if which == 0 else F.col("_sn")
+        c = (F.col("_pid") == pid) & (rank_col == rn)
+        if which == 1:
+            c = c & F.col("_keep")
+        cond = c if cond is None else (cond | c)
+    rows = (
+        d.where(cond).select("_pid", "_rn", "_sn", "_keep", "v").collect()
+        if wanted
+        else []
+    )
+    d.unpersist()
+    for which, pid, rn, p in wanted:
+        for r in rows:
+            if r._pid != pid:
+                continue
+            if which == 0 and r._rn == rn:
+                picks[0][p] = r.v
+                break
+            if which == 1 and r._keep and r._sn == rn:
+                picks[1][p] = r.v
+                break
+    return picks[0], picks[1]
 
 
 def exact_disc_quantiles_distributed(

@@ -22,6 +22,13 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # NOT set (r13, measured): coalescePartitions.parallelismFirst=false.
+    # Two full-bench A/Bs at sf0.1 read net +27s/+44s — this inventory is
+    # CPU-dense per shuffle BYTE (md5 hashing, decimal folds, window
+    # sorts), so byte-based advisory coalescing serializes compute-bound
+    # stages (q313 3.1→11.0s, q126 2.9→5.0s) for a smaller saving on the
+    # byte-light tail. The default parallelism-first rule is the right
+    # call here at every core count the driver benches.
 }
 
 

@@ -1650,6 +1650,29 @@ def test_exact_disc_quantiles_distributed_matches_percentile_disc(spark):
         assert got[p] == ordered[k - 1], (p, got[p], ordered[k - 1])
 
 
+def test_full_and_sampled_disc_quantiles_single_pass_matches_two_call(spark):
+    # r13 optimization: sampled_quantiles folds the full-data and sample
+    # quantile picks into ONE range-partitioned pass. Pin it to the
+    # reference semantics: two independent exact_disc_quantiles_distributed
+    # calls (full frame / filtered frame) must agree exactly.
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.operators.aggregates import (
+        _full_and_sampled_disc_quantiles,
+        exact_disc_quantiles_distributed,
+    )
+
+    vals = [(i, float((i * 7919) % 1000)) for i in range(997)]
+    df = spark.createDataFrame(vals, "id bigint, x double")
+    keep = (F.col("id") % 7) == 0
+    ps = [0.5, 0.9, 0.99]
+    full, samp = _full_and_sampled_disc_quantiles(df, "x", keep, ps, n_parts=8)
+    ref_full = exact_disc_quantiles_distributed(df, "x", ps, n_parts=8)
+    ref_samp = exact_disc_quantiles_distributed(df.where(keep), "x", ps, n_parts=8)
+    assert full == ref_full
+    assert samp == ref_samp
+
+
 def test_hash_classifier_score_matches_python(spark):
     import hashlib
 
