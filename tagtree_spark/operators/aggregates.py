@@ -310,8 +310,12 @@ def subsample_stability(
     from pyspark.sql import Window
 
     from tagtree_spark.functions.hashing import h60
+    from tagtree_spark.session import spread
 
-    base = df.select(
+    # spread BEFORE the ×n_reps explode + per-(row, b) md5: on a
+    # one-row-group parquet scan that work otherwise serializes on a
+    # single core (r13 event log: 1.38 s on one task)
+    base = spread(df).select(
         F.col(key_col).alias("k"), F.col(val_col).alias("v"), F.col(id_col).alias("i")
     )
     wf = Window.partitionBy("k").orderBy("v", "i")

@@ -395,13 +395,16 @@ def benchmark_contamination(
     — a pure narrow projection, no explode, no shuffle at all (both sides
     are distinct, so the intersection size is the distinct-overlap count).
 
-    Measured note (r3): the ``where n_hits > 0`` predicate is pushed below
-    the projection and re-evaluates the intersect in the Filter — but the
-    doubled narrow pass still beats both alternatives tried (explode +
-    array_contains, explode + broadcast join) by ~2× at sf0.1, because
-    explode materializes 50× the rows before any of them can be dropped.
-    For benchmark sets too large for a literal array, the explode +
-    broadcast semi-join becomes the only option.
+    Measured note (r3): the plain ``where n_hits > 0`` predicate was
+    pushed below BOTH the projection and the spread() exchange, so the
+    whole corpus' shingling+intersection ran twice AND serialized inside
+    the single-task parquet scan (a one-row-group file is unsplittable —
+    r13 event log: 1.5 s on one core). The filter now carries an
+    always-true ``spark_partition_id() >= 0`` conjunct: the optimizer
+    treats it as non-deterministic, which pins the filter above the
+    exchange and above the projection — the intersect evaluates exactly
+    once, on all cores. For benchmark sets too large for a literal
+    array, the explode + broadcast semi-join becomes the only option.
     """
     bench = sorted(
         {
@@ -418,7 +421,15 @@ def benchmark_contamination(
             F.col(id_col).alias("doc_id"),
             F.size(F.array_intersect("shingles", bench_arr)).cast("bigint").alias("n_hits"),
         )
-        .where(F.col("n_hits") > 0)
+        # pushdown barrier: the optimizer SPLITS a conjunction and pushes
+        # its deterministic half, so the guard must sit INSIDE the one
+        # comparison — when() on the (always-true, non-deterministic)
+        # spark_partition_id() >= 0 makes the whole predicate
+        # non-deterministic and keeps the intersect above the exchange
+        .where(
+            F.when(F.spark_partition_id() >= 0, F.col("n_hits")).otherwise(F.lit(0))
+            > 0
+        )
     )
 
 

@@ -142,8 +142,13 @@ def dsir_importance(
     bodies, no join bigger than (doc×bucket rows vs 64 rows).
     → ``(doc_id, n_bigrams, t_sum, r_sum, importance)``.
     """
+    from tagtree_spark.session import spread
+
     words = F.split(F.col(text_col), " ")
-    base = docs.select(
+    # spread BEFORE the bigram explode + h60: a one-row-group parquet scan
+    # is one partition, and the explode+hash partial aggregate otherwise
+    # serializes on a single core (r13 event log: 1.05 s on one task)
+    base = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         target_pred.cast("boolean").alias("_is_target"),
         words.alias("_w"),

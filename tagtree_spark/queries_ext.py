@@ -8655,24 +8655,32 @@ def q222_ann_mrr(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     assigned = persist_tracked(ivf_assignments(emb, 8).select("vec_id", "v", "cid"))
-    per_q = None
-    for qid in (0, 1, 2):
-        q = assigned.where(F.col("vec_id") == qid).select(
-            F.col("v").alias("qv"), F.col("cid").alias("qcid")
+    # r13: ONE plan for all three probe queries instead of a 3-iteration
+    # union — the per-qid loop built 3× (2 broadcasts + a sort-limit +
+    # an aggregate) and its persist fanned out into 78 AQE jobs whose
+    # scheduling dominated the query (event log: dozens of ~1 s stages
+    # with near-zero executor run time). The 3-row probe frame broadcasts
+    # once; candidates, ground truth and rank stats all key on qid.
+    probes = F.broadcast(
+        assigned.where(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("cid").alias("qcid"),
         )
-        cand = (
-            assigned.join(F.broadcast(q), assigned.cid == F.col("qcid"))
-            .where(F.col("vec_id") != qid)
-            .select("vec_id", cosine("v", "qv").alias("s"))
-        )
-        gt = (
-            assigned.join(F.broadcast(q.select("qv")))
-            .where(F.col("vec_id") != qid)
-            .select("vec_id", cosine("v", "qv").alias("s"))
-            .orderBy(F.col("s").desc(), "vec_id")
-            .limit(1)
-            .select(F.col("vec_id").alias("gt_id"), F.col("s").alias("gt_s"))
-        )
+    )
+    cand = assigned.join(
+        probes, (assigned.cid == F.col("qcid")) & (assigned.vec_id != F.col("qid"))
+    ).select("qid", "vec_id", cosine("v", "qv").alias("s"))
+    # brute-force ground truth per qid: max(struct(s, -vec_id)) picks the
+    # same row as the old ORDER BY s DESC, vec_id LIMIT 1 (largest score,
+    # smallest vec_id on exact-double ties)
+    gt = (
+        assigned.join(probes, assigned.vec_id != F.col("qid"))
+        .select("qid", "vec_id", cosine("v", "qv").alias("s"))
+        .groupBy("qid")
+        .agg(F.max(F.struct(F.col("s"), (-F.col("vec_id")).alias("_nid"))).alias("m"))
+        .select("qid", (-F.col("m._nid")).alias("gt_id"), F.col("m.s").alias("gt_s"))
+    )
         # the gt's rank inside the cell = 1 + members ordered before it —
         # a broadcast-gt aggregate, NOT an unpartitioned row_number over
         # the whole cell (a cell is corpus/n_cells at scale). present=0
@@ -8681,8 +8689,19 @@ def q222_ann_mrr(spark, sf_dir):
         # the shared (score desc, vec_id) total order. The row is BUILT
         # FROM the gt side (1 row always) so an empty cell — the probe
         # query is its cell's only member — still reports the true gt id
-        # with rank 0, matching the oracle's LEFT JOIN (review r8).
-        stats = cand.join(F.broadcast(gt)).agg(
+    # the gt's rank inside the cell = 1 + members ordered before it —
+    # a broadcast-gt aggregate, NOT an unpartitioned row_number over
+    # the whole cell (a cell is corpus/n_cells at scale). present=0
+    # means the probed cell misses the true neighbor (quantization
+    # loss); the count-based rank equals the oracle's row_number by
+    # the shared (score desc, vec_id) total order. The row is BUILT
+    # FROM the gt side (one row per qid always) so an empty cell — the
+    # probe query is its cell's only member — still reports the true gt
+    # id with rank 0, matching the oracle's LEFT JOIN (review r8).
+    stats = (
+        cand.join(F.broadcast(gt), "qid")
+        .groupBy("qid")
+        .agg(
             F.max(F.when(F.col("vec_id") == F.col("gt_id"), 1).otherwise(0)).alias(
                 "_p"
             ),
@@ -8697,35 +8716,36 @@ def q222_ann_mrr(spark, sf_dir):
                 ).otherwise(0)
             ).alias("_b"),
         )
-        row = (
-            gt.join(F.broadcast(stats))
-            .select(
-                F.col("gt_id"),
-                F.coalesce("_p", F.lit(0)).alias("_present"),
-                F.coalesce("_b", F.lit(0)).alias("_before"),
-            )
-            .select(
-                F.lit(qid).cast("bigint").alias("qid"),
-                F.col("gt_id").alias("gt_vec_id"),
-                (F.col("_present") * (F.col("_before") + 1))
-                .cast("bigint")
-                .alias("ann_rank"),
-                F.when(
-                    F.col("_present") == 1,
-                    F.lit(1.0) / (F.col("_before") + 1).cast("double"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("rr"),
-                F.when(
-                    (F.col("_present") * (F.col("_before") + 1)).between(1, 10),
-                    F.lit(1),
-                )
-                .otherwise(F.lit(0))
-                .cast("bigint")
-                .alias("hit10"),
-            )
+    )
+    per_q = (
+        gt.join(F.broadcast(stats), "qid", "left")
+        .select(
+            "qid",
+            F.col("gt_id"),
+            F.coalesce("_p", F.lit(0)).alias("_present"),
+            F.coalesce("_b", F.lit(0)).alias("_before"),
         )
-        per_q = row if per_q is None else per_q.unionByName(row)
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("gt_id").alias("gt_vec_id"),
+            (F.col("_present") * (F.col("_before") + 1))
+            .cast("bigint")
+            .alias("ann_rank"),
+            F.when(
+                F.col("_present") == 1,
+                F.lit(1.0) / (F.col("_before") + 1).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+            F.when(
+                (F.col("_present") * (F.col("_before") + 1)).between(1, 10),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("hit10"),
+        )
+    )
     per_q = persist_tracked(per_q)
     summary = per_q.agg(
         F.aggregate(
@@ -14109,12 +14129,26 @@ def q303_spearman_trend(spark, sf_dir):
     back on bounded keys, one shrinking groupBy."""
     from pyspark.sql import Window
 
+    from tagtree_spark.session import persist_tracked
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "value",
         F.expr("unix_millis(ts) div 86400000").cast("bigint").alias("day"),
     )
-    pair = ev.groupBy("event_type", "value", "day").agg(F.count("*").alias("c2"))
+    # r13: the cell table feeds THREE branches (both rank maps + the joined
+    # moment aggregate) — persist it once. The explicit repartition on the
+    # group keys IS the groupBy's exchange (same keys, reused partitioning)
+    # but, being user-sized, AQE does not coalesce it to one partition —
+    # without it the cached cells collapsed to a single partition and the
+    # DECIMAL(38,0) moment aggregation ran serialized on one core (r13
+    # event log: 2.9 s single-task stage).
+    n_part = spark.sparkContext.defaultParallelism
+    pair = persist_tracked(
+        ev.repartition(n_part, "event_type", "value", "day")
+        .groupBy("event_type", "value", "day")
+        .agg(F.count("*").alias("c2"))
+    )
 
     def mid2_map(col: str, alias: str):
         m = pair.groupBy("event_type", col).agg(F.sum("c2").alias("c"))
@@ -14128,8 +14162,11 @@ def q303_spearman_trend(spark, sf_dir):
             "event_type", col, (2 * F.col("cum_before") + F.col("c") + 1).alias(alias)
         )
 
-    j = pair.join(mid2_map("value", "mid2x"), ["event_type", "value"]).join(
-        mid2_map("day", "mid2y"), ["event_type", "day"]
+    # both rank maps are the documented bounded marginals (distinct values
+    # / distinct days), so broadcasting them keeps the moment aggregation
+    # in the cached cells' stage — no shuffle of the cell table per join
+    j = pair.join(F.broadcast(mid2_map("value", "mid2x")), ["event_type", "value"]).join(
+        F.broadcast(mid2_map("day", "mid2y")), ["event_type", "day"]
     )
     c2d = F.col("c2").cast("decimal(38,0)")
     s = j.groupBy("event_type").agg(
@@ -14882,9 +14919,22 @@ def q313_kendall_tau(spark, sf_dir, window_days: int = _Q313_WINDOW_DAYS):
         ev.groupBy("event_type", "v", "d").agg(F.count("*").alias("n"))
     )
     days = c.select("event_type", F.col("d").alias("d2")).distinct()
+    # r13 half-probe identity: each cell probes only EARLIER days (the
+    # +1-signed half of the old ±probe stream, ~half the fan-out), giving
+    #   S_X = Σ_{a<b} X(a,b),  X(a,b) = Σ_{cells in day b} n·cumlt_a(v).
+    # The dropped −1 half S_Y = Σ_{a<b} Y(a,b) follows exactly from the
+    # cross-pair partition X + Y + T = |A_a||A_b| (every cross-day row
+    # pair is greater / smaller / tied), summed over day pairs:
+    #   num = S_X − S_Y = (4·S_X + t2v − p2) div 2
+    # with t2v = Σ_v (S_v² − Σ_d n_d(v)²)  (= 2·Σ_{a<b} T(a,b), from the
+    # value marginal) and p2 = n² − Σ_d L_d² (= 2·Σ_{a<b}|A_a||A_b|, from
+    # the day marginal). All terms are exact DECIMAL(38,0) integers and
+    # both t2v and p2 are even, so DIV 2 is exact — bit-identical num,
+    # half the window/shuffle volume (r13: the probe stream was the
+    # query's dominant 34 MB shuffle).
     probes = (
         c.join(F.broadcast(days), "event_type")
-        .where(F.col("d2") != F.col("d"))
+        .where(F.col("d2") < F.col("d"))
         .select(
             "event_type",
             F.col("d2").alias("dpart"),
@@ -14892,7 +14942,6 @@ def q313_kendall_tau(spark, sf_dir, window_days: int = _Q313_WINDOW_DAYS):
             F.lit(0).alias("kr"),
             F.lit(0).cast("bigint").alias("data_n"),
             F.col("n").alias("n_b"),
-            F.when(F.col("d") > F.col("d2"), F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
         )
     )
     data = c.select(
@@ -14902,7 +14951,6 @@ def q313_kendall_tau(spark, sf_dir, window_days: int = _Q313_WINDOW_DAYS):
         F.lit(1).alias("kr"),
         F.col("n").cast("bigint").alias("data_n"),
         F.lit(0).cast("bigint").alias("n_b"),
-        F.lit(0).alias("sgn"),
     )
     wm = (
         Window.partitionBy("event_type", "dpart")
@@ -14910,24 +14958,27 @@ def q313_kendall_tau(spark, sf_dir, window_days: int = _Q313_WINDOW_DAYS):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w = probes.unionByName(data).withColumn("cum", F.sum("data_n").over(wm))
-    num = (
+    numx = (
         w.where(F.col("kr") == 0)
         .groupBy("event_type")
         .agg(
-            F.sum(
-                F.col("sgn").cast("decimal(38,0)") * F.col("n_b") * F.col("cum")
-            )
-            .cast("bigint")
-            .alias("num")
+            F.sum(F.col("n_b").cast("decimal(38,0)") * F.col("cum")).alias("numx")
         )
     )
-    cx = c.groupBy("event_type", "v").agg(F.sum("n").alias("cx"))
+    nd_ = F.col("n").cast("decimal(38,0)")
+    cx = c.groupBy("event_type", "v").agg(
+        F.sum("n").alias("cx"), F.sum(nd_ * F.col("n")).alias("qx")
+    )
+    cxd = F.col("cx").cast("decimal(38,0)")
     mx = cx.groupBy("event_type").agg(
-        F.sum(F.col("cx").cast("decimal(38,0)") * (F.col("cx") - 1)).alias("tx2")
+        F.sum(cxd * (F.col("cx") - 1)).alias("tx2"),
+        F.sum(cxd * F.col("cx") - F.col("qx")).alias("t2v"),
     )
     cy = c.groupBy("event_type", "d").agg(F.sum("n").alias("cy"))
+    cyd = F.col("cy").cast("decimal(38,0)")
     my = cy.groupBy("event_type").agg(
-        F.sum(F.col("cy").cast("decimal(38,0)") * (F.col("cy") - 1)).alias("ty2")
+        F.sum(cyd * (F.col("cy") - 1)).alias("ty2"),
+        F.sum(cyd * F.col("cy")).alias("sy2"),
     )
     mc = c.groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("n"),
@@ -14936,13 +14987,19 @@ def q313_kendall_tau(spark, sf_dir, window_days: int = _Q313_WINDOW_DAYS):
     nd = F.col("n").cast("decimal(38,0)")
     t2 = nd * (nd - 1)
     b = (
-        mc.join(num, "event_type", "left")
+        mc.join(numx, "event_type", "left")
         .join(mx, "event_type")
         .join(my, "event_type")
         .select(
             "event_type",
             "n",
-            F.coalesce("num", F.lit(0)).cast("bigint").alias("num"),
+            # num = S_X − S_Y via the cross-pair partition (see above);
+            # a single-day type has no probes (numx NULL) and t2v = p2 = 0,
+            # so the coalesce reproduces the old num = 0 exactly
+            F.expr(
+                "CAST((4 * coalesce(numx, CAST(0 AS DECIMAL(38,0))) + t2v"
+                " - (CAST(n AS DECIMAL(38,0)) * n - sy2)) DIV 2 AS BIGINT)"
+            ).alias("num"),
             F.expr(
                 "CAST((CAST(n AS DECIMAL(38,0)) * (n - 1) - tx2 - ty2 + txy2)"
                 " DIV 2 AS BIGINT)"
