@@ -362,7 +362,12 @@ def kmv_registers(df: DataFrame, col: str, group_col: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    h = df.select(
+    from tagtree_spark.session import spread
+
+    # spread BEFORE the per-row md5 + distinct partial aggregate: on an
+    # unsplittable one-row-group scan they otherwise serialize on one
+    # core (r13 sweep log: 1.8 s single-task stage in q123)
+    h = spread(df).select(
         F.col(group_col).alias("group"),
         h60(F.col(col).cast("string")).alias("hash"),
     ).distinct()

@@ -3138,7 +3138,12 @@ def q106_wav_decode(spark, sf_dir):
     )
 
     media = wav_from_documents(_docs(spark, sf_dir))
-    return decoded_audio_features(media).orderBy("media_id")
+    return (
+        # repartition(1) + in-partition sort (see q289): the range-
+        # partitioned orderBy's sampling pass re-executed the whole
+        # encode+decode Python chain a second time (r13 event log)
+        decoded_audio_features(media).repartition(1).sortWithinPartitions("media_id")
+    )
 
 
 @query(
@@ -3168,7 +3173,10 @@ def q107_ppm_decode(spark, sf_dir):
     )
 
     media = ppm_from_documents(_docs(spark, sf_dir))
-    return decoded_image_features(media).orderBy("media_id")
+    return (
+        # repartition(1) + in-partition sort (see q289/q106 note)
+        decoded_image_features(media).repartition(1).sortWithinPartitions("media_id")
+    )
 
 
 @query(
@@ -3202,7 +3210,12 @@ def q108_y4m_frames(spark, sf_dir):
     )
 
     media = y4m_from_documents(_docs(spark, sf_dir))
-    return sampled_frame_features(media, every=2).orderBy("media_id", "frame_idx")
+    return (
+        # repartition(1) + in-partition sort (see q289/q106 note)
+        sampled_frame_features(media, every=2)
+        .repartition(1)
+        .sortWithinPartitions("media_id", "frame_idx")
+    )
 
 
 from tagtree_spark.operators.sketch import duck_cms_heavy_hitters_sql  # noqa: E402
@@ -3708,7 +3721,12 @@ def q120_scene_cuts(spark, sf_dir):
     from tagtree_spark.operators.multimodal import scene_cut_stats, y4m_from_documents
 
     media = y4m_from_documents(_docs(spark, sf_dir))
-    return scene_cut_stats(media, threshold=1500).orderBy("media_id", "frame_idx")
+    return (
+        # repartition(1) + in-partition sort (see q289/q106 note)
+        scene_cut_stats(media, threshold=1500)
+        .repartition(1)
+        .sortWithinPartitions("media_id", "frame_idx")
+    )
 
 
 @query(
@@ -10308,6 +10326,13 @@ def q244_session_cep(spark, sf_dir):
     e = ev.select(
         "user_id", "ts", "event_id", sym.alias("sym")
     ).where(F.col("sym").isNotNull())
+    # r13: user-sized repartition IS the window's exchange (hash(user_id)
+    # satisfies the window, the session groupBy AND the per-session regex
+    # stage that follows) but AQE does not coalesce a user-specified
+    # partitioning — without it the tiny-byte session frame collapsed to
+    # one partition and the regex matching serialized (sweep log: 1.2 s
+    # single-task stage)
+    e = e.repartition(spark.sparkContext.defaultParallelism, "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gapped = e.withColumn(
         "new_session",
@@ -10947,7 +10972,10 @@ def q253_png_decode(spark, sf_dir):
     from tagtree_spark.operators.multimodal import decoded_image_features
 
     media = _png_media(spark, sf_dir)
-    return decoded_image_features(media).orderBy("media_id")
+    return (
+        # repartition(1) + in-partition sort (see q289/q106 note)
+        decoded_image_features(media).repartition(1).sortWithinPartitions("media_id")
+    )
 
 
 def one_time_builders():
@@ -13493,9 +13521,13 @@ def q294_mann_whitney(spark, sf_dir):
     the same Σ(2r+c−1) because every tied row shares its value's
     midrank. The oracle ranks rows directly (same math, small data);
     value doubles are only COMPARED and COUNTED (rule-2-safe)."""
-    ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
+    from tagtree_spark.session import spread
+
+    # r13: spread — the unsplittable one-row-group events scan otherwise
+    # runs the map-side partial aggregate on a single core (sweep log)
+    ev = spread(load_table(spark, sf_dir, "events"))
     g = ev.groupBy("event_type", "value").agg(
         F.count("*").alias("c"),
         F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
@@ -13563,9 +13595,13 @@ def q295_ks_distance(spark, sf_dir):
     one map-side-combining groupBy to the distinct-value summary, then
     GROWING cumulative frames over that bounded frame (never raw rows),
     then one shrinking max."""
-    ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
+    from tagtree_spark.session import spread
+
+    # r13: spread — the unsplittable one-row-group events scan otherwise
+    # runs the map-side partial aggregate on a single core (sweep log)
+    ev = spread(load_table(spark, sf_dir, "events"))
     g = ev.groupBy("event_type", "value").agg(
         F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
@@ -13674,7 +13710,13 @@ def q296_permutation_test(spark, sf_dir):
     # 2.3–3.0 s → 1.9–2.4 s at sf0.1; a 33-wide one-groupBy form without
     # the explode was also tried and read SLOWER, 3.2–5.6 s — the wide
     # conditional decimal aggregate defeats codegen).
-    ev = load_table(spark, sf_dir, "events").select(
+    from tagtree_spark.session import spread
+
+    # r13: spread BEFORE the ×33 explode + per-row md5 + decimal partial
+    # aggregate — on the unsplittable one-row-group events scan all of it
+    # serialized on one core (sweep event log: 2.9 s single-task stage,
+    # also paid by q341 which rides this frame)
+    ev = spread(load_table(spark, sf_dir, "events")).select(
         "event_type",
         "user_id",
         h60(F.col("user_id").cast("string")).alias("uh"),
@@ -14029,8 +14071,11 @@ def q301_kruskal_wallis(spark, sf_dir):
     the distinct-value summary, rank window over that bounded frame,
     one shrinking groupBy. Never ranks raw rows."""
     from tagtree_spark.streaming.drift import kruskal_wallis_from_distribution
+    from tagtree_spark.session import spread
 
-    ev = load_table(spark, sf_dir, "events")
+    # r13: spread — the unsplittable one-row-group events scan otherwise
+    # runs the map-side partial aggregate on a single core (sweep log)
+    ev = spread(load_table(spark, sf_dir, "events"))
     dist = ev.groupBy(
         F.col("event_type").alias("key"),
         (F.col("user_id") % 3).alias("grp"),
@@ -14526,7 +14571,10 @@ def q307_bmp_decode(spark, sf_dir):
     )
 
     media = bmp_from_documents(_docs(spark, sf_dir))
-    return decoded_bmp_features(media).orderBy("media_id")
+    return (
+        # repartition(1) + in-partition sort (see q289/q106 note)
+        decoded_bmp_features(media).repartition(1).sortWithinPartitions("media_id")
+    )
 
 
 @query(
@@ -14569,7 +14617,10 @@ def q308_gif_decode(spark, sf_dir):
     )
 
     media = gif_from_documents(_docs(spark, sf_dir))
-    return decoded_gif_features(media).orderBy("media_id")
+    return (
+        # repartition(1) + in-partition sort (see q289/q106 note)
+        decoded_gif_features(media).repartition(1).sortWithinPartitions("media_id")
+    )
 
 
 def _q309_oracle() -> str:
@@ -14767,8 +14818,12 @@ def q312_bigram_coverage(spark, sf_dir):
     one map-side-combining groupBy; the membership join keys on the
     bigram string (broadcast-able after the df>=K filter prunes the
     tail — the decontamination q51 join shape)."""
+    from tagtree_spark.session import spread
+
     d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    # r13: spread — the bigram explode feeds TWO branches and both partial
+    # aggregates otherwise run on the single-task docs scan (sweep log)
+    toks = spread(d).select("doc_id", F.split(F.col("text"), " ").alias("w"))
     bg = toks.select(
         "doc_id",
         F.explode(
