@@ -518,7 +518,10 @@ def simhash_near_dup_pairs(
     width = 60 // n_bands
     # One row per doc — persist so band bucketing and the verification
     # join-backs don't re-run the word-count + 60-bit-sum pipeline.
-    fp = persist_tracked(simhash60(docs, id_col=id_col, text_col=text_col))
+    # spread first (r13): the shuffle-free fingerprint fold otherwise runs
+    # entirely on the unsplittable one-task scan (sweep log: ~1 s serial
+    # in q28/q189)
+    fp = persist_tracked(simhash60(spread(docs), id_col=id_col, text_col=text_col))
     mask = (1 << width) - 1
     bands = fp.select(
         "doc_id",

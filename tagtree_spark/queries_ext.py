@@ -14071,12 +14071,16 @@ def q301_kruskal_wallis(spark, sf_dir):
     the distinct-value summary, rank window over that bounded frame,
     one shrinking groupBy. Never ranks raw rows."""
     from tagtree_spark.streaming.drift import kruskal_wallis_from_distribution
-    from tagtree_spark.session import spread
 
-    # r13: spread — the unsplittable one-row-group events scan otherwise
-    # runs the map-side partial aggregate on a single core (sweep log)
-    ev = spread(load_table(spark, sf_dir, "events"))
-    dist = ev.groupBy(
+    ev = load_table(spark, sf_dir, "events")
+    # (event_type, value)-keyed user exchange: parallelizes off the
+    # one-task scan AND satisfies both this grouping and the test
+    # function's (key, value) fold downstream (one shuffle, no AQE
+    # coalesce — the read_distribution r13 note); the scan side ships
+    # raw rows, so no spread() round-robin is needed in front
+    dist = ev.repartition(
+        spark.sparkContext.defaultParallelism, "event_type", "value"
+    ).groupBy(
         F.col("event_type").alias("key"),
         (F.col("user_id") % 3).alias("grp"),
         "value",

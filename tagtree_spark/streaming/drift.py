@@ -72,8 +72,19 @@ def read_distribution(
     if not segs:
         return None
     raw = reduce(lambda a, b: a.unionByName(b), (spark.read.parquet(s) for s in segs))
-    return raw.groupBy("key", "grp", "value").agg(
-        F.sum("n").cast("bigint").alias("n")
+    # r13: ONE user-sized (key, value) exchange feeds the whole downstream
+    # chain — hash(key, value) satisfies this merge's (key, grp, value)
+    # grouping, regroup_distribution's (key, grp%m, value) AND the test
+    # functions' (key, value) fold (clustered-distribution subset rule),
+    # so three chained aggregates run with no further shuffle; being
+    # user-specified, AQE does not coalesce the tiny-byte distribution to
+    # one partition either (sweep log: the per-key rank work serialized).
+    # The rows shipped are per-segment count partials, already tiny.
+    n_part = spark.sparkContext.defaultParallelism
+    return (
+        raw.repartition(n_part, "key", "value")
+        .groupBy("key", "grp", "value")
+        .agg(F.sum("n").cast("bigint").alias("n"))
     )
 
 
