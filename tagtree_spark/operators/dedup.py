@@ -937,7 +937,12 @@ def prefix_filtered_jaccard(
     # never verify — pruning them here changes nothing in the output but
     # skips the expensive array_intersect verification for them.
     pct = int(min_jaccard_pct)
-    buckets = pref.groupBy("s").agg(
+    # r13: the bucket grouping is a user-sized exchange — the pair-gen
+    # explode/filter below is CPU-dense per shuffle BYTE, and AQE's
+    # min-partition-size floor otherwise coalesced it to ~6 partitions
+    # (sweep log: 5.2 s of run time on 6 tasks)
+    n_part = pref.sparkSession.sparkContext.defaultParallelism
+    buckets = pref.repartition(n_part, "s").groupBy("s").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n_sh", "rn"))).alias("ds")
     )
     pair_structs = F.explode(

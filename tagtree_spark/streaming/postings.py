@@ -251,18 +251,27 @@ def store_bm25(
     re-scanned. The score expression chain mirrors bm25_scores exactly
     (integer idf surrogate, fixed sorted-term bracketing — see that
     docstring for the determinism argument); keep the two in lockstep."""
+    from tagtree_spark.session import persist_tracked
+
     ts = sorted(set(terms))
+    # r13: both slim frames feed TWO consumers each (tf → df stats + the
+    # score join; vers → corpus stats + the dl join) — without the
+    # persists the pruned many-small-file postings scan ran once per
+    # consumer (sweep log: two identical 96-task scan stages)
     vers = read_doc_versions(spark, store_path)
     if vers is None:
         raise ValueError(f"store_bm25: no segments under {store_path!r}")
+    vers = persist_tracked(vers)
     post = read_postings(spark, store_path, terms=ts, n_term_parts=n_term_parts)
-    tf = post.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"c{i}")
-            for i, t in enumerate(ts)
-        ]
+    tf = persist_tracked(
+        post.groupBy("doc_id").agg(
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"c{i}")
+                for i, t in enumerate(ts)
+            ]
+        )
     )
     stats_doc = vers.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -306,12 +315,17 @@ def store_phrase(
     ``operators.text.phrase_search`` on the live document set (k−1
     adjacency equi-joins on (doc_id, pos+j)); the scan touches k of
     ``n_term_parts`` tp partitions per segment."""
+    from tagtree_spark.session import persist_tracked
+
     terms = phrase.split(" ")
     if len(terms) < 2:
         raise ValueError("phrase needs >= 2 tokens")
     toks = read_postings(spark, store_path, terms=terms, n_term_parts=n_term_parts)
     if toks is None:
         raise ValueError(f"store_phrase: no segments under {store_path!r}")
+    # r13: k per-term branches below — persist, or the pruned
+    # many-small-file scan re-runs once per phrase position
+    toks = persist_tracked(toks)
     m = toks.where(F.col("term") == terms[0]).select(
         "doc_id", F.col("pos").alias("p0")
     )
