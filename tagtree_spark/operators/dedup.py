@@ -227,7 +227,15 @@ def _bucket_pairs(df: DataFrame, key: str, max_bucket: int | None = None) -> Dat
     groupBy(key) + collect_list, pairs generated array-side per bucket.
     ONE pass over the input (a self-join would recompute the whole upstream
     pipeline for each side). ``max_bucket`` drops degenerate buckets."""
-    buckets = df.groupBy(key).agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    # r13: user-sized bucket exchange — the pair explode below is
+    # CPU-dense per shuffle byte and AQE's min-partition-size floor
+    # otherwise coalesced the tiny bucket frame onto a few cores
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    buckets = (
+        df.repartition(n_part, key)
+        .groupBy(key)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
     if max_bucket is not None:
         buckets = buckets.where(F.size("ds") <= max_bucket)
     pairs = F.explode(
@@ -1315,10 +1323,15 @@ def exactsubstr_trim(
         ).distinct()
     )
     affected = cov.select("doc_id").distinct()
-    base = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_text"),
-        F.split(F.col(text_col), " ").alias("ws"),
+    # r13: base feeds THREE branches (tok semi-join, untouched anti-join,
+    # hit token counts) — persist, or the scan+split re-runs per branch
+    # (sweep log: three identical 32-task stages)
+    base = persist_tracked(
+        spread(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_text"),
+            F.split(F.col(text_col), " ").alias("ws"),
+        )
     )
     tok = (
         base.join(affected, "doc_id", "left_semi")

@@ -120,7 +120,21 @@ def _model(spark: SparkSession, sf_dir: str):
         )
         series = spark.read.parquet(f"{d}/series").persist()
         postings = spark.read.parquet(f"{d}/postings").persist()
-        samples = spark.read.parquet(f"{d}/samples").persist()
+        # r13: cache samples PRE-PARTITIONED by tsid (user-sized, so AQE
+        # never coalesces it away). The frozen parquet is ~1 scan
+        # partition at bench scale, so without this every consumer's
+        # (tsid)-keyed window/groupBy first shipped from one task and —
+        # tiny bytes — collapsed back to ONE post-shuffle partition,
+        # serializing the per-series math (sweep log: 0.5–0.9 s
+        # single-task window stages across the TSDB/PromQL family).
+        # hash(tsid) satisfies every tsid-clustered requirement downstream
+        # (windows, rate/deriv lags, (tsid, bucket) groupings), so those
+        # plans now run exchange-free off the cache at full parallelism.
+        samples = (
+            spark.read.parquet(f"{d}/samples")
+            .repartition(spark.sparkContext.defaultParallelism, "tsid")
+            .persist()
+        )
         cached = (series, postings, samples)
         _MODEL_CACHE[key] = cached
     return cached

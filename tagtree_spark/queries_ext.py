@@ -744,11 +744,18 @@ def q35_incremental_ingest(spark, sf_dir):
     from tagtree_spark.tsdb.ingest import add_series_batch
     from tagtree_spark.tsdb.model import LABEL_NAMES
 
+    from tagtree_spark.session import persist_tracked, spread
+
     tune(spark)
-    events = load_table(spark, sf_dir, "events")
+    # r13: spread — the label-derivation regex + groupBy partials
+    # otherwise serialize on the one-task events scan; and persist the
+    # bootstrap table — the second merge reads it THREE times (touch
+    # join, new-series anti-join, tsid watermark), re-running the whole
+    # first-batch pipeline per read (sweep log: 27 jobs, 1.5 s serial)
+    events = spread(load_table(spark, sf_dir, "events"))
     first = events.where(F.col("event_id") % 2 == 0)
     second = events.where(F.col("event_id") % 2 == 1)
-    merged = add_series_batch(add_series_batch(None, first), second)
+    merged = add_series_batch(persist_tracked(add_series_batch(None, first)), second)
     return merged.select(
         "tsid",
         *LABEL_NAMES,
