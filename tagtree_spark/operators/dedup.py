@@ -227,15 +227,12 @@ def _bucket_pairs(df: DataFrame, key: str, max_bucket: int | None = None) -> Dat
     groupBy(key) + collect_list, pairs generated array-side per bucket.
     ONE pass over the input (a self-join would recompute the whole upstream
     pipeline for each side). ``max_bucket`` drops degenerate buckets."""
-    # r13: user-sized bucket exchange — the pair explode below is
-    # CPU-dense per shuffle byte and AQE's min-partition-size floor
-    # otherwise coalesced the tiny bucket frame onto a few cores
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    buckets = (
-        df.repartition(n_part, key)
-        .groupBy(key)
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-    )
+    # r13 note: a user-sized repartition(key) here was MEASURED NET
+    # NEGATIVE — many consumers cache the (tiny) pair output, and a
+    # 32-partition cached frame makes every downstream stage pay 32-task
+    # scheduling (full-bench: q127 +2.0 s, q148 +1.5 s, q154 +1.5 s);
+    # the AQE-coalesced default wins for this operator's output sizes
+    buckets = df.groupBy(key).agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     if max_bucket is not None:
         buckets = buckets.where(F.size("ds") <= max_bucket)
     pairs = F.explode(

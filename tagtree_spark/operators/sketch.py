@@ -362,12 +362,11 @@ def kmv_registers(df: DataFrame, col: str, group_col: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from tagtree_spark.session import spread
-
-    # spread BEFORE the per-row md5 + distinct partial aggregate: on an
-    # unsplittable one-row-group scan they otherwise serialize on one
-    # core (r13 sweep log: 1.8 s single-task stage in q123)
-    h = spread(df).select(
+    # r13 note: spread() before the md5+distinct was MEASURED NET
+    # NEGATIVE (q123 0.66 -> 1.30 s full-bench) — the round-robin
+    # exchange costs more than the ~0.3 s of warm serialized hashing
+    # it parallelizes
+    h = df.select(
         F.col(group_col).alias("group"),
         h60(F.col(col).cast("string")).alias("hash"),
     ).distinct()

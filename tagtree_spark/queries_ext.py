@@ -9144,50 +9144,84 @@ def q227_pq_recall(spark, sf_dir):
     ranking vs exact fp squared-L2 brute force for three probe queries
     (integer overlap + ppm) — the acceptance metric that decides a PQ
     configuration ships. Shares the session-cached codes frame; exact
-    side is one narrow broadcast-query scan + TakeOrdered per probe."""
-    from tagtree_spark.operators.similarity import pq_adc_topk
+    side is one narrow broadcast-query scan.
+
+    r13: ONE plan for all three probes (the q222 rewrite pattern — the
+    per-qid loop built 3 x (2 broadcasts + 2 sort-limits) and its ~24 AQE
+    jobs' scheduling dominated the query): a 3-row qid-keyed query-
+    subvector frame broadcasts into the ADC lookup table, and both
+    rankings take their top-10 per qid via a qid-partitioned row_number
+    over the identical (dist, vec_id) total order — the same rows the
+    per-qid ORDER BY ... LIMIT 10 selected."""
+    from pyspark.sql import Window
+
+    from tagtree_spark.operators.similarity import (
+        _pq_codebook_frame,
+        _pq_dims,
+        _pq_scaled_subvectors,
+        _pq_sqdist,
+    )
     from tagtree_spark.session import spread
 
     emb = _emb(spark, sf_dir)
-    out = None
-    for qid in (0, 1, 2):
-        approx = pq_adc_topk(
-            emb, query_id=qid, k=10, codes=_pqc(spark, sf_dir)
-        ).select("vec_id")
-        qv = emb.where(F.col("vec_id") == qid).select(
-            F.col("embedding").alias("qv")
-        )
-        ssq = F.aggregate(
-            F.zip_with(
-                "embedding",
-                "qv",
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, e: acc + e,
-        )
-        exact = (
-            spread(emb)
-            .where(F.col("vec_id") != qid)
-            .join(F.broadcast(qv))
-            .select("vec_id", ssq.alias("_d"))
-            .orderBy("_d", "vec_id")
-            .limit(10)
-            .select("vec_id")
-        )
-        row = (
-            approx.join(exact, "vec_id")
-            .agg(F.count("*").cast("bigint").alias("n_overlap"))
-            .select(
-                F.lit(qid).cast("bigint").alias("qid"),
-                "n_overlap",
-                F.expr("CAST((1000000 * n_overlap) div 10 AS BIGINT)").alias(
-                    "recall_ppm"
-                ),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
+    codes = _pqc(spark, sf_dir)
+    n_sub, ks, dim, k = 8, 16, 64, 10
+    d_sub = _pq_dims(dim, n_sub)
+    qids = (0, 1, 2)
+    qsub = _pq_scaled_subvectors(
+        emb.where(F.col("vec_id").isin(*qids)), n_sub, d_sub, "vec_id", "embedding"
+    ).select(F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qv"))
+    cb = _pq_codebook_frame(emb, n_sub, ks, d_sub, None, "vec_id", "embedding")
+    table = cb.join(F.broadcast(qsub), "m").select(
+        "qid", "m", F.col("c").alias("code"), _pq_sqdist("cv", "qv").alias("qd")
+    )
+    adist = (
+        codes.join(F.broadcast(table), ["m", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").cast("bigint").alias("adist"))
+    )
+    wq = Window.partitionBy("qid").orderBy("adist", "vec_id")
+    approx = (
+        adist.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= k)
+        .select("qid", "vec_id")
+    )
+    qv3 = emb.where(F.col("vec_id").isin(*qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    ssq = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "qv",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    we = Window.partitionBy("qid").orderBy("_d", "vec_id")
+    exact = (
+        spread(emb)
+        .join(F.broadcast(qv3), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", ssq.alias("_d"))
+        .withColumn("_rn", F.row_number().over(we))
+        .where(F.col("_rn") <= k)
+        .select("qid", "vec_id")
+    )
+    counts = (
+        approx.join(exact, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    base = spark.createDataFrame([(int(q),) for q in qids], "qid bigint")
+    out = base.join(counts, "qid", "left").select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        F.expr(
+            f"CAST((1000000 * coalesce(n_overlap, 0)) div {k} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
     return out.orderBy("qid")
 
 
