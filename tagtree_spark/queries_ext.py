@@ -744,15 +744,15 @@ def q35_incremental_ingest(spark, sf_dir):
     from tagtree_spark.tsdb.ingest import add_series_batch
     from tagtree_spark.tsdb.model import LABEL_NAMES
 
-    from tagtree_spark.session import persist_tracked, spread
+    from tagtree_spark.session import persist_tracked
 
     tune(spark)
-    # r13: spread — the label-derivation regex + groupBy partials
-    # otherwise serialize on the one-task events scan; and persist the
-    # bootstrap table — the second merge reads it THREE times (touch
-    # join, new-series anti-join, tsid watermark), re-running the whole
-    # first-batch pipeline per read (sweep log: 27 jobs, 1.5 s serial)
-    events = spread(load_table(spark, sf_dir, "events"))
+    # r13: persist the bootstrap table — the second merge reads it THREE
+    # times (touch join, new-series anti-join, tsid watermark),
+    # re-running the whole first-batch pipeline per read (sweep log:
+    # 27 jobs, 1.5 s serial). spread() on events was MEASURED NET
+    # NEGATIVE on top of that (A/B: 1.28 vs 2.56 s) and dropped.
+    events = load_table(spark, sf_dir, "events")
     first = events.where(F.col("event_id") % 2 == 0)
     second = events.where(F.col("event_id") % 2 == 1)
     merged = add_series_batch(persist_tracked(add_series_batch(None, first)), second)
@@ -13564,11 +13564,11 @@ def q294_mann_whitney(spark, sf_dir):
     value doubles are only COMPARED and COUNTED (rule-2-safe)."""
     from pyspark.sql import Window
 
-    from tagtree_spark.session import spread
-
-    # r13: spread — the unsplittable one-row-group events scan otherwise
-    # runs the map-side partial aggregate on a single core (sweep log)
-    ev = spread(load_table(spark, sf_dir, "events"))
+    # r13 note: spread() before the groupBy was MEASURED NET NEGATIVE
+    # (interleaved A/B at sf0.1: 0.72 vs 1.22 s) — the round-robin
+    # exchange costs more than the serialized map-side partials it
+    # parallelizes for this single-pass aggregate
+    ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy("event_type", "value").agg(
         F.count("*").alias("c"),
         F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
@@ -13638,11 +13638,9 @@ def q295_ks_distance(spark, sf_dir):
     then one shrinking max."""
     from pyspark.sql import Window
 
-    from tagtree_spark.session import spread
-
-    # r13: spread — the unsplittable one-row-group events scan otherwise
-    # runs the map-side partial aggregate on a single core (sweep log)
-    ev = spread(load_table(spark, sf_dir, "events"))
+    # r13 note: spread() net-negative here too (q294's twin shape;
+    # interleaved A/B at sf0.1: 0.74 vs 1.22 s)
+    ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy("event_type", "value").agg(
         F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
@@ -14114,14 +14112,12 @@ def q301_kruskal_wallis(spark, sf_dir):
     from tagtree_spark.streaming.drift import kruskal_wallis_from_distribution
 
     ev = load_table(spark, sf_dir, "events")
-    # (event_type, value)-keyed user exchange: parallelizes off the
-    # one-task scan AND satisfies both this grouping and the test
-    # function's (key, value) fold downstream (one shuffle, no AQE
-    # coalesce — the read_distribution r13 note); the scan side ships
-    # raw rows, so no spread() round-robin is needed in front
-    dist = ev.repartition(
-        spark.sparkContext.defaultParallelism, "event_type", "value"
-    ).groupBy(
+    # r13 note: an inline (event_type, value)-keyed user exchange before
+    # this groupBy A/B'd slightly net-negative (1.12 vs 1.24 s at
+    # sf0.1) — unlike the drift STORE path (read_distribution), whose
+    # keyed exchange feeds three chained aggregates; here the map-side
+    # combine collapses raw rows cheaply enough on its own
+    dist = ev.groupBy(
         F.col("event_type").alias("key"),
         (F.col("user_id") % 3).alias("grp"),
         "value",
@@ -14863,12 +14859,10 @@ def q312_bigram_coverage(spark, sf_dir):
     one map-side-combining groupBy; the membership join keys on the
     bigram string (broadcast-able after the df>=K filter prunes the
     tail — the decontamination q51 join shape)."""
-    from tagtree_spark.session import spread
-
     d = _docs(spark, sf_dir)
-    # r13: spread — the bigram explode feeds TWO branches and both partial
-    # aggregates otherwise run on the single-task docs scan (sweep log)
-    toks = spread(d).select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    # r13 note: spread() before the explode A/B'd a wash (1.52 vs
+    # 1.57 s at sf0.1) — kept the simpler no-exchange shape
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     bg = toks.select(
         "doc_id",
         F.explode(
