@@ -512,6 +512,7 @@ def simhash_near_dup_pairs(
     n_bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int | None = MAX_BUCKET,
+    fp: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs → ``(doc_a, doc_b, hamming)``.
 
@@ -519,14 +520,21 @@ def simhash_near_dup_pairs(
     bands; any pair within hamming distance < n_bands shares at least one
     exact band (pigeonhole), so a bucket join on band values has full
     recall for max_hamming <= n_bands - 1. Verification = popcount(XOR).
+
+    ``fp`` takes a precomputed ``(doc_id, simhash)`` fingerprint frame
+    (the r13 shared-frame pattern — queries_ext._sfp caches one per
+    session; the TF-weighted fold dominates each consumer otherwise).
     """
     width = 60 // n_bands
-    # One row per doc — persist so band bucketing and the verification
-    # join-backs don't re-run the word-count + 60-bit-sum pipeline.
-    # spread first (r13): the shuffle-free fingerprint fold otherwise runs
-    # entirely on the unsplittable one-task scan (sweep log: ~1 s serial
-    # in q28/q189)
-    fp = persist_tracked(simhash60(spread(docs), id_col=id_col, text_col=text_col))
+    if fp is None:
+        # One row per doc — persist so band bucketing and the verification
+        # join-backs don't re-run the word-count + 60-bit-sum pipeline.
+        # spread first (r13): the shuffle-free fingerprint fold otherwise
+        # runs entirely on the unsplittable one-task scan (sweep log: ~1 s
+        # serial in q28/q189)
+        fp = persist_tracked(
+            simhash60(spread(docs), id_col=id_col, text_col=text_col)
+        )
     mask = (1 << width) - 1
     bands = fp.select(
         "doc_id",

@@ -137,6 +137,32 @@ def _sh(spark, sf_dir):
     return got
 
 
+# Shared per-(session, sf dir) SimHash fingerprint table (doc_id,
+# simhash): q28 and q189 both band-bucket and popcount-verify from the
+# SAME 60-bit TF-weighted fold, which dominated each consumer (~1 s) —
+# one persisted copy is the _sh() stance (r13).
+_SFP_CACHE: dict = {}
+
+
+def _sfp(spark, sf_dir):
+    from tagtree_spark.onetime_cache import cached_frame, source_version
+    from tagtree_spark.operators.dedup import simhash60
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SFP_CACHE.get(key)
+    if got is None:
+        got = cached_frame(
+            spark,
+            "simhash_fp",
+            sf_dir,
+            source_version(_sfp, simhash60),
+            lambda: simhash60(spread(_docs(spark, sf_dir))),
+        ).persist()
+        got.count()
+        _SFP_CACHE[key] = got
+    return got
+
+
 # Shared per-(session, sf dir) ENCODED media tables: the PNG fixture
 # feeds q253+q290+q292, the gray JPEG fixture q289+q290 and the color
 # JPEG fixture q291+q298 — the encode pass is ~40% of each consumer's
@@ -419,8 +445,11 @@ ORDER BY doc_a, doc_b""",
 )
 def q28_simhash_neardup(spark, sf_dir):
     """E2 SimHash near-dup pairs: 60-bit TF-weighted fingerprints, 15-bit
-    band buckets (full recall for hamming <= 3), popcount verification."""
-    return simhash_near_dup_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
+    band buckets (full recall for hamming <= 3), popcount verification.
+    Reads the session-shared fingerprint table (_sfp, r13)."""
+    return simhash_near_dup_pairs(
+        _docs(spark, sf_dir), fp=_sfp(spark, sf_dir)
+    ).orderBy("doc_a", "doc_b")
 
 
 @query(
@@ -6813,7 +6842,7 @@ def q189_simhash_calibration(spark, sf_dir):
     from tagtree_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = _docs(spark, sf_dir)
-    sp = simhash_near_dup_pairs(docs, max_hamming=8)
+    sp = simhash_near_dup_pairs(docs, max_hamming=8, fp=_sfp(spark, sf_dir))
     sh = _sh(spark, sf_dir)
     ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
@@ -9560,7 +9589,14 @@ def q232_mincost_supplier(spark, sf_dir):
     nation / region / filtered part all broadcast, so the only shuffle is
     the supply groupBy. cost is one IEEE double division per row — MIN
     over doubles is order-independent and the min value's bits match
-    across engines (CLAUDE rule 3)."""
+    across engines (CLAUDE rule 3).
+
+    r13: the decorrelated min is a per-part WINDOW min instead of a
+    groupBy-min + join-back — the join-back recomputed the supply
+    aggregate for each side; the window rides the one partkey exchange
+    (A/B at sf0.1: 1.12 vs 1.23 s, rows identical)."""
+    from pyspark.sql import Window
+
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
     supply = li.groupBy(
@@ -9578,9 +9614,9 @@ def q232_mincost_supplier(spark, sf_dir):
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("partkey", "suppkey", "cost", "s_acctbal", "s_name", "n_name")
     )
-    minc = asia.groupBy("partkey").agg(F.min("cost").alias("min_cost"))
+    wmin = Window.partitionBy("partkey")
     return (
-        asia.join(minc, "partkey")
+        asia.withColumn("min_cost", F.min("cost").over(wmin))
         .where(F.col("cost") == F.col("min_cost"))
         .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
         .select(
@@ -11039,6 +11075,7 @@ def one_time_builders():
     return {
         "tsdb_model": lambda s, d: _force(_q._model(s, d)[1]),
         "shingles": lambda s, d: _force(_sh(s, d)),
+        "simhash_fp": lambda s, d: _force(_sfp(s, d)),
         "mh_pairs": lambda s, d: _force(_mh_pairs(s, d)),
         "cc_clusters": lambda s, d: _force(_clusters(s, d)),
         "hyperplane_buckets": lambda s, d: _force(_wb(s, d)),

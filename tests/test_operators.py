@@ -78,6 +78,29 @@ def test_hot_bucket_cap_bounds_pair_generation(spark):
     assert not any(a < 2000 and b < 2000 for a, b in sh_pairs)
 
 
+def test_simhash_pairs_precomputed_fp_matches_inline(spark):
+    """The r13 shared-fingerprint path (fp=) must produce the identical
+    pair set as the inline fold — q28/q189 read the session-shared
+    _sfp frame through it."""
+    from tagtree_spark.operators.dedup import simhash_near_dup_pairs
+
+    near_a = " ".join(f"w{i}" for i in range(30))
+    near_b = " ".join(f"w{i}" for i in range(29)) + " zz"
+    other = " ".join(f"x{i}" for i in range(30))
+    d = _docs(
+        spark,
+        [(1, near_a, "en", "s", 1), (2, near_b, "en", "s", 1), (3, other, "en", "s", 1)],
+    )
+    inline = sorted(
+        (r.doc_a, r.doc_b, r.hamming) for r in simhash_near_dup_pairs(d).collect()
+    )
+    shared = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dup_pairs(d, fp=simhash60(d)).collect()
+    )
+    assert inline == shared and (1, 2) in {(a, b) for a, b, _ in inline}
+
+
 def test_dropped_bucket_stats_reports_hot_buckets(spark):
     from tagtree_spark.operators.dedup import dropped_bucket_stats
 
