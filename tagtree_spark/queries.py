@@ -135,6 +135,13 @@ def _model(spark: SparkSession, sf_dir: str):
             .repartition(spark.sparkContext.defaultParallelism, "tsid")
             .persist()
         )
+        # Materialize eagerly: until the cached AQE plan is finalized by a
+        # first execution, InMemoryTableScan reports UNKNOWN partitioning
+        # and every consumer compiled before that point inserts a
+        # redundant ENSURE_REQUIREMENTS exchange above the cache (measured
+        # r13: 1 exchange before count(), 0 after). The count costs one
+        # pass the first consumer would have paid anyway.
+        samples.count()
         cached = (series, postings, samples)
         _MODEL_CACHE[key] = cached
     return cached
