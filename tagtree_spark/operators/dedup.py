@@ -580,6 +580,7 @@ def ngram_jaccard_pairs(
     min_jaccard_pct: int = JACCARD_MIN_PCT,
     max_df: int = JACCARD_MAX_DF,
     sh: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via a shingle inverted index →
     ``(doc_a, doc_b, n_common, n_a, n_b)`` for J >= min_jaccard_pct/100.
@@ -597,8 +598,15 @@ def ngram_jaccard_pairs(
     the join quadratically at 100 TB (true near-dup pairs share mostly
     RARE shingles, so recall is unaffected). Jaccard is computed over the
     kept-shingle space in both engines.
+
+    Pass a precomputed :func:`_shingle_pair_counts` frame as ``pairs``
+    (same n/max_df) to skip the bucket + pair-count passes entirely —
+    the whole set-overlap family (Jaccard / containment / histogram /
+    venn) filters the SAME pair table, so one shared build serves all.
     """
-    out = _shingle_pair_counts(docs, id_col, text_col, n, max_df, sh=sh)
+    out = pairs if pairs is not None else _shingle_pair_counts(
+        docs, id_col, text_col, n, max_df, sh=sh
+    )
     return out.where(
         F.col("n_common") * 100
         >= F.lit(min_jaccard_pct) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -662,6 +670,7 @@ def ngram_containment_pairs(
     min_containment_pct: int = 80,
     max_df: int = 50,
     sh: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC overlap: pairs where the smaller shingle set is mostly
     CONTAINED in the larger — C = |A∩B| / min(|A|,|B|) >= pct/100 →
@@ -671,9 +680,13 @@ def ngram_containment_pairs(
     (a short doc fully copied inside a long one has tiny J but C = 1);
     containment is the standard screen for it. Same inverted-index plan
     and df cap as :func:`ngram_jaccard_pairs` — integer-exact, the pct is
-    an integer floor-div so both engines hash identically.
+    an integer floor-div so both engines hash identically. ``pairs``
+    short-circuits the bucket + pair-count passes with a precomputed
+    :func:`_shingle_pair_counts` frame (same n/max_df).
     """
-    out = _shingle_pair_counts(docs, id_col, text_col, n, max_df, sh=sh)
+    out = pairs if pairs is not None else _shingle_pair_counts(
+        docs, id_col, text_col, n, max_df, sh=sh
+    )
     mn = F.least(F.col("n_a"), F.col("n_b"))
     return (
         out.where(F.col("n_common") * 100 >= F.lit(min_containment_pct) * mn)
@@ -1063,6 +1076,7 @@ def containment_drop_list(
     sh: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Excerpt-dedup DECISION: from the containment pairs
     (:func:`ngram_containment_pairs`), the documents to DROP — always
@@ -1072,7 +1086,7 @@ def containment_drop_list(
     Deterministic policy expression, mirrored exactly by the oracle."""
     pairs = ngram_containment_pairs(
         docs, id_col=id_col, text_col=text_col,
-        min_containment_pct=min_containment_pct, sh=sh,
+        min_containment_pct=min_containment_pct, sh=sh, pairs=pairs,
     )
     dropped = F.when(
         (F.col("n_a") < F.col("n_b"))

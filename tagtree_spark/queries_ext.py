@@ -137,6 +137,41 @@ def _sh(spark, sf_dir):
     return got
 
 
+# Shared per-(session, sf dir) shingle PAIR-COUNT table (doc_a, doc_b,
+# n_common, n_a, n_b) at the family defaults (n=3, max_df=50): the
+# inverted-index bucket build + pair-count aggregate dominated EVERY
+# exact set-overlap consumer (~1-2 s each at sf0.1), and q32 Jaccard /
+# q99 containment / q194 drop list / q269 J-histogram / q284 venn all
+# filter the SAME integer pair table — one persisted copy is the _sh()
+# stance (r13 batch 6). All-integer columns, so downstream filters stay
+# engine-exact.
+_SPC_CACHE: dict = {}
+
+
+def _spc(spark, sf_dir):
+    from tagtree_spark.onetime_cache import cached_frame, source_version
+    from tagtree_spark.operators.dedup import (
+        _shingle_pair_counts,
+        doc_shingle_hashes,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SPC_CACHE.get(key)
+    if got is None:
+        got = cached_frame(
+            spark,
+            "shingle_pairs",
+            sf_dir,
+            source_version(_spc, _shingle_pair_counts, doc_shingle_hashes),
+            lambda: _shingle_pair_counts(
+                _docs(spark, sf_dir), sh=_sh(spark, sf_dir)
+            ),
+        ).persist()
+        got.count()
+        _SPC_CACHE[key] = got
+    return got
+
+
 # Shared per-(session, sf dir) SimHash fingerprint table (doc_id,
 # simhash): q28 and q189 both band-bucket and popcount-verify from the
 # SAME 60-bit TF-weighted fold, which dominated each consumer (~1 s) —
@@ -480,7 +515,7 @@ def q32_ngram_jaccard(spark, sf_dir):
     """E2 exact n-gram Jaccard pairs (J >= 0.5) via shingle inverted-index
     join — integer-only output, no cross join."""
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), sh=_sh(spark, sf_dir)
+        _docs(spark, sf_dir), pairs=_spc(spark, sf_dir)
     ).orderBy("doc_a", "doc_b")
 
 
@@ -2983,7 +3018,7 @@ def q99_containment(spark, sf_dir):
     from tagtree_spark.operators.dedup import ngram_containment_pairs
 
     return ngram_containment_pairs(
-        _docs(spark, sf_dir), min_containment_pct=60, sh=_sh(spark, sf_dir)
+        _docs(spark, sf_dir), min_containment_pct=60, pairs=_spc(spark, sf_dir)
     ).orderBy("doc_a", "doc_b")
 
 
@@ -7073,7 +7108,7 @@ def q194_containment_drops(spark, sf_dir):
     from tagtree_spark.operators.dedup import containment_drop_list
 
     return containment_drop_list(
-        _docs(spark, sf_dir), min_containment_pct=90, sh=_sh(spark, sf_dir)
+        _docs(spark, sf_dir), min_containment_pct=90, pairs=_spc(spark, sf_dir)
     ).orderBy("dropped_id")
 
 
@@ -11075,6 +11110,7 @@ def one_time_builders():
     return {
         "tsdb_model": lambda s, d: _force(_q._model(s, d)[1]),
         "shingles": lambda s, d: _force(_sh(s, d)),
+        "shingle_pairs": lambda s, d: _force(_spc(s, d)),
         "simhash_fp": lambda s, d: _force(_sfp(s, d)),
         "mh_pairs": lambda s, d: _force(_mh_pairs(s, d)),
         "cc_clusters": lambda s, d: _force(_clusters(s, d)),
@@ -12169,11 +12205,7 @@ def q269_jaccard_histogram(spark, sf_dir):
     both engines on non-negative operands), J=100 folded into the top
     decile; rides the shared shingle cache, one inverted-index pass +
     one 10-row groupBy beyond it."""
-    from tagtree_spark.operators.dedup import _shingle_pair_counts
-
-    pairs = _shingle_pair_counts(
-        _docs(spark, sf_dir), sh=_sh(spark, sf_dir)
-    )
+    pairs = _spc(spark, sf_dir)
     jp = pairs.select(
         F.expr("(100 * n_common) div (n_a + n_b - n_common)").alias("j_pct")
     )
@@ -13077,7 +13109,7 @@ def q284_dedup_family_venn(spark, sf_dir):
         .withColumn("in_mh", F.lit(1))
     )
     ex = (
-        ngram_jaccard_pairs(_docs(spark, sf_dir), sh=_sh(spark, sf_dir))
+        ngram_jaccard_pairs(_docs(spark, sf_dir), pairs=_spc(spark, sf_dir))
         .select("doc_a", "doc_b")
         .withColumn("in_ex", F.lit(1))
     )

@@ -101,6 +101,37 @@ def test_simhash_pairs_precomputed_fp_matches_inline(spark):
     assert inline == shared and (1, 2) in {(a, b) for a, b, _ in inline}
 
 
+def test_set_overlap_precomputed_pairs_matches_inline(spark):
+    """The r13 shared pair-count path (pairs=) must produce identical
+    rows as the inline bucket build for BOTH Jaccard and containment —
+    q32/q99/q194/q269/q284 read the session-shared _spc frame through
+    it."""
+    from tagtree_spark.operators.dedup import (
+        _shingle_pair_counts,
+        containment_drop_list,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(20))
+    excerpt = " ".join(f"w{i}" for i in range(8))
+    other = " ".join(f"x{i}" for i in range(20))
+    d = _docs(
+        spark,
+        [(1, base, "en", "s", 1), (2, base + " tail", "en", "s", 1),
+         (3, excerpt, "en", "s", 1), (4, other, "en", "s", 1)],
+    )
+    spc = _shingle_pair_counts(d)
+    for fn, kw in (
+        (ngram_jaccard_pairs, {}),
+        (ngram_containment_pairs, {"min_containment_pct": 90}),
+        (containment_drop_list, {"min_containment_pct": 90}),
+    ):
+        inline = sorted(map(tuple, fn(d, **kw).collect()))
+        shared = sorted(map(tuple, fn(d, pairs=spc, **kw).collect()))
+        assert inline == shared and inline, fn.__name__
+
+
 def test_dropped_bucket_stats_reports_hot_buckets(spark):
     from tagtree_spark.operators.dedup import dropped_bucket_stats
 
