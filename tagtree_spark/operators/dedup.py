@@ -744,7 +744,11 @@ def cross_corpus_near_dup(
 
 
 def span_dup_stats(
-    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring (span) duplication profile: for each document, how
     many of its n-token sliding windows occur elsewhere in the corpus.
@@ -769,7 +773,41 @@ def span_dup_stats(
     Docs shorter than ``n`` tokens have no windows and are excluded (they
     cannot carry a duplicated span). → ``(doc_id, n_windows,
     n_dup_windows, dup_ratio)``, dup_ratio an exact-integer division.
+
+    Pass a precomputed :func:`dup_window_positions` frame (same window
+    ``n``) as ``dup`` to skip the md5 window pass + count shuffle
+    entirely: n_dup_windows is that frame's per-doc row count (same
+    occurrence-≥2 rule, position-for-position) and n_windows is the
+    narrow ``size(split) − n + 1`` projection — the _sh()/_dupwin()
+    shared-base-pass stance.
     """
+    if dup is not None:
+        base = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("_n"),
+            )
+            .where(F.col("_n") >= n)
+            .select("doc_id", (F.col("_n") - F.lit(n) + 1).alias("n_windows"))
+        )
+        dcnt = dup.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("n_dup_windows")
+        )
+        return (
+            base.join(dcnt, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_windows",
+                F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                .cast("bigint")
+                .alias("n_dup_windows"),
+            )
+            .withColumn(
+                "dup_ratio",
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+            )
+        )
     with_words = spread(docs).withColumn("_words", F.split(F.col(text_col), " "))
     wins = F.expr(
         f"transform(sequence(0, size(_words) - {n}), "

@@ -35,6 +35,10 @@ def funnel(
     previous stage's (user, ts) frame — the stage frames only SHRINK down
     the funnel, and each join keys on user_id (AQE broadcasts the later,
     smaller stages). No windows over raw events, no event-list collection.
+    All stage counts come back in ONE plan (a union of one-row
+    aggregates; identical stage subtrees dedupe via ReusedExchange) — a
+    per-stage ``.count()`` loop paid k driver round-trips and re-executed
+    stage i's chain inside stages i+1..k (r13, the q222 job-count class).
 
     → one row per stage: ``(stage, step, n_users)`` with stage 1-based.
     """
@@ -47,9 +51,17 @@ def funnel(
         .agg(F.min("ts").alias("t1"))
         .withColumn("deadline", F.col("t1") + F.expr(f"INTERVAL {win_s} SECOND"))
     )
-    counts = [stage.count()]
+
+    def _stage_row(df: DataFrame, i: int, step: str) -> DataFrame:
+        return df.agg(
+            F.lit(i + 1).cast("bigint").alias("stage"),
+            F.lit(step).alias("step"),
+            F.count("*").cast("bigint").alias("n_users"),
+        )
+
+    parts = [_stage_row(stage, 0, steps[0])]
     prev = stage.select(user_col, F.col("t1").alias("tprev"), "deadline")
-    for step in steps[1:]:
+    for i, step in enumerate(steps[1:], start=1):
         nxt = (
             events.where(F.col(type_col) == step)
             .join(prev, user_col)
@@ -58,13 +70,12 @@ def funnel(
             .agg(F.min("ts").alias("tprev"))
             .select(user_col, "tprev", "deadline")
         )
-        counts.append(nxt.count())
+        parts.append(_stage_row(nxt, i, step))
         prev = nxt
-    spark = events.sparkSession
-    return spark.createDataFrame(
-        [(i + 1, s, int(n)) for i, (s, n) in enumerate(zip(steps, counts))],
-        "stage bigint, step string, n_users bigint",
-    ).orderBy("stage")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("stage")
 
 
 def retention_cohorts(

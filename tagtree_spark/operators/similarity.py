@@ -1425,18 +1425,26 @@ def ivfpq_residual_adc_topk(
     cb = rsub.where(F.col("vec_id") < ks).select(
         "m", F.col("vec_id").alias("c"), F.col("sv").alias("cv")
     )
-    scored = rsub.join(F.broadcast(cb), "m").select(
+    # probe cells nearest the query (same fold as ivf_topk)
+    qv_df = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    probe = _probe_cells(cents, qv_df, nprobe).select(
+        F.col("cid").alias("pcid")
+    )
+    # Only codes inside the nprobe probed cells survive the final ADC
+    # join, so pre-filter the corpus side BEFORE the ks-way
+    # code-assignment join (nprobe/n_cells of the work at identical
+    # output) — the codebook above still derives from ALL cells'
+    # residuals, exactly as before.
+    rsub_p = rsub.join(
+        F.broadcast(probe.withColumnRenamed("pcid", "cid")), "cid", "left_semi"
+    )
+    scored = rsub_p.join(F.broadcast(cb), "m").select(
         "vec_id", "cid", "m", _pq_sqdist("sv", "cv").alias("dist"), "c"
     )
     codes = (
         scored.groupBy("vec_id", "cid", "m")
         .agg(F.min(F.struct("dist", "c")).alias("_b"))
         .select("vec_id", "cid", "m", F.col("_b.c").alias("code"))
-    )
-    # probe cells nearest the query (same fold as ivf_topk)
-    qv_df = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
-    probe = _probe_cells(cents, qv_df, nprobe).select(
-        F.col("cid").alias("pcid")
     )
     # one ADC table PER PROBED CELL: the query's residual against that cell
     qres = (

@@ -2759,7 +2759,9 @@ def q92_span_dedup(spark, sf_dir):
     join-back; no self-join)."""
     from tagtree_spark.operators.dedup import span_dup_stats
 
-    return span_dup_stats(_docs(spark, sf_dir), n=8).orderBy("doc_id")
+    return span_dup_stats(
+        _docs(spark, sf_dir), n=8, dup=_dupwin(spark, sf_dir)
+    ).orderBy("doc_id")
 
 
 @query(

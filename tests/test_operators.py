@@ -132,6 +132,29 @@ def test_set_overlap_precomputed_pairs_matches_inline(spark):
         assert inline == shared and inline, fn.__name__
 
 
+def test_span_dup_stats_precomputed_dup_matches_inline(spark):
+    """The r13 shared duplicated-window path (dup=) must reproduce the
+    inline md5-window pass row-for-row — q92 reads the session-shared
+    _dupwin frame through it. Covers within-doc repeats, cross-doc
+    dups, dup-free docs and too-short docs."""
+    from tagtree_spark.operators.dedup import dup_window_positions, span_dup_stats
+
+    w = " ".join(f"w{i}" for i in range(10))
+    rep = " ".join(f"r{i % 4}" for i in range(16))  # within-doc repeated windows
+    uniq = " ".join(f"u{i}" for i in range(12))
+    short = "a b c"
+    d = _docs(
+        spark,
+        [(1, w, "en", "s", 1), (2, w + " tail", "en", "s", 1),
+         (3, rep, "en", "s", 1), (4, uniq, "en", "s", 1), (5, short, "en", "s", 1)],
+    )
+    inline = sorted(map(tuple, span_dup_stats(d, n=8).collect()))
+    shared = sorted(
+        map(tuple, span_dup_stats(d, n=8, dup=dup_window_positions(d, window=8)).collect())
+    )
+    assert inline == shared and {r[0] for r in inline} == {1, 2, 3, 4}
+
+
 def test_dropped_bucket_stats_reports_hot_buckets(spark):
     from tagtree_spark.operators.dedup import dropped_bucket_stats
 
