@@ -141,7 +141,10 @@ def main() -> int:
     t_all = time.time()
     for name, fn in qs.items():
         runs: list[float] = []
-        for _ in range(2):
+        for rep in range(2):
+            # label jobs (guide §1.5) so an event-log/UI session attributes
+            # stages to queries; no-op for the timing itself
+            spark.sparkContext.setJobDescription(f"bench::{name}::{rep}")
             t0 = time.time()
             try:
                 run_query(fn(spark, sf_dir))
@@ -150,6 +153,7 @@ def main() -> int:
                 print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
                 runs = []
                 break
+        spark.sparkContext.setJobDescription(None)
         timings[name] = round(min(runs), 3) if runs else -1.0
         spreads[name] = (
             [round(min(runs), 3), round(max(runs), 3)] if runs else [-1.0, -1.0]

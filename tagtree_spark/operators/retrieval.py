@@ -87,13 +87,22 @@ def bm25_scores(
             ],
         )
 
-    tc = spread(docs).withColumn(
+    from tagtree_spark.session import persist_tracked
+
+    tc = spread(docs).select(
+        F.col(id_col),
         # NULL text counts as one empty token (dl=1, zero hits) — same
         # stance as PostingsSink's coalesce so the streamed-store BM25
         # stays bit-equal on null-text corpora (ADVICE r8)
-        "_tc",
-        F.aggregate(F.split(F.coalesce(F.col(text_col), F.lit("")), " "), zeros, step),
+        F.aggregate(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "), zeros, step
+        ).alias("_tc"),
     )
+    # the per-doc fold feeds BOTH the corpus-stats broadcast and the
+    # scoring path — without a persist it evaluates twice (r13 event
+    # log: two near-identical fold stages per run); the cached frame is
+    # narrow (id + one int struct), bodies never persist
+    tc = persist_tracked(tc)
     stats = tc.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.col("_tc.n")).cast("bigint").alias("sum_dl"),
@@ -166,13 +175,22 @@ def bm25_batch(
             ],
         )
 
-    tc = spread(docs).withColumn(
+    from tagtree_spark.session import persist_tracked
+
+    tc = spread(docs).select(
+        F.col(id_col),
         # NULL text counts as one empty token (dl=1, zero hits) — same
         # stance as PostingsSink's coalesce so the streamed-store BM25
         # stays bit-equal on null-text corpora (ADVICE r8)
-        "_tc",
-        F.aggregate(F.split(F.coalesce(F.col(text_col), F.lit("")), " "), zeros, step),
+        F.aggregate(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "), zeros, step
+        ).alias("_tc"),
     )
+    # the per-doc fold feeds BOTH the corpus-stats broadcast and the
+    # scoring path — without a persist it evaluates twice (r13 event
+    # log: two near-identical fold stages per run); the cached frame is
+    # narrow (id + one int struct), bodies never persist
+    tc = persist_tracked(tc)
     stats = tc.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.col("_tc.n")).cast("bigint").alias("sum_dl"),
