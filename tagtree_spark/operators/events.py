@@ -178,8 +178,15 @@ def type_cooccurrence(events: DataFrame) -> DataFrame:
     tiny. Expects the events schema (``user_id``, ``ts`` timestamp,
     ``event_type``)."""
     day = F.expr("unix_micros(ts) div 86400000000")
+    n = events.sparkSession.sparkContext.defaultParallelism
     cells = (
+        # user-sized keyed exchange (not the groupBy's own): the cell
+        # table's post-shuffle BYTES are tiny, so AQE otherwise coalesces
+        # the collect_set aggregate AND the per-cell pair transform below
+        # onto ONE task (r13 event log: 14.5 s serialized CPU) — the
+        # q303/q244 pattern; same keys, so the groupBy adds no exchange
         events.select(F.col("user_id"), day.alias("d"), F.col("event_type"))
+        .repartition(n, "user_id", "d")
         .groupBy("user_id", "d")
         .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
     )
