@@ -247,6 +247,10 @@ def kcore(
             .groupBy("u")
             .agg(F.count("*").cast("bigint").alias("core_deg"))
             .where(F.col("core_deg") >= k)
+            # NOTE (r13, measured): eager=False here does NOT reduce the
+            # per-round job count — the 37 jobs are AQE shuffle-stage
+            # materializations, not the checkpoint action — so the
+            # simpler eager form stays
             .localCheckpoint()
         )
         n = out.count()
