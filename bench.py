@@ -12,11 +12,15 @@ self-identifying from the artifact alone (r4: three queries read 2-5x
 slower in the driver tail purely from host contention — with the spread
 recorded, a wide [min,max] on an unchanged query reads as noise, not a
 regression, without a re-run).
-    {"metric": "total_wall_sec", "value": N, "unit": "sec", "wall_sec": W,
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q01_eql": sec, ...}, "wall_sec": W,
      "sf": 0.1, "n_queries": Q, "n_failed": 0, "failed": []}
 
 The LAST line is always small enough to survive a bounded tail capture
-(the detailed line outgrew the driver's window at ~100 queries, r3).
+(the detailed line outgrew the driver's window at ~100 queries, r3; the
+per-query minima map was ADDED to it in r14 — VERDICT r13 #1 — because
+the driver parses only this line and had no per-query comparison without
+it; it is ~1/3 the detailed line's size).
 "canary"/"canary_ratio" (r11): three pinned cheap queries re-timed at the
 END of the run vs the START — a contended host reads ratio >> 1.0, so an
 inflated session self-identifies from the artifact alone.
@@ -196,7 +200,12 @@ def main() -> int:
     )
     # Tail-proof summary: with ~100 queries the detailed line can outgrow a
     # bounded tail capture (r3: BENCH parsed null). The LAST stdout line is
-    # always this compact, parseable record.
+    # always this compact, parseable record. r14 (VERDICT r13 #1/#2): the
+    # driver parses ONLY this line, so round-over-round per-query
+    # comparability needs the best-of-2 minima map HERE as well — additive
+    # "queries" field, every pre-existing field kept. ~13 KB for 388
+    # queries (the r3 overflow was the detailed line's spread/one_time/
+    # canary payload, ~3x bigger).
     failed = sorted(n for n, v in timings.items() if v < 0)
     print(
         json.dumps(
@@ -204,6 +213,7 @@ def main() -> int:
                 "metric": "total_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "queries": timings,
                 "one_time_sec": one_time_total,
                 "one_time_failed": one_time_failed,
                 "canary_ratio": canary_ratio,

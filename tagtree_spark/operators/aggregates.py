@@ -142,7 +142,7 @@ def _full_and_sampled_disc_quantiles(
     value_expr: str,
     keep,
     percentiles: list[float],
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> tuple[dict[float, float], dict[float, float]]:
     """Full-data AND subset discrete quantiles from ONE range-partitioned
     pass (r13, guide §2.4): the two-call form ran
@@ -161,6 +161,11 @@ def _full_and_sampled_disc_quantiles(
 
     from pyspark.sql import Window
 
+    if n_parts is None:
+        # scale-adaptive, not a local[32] constant (VERDICT r13 #3): the
+        # result is partition-count-invariant (global ranks are), so this
+        # only sets parallelism / per-task buffer size
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
     v = (
         df.select(F.expr(value_expr).alias("v"), keep.alias("_keep"))
         .where(F.col("v").isNotNull())
@@ -226,7 +231,7 @@ def exact_disc_quantiles_distributed(
     df: DataFrame,
     value_expr: str,
     percentiles: list[float],
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> dict[float, float]:
     """EXACT discrete quantiles (quantile_disc convention: the value at
     1-based rank ``ceil(p·n)``) computed as distributed order statistics —
@@ -249,6 +254,10 @@ def exact_disc_quantiles_distributed(
 
     from pyspark.sql import Window
 
+    if n_parts is None:
+        # scale-adaptive like _full_and_sampled_disc_quantiles: the picked
+        # values are partition-count-invariant
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
     v = (
         df.select(F.expr(value_expr).alias("v"))
         .where(F.col("v").isNotNull())
