@@ -154,6 +154,7 @@ def minhash_near_dup_pairs(
     min_match: int = 6,
     max_bucket: int | None = MAX_BUCKET,
     sh: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """E2 near-dup pairs via MinHash + LSH banding → ``(doc_a, doc_b,
     n_match)`` where n_match = #agreeing signature positions (>= min_match).
@@ -164,6 +165,11 @@ def minhash_near_dup_pairs(
          generated per bucket — NO cross join anywhere;
       3. verify candidates on the full signature (join back to signatures,
          count agreeing positions).
+
+    Pass a precomputed ``(doc_id, sig)`` signature table as ``sigs`` (the
+    materialized artifact a 100 TB pipeline keeps next to the corpus —
+    built exactly as the ``sh`` path builds it) to skip the shingle+fold
+    pass entirely; it must cover exactly the documents of ``docs``.
     """
     # Persist the signatures: the plan reads them three times (two band-join
     # sides + verification join-back); without materialization Spark would
@@ -172,7 +178,10 @@ def minhash_near_dup_pairs(
     # filter on the cheap word-count precondition (equivalent to
     # size(shingles) > 0): a size(shingles) predicate gets pushed below the
     # projection and REBUILDS the whole shingle pipeline inside the Filter
-    if sh is not None:
+    _build_sigs = sigs is None  # a passed-in table is already materialized
+    if sigs is not None:
+        sigs = sigs.select("doc_id", "sig")
+    elif sh is not None:
         # Cached doc_shingle_hashes frame: mask the 60-bit hashes to the
         # 31-bit permutation domain (distinct-after-mask == hashing the
         # shingle strings with the masked h60 directly).
@@ -197,7 +206,7 @@ def minhash_near_dup_pairs(
                 minhash_signature("hs", n_perm=n_perm).alias("sig"),
             )
         )
-    sigs = persist_tracked(sigs)
+    sigs = persist_tracked(sigs) if _build_sigs else sigs
     bands = sigs.select(
         "doc_id", F.explode(lsh_band_keys("sig", n_bands, rows_per_band)).alias("band")
     )
@@ -604,6 +613,7 @@ def ngram_jaccard_pairs(
     the whole set-overlap family (Jaccard / containment / histogram /
     venn) filters the SAME pair table, so one shared build serves all.
     """
+    _check_pairs_params(pairs, n=n, max_df=max_df, sh=sh)
     out = pairs if pairs is not None else _shingle_pair_counts(
         docs, id_col, text_col, n, max_df, sh=sh
     )
@@ -611,6 +621,23 @@ def ngram_jaccard_pairs(
         F.col("n_common") * 100
         >= F.lit(min_jaccard_pct) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     ).select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+
+
+def _check_pairs_params(pairs, n: int, max_df: int, sh) -> None:
+    """Guard (ADVICE r13): a precomputed ``pairs`` frame is built at the
+    family defaults (n=3, max_df=50); silently ignoring a caller's
+    different n/max_df/sh next to it would yield plausible-looking wrong
+    overlaps. Refuse the combination loudly instead."""
+    if pairs is None:
+        return
+    if n != 3 or max_df != 50 or sh is not None:
+        raise ValueError(
+            "pairs= is a precomputed _shingle_pair_counts frame built at the "
+            f"family defaults (n=3, max_df=50, sh=None); got n={n}, "
+            f"max_df={max_df}, sh={'set' if sh is not None else 'None'} — "
+            "drop the pairs= argument to honor them, or rebuild the pair "
+            "table with those parameters"
+        )
 
 
 def _shingle_pair_counts(
@@ -684,6 +711,7 @@ def ngram_containment_pairs(
     short-circuits the bucket + pair-count passes with a precomputed
     :func:`_shingle_pair_counts` frame (same n/max_df).
     """
+    _check_pairs_params(pairs, n=n, max_df=max_df, sh=sh)
     out = pairs if pairs is not None else _shingle_pair_counts(
         docs, id_col, text_col, n, max_df, sh=sh
     )
@@ -721,6 +749,12 @@ def cross_corpus_near_dup(
     :func:`minhash_near_dup_pairs` — candidates are never |A|×|B|), then
     the few verified pairs join a tiny (id, origin) map to drop
     within-corpus hits and orient the output.
+
+    ``minhash_kw`` forwards to :func:`minhash_near_dup_pairs` — in
+    particular a shared ``sh=`` shingle table or ``sigs=`` signature
+    table, which MUST cover exactly the union's documents (extra docs
+    would join band buckets and can tip them over ``max_bucket``,
+    dropping pairs).
     """
     u = docs_a.select(F.col(id_col), F.col(text_col)).unionByName(
         docs_b.select(F.col(id_col), F.col(text_col))
@@ -749,6 +783,7 @@ def span_dup_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     dup: DataFrame | None = None,
+    dup_window: int | None = None,
 ) -> DataFrame:
     """Exact-substring (span) duplication profile: for each document, how
     many of its n-token sliding windows occur elsewhere in the corpus.
@@ -779,8 +814,17 @@ def span_dup_stats(
     entirely: n_dup_windows is that frame's per-doc row count (same
     occurrence-≥2 rule, position-for-position) and n_windows is the
     narrow ``size(split) − n + 1`` projection — the _sh()/_dupwin()
-    shared-base-pass stance.
+    shared-base-pass stance. Pass ``dup_window`` (the ``window`` the dup
+    frame was built with) alongside it: a mismatch against ``n`` yields a
+    plausible-looking wrong dup_ratio (it can even exceed 1.0), so the
+    guard refuses it loudly (ADVICE r13).
     """
+    if dup is not None and dup_window is not None and dup_window != n:
+        raise ValueError(
+            f"span_dup_stats: dup= frame was built with window={dup_window} "
+            f"but n={n} was requested — the per-doc window counts would "
+            "disagree; rebuild dup_window_positions with window=n"
+        )
     if dup is not None:
         base = (
             docs.select(
@@ -1147,6 +1191,7 @@ def lsh_band_histogram(
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
     max_bucket: int | None = MAX_BUCKET,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH health telemetry, oracle-checkable → ``(bucket_size,
     n_buckets, is_dropped)``: the distribution of MinHash band-bucket
@@ -1154,8 +1199,13 @@ def lsh_band_histogram(
     report that says whether the banding still discriminates (a fat tail
     of near-cap buckets means n_bands/rows_per_band need retuning BEFORE
     the pair join degenerates). Same signature pipeline as
-    :func:`minhash_near_dup_pairs`; two tiny aggs after it."""
-    if sh is not None:
+    :func:`minhash_near_dup_pairs`; two tiny aggs after it. Pass a
+    precomputed ``(doc_id, sig)`` table as ``sigs`` (the materialized
+    signature artifact, built exactly as the ``sh`` path builds it) to
+    skip the fold."""
+    if sigs is not None:
+        sigs = sigs.select("doc_id", "sig")
+    elif sh is not None:
         sigs = sh.select(
             "doc_id",
             minhash_signature(

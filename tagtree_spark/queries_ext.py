@@ -61,9 +61,9 @@ def _mh_pairs(spark, sf_dir):
             spark,
             "mh_pairs",
             sf_dir,
-            source_version(_mh_pairs, _sh, minhash_near_dup_pairs),
+            source_version(_mh_pairs, _msig, _sh, minhash_near_dup_pairs),
             lambda: minhash_near_dup_pairs(
-                _docs(spark, sf_dir), sh=_sh(spark, sf_dir)
+                _docs(spark, sf_dir), sigs=_msig(spark, sf_dir)
             ),
         ).persist()
         got.count()  # materialize before the tracked upstream persists are released
@@ -195,6 +195,46 @@ def _sfp(spark, sf_dir):
         ).persist()
         got.count()
         _SFP_CACHE[key] = got
+    return got
+
+
+# Shared per-(session, sf dir) MinHash SIGNATURE table (doc_id, sig) —
+# VERDICT r13 #5: q25 (via the _mh_pairs builder), q75 (cross-corpus
+# union == the whole corpus) and q195 (band histogram) each re-ran the
+# 12-permutation affine fold per query; one persisted copy is the _sh()
+# stance, and it is exactly the "signature table" a 100 TB pipeline
+# materializes next to the corpus. Built from the cached shingle table
+# with the IDENTICAL mask+fold expression minhash_near_dup_pairs'
+# ``sh=`` path uses, so consumers taking ``sigs=`` are bit-identical to
+# the inline path (pinned by test_minhash_sigs_precomputed_matches_inline).
+_MSIG_CACHE: dict = {}
+
+
+def _msig(spark, sf_dir):
+    from tagtree_spark.onetime_cache import cached_frame, source_version
+    from tagtree_spark.operators.dedup import H31_MASK, minhash_signature
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _MSIG_CACHE.get(key)
+    if got is None:
+        got = cached_frame(
+            spark,
+            "mh_sigs",
+            sf_dir,
+            source_version(_msig, _sh, minhash_signature),
+            lambda: _sh(spark, sf_dir).select(
+                "doc_id",
+                minhash_signature(
+                    F.array_distinct(
+                        F.transform(
+                            "hs", lambda x: x.bitwiseAND(F.lit(H31_MASK))
+                        )
+                    )
+                ).alias("sig"),
+            ),
+        ).persist()
+        got.count()
+        _MSIG_CACHE[key] = got
     return got
 
 
@@ -2104,7 +2144,13 @@ def q75_cross_corpus_dedup(spark, sf_dir):
     og = F.substring("source", 4, 10).cast("int") % 2
     a = docs.where(og == 0)
     b = docs.where(og == 1)
-    return cross_corpus_near_dup(a, b).orderBy("a_id", "b_id")
+    # a ∪ b == the whole corpus (og is non-null for every source at every
+    # in-repo sf — verified r14), so the union's signature table IS the
+    # shared _msig artifact; without it the whole shingle+md5+fold
+    # pipeline re-ran per bench rep (~1.6 s, VERDICT r13 #5)
+    return cross_corpus_near_dup(
+        a, b, sigs=_msig(spark, sf_dir)
+    ).orderBy("a_id", "b_id")
 
 
 @query(
@@ -2458,14 +2504,18 @@ def q84_minhash_calibration(spark, sf_dir):
     banding scheme matches the corpus. Exact side = array_intersect over
     the per-doc distinct shingle-hash arrays (integer counts, single
     final divisions)."""
-    from tagtree_spark.operators.dedup import shingle_hashes, word_shingles
+    from tagtree_spark.operators.dedup import H31_MASK
 
-    docs = _docs(spark, sf_dir)
-    hs = (
-        word_shingles(
-            spread(docs).where(F.size(F.split(F.col("text"), " ")) >= 3)
-        )
-        .select(F.col("doc_id"), shingle_hashes("shingles").alias("hs"))
+    # the exact side's 31-bit shingle sets are the cached _sh table under
+    # the permutation-domain mask: distinct(mask(distinct(h60))) ==
+    # distinct(mask(h60)) element-for-element, so this is bit-identical
+    # to re-shingling (and only sizes/intersections are consumed) —
+    # kills the per-rep word_shingles+md5 re-run (~1.1 s, VERDICT r13 #5)
+    hs = _sh(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform("hs", lambda x: x.bitwiseAND(F.lit(H31_MASK)))
+        ).alias("hs"),
     )
     pairs = _mh_pairs(spark, sf_dir)
     ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
@@ -2760,7 +2810,7 @@ def q92_span_dedup(spark, sf_dir):
     from tagtree_spark.operators.dedup import span_dup_stats
 
     return span_dup_stats(
-        _docs(spark, sf_dir), n=8, dup=_dupwin(spark, sf_dir)
+        _docs(spark, sf_dir), n=8, dup=_dupwin(spark, sf_dir), dup_window=8
     ).orderBy("doc_id")
 
 
@@ -7136,7 +7186,7 @@ def q195_lsh_band_histogram(spark, sf_dir):
     from tagtree_spark.operators.dedup import lsh_band_histogram
 
     return lsh_band_histogram(
-        _docs(spark, sf_dir), sh=_sh(spark, sf_dir)
+        _docs(spark, sf_dir), sigs=_msig(spark, sf_dir)
     ).orderBy("bucket_size")
 
 
@@ -12205,8 +12255,8 @@ def q269_jaccard_histogram(spark, sf_dir):
     near-dup cutoff (where does the true pair mass separate from
     the long tail?). Integer floor-division J percent (identical semantics
     both engines on non-negative operands), J=100 folded into the top
-    decile; rides the shared shingle cache, one inverted-index pass +
-    one 10-row groupBy beyond it."""
+    decile; reads the persisted shingle_pairs one-time frame (_spc) —
+    no inverted-index pass of its own, one 10-row groupBy beyond it."""
     pairs = _spc(spark, sf_dir)
     jp = pairs.select(
         F.expr("(100 * n_common) div (n_a + n_b - n_common)").alias("j_pct")
@@ -18318,10 +18368,14 @@ def q345_threshold_sweep(spark, sf_dir):
     from tagtree_spark.session import persist_tracked
 
     # the pair frame feeds THREE branches (pair counts + both doc stacks);
-    # persist the tiny ≥50% pair set so the shingle self-join runs once
+    # persist the tiny ≥50% pair set. r14: filter the persisted _spc
+    # pair-count table (the shared shingle_pairs one-time frame) instead
+    # of re-running the inverted-index self-join per rep — q345 predated
+    # the r13 _spc cache; same integer rows, pinned by the
+    # precomputed-pairs ≡ inline test
     pairs = persist_tracked(
         ngram_jaccard_pairs(
-            _docs(spark, sf_dir), min_jaccard_pct=50, sh=_sh(spark, sf_dir)
+            _docs(spark, sf_dir), min_jaccard_pct=50, pairs=_spc(spark, sf_dir)
         )
     )
     thr = F.explode(F.array(*[F.lit(t) for t in (50, 60, 70, 80, 90)])).alias("t")

@@ -101,6 +101,56 @@ def test_simhash_pairs_precomputed_fp_matches_inline(spark):
     assert inline == shared and (1, 2) in {(a, b) for a, b, _ in inline}
 
 
+def test_minhash_sigs_precomputed_matches_inline(spark):
+    """The r14 shared signature-table path (sigs=) must produce the
+    identical pair set / band histogram as the inline shingle+fold —
+    q25 (via _mh_pairs), q75 and q195 read the session-shared _msig
+    frame through it."""
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.operators.dedup import (
+        H31_MASK,
+        cross_corpus_near_dup,
+        doc_shingle_hashes,
+        lsh_band_histogram,
+        minhash_near_dup_pairs,
+        minhash_signature,
+    )
+
+    near_a = " ".join(f"w{i}" for i in range(30))
+    near_b = " ".join(f"w{i}" for i in range(29)) + " zz"
+    other = " ".join(f"x{i}" for i in range(30))
+    d = _docs(
+        spark,
+        [(1, near_a, "en", "s", 1), (2, near_b, "en", "s", 1),
+         (3, other, "en", "s", 1), (4, near_a + " yy", "en", "s", 1)],
+    )
+    # the _msig builder expression, verbatim
+    sigs = doc_shingle_hashes(d).select(
+        "doc_id",
+        minhash_signature(
+            F.array_distinct(
+                F.transform("hs", lambda x: x.bitwiseAND(F.lit(H31_MASK)))
+            )
+        ).alias("sig"),
+    )
+    inline = sorted(map(tuple, minhash_near_dup_pairs(d).collect()))
+    shared = sorted(map(tuple, minhash_near_dup_pairs(d, sigs=sigs).collect()))
+    assert inline == shared and (1, 2) in {(a, b) for a, b, _ in inline}
+
+    h_inline = sorted(map(tuple, lsh_band_histogram(d).collect()))
+    h_shared = sorted(map(tuple, lsh_band_histogram(d, sigs=sigs).collect()))
+    assert h_inline == h_shared and h_inline
+
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1)
+    x_inline = sorted(map(tuple, cross_corpus_near_dup(a, b).collect()))
+    x_shared = sorted(
+        map(tuple, cross_corpus_near_dup(a, b, sigs=sigs).collect())
+    )
+    assert x_inline == x_shared and x_inline
+
+
 def test_set_overlap_precomputed_pairs_matches_inline(spark):
     """The r13 shared pair-count path (pairs=) must produce identical
     rows as the inline bucket build for BOTH Jaccard and containment —
