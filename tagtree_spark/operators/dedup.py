@@ -989,6 +989,60 @@ def bloom_contamination(
     )
 
 
+def _prefix_pair_gen(pct: int):
+    """Vectorized i<j candidate enumeration for
+    :func:`prefix_filtered_jaccard` (r14, guide §4): each input row is one
+    complete sorted bucket ``ds`` = array<struct<doc_id, n_sh, rn>>; emit
+    every ordered pair inside it that survives the lossless length filter
+    ``pct·max(na,nb) <= 100·min(na,nb)``. Pure int64 NumPy — identical
+    candidate SET to the previous interpreted transform/filter fold
+    (pinned by test_prefix_filter_pair_gen_matches_jvm_fold); the output
+    feeds a pair-keyed agg, so row order is irrelevant."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        names = ["doc_a", "doc_b", "na", "nb", "pa", "pb"]
+        for batch in batches:
+            la = batch.column(0)
+            sizes = pc.list_value_length(la).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(la)
+            doc = flat.field("doc_id").to_numpy().astype(np.int64)
+            nsh = flat.field("n_sh").to_numpy().astype(np.int64)
+            rn = flat.field("rn").to_numpy().astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+            cols = [[] for _ in names]
+            for k in np.unique(sizes):
+                if k < 2:
+                    continue
+                sel = np.nonzero(sizes == k)[0]
+                idx = starts[sel][:, None] + np.arange(k)[None, :]
+                iu, ju = np.triu_indices(int(k), 1)
+                na = nsh[idx][:, iu].ravel()
+                nb = nsh[idx][:, ju].ravel()
+                keep = pct * np.maximum(na, nb) <= 100 * np.minimum(na, nb)
+                vals = (
+                    doc[idx][:, iu].ravel()[keep],
+                    doc[idx][:, ju].ravel()[keep],
+                    na[keep],
+                    nb[keep],
+                    rn[idx][:, iu].ravel()[keep],
+                    rn[idx][:, ju].ravel()[keep],
+                )
+                for c, v in zip(cols, vals):
+                    c.append(v)
+            if not cols[0]:
+                continue
+            arrays = [
+                pa.array(np.concatenate(c), type=pa.int64()) for c in cols
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return gen
+
+
 def prefix_filtered_jaccard(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1046,13 +1100,23 @@ def prefix_filtered_jaccard(
     # skips the expensive array_intersect verification for them.
     pct = int(min_jaccard_pct)
     # r13: the bucket grouping is a user-sized exchange — the pair-gen
-    # explode/filter below is CPU-dense per shuffle BYTE, and AQE's
-    # min-partition-size floor otherwise coalesced it to ~6 partitions
-    # (sweep log: 5.2 s of run time on 6 tasks)
+    # below is CPU-dense per shuffle BYTE, and AQE's min-partition-size
+    # floor otherwise coalesced it to ~6 partitions (sweep log: 5.2 s of
+    # run time on 6 tasks)
     n_part = pref.sparkSession.sparkContext.defaultParallelism
     buckets = pref.repartition(n_part, "s").groupBy("s").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n_sh", "rn"))).alias("ds")
     )
+    # NOTE (r14, measured): a mapInArrow/NumPy rewrite of this pair-gen
+    # fold (VERDICT r13 #1) was built, pinned equal
+    # (test_prefix_filter_pair_gen_matches_jvm_fold) and REVERTED on
+    # numbers: isolated over persisted buckets the interpreted fold runs
+    # 0.19-0.24 s vs 0.36-0.41 s for the Arrow pass — at sf0.1 the
+    # enumerated pair volume (19k buckets, 431k pairs, max k=10) is
+    # below the Python-boundary floor (32 task dispatches + two Arrow
+    # serializations cost more than 431k interpreted lambda evals).
+    # _prefix_pair_gen stays importable for a corpus where the pair
+    # volume justifies it.
     pair_structs = F.explode(
         F.flatten(
             F.expr(

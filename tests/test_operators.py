@@ -1598,6 +1598,62 @@ def test_prefix_filter_is_lossless(documents):
     assert pref == full and len(pref) > 0
 
 
+def test_prefix_filter_pair_gen_matches_jvm_fold(spark):
+    """r14: the vectorized mapInArrow pair generation must emit exactly
+    the candidate set of the old interpreted transform/filter HOF fold
+    (same i<j enumeration over the sorted bucket, same integer length
+    filter) — covers size-1 buckets, all-filtered buckets and mixed
+    sizes."""
+    from pyspark.sql import functions as F
+
+    from tagtree_spark.operators.dedup import _prefix_pair_gen
+
+    rows = [
+        (1, [(10, 20, 1), (11, 22, 2)]),                    # kept pair
+        (2, [(20, 10, 1), (21, 100, 1)]),                   # filtered by length
+        (3, [(30, 10, 1)]),                                  # singleton
+        (4, [(40, 12, 1), (41, 13, 2), (42, 24, 3), (43, 25, 1)]),
+    ]
+    buckets = spark.createDataFrame(
+        rows,
+        "s bigint, ds array<struct<doc_id: bigint, n_sh: bigint, rn: int>>",
+    ).select(F.sort_array("ds").alias("ds"))
+    pct = 50
+    jvm = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ds, (x, i) -> filter("
+                "transform(slice(ds, i + 2, size(ds)), "
+                "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.n_sh AS na, y.n_sh AS nb, x.rn AS pa, y.rn AS pb)), "
+                f"p -> {pct} * greatest(p.na, p.nb) <= 100 * least(p.na, p.nb)))"
+            )
+        )
+    )
+    old = sorted(
+        tuple(r)
+        for r in buckets.where(F.size("ds") >= 2)
+        .select(jvm.alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb", "p.pa", "p.pb")
+        .collect()
+    )
+    new = sorted(
+        tuple(r)
+        for r in buckets.where(F.size("ds") >= 2)
+        .select("ds")
+        .mapInArrow(
+            _prefix_pair_gen(pct),
+            "doc_a bigint, doc_b bigint, na bigint, nb bigint, "
+            "pa bigint, pb bigint",
+        )
+        .collect()
+    )
+    # the equality IS the pin; spot-check the kept and the length-filtered
+    assert old == new and len(new) > 0
+    assert (10, 11, 20, 22, 1, 2) in new        # bucket 1's pair survives
+    assert not any(a == 20 for a, *_ in new)    # bucket 2 length-filtered
+
+
 def test_graph_stats_triangle_vs_chain(spark):
     from tagtree_spark.operators.graph import graph_stats
 
