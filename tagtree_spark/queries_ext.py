@@ -198,6 +198,43 @@ def _sfp(spark, sf_dir):
     return got
 
 
+# Shared per-(session, sf dir) SimHash VERIFIED-CANDIDATE pairs
+# (doc_a, doc_b, hamming) at the family's fixed banding (4×15-bit bands,
+# MAX_BUCKET cap), UNTHRESHOLDED (max_hamming=60 keeps every
+# band-colliding pair): q28 (≤3) and q189 (≤8) run the identical
+# band-bucket pair generation + popcount verification and differ ONLY in
+# the final integer threshold filter, which commutes with caching — one
+# persisted copy is the _sh() stance (r14, VERDICT r13 #8).
+_SHP_CACHE: dict = {}
+
+
+def _shpairs(spark, sf_dir):
+    from tagtree_spark.onetime_cache import cached_frame, source_version
+    from tagtree_spark.operators.dedup import (
+        _bucket_pairs,
+        simhash60,
+        simhash_near_dup_pairs,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SHP_CACHE.get(key)
+    if got is None:
+        got = cached_frame(
+            spark,
+            "simhash_cand_pairs",
+            sf_dir,
+            source_version(
+                _shpairs, _sfp, simhash_near_dup_pairs, _bucket_pairs, simhash60
+            ),
+            lambda: simhash_near_dup_pairs(
+                _docs(spark, sf_dir), max_hamming=60, fp=_sfp(spark, sf_dir)
+            ),
+        ).persist()
+        got.count()
+        _SHP_CACHE[key] = got
+    return got
+
+
 # Shared per-(session, sf dir) MinHash SIGNATURE table (doc_id, sig) —
 # VERDICT r13 #5: q25 (via the _mh_pairs builder), q75 (cross-corpus
 # union == the whole corpus) and q195 (band histogram) each re-ran the
@@ -521,10 +558,13 @@ ORDER BY doc_a, doc_b""",
 def q28_simhash_neardup(spark, sf_dir):
     """E2 SimHash near-dup pairs: 60-bit TF-weighted fingerprints, 15-bit
     band buckets (full recall for hamming <= 3), popcount verification.
-    Reads the session-shared fingerprint table (_sfp, r13)."""
-    return simhash_near_dup_pairs(
-        _docs(spark, sf_dir), fp=_sfp(spark, sf_dir)
-    ).orderBy("doc_a", "doc_b")
+    Filters the session-shared unthresholded pair table (_shpairs, r14 —
+    q189 reads the same frame at its relaxed cutoff)."""
+    return (
+        _shpairs(spark, sf_dir)
+        .where(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 @query(
@@ -6923,13 +6963,10 @@ def q189_simhash_calibration(spark, sf_dir):
     """Calibration III (with q84's MinHash-vs-Jaccard and q148's ANN
     recall): for every SimHash candidate at a RELAXED threshold
     (hamming ≤ 8), the exact shingle overlap — the precision curve that
-    says where to set the production hamming cutoff. Spark side reuses
-    the cached shingle table (_sh) and the band-join pair generator;
-    integer-only output."""
-    from tagtree_spark.operators.dedup import simhash_near_dup_pairs
-
-    docs = _docs(spark, sf_dir)
-    sp = simhash_near_dup_pairs(docs, max_hamming=8, fp=_sfp(spark, sf_dir))
+    says where to set the production hamming cutoff. Spark side filters
+    the session-shared unthresholded pair table (_shpairs, r14) and
+    reuses the cached shingle table (_sh); integer-only output."""
+    sp = _shpairs(spark, sf_dir).where(F.col("hamming") <= 8)
     sh = _sh(spark, sf_dir)
     ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
