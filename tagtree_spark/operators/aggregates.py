@@ -119,9 +119,17 @@ def sampled_quantiles(
     """
     from tagtree_spark.functions.hashing import h60
 
-    keep = (h60(F.expr(key_expr)) % 100) < rate_pct
+    # keep is applied to the carried key AFTER the range exchange (r14):
+    # the md5 membership hash otherwise also runs inside the range
+    # partitioner's sampling re-execution of the projection (guide §1.4)
     vexpr = f"CAST({value_expr} AS DOUBLE)"
-    full, samp = _full_and_sampled_disc_quantiles(df, vexpr, keep, percentiles)
+    full, samp = _full_and_sampled_disc_quantiles(
+        df,
+        vexpr,
+        lambda kk: (h60(kk) % 100) < rate_pct,
+        percentiles,
+        keep_key_expr=key_expr,
+    )
     names, vals = ["n_full"], [int(full["n"])]
     for p in percentiles:
         names.append(f"exact_p{int(p * 100)}")
@@ -143,6 +151,7 @@ def _full_and_sampled_disc_quantiles(
     keep,
     percentiles: list[float],
     n_parts: int | None = None,
+    keep_key_expr: str | None = None,
 ) -> tuple[dict[float, float], dict[float, float]]:
     """Full-data AND subset discrete quantiles from ONE range-partitioned
     pass (r13, guide §2.4): the two-call form ran
@@ -166,12 +175,32 @@ def _full_and_sampled_disc_quantiles(
         # result is partition-count-invariant (global ranks are), so this
         # only sets parallelism / per-task buffer size
         n_parts = df.sparkSession.sparkContext.defaultParallelism
-    v = (
-        df.select(F.expr(value_expr).alias("v"), keep.alias("_keep"))
-        .where(F.col("v").isNotNull())
-        .repartitionByRange(n_parts, "v")
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    if keep_key_expr is not None:
+        # r14 (guide §1.4/§2.3): the range partitioner's boundary-sampling
+        # pass re-executes the pre-exchange projection, so an expensive
+        # membership hash placed there runs over every row TWICE. Carry
+        # the raw key through the exchange instead and apply ``keep``
+        # (a Column function over that key) after it — the sampler now
+        # evaluates only the cheap key concat, and the picked values are
+        # identical (membership is a pure function of the carried key).
+        v = (
+            df.select(
+                F.expr(value_expr).alias("v"),
+                F.expr(keep_key_expr).alias("_kk"),
+            )
+            .where(F.col("v").isNotNull())
+            .repartitionByRange(n_parts, "v")
+            .withColumn("_keep", keep(F.col("_kk")))
+            .drop("_kk")
+            .withColumn("_pid", F.spark_partition_id())
+        )
+    else:
+        v = (
+            df.select(F.expr(value_expr).alias("v"), keep.alias("_keep"))
+            .where(F.col("v").isNotNull())
+            .repartitionByRange(n_parts, "v")
+            .withColumn("_pid", F.spark_partition_id())
+        )
     w = Window.partitionBy("_pid").orderBy("v")
     kf = F.col("_keep").cast("int")
     d = (

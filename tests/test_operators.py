@@ -1854,6 +1854,13 @@ def test_full_and_sampled_disc_quantiles_single_pass_matches_two_call(spark):
     ref_samp = exact_disc_quantiles_distributed(df.where(keep), "x", ps, n_parts=8)
     assert full == ref_full
     assert samp == ref_samp
+    # r14: the deferred-keep path (membership applied to the carried key
+    # AFTER the range exchange) must pick the identical values
+    full2, samp2 = _full_and_sampled_disc_quantiles(
+        df, "x", lambda kk: (kk % 7) == 0, ps, n_parts=8, keep_key_expr="id"
+    )
+    assert full2 == ref_full
+    assert samp2 == ref_samp
 
 
 def test_hash_classifier_score_matches_python(spark):
